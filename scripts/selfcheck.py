@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local pre-validation of the driver's correctness gate.
+
+Runs graft.Verify output (parquet per query + oracle_sql.json) against DuckDB
+on the same fixture tables and compares: row count, sorted column names, and
+cell values (exact for ints/strings, bit-exact for doubles unless --tol).
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def rows_of(table):
+    cols = sorted(table.column_names)
+    data = {c: table.column(c).to_pylist() for c in cols}
+    n = table.num_rows
+    return [tuple(norm(data[c][i]) for c in cols) for i in range(n)], cols
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = pq.read_table(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        grows, gcols = rows_of(got)
+        wrows, wcols = rows_of(want)
+        if gcols != wcols:
+            print(f"FAIL {name}: columns spark={gcols} duckdb={wcols}")
+            n_fail += 1
+            continue
+        if len(grows) != len(wrows):
+            print(f"FAIL {name}: rows spark={len(grows)} duckdb={len(wrows)}")
+            n_fail += 1
+            continue
+        # compare in sorted order too, in case the driver sorts rows
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(grows, wrows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; first @{i}:")
+            print(f"  cols : {gcols}")
+            print(f"  spark: {a}")
+            print(f"  duck : {b}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(grows)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated fixture tables (see TESTDATA.md).
+  *
+  * All readers are plain parquet scans so Catalyst can push filters and
+  * prune columns straight into the scan (check `PushedFilters`/`ReadSchema`
+  * in `.explain("formatted")`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` carries parquet TIMESTAMP(NANOS) which Spark cannot read as a
+    * timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` so
+    * `ts` arrives as Long nanoseconds. This loader derives:
+    *   - `ts_us`: epoch microseconds (Long) — exact integer arithmetic, used
+    *     for all oracle-checked time math (DuckDB: `epoch_us(CAST(ts AS TIMESTAMP))`);
+    *   - `ts_t`:  TimestampType at microsecond precision, for window()/watermark ops.
+    * ns→µs truncation matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast (both
+    * truncate toward zero; all fixture timestamps are positive).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+}
+
+/** One SparkSession configuration for every entrypoint (Verify, Bench,
+  * tests), so correctness runs and benchmarks see identical semantics.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Apply graft settings onto an externally-built session (for the
+    * driver-owned mains whose builder shape we keep intact). */
+  def local(cpus: Int, app: String): SparkSession = {
+    val s = builder(s"local[$cpus]", math.max(cpus, 4)).appName(app).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

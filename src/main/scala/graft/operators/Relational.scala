@@ -1,0 +1,635 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import Exact._
+
+/** Relational operator surface: scans, filters, joins (broadcast / semi /
+  * anti / range / as-of), aggregations (hash, distinct, rollup / cube /
+  * grouping sets), window functions (ranking / analytic / frames), sorts,
+  * limits, set operations, scalar function library, and batch restatements
+  * of the event-time operators.
+  *
+  * The reference pipeline (`/root/reference`, see SURVEY.md §2.9) contains
+  * none of these — they are the north-star analytic surface this engine
+  * exposes on top of Spark's Catalyst operators. Each entry is deliberately
+  * declarative DataFrame code: filters sit directly on the parquet scans
+  * (predicate pushdown), projections are minimal (column pruning), small
+  * dimensions are broadcast explicitly, and no query collects to the driver.
+  *
+  * Scale notes (100 TB thinking):
+  *  - every join keys on the natural equi-key so Spark can pick
+  *    broadcast/SMJ via AQE; dimension tables are hinted `broadcast()`;
+  *  - window queries partition by high-cardinality keys (supplier,
+  *    customer, user) — no global windows anywhere;
+  *  - the as-of join is the linear union+window formulation, not the
+  *    quadratic join+filter one (that one only appears in the DuckDB oracle
+  *    where input is small).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    // Full-scan hash aggregation with exact-decimal sums (TPC-H Q1 shape).
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+              .cast(DoubleType).as("sum_disc_price"),
+            sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount")))
+              * (one + rate(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------------- q02
+    // Selective scan: predicate + projection must reach the parquet reader
+    // (PushedFilters / 4-column ReadSchema in the formatted plan).
+    QueryDef(
+      "q02_filter_pushdown",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+            && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------------------- q03
+    // 3-way join + aggregation + top-k (TPC-H Q3 shape). Customer dimension
+    // is broadcast; lineitem-orders is the shuffle join on the fact key.
+    QueryDef(
+      "q03_topk_revenue",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_odate"),
+            col("o_orderpriority"))
+          .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_odate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")),
+
+    // ---------------------------------------------------------------- q04
+    // Left-semi join (EXISTS): orders having any heavy lineitem.
+    QueryDef(
+      "q04_priority_exists",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1997)
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_quantity") > 45).select("l_orderkey")
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE year(o_orderdate) = 1997
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q05
+    // Left-anti join (NOT EXISTS): customers that never ordered.
+    QueryDef(
+      "q05_customers_no_orders",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    // ---------------------------------------------------------------- q06
+    // Tight-range scan aggregation (TPC-H Q6 shape) — single-row result.
+    QueryDef(
+      "q06_forecast_revenue",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+            && col("l_quantity") < 24)
+          .agg(
+            sum(dec2(col("l_extendedprice")) * rate(col("l_discount")))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items")),
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // ---------------------------------------------------------------- q07
+    // 6-table star join (TPC-H Q5 shape): all dimensions broadcast, the
+    // only shuffle joins are on the fact keys.
+    QueryDef(
+      "q07_region_nation_revenue",
+      (s, dir) => {
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup),
+            l("l_suppkey") === sup("s_suppkey")
+              && c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
+    // ---------------------------------------------------------------- q08
+    // Ranking window: top-3 orders per customer (row_number, deterministic
+    // tiebreak on the key).
+    QueryDef(
+      "q08_window_topn_per_customer",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) q
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn""")),
+
+    // ---------------------------------------------------------------- q09
+    // Frame window: per-supplier running total (ROWS UNBOUNDED PRECEDING),
+    // exact-decimal accumulation.
+    QueryDef(
+      "q09_window_running_total",
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem")
+          .withColumn("running_qty", sum(dec2(col("l_quantity"))).over(w).cast(DoubleType))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        FROM lineitem
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------------------- q10
+    // Analytic window: lag() inter-event gap per user, exact µs integers.
+    QueryDef(
+      "q10_window_lag_gap",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .withColumn("prev_us", lag("ts_us", 1).over(w))
+          .withColumn("gap_us", col("ts_us") - col("prev_us"))
+          .select("user_id", "event_id", "ts_us", "gap_us")
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                   FROM events)
+        SELECT user_id, event_id, ts_us,
+               ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS gap_us
+        FROM e
+        ORDER BY user_id, ts_us, event_id""")),
+
+    // ---------------------------------------------------------------- q11
+    // Global sort + limit (top-k by value, deterministic tiebreaks).
+    QueryDef(
+      "q11_sort_limit",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q12
+    // Set operations: UNION / INTERSECT / EXCEPT over nation keys.
+    QueryDef(
+      "q12_set_ops",
+      (s, dir) => {
+        val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+        cn.union(sn).distinct().withColumn("op", lit("union"))
+          .unionByName(cn.intersect(sn).withColumn("op", lit("intersect")))
+          .unionByName(cn.except(sn).withColumn("op", lit("except")))
+          .select("op", "nationkey")
+          .orderBy("op", "nationkey")
+      },
+      Some("""
+        WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        SELECT 'union' AS op, nationkey FROM (SELECT * FROM cn UNION SELECT * FROM sn)
+        UNION ALL
+        SELECT 'intersect' AS op, nationkey FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+        UNION ALL
+        SELECT 'except' AS op, nationkey FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+        ORDER BY op, nationkey""")),
+
+    // ---------------------------------------------------------------- q13
+    QueryDef(
+      "q13_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q14
+    QueryDef(
+      "q14_cube",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q15
+    QueryDef(
+      "q15_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+          FROM graft_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q16
+    // Scalar string/date function library.
+    QueryDef(
+      "q16_string_date_fns",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            upper(col("o_orderstatus")).as("u_status"),
+            lower(col("o_orderpriority")).as("l_pri"),
+            substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+            length(col("o_orderpriority")).as("pri_len"),
+            concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            col("o_orderdate").cast("date").as("odate"))
+          .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               upper(o_orderstatus) AS u_status,
+               lower(o_orderpriority) AS l_pri,
+               substring(o_orderpriority, 1, 1) AS pri_code,
+               length(o_orderpriority) AS pri_len,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(o_orderdate AS DATE) AS odate
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q17
+    // Scalar math functions (only IEEE-exact ops: abs/floor/ceil/sqrt/mod).
+    QueryDef(
+      "q17_math_fns",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            abs(col("c_acctbal")).as("abs_bal"),
+            floor(col("c_acctbal")).as("floor_bal"),
+            ceil(col("c_acctbal")).as("ceil_bal"),
+            sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+            (col("c_custkey") % 7).as("mod7"),
+            greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+            least(col("c_acctbal"), lit(0.0)).as("neg_bal"))
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey,
+               abs(c_acctbal) AS abs_bal,
+               CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+               CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+               sqrt(abs(c_acctbal)) AS sqrt_bal,
+               c_custkey % 7 AS mod7,
+               greatest(c_acctbal, 0.0) AS pos_bal,
+               least(c_acctbal, 0.0) AS neg_bal
+        FROM customer
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q18
+    // JSON extraction + aggregation over the events props column.
+    QueryDef(
+      "q18_json_fns",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q19
+    // Event-time tumbling window (batch restatement; the streaming twin is
+    // s01_stream_tumbling_window).
+    QueryDef(
+      "q19_event_tumbling_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts_t"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("n_events"), col("sum_value"))
+          .orderBy("ws_us"),
+      Some("""
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+        ORDER BY ws_us""")),
+
+    // ---------------------------------------------------------------- q20
+    // Batch sessionization: 10-minute inactivity gap, pure integer µs math.
+    QueryDef(
+      "q20_sessionization",
+      (s, dir) => {
+        val gapUs = 600L * 1000000L
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("new_sess",
+            when(lag("ts_us", 1).over(w).isNull
+              || col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("ts_us").as("start_us"),
+            max("ts_us").as("end_us"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, value,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                   FROM events),
+        g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 600000000
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sg AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM sg
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
+    // ---------------------------------------------------------------- q21
+    // Multi-column exact distinct aggregation.
+    QueryDef(
+      "q21_distinct_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey)  AS n_supp,
+               COUNT(DISTINCT l_partkey)  AS n_part,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q22
+    // rank() with real ties (price-only ordering) — deterministic because
+    // equal ranks are whole groups; output tiebreak on partkey.
+    QueryDef(
+      "q22_rank_parts",
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+        t(s, dir, "part")
+          .withColumn("rnk", rank().over(w))
+          .filter(col("rnk") <= 2)
+          .select("p_brand", "rnk", "p_partkey", "p_retailprice")
+          .orderBy("p_brand", "rnk", "p_partkey")
+      },
+      Some("""
+        SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+          FROM part) q
+        WHERE rnk <= 2
+        ORDER BY p_brand, rnk, p_partkey""")),
+
+    // ---------------------------------------------------------------- q23
+    // Range-predicate join: lineitems shipped within 30 days of the order
+    // date (equi-key + range residual — stays a hash join on l_orderkey).
+    QueryDef(
+      "q23_range_join",
+      (s, dir) => {
+        val spanUs = 30L * 86400L * 1000000L
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        // parquet ms-timestamps surface as TIMESTAMP_NTZ; session TZ is UTC so
+        // the cast to TIMESTAMP is an exact reinterpretation.
+        val shipUs = unix_micros(col("l_shipdate").cast("timestamp"))
+        val orderUs = unix_micros(col("o_orderdate").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey")
+            && shipUs >= orderUs && shipUs - orderUs <= spanUs)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_fast_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_fast_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         AND epoch_us(l_shipdate) >= epoch_us(o_orderdate)
+         AND epoch_us(l_shipdate) - epoch_us(o_orderdate) <= 2592000000000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q24
+    // As-of join: each purchase matched to the user's most recent view at
+    // or before it. Implemented linearly (union + last() over an ordered
+    // window) — the scalable formulation; the oracle uses the quadratic
+    // join+qualify form, fine at oracle scale.
+    QueryDef(
+      "q24_asof_join",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("view_event_id",
+            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("view_ts_us",
+            last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us", "view_event_id", "view_ts_us")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                   FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                   FROM events WHERE event_type = 'view')
+        SELECT event_id, user_id, ts_us, view_event_id, view_ts_us FROM (
+          SELECT p.event_id, p.user_id, p.us AS ts_us,
+                 v.event_id AS view_event_id, v.us AS view_ts_us,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY v.us DESC NULLS LAST, v.event_id DESC) AS rn
+          FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us) q
+        WHERE rn = 1
+        ORDER BY event_id"""))
+  )
+}
