@@ -67,8 +67,14 @@ def main():
             print(f"FAIL {name}: rows spark={len(grows)} duckdb={len(wrows)}")
             n_fail += 1
             continue
-        # compare in sorted order too, in case the driver sorts rows
+        # positional compare first (Verify coalesce(1)s ordered output);
+        # sorted-order fallback catches value-equal-but-reordered results,
+        # reported as PASS* since the driver's hash sorts rows too.
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(grows, wrows)) if a != b]
+        if bad and sorted(grows) == sorted(wrows):
+            print(f"PASS* {name} ({len(grows)} rows; order differs, values match)")
+            n_pass += 1
+            continue
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; first @{i}:")

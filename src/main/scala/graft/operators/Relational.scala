@@ -103,8 +103,11 @@ object Relational {
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
         val l = t(s, dir, "lineitem")
           .select("l_orderkey", "l_extendedprice", "l_discount")
+        // customer scales with SF — no broadcast hint; AQE picks
+        // broadcast-vs-shuffle from runtime stats (tiny at low SF,
+        // shuffle join at 100 TB where a forced broadcast would OOM).
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_odate"),
             col("o_orderpriority"))
           .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
@@ -204,9 +207,11 @@ object Relational {
           .select("o_orderkey", "o_custkey")
         val l = t(s, dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        // customer/supplier scale with SF → no forced broadcast (AQE
+        // decides); nation/region are fixed-size → explicit broadcast.
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(sup),
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup,
             l("l_suppkey") === sup("s_suppkey")
               && c("c_nationkey") === sup("s_nationkey"))
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
@@ -460,7 +465,7 @@ object Relational {
           .orderBy("event_type"),
       Some("""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                COUNT(*) AS n
@@ -518,8 +523,8 @@ object Relational {
                               OR ts_us - lag(ts_us) OVER w > 600000000
                              THEN 1 ELSE 0 END AS new_sess
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        sg AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                             ROWS UNBOUNDED PRECEDING) AS session_id
+        sg AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                FROM g)
         SELECT user_id, session_id, COUNT(*) AS n_events,
                MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
@@ -628,7 +633,8 @@ object Relational {
                  v.event_id AS view_event_id, v.us AS view_ts_us,
                  row_number() OVER (PARTITION BY p.event_id
                                     ORDER BY v.us DESC NULLS LAST, v.event_id DESC) AS rn
-          FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us) q
+          FROM p LEFT JOIN v ON p.user_id = v.user_id
+                            AND (v.us < p.us OR (v.us = p.us AND v.event_id < p.event_id))) q
         WHERE rn = 1
         ORDER BY event_id"""))
   )
