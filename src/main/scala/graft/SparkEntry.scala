@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All operator definitions, grouped by module. */
   def defs: Seq[QueryDef] =
-    Relational.all
+    Relational.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,217 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.pipeline.{Pipeline, PipelineConfig}
+
+/** Oracle-checked queries over the transfer pipeline (SURVEY §2.1-§2.8).
+  *
+  * Each query materializes a deterministic job workload from the
+  * `documents` fixture (one file per document, content = `text`), runs the
+  * REAL pipeline — JSON parse (P1), validate-split (P2), config lookup
+  * (J1), factory dispatch (T2), local backend (S4/K2), temp-staged
+  * transfer map (T1), DLQ projection (E1/E2) — and returns aggregate
+  * outcome counts that a DuckDB oracle can predict from the fixture alone
+  * (texts are ASCII, so transferred bytes == n_chars; verified in
+  * PipelineSpec at byte level).
+  *
+  * Spark restatement of the reference E2E harness:
+  * /root/reference/tests/test_e2e.py:354-394 (local→local roundtrip),
+  * :151-202 (DLQ on missing file), :204-245 (DLQ on invalid JSON).
+  */
+object PipelineQueries {
+
+  /** Isolated staging area per (query, sf) so re-runs and concurrent
+    * queries never interfere. Files are (over)written idempotently. */
+  private def baseDir(name: String, dir: String): String = {
+    val sf = Paths.get(dir).getFileName.toString
+    s"${System.getProperty("java.io.tmpdir")}/graft_pipeline/$name/$sf"
+  }
+
+  /** Registry for the local→local workloads. */
+  private def localConfig: PipelineConfig = PipelineConfig(
+    "LOCALSRC_TYPE" -> "local", "LOCALSRC_HOST" -> "localhost",
+    "LOCALDST_TYPE" -> "local", "LOCALDST_HOST" -> "localhost",
+    // An endpoint whose type has no registered backend (T2 dispatch error
+    // path, base.py:100-105):
+    "TAPE_TYPE" -> "s3", "TAPE_HOST" -> "localhost")
+
+  /** Distributed staging: write each document's text as a source file
+    * (executor-side nio, no driver collect). */
+  private def stageSourceFiles(docs: DataFrame, srcDir: String): Unit = {
+    Files.createDirectories(Paths.get(srcDir))
+    docs.select("doc_id", "text").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          Files.write(
+            Paths.get(s"$srcDir/doc_${r.getLong(0)}.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+    }
+  }
+
+  /** Build raw JSON job messages (the Kafka value strings of S1) from
+    * documents; host/path arguments are SQL column expressions so error
+    * workloads can vary them per row. */
+  private def jobMessages(docs: DataFrame,
+      srcHost: org.apache.spark.sql.Column, dstHost: org.apache.spark.sql.Column,
+      sourcePath: org.apache.spark.sql.Column, destPath: org.apache.spark.sql.Column): DataFrame =
+    docs.select(
+      to_json(struct(
+        concat(lit("job-"), col("doc_id")).as("job_id"),
+        struct(srcHost.as("hostname"), sourcePath.as("path")).as("source"),
+        struct(dstHost.as("hostname"), destPath.as("path")).as("destination")))
+        .as("value"))
+
+  /** Run the pipeline and return outcome counts. Results are persisted
+    * before aggregation so the side-effecting transfer map executes
+    * exactly once even though two frames (results, dlq) derive from it. */
+  private def statusCounts(spark: SparkSession, raw: DataFrame, pc: PipelineConfig): DataFrame = {
+    val (results, _) = Pipeline.run(raw, pc)
+    val r = results.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    r.count() // force the single execution
+    r.groupBy("status", "error_type")
+      .agg(count(lit(1)).as("n_jobs"), sum("bytes").as("total_bytes"))
+      .orderBy("status", "error_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- p01
+    // Happy path: every document round-trips local→local through the full
+    // parse→lookup→transfer map; byte counts must equal n_chars sums.
+    QueryDef(
+      "p01_local_roundtrip_status_counts",
+      (s, dir) => {
+        val base = baseDir("p01", dir)
+        val docs = Tables(s, dir, "documents")
+        stageSourceFiles(docs, s"$base/src")
+        val raw = jobMessages(docs, lit("localsrc"), lit("localdst"),
+          concat(lit(s"$base/src/doc_"), col("doc_id"), lit(".txt")),
+          concat(lit(s"$base/dst/doc_"), col("doc_id"), lit(".txt")))
+        statusCounts(s, raw, localConfig)
+      },
+      Some("""
+        SELECT 'success' AS status, CAST(NULL AS VARCHAR) AS error_type,
+               COUNT(*) AS n_jobs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+        FROM documents""")),
+
+    // ---------------------------------------------------------------- p02
+    // DLQ on missing source file (test_e2e.py:151-202): every 10th job
+    // points at a nonexistent path → FileNotFound → dlq/not_found.
+    QueryDef(
+      "p02_dlq_on_missing_source",
+      (s, dir) => {
+        val base = baseDir("p02", dir)
+        val docs = Tables(s, dir, "documents")
+        stageSourceFiles(docs.filter(col("doc_id") % 10 =!= 0), s"$base/src")
+        val raw = jobMessages(docs, lit("localsrc"), lit("localdst"),
+          concat(lit(s"$base/src/doc_"), col("doc_id"), lit(".txt")),
+          concat(lit(s"$base/dst/doc_"), col("doc_id"), lit(".txt")))
+        statusCounts(s, raw, localConfig)
+      },
+      Some("""
+        SELECT CASE WHEN doc_id % 10 = 0 THEN 'dlq' ELSE 'success' END AS status,
+               CASE WHEN doc_id % 10 = 0 THEN 'not_found' ELSE NULL END AS error_type,
+               COUNT(*) AS n_jobs,
+               CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS total_bytes
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY status, error_type""")),
+
+    // ---------------------------------------------------------------- p03
+    // DLQ on unparseable JSON (test_e2e.py:204-245, consumer.py:198-209):
+    // every 7th message is corrupt; the parse split must route it with the
+    // reference's "Failed to parse message" error and keep the raw text.
+    QueryDef(
+      "p03_dlq_on_corrupt_json",
+      (s, dir) => {
+        val base = baseDir("p03", dir)
+        val docs = Tables(s, dir, "documents")
+        stageSourceFiles(docs.filter(col("doc_id") % 7 =!= 0), s"$base/src")
+        val good = jobMessages(docs.filter(col("doc_id") % 7 =!= 0), lit("localsrc"), lit("localdst"),
+          concat(lit(s"$base/src/doc_"), col("doc_id"), lit(".txt")),
+          concat(lit(s"$base/dst/doc_"), col("doc_id"), lit(".txt")))
+        val corrupt = docs.filter(col("doc_id") % 7 === 0)
+          .select(concat(lit("{invalid json "), substring(col("text"), 1, 20)).as("value"))
+        val raw = good.unionByName(corrupt)
+        val (results, dlq) = Pipeline.run(raw, localConfig)
+        val r = results.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        // Outcome union: executed jobs by status + parse-failure DLQ rows,
+        // proving per-error-class routing incl. the error message prefix.
+        r.groupBy("status", "error_type").agg(count(lit(1)).as("n"))
+          .unionByName(
+            dlq.filter(col("error_type") === "parse")
+              .select(lit("dlq_raw").as("status"),
+                substring(col("error"), 1, 23).as("error_type"), lit(1L).as("n"))
+              .groupBy("status", "error_type").agg(sum("n").as("n")))
+          .orderBy("status", "error_type")
+      },
+      Some("""
+        SELECT 'dlq_raw' AS status, 'Failed to parse message' AS error_type,
+               COUNT(*) AS n
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT 'success' AS status, NULL AS error_type, COUNT(*) AS n
+        FROM documents WHERE doc_id % 7 <> 0
+        ORDER BY status, error_type""")),
+
+    // ---------------------------------------------------------------- p04
+    // Config-lookup failure (J1 error path, config.py:104-106): every 5th
+    // job's destination hostname is unknown → dlq/config; the rest succeed.
+    QueryDef(
+      "p04_unknown_host_to_dlq",
+      (s, dir) => {
+        val base = baseDir("p04", dir)
+        val docs = Tables(s, dir, "documents")
+        stageSourceFiles(docs, s"$base/src")
+        val raw = jobMessages(docs,
+          lit("localsrc"),
+          when(col("doc_id") % 5 === 0, "mystery").otherwise("localdst"),
+          concat(lit(s"$base/src/doc_"), col("doc_id"), lit(".txt")),
+          concat(lit(s"$base/dst/doc_"), col("doc_id"), lit(".txt")))
+        statusCounts(s, raw, localConfig)
+      },
+      Some("""
+        SELECT CASE WHEN doc_id % 5 = 0 THEN 'dlq' ELSE 'success' END AS status,
+               CASE WHEN doc_id % 5 = 0 THEN 'config' ELSE NULL END AS error_type,
+               COUNT(*) AS n_jobs,
+               CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS total_bytes
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY status, error_type""")),
+
+    // ---------------------------------------------------------------- p05
+    // Factory-dispatch failure (T2 error path, base.py:100-105): every 4th
+    // job's destination is a registered host of an UNSUPPORTED type (s3)
+    // → dlq/type; the rest succeed.
+    QueryDef(
+      "p05_unsupported_type_to_dlq",
+      (s, dir) => {
+        val base = baseDir("p05", dir)
+        val docs = Tables(s, dir, "documents")
+        stageSourceFiles(docs, s"$base/src")
+        val raw = jobMessages(docs,
+          lit("localsrc"),
+          when(col("doc_id") % 4 === 0, "tape").otherwise("localdst"),
+          concat(lit(s"$base/src/doc_"), col("doc_id"), lit(".txt")),
+          concat(lit(s"$base/dst/doc_"), col("doc_id"), lit(".txt")))
+        statusCounts(s, raw, localConfig)
+      },
+      Some("""
+        SELECT CASE WHEN doc_id % 4 = 0 THEN 'dlq' ELSE 'success' END AS status,
+               CASE WHEN doc_id % 4 = 0 THEN 'type' ELSE NULL END AS error_type,
+               COUNT(*) AS n_jobs,
+               CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS total_bytes
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY status, error_type"""))
+  )
+}

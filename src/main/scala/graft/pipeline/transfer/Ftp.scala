@@ -1,0 +1,210 @@
+package graft.pipeline.transfer
+
+import java.io.{BufferedReader, FileNotFoundException, IOException, InputStream, InputStreamReader, OutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Path, Paths}
+
+import graft.pipeline.ServerConfig
+
+/** Minimal RFC 959 FTP client over raw sockets.
+  *
+  * The classpath has no FTP library, so the control/data protocol is
+  * implemented directly: USER/PASS login, TYPE I binary mode, PASV or
+  * PORT data connections, RETR/STOR streaming, CWD/MKD directory walk,
+  * NOOP liveness probe. This is the Scala counterpart of the reference's
+  * ftplib usage in /root/reference/src/etl/transfer/ftp.py:43-212.
+  *
+  * Error taxonomy matches ftp.py:143-150: a 550 reply on RETR maps to
+  * FileNotFoundException; any other protocol failure maps to IOException.
+  */
+final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
+
+  private var sock: Socket = _
+  private var in: BufferedReader = _
+  private var out: OutputStream = _
+  var passive: Boolean = true
+
+  final case class Reply(code: Int, text: String) {
+    def ok: Boolean = code < 400
+  }
+
+  def connect(): Reply = {
+    sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), timeoutMs)
+    sock.setSoTimeout(timeoutMs)
+    in = new BufferedReader(new InputStreamReader(sock.getInputStream, US_ASCII))
+    out = sock.getOutputStream
+    val greet = readReply()
+    if (greet.code != 220) throw new IOException(s"FTP greeting failed: ${greet.text}")
+    greet
+  }
+
+  def isConnected: Boolean = sock != null && sock.isConnected && !sock.isClosed
+
+  /** Reads one (possibly multi-line, RFC 959 §4.2) reply. */
+  private def readReply(): Reply = {
+    val first = in.readLine()
+    if (first == null) throw new IOException("FTP control connection closed")
+    if (first.length < 4) return Reply(first.trim.toInt, first)
+    val code = first.substring(0, 3).toInt
+    val sb = new StringBuilder(first)
+    if (first.charAt(3) == '-') {
+      val end = f"$code%03d "
+      var line = ""
+      while ({ line = in.readLine(); line != null && !line.startsWith(end) })
+        sb.append('\n').append(line)
+      if (line != null) sb.append('\n').append(line)
+    }
+    Reply(code, sb.toString)
+  }
+
+  def cmd(command: String): Reply = {
+    out.write((command + "\r\n").getBytes(US_ASCII))
+    out.flush()
+    readReply()
+  }
+
+  def login(user: String, pass: String): Unit = {
+    val u = cmd(s"USER $user")
+    val r = if (u.code == 331) cmd(s"PASS $pass") else u
+    if (!r.ok) throw new IOException(s"FTP login failed: ${r.text}")
+    val t = cmd("TYPE I") // binary mode — ftp.py:138,178 use binary RETR/STOR
+    if (!t.ok) throw new IOException(s"FTP TYPE I failed: ${t.text}")
+  }
+
+  def noop(): Boolean =
+    try cmd("NOOP").ok
+    catch { case _: IOException => false }
+
+  /** Opens a data connection (PASV by default, PORT when passive=false —
+    * ftp.py:80-82 toggles this globally via config). */
+  private def dataConnection[A](command: String)(use: (Reply, Socket) => A): A = {
+    if (passive) {
+      val p = cmd("PASV")
+      if (p.code != 227) throw new IOException(s"PASV failed: ${p.text}")
+      val nums = "\\d+".r.findAllIn(p.text.dropWhile(_ != '(')).map(_.toInt).toSeq
+      if (nums.length < 6) throw new IOException(s"PASV parse failed: ${p.text}")
+      val Seq(h1, h2, h3, h4, p1, p2) = nums.takeRight(6)
+      val dataHost = if (h1 == 0 && h2 == 0 && h3 == 0 && h4 == 0) host else s"$h1.$h2.$h3.$h4"
+      val data = new Socket()
+      data.connect(new InetSocketAddress(dataHost, p1 * 256 + p2), timeoutMs)
+      try use(cmd(command), data)
+      finally data.close()
+    } else {
+      val listener = new ServerSocket(0, 1, sock.getLocalAddress)
+      try {
+        listener.setSoTimeout(timeoutMs)
+        val addr = sock.getLocalAddress.getHostAddress.replace('.', ',')
+        val dp = listener.getLocalPort
+        val r = cmd(s"PORT $addr,${dp / 256},${dp % 256}")
+        if (!r.ok) throw new IOException(s"PORT failed: ${r.text}")
+        val pre = cmd(command)
+        if (pre.code >= 400) use(pre, null)
+        else {
+          val data = listener.accept()
+          try use(pre, data)
+          finally data.close()
+        }
+      } finally listener.close()
+    }
+  }
+
+  /** Binary RETR to a local file — ftp.py:115-150. */
+  def retr(remotePath: String, localPath: Path): Unit =
+    dataConnection(s"RETR $remotePath") { (pre, data) =>
+      if (pre.code == 550)
+        throw new FileNotFoundException(s"Remote file not found: $remotePath")
+      if (pre.code >= 400) throw new IOException(s"RETR failed: ${pre.text}")
+      Option(localPath.getParent).foreach(Files.createDirectories(_))
+      val os = Files.newOutputStream(localPath)
+      try pipe(data.getInputStream, os)
+      finally os.close()
+      val fin = readReply()
+      if (!fin.ok) throw new IOException(s"RETR transfer failed: ${fin.text}")
+    }
+
+  /** Binary STOR from a local file — ftp.py:152-184. */
+  def stor(localPath: Path, remotePath: String): Unit =
+    dataConnection(s"STOR $remotePath") { (pre, data) =>
+      if (pre.code >= 400) throw new IOException(s"STOR failed: ${pre.text}")
+      val is = Files.newInputStream(localPath)
+      try pipe(is, data.getOutputStream)
+      finally is.close()
+      data.shutdownOutput()
+      val fin = readReply()
+      if (!fin.ok) throw new IOException(s"STOR transfer failed: ${fin.text}")
+    }
+
+  private def pipe(is: InputStream, os: OutputStream): Unit = {
+    val buf = new Array[Byte](64 * 1024)
+    var n = is.read(buf)
+    while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = is.read(buf) }
+    os.flush()
+  }
+
+  def quit(): Unit = {
+    try if (isConnected) cmd("QUIT")
+    catch { case _: IOException => () }
+    finally close()
+  }
+
+  def close(): Unit = if (sock != null) { try sock.close() catch { case _: IOException => () } }
+}
+
+/** FTP transfer backend — /root/reference/src/etl/transfer/ftp.py.
+  *
+  * Semantics preserved (SURVEY §2.4):
+  *  - passive mode default true, toggleable per config (ftp.py:80-82);
+  *  - download: 550 → FileNotFoundException, other errors → IOException
+  *    (ftp.py:143-150); local parent dirs created (ftp.py:131-136);
+  *  - upload checks local-source existence first (ftp.py:167-168), then
+  *    walks/creates the remote directory tree (ftp.py:186-212) ignoring
+  *    permission errors, resetting to "/" afterwards.
+  */
+final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends TransferBackend {
+  private[transfer] var client: FtpClient = _
+
+  override def connect(): Unit = {
+    client = new FtpClient(cfg.host, cfg.port)
+    client.passive = passiveMode
+    client.connect()
+    client.login(cfg.username, cfg.password)
+  }
+
+  override def disconnect(): Unit = if (client != null) { client.quit(); client = null }
+
+  def validate(): Boolean = client != null && client.isConnected && client.noop()
+
+  override def download(remotePath: String, localPath: String): Unit =
+    client.retr(remotePath, Paths.get(localPath))
+
+  override def upload(localPath: String, remotePath: String): Unit = {
+    val lp = Paths.get(localPath)
+    if (!Files.exists(lp))
+      throw new FileNotFoundException(s"Local file not found: $localPath")
+    ensureRemoteDir(parentOf(remotePath))
+    client.stor(lp, remotePath)
+  }
+
+  private def parentOf(p: String): String = {
+    val i = p.lastIndexOf('/')
+    if (i <= 0) "" else p.substring(0, i)
+  }
+
+  /** ftp.py:186-212 — CWD-probe then MKD per component; permission errors
+    * ignored; always resets the server CWD to "/" at the end. */
+  private def ensureRemoteDir(dir: String): Unit = {
+    if (dir.isEmpty) return
+    try {
+      val parts = dir.split("/").filter(_.nonEmpty)
+      for (part <- parts) {
+        val cwd = client.cmd(s"CWD $part")
+        if (!cwd.ok) {
+          client.cmd(s"MKD $part") // errors (e.g. permission) ignored
+          client.cmd(s"CWD $part")
+        }
+      }
+    } finally client.cmd("CWD /")
+  }
+}

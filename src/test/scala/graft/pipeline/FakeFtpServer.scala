@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Path}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Minimal in-process FTP server for tests (passive mode only), rooted at
+  * a sandbox directory. Supports exactly the verbs our client speaks:
+  * USER/PASS/TYPE/PASV/RETR/STOR/CWD/MKD/NOOP/QUIT. Mirrors the role of
+  * the live test FTP host in the reference's integration tier
+  * (/root/reference/tests/test_ftp_integration.py:39-207) without
+  * external infra.
+  *
+  * Concurrency: one thread per control connection, so pool tests can hold
+  * several sessions open at once. `connectionsOpened` counts sessions for
+  * pool-reuse assertions.
+  */
+final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p") {
+  private val server = new ServerSocket(0)
+  val port: Int = server.getLocalPort
+  val connectionsOpened = new AtomicInteger(0)
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        connectionsOpened.incrementAndGet()
+        new Thread(() => handle(s), "fake-ftp-session").start()
+      } catch { case _: Throwable => () }
+    }
+  }, "fake-ftp-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new BufferedReader(new InputStreamReader(sock.getInputStream, US_ASCII))
+    val out = sock.getOutputStream
+    def reply(s: String): Unit = { out.write((s + "\r\n").getBytes(US_ASCII)); out.flush() }
+    var cwd = root
+    var data: ServerSocket = null
+    var loggedIn = false
+    reply("220 FakeFTP ready")
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        val (cmd, arg) = line.split(" ", 2) match {
+          case Array(c, a) => (c.toUpperCase, a)
+          case Array(c) => (c.toUpperCase, "")
+        }
+        cmd match {
+          case "USER" => reply(if (arg == user) "331 need password" else "530 unknown user")
+          case "PASS" =>
+            if (arg == pass) { loggedIn = true; reply("230 logged in") }
+            else reply("530 bad password")
+          case _ if !loggedIn => reply("530 not logged in")
+          case "TYPE" => reply("200 type set")
+          case "NOOP" => reply("200 ok")
+          case "PASV" =>
+            if (data != null) data.close()
+            data = new ServerSocket(0)
+            val p = data.getLocalPort
+            reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+          case "RETR" =>
+            val f = resolve(cwd, arg)
+            if (!Files.exists(f) || Files.isDirectory(f)) reply(s"550 $arg: no such file")
+            else {
+              reply("150 opening data connection")
+              val d = data.accept()
+              try Files.copy(f, d.getOutputStream)
+              finally { d.close(); data.close(); data = null }
+              reply("226 transfer complete")
+            }
+          case "STOR" =>
+            val f = resolve(cwd, arg)
+            if (!Files.exists(f.getParent)) reply(s"550 ${arg}: parent missing")
+            else {
+              reply("150 opening data connection")
+              val d = data.accept()
+              try Files.copy(d.getInputStream, f,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              finally { d.close(); data.close(); data = null }
+              reply("226 transfer complete")
+            }
+          case "CWD" =>
+            val t = resolve(cwd, arg)
+            if (Files.isDirectory(t)) { cwd = t; reply("250 ok") }
+            else reply(s"550 $arg: no such directory")
+          case "MKD" =>
+            val t = resolve(cwd, arg)
+            try { Files.createDirectory(t); reply(s"""257 "$arg" created""") }
+            catch { case _: Throwable => reply(s"550 $arg: cannot create") }
+          case "QUIT" => reply("221 bye"); return
+          case other => reply(s"502 $other not implemented")
+        }
+        line = in.readLine()
+      }
+    } catch { case _: Throwable => () }
+    finally {
+      if (data != null) data.close()
+      sock.close()
+    }
+  }
+
+  private def resolve(cwd: Path, arg: String): Path = {
+    val p = if (arg.startsWith("/")) root.resolve(arg.drop(1)) else cwd.resolve(arg)
+    val n = p.normalize()
+    if (!n.startsWith(root)) root else n // sandbox escape → clamp to root
+  }
+}

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.pipeline.transfer.FtpPools
+
+/** E2E tier (top of the SURVEY §5 pyramid): full pipeline runs with
+  * byte-exact content checks, mirroring /root/reference/tests/test_e2e.py:
+  * local→local (:354-394), FTP→local (:248-295), local→FTP (:298-351),
+  * FTP→FTP (:82-145), DLQ on missing file (:151-202) and invalid JSON
+  * (:204-245), temp-file cleanup (tests/test_consumer.py:394-458).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private var work: Path = _
+  private var ftpRoot: Path = _
+  private var ftp: FakeFtpServer = _
+
+  override def beforeAll(): Unit = {
+    work = Files.createTempDirectory("graft-e2e")
+    ftpRoot = Files.createTempDirectory("graft-e2e-ftp")
+    ftp = new FakeFtpServer(ftpRoot)
+  }
+  override def afterAll(): Unit = {
+    ftp.stop()
+    FtpPools.closeAll()
+    import scala.jdk.CollectionConverters._
+    for (d <- Seq(work, ftpRoot))
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  private def pc = new PipelineConfig(Map(
+    "SRC_TYPE" -> "local", "SRC_HOST" -> "localhost",
+    "DST_TYPE" -> "local", "DST_HOST" -> "localhost",
+    "FAKEFTP_TYPE" -> "ftp", "FAKEFTP_HOST" -> "127.0.0.1",
+    "FAKEFTP_PORT" -> ftp.port.toString,
+    "FAKEFTP_USERNAME" -> "u", "FAKEFTP_PASSWORD" -> "p",
+    "FTP_POOL_SIZE" -> "2"))
+
+  private def jobJson(id: String, sh: String, sp: String, dh: String, dp: String): String =
+    s"""{"job_id":"$id","source":{"hostname":"$sh","path":"$sp"},""" +
+      s""""destination":{"hostname":"$dh","path":"$dp"}}"""
+
+  private def writeSrc(name: String, content: String): Path = {
+    val p = work.resolve(name)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes("UTF-8"))
+    p
+  }
+
+  test("local→local roundtrip: byte-exact content at destination (test_e2e.py:354-394)") {
+    val src = writeSrc("in/a.txt", "payload-A " * 100)
+    val dst = work.resolve("out/a.txt")
+    val raw = Seq(jobJson("j1", "src", src.toString, "dst", dst.toString)).toDF("value")
+    val (results, dlq) = Pipeline.run(raw, pc)
+    val r = results.collect()
+    assert(r.length == 1 && r.head.status == "success")
+    assert(r.head.bytes == Files.size(src))
+    assert(dlq.count() == 0)
+    assert(Files.readAllBytes(dst).sameElements(Files.readAllBytes(src)))
+  }
+
+  test("local→FTP→local chain is byte-exact (test_e2e.py:248-351)") {
+    val content = "ftp chained content " * 50
+    val src = writeSrc("in/f.txt", content)
+    val back = work.resolve("out/f-back.txt")
+    val up = Seq(jobJson("j-up", "src", src.toString, "fakeftp", "/store/f.txt")).toDF("value")
+    val (r1, _) = Pipeline.run(up, pc)
+    assert(r1.collect().head.status == "success")
+    val down = Seq(jobJson("j-down", "fakeftp", "/store/f.txt", "dst", back.toString)).toDF("value")
+    val (r2, _) = Pipeline.run(down, pc)
+    assert(r2.collect().head.status == "success")
+    assert(new String(Files.readAllBytes(back), "UTF-8") == content)
+  }
+
+  test("DLQ on missing source file carries job JSON + not_found (test_e2e.py:151-202)") {
+    val raw = Seq(jobJson("j-miss", "src", work.resolve("ghost.txt").toString,
+      "dst", work.resolve("out/ghost.txt").toString)).toDF("value")
+    val (results, dlq) = Pipeline.run(raw, pc)
+    val r = results.collect().head
+    assert(r.status == "dlq" && r.error_type == "not_found")
+    val d = dlq.collect().head
+    assert(d.getAs[String]("original_message").contains("\"job_id\":\"j-miss\""))
+    assert(d.getAs[String]("error").contains("FileNotFoundException"))
+    assert(d.getAs[Int]("retry_count") == 0)
+  }
+
+  test("mixed batch: invalid JSON + valid job split correctly (test_e2e.py:204-245)") {
+    val src = writeSrc("in/ok.txt", "ok")
+    val raw = Seq(
+      "this is not json",
+      jobJson("j-ok", "src", src.toString, "dst", work.resolve("out/ok.txt").toString))
+      .toDF("value")
+    val (results, dlq) = Pipeline.run(raw, pc)
+    assert(results.filter(col("status") === "success").count() == 1)
+    val dlqRows = dlq.collect()
+    assert(dlqRows.length == 1)
+    assert(dlqRows.head.getAs[String]("error").startsWith("Failed to parse message: "))
+  }
+
+  test("temp staging files are always cleaned up (test_consumer.py:394-458)") {
+    val tmpDir = Path.of(System.getProperty("java.io.tmpdir"))
+    def staging(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(tmpDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("graft-transfer-")).toSet
+    }
+    val before = staging()
+    val src = writeSrc("in/c.txt", "cleanup")
+    val raw = Seq(
+      jobJson("c-ok", "src", src.toString, "dst", work.resolve("out/c.txt").toString),
+      jobJson("c-fail", "src", work.resolve("nope.txt").toString,
+        "dst", work.resolve("out/nope.txt").toString)).toDF("value")
+    val (results, _) = Pipeline.run(raw, pc)
+    assert(results.count() == 2) // force execution
+    assert(staging() == before, "no staging temp files may survive, success or failure")
+  }
+
+  test("results aggregate: groupBy(status).count() — the §7.2 minimum slice") {
+    val srcs = (1 to 6).map(i => writeSrc(s"in/m$i.txt", s"m$i"))
+    val jobs = srcs.zipWithIndex.map { case (p, i) =>
+      val sp = if (i % 3 == 0) work.resolve(s"missing$i.txt").toString else p.toString
+      jobJson(s"m$i", "src", sp, "dst", work.resolve(s"out/m$i.txt").toString)
+    }
+    val (results, _) = Pipeline.run(jobs.toDF("value"), pc)
+    val counts = results.groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("success" -> 4L, "dlq" -> 2L))
+  }
+}
