@@ -1,0 +1,56 @@
+package graft.functions
+
+/** Multimodal column support: opaque binary payloads + typed metadata.
+  *
+  * The builder brief calls for image/audio/video columns treated as
+  * opaque `binary` with decode / feature-extract / resize / frame-sample
+  * stages. The real media codecs are NOT on this classpath, so the decode
+  * kernel is a clearly-marked deterministic stub ([[FakeMediaDecoder]]),
+  * while everything Spark-side is real and load-bearing: the binary
+  * column schema, the partition-iterator batch shape (decode amortizes
+  * per-partition setup exactly like a Pandas-UDF `mapInPandas` batch), and
+  * the typed metadata row it emits.
+  *
+  * Swapping in a real decoder is a one-class change behind
+  * [[MediaDecoder]]; nothing in the pipeline schema moves.
+  */
+final case class MediaMeta(
+    doc_id: Long,
+    byte_len: Long,
+    header_hex: String,
+    width: Int,
+    height: Int,
+    n_frames: Int)
+
+trait MediaDecoder extends Serializable {
+  /** Decode one payload into its metadata. Real implementations wrap an
+    * image/audio library; per-partition state (decoder contexts, native
+    * handles) belongs in [[open]]/[[close]]. */
+  def decode(id: Long, bytes: Array[Byte]): MediaMeta
+  def open(): Unit = ()
+  def close(): Unit = ()
+}
+
+/** STUB decoder — deterministic arithmetic stand-in for the absent media
+  * libraries. Field derivations are intentionally simple enough for the
+  * DuckDB oracle to replicate (octet length, first-8-bytes header hex,
+  * dimensions/frames from byte arithmetic).
+  */
+final class FakeMediaDecoder extends MediaDecoder {
+  private val hexDigits = "0123456789ABCDEF"
+
+  override def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val header = bytes.take(8).map { b =>
+      val v = b & 0xff
+      s"${hexDigits(v >> 4)}${hexDigits(v & 0xf)}"
+    }.mkString
+    val first = if (bytes.isEmpty) 0 else bytes(0) & 0xff
+    MediaMeta(
+      doc_id = id,
+      byte_len = bytes.length.toLong,
+      header_hex = header,
+      width = 16 * (1 + (bytes.length % 40)),
+      height = 16 * (1 + (first % 30)),
+      n_frames = 1 + bytes.length % 7)
+  }
+}

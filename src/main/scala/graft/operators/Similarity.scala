@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over `embeddings` (vec_id, embedding float[64],
+  * label): brute-force cosine top-k as the correctness baseline and an
+  * IVF-bucketed variant as the 100 TB scale path, plus threshold near-dup
+  * pairs.
+  *
+  * Determinism contract with the DuckDB oracle: every float is cast to
+  * double FIRST, then all arithmetic (zip-multiply, sequential sum, sqrt,
+  * divide) happens in IEEE doubles in array order. Both engines execute
+  * the identical operation sequence, so similarity values are bit-exact —
+  * verified by the correctness gate's value hashing (no tolerance).
+  *
+  * 100 TB scale design:
+  *  - brute-force is the oracle/baseline only: its plan is a broadcast of
+  *    the (tiny) query set against the big side — O(Q·N) but embarrass-
+  *    ingly parallel with NO shuffle of the big side and no cross-join of
+  *    big×big;
+  *  - the IVF variant is the scale path: vectors are assigned once to
+  *    their nearest coarse centroid (a narrow map over the big side; the
+  *    centroid set broadcasts), and each query probes only `nprobe`
+  *    buckets — candidate generation is an equi-join on bucket id, so a
+  *    1000-executor cluster shuffles only the probed fraction (~nprobe/C)
+  *    of the corpus;
+  *  - near-dup pairs join the perturbed corpus back on the ORIGINAL id
+  *    (equi-key), not all-pairs.
+  */
+object Similarity {
+
+  /** embedding as array<double> — the shared exact-arithmetic base. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"))
+
+  /** Sequential-fold cosine between two array<double> columns — the exact
+    * order DuckDB's list_sum(list_transform(list_zip(...))) uses. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** DuckDB rendering of the same cosine (kept in one place so Spark and
+    * oracle stay in lock-step). */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+        / (sqrt(list_sum(list_transform($a, x -> x * x)))
+           * sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+
+  private val duckEmb: String =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q28
+    // Brute-force cosine top-5 for 20 query vectors. Query side broadcasts;
+    // big side is scanned once, narrowly; per-query top-k via window.
+    QueryDef(
+      "q28_ann_brute_topk",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val q = base.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("e")).as("sim"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "rank", "neighbor_id", "sim")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 20),
+        scored AS (
+          SELECT q.query_id, b.vec_id AS neighbor_id,
+                 ${duckCosine("q.qe", "b.e")} AS sim
+          FROM base b JOIN q ON b.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored) r
+        WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---------------------------------------------------------------- q29
+    // IVF top-5: coarse centroids = vectors 0..7; every vector is assigned
+    // to its nearest centroid (one narrow pass, centroids broadcast); each
+    // query probes its nprobe=2 nearest buckets; re-rank only candidates.
+    // The oracle replicates the IVF algorithm exactly, so the gate checks
+    // algorithm fidelity (assignment, probing, re-rank), not ANN recall —
+    // recall vs q28 is asserted separately in LlmDataSpec.
+    QueryDef(
+      "q29_ann_ivf_topk",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val cent = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+        // assignment: nearest centroid per vector via max_by — partial
+        // (map-side) aggregation collapses the 8 scored rows per vector
+        // BEFORE the shuffle, so the index build moves each embedding
+        // once (a window over vec_id would shuffle all 8). Tie-break on
+        // lowest cent_id matches the oracle's row_number ordering.
+        val assigned = base.join(broadcast(cent), lit(true))
+          .groupBy("vec_id")
+          .agg(
+            max_by(col("cent_id"),
+              struct(cosine(col("e"), col("ce")), -col("cent_id"))).as("bucket"),
+            first(col("e")).as("e"))
+        // probing: each query's 2 nearest centroids
+        val qw = Window.partitionBy("query_id")
+          .orderBy(cosine(col("qe"), col("ce")).desc, col("cent_id"))
+        val probes = base.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+          .join(broadcast(cent), lit(true))
+          .withColumn("prnk", row_number().over(qw))
+          .filter(col("prnk") <= 2)
+          .select(col("query_id"), col("qe"), col("cent_id").as("bucket"))
+        // candidates: equi-join on bucket — the only shuffle of the corpus
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        probes.join(assigned, "bucket")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("e")).as("sim"))
+          .distinct() // a neighbor may appear via both probed buckets
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "rank", "neighbor_id", "sim")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        cent AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, e, cent_id AS bucket FROM (
+            SELECT b.vec_id, b.e, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${duckCosine("b.e", "c.ce")} DESC, c.cent_id) AS arnk
+            FROM base b CROSS JOIN cent c) x WHERE arnk = 1),
+        probes AS (
+          SELECT query_id, qe, cent_id AS bucket FROM (
+            SELECT q.vec_id AS query_id, q.e AS qe, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${duckCosine("q.e", "c.ce")} DESC, c.cent_id) AS prnk
+            FROM base q CROSS JOIN cent c WHERE q.vec_id < 20) x WHERE prnk <= 2),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                 ${duckCosine("p.qe", "a.e")} AS sim
+          FROM probes p JOIN assigned a ON p.bucket = a.bucket
+          WHERE a.vec_id <> p.query_id)
+        SELECT query_id, rank, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM cand) r
+        WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---------------------------------------------------------------- q30
+    // Embedding near-dup: every 5th vector re-appears (id+100000) with
+    // +0.5 added to its first component (in doubles). Pairs with cosine
+    // ≥ 0.8 are exactly the construction pairs; matching is an equi-join
+    // on the original id — never all-pairs.
+    QueryDef(
+      "q30_embedding_neardup",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val pert = base.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("pert_id"),
+            expr("""concat(array(element_at(e, 1) + 0.5d), slice(e, 2, 63))""").as("pe"),
+            col("vec_id").as("orig_id"))
+        pert.join(base, col("orig_id") === col("vec_id"))
+          .select(col("orig_id"), col("pert_id"),
+            cosine(col("e"), col("pe")).as("sim"))
+          .filter(col("sim") >= 0.8)
+          .orderBy("orig_id")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        pert AS (
+          SELECT vec_id + 100000 AS pert_id,
+                 list_concat([e[1] + 0.5], e[2:64]) AS pe,
+                 vec_id AS orig_id
+          FROM base WHERE vec_id % 5 = 0)
+        SELECT p.orig_id, p.pert_id, ${duckCosine("b.e", "p.pe")} AS sim
+        FROM pert p JOIN base b ON p.orig_id = b.vec_id
+        WHERE ${duckCosine("b.e", "p.pe")} >= 0.8
+        ORDER BY orig_id"""))
+  )
+}

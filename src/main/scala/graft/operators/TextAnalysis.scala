@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operator family over `documents` (builder brief): token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Determinism: every score is computed in integer arithmetic (counts,
+  * per-mille ratios via integer division) so the DuckDB oracle hashes
+  * identically — no float ratios anywhere.
+  *
+  * 100 TB scale: all four are pure narrow projections over the scan (no
+  * shuffle except final aggregations); expressions are Catalyst
+  * built-ins, so they stay inside whole-stage codegen — no UDFs.
+  */
+object TextAnalysis {
+
+  /** Deterministic stopword sets per language. The fixture's five langs
+    * share one vocabulary, so these are synthetic-but-honest marker sets:
+    * the operator shape (per-lang hit counting + argmax) is the real
+    * n-gram-heuristic language-ID pipeline. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "data", "hash", "row"),
+    "en" -> Seq("the", "a", "table", "join", "scan"),
+    "es" -> Seq("el", "la", "value", "column", "sort"),
+    "fr" -> Seq("le", "la", "query", "merge", "line"),
+    "zh" -> Seq("de", "le", "batch", "stream", "window"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q31
+    // Token counting: whitespace tokens, distinct tokens, a BPE-ish
+    // regex subtoken count (letter runs + digit runs + residual symbols),
+    // and longest-token length.
+    QueryDef(
+      "q31_token_stats",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_subtokens"),
+            expr("aggregate(split(text, ' '), 0, (m, t) -> greatest(m, length(t)))")
+              .as("max_token_len"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_subtokens,
+               CAST(list_max(list_transform(string_split(text, ' '), t -> length(t))) AS INT)
+                 AS max_token_len
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q32
+    // Quality scoring: per-mille stopword ratio, short-token ratio, and a
+    // composite quality bucket — all integer arithmetic.
+    QueryDef(
+      "q32_quality_score",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")))
+          .withColumn("sw", expr(
+            """size(filter(toks, t -> t IN ('the', 'a', 'join', 'hash', 'row')))"""))
+          .withColumn("short", expr("size(filter(toks, t -> length(t) <= 2))"))
+          .select(
+            col("doc_id"),
+            col("n").as("n_tokens"),
+            (col("sw") * 1000 / col("n")).cast("long").as("stopword_permille"),
+            (col("short") * 1000 / col("n")).cast("long").as("short_permille"),
+            when(col("n") >= 40 && col("sw") * 1000 / col("n") < 300, "good")
+              .when(col("n") >= 15, "fair").otherwise("poor").as("quality"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        m AS (SELECT doc_id, len(toks) n,
+                     len(list_filter(toks, x -> x IN ('the', 'a', 'join', 'hash', 'row'))) sw,
+                     len(list_filter(toks, x -> length(x) <= 2)) sh
+              FROM t)
+        SELECT doc_id, CAST(n AS INT) AS n_tokens,
+               CAST(sw * 1000 // n AS BIGINT) AS stopword_permille,
+               CAST(sh * 1000 // n AS BIGINT) AS short_permille,
+               CASE WHEN n >= 40 AND sw * 1000 // n < 300 THEN 'good'
+                    WHEN n >= 15 THEN 'fair' ELSE 'poor' END AS quality
+        FROM m
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q33
+    // Language ID: hit-count each language's marker set, argmax with
+    // lexicographic tie-break; output the lang×predicted confusion matrix.
+    QueryDef(
+      "q33_lang_id",
+      (s, dir) => {
+        val scored = Tables(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val hitCols = langMarkers.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString(", ")
+          struct(
+            expr(s"size(filter(toks, t -> t IN ($inList)))").as("hits"),
+            lit(lang).as("lang"))
+        }
+        // argmax: highest hits, then lexicographically SMALLEST lang —
+        // encode lang descending-safe by sorting the struct array and
+        // taking the element with max (hits, reverse-lang) — done via
+        // aggregate for a deterministic single pass.
+        scored
+          .withColumn("scores", array(hitCols: _*))
+          .withColumn("pred", expr(
+            """aggregate(scores, scores[0],
+                 (best, x) -> IF(x.hits > best.hits, x, best)).lang"""))
+          .groupBy(col("lang"), col("pred").as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some {
+        val cases = langMarkers.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString(", ")
+          s"{'hits': len(list_filter(toks, t -> t IN ($inList))), 'lang': '$lang'}"
+        }.mkString(",\n                 ")
+        s"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') toks FROM documents),
+        sc AS (SELECT doc_id, lang,
+                 [$cases] AS scores
+               FROM t),
+        p AS (SELECT doc_id, lang,
+                list_reduce(scores,
+                  (best, x) -> CASE WHEN x.hits > best.hits THEN x ELSE best END).lang
+                  AS pred_lang
+              FROM sc)
+        SELECT lang, pred_lang, COUNT(*) AS n
+        FROM p GROUP BY lang, pred_lang
+        ORDER BY lang, pred_lang"""
+      }),
+
+    // ---------------------------------------------------------------- q34
+    // Document fingerprinting: polynomial rolling hash over code points,
+    // mod 1e9+7 — pure integer arithmetic, identical in both engines.
+    // The re-crawl corpus shows the fingerprint catching exact dups:
+    // output is the duplicate-fingerprint groups.
+    QueryDef(
+      "q34_doc_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .unionByName(
+            Tables(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+              .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .withColumn("fp", expr(
+            """aggregate(
+                 transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
+                 cast(0 AS BIGINT),
+                 (acc, c) -> (acc * 31 + c) % 1000000007)"""))
+          .groupBy("fp")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select("fp", "keep_id", "n_copies")
+          .orderBy("keep_id"),
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+        f AS (SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                      i -> CAST(unicode(text[i]) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+              FROM corpus)
+        SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM f GROUP BY fp HAVING COUNT(*) > 1
+        ORDER BY keep_id"""))
+  )
+}

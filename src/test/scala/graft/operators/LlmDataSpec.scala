@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Semantic checks on the LLM-data operator families that the
+  * value-hash oracle can't express: ANN recall, LSH completeness,
+  * dedup-construction coverage. Runs at sf0.001.
+  */
+class LlmDataSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q25 exact dedup finds exactly the re-crawled doc groups") {
+    import spark.implicits._
+    val rows = run("q25_exact_dedup").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (keepId, n) => n == 2 && keepId % 5 == 0 },
+      "every dup group is an original doc_id%5==0 with exactly one re-crawl copy")
+  }
+
+  test("q26 minhash candidates cover every constructed near-dup with J>=0.6") {
+    import spark.implicits._
+    val pairs = run("q26_minhash_neardup")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // constructed pairs are (id, id+200000); long docs must all be found
+    val constructed = pairs.filter { case (a, b) => b == a + 200000 }
+    assert(constructed.nonEmpty, "LSH must surface the constructed near-dups")
+    // every reported pair really has J >= 0.6 (verify stage is exact)
+    val verified = run("q26_minhash_neardup")
+      .select("inter", "uni").as[(Int, Int)].collect()
+    assert(verified.forall { case (i, u) => 5 * i >= 3 * u })
+  }
+
+  test("q27 simhash pairs are all within hamming distance 3") {
+    import spark.implicits._
+    val h = run("q27_simhash_neardup").select("hamming").as[Int].collect()
+    assert(h.nonEmpty && h.forall(_ <= 3))
+  }
+
+  test("q29 IVF top-k achieves nontrivial recall against q28 brute force") {
+    import spark.implicits._
+    def topk(name: String): Map[Long, Set[Long]] =
+      run(name).select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val brute = topk("q28_ann_brute_topk")
+    val ivf = topk("q29_ann_ivf_topk")
+    val recalls = brute.keys.toSeq.map { q =>
+      val b = brute(q); val i = ivf.getOrElse(q, Set.empty)
+      i.intersect(b).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe=2 of 8 buckets on near-random vectors: recall well above the
+    // 0.25 random-probe floor means bucketing is actually correlated
+    assert(mean > 0.2, s"mean recall@5 $mean too low — IVF bucketing broken")
+  }
+
+  test("q30 embedding near-dups are exactly the perturbed construction pairs") {
+    import spark.implicits._
+    val rows = run("q30_embedding_neardup")
+      .select("orig_id", "pert_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (o, p) => p == o + 100000 && o % 5 == 0 })
+  }
+
+  test("q35 multimodal metadata matches a directly-computed decode") {
+    import spark.implicits._
+    val r = run("q35_multimodal_metadata")
+      .filter("doc_id = 0")
+      .as[graft.functions.MediaMeta].head()
+    val text = graft.Tables(spark, dir, "documents")
+      .filter("doc_id = 0").select("text").as[String].head()
+    val expect = new graft.functions.FakeMediaDecoder().decode(0L, text.getBytes("UTF-8"))
+    assert(r == expect)
+  }
+}
