@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator definitions, grouped by module. */
   def defs: Seq[QueryDef] =
     Relational.all ++ PipelineQueries.all ++
-      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ MultimodalQueries.all
+      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ MultimodalQueries.all ++
+      graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

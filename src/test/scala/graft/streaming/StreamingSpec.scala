@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.pipeline.PipelineConfig
+
+/** E2E tier: streaming transfer pipeline — micro-batch processing,
+  * checkpoint-based offset tracking (K4), per-topic DLQ routing (E3),
+  * graceful shutdown idempotence (O2), CLI parity (O1).
+  * Mirrors /root/reference/tests/test_e2e.py + test_main.py behaviors.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSpec.spark
+  private var base: Path = _
+
+  override def beforeAll(): Unit = base = Files.createTempDirectory("graft-stream-spec")
+  override def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(base).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  private val pc = PipelineConfig(
+    "SRC_TYPE" -> "local", "SRC_HOST" -> "localhost",
+    "DST_TYPE" -> "local", "DST_HOST" -> "localhost")
+
+  private def jobLine(id: String, sp: String, dp: String): String =
+    s"""{"job_id":"$id","source":{"hostname":"src","path":"$sp"},""" +
+      s""""destination":{"hostname":"dst","path":"$dp"}}"""
+
+  private def writeBatchFile(n: String, lines: Seq[String]): Unit = {
+    val in = base.resolve("in"); Files.createDirectories(in)
+    Files.write(in.resolve(n), String.join("\n", lines: _*).getBytes("UTF-8"))
+  }
+
+  test("streaming pipeline processes jobs, resumes from checkpoint without reprocessing") {
+    val src1 = base.resolve("files/a.txt")
+    Files.createDirectories(src1.getParent)
+    Files.write(src1, "stream-A".getBytes)
+    writeBatchFile("batch1.jsonl", Seq(
+      jobLine("s1", src1.toString, base.resolve("out/a.txt").toString),
+      "corrupt line not json"))
+
+    def runOnce(): Unit = {
+      val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
+        topic = "jobs", resultsDir = base.resolve("results").toString,
+        dlqDir = base.resolve("dlq").toString,
+        checkpointDir = base.resolve("cp").toString)
+      q.awaitTermination()
+    }
+    runOnce()
+    val results1 = spark.read.parquet(base.resolve("results").toString)
+    assert(results1.filter(col("status") === "success").count() == 1)
+    assert(Files.readAllBytes(base.resolve("out/a.txt")).sameElements("stream-A".getBytes))
+    val dlq1 = spark.read.parquet(base.resolve("dlq").toString)
+    assert(dlq1.count() == 1)
+    assert(dlq1.select("dlq_topic").head().getString(0) == "jobs-dlq") // E3 routing
+
+    // second file arrives; restart picks up ONLY the new file (K4)
+    val src2 = base.resolve("files/b.txt")
+    Files.write(src2, "stream-B".getBytes)
+    writeBatchFile("batch2.jsonl", Seq(
+      jobLine("s2", src2.toString, base.resolve("out/b.txt").toString)))
+    runOnce()
+    val results2 = spark.read.parquet(base.resolve("results").toString)
+    // 1 executed job from batch1 (the corrupt line went to the DLQ sink,
+    // not results) + 1 from batch2; no reprocessing of batch1
+    assert(results2.count() == 2, "old batch must not be reprocessed (1 old + 1 new)")
+    assert(results2.filter(col("job_id") === "s1").count() == 1)
+  }
+
+  test("CLI arg parsing: flags beat positionals (main.py:82-90)") {
+    val a = StreamMain.parseArgs(Array("pos-topic", "pos-group", "--topic", "flag-topic", "-v"))
+    assert(a.topic == "flag-topic")
+    assert(a.groupId == "pos-group")
+    assert(a.verbose)
+    val d = StreamMain.parseArgs(Array.empty)
+    assert(d.topic == "file-transfer-jobs") // main.py:40-45 default
+    assert(!d.verbose)
+  }
+
+  test("env-file loading: KEY=VALUE lines, comments ignored") {
+    val f = base.resolve("test.env")
+    Files.write(f, "# comment\nA_TYPE=local\n\nA_HOST=localhost\nX=a=b\n".getBytes)
+    val env = StreamMain.loadEnvFile(f.toString)
+    assert(env == Map("A_TYPE" -> "local", "A_HOST" -> "localhost", "X" -> "a=b"))
+    val cfg = new PipelineConfig(env)
+    assert(cfg.serverConfig("a").serverType == "local")
+  }
+
+  test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
+    val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
+      "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
+      base.resolve("cp2").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+    assert(q.isActive)
+    q.stop(); q.stop() // second stop must not throw
+    assert(!q.isActive)
+  }
+}
