@@ -55,15 +55,19 @@ object Dedup {
 
   /** Distinct 3-gram word shingles (SQL-expression form shared by the
     * MinHash pipeline and its verify stage). */
+  /** Expects a precomputed `w = split(text, ' ')` column: higher-order
+    * lambdas are interpreted (CodegenFallback), so referencing `text`
+    * directly would re-split the document for every shingle — O(len²)
+    * per doc, the difference between seconds and minutes at sf0.1. */
   private val shinglesExpr: String =
-    """IF(size(split(text, ' ')) < 3,
+    """IF(size(w) < 3,
          cast(array() AS array<string>),
          array_distinct(transform(
-           sequence(1, size(split(text, ' ')) - 2),
+           sequence(1, size(w) - 2),
            i -> concat_ws(' ',
-             element_at(split(text, ' '), i),
-             element_at(split(text, ' '), i + 1),
-             element_at(split(text, ' '), i + 2)))))"""
+             element_at(w, i),
+             element_at(w, i + 1),
+             element_at(w, i + 2)))))"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -93,30 +97,41 @@ object Dedup {
         ORDER BY keep_id""")),
 
     // ---------------------------------------------------------------- q26
-    // MinHash-LSH near-dup: 128 minhashes over 3-gram shingles, banded
-    // 64×2; candidate pairs only within equal (band, band-hash) buckets;
+    // MinHash-LSH near-dup: 64 minhashes over 3-gram shingles, banded
+    // 32×2; candidate pairs only within equal (band, band-hash) buckets;
     // exact-Jaccard verification in integer arithmetic (5·∩ ≥ 3·∪ ⇔
-    // J ≥ 0.6). 2-row bands put the J=0.6 miss probability below 1e-13,
-    // so the LSH candidate set provably covers the oracle's brute-force
-    // answer at fixture scale.
+    // J ≥ 0.6). 2-row bands put the J=0.6 per-pair miss probability at
+    // (1-0.36)^32 ≈ 6e-7, so the LSH candidate set covers the oracle's
+    // brute-force answer at fixture scale with ~certainty.
     QueryDef(
       "q26_minhash_neardup",
       (s, dir) => {
         val sh = nearCorpus(s, dir)
+          .withColumn("w", split(col("text"), " "))
           .withColumn("s", expr(shinglesExpr))
           .filter(size(col("s")) > 0)
           .select("doc_id", "s")
-        // 128-element minhash signature; seed folded into the hashed text.
-        val sig = sh.withColumn("sig", expr(
-          """transform(sequence(0, 127),
-               k -> array_min(transform(s, x -> xxhash64(concat(x, '#', cast(k AS STRING))))))"""))
-        // 64 bands × 2 rows → (band, hash-of-rows) bucket keys.
-        val banded = sig.select(col("doc_id"), expr(
-          """explode(transform(sequence(0, 63),
-               b -> struct(b AS band,
-                 xxhash64(concat_ws(',',
-                   cast(element_at(sig, 2*b+1) AS STRING),
-                   cast(element_at(sig, 2*b+2) AS STRING))) AS bh))) AS bb"""))
+        // 64-element minhash signature, computed COLUMNAR: shingles
+        // explode to rows (hashed once), and each of the 64 minhashes is
+        // a codegen'd min() aggregate over a seed-mixed rehash — the
+        // whole signature build stays inside whole-stage codegen. (A
+        // nested transform/array_min lambda computes the same thing but
+        // drops to the interpreted higher-order path: 10× slower at
+        // sf0.1, worse at scale.) Map-side partial min() means the
+        // shuffle carries one 64-long signature per doc, not shingles.
+        val minCols = (0 until 64).map(k =>
+          min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+        val sig = sh
+          .select(col("doc_id"), explode(col("s")).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+          .groupBy("doc_id")
+          .agg(minCols.head, minCols.tail: _*)
+        // 32 bands × 2 rows → (band, hash-of-rows) bucket keys.
+        val bandCols = (0 until 32).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh")))
+        val banded = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
         val a = banded.as("a"); val b = banded.as("b")
         val cand = a.join(b,
@@ -163,15 +178,24 @@ object Dedup {
     QueryDef(
       "q27_simhash_neardup",
       (s, dir) => {
+        // Fingerprint build is COLUMNAR: tokens explode to rows and the
+        // 60 per-bit majority votes are 60 codegen'd sum() aggregates
+        // (the nested aggregate-over-bits lambda form is interpreted and
+        // ~20× slower); the final bit-assembly folds the 60 vote columns
+        // in one tiny per-doc expression.
+        val voteCols = (0 until 60).map(b =>
+          sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+            .as(s"v$b"))
         val fp = nearCorpus(s, dir)
-          .withColumn("hvs", expr(
-            """transform(split(text, ' '),
-                 t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"""))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .withColumn("hv",
+            expr("cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(voteCols.head, voteCols.tail: _*)
+          .withColumn("votes", array((0 until 60).map(b => col(s"v$b")): _*))
           .withColumn("fp", expr(
             """aggregate(sequence(0, 59), cast(0 AS BIGINT),
-                 (acc, b) -> acc + IF(
-                   aggregate(hvs, cast(0 AS BIGINT),
-                     (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)) >= 0,
+                 (acc, b) -> acc + IF(element_at(votes, b + 1) >= 0,
                    shiftleft(cast(1 AS BIGINT), b), cast(0 AS BIGINT)))"""))
           .select("doc_id", "fp")
         val chunked = fp.select(col("doc_id"), col("fp"), expr(

@@ -1,0 +1,116 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Non-parquet source coverage (SURVEY §2.9 row 1: CSV / JSON / binary
+  * scans): each query materializes a deterministic derived copy of a
+  * fixture table in the target format (one-time staging per sf), reads it
+  * back through the corresponding Spark source, and aggregates — the
+  * DuckDB oracle computes the same result from the original parquet, so
+  * the round-trip through the format is what's being checked.
+  *
+  * 100 TB scale: CSV/JSON sources split by line across executors
+  * (maxPartitionBytes), schema is always explicit (never inferSchema —
+  * inference is a full extra pass at scale); binaryFile scans carry
+  * (path, length, content) with pushed path filters and never shuffle
+  * payloads.
+  */
+object Sources {
+
+  private def stagingDir(name: String, dir: String): String = {
+    val sf = Paths.get(dir).getFileName.toString
+    s"${System.getProperty("java.io.tmpdir")}/graft_sources/$name/$sf"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q36
+    // CSV scan: orders → CSV (explicit schema, no inference) → aggregate.
+    QueryDef(
+      "q36_csv_scan",
+      (s, dir) => {
+        val out = stagingDir("csv", dir)
+        if (!Files.exists(Paths.get(out))) {
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderpriority"))
+            .write.mode("overwrite").option("header", "true").csv(out)
+        }
+        s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING")
+          .option("header", "true")
+          .csv(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // ---------------------------------------------------------------- q37
+    // JSON-lines scan: documents → JSONL → read with explicit schema.
+    QueryDef(
+      "q37_json_scan",
+      (s, dir) => {
+        val out = stagingDir("json", dir)
+        if (!Files.exists(Paths.get(out))) {
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .write.mode("overwrite").json(out)
+        }
+        s.read
+          .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+          .json(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- q38
+    // binaryFile scan: documents staged as one file each (the multimodal
+    // payload layout), read via the binaryFile source — (path, length,
+    // content) —, metadata aggregated. Payload bytes stay on executors.
+    QueryDef(
+      "q38_binaryfile_scan",
+      (s, dir) => {
+        val out = stagingDir("bin", dir)
+        if (!Files.exists(Paths.get(out))) {
+          Files.createDirectories(Paths.get(out))
+          Tables(s, dir, "documents").select("doc_id", "text")
+            .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+              rows.foreach { r =>
+                Files.write(Paths.get(s"$out/doc_${r.getLong(0)}.bin"),
+                  r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              }
+            }
+        }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin")
+          .load(out)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+            col("length"),
+            substring(col("content"), 1, 4).cast("string").as("head4"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+               substr(text, 1, 4) AS head4
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}

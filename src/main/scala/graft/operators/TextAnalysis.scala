@@ -150,11 +150,14 @@ object TextAnalysis {
           .unionByName(
             Tables(s, dir, "documents").filter(col("doc_id") % 5 === 0)
               .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          // split-to-chars once, then fold: substr(text, i, 1) inside the
+          // lambda would rescan the string per character (O(len²) on the
+          // interpreted higher-order path).
           .withColumn("fp", expr(
             """aggregate(
-                 transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
+                 split(text, ''),
                  cast(0 AS BIGINT),
-                 (acc, c) -> (acc * 31 + c) % 1000000007)"""))
+                 (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""))
           .groupBy("fp")
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
           .filter(col("n_copies") > 1)

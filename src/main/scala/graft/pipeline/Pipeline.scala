@@ -88,7 +88,17 @@ object Pipeline {
   def execute(jobs: Dataset[FileTransferJob], pc: PipelineConfig): Dataset[TransferResult] = {
     val spark = jobs.sparkSession
     import spark.implicits._
-    jobs.mapPartitions { it => it.map(job => runOne(job, pc)) }
+    // Fan the side-effecting map out across all cores — the Spark analogue
+    // of the reference's Kafka-partition consumer scale-out (O3,
+    // entrypoint.sh:35-63). Without this, a single-file jobs source (one
+    // input split) would run every transfer serially on one task; the
+    // round-robin repartition is the balanced assignment Kafka gives a
+    // consumer group. Skipped when the source already has enough splits.
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (jobs.rdd.getNumPartitions >= target) jobs
+      else jobs.repartition(target)
+    spread.mapPartitions { it => it.map(job => runOne(job, pc)) }
   }
 
   private def withBackend[A](cfg: ServerConfig, pc: PipelineConfig)(f: TransferBackend => A): A =
