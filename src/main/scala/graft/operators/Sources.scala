@@ -34,7 +34,9 @@ object Sources {
       "q36_csv_scan",
       (s, dir) => {
         val out = stagingDir("csv", dir)
-        if (!Files.exists(Paths.get(out))) {
+        // _SUCCESS marker (written by Spark's committer) guards against a
+        // half-staged dir left by an interrupted prior run
+        if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
           Tables(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderstatus"),
               col("o_totalprice"), col("o_orderpriority"))
@@ -61,7 +63,7 @@ object Sources {
       "q37_json_scan",
       (s, dir) => {
         val out = stagingDir("json", dir)
-        if (!Files.exists(Paths.get(out))) {
+        if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
           Tables(s, dir, "documents")
             .select(col("doc_id"), col("lang"), col("n_chars"))
             .write.mode("overwrite").json(out)
@@ -88,7 +90,7 @@ object Sources {
       "q38_binaryfile_scan",
       (s, dir) => {
         val out = stagingDir("bin", dir)
-        if (!Files.exists(Paths.get(out))) {
+        if (!Files.exists(Paths.get(out, "_STAGED"))) {
           Files.createDirectories(Paths.get(out))
           Tables(s, dir, "documents").select("doc_id", "text")
             .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -97,6 +99,7 @@ object Sources {
                   r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
               }
             }
+          Files.write(Paths.get(out, "_STAGED"), Array.emptyByteArray)
         }
         s.read.format("binaryFile")
           .option("pathGlobFilter", "*.bin")

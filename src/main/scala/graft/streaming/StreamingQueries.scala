@@ -43,8 +43,14 @@ object StreamingQueries {
       s"${System.getProperty("java.io.tmpdir")}/graft_stream_events/$sf")
     Files.createDirectories(landing)
     val staged = landing.resolve("events.parquet")
-    if (!Files.exists(staged))
-      Files.copy(Paths.get(path), staged)
+    if (!Files.exists(staged)) {
+      // copy-then-atomic-move so an interrupted prior run can't leave a
+      // truncated file that a later run would trust
+      val tmp = landing.resolve(s".events.parquet.tmp")
+      Files.copy(Paths.get(path), tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     val schema = s.read.parquet(path).schema
     s.readStream.schema(schema).parquet(landing.toString)
       .withColumn("ts_us", expr("ts div 1000"))
