@@ -44,6 +44,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Fixture tables are single small parquet files; the default 128 MB
+      // split size would scan each on ONE core. 8 MB splits give the
+      // local[32] bench real scan parallelism; on a production cluster
+      // with many files per table the default is the right setting.
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** Apply graft settings onto an externally-built session (for the

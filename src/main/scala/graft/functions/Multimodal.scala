@@ -22,11 +22,19 @@ final case class MediaMeta(
     height: Int,
     n_frames: Int)
 
+/** One sampled "frame": its index, byte offset, and content fingerprint. */
+final case class FrameSample(doc_id: Long, frame_idx: Int, offset: Long, frame_fp: Long)
+
 trait MediaDecoder extends Serializable {
   /** Decode one payload into its metadata. Real implementations wrap an
     * image/audio library; per-partition state (decoder contexts, native
     * handles) belongs in [[open]]/[[close]]. */
   def decode(id: Long, bytes: Array[Byte]): MediaMeta
+
+  /** Sample `n` evenly-spaced fixed-width frames from the payload (the
+    * video frame-sampling stage; a real implementation seeks keyframes). */
+  def frameSample(id: Long, bytes: Array[Byte], n: Int): Seq[FrameSample]
+
   def open(): Unit = ()
   def close(): Unit = ()
 }
@@ -52,5 +60,20 @@ final class FakeMediaDecoder extends MediaDecoder {
       width = 16 * (1 + (bytes.length % 40)),
       height = 16 * (1 + (first % 30)),
       n_frames = 1 + bytes.length % 7)
+  }
+
+  /** Frames are 16-byte windows at offsets i·(len−16)/(n−1); the
+    * fingerprint is the same 31-polynomial rolling hash mod 1e9+7 the
+    * text-analysis operator uses — deterministic and oracle-replicable. */
+  override def frameSample(id: Long, bytes: Array[Byte], n: Int): Seq[FrameSample] = {
+    val w = 16
+    if (bytes.length < w || n < 2) Seq.empty
+    else (0 until n).map { i =>
+      val off = i.toLong * (bytes.length - w) / (n - 1)
+      var fp = 0L
+      var j = off.toInt
+      while (j < off.toInt + w) { fp = (fp * 31 + (bytes(j) & 0xff)) % 1000000007L; j += 1 }
+      FrameSample(id, i, off, fp)
+    }
   }
 }

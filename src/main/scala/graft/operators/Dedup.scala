@@ -59,7 +59,7 @@ object Dedup {
     * lambdas are interpreted (CodegenFallback), so referencing `text`
     * directly would re-split the document for every shingle — O(len²)
     * per doc, the difference between seconds and minutes at sf0.1. */
-  private val shinglesExpr: String =
+  private[operators] val shinglesExpr: String =
     """IF(size(w) < 3,
          cast(array() AS array<string>),
          array_distinct(transform(
@@ -106,11 +106,16 @@ object Dedup {
     QueryDef(
       "q26_minhash_neardup",
       (s, dir) => {
+        // Persisted: the shingle sets feed signature building AND both
+        // sides of the verify join — without reuse the O(text) shingle
+        // construction runs three times. (At cluster scale this is the
+        // canonical checkpoint: shingles are the expensive derived input.)
         val sh = nearCorpus(s, dir)
           .withColumn("w", split(col("text"), " "))
           .withColumn("s", expr(shinglesExpr))
           .filter(size(col("s")) > 0)
           .select("doc_id", "s")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // 64-element minhash signature, computed COLUMNAR: shingles
         // explode to rows (hashed once), and each of the 64 minhashes is
         // a codegen'd min() aggregate over a seed-mixed rehash — the

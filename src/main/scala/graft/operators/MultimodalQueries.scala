@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{FakeMediaDecoder, MediaMeta}
+import graft.functions.{FakeMediaDecoder, FrameSample, MediaMeta}
 
 /** Multimodal operator surface: binary payload columns decoded to typed
   * metadata via a partition-batched decoder (see
@@ -46,6 +46,53 @@ object MultimodalQueries {
                CAST(16 * (1 + unicode(text[1]) % 30) AS INT) AS height,
                CAST(1 + octet_length(CAST(text AS BLOB)) % 7 AS INT) AS n_frames
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q43
+    // Frame sampling: 4 evenly-spaced 16-byte frames per payload, each
+    // fingerprinted; per-document distinct-frame stats. flatMap shape —
+    // one payload expands to n frame rows, still a narrow pipeline.
+    QueryDef(
+      "q43_multimodal_framesample",
+      (s, dir) => {
+        import s.implicits._
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        val frames = bin.mapPartitions { it =>
+          val dec = new FakeMediaDecoder
+          it.flatMap { case (id, b) => dec.frameSample(id, b, 4) }
+        }
+        frames.toDF()
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_frames"),
+            countDistinct("frame_fp").as("n_uniq_frames"),
+            min(when(col("frame_idx") === 0, col("frame_fp"))).as("first_fp"),
+            max("offset").as("last_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, i.range AS frame_idx,
+                 CAST(i.range * (length(text) - 16) // 3 AS BIGINT) AS off
+          FROM documents CROSS JOIN range(4) i
+          WHERE length(text) >= 16),
+        fp AS (
+          SELECT doc_id, frame_idx, off,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 17),
+                       j -> CAST(unicode(substr(text, CAST(off AS INT) + CAST(j AS INT), 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_fp
+          FROM f JOIN documents USING (doc_id))
+        SELECT doc_id,
+               COUNT(*) AS n_frames,
+               COUNT(DISTINCT frame_fp) AS n_uniq_frames,
+               CAST(MIN(CASE WHEN frame_idx = 0 THEN frame_fp END) AS BIGINT) AS first_fp,
+               CAST(MAX(off) AS BIGINT) AS last_offset
+        FROM fp
+        GROUP BY doc_id
         ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Set-similarity join with prefix filtering — the exact (non-LSH)
+  * scale path for n-gram/token Jaccard joins, and SRP-LSH bucketing for
+  * embedding cosine — completing the dedup/similarity families.
+  *
+  * Prefix filtering (q41) is the canonical exact algorithm: order each
+  * record's token set by ascending global frequency; a pair with Jaccard
+  * ≥ τ MUST share a token within each side's first |s|−⌈τ·|s|⌉+1 tokens,
+  * so exploding only prefixes gives a complete candidate set from an
+  * equi-join on the token — no quadratic comparison, no probabilistic
+  * recall. The rare-token-first ordering keeps candidate buckets small
+  * (the frequency dimension is a tiny broadcast).
+  *
+  * SRP-LSH (q42) buckets embeddings by the sign pattern of projections
+  * onto fixed directions, banded so candidates share a band key — the
+  * approximate scale path; its oracle replicates the ALGORITHM (bit-exact
+  * double dots), so the gate checks fidelity while recall is asserted in
+  * LlmDataSpec against the exact pairs.
+  */
+object SimilarityJoin {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q41
+    // 3-gram-shingle similarity join with prefix filtering, τ = 0.6:
+    // documents (A) × re-crawl with last word dropped (B). Shingles are
+    // near-unique across documents, so the rare-first prefixes prune the
+    // candidate space to essentially the true pairs — the exact
+    // counterpart to q26's probabilistic LSH. Verification is
+    // integer-exact (5·∩ ≥ 3·∪).
+    QueryDef(
+      "q41_prefix_filter_jaccard_join",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val a = docs
+        val b = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            regexp_replace(col("text"), " \\S+$", "").as("text"))
+        val corpus = a.unionByName(b)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("s", expr(Dedup.shinglesExpr))
+          .filter(size(col("s")) > 0)
+          .select("doc_id", "s")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // global shingle frequencies (hashed key keeps the dimension slim)
+        val freq = corpus.select(explode(col("s")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("f"))
+        // shingles sorted rare-first (freq, then shingle, both ascending)
+        val sorted = corpus.select(col("doc_id"), explode(col("s")).as("t"))
+          .join(freq, "t")
+          .groupBy("doc_id")
+          .agg(expr("transform(array_sort(collect_list(struct(f, t))), x -> x.t)").as("st"))
+        val withPrefix = sorted.withColumn("n", size(col("st")))
+          // prefix length |s| - ceil(0.6·|s|) + 1 = n - (3n+4) div 5 + 1
+          .withColumn("plen", col("n") - expr("(3 * n + 4) div 5") + lit(1))
+        val pref = withPrefix.select(col("doc_id"), col("st"),
+          explode(expr("slice(st, 1, plen)")).as("pt"))
+        val aSide = pref.filter(col("doc_id") < 200000)
+          .select(col("doc_id").as("id_a"), col("st").as("sa"), col("pt"))
+        val bSide = pref.filter(col("doc_id") >= 200000)
+          .select(col("doc_id").as("id_b"), col("st").as("sb"), col("pt"))
+        aSide.join(bSide, "pt")
+          .select("id_a", "id_b", "sa", "sb").distinct()
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("uni", size(array_union(col("sa"), col("sb"))))
+          .filter(col("inter") * 5 >= col("uni") * 3)
+          .select("id_a", "id_b", "inter", "uni")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, regexp_replace(text, ' \S+$', '')
+          FROM documents WHERE doc_id % 7 = 0),
+        toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+               FROM toks WHERE len(w) >= 3)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS inter,
+               len(list_distinct(list_concat(a.s, b.s))) AS uni
+        FROM sh a JOIN sh b
+          ON a.doc_id < 200000 AND b.doc_id >= 200000
+        WHERE 5 * len(list_intersect(a.s, b.s))
+              >= 3 * len(list_distinct(list_concat(a.s, b.s)))
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q42
+    // SRP-LSH embedding near-dup: 12 sign bits from projections onto the
+    // (deterministic) direction vectors vec_id 100..111, banded 4×3;
+    // candidates share a band key; verify cosine ≥ 0.8 in exact doubles.
+    // Corpus: embeddings ∪ first-component-perturbed copies (as q30).
+    QueryDef(
+      "q42_srp_lsh_embedding_neardup",
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"))
+        val corpus = base.unionByName(
+          base.filter(col("vec_id") % 5 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              expr("concat(array(element_at(e, 1) + 0.5d), slice(e, 2, 63))").as("e")))
+        val dirs = base.filter(col("vec_id") >= 100 && col("vec_id") < 112)
+          .select(col("vec_id").as("dir_id"), col("e").as("de"))
+        // 12 sign bits per vector (broadcast the 12 directions, map-side
+        // partial max_by-free aggregation via pivot-ish conditional sums)
+        val signs = corpus.join(broadcast(dirs), lit(true))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(e, de, (x, y) -> x * y), 0d, (acc, v) -> acc + v)"))
+          .groupBy("vec_id")
+          .agg(
+            sum(when(col("dot") >= 0,
+              expr("shiftleft(cast(1 AS BIGINT), cast(dir_id - 100 AS INT))")).otherwise(0L))
+              .as("sig"),
+            first("e").as("e"))
+        // 4 bands × 3 bits
+        val bandCols = (0 until 4).map(bd =>
+          struct(lit(bd).as("band"),
+            shiftright(col("sig"), bd * 3).bitwiseAND(7).as("bk")))
+        val banded = signs.select(col("vec_id"), col("e"),
+          explode(array(bandCols: _*)).as("bb"))
+          .select(col("vec_id"), col("e"),
+            col("bb.band").as("band"), col("bb.bk").as("bk"))
+        val l = banded.as("a"); val r = banded.as("b")
+        val cos = expr(
+          """aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, v) -> acc + v)
+             / (sqrt(aggregate(zip_with(ea, ea, (x, y) -> x * y), 0d, (acc, v) -> acc + v))
+                * sqrt(aggregate(zip_with(eb, eb, (x, y) -> x * y), 0d, (acc, v) -> acc + v)))""")
+        l.join(r, col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+            && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            col("a.e").as("ea"), col("b.e").as("eb"))
+          .distinct()
+          .withColumn("sim", cos)
+          .filter(col("sim") >= 0.8)
+          .select("id_a", "id_b", "sim")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+                      FROM embeddings),
+        corpus AS (
+          SELECT vec_id, e FROM base
+          UNION ALL
+          SELECT vec_id + 100000, list_concat([e[1] + 0.5], e[2:64])
+          FROM base WHERE vec_id % 5 = 0),
+        dirs AS (SELECT vec_id - 100 AS k, e de FROM base
+                 WHERE vec_id >= 100 AND vec_id < 112),
+        signs AS (
+          SELECT c.vec_id,
+                 CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(c.e, d.de),
+                                        x -> x[1] * x[2])) >= 0
+                     THEN (CAST(1 AS BIGINT) << CAST(d.k AS INT)) ELSE 0 END) AS BIGINT) AS sig
+          FROM corpus c CROSS JOIN dirs d GROUP BY c.vec_id),
+        banded AS (
+          SELECT s.vec_id, b.range AS band,
+                 (s.sig >> (CAST(b.range AS INT) * 3)) & 7 AS bk
+          FROM signs s CROSS JOIN range(4) b),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               (list_sum(list_transform(list_zip(x.e, y.e), v -> v[1] * v[2]))
+                / (sqrt(list_sum(list_transform(x.e, v -> v * v)))
+                   * sqrt(list_sum(list_transform(y.e, v -> v * v))))) AS sim
+        FROM cand c
+        JOIN corpus x ON x.vec_id = c.id_a
+        JOIN corpus y ON y.vec_id = c.id_b
+        WHERE (list_sum(list_transform(list_zip(x.e, y.e), v -> v[1] * v[2]))
+               / (sqrt(list_sum(list_transform(x.e, v -> v * v)))
+                  * sqrt(list_sum(list_transform(y.e, v -> v * v))))) >= 0.8
+        ORDER BY id_a, id_b"""))
+  )
+}
