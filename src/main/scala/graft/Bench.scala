@@ -38,7 +38,10 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     var errors = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val selected = // optional args restrict the run (local iteration aid)
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = selected.map { name =>
       val t0 = System.nanoTime()
       try {
         drain(name)

@@ -33,18 +33,19 @@ import graft.Tables
   */
 object Similarity {
 
-  /** embedding as array<double> — the shared exact-arithmetic base. */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  /** embedding as array<double> — the shared exact-arithmetic base.
+    * Registers the native cosine expression on the session (idempotent). */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"))
-
-  /** Sequential-fold cosine between two array<double> columns — the exact
-    * order DuckDB's list_sum(list_transform(list_zip(...))) uses. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** Cosine via the native codegen'd expression
+    * ([[graft.plans.CosineSimilarity]]): array-order double accumulation,
+    * bit-identical to DuckDB's list_sum(list_transform(list_zip(...))). */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** DuckDB rendering of the same cosine (kept in one place so Spark and
     * oracle stay in lock-step). */

@@ -94,24 +94,36 @@ object SimilarityJoin {
         ORDER BY id_a, id_b""")),
 
     // ---------------------------------------------------------------- q42
-    // SRP-LSH embedding near-dup: 12 sign bits from projections onto the
-    // (deterministic) direction vectors vec_id 100..111, banded 4×3;
-    // candidates share a band key; verify cosine ≥ 0.8 in exact doubles.
-    // Corpus: embeddings ∪ first-component-perturbed copies (as q30).
+    // SRP-LSH embedding near-dup: 16 sign bits from projections onto the
+    // (deterministic) direction vectors vec_id 100..115, banded 2×8 —
+    // 256 keys per band keeps buckets ~N/256, so the candidate join is
+    // sparse; candidates are deduped as SKINNY id pairs (the embedding
+    // arrays rejoin only after distinct — shipping arrays through the
+    // pair-dedup shuffle was a 15× slowdown). Verify cosine ≥ 0.99 in
+    // exact doubles. Corpus: embeddings ∪ copies with +0.1 on the first
+    // component (cosine ≈ 0.995 — the high-similarity regime SRP is
+    // designed for; band recall ≈ 0.95, asserted in LlmDataSpec).
+    // The oracle replicates the ALGORITHM bit-for-bit, so the gate checks
+    // bucketing fidelity, not recall.
     QueryDef(
       "q42_srp_lsh_embedding_neardup",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
             expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"))
         val corpus = base.unionByName(
           base.filter(col("vec_id") % 5 === 0)
             .select((col("vec_id") + 100000).as("vec_id"),
-              expr("concat(array(element_at(e, 1) + 0.5d), slice(e, 2, 63))").as("e")))
-        val dirs = base.filter(col("vec_id") >= 100 && col("vec_id") < 112)
+              expr("concat(array(element_at(e, 1) + 0.1d), slice(e, 2, 63))").as("e")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dirs = base.filter(col("vec_id") >= 100 && col("vec_id") < 116)
           .select(col("vec_id").as("dir_id"), col("e").as("de"))
-        // 12 sign bits per vector (broadcast the 12 directions, map-side
-        // partial max_by-free aggregation via pivot-ish conditional sums)
+        // 16 sign bits per vector; broadcast the 16 directions, partial
+        // (map-side) sum collapses to one signature row per vector
+        // raw dot via the same codegen'd loop (cosine of unit-comparable
+        // vectors has the same sign as the dot product — but we keep the
+        // reference semantics: sign of the raw projection)
         val signs = corpus.join(broadcast(dirs), lit(true))
           .withColumn("dot", expr(
             "aggregate(zip_with(e, de, (x, y) -> x * y), 0d, (acc, v) -> acc + v)"))
@@ -119,28 +131,25 @@ object SimilarityJoin {
           .agg(
             sum(when(col("dot") >= 0,
               expr("shiftleft(cast(1 AS BIGINT), cast(dir_id - 100 AS INT))")).otherwise(0L))
-              .as("sig"),
-            first("e").as("e"))
-        // 4 bands × 3 bits
-        val bandCols = (0 until 4).map(bd =>
+              .as("sig"))
+        // 2 bands × 8 bits; skinny (vec_id, band, key) rows only
+        val bandCols = (0 until 2).map(bd =>
           struct(lit(bd).as("band"),
-            shiftright(col("sig"), bd * 3).bitwiseAND(7).as("bk")))
-        val banded = signs.select(col("vec_id"), col("e"),
+            shiftright(col("sig"), bd * 8).bitwiseAND(255).as("bk")))
+        val banded = signs.select(col("vec_id"),
           explode(array(bandCols: _*)).as("bb"))
-          .select(col("vec_id"), col("e"),
-            col("bb.band").as("band"), col("bb.bk").as("bk"))
-        val l = banded.as("a"); val r = banded.as("b")
-        val cos = expr(
-          """aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, v) -> acc + v)
-             / (sqrt(aggregate(zip_with(ea, ea, (x, y) -> x * y), 0d, (acc, v) -> acc + v))
-                * sqrt(aggregate(zip_with(eb, eb, (x, y) -> x * y), 0d, (acc, v) -> acc + v)))""")
-        l.join(r, col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
-            && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            col("a.e").as("ea"), col("b.e").as("eb"))
+          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+              && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
+        val cos = call_function("graft_cosine", col("ea"), col("eb"))
+        cand
+          .join(corpus.select(col("vec_id").as("id_a"), col("e").as("ea")), "id_a")
+          .join(corpus.select(col("vec_id").as("id_b"), col("e").as("eb")), "id_b")
           .withColumn("sim", cos)
-          .filter(col("sim") >= 0.8)
+          .filter(col("sim") >= 0.99)
           .select("id_a", "id_b", "sim")
           .orderBy("id_a", "id_b")
       },
@@ -150,10 +159,10 @@ object SimilarityJoin {
         corpus AS (
           SELECT vec_id, e FROM base
           UNION ALL
-          SELECT vec_id + 100000, list_concat([e[1] + 0.5], e[2:64])
+          SELECT vec_id + 100000, list_concat([e[1] + 0.1], e[2:64])
           FROM base WHERE vec_id % 5 = 0),
         dirs AS (SELECT vec_id - 100 AS k, e de FROM base
-                 WHERE vec_id >= 100 AND vec_id < 112),
+                 WHERE vec_id >= 100 AND vec_id < 116),
         signs AS (
           SELECT c.vec_id,
                  CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(c.e, d.de),
@@ -162,8 +171,8 @@ object SimilarityJoin {
           FROM corpus c CROSS JOIN dirs d GROUP BY c.vec_id),
         banded AS (
           SELECT s.vec_id, b.range AS band,
-                 (s.sig >> (CAST(b.range AS INT) * 3)) & 7 AS bk
-          FROM signs s CROSS JOIN range(4) b),
+                 (s.sig >> (CAST(b.range AS INT) * 8)) & 255 AS bk
+          FROM signs s CROSS JOIN range(2) b),
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM banded a JOIN banded b
@@ -177,7 +186,7 @@ object SimilarityJoin {
         JOIN corpus y ON y.vec_id = c.id_b
         WHERE (list_sum(list_transform(list_zip(x.e, y.e), v -> v[1] * v[2]))
                / (sqrt(list_sum(list_transform(x.e, v -> v * v)))
-                  * sqrt(list_sum(list_transform(y.e, v -> v * v))))) >= 0.8
+                  * sqrt(list_sum(list_transform(y.e, v -> v * v))))) >= 0.99
         ORDER BY id_a, id_b"""))
   )
 }

@@ -67,6 +67,17 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.forall { case (o, p) => p == o + 100000 && o % 5 == 0 })
   }
 
+  test("q42 SRP-LSH finds most constructed near-dups (recall of the bucketing)") {
+    import spark.implicits._
+    val found = run("q42_srp_lsh_embedding_neardup")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .count { case (a, b) => b == a + 100000 }
+    val total = run("q30_embedding_neardup").count()
+    assert(total > 0)
+    val recall = found.toDouble / total
+    assert(recall >= 0.7, s"SRP band recall $recall below 0.7 — bucketing broken")
+  }
+
   test("q35 multimodal metadata matches a directly-computed decode") {
     import spark.implicits._
     val r = run("q35_multimodal_metadata")
