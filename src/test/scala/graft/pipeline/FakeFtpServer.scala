@@ -43,7 +43,13 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p") {
     def reply(s: String): Unit = { out.write((s + "\r\n").getBytes(US_ASCII)); out.flush() }
     var cwd = root
     var data: ServerSocket = null
+    var activeTarget: Option[(String, Int)] = None
     var loggedIn = false
+    // data connection: PASV listener if armed, else PORT connect-back
+    def openData(): Socket = activeTarget match {
+      case Some((h, p)) => activeTarget = None; new Socket(h, p)
+      case None => data.accept()
+    }
     reply("220 FakeFTP ready")
     try {
       var line = in.readLine()
@@ -65,14 +71,22 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p") {
             data = new ServerSocket(0)
             val p = data.getLocalPort
             reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+          case "PORT" =>
+            // active mode: server connects back to the client's listener
+            val parts = arg.split(",").map(_.trim.toInt)
+            if (parts.length != 6) reply("501 bad PORT")
+            else {
+              activeTarget = Some((parts.take(4).mkString("."), parts(4) * 256 + parts(5)))
+              reply("200 PORT ok")
+            }
           case "RETR" =>
             val f = resolve(cwd, arg)
             if (!Files.exists(f) || Files.isDirectory(f)) reply(s"550 $arg: no such file")
             else {
               reply("150 opening data connection")
-              val d = data.accept()
+              val d = openData()
               try Files.copy(f, d.getOutputStream)
-              finally { d.close(); data.close(); data = null }
+              finally { d.close(); if (data != null) { data.close(); data = null } }
               reply("226 transfer complete")
             }
           case "STOR" =>
@@ -80,10 +94,10 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p") {
             if (!Files.exists(f.getParent)) reply(s"550 ${arg}: parent missing")
             else {
               reply("150 opening data connection")
-              val d = data.accept()
+              val d = openData()
               try Files.copy(d.getInputStream, f,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              finally { d.close(); data.close(); data = null }
+              finally { d.close(); if (data != null) { data.close(); data = null } }
               reply("226 transfer complete")
             }
           case "CWD" =>

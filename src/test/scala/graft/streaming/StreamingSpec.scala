@@ -93,6 +93,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cfg.serverConfig("a").serverType == "local")
   }
 
+  test("DLQ sink failure is swallowed, batch still commits (consumer.py:224-225)") {
+    val src = base.resolve("files/sw.txt")
+    Files.createDirectories(src.getParent)
+    Files.write(src, "swallow".getBytes)
+    val in = base.resolve("in-sw"); Files.createDirectories(in)
+    Files.write(in.resolve("b.jsonl"),
+      (jobLine("sw1", src.toString, base.resolve("out/sw.txt").toString) +
+        "\nnot json — this row needs the DLQ sink").getBytes("UTF-8"))
+    // dlqDir is a FILE, so the DLQ parquet write fails; the reference
+    // swallows DLQ send failures and still commits the batch.
+    val blockedDlq = base.resolve("dlq-blocked")
+    Files.write(blockedDlq, "occupied".getBytes)
+    val q = StreamPipeline.start(spark, in.toString, pc,
+      "jobs-sw", base.resolve("r-sw").toString, blockedDlq.toString,
+      base.resolve("cp-sw").toString)
+    q.awaitTermination() // must not throw
+    val results = spark.read.parquet(base.resolve("r-sw").toString)
+    assert(results.filter(col("status") === "success").count() == 1)
+    assert(Files.readAllBytes(base.resolve("out/sw.txt")).sameElements("swallow".getBytes))
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
