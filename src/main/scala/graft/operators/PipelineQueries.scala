@@ -212,6 +212,46 @@ object PipelineQueries {
                CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS total_bytes
         FROM documents
         GROUP BY 1, 2
-        ORDER BY status, error_type"""))
+        ORDER BY status, error_type""")),
+
+    // ---------------------------------------------------------------- p06
+    // FTP→FTP bulk roundtrip — the Spark restatement of the reference's
+    // published benchmark (README.md:468-480: 1,000 files, 21.73 files/s,
+    // FTP pool_size=4; harness tests/test_e2e.py:397-491). Runs the REAL
+    // FTP stack: raw-socket client, passive mode, per-executor pool of 4
+    // (reference parity) against an in-process server. Up to 1,000 files
+    // (doc_id < 1000) download-from-FTP → temp → upload-to-FTP per job.
+    // The bench duration of this query ÷ file count is the files/s number
+    // comparable to BASELINE.md's 21.73.
+    QueryDef(
+      "p06_ftp_bulk_roundtrip",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-p06-ftp")
+        val server = new graft.pipeline.testkit.FakeFtpServer(root)
+        try {
+          val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+          // stage source files inside the FTP server's root (driver-local
+          // disk IS the remote server's storage here)
+          stageSourceFiles(docs, s"$root/src")
+          val pc = PipelineConfig(
+            "BULKFTP_TYPE" -> "ftp", "BULKFTP_HOST" -> "127.0.0.1",
+            "BULKFTP_PORT" -> server.port.toString,
+            "BULKFTP_USERNAME" -> "u", "BULKFTP_PASSWORD" -> "p",
+            "FTP_POOL_SIZE" -> "4") // reference pool size (config.py:42)
+          val raw = jobMessages(docs, lit("bulkftp"), lit("bulkftp"),
+            concat(lit("/src/doc_"), col("doc_id"), lit(".txt")),
+            concat(lit("/dst/doc_"), col("doc_id"), lit(".txt")))
+          statusCounts(s, raw, pc)
+        } finally {
+          graft.pipeline.transfer.FtpPools.closeAll()
+          server.stop()
+        }
+      },
+      Some("""
+        SELECT 'success' AS status, CAST(NULL AS VARCHAR) AS error_type,
+               COUNT(*) AS n_jobs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+        FROM documents
+        WHERE doc_id < 1000"""))
   )
 }

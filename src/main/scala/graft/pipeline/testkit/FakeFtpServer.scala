@@ -1,4 +1,4 @@
-package graft.pipeline
+package graft.pipeline.testkit
 
 import java.io.{BufferedReader, InputStreamReader, OutputStream}
 import java.net.{ServerSocket, Socket}
@@ -6,7 +6,8 @@ import java.nio.charset.StandardCharsets.US_ASCII
 import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicInteger
 
-/** Minimal in-process FTP server for tests (passive mode only), rooted at
+/** Minimal in-process FTP server (testkit — shipped in main scope so
+  * benchmark queries can exercise the real FTP stack without infra), rooted at
   * a sandbox directory. Supports exactly the verbs our client speaks:
   * USER/PASS/TYPE/PASV/RETR/STOR/CWD/MKD/NOOP/QUIT. Mirrors the role of
   * the live test FTP host in the reference's integration tier

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
 import graft.pipeline.transfer.FtpPools
+import graft.pipeline.testkit.FakeFtpServer
 
 /** E2E tier (top of the SURVEY §5 pyramid): full pipeline runs with
   * byte-exact content checks, mirroring /root/reference/tests/test_e2e.py:
