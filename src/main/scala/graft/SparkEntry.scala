@@ -15,7 +15,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.all ++ PipelineQueries.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ MultimodalQueries.all ++
-      Sources.all ++ UdfQueries.all ++ SimilarityJoin.all ++
+      Sources.all ++ UdfQueries.all ++ SimilarityJoin.all ++ ScaleTechniques.all ++
       graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

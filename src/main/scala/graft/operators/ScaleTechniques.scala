@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Exact._
+
+/** Scale-technique operators: the shuffle-shaping patterns the builder
+  * brief calls out (salting for skew, bucketing for co-located joins,
+  * sketches for approximate aggregation), each expressed so the DuckDB
+  * oracle can verify the RESULT while the technique shapes the PLAN.
+  */
+object ScaleTechniques {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q44
+    // Salted two-phase aggregation: `events` has only a handful of
+    // event_type values — at 100 TB a plain groupBy sends each type's
+    // entire volume to ONE reducer (classic skew). Salting fans each hot
+    // key across 16 partial groups (map-side combine still applies), and
+    // the tiny second phase merges 16 exact partials per key. Decimal
+    // partial sums are associative-exact, so the result is bit-identical
+    // to the unsalted plan and to the oracle.
+    QueryDef(
+      "q44_salted_skew_agg",
+      (s, dir) => {
+        val partial = Tables.events(s, dir)
+          .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+          .groupBy("event_type", "salt")
+          .agg(
+            count(lit(1)).as("n_part"),
+            sum(dec2(col("value"))).as("sum_part")) // exact decimal partial
+        partial.groupBy("event_type")
+          .agg(
+            sum("n_part").as("n_events"),
+            sum("sum_part").cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q45
+    // Bucketed co-located join: orders and lineitem written once as
+    // 8-bucket tables on the join key — the join then reads co-located
+    // buckets and NEEDS NO EXCHANGE on either side (asserted in
+    // ScaleSpec). This is the ingest-once/join-many layout for recurring
+    // fact-fact joins at scale.
+    QueryDef(
+      "q45_bucketed_join",
+      (s, dir) => {
+        val sf = java.nio.file.Paths.get(dir).getFileName.toString.replace('.', '_')
+        val ot = s"graft_orders_b_$sf"; val lt = s"graft_lineitem_b_$sf"
+        if (!s.catalog.tableExists(ot)) {
+          Tables(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable(ot)
+          Tables(s, dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.mode("overwrite").bucketBy(8, "l_orderkey").saveAsTable(lt)
+        }
+        val o = s.table(ot); val l = s.table(lt)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+              .cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q46
+    // HLL++ approximate distinct next to the exact count. The sketch is
+    // deterministic for fixed data, but its VALUE is engine-specific, so
+    // the oracle checks the exact count plus the 5%-accuracy CONTRACT
+    // (within_5pct must be true — DuckDB side asserts the literal).
+    QueryDef(
+      "q46_approx_distinct",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_exact"),
+            approx_count_distinct(col("l_partkey"), 0.05).as("n_approx"))
+          .select(
+            col("l_returnflag"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05)
+              .as("within_5pct"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_exact,
+               TRUE AS within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
+  )
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape assertions for the scale-technique operators — the
+  * properties the DuckDB value oracle cannot see. */
+class ScaleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q45 bucketed join plans with no Exchange between scans and join") {
+    val df = SparkEntry.queries("q45_bucketed_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0 || plan.contains("BroadcastHashJoin"),
+      s"expected a join in plan:\n$plan")
+    if (joinIdx >= 0) {
+      // bucketed SMJ: everything below the join must be exchange-free
+      val belowJoin = plan.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle its inputs:\n$plan")
+    }
+  }
+
+  test("q44 salted aggregation equals the plain aggregation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Exact._
+    val salted = SparkEntry.queries("q44_salted_skew_agg")(spark, dir).collect()
+    val plain = graft.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("q46 approx distinct holds its 5% contract on the fixture") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q46_approx_distinct")(spark, dir)
+      .select("within_5pct").as[Boolean].collect()
+    assert(rows.nonEmpty && rows.forall(identity))
+  }
+}
