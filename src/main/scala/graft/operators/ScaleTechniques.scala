@@ -56,6 +56,18 @@ object ScaleTechniques {
         val sf = java.nio.file.Paths.get(dir).getFileName.toString.replace('.', '_')
         val ot = s"graft_orders_b_$sf"; val lt = s"graft_lineitem_b_$sf"
         if (!s.catalog.tableExists(ot)) {
+          // the in-memory catalog forgets tables between sessions but the
+          // warehouse directory persists — clear leftovers so saveAsTable
+          // doesn't refuse the location
+          val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+          for (t <- Seq(ot, lt)) {
+            val p = java.nio.file.Paths.get(wh, t)
+            if (java.nio.file.Files.exists(p)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+          }
           Tables(s, dir, "orders")
             .select("o_orderkey", "o_orderpriority")
             .write.mode("overwrite").bucketBy(8, "o_orderkey").saveAsTable(ot)

@@ -114,6 +114,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.readAllBytes(base.resolve("out/sw.txt")).sameElements("swallow".getBytes))
   }
 
+  test("watermark persists in the checkpoint and drops late events (append mode)") {
+    val land = base.resolve("wm-land"); Files.createDirectories(land)
+    val sink = base.resolve("wm-sink"); val cp = base.resolve("wm-cp")
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(land.resolve(name),
+        rows.map { case (us, id) => s"""{"ts_us":$us,"id":"$id"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts_us BIGINT, id STRING")
+        .json(land.toString)
+        .withColumn("ts_t", org.apache.spark.sql.functions.timestamp_micros(col("ts_us")))
+      val q = stream
+        .withWatermark("ts_t", "10 minutes")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts_t"), "1 hour"))
+        .agg(org.apache.spark.sql.functions.count(col("id")).as("n"))
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val h = 3600L * 1000000L
+    // run 1: two 10:00-window events → watermark persists as 10:05−10min
+    write("b1.jsonl", Seq((10 * h, "a"), (10 * h + 5 * 60 * 1000000L, "b")))
+    runOnce()
+    // run 2 resumes from the checkpoint: the 08:00 event is LATE versus
+    // the persisted 09:55 watermark (dropped); 11:30 advances the
+    // watermark past 10:59, closing and emitting the 10:00 window
+    write("b2.jsonl", Seq((8 * h, "late"), (11 * h + 30 * 60 * 1000000L, "c")))
+    runOnce()
+    val out = spark.read.parquet(sink.toString)
+      .select(org.apache.spark.sql.functions.unix_micros(col("window.start")).as("ws"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 10:00 window emitted with BOTH on-time events; no 08:00 window
+    // (late event dropped); 11:00 window still open at stream end
+    assert(out == Map(10 * h -> 2L),
+      s"append-mode watermark semantics violated: $out")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
