@@ -114,6 +114,51 @@ object Sources {
         SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
                substr(text, 1, 4) AS head4
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q47
+    // FTP as a first-class spark.read source (DataSource V2,
+    // graft.sources.FtpDataSource): documents staged on an in-process FTP
+    // server, listed once on the driver, payloads fetched executor-side
+    // through the connection pool — then queried like any DataFrame.
+    QueryDef(
+      "q47_ftp_dsv2_source",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-q47-ftp")
+        val server = new graft.pipeline.testkit.FakeFtpServer(root)
+        try {
+          val docsDir = s"$root/docs" // String: the closure must not capture the Path
+          Files.createDirectories(Paths.get(docsDir))
+          Tables(s, dir, "documents").select("doc_id", "text")
+            .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+              rows.foreach { r =>
+                Files.write(Paths.get(s"$docsDir/doc_${r.getLong(0)}.bin"),
+                  r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              }
+            }
+          val df = s.read.format("graft-ftp")
+            .option("host", "127.0.0.1").option("port", server.port.toString)
+            .option("username", "u").option("password", "p")
+            .load("/docs")
+            .select(
+              regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+              col("length"),
+              substring(col("content"), 1, 4).cast("string").as("head4"))
+            .orderBy("doc_id")
+          // materialize before the server dies (the query function's
+          // lifetime outlives the try block)
+          val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          out.count()
+          out
+        } finally {
+          graft.pipeline.transfer.FtpPools.closeAll()
+          server.stop()
+        }
+      },
+      Some("""
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+               substr(text, 1, 4) AS head4
+        FROM documents
         ORDER BY doc_id"""))
   )
 }

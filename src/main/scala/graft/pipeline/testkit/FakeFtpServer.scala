@@ -101,6 +101,27 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p") {
               finally { d.close(); if (data != null) { data.close(); data = null } }
               reply("226 transfer complete")
             }
+          case "NLST" =>
+            val d0 = resolve(cwd, arg)
+            if (!Files.isDirectory(d0)) reply(s"550 $arg: no such directory")
+            else {
+              reply("150 opening data connection")
+              val d = openData()
+              try {
+                import scala.jdk.CollectionConverters._
+                val names = Files.list(d0).iterator().asScala
+                  .filter(Files.isRegularFile(_))
+                  .map(_.getFileName.toString).toSeq.sorted
+                  .mkString("", "\r\n", "\r\n")
+                d.getOutputStream.write(names.getBytes(US_ASCII))
+                d.getOutputStream.flush()
+              } finally { d.close(); if (data != null) { data.close(); data = null } }
+              reply("226 transfer complete")
+            }
+          case "SIZE" =>
+            val f = resolve(cwd, arg)
+            if (Files.isRegularFile(f)) reply(s"213 ${Files.size(f)}")
+            else reply(s"550 $arg: no such file")
           case "CWD" =>
             val t = resolve(cwd, arg)
             if (Files.isDirectory(t)) { cwd = t; reply("250 ok") }

@@ -136,6 +136,19 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
       if (!fin.ok) throw new IOException(s"STOR transfer failed: ${fin.text}")
     }
 
+  /** NLST: list file names in a remote directory (data connection). */
+  def nlst(remoteDir: String): Seq[String] =
+    dataConnection(s"NLST $remoteDir") { (pre, data) =>
+      if (pre.code == 550) throw new FileNotFoundException(s"Remote dir not found: $remoteDir")
+      if (pre.code >= 400) throw new IOException(s"NLST failed: ${pre.text}")
+      val r = new BufferedReader(new InputStreamReader(data.getInputStream, US_ASCII))
+      val names = Iterator.continually(r.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(_.nonEmpty).toList
+      val fin = readReply()
+      if (!fin.ok) throw new IOException(s"NLST transfer failed: ${fin.text}")
+      names
+    }
+
   private def pipe(is: InputStream, os: OutputStream): Unit = {
     val buf = new Array[Byte](64 * 1024)
     var n = is.read(buf)
@@ -175,6 +188,15 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
   override def disconnect(): Unit = if (client != null) { client.quit(); client = null }
 
   def validate(): Boolean = client != null && client.isConnected && client.noop()
+
+  /** List file names under a remote directory (non-recursive). */
+  def list(remoteDir: String): Seq[String] = client.nlst(remoteDir)
+
+  /** Size of a remote file via SIZE (falls back to -1 when unsupported). */
+  def size(remotePath: String): Long = {
+    val r = client.cmd(s"SIZE $remotePath")
+    if (r.code == 213) r.text.drop(4).trim.toLong else -1L
+  }
 
   override def download(remotePath: String, localPath: String): Unit =
     client.retr(remotePath, Paths.get(localPath))

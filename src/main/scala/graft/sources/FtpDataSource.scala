@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.{PipelineConfig, ServerConfig}
+import graft.pipeline.transfer.FtpPools
+
+/** FTP as a first-class `spark.read` source (SURVEY §7.3 stretch goal) —
+  * DataSource V2 `TableProvider`:
+  *
+  * {{{
+  * spark.read.format("graft-ftp")
+  *   .option("host", h).option("port", p)
+  *   .option("username", u).option("password", pw)
+  *   .load("/remote/dir")          // → (path, length, content) rows
+  * }}}
+  *
+  * Planning lists the directory once on the driver (NLST — one control
+  * round-trip, names only); each file becomes an InputPartition, so
+  * payload bytes are fetched ON EXECUTORS through the per-executor
+  * connection pool ([[FtpPools]]) and never pass through the driver.
+  * Schema mirrors Spark's `binaryFile` source.
+  *
+  * At cluster scale: file-count parallelism with pooled connections per
+  * executor bounds server load at poolSize × executors, exactly like the
+  * transfer pipeline's fan-out (SURVEY §2.8/O3).
+  */
+final class FtpDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-ftp"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FtpDataSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new FtpTable(new CaseInsensitiveStringMap(properties))
+}
+
+object FtpDataSource {
+  val Schema: StructType = new StructType()
+    .add("path", StringType, nullable = false)
+    .add("length", LongType, nullable = false)
+    .add("content", BinaryType, nullable = false)
+
+  private[sources] def serverConfig(o: CaseInsensitiveStringMap): ServerConfig =
+    ServerConfig(
+      hostname = "graft-ftp-source",
+      serverType = "ftp",
+      host = Option(o.get("host")).getOrElse(
+        throw new IllegalArgumentException("graft-ftp: 'host' option is required")),
+      port = Option(o.get("port")).map(_.toInt).getOrElse(21),
+      username = Option(o.get("username")).getOrElse(""),
+      password = Option(o.get("password")).getOrElse(""))
+
+  private[sources] def dir(o: CaseInsensitiveStringMap): String =
+    Option(o.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-ftp: load(path) is required"))
+}
+
+final class FtpTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-ftp://${options.get("host")}${FtpDataSource.dir(options)}"
+  override def schema(): StructType = FtpDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = FtpDataSource.Schema
+      override def toBatch: Batch = this
+      override def description(): String = name()
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        // driver-side listing: names only, one pooled connection
+        val cfg = FtpDataSource.serverConfig(options)
+        val d = FtpDataSource.dir(options)
+        val pc = PipelineConfig()
+        val names = FtpPools(cfg, pc).withConnection(_.list(d))
+        names.sorted.map(n => FtpFilePartition(cfg, s"$d/$n"): InputPartition).toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new FtpReaderFactory
+    }
+}
+
+/** One remote file = one partition (payloads fetched executor-side). */
+final case class FtpFilePartition(cfg: ServerConfig, path: String) extends InputPartition
+
+final class FtpReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FtpFilePartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        val tmp = java.nio.file.Files.createTempFile("graft-ftp-src-", ".tmp")
+        try {
+          FtpPools(p.cfg, PipelineConfig())
+            .withConnection(_.download(p.path, tmp.toString))
+          val bytes = java.nio.file.Files.readAllBytes(tmp)
+          row = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(p.path), bytes.length.toLong, bytes))
+          true
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
