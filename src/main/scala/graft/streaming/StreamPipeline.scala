@@ -62,6 +62,11 @@ object StreamPipeline {
           // batch (consumer.py:224-225, pinned by test_consumer.py:346-357).
           try dlq
             .withColumn("dlq_topic", lit(pc.dlqTopic(topic)))
+            // the reference serializes the DLQ timestamp as an ISO-8601
+            // UTC string (message.py:127-129) — rendered here at the sink
+            // boundary; the typed column stays for analytics
+            .withColumn("timestamp_iso",
+              date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(dlqDir)
           catch {

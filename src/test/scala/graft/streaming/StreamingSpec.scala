@@ -60,6 +60,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dlq1 = spark.read.parquet(base.resolve("dlq").toString)
     assert(dlq1.count() == 1)
     assert(dlq1.select("dlq_topic").head().getString(0) == "jobs-dlq") // E3 routing
+    // ISO-8601 UTC string at the sink boundary (message.py:127-129)
+    assert(dlq1.select("timestamp_iso").head().getString(0)
+      .matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}\+00:00"""))
 
     // second file arrives; restart picks up ONLY the new file (K4)
     val src2 = base.resolve("files/b.txt")
