@@ -139,6 +139,7 @@ object Sources {
           val df = s.read.format("graft-ftp")
             .option("host", "127.0.0.1").option("port", server.port.toString)
             .option("username", "u").option("password", "p")
+            .option("pool.size", "16") // localhost server: wider pool
             .load("/docs")
             .select(
               regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),

@@ -89,9 +89,20 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table with Suppo
         // driver-side listing: names only, one pooled connection
         val cfg = FtpDataSource.serverConfig(options)
         val d = FtpDataSource.dir(options)
-        val pc = PipelineConfig()
-        val names = FtpPools(cfg, pc).withConnection(_.list(d))
-        names.sorted.map(n => FtpFilePartition(cfg, s"$d/$n"): InputPartition).toArray
+        val poolSize = Option(options.get("pool.size")).map(_.toInt).getOrElse(4)
+        val nParts = Option(options.get("numPartitions")).map(_.toInt)
+          .getOrElse(4 * poolSize)
+        val names = FtpPools(cfg, PipelineConfig("FTP_POOL_SIZE" -> poolSize.toString))
+          .withConnection(_.list(d))
+        // chunk round-robin so partitions stay balanced; each partition
+        // holds ONE pooled connection for all its files (borrow-per-file
+        // throttled throughput 5× on the bulk bench)
+        val paths = names.sorted.map(n => s"$d/$n")
+        paths.zipWithIndex.groupBy(_._2 % math.max(1, math.min(nParts, paths.size)))
+          .toSeq.sortBy(_._1)
+          .map { case (_, ps) =>
+            FtpFilesPartition(cfg, ps.map(_._1), poolSize): InputPartition }
+          .toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -99,32 +110,37 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     }
 }
 
-/** One remote file = one partition (payloads fetched executor-side). */
-final case class FtpFilePartition(cfg: ServerConfig, path: String) extends InputPartition
+/** A chunk of remote files; the reader holds one pooled connection for
+  * the whole chunk (payloads fetched executor-side). */
+final case class FtpFilesPartition(
+    cfg: ServerConfig, paths: Seq[String], poolSize: Int) extends InputPartition
 
 final class FtpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[FtpFilePartition]
+    val p = partition.asInstanceOf[FtpFilesPartition]
     new PartitionReader[InternalRow] {
-      private var done = false
+      private val pool =
+        FtpPools(p.cfg, PipelineConfig("FTP_POOL_SIZE" -> p.poolSize.toString))
+      private var conn: graft.pipeline.transfer.FtpBackend = _
+      private val it = p.paths.iterator
       private var row: InternalRow = _
 
       override def next(): Boolean = {
-        if (done) return false
-        done = true
+        if (!it.hasNext) return false
+        if (conn == null) conn = pool.borrow() // once per partition
+        val path = it.next()
         val tmp = java.nio.file.Files.createTempFile("graft-ftp-src-", ".tmp")
         try {
-          FtpPools(p.cfg, PipelineConfig())
-            .withConnection(_.download(p.path, tmp.toString))
+          conn.download(path, tmp.toString)
           val bytes = java.nio.file.Files.readAllBytes(tmp)
           row = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(p.path), bytes.length.toLong, bytes))
+            UTF8String.fromString(path), bytes.length.toLong, bytes))
           true
         } finally java.nio.file.Files.deleteIfExists(tmp)
       }
 
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = if (conn != null) { pool.give(conn); conn = null }
     }
   }
 }
