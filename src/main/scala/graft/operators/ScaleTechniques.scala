@@ -91,6 +91,61 @@ object ScaleTechniques {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
 
+    // ---------------------------------------------------------------- q48
+    // Pivot: order totals fanned to one column per status (explicit value
+    // list — a scale rule: implicit pivot values force an extra distinct
+    // pass over the data).
+    QueryDef(
+      "q48_pivot",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+          .withColumnsRenamed(Map("F" -> "f_total", "O" -> "o_total", "P" -> "p_total"))
+          .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS f_total,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS o_total,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS p_total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q49
+    // Unpivot (melt): per-nation customer/supplier counts as (nation,
+    // role, n) long form via the unpivot operator.
+    QueryDef(
+      "q49_unpivot",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("customers"))
+        val sup = Tables(s, dir, "supplier")
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("suppliers"))
+        c.join(sup, Seq("nationkey"), "full_outer")
+          .na.fill(0L, Seq("customers", "suppliers"))
+          .unpivot(Array(col("nationkey")),
+            Array(col("customers"), col("suppliers")), "role", "n")
+          .orderBy("nationkey", "role")
+      },
+      Some("""
+        WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS customers
+                   FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS suppliers
+                   FROM supplier GROUP BY 1),
+             j AS (SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                          COALESCE(customers, 0) AS customers,
+                          COALESCE(suppliers, 0) AS suppliers
+                   FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey)
+        SELECT nationkey, role, n FROM (
+          SELECT nationkey, 'customers' AS role, customers AS n FROM j
+          UNION ALL
+          SELECT nationkey, 'suppliers' AS role, suppliers AS n FROM j)
+        ORDER BY nationkey, role""")),
+
     // ---------------------------------------------------------------- q46
     // HLL++ approximate distinct next to the exact count. The sketch is
     // deterministic for fixed data, but its VALUE is engine-specific, so
