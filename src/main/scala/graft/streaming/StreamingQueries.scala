@@ -34,22 +34,26 @@ object StreamingQueries {
     * reader — streaming sources require an explicit schema). The file
     * source only accepts directories, so the fixture file is staged once
     * into a landing directory — the moral equivalent of a stream's
-    * arrival folder. */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    * arrival folder. `copies > 1` stages the file N times (distinct
+    * names), simulating an at-least-once source that replays its data.
+    */
+  private def eventsStream(s: SparkSession, dir: String, copies: Int = 1): DataFrame = {
     import java.nio.file.{Files, Paths}
     val path = s"$dir/events.parquet"
     val sf = Paths.get(dir).getFileName.toString
     val landing = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events/$sf")
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events/$sf/x$copies")
     Files.createDirectories(landing)
-    val staged = landing.resolve("events.parquet")
-    if (!Files.exists(staged)) {
-      // copy-then-atomic-move so an interrupted prior run can't leave a
-      // truncated file that a later run would trust
-      val tmp = landing.resolve(s".events.parquet.tmp")
-      Files.copy(Paths.get(path), tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    for (i <- 1 to copies) {
+      val staged = landing.resolve(s"events_$i.parquet")
+      if (!Files.exists(staged)) {
+        // copy-then-atomic-move so an interrupted prior run can't leave a
+        // truncated file that a later run would trust
+        val tmp = landing.resolve(s".events_$i.parquet.tmp")
+        Files.copy(Paths.get(path), tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     }
     val schema = s.read.parquet(path).schema
     s.readStream.schema(schema).parquet(landing.toString)
@@ -148,6 +152,66 @@ object StreamingQueries {
                MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         FROM sg
         GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""))
+        ORDER BY user_id, session_id""")),
+
+    // ---------------------------------------------------------------- s03
+    // Streaming dedup under replay: the source delivers every event TWICE
+    // (an at-least-once source replaying), `dropDuplicates` on the event
+    // key restores exactly-once counts — the replay-convergence pattern
+    // the transfer pipeline's DLQ/job_id dedup relies on (SURVEY §7.4).
+    // Oracle: plain single-delivery counts.
+    QueryDef(
+      "s03_stream_dedup_replay",
+      (s, dir) => {
+        val agg = eventsStream(s, dir, copies = 2)
+          .withWatermark("ts_t", "1 hour")
+          .dropDuplicates("event_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"))
+        drain(s, OutputMode.Complete())(agg)
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- s04
+    // Watermarked stream-stream interval join: each purchase joined to
+    // the same user's views in the preceding hour. Inner joins emit
+    // matches as they form; the watermark + time-range condition bound
+    // the view-side state. Oracle: the equivalent batch interval join.
+    QueryDef(
+      "s04_stream_stream_join",
+      (s, dir) => {
+        val base = eventsStream(s, dir)
+        val views = base.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts_us").as("v_us"), col("ts_t").as("v_t"))
+          .withWatermark("v_t", "10 minutes")
+        val purchases = base.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts_us").as("p_us"), col("ts_t").as("p_t"))
+          .withWatermark("p_t", "10 minutes")
+        val joined = purchases.join(views,
+          col("p_user") === col("v_user")
+            && col("v_t") <= col("p_t")
+            && col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"))
+        drain(s, OutputMode.Append())(
+          joined.select("purchase_id", "view_id", "p_us", "v_us"))
+          .orderBy("purchase_id", "view_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                   FROM events)
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+               p.us AS p_us, v.us AS v_us
+        FROM e p JOIN e v
+          ON p.event_type = 'purchase' AND v.event_type = 'view'
+         AND p.user_id = v.user_id
+         AND v.us <= p.us AND v.us >= p.us - 3600000000
+        ORDER BY purchase_id, view_id"""))
   )
 }
