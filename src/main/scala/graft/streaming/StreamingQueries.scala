@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -22,9 +22,17 @@ import graft.operators.{Exact, QueryDef}
   */
 /** Encoder row types for the stateful operator (top-level: Spark's codegen
   * needs public accessors on encoder targets). */
-final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+/** `ts_t` carries the event-time watermark tag through the typed
+  * projection (EventTimeTimeout requires the watermarked column to survive
+  * into the grouped Dataset); session math uses exact-integer `ts_us`. */
+final case class Ev(user_id: Long, event_id: Long, ts_us: Long,
+    ts_t: java.sql.Timestamp)
 final case class SessionOut(
     user_id: Long, session_id: Long, n_events: Long, start_us: Long, end_us: Long)
+/** Per-user state for s02: ONLY the open (not-yet-closed-by-gap) session —
+  * closed sessions are emitted immediately, so state is O(1) per active user
+  * and evicted by event-time timeout once the watermark passes the gap. */
+final case class OpenSession(sid: Long, n: Long, start_us: Long, last_us: Long)
 
 object StreamingQueries {
 
@@ -37,12 +45,14 @@ object StreamingQueries {
     * arrival folder. `copies > 1` stages the file N times (distinct
     * names), simulating an at-least-once source that replays its data.
     */
-  private def eventsStream(s: SparkSession, dir: String, copies: Int = 1): DataFrame = {
+  private def eventsStream(s: SparkSession, dir: String, copies: Int = 1,
+      flushSentinel: Boolean = false): DataFrame = {
     import java.nio.file.{Files, Paths}
     val path = s"$dir/events.parquet"
     val sf = Paths.get(dir).getFileName.toString
+    val variant = s"x$copies${if (flushSentinel) "s" else ""}"
     val landing = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events/$sf/x$copies")
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events/$sf/$variant")
     Files.createDirectories(landing)
     for (i <- 1 to copies) {
       val staged = landing.resolve(s"events_$i.parquet")
@@ -55,10 +65,80 @@ object StreamingQueries {
         Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
+    if (flushSentinel) {
+      // One far-future row (user_id = -1, filtered out of every query):
+      // advances the event-time watermark past every real row's timeout at
+      // drain end, so EventTimeTimeout state flushes deterministically.
+      // In a continuous deployment the advancing live watermark plays this
+      // role; under AvailableNow the sentinel is the drain's stand-in.
+      val staged = landing.resolve("events_sentinel.parquet")
+      if (!Files.exists(staged)) {
+        import scala.jdk.CollectionConverters._
+        val maxTs = s.read.parquet(path).agg(max("ts")).head().getLong(0)
+        val tenYearsNs = 315360000L * 1000000000L
+        val tmpOut = Files.createTempDirectory("graft_sentinel").resolve("out")
+        s.read.parquet(path).limit(1)
+          .withColumn("ts", lit(maxTs + tenYearsNs))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_id", lit(-1L))
+          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = Files.list(tmpOut).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val tmp = landing.resolve(".events_sentinel.parquet.tmp")
+        Files.copy(part, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
     val schema = s.read.parquet(path).schema
     s.readStream.schema(schema).parquet(landing.toString)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
+  /** 10-minute session gap (same semantics as batch q20). */
+  val sessionGapUs: Long = 600L * 1000000L
+
+  /** s02's stateful sessionizer (reused by StreamingSpec's eviction test).
+    * State lifecycle is the one you'd run continuously at 100 TB: per user,
+    * ONLY the open session is held (closed sessions emit immediately), with
+    * an event-time timeout at last_event + gap — once the watermark passes
+    * that, the open session can never extend, so it is emitted and the
+    * state CLEARED. Requires a watermark on `ts_t` upstream. */
+  def sessionize(evs: Dataset[Ev]): Dataset[SessionOut] = {
+    import evs.sparkSession.implicits._
+    val gapUs = sessionGapUs
+    evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          // the flush sentinel (uid -1) must REACH the watermark
+          // operator (a pre-groupBy filter would be pushed below it,
+          // hiding it from watermark stats), so it is dropped here
+          if (uid < 0) Iterator.empty
+          else if (state.hasTimedOut) {
+            // watermark passed last_event + gap: session is final
+            val o = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, o.sid, o.n, o.start_us, o.last_us))
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[SessionOut]
+            var cur: OpenSession = state.getOption.orNull
+            for (e <- sorted) {
+              if (cur == null) cur = OpenSession(1L, 1L, e.ts_us, e.ts_us)
+              else if (e.ts_us - cur.last_us > gapUs) {
+                out += SessionOut(uid, cur.sid, cur.n, cur.start_us, cur.last_us)
+                cur = OpenSession(cur.sid + 1, 1L, e.ts_us, e.ts_us)
+              } else cur = cur.copy(n = cur.n + 1, last_us = e.ts_us)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // timeout is in epoch millis; fires once watermark > it
+              state.setTimeoutTimestamp(cur.last_us / 1000L + gapUs / 1000L)
+            }
+            out.result().iterator
+          }
+      }
   }
 
   /** Run `build`'s streaming output into a memory sink, drain with
@@ -104,37 +184,21 @@ object StreamingQueries {
     // ---------------------------------------------------------------- s02
     // Streaming sessionization via flatMapGroupsWithState — the custom
     // stateful operator surface (SURVEY §2.9 "stateful streaming ops").
-    // Same 10-minute-gap semantics as q20; AvailableNow delivers each
-    // user's events in one group invocation, so every session (including
-    // the open tail) is emitted deterministically. Oracle: q20's, minus
-    // the value sum (kept integer-only).
+    // Same 10-minute-gap semantics as q20. State lifecycle is the one
+    // you'd run continuously at 100 TB: per user, ONLY the open session is
+    // held (closed sessions emit immediately), with an event-time timeout
+    // at last_event + gap — once the watermark passes that, the open
+    // session can never extend, so it is emitted and the state CLEARED.
+    // The drain's far-future sentinel advances the final watermark so
+    // every open tail flushes; output matches q20's batch oracle exactly.
     QueryDef(
       "s02_stream_sessionization",
       (s, dir) => {
         import s.implicits._
-        val gapUs = 600L * 1000000L
-        val evs = eventsStream(s, dir)
-          .select(col("user_id"), col("event_id"), col("ts_us")).as[Ev]
-        val sessions = evs
-          .groupByKey(_.user_id)
-          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-            (uid: Long, it: Iterator[Ev], state: GroupState[Long]) =>
-              val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-              val out = Seq.newBuilder[SessionOut]
-              var sid = 0L; var n = 0L
-              var start = 0L; var last = Long.MinValue
-              for (e <- sorted) {
-                if (last == Long.MinValue || e.ts_us - last > gapUs) {
-                  if (n > 0) out += SessionOut(uid, sid, n, start, last)
-                  sid += 1; n = 0L; start = e.ts_us
-                }
-                n += 1; last = e.ts_us
-              }
-              if (n > 0) out += SessionOut(uid, sid, n, start, last)
-              state.update(sid) // session counter survives future batches
-              out.result().iterator
-          }
-        drain(s, OutputMode.Append())(sessions.toDF())
+        val evs = eventsStream(s, dir, flushSentinel = true)
+          .withWatermark("ts_t", "0 seconds")
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("ts_t")).as[Ev]
+        drain(s, OutputMode.Append())(sessionize(evs).toDF())
           .orderBy("user_id", "session_id")
       },
       Some("""
@@ -156,16 +220,21 @@ object StreamingQueries {
 
     // ---------------------------------------------------------------- s03
     // Streaming dedup under replay: the source delivers every event TWICE
-    // (an at-least-once source replaying), `dropDuplicates` on the event
-    // key restores exactly-once counts — the replay-convergence pattern
-    // the transfer pipeline's DLQ/job_id dedup relies on (SURVEY §7.4).
-    // Oracle: plain single-delivery counts.
+    // (an at-least-once source replaying); dedup on the event key restores
+    // exactly-once counts — the replay-convergence pattern the transfer
+    // pipeline's DLQ/job_id dedup relies on (SURVEY §7.4).
+    // `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`): a
+    // watermark only bounds dedup state when Spark may evict keys older
+    // than it — plain dropDuplicates on a non-event-time key retains every
+    // key forever (OOM in a continuous 100 TB deployment). Replays of an
+    // at-least-once source arrive within the delay window by definition,
+    // so the dedup guarantee is unchanged. Oracle: single-delivery counts.
     QueryDef(
       "s03_stream_dedup_replay",
       (s, dir) => {
         val agg = eventsStream(s, dir, copies = 2)
           .withWatermark("ts_t", "1 hour")
-          .dropDuplicates("event_id")
+          .dropDuplicatesWithinWatermark("event_id")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"))
         drain(s, OutputMode.Complete())(agg)

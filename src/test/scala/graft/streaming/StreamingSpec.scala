@@ -159,6 +159,90 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"append-mode watermark semantics violated: $out")
   }
 
+  test("dedup state is evicted by the watermark: old-key duplicates pass through") {
+    // Watermark-separated micro-batches (maxFilesPerTrigger=1). The
+    // watermark from batch N's data takes effect in batch N+1, and state
+    // cleanup runs per batch against that lagging watermark — so one
+    // spacer batch sits between the eviction trigger and the replay:
+    //   b1: id A at t0          → A emitted, A in dedup state (expires t0+10min)
+    //   b2: id B at t0+3h       → wm after b2 = t0+3h−10min ≫ A's expiry
+    //   b3: id C at t0+3.5h     → cleanup under that wm evicts A
+    //   b4: id A again at t0+4h → PASSES (state gone) — with unbounded
+    //       dropDuplicates it would be silently dropped forever
+    val land = base.resolve("ddw-land"); Files.createDirectories(land)
+    val sink = base.resolve("ddw-sink"); val cp = base.resolve("ddw-cp")
+    val h = 3600L * 1000000L
+    def write(name: String, rows: Seq[(String, Long)], mtime: Long): Unit = {
+      val p = land.resolve(name)
+      Files.write(p, rows.map { case (id, us) => s"""{"id":"$id","ts_us":$us}""" }
+        .mkString("\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    write("b1.jsonl", Seq(("A", 10 * h), ("A", 10 * h)), 1000000L)
+    write("b2.jsonl", Seq(("B", 13 * h)), 2000000L)
+    write("b3.jsonl", Seq(("C", 13 * h + h / 2)), 3000000L)
+    write("b4.jsonl", Seq(("A", 14 * h)), 4000000L)
+    val q = spark.readStream
+      .schema("id STRING, ts_us BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .json(land.toString)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val counts = spark.read.parquet(sink.toString)
+      .groupBy("id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // in-batch duplicate of A dropped; post-eviction replay of A passes
+    assert(counts == Map("A" -> 2L, "B" -> 1L, "C" -> 1L),
+      s"watermark-bounded dedup state violated: $counts")
+  }
+
+  test("sessionization state evicts on event-time timeout, emitting the open session") {
+    import spark.implicits._
+    val land = base.resolve("sess-land"); Files.createDirectories(land)
+    val h = 3600L * 1000000L
+    def write(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val p = land.resolve(name)
+      Files.write(p, rows.map { case (u, e, us) =>
+        s"""{"user_id":$u,"event_id":$e,"ts_us":$us}""" }
+        .mkString("\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // b1: user 1 has two events (one open session); b2: user 2, 3h later —
+    // the watermark passes user 1's timeout, so their session is emitted
+    // via hasTimedOut (no closing event ever arrives) and the state cleared.
+    write("b1.jsonl", Seq((1L, 101L, 10 * h), (1L, 102L, 10 * h + 60000000L)), 1000000L)
+    write("b2.jsonl", Seq((2L, 201L, 13 * h)), 2000000L)
+    val evs = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .json(land.toString)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ts_t")).as[Ev]
+    val q = StreamingQueries.sessionize(evs).toDF()
+      .writeStream.format("memory").queryName("sess_evict")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("sess_evict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1's open session emitted by timeout; user 2's still open (held)
+    assert(rows == Set((1L, 1L, 2L)), s"timeout emission violated: $rows")
+    // state store holds ONLY user 2's open session — user 1 was evicted
+    val lastState = q.recentProgress.flatMap(_.stateOperators).lastOption
+    assert(lastState.exists(_.numRowsTotal == 1L),
+      s"state not evicted: ${lastState.map(_.numRowsTotal)}")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
