@@ -146,11 +146,10 @@ object Sources {
               col("length"),
               substring(col("content"), 1, 4).cast("string").as("head4"))
             .orderBy("doc_id")
-          // materialize before the server dies (the query function's
-          // lifetime outlives the try block)
-          val out = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          out.count()
-          out
+          // materialize AND cut the lineage before the server dies (the
+          // query function's lifetime outlives the try block; a persist
+          // alone could be evicted and recompute against a dead endpoint)
+          df.localCheckpoint(eager = true)
         } finally {
           graft.pipeline.transfer.FtpPools.closeAll()
           server.stop()

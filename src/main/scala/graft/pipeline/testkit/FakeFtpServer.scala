@@ -18,10 +18,18 @@ import java.util.concurrent.atomic.AtomicInteger
   * several sessions open at once. `connectionsOpened` counts sessions for
   * pool-reuse assertions.
   */
-final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p") {
+final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
+    nlstFullPaths: Boolean = false) {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
   val connectionsOpened = new AtomicInteger(0)
+
+  /** Per-verb command totals (RETR/SIZE/NLST/…) across all sessions —
+    * lets specs assert a column-pruned scan performed zero RETRs. */
+  private val commandCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+  def commandCount(cmd: String): Int =
+    Option(commandCounts.get(cmd.toUpperCase)).map(_.get).getOrElse(0)
   @volatile private var running = true
 
   private val acceptor = new Thread(() => {
@@ -59,6 +67,7 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p") {
           case Array(c, a) => (c.toUpperCase, a)
           case Array(c) => (c.toUpperCase, "")
         }
+        commandCounts.computeIfAbsent(cmd, _ => new AtomicInteger(0)).incrementAndGet()
         cmd match {
           case "USER" => reply(if (arg == user) "331 need password" else "530 unknown user")
           case "PASS" =>
@@ -109,9 +118,14 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p") {
               val d = openData()
               try {
                 import scala.jdk.CollectionConverters._
+                // real servers commonly return FULL paths from NLST;
+                // `nlstFullPaths = true` mimics that for client robustness tests
+                val prefix =
+                  if (!nlstFullPaths) ""
+                  else if (arg.endsWith("/")) arg else s"$arg/"
                 val names = Files.list(d0).iterator().asScala
                   .filter(Files.isRegularFile(_))
-                  .map(_.getFileName.toString).toSeq.sorted
+                  .map(p => s"$prefix${p.getFileName.toString}").toSeq.sorted
                   .mkString("", "\r\n", "\r\n")
                 d.getOutputStream.write(names.getBytes(US_ASCII))
                 d.getOutputStream.flush()

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,29 +79,46 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
+      // column pruning (SupportsPushDownRequiredColumns): a
+      // `select("path","length")` scan never opens a data connection —
+      // lengths come from SIZE (one control round-trip, no payload), and a
+      // path-only / count(*) scan answers from the driver's NLST alone.
+      // At 100 TB this is the difference between a metadata query and
+      // downloading the corpus.
+      private var required: StructType = FtpDataSource.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = FtpDataSource.Schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
-      override def description(): String = name()
+      override def description(): String =
+        s"${name()} [${required.fieldNames.mkString(",")}]"
 
       override def planInputPartitions(): Array[InputPartition] = {
         // driver-side listing: names only, one pooled connection
         val cfg = FtpDataSource.serverConfig(options)
         val d = FtpDataSource.dir(options)
         val poolSize = Option(options.get("pool.size")).map(_.toInt).getOrElse(4)
+        // default ONE partition per pooled connection: each reader holds
+        // its connection for the whole chunk, so more tasks than
+        // connections would just queue on the pool doing nothing
         val nParts = Option(options.get("numPartitions")).map(_.toInt)
-          .getOrElse(4 * poolSize)
+          .getOrElse(poolSize)
         val names = FtpPools(cfg, PipelineConfig("FTP_POOL_SIZE" -> poolSize.toString))
           .withConnection(_.list(d))
         // chunk round-robin so partitions stay balanced; each partition
         // holds ONE pooled connection for all its files (borrow-per-file
         // throttled throughput 5× on the bulk bench)
-        val paths = names.sorted.map(n => s"$d/$n")
+        // NLST may return bare names or full paths depending on the
+        // server — keep only the basename before re-joining with the dir
+        val paths = names.map(n => n.substring(n.lastIndexOf('/') + 1))
+          .sorted.map(n => s"$d/$n")
         paths.zipWithIndex.groupBy(_._2 % math.max(1, math.min(nParts, paths.size)))
           .toSeq.sortBy(_._1)
           .map { case (_, ps) =>
-            FtpFilesPartition(cfg, ps.map(_._1), poolSize): InputPartition }
+            FtpFilesPartition(cfg, ps.map(_._1), poolSize,
+              required.fieldNames.toSeq): InputPartition }
           .toArray
       }
 
@@ -111,14 +128,18 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table with Suppo
 }
 
 /** A chunk of remote files; the reader holds one pooled connection for
-  * the whole chunk (payloads fetched executor-side). */
+  * the whole chunk (payloads fetched executor-side). `columns` is the
+  * pruned projection, in read-schema order. */
 final case class FtpFilesPartition(
-    cfg: ServerConfig, paths: Seq[String], poolSize: Int) extends InputPartition
+    cfg: ServerConfig, paths: Seq[String], poolSize: Int,
+    columns: Seq[String]) extends InputPartition
 
 final class FtpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FtpFilesPartition]
     new PartitionReader[InternalRow] {
+      private val needContent = p.columns.contains("content")
+      private val needLength = p.columns.contains("length")
       private val pool =
         FtpPools(p.cfg, PipelineConfig("FTP_POOL_SIZE" -> p.poolSize.toString))
       private var conn: graft.pipeline.transfer.FtpBackend = _
@@ -127,16 +148,26 @@ final class FtpReaderFactory extends PartitionReaderFactory {
 
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        if (conn == null) conn = pool.borrow() // once per partition
         val path = it.next()
-        val tmp = java.nio.file.Files.createTempFile("graft-ftp-src-", ".tmp")
-        try {
-          conn.download(path, tmp.toString)
-          val bytes = java.nio.file.Files.readAllBytes(tmp)
-          row = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(path), bytes.length.toLong, bytes))
-          true
-        } finally java.nio.file.Files.deleteIfExists(tmp)
+        // content pruned → no RETR; length via one SIZE control round-trip;
+        // path-only/count(*) → no connection at all (driver NLST suffices)
+        if (conn == null && (needContent || needLength))
+          conn = pool.borrow() // once per partition
+        val cell: String => Any =
+          if (needContent) {
+            val tmp = java.nio.file.Files.createTempFile("graft-ftp-src-", ".tmp")
+            val bytes =
+              try {
+                conn.download(path, tmp.toString)
+                java.nio.file.Files.readAllBytes(tmp)
+              } finally java.nio.file.Files.deleteIfExists(tmp)
+            Map("path" -> UTF8String.fromString(path),
+              "length" -> bytes.length.toLong, "content" -> bytes)
+          } else if (needLength)
+            Map("path" -> UTF8String.fromString(path), "length" -> conn.size(path))
+          else Map("path" -> (UTF8String.fromString(path): Any))
+        row = new GenericInternalRow(p.columns.map(cell).toArray)
+        true
       }
 
       override def get(): InternalRow = row

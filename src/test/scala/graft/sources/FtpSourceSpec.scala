@@ -56,6 +56,47 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 1)
   }
 
+  test("column-pruned (path,length) scan performs SIZE but ZERO RETRs") {
+    val retrBefore = server.commandCount("RETR")
+    val rows = read().load("/data")
+      .select("path", "length")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("/data/a.bin", 5L), ("/data/b.bin", 12L)))
+    assert(server.commandCount("RETR") == retrBefore,
+      "length-only scan must not download payloads")
+    assert(server.commandCount("SIZE") >= 2, "lengths must come from SIZE")
+  }
+
+  test("path-only and count(*) scans open no data commands at all") {
+    val (retr0, size0) = (server.commandCount("RETR"), server.commandCount("SIZE"))
+    val paths = read().load("/data").select("path")
+      .collect().map(_.getString(0)).sorted
+    assert(paths.toSeq == Seq("/data/a.bin", "/data/b.bin"))
+    assert(read().load("/data").count() == 2)
+    assert(server.commandCount("RETR") == retr0 && server.commandCount("SIZE") == size0,
+      "path/count scans must answer from the driver NLST alone")
+  }
+
+  test("NLST returning full paths (real-server behavior) still resolves files") {
+    val root2 = Files.createTempDirectory("graft-ftpsrc-fp")
+    Files.createDirectories(root2.resolve("docs"))
+    Files.write(root2.resolve("docs/x.bin"), "xray".getBytes)
+    val fullPathServer = new FakeFtpServer(root2, nlstFullPaths = true)
+    try {
+      val rows = spark.read.format("graft-ftp")
+        .option("host", "127.0.0.1").option("port", fullPathServer.port.toString)
+        .option("username", "u").option("password", "p")
+        .load("/docs")
+        .select("path", "content")
+        .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+      assert(rows.toSeq == Seq(("/docs/x.bin", "xray")),
+        "full-path NLST entries must not double the directory prefix")
+    } finally {
+      graft.pipeline.transfer.FtpPools.closeAll()
+      fullPathServer.stop()
+    }
+  }
+
   test("missing directory fails with a clear error") {
     val e = intercept[Exception](read().load("/nope").collect())
     assert(e.getMessage.contains("Remote dir not found") ||
