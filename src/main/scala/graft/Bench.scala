@@ -36,8 +36,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def drain(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      finally graft.operators.TrackedCaches.releaseAll()
 
     // Warmup: a representative join+agg pipeline, untimed.
     try drain("q07_region_nation_revenue")

@@ -110,12 +110,12 @@ object Dedup {
         // sides of the verify join — without reuse the O(text) shingle
         // construction runs three times. (At cluster scale this is the
         // canonical checkpoint: shingles are the expensive derived input.)
-        val sh = nearCorpus(s, dir)
+        val sh = TrackedCaches.track(nearCorpus(s, dir)
           .withColumn("w", split(col("text"), " "))
           .withColumn("s", expr(shinglesExpr))
           .filter(size(col("s")) > 0)
           .select("doc_id", "s")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // 64-element minhash signature, computed COLUMNAR: shingles
         // explode to rows (hashed once), and each of the 64 minhashes is
         // a codegen'd min() aggregate over a seed-mixed rehash — the

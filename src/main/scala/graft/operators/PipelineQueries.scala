@@ -73,7 +73,7 @@ object PipelineQueries {
     * exactly once even though two frames (results, dlq) derive from it. */
   private def statusCounts(spark: SparkSession, raw: DataFrame, pc: PipelineConfig): DataFrame = {
     val (results, _) = Pipeline.run(raw, pc)
-    val r = results.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    val r = TrackedCaches.track(results.toDF().persist(StorageLevel.MEMORY_AND_DISK))
     r.count() // force the single execution
     r.groupBy("status", "error_type")
       .agg(count(lit(1)).as("n_jobs"), sum("bytes").as("total_bytes"))
@@ -142,7 +142,7 @@ object PipelineQueries {
           .select(concat(lit("{invalid json "), substring(col("text"), 1, 20)).as("value"))
         val raw = good.unionByName(corrupt)
         val (results, dlq) = Pipeline.run(raw, localConfig)
-        val r = results.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+        val r = TrackedCaches.track(results.toDF().persist(StorageLevel.MEMORY_AND_DISK))
         r.count()
         // Outcome union: executed jobs by status + parse-failure DLQ rows,
         // proving per-error-class routing incl. the error message prefix.

@@ -22,6 +22,21 @@ final case class QueryDef(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
 
+/** Registry of DataFrames persisted INSIDE query definitions (shingle sets,
+  * staged corpora, …). Queries `track` what they persist; the harness
+  * (Verify/Bench) calls `releaseAll()` after each query's final action so
+  * cached blocks don't accumulate across a 59-query session — within one
+  * query the cache still prevents recomputation of expensive intermediates.
+  */
+object TrackedCaches {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  def track(df: DataFrame): DataFrame = synchronized { frames += df; df }
+  def releaseAll(): Unit = synchronized {
+    frames.foreach(f => try f.unpersist(blocking = false) catch { case _: Throwable => () })
+    frames.clear()
+  }
+}
+
 /** Exact-arithmetic helpers shared by the operator definitions.
   *
   * Why: the driver's correctness gate hash-compares cell values against

@@ -42,12 +42,12 @@ object SimilarityJoin {
         val b = docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 200000).as("doc_id"),
             regexp_replace(col("text"), " \\S+$", "").as("text"))
-        val corpus = a.unionByName(b)
+        val corpus = TrackedCaches.track(a.unionByName(b)
           .withColumn("w", split(col("text"), " "))
           .withColumn("s", expr(Dedup.shinglesExpr))
           .filter(size(col("s")) > 0)
           .select("doc_id", "s")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // global shingle frequencies (hashed key keeps the dimension slim)
         val freq = corpus.select(explode(col("s")).as("t"))
           .groupBy("t").agg(count(lit(1)).as("f"))
@@ -112,11 +112,11 @@ object SimilarityJoin {
         val base = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
             expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"))
-        val corpus = base.unionByName(
+        val corpus = TrackedCaches.track(base.unionByName(
           base.filter(col("vec_id") % 5 === 0)
             .select((col("vec_id") + 100000).as("vec_id"),
               expr("concat(array(element_at(e, 1) + 0.1d), slice(e, 2, 63))").as("e")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val dirs = base.filter(col("vec_id") >= 100 && col("vec_id") < 116)
           .select(col("vec_id").as("dir_id"), col("e").as("de"))
         // 16 sign bits per vector; broadcast the 16 directions, partial

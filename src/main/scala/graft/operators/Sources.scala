@@ -149,7 +149,7 @@ object Sources {
           // materialize AND cut the lineage before the server dies (the
           // query function's lifetime outlives the try block; a persist
           // alone could be evicted and recompute against a dead endpoint)
-          df.localCheckpoint(eager = true)
+          TrackedCaches.track(df.localCheckpoint(eager = true))
         } finally {
           graft.pipeline.transfer.FtpPools.closeAll()
           server.stop()

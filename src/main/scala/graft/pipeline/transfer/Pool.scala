@@ -15,9 +15,14 @@ import graft.pipeline.{PipelineConfig, ServerConfig}
   *    freed, and the borrow retried; if under capacity, create a new
   *    connection (capped by createdCount under lock); otherwise block up
   *    to maxWait for a return → TimeoutException;
-  *  - return (pool.py:162-182): validated back into the queue; if the
-  *    pool is closed or full the connection is closed instead;
-  *  - closeAll (pool.py:243-257): drains and closes everything.
+  *  - return (pool.py:162-182): offered back to the queue AS-IS —
+  *    neither we nor the reference validate on return; staleness is
+  *    caught by the next borrow's probe. If the pool is closed or full
+  *    the connection is closed instead;
+  *  - closeAll (pool.py:243-257): drains and closes everything. Return
+  *    and closeAll synchronize on the pool lock so a connection given
+  *    back concurrently with shutdown is either drained-and-closed or
+  *    rejected-and-closed — never parked in a closed pool's queue.
   *
   * The reference's idle timeout is *stored but never enforced* (no
   * eviction loop exists — config.py:41-44); we replicate that: the value
@@ -77,9 +82,12 @@ final class ConnectionPool[C](
     }
   }
 
-  /** pool.py:162-182 */
+  /** pool.py:162-182 — closed-check and offer are one atomic step under
+    * the lock, so a return racing closeAll can't park a connection in a
+    * queue that was already drained (it gets discarded instead). */
   def give(conn: C): Unit = {
-    if (closed || !idle.offer(conn)) discard(conn)
+    val returned = lock.synchronized(!closed && idle.offer(conn))
+    if (!returned) discard(conn)
   }
 
   private def discard(conn: C): Unit = {
@@ -93,12 +101,18 @@ final class ConnectionPool[C](
     finally give(c)
   }
 
-  /** pool.py:243-257 */
-  def closeAll(): Unit = {
+  /** pool.py:243-257 — decrements createdCount per drained connection
+    * (not a blanket reset): connections still borrowed keep their slots
+    * accounted and are closed at their own give(), keeping the count
+    * consistent instead of letting late returns drive it negative. */
+  def closeAll(): Unit = lock.synchronized {
     closed = true
     var c = idle.poll()
-    while (c != null) { try factory.close(c) catch { case _: Throwable => () }; c = idle.poll() }
-    lock.synchronized { createdCount = 0 }
+    while (c != null) {
+      try factory.close(c) catch { case _: Throwable => () }
+      createdCount -= 1
+      c = idle.poll()
+    }
   }
 }
 

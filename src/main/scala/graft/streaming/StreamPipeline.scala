@@ -36,8 +36,9 @@ object StreamPipeline {
       .select(col("value"))
 
   /** S2 + K1-K4 + E1-E3: micro-batch loop. Each batch runs the batch
-    * engine, appends successes to `resultsDir` and DLQ records (tagged
-    * with the per-topic DLQ route, config.py:76-85) to `dlqDir`.
+    * engine, writing successes to `resultsDir` and DLQ records (tagged
+    * with the per-topic DLQ route, config.py:76-85) to `dlqDir`, each
+    * into a per-batch `batch_id=` partition so replays are idempotent.
     */
   def start(
       spark: SparkSession,
@@ -56,8 +57,17 @@ object StreamPipeline {
         val r = results.toDF().persist()
         try {
           r.count() // single execution of the side-effecting transfer map
+          // Idempotent on retry: each micro-batch owns its batch_id=<id>
+          // partition, and dynamic partition overwrite REPLACES exactly
+          // that partition — a batch replayed after a crash between the
+          // sink write and the checkpoint commit converges instead of
+          // appending duplicate rows. (Transfers themselves are already
+          // idempotent overwrites; this closes the sink-side gap.)
           r.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(resultsDir)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(resultsDir)
           // DLQ send failures are swallowed-and-logged, never fatal to the
           // batch (consumer.py:224-225, pinned by test_consumer.py:346-357).
           try dlq
@@ -68,7 +78,10 @@ object StreamPipeline {
             .withColumn("timestamp_iso",
               date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(dlqDir)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dlqDir)
           catch {
             case e: Throwable =>
               System.err.println(s"[stream] DLQ write failed (swallowed): ${e.getMessage}")

@@ -159,6 +159,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"append-mode watermark semantics violated: $out")
   }
 
+  test("results sink is idempotent on batch replay (lost checkpoint converges)") {
+    val src = base.resolve("files/rep.txt")
+    Files.createDirectories(src.getParent)
+    Files.write(src, "replay-me".getBytes)
+    val in = base.resolve("in-rep"); Files.createDirectories(in)
+    Files.write(in.resolve("b.jsonl"),
+      jobLine("rep1", src.toString, base.resolve("out/rep.txt").toString)
+        .getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = StreamPipeline.start(spark, in.toString, pc,
+        "jobs-rep", base.resolve("r-rep").toString, base.resolve("d-rep").toString,
+        base.resolve("cp-rep").toString)
+      q.awaitTermination()
+    }
+    runOnce()
+    // simulate a crash that loses the offset commit: the whole batch
+    // replays as batch 0 — the per-batch partition overwrite must
+    // REPLACE, leaving exactly one row per job (not an appended duplicate)
+    import scala.jdk.CollectionConverters._
+    val cp = base.resolve("cp-rep")
+    Files.walk(cp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    runOnce()
+    val results = spark.read.parquet(base.resolve("r-rep").toString)
+    assert(results.filter(col("job_id") === "rep1").count() == 1,
+      "replayed batch must replace its batch_id partition, not append")
+  }
+
   test("dedup state is evicted by the watermark: old-key duplicates pass through") {
     // Watermark-separated micro-batches (maxFilesPerTrigger=1). The
     // watermark from batch N's data takes effect in batch N+1, and state
