@@ -54,9 +54,10 @@ class LlmDataSpec extends AnyFunSuite {
       i.intersect(b).size.toDouble / b.size
     }
     val mean = recalls.sum / recalls.size
-    // nprobe=2 of 8 buckets on near-random vectors: recall well above the
-    // 0.25 random-probe floor means bucketing is actually correlated
-    assert(mean > 0.2, s"mean recall@5 $mean too low — IVF bucketing broken")
+    // nprobe=2 of 8 buckets: the Lloyd-trained quantizer measures ~0.57
+    // mean recall@5 at sf0.001 (0.25 is the random-probe floor); 0.4
+    // catches a training regression while leaving slack for fixture drift
+    assert(mean > 0.4, s"mean recall@5 $mean too low — IVF training broken")
   }
 
   test("q30 embedding near-dups are exactly the perturbed construction pairs") {
