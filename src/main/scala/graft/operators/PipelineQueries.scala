@@ -252,6 +252,63 @@ object PipelineQueries {
                COUNT(*) AS n_jobs,
                CAST(SUM(n_chars) AS BIGINT) AS total_bytes
         FROM documents
-        WHERE doc_id < 1000"""))
+        WHERE doc_id < 1000""")),
+
+    // ---------------------------------------------------------------- p07
+    // DLQ replay convergence (Pipeline.replayDlq — the operation the
+    // reference stores retry_count for but never implements,
+    // message.py:130): run p02's missing-file workload (every 10th source
+    // absent → dlq/not_found), then FIX the missing files and replay the
+    // DLQ. Every replayed job must succeed and the remaining DLQ must be
+    // empty — replay-until-converged is exactly how a 100 TB deployment
+    // drains transient-failure backlogs.
+    QueryDef(
+      "p07_dlq_replay_convergence",
+      (s, dir) => {
+        // FRESH dir per invocation (not the shared cached staging): the
+        // fix step below creates the "missing" files, and a reused dir
+        // would hand the next invocation an already-fixed first pass
+        val base = Files.createTempDirectory("graft-p07").toString
+        val docs = Tables(s, dir, "documents")
+        stageSourceFiles(docs.filter(col("doc_id") % 10 =!= 0), s"$base/src")
+        val raw = jobMessages(docs, lit("localsrc"), lit("localdst"),
+          concat(lit(s"$base/src/doc_"), col("doc_id"), lit(".txt")),
+          concat(lit(s"$base/dst/doc_"), col("doc_id"), lit(".txt")))
+        val (results1, dlq1) = Pipeline.run(raw, localConfig)
+        val r1 = TrackedCaches.track(results1.toDF().persist(StorageLevel.MEMORY_AND_DISK))
+        r1.count() // first pass executes here, BEFORE the fix below
+        // operator intervention: the missing files appear
+        stageSourceFiles(docs.filter(col("doc_id") % 10 === 0), s"$base/src")
+        val (results2, dlq2) = Pipeline.replayDlq(dlq1, localConfig)
+        val r2 = TrackedCaches.track(results2.toDF().persist(StorageLevel.MEMORY_AND_DISK))
+        r2.count()
+        val first = r1.groupBy("status")
+          .agg(count(lit(1)).as("n_jobs"), sum("bytes").as("total_bytes"))
+          .select(lit("first").as("phase"), col("status"), col("n_jobs"), col("total_bytes"))
+        val replay = r2.groupBy("status")
+          .agg(count(lit(1)).as("n_jobs"), sum("bytes").as("total_bytes"))
+          .select(lit("replay").as("phase"), col("status"), col("n_jobs"), col("total_bytes"))
+        val remaining = dlq2
+          .agg(count(lit(1)).as("n_jobs"))
+          .select(lit("replay").as("phase"), lit("dlq_remaining").as("status"),
+            col("n_jobs"), lit(0L).as("total_bytes"))
+        first.unionByName(replay).unionByName(remaining)
+          .orderBy("phase", "status")
+      },
+      Some("""
+        SELECT 'first' AS phase,
+               CASE WHEN doc_id % 10 = 0 THEN 'dlq' ELSE 'success' END AS status,
+               COUNT(*) AS n_jobs,
+               CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS total_bytes
+        FROM documents
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT 'replay' AS phase, 'success' AS status, COUNT(*) AS n_jobs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT 'replay' AS phase, 'dlq_remaining' AS status,
+               CAST(0 AS BIGINT) AS n_jobs, CAST(0 AS BIGINT) AS total_bytes
+        ORDER BY phase, status"""))
   )
 }

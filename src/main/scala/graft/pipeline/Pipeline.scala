@@ -169,4 +169,48 @@ object Pipeline {
     val results = execute(jobs, pc)
     (results, dlqRecords(results, parseFailures))
   }
+
+  /** Re-drive DLQ records through the pipeline — the operation the
+    * reference stores `retry_count` for but never implements
+    * (message.py:130). Transfer-failure records re-parse their
+    * `original_message` (the canonical job JSON the DLQ writer produced)
+    * and re-run the transfer; parse-failure records are structurally
+    * unrecoverable (`{"raw": …}` wraps a message that never parsed) and
+    * pass through with `retry_count` bumped, preserving them for manual
+    * triage exactly like the reference's DLQ topic does.
+    *
+    * Returns (results of the replayed jobs, remaining DLQ). Rows that
+    * fail AGAIN reappear in the remaining DLQ with
+    * `retry_count = previous + 1` — matched back by the canonical
+    * original_message key, so convergence is observable per message and a
+    * scheduler can cap retries. Replays converge because transfers are
+    * idempotent overwrites (§7.4).
+    *
+    * The input must be a MATERIALIZED DLQ (a parquet sink read back, or a
+    * persisted frame) — that is what a deployment replays. Passing the
+    * live lineage of a previous `run` would re-execute the original
+    * transfers under whatever the filesystem looks like NOW, and a
+    * since-fixed source would make the failure rows vanish before the
+    * replay ever sees them.
+    */
+  def replayDlq(dlq: DataFrame, pc: PipelineConfig): (Dataset[TransferResult], DataFrame) = {
+    val spark = dlq.sparkSession
+    import spark.implicits._
+    val replayable = dlq.filter(col("error_type") =!= lit(Model.ErrorType.Parse))
+    val unrecoverable = dlq.filter(col("error_type") === lit(Model.ErrorType.Parse))
+      .withColumn("retry_count", col("retry_count") + 1)
+      .withColumn("timestamp", current_timestamp())
+    val retries = replayable.groupBy("original_message")
+      .agg(max("retry_count").as("prev_retries"))
+    val (jobsDf, parseFailures) = parse(replayable.select(col("original_message").as("value")))
+    val results = execute(jobsDf.as[FileTransferJob], pc)
+    val newDlq = dlqRecords(results, parseFailures)
+      // a re-failed transfer reconstructs the SAME canonical job JSON, so
+      // the join recovers each message's prior retry count exactly
+      .join(retries, Seq("original_message"), "left")
+      .withColumn("retry_count", coalesce(col("prev_retries"), lit(0)) + 1)
+      .drop("prev_retries")
+      .unionByName(unrecoverable)
+    (results, newDlq)
+  }
 }

@@ -94,6 +94,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.getAs[Int]("retry_count") == 0)
   }
 
+  test("replayDlq increments retry_count per failed attempt; success drains the row") {
+    // each attempt's DLQ is frozen (persist+count) before the next — the
+    // replayDlq contract: deployments replay a MATERIALIZED DLQ sink, not
+    // the live lineage of the previous run
+    def freeze(df: org.apache.spark.sql.DataFrame) = { val f = df.persist(); f.count(); f }
+    val missing = work.resolve("retry/ghost.txt")
+    val raw = Seq(jobJson("j-retry", "src", missing.toString,
+      "dst", work.resolve("retry/out.txt").toString)).toDF("value")
+    val (_, dlq0) = Pipeline.run(raw, pc)
+    // attempt 1: still missing → retry_count 0 → 1
+    val (res1, dlq1raw) = Pipeline.replayDlq(freeze(dlq0), pc)
+    assert(res1.collect().head.status == "dlq")
+    val dlq1 = freeze(dlq1raw)
+    val d1 = dlq1.collect()
+    assert(d1.length == 1 && d1.head.getAs[Int]("retry_count") == 1)
+    // attempt 2: still missing → 2
+    val (_, dlq2raw) = Pipeline.replayDlq(dlq1, pc)
+    val dlq2 = freeze(dlq2raw)
+    assert(dlq2.collect().head.getAs[Int]("retry_count") == 2)
+    // the file appears; attempt 3 succeeds and the DLQ drains
+    writeSrc("retry/ghost.txt", "third time lucky")
+    val (res3, dlq3) = Pipeline.replayDlq(dlq2, pc)
+    val ok = res3.collect().head
+    assert(ok.status == "success" && ok.job_id == "j-retry")
+    assert(dlq3.count() == 0)
+    assert(Files.readAllBytes(work.resolve("retry/out.txt"))
+      .sameElements("third time lucky".getBytes("UTF-8")))
+    Seq(dlq1, dlq2).foreach(_.unpersist())
+  }
+
+  test("replayDlq passes parse failures through, bumping retry_count (unrecoverable)") {
+    val raw = Seq("{definitely not json").toDF("value")
+    val (_, dlq0) = Pipeline.run(raw, pc)
+    val (res, dlq1) = Pipeline.replayDlq(dlq0, pc)
+    assert(res.count() == 0, "a {\"raw\":…} record must not become a job")
+    val d = dlq1.collect().head
+    assert(d.getAs[String]("error_type") == "parse")
+    assert(d.getAs[Int]("retry_count") == 1)
+    assert(d.getAs[String]("original_message").contains("definitely not json"))
+  }
+
   test("mixed batch: invalid JSON + valid job split correctly (test_e2e.py:204-245)") {
     val src = writeSrc("in/ok.txt", "ok")
     val raw = Seq(
