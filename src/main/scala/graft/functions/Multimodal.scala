@@ -77,3 +77,68 @@ final class FakeMediaDecoder extends MediaDecoder {
     }
   }
 }
+
+/** REAL decoder for the image formats the JVM ships built-in readers for
+  * (PNG, BMP, GIF, JPEG via `javax.imageio` — zero added dependencies):
+  * width/height come from an actual pixel decode, not byte arithmetic.
+  * Oracle-gated queries stay on [[FakeMediaDecoder]] (DuckDB can't decode
+  * images); this class proves the `MediaDecoder` seam takes a real codec
+  * unchanged — see MultimodalSpec, which drives the same partition-batched
+  * plumbing over genuine PNG/BMP bytes.
+  */
+final class ImageIoDecoder extends MediaDecoder {
+  private val hexDigits = "0123456789ABCDEF"
+
+  override def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: no javax.imageio reader for this payload")
+    val header = bytes.take(8).map { b =>
+      val v = b & 0xff
+      s"${hexDigits(v >> 4)}${hexDigits(v & 0xf)}"
+    }.mkString
+    MediaMeta(
+      doc_id = id,
+      byte_len = bytes.length.toLong,
+      header_hex = header,
+      width = img.getWidth,
+      height = img.getHeight,
+      n_frames = 1) // still-image formats: exactly one frame
+  }
+
+  /** A still image has one frame: offset 0, fingerprinted over the first
+    * 16 bytes with the same rolling hash the stub uses (a video decoder
+    * would emit one row per sampled keyframe here). */
+  override def frameSample(id: Long, bytes: Array[Byte], n: Int): Seq[FrameSample] = {
+    if (bytes.length < 16) Seq.empty
+    else {
+      var fp = 0L
+      var j = 0
+      while (j < 16) { fp = (fp * 31 + (bytes(j) & 0xff)) % 1000000007L; j += 1 }
+      Seq(FrameSample(id, 0, 0L, fp))
+    }
+  }
+}
+
+object Multimodal {
+  import org.apache.spark.sql.Dataset
+
+  /** The partition-batched decode stage (the `mapInPandas` analogue):
+    * one decoder per partition, open()/close() bracketed around the
+    * iterator, narrow (no shuffle), payloads never touch the driver.
+    * Shared by q35 (stub decoder, oracle-gated) and MultimodalSpec
+    * (real `javax.imageio` decoder over genuine image bytes). */
+  def decodeMeta(bin: Dataset[(Long, Array[Byte])],
+      mkDecoder: () => MediaDecoder): Dataset[MediaMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.mapPartitions { it =>
+      val dec = mkDecoder()
+      dec.open()
+      // iterator-wrapped so close() runs after the partition drains
+      new Iterator[MediaMeta] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) dec.close(); h }
+        def next(): MediaMeta = { val (id, b) = it.next(); dec.decode(id, b) }
+      }
+    }
+  }
+}

@@ -27,16 +27,8 @@ object MultimodalQueries {
         val bin = Tables(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[(Long, Array[Byte])]
-        val decoded = bin.mapPartitions { it =>
-          val dec = new FakeMediaDecoder
-          dec.open()
-          // iterator-wrapped so close() runs after the partition drains
-          new Iterator[MediaMeta] {
-            def hasNext: Boolean = { val h = it.hasNext; if (!h) dec.close(); h }
-            def next(): MediaMeta = { val (id, b) = it.next(); dec.decode(id, b) }
-          }
-        }
-        decoded.toDF().orderBy("doc_id")
+        graft.functions.Multimodal.decodeMeta(bin, () => new FakeMediaDecoder)
+          .toDF().orderBy("doc_id")
       },
       Some("""
         SELECT doc_id,

@@ -142,9 +142,15 @@ object StreamMain {
       .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim }
       .toMap
 
+  /** dotenv parity (config.py:32 `load_dotenv(env_file)`, default
+    * override=False): the PROCESS environment wins; the env-file only
+    * supplies keys the environment lacks. */
+  def mergedEnv(processEnv: Map[String, String], envFile: Option[String]): Map[String, String] =
+    envFile.map(loadEnvFile).getOrElse(Map.empty) ++ processEnv
+
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
-    val env = sys.env ++ a.envFile.map(loadEnvFile).getOrElse(Map.empty)
+    val env = mergedEnv(sys.env, a.envFile)
     val pc = new PipelineConfig(env)
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, s"graft-stream-${a.groupId}")

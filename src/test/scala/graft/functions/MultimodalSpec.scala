@@ -1,0 +1,64 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The multimodal decode seam with a REAL codec: `ImageIoDecoder` decodes
+  * genuine PNG/BMP bytes (JVM built-in readers, zero added deps) through
+  * the SAME partition-batched plumbing the oracle-gated q35 runs with the
+  * stub — proving a real decoder is a drop-in behind `MediaDecoder`.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  /** Deterministic w×h test image encoded with the given imageio format. */
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("ImageIoDecoder reads real PNG dimensions and magic bytes") {
+    val bytes = imageBytes(20, 12, "png")
+    val m = new ImageIoDecoder().decode(7L, bytes)
+    assert(m.width == 20 && m.height == 12)
+    assert(m.byte_len == bytes.length)
+    assert(m.header_hex.startsWith("89504E470D0A1A0A"), "PNG magic")
+    assert(m.n_frames == 1)
+  }
+
+  test("ImageIoDecoder reads BMP too (second built-in format)") {
+    val m = new ImageIoDecoder().decode(8L, imageBytes(5, 9, "bmp"))
+    assert(m.width == 5 && m.height == 9)
+    assert(m.header_hex.startsWith("424D"), "BM magic")
+  }
+
+  test("real decoder drops into the partition-batched plumbing unchanged") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, imageBytes(20, 12, "png")),
+      (2L, imageBytes(33, 7, "png")),
+      (3L, imageBytes(5, 9, "bmp")))
+    val bin = spark.createDataset(payloads).repartition(2)
+    val rows = Multimodal.decodeMeta(bin, () => new ImageIoDecoder)
+      .collect().map(m => m.doc_id -> (m.width, m.height)).toMap
+    assert(rows == Map(1L -> ((20, 12)), 2L -> ((33, 7)), 3L -> ((5, 9))))
+  }
+
+  test("non-image payload fails loudly, naming the doc") {
+    val e = intercept[IllegalArgumentException] {
+      new ImageIoDecoder().decode(42L, "not an image".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("42"))
+  }
+}

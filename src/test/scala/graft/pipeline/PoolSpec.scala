@@ -113,4 +113,33 @@ class PoolSpec extends AnyFunSuite {
     assert(maxInUse.get <= 2, s"max concurrent connections ${maxInUse.get} exceeded poolSize")
     assert(f.createdTotal.get <= 2 + f.closedTotal.get)
   }
+
+  test("closeAll racing concurrent give never leaks a connection") {
+    // give() offers under the pool lock after checking `closed`, so every
+    // connection ends up closed exactly once — whether it was drained from
+    // the idle queue by closeAll or rejected-and-discarded by a late give.
+    (1 to 25).foreach { _ =>
+      val f = new FakeFactory
+      val pool = new ConnectionPool[FakeConn](f, poolSize = 4, maxWaitSec = 5.0)
+      val conns = (1 to 4).map(_ => pool.borrow())
+      val start = new CountDownLatch(1)
+      val ex = Executors.newFixedThreadPool(5)
+      conns.foreach { c =>
+        ex.submit(new Runnable {
+          def run(): Unit = { start.await(); pool.give(c) }
+        })
+      }
+      ex.submit(new Runnable {
+        def run(): Unit = { start.await(); pool.closeAll() }
+      })
+      start.countDown()
+      ex.shutdown()
+      assert(ex.awaitTermination(10, TimeUnit.SECONDS))
+      // no second closeAll: under the fix every give either parked BEFORE
+      // the drain (closeAll closes it) or saw closed=true and discarded —
+      // an unclosed connection here is exactly the pre-fix leak
+      assert(f.closedTotal.get == f.createdTotal.get,
+        s"leak: created ${f.createdTotal.get}, closed ${f.closedTotal.get}")
+    }
+  }
 }

@@ -87,6 +87,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!d.verbose)
   }
 
+  test("env precedence: process environment beats --env-file (load_dotenv override=False)") {
+    val f = base.resolve("prec.env")
+    Files.write(f, "A_TYPE=local\nB_HOST=from-file\n".getBytes)
+    val merged = StreamMain.mergedEnv(Map("A_TYPE" -> "ftp"), Some(f.toString))
+    assert(merged("A_TYPE") == "ftp", "process env must win (dotenv default)")
+    assert(merged("B_HOST") == "from-file", "file supplies missing keys")
+    assert(StreamMain.mergedEnv(Map("X" -> "1"), None) == Map("X" -> "1"))
+  }
+
   test("env-file loading: KEY=VALUE lines, comments ignored") {
     val f = base.resolve("test.env")
     Files.write(f, "# comment\nA_TYPE=local\n\nA_HOST=localhost\nX=a=b\n".getBytes)
