@@ -139,7 +139,7 @@ object Sources {
           val df = s.read.format("graft-ftp")
             .option("host", "127.0.0.1").option("port", server.port.toString)
             .option("username", "u").option("password", "p")
-            .option("pool.size", "16") // localhost server: wider pool
+            .option("pool.size", "32") // localhost server: one connection per core
             .load("/docs")
             .select(
               regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),

@@ -124,6 +124,21 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
       if (!fin.ok) throw new IOException(s"RETR transfer failed: ${fin.text}")
     }
 
+  /** Binary RETR straight to memory — for consumers that want the bytes
+    * (the DataSource V2 reader), skipping the temp-file write+read the
+    * transfer pipeline's staging path needs. */
+  def retrBytes(remotePath: String): Array[Byte] =
+    dataConnection(s"RETR $remotePath") { (pre, data) =>
+      if (pre.code == 550)
+        throw new FileNotFoundException(s"Remote file not found: $remotePath")
+      if (pre.code >= 400) throw new IOException(s"RETR failed: ${pre.text}")
+      val os = new java.io.ByteArrayOutputStream()
+      pipe(data.getInputStream, os)
+      val fin = readReply()
+      if (!fin.ok) throw new IOException(s"RETR transfer failed: ${fin.text}")
+      os.toByteArray
+    }
+
   /** Binary STOR from a local file — ftp.py:152-184. */
   def stor(localPath: Path, remotePath: String): Unit =
     dataConnection(s"STOR $remotePath") { (pre, data) =>
@@ -200,6 +215,10 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
 
   override def download(remotePath: String, localPath: String): Unit =
     client.retr(remotePath, Paths.get(localPath))
+
+  /** Download a remote file's bytes without touching local disk. */
+  def downloadBytes(remotePath: String): Array[Byte] =
+    client.retrBytes(remotePath)
 
   override def upload(localPath: String, remotePath: String): Unit = {
     val lp = Paths.get(localPath)

@@ -155,12 +155,8 @@ final class FtpReaderFactory extends PartitionReaderFactory {
           conn = pool.borrow() // once per partition
         val cell: String => Any =
           if (needContent) {
-            val tmp = java.nio.file.Files.createTempFile("graft-ftp-src-", ".tmp")
-            val bytes =
-              try {
-                conn.download(path, tmp.toString)
-                java.nio.file.Files.readAllBytes(tmp)
-              } finally java.nio.file.Files.deleteIfExists(tmp)
+            // straight to memory — no temp-file staging round-trip
+            val bytes = conn.downloadBytes(path)
             Map("path" -> UTF8String.fromString(path),
               "length" -> bytes.length.toLong, "content" -> bytes)
           } else if (needLength)
