@@ -69,6 +69,82 @@ object Dedup {
              element_at(w, i + 1),
              element_at(w, i + 2)))))"""
 
+  /** q26's verified near-dup pair stream (id_a < id_b, exact-Jaccard
+    * J ≥ 0.6 over LSH candidates) — shared with q50's duplicate-cluster
+    * components, which consume pairs exactly as a production dedup
+    * pipeline does: shingle → LSH candidates → verify → cluster. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Persisted: the shingle sets feed signature building AND both
+    // sides of the verify join — without reuse the O(text) shingle
+    // construction runs three times. (At cluster scale this is the
+    // canonical checkpoint: shingles are the expensive derived input.)
+    val sh = TrackedCaches.track(nearCorpus(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("s", expr(shinglesExpr))
+      .filter(size(col("s")) > 0)
+      .select("doc_id", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // 64-element minhash signature, computed COLUMNAR: shingles
+    // explode to rows (hashed once), and each of the 64 minhashes is
+    // a codegen'd min() aggregate over a seed-mixed rehash — the
+    // whole signature build stays inside whole-stage codegen. (A
+    // nested transform/array_min lambda computes the same thing but
+    // drops to the interpreted higher-order path: 10× slower at
+    // sf0.1, worse at scale.) Map-side partial min() means the
+    // shuffle carries one 64-long signature per doc, not shingles.
+    val minCols = (0 until 64).map(k =>
+      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+    val sig = sh
+      .select(col("doc_id"), explode(col("s")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+    // 32 bands × 2 rows → (band, hash-of-rows) bucket keys.
+    val bandCols = (0 until 32).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh")))
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard (semi-join shape: only
+    // candidate ids rejoin their shingle sets).
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  /** DuckDB CTE chain producing the same verified pair stream (brute-force
+    * all-pairs verify — oracle-side code over small fixtures, not the
+    * engine's plan); ends with a `pairs(id_a, id_b, inter, uni)` CTE. */
+  private val duckPairsCtes: String = """
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, regexp_replace(text, ' \S+$', '')
+          FROM documents WHERE doc_id % 7 = 0),
+        toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+               FROM toks WHERE len(w) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(list_distinct(list_concat(a.s, b.s))) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE 5 * len(list_intersect(a.s, b.s))
+                >= 3 * len(list_distinct(list_concat(a.s, b.s))))"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- q25
@@ -105,73 +181,10 @@ object Dedup {
     // brute-force answer at fixture scale with ~certainty.
     QueryDef(
       "q26_minhash_neardup",
-      (s, dir) => {
-        // Persisted: the shingle sets feed signature building AND both
-        // sides of the verify join — without reuse the O(text) shingle
-        // construction runs three times. (At cluster scale this is the
-        // canonical checkpoint: shingles are the expensive derived input.)
-        val sh = TrackedCaches.track(nearCorpus(s, dir)
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("s", expr(shinglesExpr))
-          .filter(size(col("s")) > 0)
-          .select("doc_id", "s")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // 64-element minhash signature, computed COLUMNAR: shingles
-        // explode to rows (hashed once), and each of the 64 minhashes is
-        // a codegen'd min() aggregate over a seed-mixed rehash — the
-        // whole signature build stays inside whole-stage codegen. (A
-        // nested transform/array_min lambda computes the same thing but
-        // drops to the interpreted higher-order path: 10× slower at
-        // sf0.1, worse at scale.) Map-side partial min() means the
-        // shuffle carries one 64-long signature per doc, not shingles.
-        val minCols = (0 until 64).map(k =>
-          min(xxhash64(col("h"), lit(k))).as(s"m$k"))
-        val sig = sh
-          .select(col("doc_id"), explode(col("s")).as("shingle"))
-          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-          .groupBy("doc_id")
-          .agg(minCols.head, minCols.tail: _*)
-        // 32 bands × 2 rows → (band, hash-of-rows) bucket keys.
-        val bandCols = (0 until 32).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh")))
-        val banded = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-        val a = banded.as("a"); val b = banded.as("b")
-        val cand = a.join(b,
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        // Verify candidates with exact Jaccard (semi-join shape: only
-        // candidate ids rejoin their shingle sets).
-        cand
-          .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-          .withColumn("uni", size(array_union(col("sa"), col("sb"))))
-          .filter(col("inter") * 5 >= col("uni") * 3)
-          .select("id_a", "id_b", "inter", "uni")
-          .orderBy("id_a", "id_b")
-      },
-      Some("""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 200000, regexp_replace(text, ' \S+$', '')
-          FROM documents WHERE doc_id % 7 = 0),
-        toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
-        sh AS (SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(w) - 1),
-                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
-               FROM toks WHERE len(w) >= 3)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               len(list_intersect(a.s, b.s)) AS inter,
-               len(list_distinct(list_concat(a.s, b.s))) AS uni
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE 5 * len(list_intersect(a.s, b.s))
-              >= 3 * len(list_distinct(list_concat(a.s, b.s)))
+      (s, dir) => minhashPairs(s, dir).orderBy("id_a", "id_b"),
+      Some(s"""
+        WITH $duckPairsCtes
+        SELECT id_a, id_b, inter, uni FROM pairs
         ORDER BY id_a, id_b""")),
 
     // ---------------------------------------------------------------- q27
@@ -237,6 +250,70 @@ object Dedup {
                CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.f, b.f)) <= 3
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q50
+    // Duplicate clusters: connected components over the verified LSH pair
+    // stream — the step every production dedup pipeline runs after pair
+    // generation (pairs chain: A≈B, B≈C ⇒ {A,B,C} is one duplicate
+    // group; keep one canonical doc per component, not per pair).
+    // Iterative min-label propagation: label(u) ← min(label(u),
+    // min_{(u,v)∈E} label(v)) to a fixpoint. Each iteration is one
+    // equi-join + partial-aggregated min — the map-side combine means the
+    // shuffle carries one candidate label per (node, partition). The
+    // driver loop carries only the converged/changed COUNT (never rows),
+    // and iterations needed ≈ graph diameter, which for near-dup
+    // clusters is small; at 100 TB you add a checkpoint every few
+    // iterations to cut lineage, and the same loop holds.
+    QueryDef(
+      "q50_dup_clusters",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+        val edges = TrackedCaches.track(
+          pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+            .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+            .persist(MEMORY_AND_DISK))
+        var labels = TrackedCaches.track(
+          edges.select(col("u").as("node")).distinct()
+            .withColumn("label", col("node"))
+            .persist(MEMORY_AND_DISK))
+        labels.count()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 25) {
+          val nbrMin = edges
+            .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
+            .groupBy("u").agg(min("vl").as("nl"))
+            .select(col("u").as("node"), col("nl"))
+          val next = TrackedCaches.track(
+            labels.join(nbrMin, Seq("node"), "left")
+              .select(col("node"),
+                least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+              .persist(MEMORY_AND_DISK))
+          changed = next
+            .join(labels.select(col("node"), col("label").as("old")), "node")
+            .filter(col("label") =!= col("old")).count()
+          labels.unpersist(blocking = false)
+          labels = next
+          iter += 1
+        }
+        labels
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $duckPairsCtes,
+        edges AS (SELECT id_a u, id_b v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) n
+          UNION
+          SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.u = e.v),
+        labels AS (SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u)
+        SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
+        FROM labels GROUP BY cluster_id
+        ORDER BY cluster_id"""))
   )
 }

@@ -60,6 +60,27 @@ class LlmDataSpec extends AnyFunSuite {
     assert(mean > 0.4, s"mean recall@5 $mean too low — IVF training broken")
   }
 
+  test("q50 duplicate clusters equal the transitive closure of the q26 pair graph") {
+    import spark.implicits._
+    val pairs = run("q26_minhash_neardup")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val clusters = run("q50_dup_clusters")
+      .select("cluster_id", "n_docs", "max_doc").as[(Long, Long, Long)].collect()
+    // ground truth: union-find with min-id roots over the same pairs
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = nodes.groupBy(find)
+      .map { case (root, ms) => (root, ms.size.toLong, ms.max) }.toSet
+    assert(clusters.toSet == truth, "label propagation must converge to exact components")
+    assert(clusters.map(_._2).sum == nodes.size, "clusters partition the pair nodes")
+  }
+
   test("q30 embedding near-dups are exactly the perturbed construction pairs") {
     import spark.implicits._
     val rows = run("q30_embedding_neardup")
