@@ -25,6 +25,33 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q02 pushes its filter and projection into the parquet scan") {
+    val df = SparkEntry.queries("q02_filter_pushdown")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate predicate must reach the scan:\n$plan")
+    // projection pruning: the scan must read the query's 6 columns, not
+    // all 16 of lineitem — a full-width scan is wrong at any scale
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(scanCols.nonEmpty && scanCols.split(",").length <= 6
+      && !scanCols.contains("l_comment"),
+      s"scan must be column-pruned, got: $scanCols")
+  }
+
+  test("q01 aggregation is map-side partial (no raw-row shuffle)") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial aggregate must sit BELOW the exchange (plans print
+    // top-down, so the bottom-most HashAggregate appears AFTER the
+    // Exchange in the text): the shuffle then carries one row per
+    // (group × task), never the scanned rows
+    val partial = plan.lastIndexOf("HashAggregate(keys=[l_returnflag")
+    val exchange = plan.indexOf("Exchange hashpartitioning(l_returnflag")
+    assert(partial >= 0 && exchange >= 0 && exchange < partial,
+      s"expected partial agg below the exchange:\n$plan")
+  }
+
   test("q44 salted aggregation equals the plain aggregation bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.operators.Exact._
