@@ -278,10 +278,16 @@ object Dedup {
           edges.select(col("u").as("node")).distinct()
             .withColumn("label", col("node"))
             .persist(MEMORY_AND_DISK))
-        labels.count()
-        var changed = 1L
+        // convergence via the label-sum invariant: labels only ever
+        // DECREASE, so the sum strictly drops iff any label changed —
+        // one cheap aggregate per iteration instead of a join + count.
+        // Decimal sum: exact and overflow-free at any corpus size.
+        def labelSum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+        var prevSum = labelSum(labels)
+        var converged = false
         var iter = 0
-        while (changed > 0 && iter < 25) {
+        while (!converged && iter < 25) {
           val nbrMin = edges
             .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
             .groupBy("u").agg(min("vl").as("nl"))
@@ -291,9 +297,9 @@ object Dedup {
               .select(col("node"),
                 least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
               .persist(MEMORY_AND_DISK))
-          changed = next
-            .join(labels.select(col("node"), col("label").as("old")), "node")
-            .filter(col("label") =!= col("old")).count()
+          val curSum = labelSum(next)
+          converged = curSum.compareTo(prevSum) == 0
+          prevSum = curSum
           labels.unpersist(blocking = false)
           labels = next
           iter += 1
