@@ -177,6 +177,74 @@ object TextAnalysis {
               FROM corpus)
         SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM f GROUP BY fp HAVING COUNT(*) > 1
-        ORDER BY keep_id"""))
+        ORDER BY keep_id""")),
+
+    // ---------------------------------------------------------------- q51
+    // Stratified sampling — training-data curation: a deterministic
+    // per-quality-bucket sample (the "mix N docs per stratum" step of
+    // corpus assembly). The sample key is a fixed multiplicative scramble
+    // of doc_id (Knuth hash mod a prime): pseudo-random order, exactly
+    // replicable by the oracle. Scale shape: rank<=k over a window is
+    // planned as WindowGroupLimit (map-side partial top-k per partition,
+    // asserted in ScaleSpec), so a hot stratum never collects more than
+    // k rows per task before the shuffle.
+    QueryDef(
+      "q51_stratified_sample",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")))
+          .withColumn("sw", expr(
+            """size(filter(toks, t -> t IN ('the', 'a', 'join', 'hash', 'row')))"""))
+          .withColumn("stratum",
+            when(col("n") >= 40 && col("sw") * 1000 / col("n") < 300, "good")
+              .when(col("n") >= 15, "fair").otherwise("poor"))
+          .withColumn("rkey", (col("doc_id") * 2654435761L) % 1000003L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("stratum").orderBy(col("rkey"), col("doc_id"))
+        d.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select(col("stratum"), col("rank"), col("doc_id"),
+            col("n").cast("int").as("n_tokens"))
+          .orderBy("stratum", "rank")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        m AS (SELECT doc_id, len(toks) n,
+                     len(list_filter(toks, x -> x IN ('the', 'a', 'join', 'hash', 'row'))) sw
+              FROM t),
+        st AS (SELECT doc_id, n,
+                 CASE WHEN n >= 40 AND sw * 1000 // n < 300 THEN 'good'
+                      WHEN n >= 15 THEN 'fair' ELSE 'poor' END AS stratum,
+                 (doc_id * 2654435761) % 1000003 AS rkey
+               FROM m)
+        SELECT stratum, rank, doc_id, n_tokens FROM (
+          SELECT stratum, doc_id, CAST(n AS INT) AS n_tokens,
+                 CAST(row_number() OVER (PARTITION BY stratum
+                   ORDER BY rkey, doc_id) AS INT) AS rank
+          FROM st) r
+        WHERE rank <= 20
+        ORDER BY stratum, rank""")),
+
+    // ---------------------------------------------------------------- q52
+    // Corpus vocabulary: global top-100 subtokens by frequency (the
+    // frequency table a tokenizer build starts from). Subtokens explode
+    // to rows, counts partial-aggregate map-side, and the top-k is
+    // TakeOrderedAndProject — each task keeps only its k best, no global
+    // sort of the vocabulary ever materializes.
+    QueryDef(
+      "q52_vocab_topk",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("subtok"))
+          .groupBy("subtok").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("subtok")).limit(100),
+      Some("""
+        SELECT t AS subtok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) t
+              FROM documents)
+        GROUP BY t
+        ORDER BY freq DESC, subtok
+        LIMIT 100"""))
   )
 }

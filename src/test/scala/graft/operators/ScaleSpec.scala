@@ -52,6 +52,16 @@ class ScaleSpec extends AnyFunSuite {
       s"expected partial agg below the exchange:\n$plan")
   }
 
+  test("q51 per-stratum sample plans as WindowGroupLimit (map-side partial top-k)") {
+    val df = SparkEntry.queries("q51_stratified_sample")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // rank<=k must push into the window as a group limit: each task holds
+    // at most k rows per stratum BEFORE the shuffle — without this, a hot
+    // stratum funnels its entire membership through one reducer
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial window group limit:\n$plan")
+  }
+
   test("q44 salted aggregation equals the plain aggregation bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.operators.Exact._
