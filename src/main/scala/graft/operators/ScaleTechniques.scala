@@ -171,5 +171,47 @@ object ScaleTechniques {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag"""))
+,
+
+    // ---------------------------------------------------------------- q53
+    // Approximate quantiles (percentile sketch) next to the exact values —
+    // the other workhorse sketch of 100 TB OLAP. Like q46, the sketch
+    // VALUE is engine-specific (merge order varies), so the oracle checks
+    // the exact per-group quantiles plus the accuracy CONTRACT — stated in
+    // RANK space, which is what a GK-style sketch actually guarantees:
+    // each approximation must lie between the exact (p−0.01) and (p+0.01)
+    // quantiles. At scale the sketch partial-aggregates map-side and
+    // merges per group; the exact percentile exists only for the contract.
+    QueryDef(
+      "q53_approx_quantiles",
+      (s, dir) => {
+        val d = Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            percentile_approx(col("value"),
+              array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("approx"),
+            expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact"),
+            expr("percentile(value, array(0.49, 0.94, 0.98))").as("lo"),
+            expr("percentile(value, array(0.51, 0.96, 1.0))").as("hi"))
+        d.select(
+            col("event_type"),
+            // exact quantiles are deterministic decimals of the fixture;
+            // round to cents so double formatting matches the oracle
+            expr("transform(exact, x -> round(x * 100))").as("exact_cents"),
+            expr("""transform(sequence(1, 3), i ->
+                      element_at(approx, i) >= element_at(lo, i)
+                      AND element_at(approx, i) <= element_at(hi, i))""")
+              .as("within_rank_window"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               [round(quantile_cont(value, 0.5) * 100),
+                round(quantile_cont(value, 0.95) * 100),
+                round(quantile_cont(value, 0.99) * 100)] AS exact_cents,
+               [TRUE, TRUE, TRUE] AS within_rank_window
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
