@@ -77,6 +77,14 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "path/count scans must answer from the driver NLST alone")
   }
 
+  test("partition count defaults to the pool size (one held connection per task)") {
+    val df = read().option("pool.size", "2").load("/data")
+    assert(df.rdd.getNumPartitions == 2,
+      "more tasks than pooled connections would just queue on the pool")
+    val dfExplicit = read().option("pool.size", "2").option("numPartitions", "1").load("/data")
+    assert(dfExplicit.rdd.getNumPartitions == 1)
+  }
+
   test("NLST returning full paths (real-server behavior) still resolves files") {
     val root2 = Files.createTempDirectory("graft-ftpsrc-fp")
     Files.createDirectories(root2.resolve("docs"))
