@@ -25,6 +25,11 @@ final case class MediaMeta(
 /** One sampled "frame": its index, byte offset, and content fingerprint. */
 final case class FrameSample(doc_id: Long, frame_idx: Int, offset: Long, frame_fp: Long)
 
+/** Output of the resize stage: source + fitted dimensions and a content
+  * fingerprint of the scaled result. */
+final case class ResizedMedia(
+    doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int, out_fp: Long)
+
 trait MediaDecoder extends Serializable {
   /** Decode one payload into its metadata. Real implementations wrap an
     * image/audio library; per-partition state (decoder contexts, native
@@ -34,6 +39,10 @@ trait MediaDecoder extends Serializable {
   /** Sample `n` evenly-spaced fixed-width frames from the payload (the
     * video frame-sampling stage; a real implementation seeks keyframes). */
   def frameSample(id: Long, bytes: Array[Byte], n: Int): Seq[FrameSample]
+
+  /** Resize to fit `maxDim` on the longer edge, preserving aspect ratio
+    * (the thumbnail stage of an image-preprocessing pipeline). */
+  def resize(id: Long, bytes: Array[Byte], maxDim: Int): ResizedMedia
 
   def open(): Unit = ()
   def close(): Unit = ()
@@ -60,6 +69,21 @@ final class FakeMediaDecoder extends MediaDecoder {
       width = 16 * (1 + (bytes.length % 40)),
       height = 16 * (1 + (first % 30)),
       n_frames = 1 + bytes.length % 7)
+  }
+
+  /** Aspect-fit with integer arithmetic (floor division), fingerprint =
+    * the 31-polynomial rolling hash over every 4th byte of the first 64
+    * (a decimated "thumbnail" of the payload) — all oracle-replicable. */
+  override def resize(id: Long, bytes: Array[Byte], maxDim: Int): ResizedMedia = {
+    val m = decode(id, bytes)
+    val longEdge = math.max(m.width, m.height)
+    val outW = math.max(1, (m.width.toLong * maxDim / longEdge).toInt)
+    val outH = math.max(1, (m.height.toLong * maxDim / longEdge).toInt)
+    var fp = 0L
+    var i = 0
+    val n = math.min(bytes.length, 64)
+    while (i < n) { fp = (fp * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 4 }
+    ResizedMedia(id, m.width, m.height, outW, outH, fp)
   }
 
   /** Frames are 16-byte windows at offsets i·(len−16)/(n−1); the
@@ -103,6 +127,24 @@ final class ImageIoDecoder extends MediaDecoder {
       width = img.getWidth,
       height = img.getHeight,
       n_frames = 1) // still-image formats: exactly one frame
+  }
+
+  /** REAL aspect-fit resize: nearest-neighbor pixel scaling (chosen over
+    * bilinear because it is exactly deterministic), fingerprinted over the
+    * scaled pixel values row-major with the shared rolling hash. */
+  override def resize(id: Long, bytes: Array[Byte], maxDim: Int): ResizedMedia = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: no javax.imageio reader for this payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val longEdge = math.max(w, h)
+    val outW = math.max(1, (w.toLong * maxDim / longEdge).toInt)
+    val outH = math.max(1, (h.toLong * maxDim / longEdge).toInt)
+    var fp = 0L
+    for (y <- 0 until outH; x <- 0 until outW) {
+      val px = img.getRGB(x * w / outW, y * h / outH) & 0xffffff
+      fp = (fp * 31 + px) % 1000000007L
+    }
+    ResizedMedia(id, w, h, outW, outH, fp)
   }
 
   /** A still image has one frame: offset 0, fingerprinted over the first

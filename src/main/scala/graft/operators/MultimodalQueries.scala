@@ -85,6 +85,43 @@ object MultimodalQueries {
                CAST(MAX(off) AS BIGINT) AS last_offset
         FROM fp
         GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q54
+    // Resize stage (thumbnail fit-to-64): aspect-preserving integer
+    // dimension fit plus a decimated-payload fingerprint, per-partition
+    // through the same decoder seam (ImageIoDecoder does real pixel
+    // scaling behind the identical signature — MultimodalSpec).
+    QueryDef(
+      "q54_multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        val resized = bin.mapPartitions { it =>
+          val dec = new FakeMediaDecoder
+          it.map { case (id, b) => dec.resize(id, b, 64) }
+        }
+        resized.toDF().orderBy("doc_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id, text,
+                 octet_length(CAST(text AS BLOB)) AS len,
+                 16 * (1 + octet_length(CAST(text AS BLOB)) % 40) AS w,
+                 16 * (1 + unicode(text[1]) % 30) AS h
+          FROM documents)
+        SELECT doc_id,
+               CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+               CAST(GREATEST(1, w * 64 // GREATEST(w, h)) AS INT) AS out_w,
+               CAST(GREATEST(1, h * 64 // GREATEST(w, h)) AS INT) AS out_h,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, (LEAST(len, 64) - 1) // 4 + 1),
+                     i -> CAST(unicode(text[CAST(1 + 4 * i AS INT)]) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS out_fp
+        FROM m
         ORDER BY doc_id"""))
   )
 }

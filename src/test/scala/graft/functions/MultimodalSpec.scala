@@ -55,6 +55,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows == Map(1L -> ((20, 12)), 2L -> ((33, 7)), 3L -> ((5, 9))))
   }
 
+  test("ImageIoDecoder resize does a real aspect-preserving pixel scale") {
+    val dec = new ImageIoDecoder()
+    val wide = dec.resize(1L, imageBytes(100, 40, "png"), 64)
+    assert((wide.out_w, wide.out_h) == (64, 25), "100x40 fit to 64 → 64x25")
+    assert((wide.in_w, wide.in_h) == (100, 40))
+    val tall = dec.resize(2L, imageBytes(10, 80, "bmp"), 64)
+    assert((tall.out_w, tall.out_h) == (8, 64), "10x80 fit to 64 → 8x64")
+    // deterministic: same payload, same fingerprint
+    val again = dec.resize(1L, imageBytes(100, 40, "png"), 64)
+    assert(again.out_fp == wide.out_fp)
+    // scaling actually changes the sampled pixels vs a different size
+    val other = dec.resize(1L, imageBytes(100, 40, "png"), 32)
+    assert(other.out_fp != wide.out_fp)
+  }
+
   test("non-image payload fails loudly, naming the doc") {
     val e = intercept[IllegalArgumentException] {
       new ImageIoDecoder().decode(42L, "not an image".getBytes("UTF-8"))
