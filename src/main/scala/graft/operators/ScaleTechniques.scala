@@ -212,6 +212,62 @@ object ScaleTechniques {
                [TRUE, TRUE, TRUE] AS within_rank_window
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q55
+    // Dynamic partition pruning: `events` staged hive-partitioned by
+    // event_type, joined to a tiny filtered dimension on the partition
+    // column. Spark broadcasts the dim and injects its keys as a RUNTIME
+    // partition filter on the fact scan — at 100 TB the scan reads 2 of C
+    // partitions instead of the whole table, without any literal filter
+    // in the query text. ScaleSpec asserts `dynamicpruning` in the plan.
+    QueryDef(
+      "q55_dynamic_partition_pruning",
+      (s, dir) => {
+        import s.implicits._
+        val sf = java.nio.file.Paths.get(dir).getFileName.toString
+        val staged = java.nio.file.Paths.get(
+          s"${System.getProperty("java.io.tmpdir")}/graft_part_events/$sf")
+        val marker = staged.resolve("_STAGED")
+        if (!java.nio.file.Files.exists(marker)) {
+          Tables.events(s, dir)
+            .select(col("event_id"), col("value"), col("event_type"))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(staged.resolve("fact").toString)
+          // the dim must be a real datasource: a literal local relation
+          // gets its filter constant-folded away (ConvertToLocalRelation),
+          // and DPP requires a live selective predicate on the build side
+          Seq(("click", 10L), ("view", 20L), ("purchase", 99L),
+              ("signup", 99L), ("error", 99L))
+            .toDF("event_type", "weight")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(staged.resolve("dim").toString)
+          java.nio.file.Files.write(marker, Array.emptyByteArray)
+        }
+        val fact = s.read.parquet(staged.resolve("fact").toString)
+        // the SELECTIVE dim filter is what DPP turns into a runtime
+        // partition filter on the fact scan
+        val dim = s.read.parquet(staged.resolve("dim").toString)
+          .filter(col("weight") <= 20)
+        fact.join(dim, "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(dec2(col("value"))).cast("double").as("sum_value"),
+            first(col("weight")).as("weight"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH dim0(event_type, weight) AS (VALUES ('click', 10), ('view', 20),
+               ('purchase', 99), ('signup', 99), ('error', 99)),
+        dim AS (SELECT * FROM dim0 WHERE weight <= 20)
+        SELECT e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+               CAST(MIN(d.weight) AS BIGINT) AS weight
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type"""))
   )
 }

@@ -62,6 +62,15 @@ class ScaleSpec extends AnyFunSuite {
       s"expected partial window group limit:\n$plan")
   }
 
+  test("q55 join injects a dynamic partition-pruning filter on the fact scan") {
+    val df = SparkEntry.queries("q55_dynamic_partition_pruning")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the dim's keys must prune fact PARTITIONS at runtime — without
+    // this the scan reads every partition and filters rows post-hoc
+    assert(plan.contains("dynamicpruning"),
+      s"expected runtime partition pruning in:\n$plan")
+  }
+
   test("q44 salted aggregation equals the plain aggregation bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.operators.Exact._
