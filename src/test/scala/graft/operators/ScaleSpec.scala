@@ -71,6 +71,39 @@ class ScaleSpec extends AnyFunSuite {
       s"expected runtime partition pruning in:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (the residual-skew path)") {
+    // isolated session: lowered AQE thresholds must not leak into other
+    // suites' plan assertions (newSession shares the context, not SQLConf)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions._
+    // 90% of rows share one join key — the classic hot key (sf0.1 so the
+    // hot shuffle partition comfortably clears the lowered 16KB threshold)
+    val left = graft.Tables(s, "/root/testdata/sf0.1", "events")
+      .select(col("event_id"), col("props"),
+        when(col("event_id") % 10 < 9, 0L).otherwise(col("event_id") % 97).as("k"))
+      // several mappers feed the join shuffle: AQE splits a skewed reduce
+      // partition along MAPPER ranges, so a single-map-task shuffle (one
+      // small parquet split) is physically unsplittable
+      .repartition(8)
+    val right = s.range(0, 97).select(col("id").as("k"),
+      concat(lit("dim-"), col("id")).as("tag"))
+    val joined = left.join(right, "k")
+    // execute THIS dataframe's own query execution (count() would build a
+    // separate one and leave this plan un-finalized, isFinalPlan=false)
+    assert(joined.collect().nonEmpty)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead skewed") && finalPlan.contains("skew=true"),
+      s"AQE did not split the hot partition:\n$finalPlan")
+  }
+
   test("q44 salted aggregation equals the plain aggregation bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.operators.Exact._
