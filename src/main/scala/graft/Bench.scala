@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   *    whatever the previous query left behind (r02's "q01 regression"
   *    was 11.9 s after the p06 FTP bulk run but 2.1 s in isolation);
   *    min-of-n isolates the repeatable plan cost;
+  *  - r03 note on q41/q26-class deltas: TrackedCaches now releases each
+  *    query's persisted intermediates after its drain, so queries no
+  *    longer ride earlier queries' leaked caches (r02's q41 "3.5 s"
+  *    reused q26's still-cached shingle sets; ~7 s is its honest
+  *    standalone cost, the number a production run would see);
   *  - failures are loud: the query records value -1 and lands in "errors",
   *    never a silently-plausible timing.
   */
