@@ -19,7 +19,7 @@ import java.util.concurrent.atomic.AtomicInteger
   * pool-reuse assertions.
   */
 final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
-    nlstFullPaths: Boolean = false) {
+    nlstFullPaths: Boolean = false, pasvZeroHost: Boolean = false) {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
   val connectionsOpened = new AtomicInteger(0)
@@ -80,7 +80,10 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
             if (data != null) data.close()
             data = new ServerSocket(0)
             val p = data.getLocalPort
-            reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+            // pasvZeroHost mimics NAT'd servers that advertise 0,0,0,0 —
+            // clients must fall back to the control-connection host
+            val hostPart = if (pasvZeroHost) "0,0,0,0" else "127,0,0,1"
+            reply(s"227 Entering Passive Mode ($hostPart,${p / 256},${p % 256})")
           case "PORT" =>
             // active mode: server connects back to the client's listener
             val parts = arg.split(",").map(_.trim.toInt)
