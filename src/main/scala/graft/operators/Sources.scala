@@ -159,6 +159,48 @@ object Sources {
         SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
                substr(text, 1, 4) AS head4
         FROM documents
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q56
+    // graft-ftp WRITE path round-trip: documents uploaded through the
+    // DataSource V2 writer (executor-side STOR to temp names, rename on
+    // task commit) and read back through the same source — both halves of
+    // the connector against one live server. Rows fan out to match the
+    // pool so write parallelism equals connection count.
+    QueryDef(
+      "q56_ftp_dsv2_write_roundtrip",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-q56-ftp")
+        val server = new graft.pipeline.testkit.FakeFtpServer(root)
+        try {
+          val opts = Map(
+            "host" -> "127.0.0.1", "port" -> server.port.toString,
+            "username" -> "u", "password" -> "p", "pool.size" -> "32")
+          Tables(s, dir, "documents")
+            .select(
+              concat(lit("/docs/doc_"), col("doc_id"), lit(".bin")).as("path"),
+              length(col("text")).cast("long").as("length"),
+              col("text").cast("binary").as("content"))
+            .repartition(32)
+            .write.format("graft-ftp").options(opts)
+            .mode("append").save("/docs")
+          val df = s.read.format("graft-ftp").options(opts)
+            .load("/docs")
+            .select(
+              regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+              col("length"),
+              substring(col("content"), 1, 4).cast("string").as("head4"))
+            .orderBy("doc_id")
+          TrackedCaches.track(df.localCheckpoint(eager = true))
+        } finally {
+          graft.pipeline.transfer.FtpPools.closeAll()
+          server.stop()
+        }
+      },
+      Some("""
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+               substr(text, 1, 4) AS head4
+        FROM documents
         ORDER BY doc_id"""))
   )
 }

@@ -9,7 +9,8 @@ import java.util.concurrent.atomic.AtomicInteger
 /** Minimal in-process FTP server (testkit — shipped in main scope so
   * benchmark queries can exercise the real FTP stack without infra), rooted at
   * a sandbox directory. Supports exactly the verbs our client speaks:
-  * USER/PASS/TYPE/PASV/RETR/STOR/CWD/MKD/NOOP/QUIT. Mirrors the role of
+  * USER/PASS/TYPE/PASV/PORT/RETR/STOR/NLST/SIZE/RNFR/RNTO/DELE/CWD/MKD/
+  * NOOP/QUIT. Mirrors the role of
   * the live test FTP host in the reference's integration tier
   * (/root/reference/tests/test_ftp_integration.py:39-207) without
   * external infra.
@@ -54,6 +55,7 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
     var data: ServerSocket = null
     var activeTarget: Option[(String, Int)] = None
     var loggedIn = false
+    var renameFrom: Path = null // pending RNFR target
     // data connection: PASV listener if armed, else PORT connect-back
     def openData(): Socket = activeTarget match {
       case Some((h, p)) => activeTarget = None; new Socket(h, p)
@@ -135,6 +137,25 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
               } finally { d.close(); if (data != null) { data.close(); data = null } }
               reply("226 transfer complete")
             }
+          case "RNFR" =>
+            val f = resolve(cwd, arg)
+            if (Files.exists(f)) { renameFrom = f; reply("350 ready for RNTO") }
+            else reply(s"550 $arg: no such file")
+          case "RNTO" =>
+            if (renameFrom == null) reply("503 RNFR required first")
+            else {
+              val t = resolve(cwd, arg)
+              try {
+                Files.move(renameFrom, t,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                renameFrom = null
+                reply("250 rename ok")
+              } catch { case _: Throwable => reply(s"550 $arg: rename failed") }
+            }
+          case "DELE" =>
+            val f = resolve(cwd, arg)
+            if (Files.deleteIfExists(f)) reply("250 deleted")
+            else reply(s"550 $arg: no such file")
           case "SIZE" =>
             val f = resolve(cwd, arg)
             if (Files.isRegularFile(f)) reply(s"213 ${Files.size(f)}")

@@ -139,6 +139,17 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
       os.toByteArray
     }
 
+  /** Binary STOR straight from memory — the write twin of retrBytes. */
+  def storBytes(bytes: Array[Byte], remotePath: String): Unit =
+    dataConnection(s"STOR $remotePath") { (pre, data) =>
+      if (pre.code >= 400) throw new IOException(s"STOR failed: ${pre.text}")
+      data.getOutputStream.write(bytes)
+      data.getOutputStream.flush()
+      data.shutdownOutput()
+      val fin = readReply()
+      if (!fin.ok) throw new IOException(s"STOR transfer failed: ${fin.text}")
+    }
+
   /** Binary STOR from a local file — ftp.py:152-184. */
   def stor(localPath: Path, remotePath: String): Unit =
     dataConnection(s"STOR $remotePath") { (pre, data) =>
@@ -150,6 +161,20 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
       val fin = readReply()
       if (!fin.ok) throw new IOException(s"STOR transfer failed: ${fin.text}")
     }
+
+  /** RNFR/RNTO rename — the commit step of temp-name uploads. */
+  def rename(from: String, to: String): Unit = {
+    val r1 = cmd(s"RNFR $from")
+    if (r1.code != 350) throw new IOException(s"RNFR failed: ${r1.text}")
+    val r2 = cmd(s"RNTO $to")
+    if (!r2.ok) throw new IOException(s"RNTO failed: ${r2.text}")
+  }
+
+  /** DELE — abort-path cleanup of temp uploads. */
+  def delete(remotePath: String): Unit = {
+    val r = cmd(s"DELE $remotePath")
+    if (!r.ok) throw new IOException(s"DELE failed: ${r.text}")
+  }
 
   /** NLST: list file names in a remote directory (data connection). */
   def nlst(remoteDir: String): Seq[String] =
@@ -219,6 +244,18 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
   /** Download a remote file's bytes without touching local disk. */
   def downloadBytes(remotePath: String): Array[Byte] =
     client.retrBytes(remotePath)
+
+  /** Upload bytes directly (no local staging), creating parent dirs. */
+  def uploadBytes(bytes: Array[Byte], remotePath: String): Unit = {
+    ensureRemoteDir(parentOf(remotePath))
+    client.storBytes(bytes, remotePath)
+  }
+
+  /** Rename a remote file (RNFR/RNTO). */
+  def rename(from: String, to: String): Unit = client.rename(from, to)
+
+  /** Delete a remote file (DELE). */
+  def delete(remotePath: String): Unit = client.delete(remotePath)
 
   override def upload(localPath: String, remotePath: String): Unit = {
     val lp = Paths.get(localPath)

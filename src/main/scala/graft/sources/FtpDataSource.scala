@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,10 +52,13 @@ final class FtpDataSource extends TableProvider with DataSourceRegister {
 }
 
 object FtpDataSource {
+  // nullable: append-mode write resolution rejects nullable input columns
+  // against a non-null table schema, and every realistic producer frame
+  // carries nullable columns
   val Schema: StructType = new StructType()
-    .add("path", StringType, nullable = false)
-    .add("length", LongType, nullable = false)
-    .add("content", BinaryType, nullable = false)
+    .add("path", StringType)
+    .add("length", LongType)
+    .add("content", BinaryType)
 
   private[sources] def serverConfig(o: CaseInsensitiveStringMap): ServerConfig =
     ServerConfig(
@@ -71,12 +75,35 @@ object FtpDataSource {
       throw new IllegalArgumentException("graft-ftp: load(path) is required"))
 }
 
-final class FtpTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+final class FtpTable(options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String =
     s"graft-ftp://${options.get("host")}${FtpDataSource.dir(options)}"
   override def schema(): StructType = FtpDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+  /** Write path: rows of the table schema (path, length, content) are
+    * STOR'd executor-side through the per-executor pool. Each task
+    * uploads to a task-attempt-unique temp name and RENAMEs to the final
+    * path on task commit — speculative or retried attempts either lose
+    * the (idempotent, overwriting) rename race or are DELE'd by abort,
+    * so readers never observe a partially-written file. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+            new FtpWriterFactory(
+              FtpDataSource.serverConfig(options),
+              Option(options.get("pool.size")).map(_.toInt).getOrElse(4),
+              info.schema())
+          // files became visible at task commit (rename); nothing to do
+          override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
@@ -126,6 +153,55 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table with Suppo
         new FtpReaderFactory
     }
 }
+
+/** Per-task FTP writer: STOR each row's content to a task-unique temp
+  * name, RNFR/RNTO to the final path on task commit, DELE temps on abort.
+  * One pooled connection per task, held for the task's lifetime (same
+  * rationale as the read path). */
+final class FtpWriterFactory(
+    cfg: ServerConfig, poolSize: Int, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    require(schema.fieldNames.contains("path") && schema.fieldNames.contains("content"),
+      s"graft-ftp write needs 'path' and 'content' columns, got: ${schema.fieldNames.mkString(",")}")
+    val pathIdx = schema.fieldIndex("path")
+    val contentIdx = schema.fieldIndex("content")
+    new DataWriter[InternalRow] {
+      private val pool =
+        FtpPools(cfg, PipelineConfig("FTP_POOL_SIZE" -> poolSize.toString))
+      private var conn: graft.pipeline.transfer.FtpBackend = _
+      private val staged = scala.collection.mutable.ListBuffer.empty[(String, String)]
+
+      override def write(row: InternalRow): Unit = {
+        if (conn == null) conn = pool.borrow()
+        val path = row.getUTF8String(pathIdx).toString
+        val tmp = s"$path.inprog-$taskId"
+        conn.uploadBytes(row.getBinary(contentIdx), tmp)
+        staged += ((tmp, path))
+      }
+
+      override def commit(): WriterCommitMessage = {
+        // renames are overwriting, so a duplicate (speculative) attempt
+        // converges to the same final bytes instead of corrupting them
+        staged.foreach { case (tmp, fin) => conn.rename(tmp, fin) }
+        staged.clear()
+        FtpWriteCommit
+      }
+
+      override def abort(): Unit = {
+        staged.foreach { case (tmp, _) =>
+          try if (conn != null) conn.delete(tmp)
+          catch { case _: Throwable => () }
+        }
+        staged.clear()
+      }
+
+      override def close(): Unit = if (conn != null) { pool.give(conn); conn = null }
+    }
+  }
+}
+
+case object FtpWriteCommit extends WriterCommitMessage
 
 /** A chunk of remote files; the reader holds one pooled connection for
   * the whole chunk (payloads fetched executor-side). `columns` is the

@@ -105,6 +105,51 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("write path uploads via temp names and renames on commit") {
+    import spark.implicits._
+    val rows = Seq(
+      ("/out/w1.bin", "first payload"),
+      ("/out/w2.bin", "second payload"),
+      ("/out/sub/w3.bin", "nested payload"))
+    val df = rows.toDF("path", "text")
+      .select(col("path"), length(col("text")).cast("long").as("length"),
+        col("text").cast("binary").as("content"))
+    df.write.format("graft-ftp")
+      .option("host", "127.0.0.1").option("port", server.port.toString)
+      .option("username", "u").option("password", "p")
+      .mode("append").save("/out")
+    // final names visible with exact bytes; no .inprog temp files remain
+    for ((p, text) <- rows)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        root.resolve(p.stripPrefix("/"))), "UTF-8") == text)
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.walk(root.resolve("out")).iterator().asScala
+      .filter(f => f.getFileName.toString.contains(".inprog")).toSeq
+    assert(leftovers.isEmpty, s"temp files not cleaned: $leftovers")
+    assert(server.commandCount("RNTO") >= 3, "commit must rename temp uploads")
+    // write → read round-trip through the same source
+    val back = read().load("/out")
+      .select("path", "content")
+      .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+      .toMap
+    assert(back("/out/w1.bin") == "first payload" && back("/out/w2.bin") == "second payload")
+  }
+
+  test("rewriting the same paths converges (idempotent overwriting rename)") {
+    import spark.implicits._
+    def writeOnce(text: String): Unit =
+      Seq(("/idem/a.bin", text)).toDF("path", "text")
+        .select(col("path"), length(col("text")).cast("long").as("length"),
+          col("text").cast("binary").as("content"))
+        .write.format("graft-ftp")
+        .option("host", "127.0.0.1").option("port", server.port.toString)
+        .option("username", "u").option("password", "p")
+        .mode("append").save("/idem")
+    writeOnce("v1"); writeOnce("v2")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      root.resolve("idem/a.bin")), "UTF-8") == "v2")
+  }
+
   test("missing directory fails with a clear error") {
     val e = intercept[Exception](read().load("/nope").collect())
     assert(e.getMessage.contains("Remote dir not found") ||
