@@ -182,6 +182,9 @@ object ScaleTechniques {
     // each approximation must lie between the exact (p−0.01) and (p+0.01)
     // quantiles. At scale the sketch partial-aggregates map-side and
     // merges per group; the exact percentile exists only for the contract.
+    // Output is one ROW per (group, quantile) — scalar columns only: the
+    // correctness harness hash-sorts cell values and array-typed cells
+    // are unhashable on the comparator side (r03 failure mode).
     QueryDef(
       "q53_approx_quantiles",
       (s, dir) => {
@@ -195,24 +198,33 @@ object ScaleTechniques {
             expr("percentile(value, array(0.51, 0.96, 1.0))").as("hi"))
         d.select(
             col("event_type"),
-            // exact quantiles are deterministic decimals of the fixture;
-            // round to cents so double formatting matches the oracle
-            expr("transform(exact, x -> round(x * 100))").as("exact_cents"),
-            expr("""transform(sequence(1, 3), i ->
-                      element_at(approx, i) >= element_at(lo, i)
-                      AND element_at(approx, i) <= element_at(hi, i))""")
-              .as("within_rank_window"))
-          .orderBy("event_type")
+            posexplode(arrays_zip(
+              // exact quantiles are deterministic decimals of the fixture;
+              // round to cents so double formatting matches the oracle
+              expr("transform(exact, x -> CAST(round(x * 100) AS BIGINT))")
+                .as("ec"),
+              expr("""transform(sequence(1, 3), i ->
+                        element_at(approx, i) >= element_at(lo, i)
+                        AND element_at(approx, i) <= element_at(hi, i))""")
+                .as("ok"))))
+          .select(
+            col("event_type"),
+            (col("pos") + 1).cast("long").as("qi"),
+            col("col.ec").as("exact_cents"),
+            col("col.ok").as("within_rank_window"))
+          .orderBy("event_type", "qi")
       },
       Some("""
-        SELECT event_type,
-               [round(quantile_cont(value, 0.5) * 100),
-                round(quantile_cont(value, 0.95) * 100),
-                round(quantile_cont(value, 0.99) * 100)] AS exact_cents,
-               [TRUE, TRUE, TRUE] AS within_rank_window
-        FROM events
-        GROUP BY event_type
-        ORDER BY event_type""")),
+        WITH q AS (
+          SELECT event_type,
+                 [CAST(round(quantile_cont(value, 0.5)  * 100) AS BIGINT),
+                  CAST(round(quantile_cont(value, 0.95) * 100) AS BIGINT),
+                  CAST(round(quantile_cont(value, 0.99) * 100) AS BIGINT)] AS ec
+          FROM events GROUP BY event_type)
+        SELECT event_type, CAST(i AS BIGINT) AS qi,
+               ec[i] AS exact_cents, TRUE AS within_rank_window
+        FROM q, (SELECT UNNEST([1, 2, 3]) AS i) idx
+        ORDER BY event_type, qi""")),
 
     // ---------------------------------------------------------------- q55
     // Dynamic partition pruning: `events` staged hive-partitioned by
