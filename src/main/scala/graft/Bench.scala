@@ -68,11 +68,18 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Keys are shortened to the qNN/sNN/pNN prefix and times rounded to
+    // ms so the whole line stays well inside the driver's 2000-char
+    // output-tail capture — r01–r03 emitted full names and the line got
+    // truncated, leaving the per-query numbers unparseable driver-side.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val errJson = errors.sorted
+      .map(e => "\"" + e.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
