@@ -304,6 +304,13 @@ object Dedup {
           labels = next
           iter += 1
         }
+        // a component with diameter > the iteration cap would exit
+        // un-converged and silently return SPLIT clusters that still look
+        // plausible — that is wrong data, so fail loudly instead
+        if (!converged)
+          throw new IllegalStateException(
+            s"q50 label propagation did not converge after $iter iterations; " +
+            "raise the cap (component diameter exceeds it)")
         labels
           .groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))

@@ -20,7 +20,12 @@ import java.util.concurrent.atomic.AtomicInteger
   * pool-reuse assertions.
   */
 final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
-    nlstFullPaths: Boolean = false, pasvZeroHost: Boolean = false) {
+    nlstFullPaths: Boolean = false, pasvZeroHost: Boolean = false,
+    // RFC 959 leaves RNTO-overwrite server-defined; `true` mimics servers
+    // (IIS, some vsftpd configs) that reply 550 when the target exists
+    rntoRefusesOverwrite: Boolean = false,
+    // SIZE is an RFC 3659 extension; `true` mimics servers without it
+    noSize: Boolean = false) {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
   val connectionsOpened = new AtomicInteger(0)
@@ -145,7 +150,10 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
             if (renameFrom == null) reply("503 RNFR required first")
             else {
               val t = resolve(cwd, arg)
-              try {
+              if (rntoRefusesOverwrite && Files.exists(t)) {
+                renameFrom = null
+                reply(s"550 $arg: file exists")
+              } else try {
                 Files.move(renameFrom, t,
                   java.nio.file.StandardCopyOption.REPLACE_EXISTING)
                 renameFrom = null
@@ -158,7 +166,8 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
             else reply(s"550 $arg: no such file")
           case "SIZE" =>
             val f = resolve(cwd, arg)
-            if (Files.isRegularFile(f)) reply(s"213 ${Files.size(f)}")
+            if (noSize) reply("502 SIZE not implemented")
+            else if (Files.isRegularFile(f)) reply(s"213 ${Files.size(f)}")
             else reply(s"550 $arg: no such file")
           case "CWD" =>
             val t = resolve(cwd, arg)

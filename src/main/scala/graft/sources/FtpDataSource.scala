@@ -138,8 +138,12 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
         // holds ONE pooled connection for all its files (borrow-per-file
         // throttled throughput 5× on the bulk bench)
         // NLST may return bare names or full paths depending on the
-        // server — keep only the basename before re-joining with the dir
+        // server — keep only the basename before re-joining with the dir.
+        // In-progress temps from a concurrent/crashed writer are not data:
+        // NLST has no filter verb, so drop the write path's temp-name
+        // pattern here rather than surface truncated duplicates
         val paths = names.map(n => n.substring(n.lastIndexOf('/') + 1))
+          .filterNot(_.matches(""".*\.inprog-\d+$"""))
           .sorted.map(n => s"$d/$n")
         paths.zipWithIndex.groupBy(_._2 % math.max(1, math.min(nParts, paths.size)))
           .toSeq.sortBy(_._1)
@@ -173,17 +177,41 @@ final class FtpWriterFactory(
       private val staged = scala.collection.mutable.ListBuffer.empty[(String, String)]
 
       override def write(row: InternalRow): Unit = {
-        if (conn == null) conn = pool.borrow()
+        // the table schema is nullable (append resolution), so guard here
+        // with a named-column error instead of an opaque task NPE
+        if (row.isNullAt(pathIdx))
+          throw new IllegalArgumentException(
+            "graft-ftp write: column 'path' is null; every row must name its destination")
         val path = row.getUTF8String(pathIdx).toString
+        if (row.isNullAt(contentIdx))
+          throw new IllegalArgumentException(
+            s"graft-ftp write: column 'content' is null for path '$path'")
+        if (conn == null) conn = pool.borrow()
         val tmp = s"$path.inprog-$taskId"
-        conn.uploadBytes(row.getBinary(contentIdx), tmp)
+        // record the temp BEFORE the upload: a STOR that dies mid-transfer
+        // must still be DELE'd by abort(), or the orphaned partial temp
+        // would be listed as a data file by later directory reads
         staged += ((tmp, path))
+        conn.uploadBytes(row.getBinary(contentIdx), tmp)
       }
 
       override def commit(): WriterCommitMessage = {
-        // renames are overwriting, so a duplicate (speculative) attempt
-        // converges to the same final bytes instead of corrupting them
-        staged.foreach { case (tmp, fin) => conn.rename(tmp, fin) }
+        // Per-file commit: RNTO overwrite semantics are server-defined
+        // (RFC 959 allows 550 when the target exists), so on a rename
+        // failure DELE the target and retry once — that makes rewrites
+        // and speculative-attempt convergence work on replace-refusing
+        // servers too. Job-level commit is per-file, not atomic: an
+        // exception partway leaves earlier files committed and later
+        // temps for abort() to clean (documented in README).
+        staged.foreach { case (tmp, fin) =>
+          try conn.rename(tmp, fin)
+          catch {
+            case _: java.io.IOException =>
+              try conn.delete(fin)
+              catch { case _: java.io.IOException => () } // target may not exist
+              conn.rename(tmp, fin)
+          }
+        }
         staged.clear()
         FtpWriteCommit
       }
@@ -235,9 +263,17 @@ final class FtpReaderFactory extends PartitionReaderFactory {
             val bytes = conn.downloadBytes(path)
             Map("path" -> UTF8String.fromString(path),
               "length" -> bytes.length.toLong, "content" -> bytes)
-          } else if (needLength)
-            Map("path" -> UTF8String.fromString(path), "length" -> conn.size(path))
-          else Map("path" -> (UTF8String.fromString(path): Any))
+          } else if (needLength) {
+            // SIZE is an extension (RFC 3659); a server without it makes
+            // size() return -1. Fall back to RETR so `length` is the same
+            // value a content-bearing scan would report — results must not
+            // depend on the projection
+            val sz = conn.size(path) match {
+              case n if n >= 0 => n
+              case _           => conn.downloadBytes(path).length.toLong
+            }
+            Map("path" -> UTF8String.fromString(path), "length" -> sz)
+          } else Map("path" -> (UTF8String.fromString(path): Any))
         row = new GenericInternalRow(p.columns.map(cell).toArray)
         true
       }

@@ -150,6 +150,98 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       root.resolve("idem/a.bin")), "UTF-8") == "v2")
   }
 
+  test("rewrites converge on servers whose RNTO refuses to overwrite") {
+    // RFC 959 leaves RNTO-overwrite server-defined; the commit path must
+    // DELE the target and retry when the server replies 550
+    val root2 = Files.createTempDirectory("graft-ftpsrc-rnto")
+    Files.createDirectories(root2.resolve("idem"))
+    val refusing = new FakeFtpServer(root2, rntoRefusesOverwrite = true)
+    try {
+      import spark.implicits._
+      def writeOnce(text: String): Unit =
+        Seq(("/idem/a.bin", text)).toDF("path", "text")
+          .select(col("path"), length(col("text")).cast("long").as("length"),
+            col("text").cast("binary").as("content"))
+          .write.format("graft-ftp")
+          .option("host", "127.0.0.1").option("port", refusing.port.toString)
+          .option("username", "u").option("password", "p")
+          .mode("append").save("/idem")
+      writeOnce("v1"); writeOnce("v2")
+      assert(new String(Files.readAllBytes(root2.resolve("idem/a.bin")), "UTF-8") == "v2")
+      assert(refusing.commandCount("DELE") >= 1,
+        "the second write must clear the existing target before retrying RNTO")
+    } finally { FtpPools.closeAll(); refusing.stop() }
+  }
+
+  test("length-only scan falls back to RETR when the server lacks SIZE") {
+    // length must not silently become -1 on SIZE-less servers — results
+    // would then depend on the projection
+    val root2 = Files.createTempDirectory("graft-ftpsrc-nosize")
+    Files.createDirectories(root2.resolve("data"))
+    Files.write(root2.resolve("data/a.bin"), "alpha".getBytes)
+    val sizeless = new FakeFtpServer(root2, noSize = true)
+    try {
+      val rows = spark.read.format("graft-ftp")
+        .option("host", "127.0.0.1").option("port", sizeless.port.toString)
+        .option("username", "u").option("password", "p")
+        .load("/data").select("path", "length")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("/data/a.bin", 5L)))
+      assert(sizeless.commandCount("RETR") >= 1,
+        "the real length must come from a RETR fallback")
+    } finally { FtpPools.closeAll(); sizeless.stop() }
+  }
+
+  test("read listing ignores another writer's in-progress temp files") {
+    Files.createDirectories(root.resolve("mixed"))
+    Files.write(root.resolve("mixed/real.bin"), "real".getBytes)
+    Files.write(root.resolve("mixed/real.bin.inprog-42"), "par".getBytes)
+    val paths = read().load("/mixed").select("path").collect().map(_.getString(0))
+    assert(paths.toSeq == Seq("/mixed/real.bin"),
+      "*.inprog-* temps are uncommitted write intermediates, not data")
+  }
+
+  test("null path or content rows fail with a descriptive column error") {
+    import spark.implicits._
+    val df = Seq(("/nul/a.bin", Option("ok")), ("/nul/b.bin", Option.empty[String]))
+      .toDF("path", "text")
+      .select(col("path"), lit(2L).as("length"), col("text").cast("binary").as("content"))
+    Files.createDirectories(root.resolve("nul"))
+    val e = intercept[Exception] {
+      df.write.format("graft-ftp")
+        .option("host", "127.0.0.1").option("port", server.port.toString)
+        .option("username", "u").option("password", "p")
+        .mode("append").save("/nul")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("column 'content' is null")),
+      s"error must name the offending column, got: ${msgs(e)}")
+  }
+
+  test("a failed task DELEs already-staged temps (no orphans for readers)") {
+    import spark.implicits._
+    // second row fails validation after the first row staged its temp;
+    // abort must leave the directory temp-free
+    Files.createDirectories(root.resolve("half"))
+    val df = Seq(
+      ("/half/ok.bin", Option("fine")),
+      ("/half/bad.bin", Option.empty[String])).toDF("path", "text")
+      .select(col("path"), lit(4L).as("length"),
+        col("text").cast("binary").as("content"))
+      .coalesce(1) // one task: both rows share a writer, in Seq order
+    intercept[Exception] {
+      df.write.format("graft-ftp")
+        .option("host", "127.0.0.1").option("port", server.port.toString)
+        .option("username", "u").option("password", "p")
+        .mode("append").save("/half")
+    }
+    import scala.jdk.CollectionConverters._
+    val leftovers = Files.list(root.resolve("half")).iterator().asScala
+      .filter(_.getFileName.toString.contains(".inprog")).toSeq
+    assert(leftovers.isEmpty, s"aborted task left temps: $leftovers")
+  }
+
   test("missing directory fails with a clear error") {
     val e = intercept[Exception](read().load("/nope").collect())
     assert(e.getMessage.contains("Remote dir not found") ||
