@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Change-data-capture primitives: snapshot diff and SCD1 merge/upsert —
+  * the operators an incremental 100 TB pipeline runs between full loads.
+  * Vanilla Spark has no MERGE INTO (that's a table-format feature), so
+  * both are expressed as single full-outer equi-joins on the key: one
+  * shuffle each, AQE-skew-handled, no driver-side row movement.
+  */
+object Cdc {
+
+  /** Classify `newDf` against `oldDf` by `key`: one output row per key
+    * with change_type ∈ insert | delete | update | unchanged. Presence is
+    * tracked with marker booleans (not null-ness of data columns), so
+    * legitimately-null values classify correctly; value comparison is
+    * null-safe (<=>). */
+  def diff(oldDf: DataFrame, newDf: DataFrame,
+      key: Seq[String], compare: Seq[String]): DataFrame = {
+    val o = oldDf.select(
+      key.map(col) ++ compare.map(c => col(c).as(s"old_$c"))
+        :+ lit(true).as("old_present"): _*)
+    val n = newDf.select(
+      key.map(col) ++ compare.map(c => col(c).as(s"new_$c"))
+        :+ lit(true).as("new_present"): _*)
+    val changed = compare
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, key, "full_outer")
+      .withColumn("change_type",
+        when(col("old_present").isNull, "insert")
+          .when(col("new_present").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+  }
+
+  /** SCD1 upsert: source rows win on key collision, target rows survive
+    * otherwise, source-only keys insert. Presence markers (not value
+    * null-ness) select the side, so null source values overwrite. */
+  def upsert(target: DataFrame, source: DataFrame, key: Seq[String]): DataFrame = {
+    val others = target.columns.filterNot(key.contains).toSeq
+    require(source.columns.sorted.sameElements(target.columns.sorted),
+      s"upsert schemas differ: target=${target.columns.mkString(",")} " +
+        s"source=${source.columns.mkString(",")}")
+    val s2 = source.select(
+      key.map(col) ++ others.map(c => col(c).as(s"src_$c"))
+        :+ lit(true).as("src_present"): _*)
+    target.join(s2, key, "full_outer")
+      .select(key.map(col) ++ others.map(c =>
+        when(col("src_present"), col(s"src_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** The fixture "new snapshot" for q59: drop keys ≡0 (mod 10) (deletes),
+    * bump price 10% on keys ≡0 (mod 7) (updates); the "old snapshot"
+    * drops keys ≡3 (mod 10), so those appear as inserts. All arithmetic
+    * is exact decimal so both engines derive identical doubles. */
+  private def snapshots(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val orders = Tables(s, dir, "orders")
+    val old = orders.filter(col("o_orderkey") % 10 =!= 3)
+    val neu = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0,
+          (Exact.dec2(col("o_totalprice"))
+            * lit(java.math.BigDecimal.valueOf(110, 2))).cast("double"))
+          .otherwise(col("o_totalprice")))
+    (old, neu)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q59
+    // Snapshot CDC diff: classify the new orders snapshot against the old
+    // one and roll up counts + exact value totals per change type. One
+    // full-outer shuffle join on the key — the plan you'd run at 100 TB
+    // (both sides hash-partition by o_orderkey; no broadcast since both
+    // snapshots scale with the fact table).
+    QueryDef(
+      "q59_cdc_snapshot_diff",
+      (s, dir) => {
+        val (old, neu) = snapshots(s, dir)
+        diff(old, neu, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+          .groupBy("change_type")
+          .agg(
+            count(lit(1)).as("n"),
+            // DECIMAL(14,4), not (12,2): bumped prices are exact
+            // 4-decimal values whose doubles round back identically at
+            // 4dp in both engines — a 2dp recast would tie-break
+            // differently (Spark half-up via shortest-repr, DuckDB
+            // round-binary)
+            sum(coalesce(col("new_o_totalprice"), col("old_o_totalprice"))
+              .cast("decimal(14,4)")).cast("double").as("total_value"))
+          .orderBy("change_type")
+      },
+      Some("""
+        WITH old AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          WHERE o_orderkey % 10 <> 3),
+        neu AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 10 <> 0),
+        d AS (
+          SELECT COALESCE(old.o_orderkey, neu.o_orderkey) AS k,
+                 CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                      WHEN neu.o_orderkey IS NULL THEN 'delete'
+                      WHEN old.o_totalprice IS DISTINCT FROM neu.o_totalprice
+                           OR old.o_orderstatus IS DISTINCT FROM neu.o_orderstatus
+                        THEN 'update'
+                      ELSE 'unchanged' END AS change_type,
+                 COALESCE(neu.o_totalprice, old.o_totalprice) AS v
+          FROM old FULL OUTER JOIN neu USING (o_orderkey))
+        SELECT change_type, COUNT(*) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM d
+        GROUP BY change_type
+        ORDER BY change_type""")),
+
+    // ---------------------------------------------------------------- q60
+    // SCD1 merge/upsert: apply a change set (keys ≡0 mod 5: status→'X',
+    // price +5% exact) onto the pre-1996 order snapshot and aggregate the
+    // merged table. Source rows not in the target insert; collisions take
+    // the source row. Same single-shuffle full-outer shape as q59.
+    QueryDef(
+      "q60_merge_upsert",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val target = orders.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        val source = orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_totalprice",
+            (Exact.dec2(col("o_totalprice"))
+              * lit(java.math.BigDecimal.valueOf(105, 2))).cast("double"))
+        upsert(target, source, Seq("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            // 4dp for the same reason as q59: bumped prices carry 4
+            // exact decimals through their double representation
+            sum(col("o_totalprice").cast("decimal(14,4)"))
+              .cast("double").as("total_value"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        WITH target AS (
+          SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        source AS (
+          SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE)
+                   AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 5 = 0),
+        merged AS (
+          SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                      ELSE t.o_orderstatus END AS o_orderstatus,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                      ELSE t.o_totalprice END AS o_totalprice
+          FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""))
+  )
+}

@@ -201,6 +201,40 @@ object Sources {
         SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
                substr(text, 1, 4) AS head4
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q61
+    // ORC scan: lineitem → ORC (Spark's built-in columnar alternative;
+    // zlib by default) → aggregate. Same round-trip contract as
+    // q36-q38: the oracle computes from the original parquet, so what's
+    // checked is that the ORC write+read preserves values exactly. ORC
+    // scans support predicate pushdown and column pruning like parquet —
+    // the read projects 3 of 4 staged columns and PlanAudit can assert
+    // the pruned ReadSchema.
+    QueryDef(
+      "q61_orc_scan",
+      (s, dir) => {
+        val out = stagingDir("orc", dir)
+        if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
+          Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_returnflag"),
+              col("l_quantity"), col("l_extendedprice"))
+            .write.mode("overwrite").orc(out)
+        }
+        s.read.orc(out)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }

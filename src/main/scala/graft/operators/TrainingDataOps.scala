@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators beyond the dedup/similarity families:
+  * PII redaction, TF-IDF term weighting, and Gopher-style repetition
+  * quality (duplicate n-gram fraction) — the text-pipeline stages a
+  * 100 TB pre-training corpus runs between ingest and dedup.
+  *
+  * Determinism contract (correctness gate): counts and rankings are pure
+  * integer arithmetic. The one transcendental (TF-IDF's ln) is quantized
+  * to integer micro-units BEFORE it participates in ranking, so a 1-ulp
+  * libm difference between engines can never flip an ordering.
+  *
+  * 100 TB scale: every operator is a narrow projection or an equi-key
+  * shuffle (term / n-gram / doc_id); regex work happens inside
+  * whole-stage codegen (built-in regexp functions, no UDFs), and the
+  * top-k per document uses a rank window that Spark executes as a
+  * partial WindowGroupLimit before the shuffle (same plan shape as q51).
+  */
+object TrainingDataOps {
+
+  /** Conservative PII patterns, expressible identically in Java regex
+    * (Spark, codegen'd) and RE2 (DuckDB oracle): no backrefs, no
+    * lookarounds. */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Redact emails, US phone numbers, and SSN-shaped ids from a text
+    * column. SSNs are replaced before phones: the patterns are disjoint
+    * (3-2-4 vs 3-3-4 digit groups) but a fixed order keeps the
+    * composition deterministic by construction. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, ssnRe, "[SSN]"),
+        phoneRe, "[PHONE]"),
+      emailRe, "[EMAIL]")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q57
+    // PII redaction over documents. The fixture corpus carries no natural
+    // PII, so the query first augments each doc with deterministic
+    // doc_id-derived contact strings (a transformation of fixture data,
+    // replicated verbatim in the oracle) — the regexes then have real
+    // matches to find and the redacted lengths real deltas to pin.
+    QueryDef(
+      "q57_pii_redaction",
+      (s, dir) => {
+        val aug = Tables(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 3 =!= 0,
+              concat(lit(" contact u"), col("doc_id"), lit("@ex"),
+                col("doc_id") % 7, lit(".com"))).otherwise(""),
+            when(col("doc_id") % 4 =!= 1,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+                lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+              .otherwise(""),
+            when(col("doc_id") % 5 === 2, " ssn 123-45-6789").otherwise(""))
+            .as("text"))
+        aug.select(
+            col("doc_id"),
+            regexp_count(col("text"), lit(emailRe)).as("n_email"),
+            regexp_count(col("text"), lit(phoneRe)).as("n_phone"),
+            regexp_count(col("text"), lit(ssnRe)).as("n_ssn"),
+            length(col("text")).as("len_before"),
+            length(redactPii(col("text"))).as("len_after"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 3 <> 0
+                      THEN ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 4 <> 1
+                      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                           '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 2 THEN ' ssn 123-45-6789' ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+               CAST(length(text) AS INT) AS len_before,
+               CAST(length(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                     '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g')) AS INT) AS len_after
+        FROM aug
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q58
+    // TF-IDF top-3 terms per document. idf is quantized to integer
+    // micro-units (round(ln(N/df)·1e6)) before scoring, so the ranking is
+    // pure BIGINT arithmetic — a 1-ulp ln() difference between engines
+    // would need to land exactly on a .5·1e-6 boundary to matter, and can
+    // never flip the order of two DIFFERENT (tf, df) pairs the way raw
+    // double scores can (2·ln(10) vs ln(100) are equal in ℝ but not in
+    // floating point). Ties break on term ascending.
+    //
+    // Plan: tf is one (doc_id, term) hash aggregate with map-side
+    // partials; df reuses tf (no second corpus scan); the join is an
+    // equi-shuffle on term; top-3 is a rank window with group-limit
+    // pushdown. N (corpus size) is a driver-side scalar — at 100 TB it
+    // comes from table metadata, never a collect of rows.
+    QueryDef(
+      "q58_tfidf_topk",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+        val scored = tf.join(dfreq, "term")
+          .withColumn("idf_micro",
+            expr(s"CAST(round(ln(CAST($nDocs AS DOUBLE) / dfreq) * 1000000) AS BIGINT)"))
+          .withColumn("score", col("tf") * col("idf_micro"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"),
+            col("tf"), col("dfreq"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks
+          WHERE length(term) > 0 GROUP BY doc_id, term),
+        d AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, d.dfreq,
+                 tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / d.dfreq) * 1000000) AS BIGINT)
+                   AS score
+          FROM tf JOIN d USING (term) CROSS JOIN n),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER
+                   (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, dfreq, score
+        FROM r WHERE rk <= 3
+        ORDER BY doc_id, rk""")),
+
+    // ---------------------------------------------------------------- q63
+    // Repetition quality: duplicate-3-gram fraction per document (the
+    // Gopher/RefinedWeb "repetitive content" filter signal). Grams are
+    // built with lead() windows over exploded tokens — fully codegen'd,
+    // no interpreted higher-order lambdas (the r2 lesson) — and the
+    // fraction is an integer per-mille, not a float ratio.
+    // Scale: the window partitions by doc_id (documents parallelize
+    // across executors); gram counting is one hash aggregate whose key
+    // (doc_id, gram) is already co-partitioned with the per-doc rollup
+    // that follows, so the second aggregate reuses the first's shuffle.
+    QueryDef(
+      "q63_dup_ngram_fraction",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val wspec = Window.partitionBy("doc_id").orderBy("pos")
+        val grams = words
+          .select(col("doc_id"),
+            concat_ws(" ", col("w"),
+              lead("w", 1).over(wspec), lead("w", 2).over(wspec)).as("g"),
+            lead("w", 2).over(wspec).isNotNull.as("complete"))
+          .filter(col("complete"))
+        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("total_grams"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_grams"))
+          .withColumn("dup_permille",
+            expr("dup_grams * 1000 div total_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+          FROM words),
+        counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS total_grams,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_grams,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000
+                 // CAST(SUM(c) AS BIGINT) AS dup_permille
+        FROM counts
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
+  )
+}

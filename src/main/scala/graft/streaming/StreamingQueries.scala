@@ -281,6 +281,38 @@ object StreamingQueries {
           ON p.event_type = 'purchase' AND v.event_type = 'view'
          AND p.user_id = v.user_id
          AND v.us <= p.us AND v.us >= p.us - 3600000000
-        ORDER BY purchase_id, view_id"""))
+        ORDER BY purchase_id, view_id""")),
+
+    // ---------------------------------------------------------------- s05
+    // Stream-static enrichment join — the streaming twin of the config
+    // lookup (SURVEY §2.3/J1) generalized to a real dimension: the event
+    // stream joins the static `customer` dim and aggregates per tumbling
+    // window × market segment. The static side is broadcast per
+    // micro-batch (stateless — no join state to watermark, unlike s04);
+    // at 100 TB the dimension refreshes by re-resolving the batch
+    // DataFrame each micro-batch while the stream side never re-scans.
+    QueryDef(
+      "s05_stream_static_enrich",
+      (s, dir) => {
+        val cust = graft.Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val agg = eventsStream(s, dir)
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .withWatermark("ts_t", "1 hour")
+          .groupBy(window(col("ts_t"), "1 hour"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
+        drain(s, OutputMode.Complete())(agg)
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("c_mktsegment"), col("n_events"), col("sum_value"))
+          .orderBy("ws_us", "c_mktsegment")
+      },
+      Some("""
+        SELECT epoch_us(date_trunc('hour', CAST(e.ts AS TIMESTAMP))) AS ws_us,
+               c.c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+        ORDER BY ws_us, c_mktsegment"""))
   )
 }

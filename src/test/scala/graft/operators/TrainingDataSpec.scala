@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Unit tier for the r4 training-data / CDC / compaction operators —
+  * semantics the per-query oracle aggregates don't isolate. */
+class TrainingDataSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("redactPii replaces emails, phones, and SSNs without touching the rest") {
+    import spark.implicits._
+    val out = Seq("mail a.b@x.co, call 555-123-4567, ssn 987-65-4321, keep 12-34")
+      .toDF("t").select(TrainingDataOps.redactPii(col("t"))).head().getString(0)
+    assert(out == "mail [EMAIL], call [PHONE], ssn [SSN], keep 12-34")
+  }
+
+  test("redactPii leaves PII-free text byte-identical") {
+    import spark.implicits._
+    val in = "plain words 123-45 and x@y (no tld) survive"
+    val out = Seq(in).toDF("t")
+      .select(TrainingDataOps.redactPii(col("t"))).head().getString(0)
+    assert(out == in)
+  }
+
+  test("Cdc.diff classifies insert/delete/update/unchanged with null-safe compare") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]))
+      .toDF("k", "v")
+    val neu = Seq((2L, Option("B")), (3L, Option.empty[String]), (4L, Option("d")))
+      .toDF("k", "v")
+    val got = Cdc.diff(old, neu, Seq("k"), Seq("v"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "delete", 2L -> "update", 3L -> "unchanged", 4L -> "insert"),
+      s"got $got — null==null must classify unchanged, not update")
+  }
+
+  test("Cdc.upsert: source wins collisions, including legitimate null overwrites") {
+    import spark.implicits._
+    val target = Seq((1L, Option("t1")), (2L, Option("t2"))).toDF("k", "v")
+    val source = Seq((2L, Option.empty[String]), (3L, Option("s3"))).toDF("k", "v")
+    val got = Cdc.upsert(target, source, Seq("k"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("t1"), 2L -> None, 3L -> Some("s3")),
+      s"got $got — a null SOURCE value must overwrite (presence marker, not coalesce)")
+  }
+
+  test("Compaction.compact reduces file count and preserves every row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-spec")
+    val in = s"$tmp/in"
+    val out = s"$tmp/out"
+    val src = graft.Tables(spark, dir, "events")
+    src.repartition(16).write.mode("overwrite").parquet(in)
+    val (nIn, nOut) = Compaction.compact(spark, in, out, 64L * 1024 * 1024)
+    assert(nIn == 16 && nOut < nIn, s"expected compaction, got $nIn -> $nOut")
+    assert(spark.read.parquet(out).count() == src.count())
+  }
+
+  test("q58 ranking is pure integer arithmetic (no raw-double ordering)") {
+    // the scored frame's ordering columns must be integral — a double
+    // score would reintroduce the cross-engine ln() tie-break hazard
+    val df = SparkEntry.queries("q58_tfidf_topk")(spark, dir)
+    val fields = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(fields("score") == "long" && fields("tf") == "long"
+      && fields("dfreq") == "long", s"got $fields")
+  }
+
+  test("q63 dup-ngram fraction brackets: permille in [0, 1000]") {
+    val rows = SparkEntry.queries("q63_dup_ngram_fraction")(spark, dir)
+      .select("dup_permille").collect().map(_.getLong(0))
+    assert(rows.nonEmpty && rows.forall(p => p >= 0 && p <= 1000))
+  }
+}
