@@ -249,6 +249,53 @@ object Similarity {
         SELECT p.orig_id, p.pert_id, ${duckCosine("b.e", "p.pe")} AS sim
         FROM pert p JOIN base b ON p.orig_id = b.vec_id
         WHERE ${duckCosine("b.e", "p.pe")} >= 0.8
-        ORDER BY orig_id"""))
+        ORDER BY orig_id""")),
+
+    // ---------------------------------------------------------------- q64
+    // K-means clustering of the embedding corpus, surfaced as an operator
+    // in its own right (q29 uses the same trained codebook internally as
+    // an ANN index). Train on the 10% sample (2 deterministic Lloyd
+    // iterations, vectors 0..7 init), then one broadcast assignment pass
+    // over the full corpus; output per-cluster membership stats (pure
+    // integers — no float aggregates to disagree on).
+    // 100 TB shape: training touches only the sample; assignment is a
+    // narrow map with the k×d codebook broadcast; the final rollup
+    // shuffles one (bucket, vec_id) pair per vector.
+    QueryDef(
+      "q64_kmeans_clusters",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val init = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+        val train = base.filter(col("vec_id") % 10 === 0)
+        val cent = TrackedCaches.track(
+          lloyd(train, lloyd(train, init)).localCheckpoint(eager = true))
+        base.join(broadcast(cent), lit(true))
+          .groupBy("vec_id")
+          .agg(max_by(col("cent_id"),
+            struct(cosine(col("e"), col("ce")), -col("cent_id"))).as("cluster_id"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        init AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 8),
+        train AS (SELECT vec_id, e FROM base WHERE vec_id % 10 = 0),
+        ${duckLloyd("train", "init", 1)},
+        ${duckLloyd("train", "cent1", 2)},
+        cent AS (SELECT cent_id, ce FROM cent2),
+        assigned AS (
+          SELECT vec_id, cent_id AS cluster_id FROM (
+            SELECT b.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${duckCosine("b.e", "c.ce")} DESC, c.cent_id) AS arnk
+            FROM base b CROSS JOIN cent c) x WHERE arnk = 1)
+        SELECT cluster_id, COUNT(*) AS n_vecs,
+               MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        FROM assigned
+        GROUP BY cluster_id
+        ORDER BY cluster_id"""))
   )
 }

@@ -144,25 +144,25 @@ object TextAnalysis {
     // output is the duplicate-fingerprint groups.
     QueryDef(
       "q34_doc_fingerprint",
-      (s, dir) =>
+      (s, dir) => {
+        // native codegen'd rolling hash (graft.plans.PolyHash) — the
+        // aggregate(split(text,''), ...) HOF formulation it replaces was
+        // interpreted per character (CodegenFallback) and materialized a
+        // one-char-per-element array per doc; the expression walks code
+        // points in one generated loop inside whole-stage codegen
+        graft.plans.GraftFunctions.register(s)
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"))
           .unionByName(
             Tables(s, dir, "documents").filter(col("doc_id") % 5 === 0)
               .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-          // split-to-chars once, then fold: substr(text, i, 1) inside the
-          // lambda would rescan the string per character (O(len²) on the
-          // interpreted higher-order path).
-          .withColumn("fp", expr(
-            """aggregate(
-                 split(text, ''),
-                 cast(0 AS BIGINT),
-                 (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""))
+          .withColumn("fp", call_function("graft_polyhash", col("text")))
           .groupBy("fp")
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
           .filter(col("n_copies") > 1)
           .select("fp", "keep_id", "n_copies")
-          .orderBy("keep_id"),
+          .orderBy("keep_id")
+      },
       Some("""
         WITH corpus AS (
           SELECT doc_id, text FROM documents

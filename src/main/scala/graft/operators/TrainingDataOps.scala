@@ -207,6 +207,65 @@ object TrainingDataOps {
                  // CAST(SUM(c) AS BIGINT) AS dup_permille
         FROM counts
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q65
+    // Incremental ingest: the production dedup pattern — a NEW batch is
+    // admitted against the EXISTING corpus, never corpus-vs-corpus. The
+    // batch (derived deterministically from fixture docs: exact re-crawls,
+    // updated revisions, truncated fragments) is classified
+    // dup_exact → too_short → admitted, in that precedence.
+    // Scale shape: membership is an equi-join on the 32-byte sha2 digest
+    // (text never shuffles; the corpus side is a digest projection), the
+    // same key discipline as q25 — NOT a broadcast, since the corpus
+    // digest set scales with the corpus.
+    QueryDef(
+      "q65_incremental_ingest_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val incoming =
+          docs.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+            .unionByName(docs.filter(col("doc_id") % 7 === 0)
+              .select((col("doc_id") + 300000).as("doc_id"),
+                concat(col("text"), lit(" updated v2")).as("text")))
+            .unionByName(docs.filter(col("doc_id") % 11 === 0)
+              .select((col("doc_id") + 400000).as("doc_id"),
+                substring(col("text"), 1, 30).as("text")))
+        val corpusHashes = docs
+          .select(sha2(col("text"), 256).as("h")).distinct()
+          .withColumn("in_corpus", lit(true))
+        incoming
+          .withColumn("h", sha2(col("text"), 256))
+          .join(corpusHashes, Seq("h"), "left")
+          .withColumn("reason",
+            when(col("in_corpus"), "dup_exact")
+              .when(length(col("text")) < 50, "too_short")
+              .otherwise("admitted"))
+          .groupBy("reason")
+          .agg(count(lit(1)).as("n"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("reason")
+      },
+      // the oracle states membership over text directly — SHA-256 is the
+      // engine's shuffle-key mechanism, not part of the semantics
+      Some("""
+        WITH incoming AS (
+          SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 300000, text || ' updated v2' FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 400000, substr(text, 1, 30) FROM documents WHERE doc_id % 11 = 0),
+        marked AS (
+          SELECT doc_id,
+                 CASE WHEN text IN (SELECT text FROM documents) THEN 'dup_exact'
+                      WHEN length(text) < 50 THEN 'too_short'
+                      ELSE 'admitted' END AS reason
+          FROM incoming)
+        SELECT reason, COUNT(*) AS n,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM marked
+        GROUP BY reason
+        ORDER BY reason"""))
   )
 }

@@ -97,15 +97,29 @@ object GraftFunctions {
       s"graft_cosine expects 2 arguments, got ${other.length}")
   }
 
-  def register(spark: SparkSession): Unit =
+  val polyHashBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => PolyHash(s)
+    case other => throw new IllegalArgumentException(
+      s"graft_polyhash expects 1 argument, got ${other.length}")
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_polyhash", polyHashBuilder, "built-in")
+  }
 }
 
 final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       GraftFunctions.cosineBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      GraftFunctions.polyHashBuilder))
+  }
 }
