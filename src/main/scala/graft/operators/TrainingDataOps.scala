@@ -266,6 +266,75 @@ object TrainingDataOps {
                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         FROM marked
         GROUP BY reason
-        ORDER BY reason"""))
+        ORDER BY reason""")),
+
+    // ---------------------------------------------------------------- q66
+    // Benchmark decontamination: the test-set-leakage check every
+    // pre-training pipeline runs before release — for each benchmark
+    // item, what fraction of its 5-grams appears anywhere in the
+    // training corpus? The "benchmark" is derived deterministically from
+    // fixture docs (words 6..25 of every 13th doc), so its grams overlap
+    // the corpus by construction and the containment join has real work.
+    // Scale shape: both sides explode to (gram) rows; membership is a
+    // LEFT SEMI equi-join on the gram string (at 100 TB: on its 64-bit
+    // hash) — the corpus side is distinct-reduced map-side before the
+    // shuffle, and no text ever moves. Flag at >500 per-mille.
+    QueryDef(
+      "q66_decontamination",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        def grams(df: org.apache.spark.sql.DataFrame, idCol: String) = {
+          val words = df.select(col(idCol),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          val wspec = Window.partitionBy(idCol).orderBy("pos")
+          words.select(col(idCol),
+              concat_ws(" ", col("w"), lead("w", 1).over(wspec),
+                lead("w", 2).over(wspec), lead("w", 3).over(wspec),
+                lead("w", 4).over(wspec)).as("g"),
+              lead("w", 4).over(wspec).isNotNull.as("complete"))
+            .filter(col("complete")).drop("complete")
+        }
+        val bench = docs.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("bench_id"),
+            // words 6..25 (1-based) re-joined — a 20-word benchmark item
+            concat_ws(" ", slice(split(col("text"), " "), 6, 20)).as("text"))
+        val benchGrams = grams(bench, "bench_id")
+        val corpusGrams = grams(docs, "doc_id").select("g").distinct()
+        val hits = benchGrams.join(corpusGrams, Seq("g"), "left_semi")
+          .groupBy("bench_id").agg(count(lit(1)).as("n_hit"))
+        benchGrams.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("bench_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("hit_permille", expr("n_hit * 1000 div n_grams"))
+          .withColumn("contaminated", col("hit_permille") > 500)
+          .orderBy("bench_id")
+      },
+      Some("""
+        WITH bench AS (
+          SELECT doc_id AS bench_id,
+                 array_to_string(string_split(text, ' ')[6:25], ' ') AS text
+          FROM documents WHERE doc_id % 13 = 0),
+        bgrams AS (
+          SELECT bench_id,
+                 UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                             ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM (SELECT bench_id, string_split(text, ' ') AS ws FROM bench)),
+        cgrams AS (
+          SELECT DISTINCT UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                             ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+        agg AS (
+          SELECT bench_id,
+                 COUNT(*) AS n_grams,
+                 COUNT(CASE WHEN g IN (SELECT g FROM cgrams) THEN 1 END) AS n_hit
+          FROM bgrams
+          GROUP BY bench_id)
+        SELECT bench_id, n_grams, n_hit,
+               n_hit * 1000 // n_grams AS hit_permille,
+               (n_hit * 1000 // n_grams) > 500 AS contaminated
+        FROM agg
+        ORDER BY bench_id"""))
   )
 }

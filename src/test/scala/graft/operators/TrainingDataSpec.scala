@@ -74,4 +74,14 @@ class TrainingDataSpec extends AnyFunSuite {
       .select("dup_permille").collect().map(_.getLong(0))
     assert(rows.nonEmpty && rows.forall(p => p >= 0 && p <= 1000))
   }
+
+  test("q66 flags benchmark items drawn verbatim from the corpus") {
+    // the benchmark is cut verbatim from corpus docs, so every item's
+    // grams are contained and every row must flag contaminated
+    val rows = SparkEntry.queries("q66_decontamination")(spark, dir)
+      .select("hit_permille", "contaminated").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) == 1000L && r.getBoolean(1)),
+      "verbatim-cut benchmark items must be 1000-permille contained")
+  }
 }
