@@ -335,6 +335,60 @@ object TrainingDataOps {
                n_hit * 1000 // n_grams AS hit_permille,
                (n_hit * 1000 // n_grams) > 500 AS contaminated
         FROM agg
-        ORDER BY bench_id"""))
+        ORDER BY bench_id""")),
+
+    // ---------------------------------------------------------------- q67
+    // Deterministic source-mixture sampling — data mixing for a training
+    // run: each source contributes a configured per-mille share of its
+    // docs (even-indexed sources 500‰, odd 250‰), selected by smallest
+    // content fingerprint (graft_polyhash) — a content-derived,
+    // seed-free order every engine can reproduce, unlike rand(). At
+    // 100 TB: one window shuffle keyed by source; with few huge sources
+    // you'd pre-salt the rank then merge per-salt quotas, same math.
+    QueryDef(
+      "q67_source_mixture_sample",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val docs = Tables(s, dir, "documents")
+          .withColumn("fp", call_function("graft_polyhash", col("text")))
+          .withColumn("frac",
+            when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 500L)
+              .otherwise(250L))
+        val w = Window.partitionBy("source").orderBy("fp", "doc_id")
+        val cw = Window.partitionBy("source")
+        docs
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_total", count(lit(1)).over(cw))
+          .filter(col("rk") <= expr("(n_total * frac + 999) div 1000"))
+          .groupBy("source")
+          .agg(max("n_total").as("n_total"),
+            count(lit(1)).as("n_sampled"),
+            sum("doc_id").as("sum_sampled_ids"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH fp AS (
+          SELECT doc_id, source,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+                 CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                      THEN 500 ELSE 250 END AS frac
+          FROM documents),
+        r AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS n_total
+          FROM fp)
+        SELECT source,
+               CAST(MAX(n_total) AS BIGINT) AS n_total,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_sampled_ids
+        FROM r
+        WHERE rk <= (n_total * frac + 999) // 1000
+        GROUP BY source
+        ORDER BY source"""))
   )
 }

@@ -313,6 +313,41 @@ object StreamingQueries {
                CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2
-        ORDER BY ws_us, c_mktsegment"""))
+        ORDER BY ws_us, c_mktsegment""")),
+
+    // ---------------------------------------------------------------- s06
+    // Streaming ingest dedup — the streaming twin of q65: arriving
+    // records are admitted only if their digest is NOT in the static
+    // already-ingested corpus (events with event_id ≡ 0 mod 3). A
+    // stream-static LEFT ANTI join is stateless — the corpus side is
+    // re-resolved per micro-batch and nothing is held in state stores,
+    // so unlike the stream-stream shapes (s03/s04) there is no watermark
+    // to manage; at 100 TB the corpus digest set shuffles once per
+    // micro-batch on the 32-byte key and the stream never re-scans.
+    QueryDef(
+      "s06_stream_ingest_dedup",
+      (s, dir) => {
+        val corpus = graft.Tables(s, dir, "events")
+          .filter(col("event_id") % 3 === 0)
+          .select(sha2(col("event_id").cast("string"), 256).as("h"))
+          .distinct()
+        val fresh = eventsStream(s, dir)
+          .withColumn("h", sha2(col("event_id").cast("string"), 256))
+          .join(corpus, Seq("h"), "left_anti")
+        val agg = fresh.groupBy("event_type")
+          .agg(count(lit(1)).as("n_admitted"),
+            Exact.dsum(col("value")).as("sum_value"))
+        drain(s, OutputMode.Complete())(agg)
+          .orderBy("event_type")
+      },
+      // digest membership == id membership (the hash is the shuffle-key
+      // mechanism, not the semantics)
+      Some("""
+        SELECT event_type, COUNT(*) AS n_admitted,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_id % 3 <> 0
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

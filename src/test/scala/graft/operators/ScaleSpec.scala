@@ -122,4 +122,25 @@ class ScaleSpec extends AnyFunSuite {
       .select("within_5pct").as[Boolean].collect()
     assert(rows.nonEmpty && rows.forall(identity))
   }
+
+  test("q58 top-k plans a partial WindowGroupLimit below the shuffle") {
+    // per-doc top-3 must prune before the exchange — shipping every
+    // (doc, term) score to the window shuffle is wrong at corpus scale
+    val plan = SparkEntry.queries("q58_tfidf_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val grpIdx = plan.indexOf("WindowGroupLimit")
+    assert(grpIdx >= 0, s"expected WindowGroupLimit in plan:\n$plan")
+    assert(plan.indexOf("WindowGroupLimit", grpIdx + 1) > grpIdx,
+      s"expected BOTH partial and final WindowGroupLimit:\n$plan")
+  }
+
+  test("q66 containment is a semi join, never a payload join") {
+    // left-semi: benchmark grams probe corpus-gram existence — corpus
+    // text must never be joined through to the output side
+    val plan = SparkEntry.queries("q66_decontamination")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a LeftSemi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"containment must not plan a cartesian product:\n$plan")
+  }
 }

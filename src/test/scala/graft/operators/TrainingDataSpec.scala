@@ -75,6 +75,18 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(p => p >= 0 && p <= 1000))
   }
 
+  test("q67 honors per-source quotas exactly (ceil of the per-mille share)") {
+    val rows = SparkEntry.queries("q67_source_mixture_sample")(spark, dir)
+      .select("source", "n_total", "n_sampled").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val frac = if (r.getString(0).drop(3).toInt % 2 == 0) 500L else 250L
+      val expected = (r.getLong(1) * frac + 999L) / 1000L
+      assert(r.getLong(2) == expected,
+        s"${r.getString(0)}: sampled ${r.getLong(2)}, expected $expected")
+    }
+  }
+
   test("q66 flags benchmark items drawn verbatim from the corpus") {
     // the benchmark is cut verbatim from corpus docs, so every item's
     // grams are contained and every row must flag contaminated
