@@ -235,6 +235,43 @@ object Sources {
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         FROM lineitem
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q68
+    // Schema evolution: a long-lived lake accretes files written under
+    // different schema generations. Stage gen=1 (two columns) and gen=2
+    // (adds o_orderpriority), then read the parent with
+    // mergeSchema=true — partition discovery surfaces `gen`, schema
+    // merge back-fills the added column with null for gen-1 rows, and
+    // the query coalesces them into an explicit 'missing' bucket.
+    // At 100 TB: mergeSchema reconciles footers at planning (per-file
+    // metadata, not data); the alternative — rewriting history on every
+    // added column — is exactly what this avoids.
+    QueryDef(
+      "q68_schema_evolution_scan",
+      (s, dir) => {
+        val base = stagingDir("schema_evo", dir)
+        if (!Files.exists(Paths.get(base, "gen=2", "_SUCCESS"))) {
+          val orders = Tables(s, dir, "orders")
+          orders.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .write.mode("overwrite").parquet(s"$base/gen=1")
+          orders.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+            .write.mode("overwrite").parquet(s"$base/gen=2")
+        }
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy(coalesce(col("o_orderpriority"), lit("missing")).as("prio"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy("prio")
+      },
+      Some("""
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'missing'
+                    ELSE o_orderpriority END AS prio,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        FROM orders
+        GROUP BY 1
+        ORDER BY prio"""))
   )
 }

@@ -332,6 +332,12 @@ object StreamingQueries {
           .select(sha2(col("event_id").cast("string"), 256).as("h"))
           .distinct()
         val fresh = eventsStream(s, dir)
+          // replay safety: the anti join is stateless, so an
+          // at-least-once source would double-count admitted rows —
+          // in-stream dedup with watermark-BOUNDED state (the s03
+          // mechanism) makes the admission exactly-once per event_id
+          .withWatermark("ts_t", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
           .withColumn("h", sha2(col("event_id").cast("string"), 256))
           .join(corpus, Seq("h"), "left_anti")
         val agg = fresh.groupBy("event_type")
