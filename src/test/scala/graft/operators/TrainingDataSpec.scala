@@ -49,6 +49,39 @@ class TrainingDataSpec extends AnyFunSuite {
       s"got $got — a null SOURCE value must overwrite (presence marker, not coalesce)")
   }
 
+  test("graft_polyhash handles empty strings and multi-byte code points") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val rows = Seq("", "a", "é世").toDF("t")
+      .selectExpr("graft_polyhash(t)").collect().map(_.getLong(0))
+    assert(rows(0) == 0L, "empty string folds to the seed")
+    assert(rows(1) == 'a'.toLong, "single char is its code point")
+    assert(rows(2) == (0xe9.toLong * 31 + 0x4e16) % 1000000007L,
+      "must fold CODE POINTS, not UTF-8 bytes or UTF-16 units")
+  }
+
+  test("Cdc.upsert rejects mismatched schemas loudly") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val source = Seq((1L, "a", "extra")).toDF("k", "v", "w")
+    val e = intercept[IllegalArgumentException](
+      Cdc.upsert(target, source, Seq("k")))
+    assert(e.getMessage.contains("schemas differ"))
+  }
+
+  test("Compaction.compact is idempotent on an already-compact directory") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-idem")
+    val in = s"$tmp/in"
+    val out1 = s"$tmp/out1"
+    val out2 = s"$tmp/out2"
+    val src = graft.Tables(spark, dir, "events")
+    src.coalesce(1).write.mode("overwrite").parquet(in)
+    val (_, n1) = Compaction.compact(spark, in, out1, 64L * 1024 * 1024)
+    val (_, n2) = Compaction.compact(spark, out1, out2, 64L * 1024 * 1024)
+    assert(n1 == 1 && n2 == 1, s"single-file input must stay single ($n1, $n2)")
+    assert(spark.read.parquet(out2).count() == src.count())
+  }
+
   test("Compaction.compact reduces file count and preserves every row") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact-spec")
     val in = s"$tmp/in"
