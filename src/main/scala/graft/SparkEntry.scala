@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.all ++ PipelineQueries.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ MultimodalQueries.all ++
       Sources.all ++ UdfQueries.all ++ SimilarityJoin.all ++ ScaleTechniques.all ++
-      TrainingDataOps.all ++ Cdc.all ++ Compaction.all ++
+      TrainingDataOps.all ++ Cdc.all ++ Compaction.all ++ Profiling.all ++
       graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

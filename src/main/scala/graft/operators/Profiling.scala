@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Profiling and temporal-window operators: rolling time-range
+  * aggregates, value histograms, and table statistics — the
+  * "ANALYZE"-tier surface a 100 TB warehouse runs continuously.
+  */
+object Profiling {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q69
+    // Rolling 1-hour window per user: a RANGE frame over exact integer
+    // event-time (ts_us), not a row frame — peers at the same timestamp
+    // land in the same frame, so the result is order-independent. The
+    // sum accumulates in decimal (exact) and surfaces as double.
+    // Scale: one window shuffle keyed by user_id; frames are evaluated
+    // with a sliding accumulator per partition, never recomputed per row.
+    QueryDef(
+      "q69_rolling_time_window",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+          .withColumn("n_in_hour", count(lit(1)).over(w))
+          .withColumn("sum_in_hour", sum(Exact.dec2(col("value"))).over(w)
+            .cast("double"))
+          .select("event_id", "n_in_hour", "sum_in_hour")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               COUNT(*) OVER w AS n_in_hour,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_in_hour
+        FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // ---------------------------------------------------------------- q70
+    // Equi-width value histogram per event type: bucket index is
+    // floor(value / 100) clamped to [0, 9] — identical IEEE division and
+    // floor in both engines, then pure integer grouping. One hash
+    // aggregate with map-side partials; bucket cardinality is fixed, so
+    // the shuffle carries at most types × 10 rows per partition.
+    QueryDef(
+      "q70_value_histogram",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            least(floor(col("value") / 100), lit(9)).cast("int").as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bucket"),
+      Some("""
+        SELECT event_type,
+               CAST(LEAST(FLOOR(value / 100), 9) AS INT) AS bucket,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, bucket
+        ORDER BY event_type, bucket""")),
+
+    // ---------------------------------------------------------------- q71
+    // Table profile (ANALYZE-style column statistics) over orders: row
+    // count, null counts, distinct counts, and min/max per column — the
+    // stats that feed CBO join ordering and broadcast decisions. One
+    // pass, one aggregate; min/max over doubles are exact value picks
+    // (no accumulation), timestamps surface as epoch micros.
+    QueryDef(
+      "q71_profile_stats",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+            countDistinct(col("o_custkey")).as("n_distinct_cust"),
+            countDistinct(col("o_orderstatus")).as("n_distinct_status"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            // o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the
+            // cast to TIMESTAMP is identity and matches the oracle's
+            // epoch_us(CAST(... AS TIMESTAMP))
+            unix_micros(min(col("o_orderdate")).cast("timestamp")).as("min_date_us"),
+            unix_micros(max(col("o_orderdate")).cast("timestamp")).as("max_date_us")),
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_cust,
+               COUNT(DISTINCT o_custkey) AS n_distinct_cust,
+               COUNT(DISTINCT o_orderstatus) AS n_distinct_status,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               epoch_us(CAST(MIN(o_orderdate) AS TIMESTAMP)) AS min_date_us,
+               epoch_us(CAST(MAX(o_orderdate) AS TIMESTAMP)) AS max_date_us
+        FROM orders"""))
+  )
+}
