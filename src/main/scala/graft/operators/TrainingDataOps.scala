@@ -389,6 +389,56 @@ object TrainingDataOps {
         FROM r
         WHERE rk <= (n_total * frac + 999) // 1000
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ---------------------------------------------------------------- q72
+    // Fuzzy entity resolution: match corrupted name variants (last char
+    // dropped, deterministic) back to the catalog's distinct names by
+    // edit distance ≤ 2 — with BLOCKING: candidates come from an
+    // equi-join on the 4-char name prefix, so the quadratic Levenshtein
+    // only runs inside blocks, never all-pairs (the same candidate-then-
+    // verify discipline as the MinHash/SimHash families). Best match per
+    // variant by (distance, name) — fully deterministic.
+    QueryDef(
+      "q72_fuzzy_entity_match",
+      (s, dir) => {
+        val part = Tables(s, dir, "part")
+        val names = part.select(col("p_name")).distinct()
+          .withColumn("blk", substring(col("p_name"), 1, 4))
+        val variants = part.filter(col("p_partkey") % 10 === 0)
+          .select((col("p_partkey") + 500000).as("variant_id"),
+            expr("substring(p_name, 1, length(p_name) - 1)").as("vname"))
+          .withColumn("blk", substring(col("vname"), 1, 4))
+        val w = Window.partitionBy("variant_id")
+          .orderBy(col("dist").asc, col("p_name").asc)
+        variants.join(names, "blk")
+          .withColumn("dist", levenshtein(col("vname"), col("p_name")))
+          .filter(col("dist") <= 2)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("variant_id"), col("vname"),
+            col("p_name").as("matched_name"), col("dist"))
+          .orderBy("variant_id")
+      },
+      Some("""
+        WITH names AS (
+          SELECT DISTINCT p_name, substr(p_name, 1, 4) AS blk FROM part),
+        variants AS (
+          SELECT variant_id, vname, substr(vname, 1, 4) AS blk
+          FROM (SELECT p_partkey + 500000 AS variant_id,
+                       substr(p_name, 1, length(p_name) - 1) AS vname
+                FROM part WHERE p_partkey % 10 = 0)),
+        cand AS (
+          SELECT v.variant_id, v.vname, n.p_name,
+                 levenshtein(v.vname, n.p_name) AS dist
+          FROM variants v JOIN names n USING (blk)
+          WHERE levenshtein(v.vname, n.p_name) <= 2),
+        best AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY variant_id
+                      ORDER BY dist, p_name) AS rk
+          FROM cand)
+        SELECT variant_id, vname, p_name AS matched_name, CAST(dist AS INT) AS dist
+        FROM best WHERE rk = 1
+        ORDER BY variant_id"""))
   )
 }
