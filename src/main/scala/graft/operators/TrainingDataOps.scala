@@ -439,6 +439,45 @@ object TrainingDataOps {
           FROM cand)
         SELECT variant_id, vname, p_name AS matched_name, CAST(dist AS INT) AS dist
         FROM best WHERE rk = 1
-        ORDER BY variant_id"""))
+        ORDER BY variant_id""")),
+
+    // ---------------------------------------------------------------- q73
+    // Unicode NFC normalization (native graft_nfc expression —
+    // plans/NfcNormalize.scala): composed and decomposed code-point
+    // sequences of the SAME text must converge to identical strings, or
+    // every downstream digest/fingerprint silently double-counts
+    // visually-identical documents. Each doc is extended with a composed
+    // (A) and a decomposed (B) variant of the same suffix; the query
+    // proves raw A ≠ B but NFC(A) = NFC(B), and measures the code-point
+    // delta that normalization removes. All ASCII-safe: non-ASCII code
+    // points enter via escapes/chr(), never raw source bytes.
+    QueryDef(
+      "q73_unicode_normalization",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" caf\u00e9 na\u00efve")).as("a"),
+            concat(col("text"), lit(" cafe\u0301 nai\u0308ve")).as("b"))
+          .select(col("doc_id"),
+            (col("a") =!= col("b")).as("raw_differs"),
+            (call_function("graft_nfc", col("a"))
+              === call_function("graft_nfc", col("b"))).as("nfc_converges"),
+            (length(col("b")) - length(call_function("graft_nfc", col("b"))))
+              .as("len_delta"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id,
+                 text || ' caf' || chr(233) || ' na' || chr(239) || 've' AS a,
+                 text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS b
+          FROM documents)
+        SELECT doc_id,
+               (a <> b) AS raw_differs,
+               (nfc_normalize(a) = nfc_normalize(b)) AS nfc_converges,
+               CAST(length(b) - length(nfc_normalize(b)) AS INT) AS len_delta
+        FROM v
+        ORDER BY doc_id"""))
   )
 }

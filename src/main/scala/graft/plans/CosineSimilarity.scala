@@ -103,11 +103,19 @@ object GraftFunctions {
       s"graft_polyhash expects 1 argument, got ${other.length}")
   }
 
+  val nfcBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => NfcNormalize(s)
+    case other => throw new IllegalArgumentException(
+      s"graft_nfc expects 1 argument, got ${other.length}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polyhash", polyHashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", nfcBuilder, "built-in")
   }
 }
 
@@ -121,5 +129,9 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       GraftFunctions.polyHashBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      GraftFunctions.nfcBuilder))
   }
 }

@@ -60,6 +60,17 @@ class TrainingDataSpec extends AnyFunSuite {
       "must fold CODE POINTS, not UTF-8 bytes or UTF-16 units")
   }
 
+  test("graft_nfc composes decomposed sequences and is idempotent") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val rows = Seq(("cafe\u0301", "caf\u00e9")).toDF("dec", "com")
+      .selectExpr("graft_nfc(dec)", "graft_nfc(com)", "graft_nfc(graft_nfc(dec))")
+      .head()
+    assert(rows.getString(0) == "caf\u00e9", "e + combining acute must compose")
+    assert(rows.getString(1) == "caf\u00e9", "already-composed input unchanged")
+    assert(rows.getString(2) == "caf\u00e9", "NFC must be idempotent")
+  }
+
   test("Cdc.upsert rejects mismatched schemas loudly") {
     import spark.implicits._
     val target = Seq((1L, "a")).toDF("k", "v")
