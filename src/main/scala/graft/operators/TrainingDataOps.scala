@@ -478,6 +478,48 @@ object TrainingDataOps {
                (nfc_normalize(a) = nfc_normalize(b)) AS nfc_converges,
                CAST(length(b) - length(nfc_normalize(b)) AS INT) AS len_delta
         FROM v
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q74
+    // Deterministic train/val/test split (80/10/10) by CONTENT hash, not
+    // row position or rand(): the same document lands in the same split
+    // on every run, on any cluster, after any repartition — and exact
+    // duplicates land in the SAME split, so near-dup leakage across
+    // splits is detectable downstream instead of baked in. Pure narrow
+    // projection + one fixed-cardinality aggregate.
+    QueryDef(
+      "q74_train_val_test_split",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables(s, dir, "documents")
+          .withColumn("bucket", call_function("graft_polyhash", col("text")) % 100)
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").as("sum_ids"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("split")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, n_chars,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM f
+        GROUP BY 1
+        ORDER BY split"""))
   )
 }
