@@ -98,6 +98,23 @@ object StreamingQueries {
   /** 10-minute session gap (same semantics as batch q20). */
   val sessionGapUs: Long = 600L * 1000000L
 
+  /** s06's admission transform (reused by StreamingSpec's replay test):
+    * in-stream dedup FIRST — the anti join is stateless, so an
+    * at-least-once source would double-count admitted rows without it;
+    * dropDuplicatesWithinWatermark keeps that state watermark-bounded —
+    * then LEFT ANTI against the already-ingested corpus digest set, and
+    * a per-type aggregate. `stream` needs (event_id, ts_t, event_type,
+    * value); `corpus` is one `h` digest column. */
+  def ingestDedup(stream: DataFrame, corpus: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("h", sha2(col("event_id").cast("string"), 256))
+      .join(corpus, Seq("h"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_admitted"),
+        Exact.dsum(col("value")).as("sum_value"))
+
   /** s02's stateful sessionizer (reused by StreamingSpec's eviction test).
     * State lifecycle is the one you'd run continuously at 100 TB: per user,
     * ONLY the open session is held (closed sessions emit immediately), with
@@ -331,19 +348,8 @@ object StreamingQueries {
           .filter(col("event_id") % 3 === 0)
           .select(sha2(col("event_id").cast("string"), 256).as("h"))
           .distinct()
-        val fresh = eventsStream(s, dir)
-          // replay safety: the anti join is stateless, so an
-          // at-least-once source would double-count admitted rows —
-          // in-stream dedup with watermark-BOUNDED state (the s03
-          // mechanism) makes the admission exactly-once per event_id
-          .withWatermark("ts_t", "1 hour")
-          .dropDuplicatesWithinWatermark("event_id")
-          .withColumn("h", sha2(col("event_id").cast("string"), 256))
-          .join(corpus, Seq("h"), "left_anti")
-        val agg = fresh.groupBy("event_type")
-          .agg(count(lit(1)).as("n_admitted"),
-            Exact.dsum(col("value")).as("sum_value"))
-        drain(s, OutputMode.Complete())(agg)
+        drain(s, OutputMode.Complete())(
+          ingestDedup(eventsStream(s, dir), corpus))
           .orderBy("event_type")
       },
       // digest membership == id membership (the hash is the shuffle-key

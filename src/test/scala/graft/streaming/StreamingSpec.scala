@@ -240,6 +240,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"watermark-bounded dedup state violated: $counts")
   }
 
+  test("s06 ingest admission is exactly-once under an at-least-once replay") {
+    import spark.implicits._
+    // the same arrival file staged twice = a source that replays its
+    // data; without the in-stream dedup the stateless anti join would
+    // admit every survivor twice
+    val land = base.resolve("ingest-land"); Files.createDirectories(land)
+    val rows = Seq((1L, 100L, "a", 1.5), (2L, 200L, "a", 2.5), (3L, 300L, "b", 4.0))
+    val lines = rows.map { case (id, us, t, v) =>
+      s"""{"event_id":$id,"ts_us":$us,"event_type":"$t","value":$v}""" }
+    Files.write(land.resolve("arrival1.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
+    Files.write(land.resolve("arrival2.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
+    // corpus already holds event 2 → only 1 and 3 admit, each ONCE
+    val corpus = Seq(2L).toDF("event_id")
+      .select(sha2(col("event_id").cast("string"), 256).as("h"))
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE")
+      .json(land.toString)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val q = graft.streaming.StreamingQueries.ingestDedup(stream, corpus)
+      .writeStream.format("memory").queryName("ingest_replay_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ingest_replay_sink")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map("a" -> ((1L, 1.5)), "b" -> ((1L, 4.0))),
+      s"replayed rows must not double-count admissions: $got")
+  }
+
   test("sessionization state evicts on event-time timeout, emitting the open session") {
     import spark.implicits._
     val land = base.resolve("sess-land"); Files.createDirectories(land)
