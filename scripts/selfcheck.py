@@ -13,6 +13,7 @@ import sys
 
 import duckdb
 import pyarrow.parquet as pq
+import pyarrow.types
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -51,21 +52,21 @@ def main():
             print(f"FAIL {name}: no spark output ({e})")
             n_fail += 1
             continue
+        # The driver's comparator sorts a pandas frame — array/struct-typed
+        # cells are unhashable there and fail the query even when values
+        # match (r03 q53). Mirror that limitation here, before paying for
+        # the oracle execution.
+        nested = [f.name for f in got.schema
+                  if pyarrow.types.is_nested(f.type)]
+        if nested:
+            print(f"FAIL {name}: nested-typed output columns {nested} "
+                  "(driver comparator cannot hash arrays/structs)")
+            n_fail += 1
+            continue
         try:
             want = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
-            n_fail += 1
-            continue
-        # The driver's comparator sorts a pandas frame — array/struct-typed
-        # cells are unhashable there and fail the query even when values
-        # match (r03 q53). Mirror that limitation here.
-        import pyarrow.types as pt
-        nested = [f.name for f in got.schema
-                  if pt.is_nested(f.type)]
-        if nested:
-            print(f"FAIL {name}: nested-typed output columns {nested} "
-                  "(driver comparator cannot hash arrays/structs)")
             n_fail += 1
             continue
         grows, gcols = rows_of(got)

@@ -72,7 +72,13 @@ object Bench {
     // ms so the whole line stays well inside the driver's 2000-char
     // output-tail capture — r01–r03 emitted full names and the line got
     // truncated, leaving the per-query numbers unparseable driver-side.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale and
+    // would emit comma decimals (invalid JSON) on e.g. de_DE containers
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"bench key prefixes collide: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
     val qs = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -29,8 +29,15 @@ object Compaction {
     val conf = s.sparkContext.hadoopConfiguration
     val in = new Path(inDir)
     val fs = in.getFileSystem(conf)
-    val files = fs.listStatus(in)
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE listing: partitioned directories keep their data files
+    // in subdirectories — a top-level-only listing would size the job
+    // from zero bytes and silently funnel everything into one file
+    val it = fs.listFiles(in, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+    require(files.nonEmpty,
+      s"compact: no parquet files under $inDir — nothing to size the rewrite from")
     val total = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     s.read.parquet(inDir)

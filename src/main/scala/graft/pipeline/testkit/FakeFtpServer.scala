@@ -24,11 +24,16 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
     // RFC 959 leaves RNTO-overwrite server-defined; `true` mimics servers
     // (IIS, some vsftpd configs) that reply 550 when the target exists
     rntoRefusesOverwrite: Boolean = false,
+    // first N RNTOs reply 450 (transient) WITHOUT renaming — mimics a
+    // flaky server; clients must not treat this like overwrite-refusal
+    rntoTransientFailures: Int = 0,
     // SIZE is an RFC 3659 extension; `true` mimics servers without it
     noSize: Boolean = false) {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
   val connectionsOpened = new AtomicInteger(0)
+
+  private val rntoTransientLeft = new AtomicInteger(rntoTransientFailures)
 
   /** Per-verb command totals (RETR/SIZE/NLST/…) across all sessions —
     * lets specs assert a column-pruned scan performed zero RETRs. */
@@ -148,7 +153,10 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
             else reply(s"550 $arg: no such file")
           case "RNTO" =>
             if (renameFrom == null) reply("503 RNFR required first")
-            else {
+            else if (rntoTransientLeft.getAndDecrement() > 0) {
+              renameFrom = null
+              reply(s"450 $arg: requested action not taken, try again")
+            } else {
               val t = resolve(cwd, arg)
               if (rntoRefusesOverwrite && Files.exists(t)) {
                 renameFrom = null

@@ -206,7 +206,11 @@ final class FtpWriterFactory(
         staged.foreach { case (tmp, fin) =>
           try conn.rename(tmp, fin)
           catch {
-            case _: java.io.IOException =>
+            // ONLY on the server's permanent RNTO refusal (550: target
+            // exists) — a transient failure (timeout, 421, temp lost)
+            // must NOT delete the live target a previous commit wrote
+            case e: java.io.IOException
+                if e.getMessage != null && e.getMessage.startsWith("RNTO failed: 550") =>
               try conn.delete(fin)
               catch { case _: java.io.IOException => () } // target may not exist
               conn.rename(tmp, fin)

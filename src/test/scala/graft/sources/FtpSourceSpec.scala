@@ -173,6 +173,30 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { FtpPools.closeAll(); refusing.stop() }
   }
 
+  test("a transient RNTO failure does NOT delete the committed target") {
+    // the DELE+retry fallback is for the server's permanent 550
+    // overwrite-refusal only — a flaky 450 must leave the previously
+    // committed version intact and surface the failure
+    val root2 = Files.createTempDirectory("graft-ftpsrc-transient")
+    Files.createDirectories(root2.resolve("idem"))
+    Files.write(root2.resolve("idem/a.bin"), "v1".getBytes)
+    val flaky = new FakeFtpServer(root2, rntoTransientFailures = 1)
+    try {
+      import spark.implicits._
+      intercept[Exception] {
+        Seq(("/idem/a.bin", "v2")).toDF("path", "text")
+          .select(col("path"), length(col("text")).cast("long").as("length"),
+            col("text").cast("binary").as("content"))
+          .write.format("graft-ftp")
+          .option("host", "127.0.0.1").option("port", flaky.port.toString)
+          .option("username", "u").option("password", "p")
+          .mode("append").save("/idem")
+      }
+      assert(new String(Files.readAllBytes(root2.resolve("idem/a.bin")), "UTF-8") == "v1",
+        "transient rename failure destroyed the committed file")
+    } finally { FtpPools.closeAll(); flaky.stop() }
+  }
+
   test("length-only scan falls back to RETR when the server lacks SIZE") {
     // length must not silently become -1 on SIZE-less servers — results
     // would then depend on the projection
