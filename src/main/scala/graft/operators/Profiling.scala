@@ -27,10 +27,11 @@ object Profiling {
           .rangeBetween(-3600000000L, 0L)
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
-          .withColumn("n_in_hour", count(lit(1)).over(w))
-          .withColumn("sum_in_hour", sum(Exact.dec2(col("value"))).over(w)
-            .cast("double"))
-          .select("event_id", "n_in_hour", "sum_in_hour")
+          // both window expressions in ONE projection so Catalyst plans a
+          // single Window node (chained withColumns planned two passes)
+          .select(col("event_id"),
+            count(lit(1)).over(w).as("n_in_hour"),
+            sum(Exact.dec2(col("value"))).over(w).cast("double").as("sum_in_hour"))
           .orderBy("event_id")
       },
       Some("""
