@@ -99,6 +99,38 @@ object Profiling {
                MAX(o_totalprice) AS max_price,
                epoch_us(CAST(MIN(o_orderdate) AS TIMESTAMP)) AS min_date_us,
                epoch_us(CAST(MAX(o_orderdate) AS TIMESTAMP)) AS max_date_us
-        FROM orders"""))
+        FROM orders""")),
+
+    // ---------------------------------------------------------------- q75
+    // Hopping (sliding) event-time windows: 1-hour windows every 30
+    // minutes — each event lands in exactly size/hop = 2 windows. Spark's
+    // native window(ts, size, hop) generator handles the fan-out inside
+    // codegen; the oracle replicates by unnesting each event's two
+    // candidate window starts. Complements s01/q19 (tumbling): hopping
+    // windows are the standard shape for overlapping-trend dashboards.
+    QueryDef(
+      "q75_hopping_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts_t"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            Exact.dsum(col("value")).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("n_events"), col("sum_value"))
+          .orderBy("ws_us"),
+      Some("""
+        WITH e AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        w AS (
+          SELECT us, value,
+                 UNNEST([(us // 1800000000) * 1800000000,
+                         (us // 1800000000) * 1800000000 - 1800000000]) AS ws
+          FROM e)
+        SELECT ws AS ws_us, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM w
+        WHERE us >= ws AND us < ws + 3600000000
+        GROUP BY ws
+        ORDER BY ws_us"""))
   )
 }
