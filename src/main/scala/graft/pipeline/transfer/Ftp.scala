@@ -272,8 +272,15 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
 
   /** ftp.py:186-212 — CWD-probe then MKD per component; permission errors
     * ignored; always resets the server CWD to "/" at the end. */
+  // Directories this connection has already CWD/MKD-walked: a bulk write
+  // of N files into one directory would otherwise pay the full probe walk
+  // N times (2+ control round-trips per path component per file). Safe to
+  // cache per connection: directories are only ever created, never
+  // removed, by this client.
+  private val ensuredDirs = scala.collection.mutable.HashSet.empty[String]
+
   private def ensureRemoteDir(dir: String): Unit = {
-    if (dir.isEmpty) return
+    if (dir.isEmpty || ensuredDirs.contains(dir)) return
     try {
       val parts = dir.split("/").filter(_.nonEmpty)
       for (part <- parts) {
@@ -283,6 +290,7 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
           client.cmd(s"CWD $part")
         }
       }
+      ensuredDirs += dir
     } finally client.cmd("CWD /")
   }
 }
