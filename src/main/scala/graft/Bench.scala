@@ -16,6 +16,16 @@ import org.apache.spark.sql.SparkSession
   *    whatever the previous query left behind (r02's "q01 regression"
   *    was 11.9 s after the p06 FTP bulk run but 2.1 s in isolation);
   *    min-of-n isolates the repeatable plan cost;
+  *  - per-query GC time is recorded (GarbageCollectorMXBeans collection-
+  *    time delta across the query's iterations) and emitted as a `gc` map
+  *    so a reader can tell machine contention / heap pressure from a real
+  *    plan regression — BENCH_r04 showed every CPU-bound query 1.5–25×
+  *    inflated under the full-suite run while isolated re-runs matched
+  *    r03, and nothing in the line distinguished the two. Only queries
+  *    with >= 100 ms of GC appear (keeps the line inside the driver's
+  *    ~2000-char tail capture); `gc_total_ms` always reports the whole
+  *    run. A query whose wall time grew while its gc entry is large is
+  *    heap pressure, not plan cost — re-measure it in isolation;
   *  - r03 note on q41/q26-class deltas: TrackedCaches now releases each
   *    query's persisted intermediates after its drain, so queries no
   *    longer ride earlier queries' leaked caches (r02's q41 "3.5 s"
@@ -49,23 +59,29 @@ object Bench {
     try drain("q07_region_nation_revenue")
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+
     var errors = List.empty[String]
     val selected = // optional args restrict the run (local iteration aid)
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
+    val gcStart = gcMillis()
     val results = selected.map { name =>
+      val gc0 = gcMillis()
       try {
         val times = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           drain(name)
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        (name, times.min, gcMillis() - gc0)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors ::= name
-          name -> -1.0
+          (name, -1.0, gcMillis() - gc0)
       }
     }
     // Keys are shortened to the qNN/sNN/pNN prefix and times rounded to
@@ -80,12 +96,16 @@ object Bench {
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench key prefixes collide: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val gcTotal = gcMillis() - gcStart
+    val gcJson = results
+      .collect { case (k, _, g) if g >= 100 => "\"" + k.takeWhile(_ != '_') + "\":" + g }
+      .mkString("{", ",", "}")
     val errJson = errors.sorted
       .map(e => "\"" + e.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"gc":$gcJson,"gc_total_ms":$gcTotal,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

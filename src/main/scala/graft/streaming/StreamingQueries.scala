@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -158,17 +158,35 @@ object StreamingQueries {
       }
   }
 
-  /** Run `build`'s streaming output into a memory sink, drain with
-    * AvailableNow, return the materialized table. */
+  /** Run `build`'s streaming output to a per-drain parquet directory via
+    * foreachBatch, drain with AvailableNow, read the result back.
+    *
+    * foreachBatch-to-parquet instead of a memory sink: a memory sink pins
+    * every drained row in the DRIVER heap behind a temp view that is never
+    * dropped — 88 oracle queries × 2 bench iterations accreted result sets
+    * until suite runs spent more time in GC than in plans (the BENCH_r04
+    * inflation). Parquet keeps results off-heap, and foreachBatch (unlike
+    * the parquet streaming sink, which is append-only) supports Complete
+    * mode: each Complete batch rewrites the full result, each Append batch
+    * adds its finalized rows, so the directory's final contents equal the
+    * memory sink's table in both modes. */
   private def drain(s: SparkSession, mode: OutputMode)(df: DataFrame): DataFrame = {
-    val sink = s"graft_stream_sink_${nameCounter.incrementAndGet()}"
+    import java.nio.file.{Files, Paths}
+    val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_drain",
+      s.sparkContext.applicationId, s"sink_${nameCounter.incrementAndGet()}")
+    val schema = df.schema
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode(saveMode).parquet(out.toString)
     val q = df.writeStream
-      .format("memory").queryName(sink)
+      .foreachBatch(writeBatch)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    // a drained stream with zero batches writes nothing — return empty
+    if (Files.exists(out)) s.read.schema(schema).parquet(out.toString)
+    else s.createDataFrame(java.util.Collections.emptyList[Row](), schema)
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -304,17 +322,21 @@ object StreamingQueries {
     // Stream-static enrichment join — the streaming twin of the config
     // lookup (SURVEY §2.3/J1) generalized to a real dimension: the event
     // stream joins the static `customer` dim and aggregates per tumbling
-    // window × market segment. The static side is broadcast per
-    // micro-batch (stateless — no join state to watermark, unlike s04);
-    // at 100 TB the dimension refreshes by re-resolving the batch
-    // DataFrame each micro-batch while the stream side never re-scans.
+    // window × market segment (stateless — no join state to watermark,
+    // unlike s04); at 100 TB the dimension refreshes by re-resolving the
+    // batch DataFrame each micro-batch while the stream side never
+    // re-scans. NO broadcast() hint: `customer` scales with SF, and a
+    // forced broadcast of an SF-scaling table OOMs the executors at 100×
+    // (the q03/q07 discipline). The planner's size threshold broadcasts
+    // it while it is genuinely small and falls back to a shuffled join
+    // once it is not.
     QueryDef(
       "s05_stream_static_enrich",
       (s, dir) => {
         val cust = graft.Tables(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         val agg = eventsStream(s, dir)
-          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .join(cust, col("user_id") === col("c_custkey"))
           .withWatermark("ts_t", "1 hour")
           .groupBy(window(col("ts_t"), "1 hour"), col("c_mktsegment"))
           .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
