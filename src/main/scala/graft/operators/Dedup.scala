@@ -123,6 +123,73 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
+  /** Connected components over an undirected pair stream (`id_a`, `id_b`)
+    * by iterative min-label propagation: label(u) ← min(label(u),
+    * min_{(u,v)∈E} label(v)) to a fixpoint. Returns (`node`, `label`).
+    *
+    * Each iteration is one equi-join + partial-aggregated min — the
+    * map-side combine means the shuffle carries one candidate label per
+    * (node, partition). The driver loop carries only a scalar (never
+    * rows), and iterations needed ≈ graph diameter, which for near-dup
+    * clusters is small.
+    *
+    * Every `checkpointEvery`-th label frame is `localCheckpoint`ed
+    * (eagerly) instead of persisted: persist caches the DATA but each
+    * iteration's PLAN still references every prior iteration's join, so
+    * a 25-iteration run would carry a 25-join lineage into any recovery
+    * or re-plan; the checkpoint truncates lineage to the last interval.
+    * Local (block-manager) checkpointing is the right trade single-JVM;
+    * on a multi-executor cluster point `sc.setCheckpointDir` at durable
+    * storage and swap `localCheckpoint` for `checkpoint`.
+    *
+    * A component with diameter > `maxIter` would exit un-converged and
+    * silently return SPLIT clusters that still look plausible — that is
+    * wrong data, so this fails loudly instead. */
+  private[operators] def connectedComponents(pairs: DataFrame,
+      maxIter: Int = 25, checkpointEvery: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = TrackedCaches.track(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .persist(MEMORY_AND_DISK))
+    var labels = TrackedCaches.track(
+      edges.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .persist(MEMORY_AND_DISK))
+    // convergence via the label-sum invariant: labels only ever
+    // DECREASE, so the sum strictly drops iff any label changed —
+    // one cheap aggregate per iteration instead of a join + count.
+    // Decimal sum: exact and overflow-free at any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
+        .groupBy("u").agg(min("vl").as("nl"))
+        .select(col("u").as("node"), col("nl"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val next = TrackedCaches.track(
+        if ((iter + 1) % checkpointEvery == 0) stepped.localCheckpoint(true)
+        else stepped.persist(MEMORY_AND_DISK))
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge after $iter iterations; " +
+        "raise the cap (component diameter exceeds it)")
+    labels
+  }
+
   /** DuckDB CTE chain producing the same verified pair stream (brute-force
     * all-pairs verify — oracle-side code over small fixtures, not the
     * engine's plan); ends with a `pairs(id_a, id_b, inter, uni)` CTE. */
@@ -257,61 +324,13 @@ object Dedup {
     // stream — the step every production dedup pipeline runs after pair
     // generation (pairs chain: A≈B, B≈C ⇒ {A,B,C} is one duplicate
     // group; keep one canonical doc per component, not per pair).
-    // Iterative min-label propagation: label(u) ← min(label(u),
-    // min_{(u,v)∈E} label(v)) to a fixpoint. Each iteration is one
-    // equi-join + partial-aggregated min — the map-side combine means the
-    // shuffle carries one candidate label per (node, partition). The
-    // driver loop carries only the converged/changed COUNT (never rows),
-    // and iterations needed ≈ graph diameter, which for near-dup
-    // clusters is small; at 100 TB you add a checkpoint every few
-    // iterations to cut lineage, and the same loop holds.
+    // Iterative min-label propagation with periodic lineage checkpoints
+    // (see `connectedComponents` — one equi-join + partial-agg min per
+    // iteration, scalar-only driver traffic, loud non-convergence).
     QueryDef(
       "q50_dup_clusters",
       (s, dir) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val pairs = minhashPairs(s, dir).select("id_a", "id_b")
-        val edges = TrackedCaches.track(
-          pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-            .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-            .persist(MEMORY_AND_DISK))
-        var labels = TrackedCaches.track(
-          edges.select(col("u").as("node")).distinct()
-            .withColumn("label", col("node"))
-            .persist(MEMORY_AND_DISK))
-        // convergence via the label-sum invariant: labels only ever
-        // DECREASE, so the sum strictly drops iff any label changed —
-        // one cheap aggregate per iteration instead of a join + count.
-        // Decimal sum: exact and overflow-free at any corpus size.
-        def labelSum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-        var prevSum = labelSum(labels)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 25) {
-          val nbrMin = edges
-            .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
-            .groupBy("u").agg(min("vl").as("nl"))
-            .select(col("u").as("node"), col("nl"))
-          val next = TrackedCaches.track(
-            labels.join(nbrMin, Seq("node"), "left")
-              .select(col("node"),
-                least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-              .persist(MEMORY_AND_DISK))
-          val curSum = labelSum(next)
-          converged = curSum.compareTo(prevSum) == 0
-          prevSum = curSum
-          labels.unpersist(blocking = false)
-          labels = next
-          iter += 1
-        }
-        // a component with diameter > the iteration cap would exit
-        // un-converged and silently return SPLIT clusters that still look
-        // plausible — that is wrong data, so fail loudly instead
-        if (!converged)
-          throw new IllegalStateException(
-            s"q50 label propagation did not converge after $iter iterations; " +
-            "raise the cap (component diameter exceeds it)")
-        labels
+        connectedComponents(minhashPairs(s, dir).select("id_a", "id_b"))
           .groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
           .orderBy("cluster_id")

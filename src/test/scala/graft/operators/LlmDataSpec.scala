@@ -81,6 +81,30 @@ class LlmDataSpec extends AnyFunSuite {
     assert(clusters.map(_._2).sum == nodes.size, "clusters partition the pair nodes")
   }
 
+  test("connectedComponents resolves a chain crossing several checkpoints") {
+    import spark.implicits._
+    // path graph 0-1-2-...-12: diameter 12 needs >10 iterations, so the
+    // label frame is localCheckpoint'ed at iterations 5 and 10 — this
+    // pins that lineage truncation does not change the fixpoint.
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 13 && labels.values.forall(_ == 0L),
+      "one component labeled by its min node")
+  }
+
+  test("connectedComponents fails loudly when diameter exceeds the cap") {
+    import spark.implicits._
+    // path graph of 31 nodes: diameter 30 > maxIter 25 — an un-converged
+    // exit would return plausible-looking SPLIT clusters (wrong data),
+    // so the loop must throw instead.
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("q30 embedding near-dups are exactly the perturbed construction pairs") {
     import spark.implicits._
     val rows = run("q30_embedding_neardup")
