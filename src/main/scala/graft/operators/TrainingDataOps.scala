@@ -162,26 +162,23 @@ object TrainingDataOps {
 
     // ---------------------------------------------------------------- q63
     // Repetition quality: duplicate-3-gram fraction per document (the
-    // Gopher/RefinedWeb "repetitive content" filter signal). Grams are
-    // built with lead() windows over exploded tokens — fully codegen'd,
-    // no interpreted higher-order lambdas (the r2 lesson) — and the
-    // fraction is an integer per-mille, not a float ratio.
-    // Scale: the window partitions by doc_id (documents parallelize
-    // across executors); gram counting is one hash aggregate whose key
-    // (doc_id, gram) is already co-partitioned with the per-doc rollup
-    // that follows, so the second aggregate reuses the first's shuffle.
+    // Gopher/RefinedWeb "repetitive content" filter signal). Grams come
+    // from the native `graft_word_ngrams` kernel (plans/WordNgrams.scala)
+    // — a per-row codegen byte-slicer, no interpreted higher-order
+    // lambdas (the r2 lesson) — and the fraction is an integer
+    // per-mille, not a float ratio.
+    // Scale: gram generation is NARROW (scan → project → explode), with
+    // no Exchange until the gram count's own partial-aggregated shuffle
+    // — the earlier lead()-window formulation shuffled every exploded
+    // token row on doc_id before a single gram existed, ~N_tokens rows
+    // of exchange doing no reduction (plan-asserted in ScaleSpec).
     QueryDef(
       "q63_dup_ngram_fraction",
       (s, dir) => {
-        val words = Tables(s, dir, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        val wspec = Window.partitionBy("doc_id").orderBy("pos")
-        val grams = words
+        graft.plans.GraftFunctions.register(s)
+        val grams = Tables(s, dir, "documents")
           .select(col("doc_id"),
-            concat_ws(" ", col("w"),
-              lead("w", 1).over(wspec), lead("w", 2).over(wspec)).as("g"),
-            lead("w", 2).over(wspec).isNotNull.as("complete"))
-          .filter(col("complete"))
+            explode(call_function("graft_word_ngrams", col("text"), lit(3))).as("g"))
         grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg(
@@ -275,25 +272,20 @@ object TrainingDataOps {
     // training corpus? The "benchmark" is derived deterministically from
     // fixture docs (words 6..25 of every 13th doc), so its grams overlap
     // the corpus by construction and the containment join has real work.
-    // Scale shape: both sides explode to (gram) rows; membership is a
-    // LEFT SEMI equi-join on the gram string (at 100 TB: on its 64-bit
-    // hash) — the corpus side is distinct-reduced map-side before the
-    // shuffle, and no text ever moves. Flag at >500 per-mille.
+    // Scale shape: both sides emit (gram) rows NARROWLY via the native
+    // `graft_word_ngrams` kernel (scan → project → explode, no window
+    // shuffle of token rows); membership is a LEFT SEMI equi-join on the
+    // gram string (at 100 TB: on its 64-bit hash) — the corpus side is
+    // distinct-reduced map-side before the shuffle, and no text ever
+    // moves. Flag at >500 per-mille.
     QueryDef(
       "q66_decontamination",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val docs = Tables(s, dir, "documents")
-        def grams(df: org.apache.spark.sql.DataFrame, idCol: String) = {
-          val words = df.select(col(idCol),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          val wspec = Window.partitionBy(idCol).orderBy("pos")
-          words.select(col(idCol),
-              concat_ws(" ", col("w"), lead("w", 1).over(wspec),
-                lead("w", 2).over(wspec), lead("w", 3).over(wspec),
-                lead("w", 4).over(wspec)).as("g"),
-              lead("w", 4).over(wspec).isNotNull.as("complete"))
-            .filter(col("complete")).drop("complete")
-        }
+        def grams(df: org.apache.spark.sql.DataFrame, idCol: String) =
+          df.select(col(idCol),
+            explode(call_function("graft_word_ngrams", col("text"), lit(5))).as("g"))
         val bench = docs.filter(col("doc_id") % 13 === 0)
           .select(col("doc_id").as("bench_id"),
             // words 6..25 (1-based) re-joined — a 20-word benchmark item

@@ -109,6 +109,12 @@ object GraftFunctions {
       s"graft_nfc expects 1 argument, got ${other.length}")
   }
 
+  val wordNgramsBuilder: Seq[Expression] => Expression = {
+    case Seq(s, n) => WordNgrams(s, n)
+    case other => throw new IllegalArgumentException(
+      s"graft_word_ngrams expects 2 arguments, got ${other.length}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
@@ -116,6 +122,8 @@ object GraftFunctions {
       "graft_polyhash", polyHashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", nfcBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams", wordNgramsBuilder, "built-in")
   }
 }
 
@@ -133,5 +141,9 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       GraftFunctions.nfcBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      GraftFunctions.wordNgramsBuilder))
   }
 }

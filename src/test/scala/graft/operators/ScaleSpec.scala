@@ -134,6 +134,21 @@ class ScaleSpec extends AnyFunSuite {
       s"expected BOTH partial and final WindowGroupLimit:\n$plan")
   }
 
+  test("q63 builds grams narrowly: no Window and no Exchange below the gram aggregate") {
+    val plan = SparkEntry.queries("q63_dup_ngram_fraction")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the old formulation shuffled every exploded token row through a
+    // Window.partitionBy(doc_id) before a single gram existed
+    assert(!plan.contains("Window"),
+      s"grams must not be built via a window shuffle:\n$plan")
+    // bottom-most HashAggregate = the partial gram count; below it only
+    // Generate/Project/Scan may appear — gram generation is narrow
+    val partial = plan.lastIndexOf("HashAggregate")
+    assert(partial >= 0, s"expected a gram aggregate in:\n$plan")
+    assert(!plan.substring(partial).contains("Exchange"),
+      s"no Exchange may sit below the first gram aggregate:\n$plan")
+  }
+
   test("q66 containment is a semi join, never a payload join") {
     // left-semi: benchmark grams probe corpus-gram existence — corpus
     // text must never be joined through to the output side
