@@ -26,9 +26,10 @@ object Cdc {
     val n = newDf.select(
       key.map(col) ++ compare.map(c => col(c).as(s"new_$c"))
         :+ lit(true).as("new_present"): _*)
+    // key-only tables (no compare columns) can only insert/delete
     val changed = compare
       .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
-      .reduce(_ || _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, key, "full_outer")
       .withColumn("change_type",
         when(col("old_present").isNull, "insert")

@@ -17,13 +17,15 @@ import graft.Tables
   * Scale notes: the listing is driver-side metadata (names + lengths,
   * never data); the rewrite is a single `repartition(n)` whose
   * round-robin exchange spreads rows evenly regardless of input skew; at
-  * 100 TB you run it per-partition-directory so each compaction job's
-  * shuffle stays bounded.
+  * 100 TB you run [[compactPartitioned]] so each partition directory is
+  * its own bounded job and the layout (partition pruning!) survives.
   */
 object Compaction {
 
   /** Rewrite `inDir` (parquet) into `outDir` with files sized toward
-    * `targetBytes`. Returns (nFilesIn, nFilesOut). */
+    * `targetBytes`. Returns (nFilesIn, nFilesOut). Flattens any
+    * directory structure — for a hive-partitioned tree use
+    * [[compactPartitioned]], which preserves the layout. */
   def compact(s: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): (Int, Int) = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -48,6 +50,66 @@ object Compaction {
     (files.length, outFiles)
   }
 
+  /** Compact every partition directory under `rootDir` IN PLACE,
+    * preserving the hive layout (`k=v/...`) — flattening a partitioned
+    * tree into one output would destroy partition pruning for every
+    * reader thereafter. Returns per-partition (relativePath, nIn, nOut),
+    * sorted by path.
+    *
+    * Each leaf (a directory directly holding `.parquet` files) is its
+    * own bounded job: read leaf → `repartition(ceil(bytes/target))` →
+    * write to a dot-prefixed staging dir INSIDE the leaf (hidden from
+    * Spark's readers, so concurrent scans never see half a rewrite) →
+    * delete the old files → move the staged ones in. The delete→move
+    * window is not atomic — readers listing in that instant can see a
+    * partial file set; a production lake does this swap through a table
+    * format's (Iceberg/Delta) atomic snapshot commit, which is metadata
+    * this engine doesn't own. Staging is keyed by applicationId so two
+    * drivers compacting the same tree never share a staging dir. */
+  def compactPartitioned(s: SparkSession, rootDir: String,
+      targetBytes: Long): Seq[(String, Int, Int)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(rootDir).getFileSystem(conf)
+    // qualify so URI-relativize below sees the same scheme/authority as
+    // the listed leaves (fs.listFiles returns fully-qualified paths)
+    val root = fs.makeQualified(new Path(rootDir))
+    def hidden(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith(".") || n.startsWith("_")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it = fs.listFiles(root, true)
+    val leaves = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !hidden(p))
+      .map(_.getParent).toSet
+    require(leaves.nonEmpty,
+      s"compactPartitioned: no parquet files under $rootDir")
+    leaves.toSeq.sortBy(_.toString).map { leaf =>
+      val files = fs.listStatus(leaf)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val total = files.map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      val staged = new Path(leaf, s".compact-${s.sparkContext.applicationId}")
+      s.read.parquet(leaf.toString)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(staged.toString)
+      files.foreach(f => fs.delete(f.getPath, false))
+      fs.listStatus(staged)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f.getPath, new Path(leaf, f.getPath.getName)))
+      fs.delete(staged, true)
+      val outN = fs.listStatus(leaf)
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val rel = root.toUri.relativize(leaf.toUri).getPath.stripSuffix("/")
+      (rel, files.length, outN)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- q62
@@ -63,8 +125,13 @@ object Compaction {
       (s, dir) => {
         val sf = Paths.get(dir).getFileName.toString
         val tmp = System.getProperty("java.io.tmpdir")
-        val small = s"$tmp/graft_compact/$sf/small"
-        val compacted = s"$tmp/graft_compact/$sf/compacted"
+        // staging keyed by applicationId: `compacted` is REWRITTEN every
+        // run (it is the operator under test), so two concurrent drivers
+        // sharing an sf-keyed path would overwrite each other mid-read;
+        // within one session the _SUCCESS guard still skips restaging
+        val base = s"$tmp/graft_compact/${s.sparkContext.applicationId}/$sf"
+        val small = s"$base/small"
+        val compacted = s"$base/compacted"
         if (!Files.exists(Paths.get(small, "_SUCCESS"))) {
           Tables(s, dir, "events").repartition(64)
             .write.mode("overwrite").parquet(small)

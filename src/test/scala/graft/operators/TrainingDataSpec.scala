@@ -71,6 +71,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.getString(2) == "caf\u00e9", "NFC must be idempotent")
   }
 
+  test("Cdc.diff on key-only tables classifies insert/delete, never update") {
+    import spark.implicits._
+    val old = Seq(1L, 2L, 3L).toDF("k")
+    val neu = Seq(2L, 3L, 4L).toDF("k")
+    val got = Cdc.diff(old, neu, Seq("k"), Seq.empty)
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "delete", 2L -> "unchanged",
+      3L -> "unchanged", 4L -> "insert"), s"got $got")
+  }
+
+  test("Cdc.diff with ALL-null compare columns on both sides is unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, Option.empty[String], Option.empty[String])).toDF("k", "a", "b")
+    val neu = Seq((1L, Option.empty[String], Option.empty[String])).toDF("k", "a", "b")
+    val got = Cdc.diff(old, neu, Seq("k"), Seq("a", "b"))
+      .select("change_type").as[String].head()
+    assert(got == "unchanged",
+      "null <=> null must hold across EVERY compare column")
+  }
+
+  test("Cdc.upsert on key-only tables unions the key sets") {
+    import spark.implicits._
+    val target = Seq(1L, 2L).toDF("k")
+    val source = Seq(2L, 3L).toDF("k")
+    val got = Cdc.upsert(target, source, Seq("k"))
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"got $got")
+  }
+
   test("Cdc.upsert rejects mismatched schemas loudly") {
     import spark.implicits._
     val target = Seq((1L, "a")).toDF("k", "v")
