@@ -115,21 +115,28 @@ object TrainingDataOps {
     // Plan: tf is one (doc_id, term) hash aggregate with map-side
     // partials; df reuses tf (no second corpus scan); the join is an
     // equi-shuffle on term; top-3 is a rank window with group-limit
-    // pushdown. N (corpus size) is a driver-side scalar — at 100 TB it
-    // comes from table metadata, never a collect of rows.
+    // pushdown. N (corpus size) is a one-row broadcast aggregate — the
+    // whole plan stays lazy, and at 100 TB the count is a metadata-only
+    // parquet scan, never a collect of rows.
     QueryDef(
       "q58_tfidf_topk",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val nDocs = docs.count()
+        // N as a one-row aggregate cross-joined in (the broadcast is a
+        // single fixed-size row at any SF), not docs.count(): an eager
+        // count in the builder would run a full scan job merely to
+        // CONSTRUCT the frame, breaking the registry's everything-is-
+        // lazy-until-an-action contract (and plan-shape audits)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(length(col("term")) > 0)
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
         val scored = tf.join(dfreq, "term")
+          .crossJoin(broadcast(nDocs))
           .withColumn("idf_micro",
-            expr(s"CAST(round(ln(CAST($nDocs AS DOUBLE) / dfreq) * 1000000) AS BIGINT)"))
+            expr("CAST(round(ln(CAST(n_docs AS DOUBLE) / dfreq) * 1000000) AS BIGINT)"))
           .withColumn("score", col("tf") * col("idf_micro"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term").asc)

@@ -27,13 +27,21 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
     // first N RNTOs reply 450 (transient) WITHOUT renaming — mimics a
     // flaky server; clients must not treat this like overwrite-refusal
     rntoTransientFailures: Int = 0,
+    // every RNTO replies 550 WITHOUT renaming — mimics a write-protected
+    // target dir (permission denied); same code as overwrite-refusal,
+    // so clients must probe target existence before resolving by DELE
+    rntoDenied: Boolean = false,
     // SIZE is an RFC 3659 extension; `true` mimics servers without it
-    noSize: Boolean = false) {
+    noSize: Boolean = false,
+    // first N MKDs reply 550 WITHOUT creating — mimics a transient
+    // quota/permission blip; clients must retry the walk on later uploads
+    mkdFailures: Int = 0) {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
   val connectionsOpened = new AtomicInteger(0)
 
   private val rntoTransientLeft = new AtomicInteger(rntoTransientFailures)
+  private val mkdFailuresLeft = new AtomicInteger(mkdFailures)
 
   /** Per-verb command totals (RETR/SIZE/NLST/…) across all sessions —
     * lets specs assert a column-pruned scan performed zero RETRs. */
@@ -156,6 +164,9 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
             else if (rntoTransientLeft.getAndDecrement() > 0) {
               renameFrom = null
               reply(s"450 $arg: requested action not taken, try again")
+            } else if (rntoDenied) {
+              renameFrom = null
+              reply(s"550 $arg: permission denied")
             } else {
               val t = resolve(cwd, arg)
               if (rntoRefusesOverwrite && Files.exists(t)) {
@@ -183,8 +194,11 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
             else reply(s"550 $arg: no such directory")
           case "MKD" =>
             val t = resolve(cwd, arg)
-            try { Files.createDirectory(t); reply(s"""257 "$arg" created""") }
-            catch { case _: Throwable => reply(s"550 $arg: cannot create") }
+            if (mkdFailuresLeft.getAndDecrement() > 0)
+              reply(s"550 $arg: cannot create (transient)")
+            else
+              try { Files.createDirectory(t); reply(s"""257 "$arg" created""") }
+              catch { case _: Throwable => reply(s"550 $arg: cannot create") }
           case "QUIT" => reply("221 bye"); return
           case other => reply(s"502 $other not implemented")
         }

@@ -7,6 +7,13 @@ import java.nio.file.{Files, Path, Paths}
 
 import graft.pipeline.ServerConfig
 
+/** RNTO replied 5xx — a permanent rename refusal. RFC 959 leaves
+  * overwrite semantics server-defined, so 550 here MAY mean "target
+  * exists" — but equally "permission denied" or "path invalid"; callers
+  * that resolve by deleting the target must first confirm it exists. */
+final class RenameRefusedException(text: String)
+  extends IOException(s"RNTO failed: $text")
+
 /** Minimal RFC 959 FTP client over raw sockets.
   *
   * The classpath has no FTP library, so the control/data protocol is
@@ -162,11 +169,16 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
       if (!fin.ok) throw new IOException(s"STOR transfer failed: ${fin.text}")
     }
 
-  /** RNFR/RNTO rename — the commit step of temp-name uploads. */
+  /** RNFR/RNTO rename — the commit step of temp-name uploads. A 5xx
+    * RNTO reply (permanent refusal — possibly, but not necessarily,
+    * overwrite-refusal) throws the typed [[RenameRefusedException]] so
+    * callers can branch without parsing message strings; transient
+    * failures (4xx) stay plain IOException. */
   def rename(from: String, to: String): Unit = {
     val r1 = cmd(s"RNFR $from")
     if (r1.code != 350) throw new IOException(s"RNFR failed: ${r1.text}")
     val r2 = cmd(s"RNTO $to")
+    if (r2.code >= 500) throw new RenameRefusedException(r2.text)
     if (!r2.ok) throw new IOException(s"RNTO failed: ${r2.text}")
   }
 
@@ -283,14 +295,19 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
     if (dir.isEmpty || ensuredDirs.contains(dir)) return
     try {
       val parts = dir.split("/").filter(_.nonEmpty)
+      var allOk = true
       for (part <- parts) {
-        val cwd = client.cmd(s"CWD $part")
+        var cwd = client.cmd(s"CWD $part")
         if (!cwd.ok) {
           client.cmd(s"MKD $part") // errors (e.g. permission) ignored
-          client.cmd(s"CWD $part")
+          cwd = client.cmd(s"CWD $part")
         }
+        if (!cwd.ok) allOk = false
       }
-      ensuredDirs += dir
+      // cache ONLY a walk whose every CWD succeeded: a transient MKD/CWD
+      // failure cached here would pin "directory exists" for the pooled
+      // connection's whole lifetime and lose the per-upload retry
+      if (allOk) ensuredDirs += dir
     } finally client.cmd("CWD /")
   }
 }

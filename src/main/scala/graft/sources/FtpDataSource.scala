@@ -197,28 +197,44 @@ final class FtpWriterFactory(
 
       override def commit(): WriterCommitMessage = {
         // Per-file commit: RNTO overwrite semantics are server-defined
-        // (RFC 959 allows 550 when the target exists), so on a rename
-        // failure DELE the target and retry once — that makes rewrites
+        // (RFC 959 allows 550 when the target exists), so on the typed
+        // permanent refusal — and only after confirming the target
+        // actually exists — DELE it and retry once. That makes rewrites
         // and speculative-attempt convergence work on replace-refusing
-        // servers too. Job-level commit is per-file, not atomic: an
-        // exception partway leaves earlier files committed and later
-        // temps for abort() to clean (documented in README).
+        // servers, while a 550 that really means permission-denied or
+        // bad-path rethrows WITHOUT deleting a live file a previous
+        // commit wrote. Transient failures (4xx, timeout, 421) are plain
+        // IOException and never reach the delete path. Job-level commit
+        // is per-file, not atomic: an exception partway leaves earlier
+        // files committed and later temps for abort() to clean
+        // (documented in README).
         staged.foreach { case (tmp, fin) =>
           try conn.rename(tmp, fin)
           catch {
-            // ONLY on the server's permanent RNTO refusal (550: target
-            // exists) — a transient failure (timeout, 421, temp lost)
-            // must NOT delete the live target a previous commit wrote
-            case e: java.io.IOException
-                if e.getMessage != null && e.getMessage.startsWith("RNTO failed: 550") =>
+            case refusal: graft.pipeline.transfer.RenameRefusedException =>
+              if (!targetExists(fin)) throw refusal
               try conn.delete(fin)
-              catch { case _: java.io.IOException => () } // target may not exist
+              catch { case _: java.io.IOException => () } // raced away is fine
               conn.rename(tmp, fin)
           }
         }
         staged.clear()
         FtpWriteCommit
       }
+
+      /** Does `path` exist server-side? SIZE is authoritative where
+        * supported; on servers without SIZE (or replying 550 for either
+        * reason) fall back to an NLST of the parent — names may come
+        * back bare or full-path, so match the basename either way. */
+      private def targetExists(path: String): Boolean =
+        conn.size(path) >= 0 || {
+          val i = path.lastIndexOf('/')
+          val dir = if (i <= 0) "/" else path.substring(0, i)
+          val name = path.substring(i + 1)
+          try conn.list(dir)
+            .exists(n => n.substring(n.lastIndexOf('/') + 1) == name)
+          catch { case _: java.io.IOException => false }
+        }
 
       override def abort(): Unit = {
         staged.foreach { case (tmp, _) =>

@@ -134,6 +134,30 @@ class ScaleSpec extends AnyFunSuite {
       s"expected BOTH partial and final WindowGroupLimit:\n$plan")
   }
 
+  test("q58 construction is lazy — building the frame runs no action job") {
+    // an eager docs.count() in the builder closure would make every
+    // plan-shape audit (and any registry walk) pay a full corpus scan.
+    // Parquet footer/schema-inference jobs ("parquet at ...") are
+    // metadata and allowed; data actions ("count at ...") are not.
+    val actions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        j.stageInfos.foreach { si =>
+          if (!si.name.startsWith("parquet at")) actions.add(si.name)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("q58_tfidf_topk")(spark, dir)
+      df.queryExecution.optimizedPlan // force analysis, not execution
+      // listener bus is async; give a submitted job time to surface
+      Thread.sleep(1000)
+      assert(actions.isEmpty,
+        s"constructing q58 ran action job(s) $actions — builder must stay lazy")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q63 builds grams narrowly: no Window and no Exchange below the gram aggregate") {
     val plan = SparkEntry.queries("q63_dup_ngram_fraction")(spark, dir)
       .queryExecution.executedPlan.toString

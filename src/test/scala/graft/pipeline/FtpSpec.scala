@@ -67,6 +67,42 @@ class FtpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(Files.readAllBytes(root.resolve("a/b/c/n.txt"))) == "nested")
   }
 
+  test("ensured-dir cache skips the CWD/MKD walk on repeat uploads") {
+    val src = local.resolve("cache1.txt"); Files.write(src, "one".getBytes)
+    val root2 = Files.createTempDirectory("graft-ftp-dircache")
+    val srv = new FakeFtpServer(root2)
+    try {
+      val b = new FtpBackend(
+        ServerConfig("fake", "ftp", "127.0.0.1", srv.port, "u", "p"))
+      TransferBackend.withConnection(b) { be =>
+        be.upload(src.toString, "/deep/x/one.txt")
+        val walked = srv.commandCount("CWD")
+        be.upload(src.toString, "/deep/x/two.txt")
+        assert(srv.commandCount("CWD") == walked,
+          "second upload into an ensured dir must not re-walk")
+      }
+    } finally srv.stop()
+  }
+
+  test("a FAILED dir walk is NOT cached — the next upload retries the MKD") {
+    // a transient MKD refusal cached as "ensured" would pin the failure
+    // for the pooled connection's lifetime; it must stay retryable
+    val src = local.resolve("cache2.txt"); Files.write(src, "two".getBytes)
+    val root2 = Files.createTempDirectory("graft-ftp-mkdblip")
+    val srv = new FakeFtpServer(root2, mkdFailures = 1)
+    try {
+      val b = new FtpBackend(
+        ServerConfig("fake", "ftp", "127.0.0.1", srv.port, "u", "p"))
+      TransferBackend.withConnection(b) { be =>
+        intercept[java.io.IOException](
+          be.upload(src.toString, "/blip/one.txt"))
+        be.upload(src.toString, "/blip/two.txt")
+      }
+      assert(new String(Files.readAllBytes(root2.resolve("blip/two.txt"))) == "two",
+        "the retried walk must create the dir and land the upload")
+    } finally srv.stop()
+  }
+
   test("download missing remote file → FileNotFoundException on 550 (ftp.py:143-146)") {
     val b = new FtpBackend(cfg)
     val e = intercept[FileNotFoundException] {

@@ -197,6 +197,38 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { FtpPools.closeAll(); flaky.stop() }
   }
 
+  test("a 550 refusal with NO existing target rethrows without blind DELE+retry") {
+    // 550 is also what permission-denied and bad-path look like; when the
+    // target does not exist, overwrite-refusal is impossible, so the
+    // commit must surface the typed refusal instead of deleting and
+    // re-renaming on faith (old behavior: DELE + second RNTO)
+    val root2 = Files.createTempDirectory("graft-ftpsrc-denied")
+    Files.createDirectories(root2.resolve("idem"))
+    val denied = new FakeFtpServer(root2, rntoDenied = true)
+    try {
+      import spark.implicits._
+      val e = intercept[Exception] {
+        Seq(("/idem/a.bin", "v1")).toDF("path", "text")
+          .select(col("path"), length(col("text")).cast("long").as("length"),
+            col("text").cast("binary").as("content"))
+          .write.format("graft-ftp")
+          .option("host", "127.0.0.1").option("port", denied.port.toString)
+          .option("username", "u").option("password", "p")
+          .mode("append").save("/idem")
+      }
+      def rootCause(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+      assert(rootCause(e).isInstanceOf[graft.pipeline.transfer.RenameRefusedException],
+        s"expected the typed refusal to surface, got ${rootCause(e)}")
+      assert(denied.commandCount("RNTO") == 1,
+        "no retry without a confirmed existing target")
+      assert(denied.commandCount("DELE") <= 1,
+        "only abort's temp cleanup may DELE — never the absent target")
+      assert(denied.commandCount("SIZE") + denied.commandCount("NLST") >= 1,
+        "commit must probe target existence before deciding")
+    } finally { FtpPools.closeAll(); denied.stop() }
+  }
+
   test("length-only scan falls back to RETR when the server lacks SIZE") {
     // length must not silently become -1 on SIZE-less servers — results
     // would then depend on the projection
