@@ -122,6 +122,69 @@ object MultimodalQueries {
                      i -> CAST(unicode(text[CAST(1 + 4 * i AS INT)]) AS BIGINT))),
                  (acc, c) -> (acc * 31 + c) % 1000000007) AS out_fp
         FROM m
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q76
+    // The REAL decoder, oracle-gated: per doc_id, synthesize a
+    // deterministic gradient image (pixel(x,y) = (doc_id·31+x·7+y·13)
+    // mod 256 gray), encode it with the JVM's own PNG/BMP writers, then
+    // decode through the same ImageIoDecoder seam the stub queries use.
+    // Both formats are lossless for 24-bit RGB, so the decoded
+    // dimensions, aspect-fit thumbnail dims, and the full-pixel rolling
+    // hash (resize at maxDim = long edge ⇒ identity mapping) are pure
+    // arithmetic the DuckDB oracle replicates — if javax.imageio
+    // mis-decoded a single pixel, pixel_fp would mismatch. Narrow
+    // mapPartitions, one decoder per partition, no shuffle.
+    QueryDef(
+      "q76_imageio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 8).select(col("doc_id")).as[Long]
+        val decoded = ids.mapPartitions { it =>
+          val dec = new graft.functions.ImageIoDecoder
+          it.map { id =>
+            val w = 16 + (id % 5).toInt * 8
+            val h = 12 + (id % 3).toInt * 10
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until h; x <- 0 until w) {
+              val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            }
+            val fmt = if (id % 2 == 0) "png" else "bmp"
+            val baos = new java.io.ByteArrayOutputStream()
+            require(javax.imageio.ImageIO.write(img, fmt, baos),
+              s"doc $id: no $fmt writer on this JVM")
+            val bytes = baos.toByteArray
+            val meta = dec.decode(id, bytes)
+            val thumb = dec.resize(id, bytes, 24)
+            val full = dec.resize(id, bytes, math.max(w, h))
+            (id, fmt, meta.width, meta.height,
+              thumb.out_w, thumb.out_h, full.out_fp)
+          }
+        }
+        decoded
+          .toDF("doc_id", "fmt", "width", "height",
+            "thumb_w", "thumb_h", "pixel_fp")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 16 + CAST(doc_id % 5 AS INT) * 8 AS w,
+                 12 + CAST(doc_id % 3 AS INT) * 10 AS h
+          FROM documents WHERE doc_id < 8)
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(GREATEST(1, w * 24 // GREATEST(w, h)) AS INT) AS thumb_w,
+               CAST(GREATEST(1, h * 24 // GREATEST(w, h)) AS INT) AS thumb_h,
+               list_reduce(
+                 flatten([[CAST(((doc_id * 31 + x * 7 + y * 13) % 256) * 65793 AS BIGINT)
+                           FOR x IN range(w)] FOR y IN range(h)]),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS pixel_fp
+        FROM g
         ORDER BY doc_id"""))
   )
 }

@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -106,7 +106,8 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
     }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters with Scan with Batch {
       // column pruning (SupportsPushDownRequiredColumns): a
       // `select("path","length")` scan never opens a data connection —
       // lengths come from SIZE (one control round-trip, no payload), and a
@@ -114,13 +115,48 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
       // At 100 TB this is the difference between a metadata query and
       // downloading the corpus.
       private var required: StructType = FtpDataSource.Schema
+
+      // path-filter pushdown (SupportsPushDownFilters): exact string
+      // predicates on `path` (=, IN, LIKE's StartsWith/EndsWith/Contains
+      // rewrites) are applied to the driver's NLST listing BEFORE
+      // partitions are planned, so a `WHERE path LIKE '/docs/doc_1%'`
+      // scan RETRs only the matching files. FTP has no reliable
+      // server-side glob verb, so the one NLST still lists the whole
+      // dir — names are cheap; payloads are not. Pushed predicates are
+      // fully applied here (names are compared with the same Java string
+      // semantics Spark would use), so they are NOT re-evaluated upstream.
+      private var pushed: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (supported, residual) = filters.partition {
+          case EqualTo("path", _: String)      => true
+          case In("path", vs)                  => vs.forall(_.isInstanceOf[String])
+          case StringStartsWith("path", _)     => true
+          case StringEndsWith("path", _)       => true
+          case StringContains("path", _)       => true
+          case _                               => false
+        }
+        pushed = supported
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      private def keep(path: String): Boolean = pushed.forall {
+        case EqualTo("path", v: String)  => path == v
+        case In("path", vs)              => vs.contains(path)
+        case StringStartsWith("path", v) => path.startsWith(v)
+        case StringEndsWith("path", v)   => path.endsWith(v)
+        case StringContains("path", v)   => path.contains(v)
+        case _                           => true
+      }
+
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def description(): String =
-        s"${name()} [${required.fieldNames.mkString(",")}]"
+        s"${name()} [${required.fieldNames.mkString(",")}]" +
+          (if (pushed.isEmpty) ""
+           else s" PushedFilters: [${pushed.mkString(", ")}]")
 
       override def planInputPartitions(): Array[InputPartition] = {
         // driver-side listing: names only, one pooled connection
@@ -145,6 +181,7 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
         val paths = names.map(n => n.substring(n.lastIndexOf('/') + 1))
           .filterNot(_.matches(""".*\.inprog-\d+$"""))
           .sorted.map(n => s"$d/$n")
+          .filter(keep) // pushed path predicates — plan only matching files
         paths.zipWithIndex.groupBy(_._2 % math.max(1, math.min(nParts, paths.size)))
           .toSeq.sortBy(_._1)
           .map { case (_, ps) =>

@@ -56,6 +56,59 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 1)
   }
 
+  test("pushed path prefix filter RETRs ONLY matching files") {
+    val root2 = Files.createTempDirectory("graft-ftpsrc-pushdown")
+    Files.createDirectories(root2.resolve("docs"))
+    for (i <- 1 to 5) Files.write(root2.resolve(s"docs/doc_$i.bin"), s"payload$i".getBytes)
+    Files.write(root2.resolve("docs/other.bin"), "not a doc".getBytes)
+    val srv = new FakeFtpServer(root2)
+    try {
+      val df = spark.read.format("graft-ftp")
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("username", "u").option("password", "p")
+        .load("/docs")
+        .filter(col("path").startsWith("/docs/doc_1"))
+      // the optimizer must hand StartsWith to the source, visible in explain
+      assert(df.queryExecution.executedPlan.toString.contains("PushedFilters"),
+        s"expected pushed filters in:\n${df.queryExecution.executedPlan}")
+      val rows = df.select("path", "content")
+        .collect().map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+      assert(rows.toSeq == Seq(("/docs/doc_1.bin", "payload1")))
+      assert(srv.commandCount("RETR") == 1,
+        s"a pushed prefix filter must fetch ONLY matching files, " +
+          s"got ${srv.commandCount("RETR")} RETRs for 1 match of 6 files")
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
+  test("pushed suffix + equality filters also prune the fetch list") {
+    val root2 = Files.createTempDirectory("graft-ftpsrc-pushdown2")
+    Files.createDirectories(root2.resolve("mix"))
+    Files.write(root2.resolve("mix/a.bin"), "abin".getBytes)
+    Files.write(root2.resolve("mix/a.txt"), "atxt".getBytes)
+    Files.write(root2.resolve("mix/b.txt"), "btxt".getBytes)
+    val srv = new FakeFtpServer(root2)
+    try {
+      def read0 = spark.read.format("graft-ftp")
+        .option("host", "127.0.0.1").option("port", srv.port.toString)
+        .option("username", "u").option("password", "p")
+        .load("/mix")
+      val txt = read0.filter(col("path").endsWith(".txt"))
+        .select("path").collect().map(_.getString(0)).sorted
+      assert(txt.toSeq == Seq("/mix/a.txt", "/mix/b.txt"))
+      val retrAfterSuffix = srv.commandCount("RETR")
+      assert(retrAfterSuffix == 0, "path-only scans answer from NLST alone")
+      val one = read0.filter(col("path") === "/mix/b.txt")
+        .select("content").collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
+      assert(one.toSeq == Seq("btxt"))
+      assert(srv.commandCount("RETR") == 1,
+        "equality pushdown must fetch exactly the named file")
+      // a residual (non-path) filter still composes on top, un-pushed
+      val long = read0.filter(col("path").endsWith(".txt") && col("length") > 3)
+        .count()
+      assert(long == 2)
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
   test("column-pruned (path,length) scan performs SIZE but ZERO RETRs") {
     val retrBefore = server.commandCount("RETR")
     val rows = read().load("/data")
