@@ -245,6 +245,79 @@ object TextAnalysis {
               FROM documents)
         GROUP BY t
         ORDER BY freq DESC, subtok
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // ---------------------------------------------------------------- q77
+    // Gopher-style composite filter rules (Rae et al. 2021 §A1.1 shape):
+    // per document — token count bounds, mean word length bounds,
+    // top-word dominance, type-token ratio — each an integer-arithmetic
+    // signal, first failing rule = the reject reason (a curation run's
+    // removal report). Plan: one explode → (doc_id, word) count
+    // aggregate → (doc_id) roll-up; both shuffles are keyed and
+    // partial-aggregated map-side, so the word-frequency pass scales
+    // exactly like the tf stage of q58 at 100 TB. No interpreted HOF
+    // lambdas anywhere — the per-word work happens in codegen'd
+    // aggregates, not a per-row list fold.
+    QueryDef(
+      "q77_gopher_rules",
+      (s, dir) => {
+        val freq = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        val stats = freq.groupBy("doc_id").agg(
+          sum("cnt").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max("cnt").as("top_cnt"),
+          sum(length(col("w")) * col("cnt")).as("sum_len"))
+        stats
+          .withColumn("mean_len_micro", expr("sum_len * 1000000 div n_words"))
+          .withColumn("top_permille", expr("top_cnt * 1000 div n_words"))
+          .withColumn("ttr_permille", expr("n_distinct * 1000 div n_words"))
+          .withColumn("reject_reason",
+            when(col("n_words") < 20, "too_short")
+              .when(col("n_words") > 100000, "too_long")
+              .when(col("mean_len_micro") < 3000000L, "short_words")
+              .when(col("mean_len_micro") > 10000000L, "long_words")
+              .when(col("top_permille") > 120, "top_word_dominance")
+              .when(col("ttr_permille") < 150, "low_type_token_ratio")
+              .otherwise("keep"))
+          .select(col("doc_id"), col("n_words"), col("n_distinct"),
+            col("mean_len_micro"), col("top_permille"), col("ttr_permille"),
+            col("reject_reason"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, w, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE length(w) > 0
+          GROUP BY doc_id, w),
+        st AS (
+          SELECT doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_words,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+                 CAST(SUM(length(w) * cnt) AS BIGINT) AS sum_len
+          FROM f GROUP BY doc_id),
+        m AS (
+          SELECT doc_id, n_words, n_distinct,
+                 sum_len * 1000000 // n_words AS mean_len_micro,
+                 top_cnt * 1000 // n_words AS top_permille,
+                 n_distinct * 1000 // n_words AS ttr_permille
+          FROM st)
+        SELECT doc_id, n_words, n_distinct,
+               CAST(mean_len_micro AS BIGINT) AS mean_len_micro,
+               CAST(top_permille AS BIGINT) AS top_permille,
+               CAST(ttr_permille AS BIGINT) AS ttr_permille,
+               CASE WHEN n_words < 20 THEN 'too_short'
+                    WHEN n_words > 100000 THEN 'too_long'
+                    WHEN mean_len_micro < 3000000 THEN 'short_words'
+                    WHEN mean_len_micro > 10000000 THEN 'long_words'
+                    WHEN top_permille > 120 THEN 'top_word_dominance'
+                    WHEN ttr_permille < 150 THEN 'low_type_token_ratio'
+                    ELSE 'keep' END AS reject_reason
+        FROM m
+        ORDER BY doc_id"""))
   )
 }

@@ -1,7 +1,7 @@
 package graft.pipeline.testkit
 
 import java.io.{BufferedReader, InputStreamReader, OutputStream}
-import java.net.{ServerSocket, Socket}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.US_ASCII
 import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicInteger
@@ -55,6 +55,12 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
     while (running) {
       try {
         val s = server.accept()
+        // interactive protocol: small command/reply packets must not sit
+        // in Nagle's buffer waiting for the peer's (delayed, up to 40 ms)
+        // ACK — the write-write-read pattern around data transfers
+        // (150 → payload → 226) otherwise stalls every file by one
+        // delayed-ACK period
+        s.setTcpNoDelay(true)
         connectionsOpened.incrementAndGet()
         new Thread(() => handle(s), "fake-ftp-session").start()
       } catch { case _: Throwable => () }
@@ -70,14 +76,31 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
     val out = sock.getOutputStream
     def reply(s: String): Unit = { out.write((s + "\r\n").getBytes(US_ASCII)); out.flush() }
     var cwd = root
+    // ONE passive-mode listener per session, reused across transfers: a
+    // fresh ServerSocket per PASV exhausts the ephemeral port range under
+    // load (10k+ transfers/min leave every port with a TIME_WAIT tuple,
+    // and bind(0) without SO_REUSEADDR refuses them all → BindException).
+    // Real servers (vsftpd pasv_min_port pools) reuse listener ports the
+    // same way; RFC 959 allows 227 to repeat a port.
     var data: ServerSocket = null
     var activeTarget: Option[(String, Int)] = None
     var loggedIn = false
     var renameFrom: Path = null // pending RNFR target
     // data connection: PASV listener if armed, else PORT connect-back
-    def openData(): Socket = activeTarget match {
-      case Some((h, p)) => activeTarget = None; new Socket(h, p)
-      case None => data.accept()
+    // a 5xx reply AFTER the client already connected (it connects as
+    // soon as 227 arrives, before sending the verb) leaves a dead
+    // connection in the listener backlog; the next accept would grab it
+    // and transfer zero bytes. Disarm on those paths — errors are rare,
+    // so the extra re-bind never pressures the port range.
+    def disarmData(): Unit =
+      if (data != null) { data.close(); data = null }
+    def openData(): Socket = {
+      val d = activeTarget match {
+        case Some((h, p)) => activeTarget = None; new Socket(h, p)
+        case None => data.accept()
+      }
+      d.setTcpNoDelay(true)
+      d
     }
     reply("220 FakeFTP ready")
     try {
@@ -97,8 +120,11 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
           case "TYPE" => reply("200 type set")
           case "NOOP" => reply("200 ok")
           case "PASV" =>
-            if (data != null) data.close()
-            data = new ServerSocket(0)
+            if (data == null) {
+              data = new ServerSocket()
+              data.setReuseAddress(true)
+              data.bind(new InetSocketAddress(0))
+            }
             val p = data.getLocalPort
             // pasvZeroHost mimics NAT'd servers that advertise 0,0,0,0 —
             // clients must fall back to the control-connection host
@@ -114,28 +140,34 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
             }
           case "RETR" =>
             val f = resolve(cwd, arg)
-            if (!Files.exists(f) || Files.isDirectory(f)) reply(s"550 $arg: no such file")
+            if (!Files.exists(f) || Files.isDirectory(f)) {
+              disarmData(); reply(s"550 $arg: no such file")
+            }
             else {
               reply("150 opening data connection")
               val d = openData()
               try Files.copy(f, d.getOutputStream)
-              finally { d.close(); if (data != null) { data.close(); data = null } }
+              finally d.close()
               reply("226 transfer complete")
             }
           case "STOR" =>
             val f = resolve(cwd, arg)
-            if (!Files.exists(f.getParent)) reply(s"550 ${arg}: parent missing")
+            if (!Files.exists(f.getParent)) {
+              disarmData(); reply(s"550 ${arg}: parent missing")
+            }
             else {
               reply("150 opening data connection")
               val d = openData()
               try Files.copy(d.getInputStream, f,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              finally { d.close(); if (data != null) { data.close(); data = null } }
+              finally d.close()
               reply("226 transfer complete")
             }
           case "NLST" =>
             val d0 = resolve(cwd, arg)
-            if (!Files.isDirectory(d0)) reply(s"550 $arg: no such directory")
+            if (!Files.isDirectory(d0)) {
+              disarmData(); reply(s"550 $arg: no such directory")
+            }
             else {
               reply("150 opening data connection")
               val d = openData()
@@ -152,7 +184,7 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
                   .mkString("", "\r\n", "\r\n")
                 d.getOutputStream.write(names.getBytes(US_ASCII))
                 d.getOutputStream.flush()
-              } finally { d.close(); if (data != null) { data.close(); data = null } }
+              } finally d.close()
               reply("226 transfer complete")
             }
           case "RNFR" =>
@@ -204,7 +236,7 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
         }
         line = in.readLine()
       }
-    } catch { case _: Throwable => () }
+    } catch { case t: Throwable => System.err.println(s"FAKEFTP session died: $t") }
     finally {
       if (data != null) data.close()
       sock.close()

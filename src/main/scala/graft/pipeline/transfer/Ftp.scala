@@ -40,6 +40,11 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
     sock = new Socket()
     sock.connect(new InetSocketAddress(host, port), timeoutMs)
     sock.setSoTimeout(timeoutMs)
+    // interactive control channel: disable Nagle so small commands and
+    // replies are never held back waiting for a delayed ACK — the
+    // server's write(150)→payload→write(226) sequence otherwise stalls
+    // every transfer by one delayed-ACK period (~40 ms) per file
+    sock.setTcpNoDelay(true)
     in = new BufferedReader(new InputStreamReader(sock.getInputStream, US_ASCII))
     out = sock.getOutputStream
     val greet = readReply()
@@ -96,6 +101,7 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
       val dataHost = if (h1 == 0 && h2 == 0 && h3 == 0 && h4 == 0) host else s"$h1.$h2.$h3.$h4"
       val data = new Socket()
       data.connect(new InetSocketAddress(dataHost, p1 * 256 + p2), timeoutMs)
+      data.setTcpNoDelay(true) // same delayed-ACK rationale as the control sock
       try use(cmd(command), data)
       finally data.close()
     } else {
@@ -110,6 +116,7 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
         if (pre.code >= 400) use(pre, null)
         else {
           val data = listener.accept()
+          data.setTcpNoDelay(true)
           try use(pre, data)
           finally data.close()
         }

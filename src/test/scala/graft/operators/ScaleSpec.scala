@@ -173,6 +173,17 @@ class ScaleSpec extends AnyFunSuite {
       s"no Exchange may sit below the first gram aggregate:\n$plan")
   }
 
+  test("q77 word stats come from keyed aggregates, not per-row list folds") {
+    val df = SparkEntry.queries("q77_gopher_rules")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // two keyed HashAggregates (doc_id×word, then doc_id), both with
+    // map-side partials; an ArrayFilter/ArrayTransform in the plan would
+    // mean an interpreted HOF crept back into the hot path
+    assert(plan.contains("HashAggregate"), s"expected hash aggregates:\n$plan")
+    assert(!plan.contains("ArrayFilter") && !plan.contains("ArrayTransform"),
+      s"q77 must not fold word lists per-row (interpreted HOFs):\n$plan")
+  }
+
   test("q66 containment is a semi join, never a payload join") {
     // left-semi: benchmark grams probe corpus-gram existence — corpus
     // text must never be joined through to the output side
