@@ -170,6 +170,28 @@ object StreamingQueries {
     * mode: each Complete batch rewrites the full result, each Append batch
     * adds its finalized rows, so the directory's final contents equal the
     * memory sink's table in both modes. */
+  /** Stream the documents table through a file source — the arrival
+    * folder of a corpus-ingest stream (same staging discipline as
+    * [[eventsStream]]: copy-then-atomic-move into a landing dir). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val path = s"$dir/documents.parquet"
+    val sf = Paths.get(dir).getFileName.toString
+    val landing = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs/$sf")
+    Files.createDirectories(landing)
+    val staged = landing.resolve("documents_1.parquet")
+    if (!Files.exists(staged)) {
+      val tmp = landing.resolve(".documents_1.parquet.tmp")
+      Files.copy(Paths.get(path), tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    s.readStream
+      .schema(s.read.parquet(path).schema)
+      .parquet(landing.toString)
+  }
+
   private def drain(s: SparkSession, mode: OutputMode)(df: DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_drain",
@@ -382,6 +404,62 @@ object StreamingQueries {
         FROM events
         WHERE event_id % 3 <> 0
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- s07
+    // Streaming quality filter — the streaming face of q77: documents
+    // arrive on a file stream and each is labeled with its first failing
+    // curation rule, fully STATELESS (append mode, no watermark, no
+    // state stores — the per-row rules use only codegen'd built-ins:
+    // split/size/array_distinct/regexp_replace; no interpreted HOF
+    // lambdas, no per-doc frequency aggregation). The top-word-dominance
+    // rule needs a word-frequency map, which is an aggregation — in a
+    // continuous deployment that subset runs as a per-micro-batch batch
+    // aggregate (foreachBatch), exactly like q77; the stateless subset
+    // here is what filters AT ingest. Per-reason counts are rolled up
+    // from the drained sink.
+    QueryDef(
+      "s07_stream_quality_filter",
+      (s, dir) => {
+        val labeled = documentsStream(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n", size(col("w")).cast("long"))
+          .withColumn("sum_len",
+            length(regexp_replace(col("text"), " ", "")).cast("long"))
+          .withColumn("mean_len_micro", expr("sum_len * 1000000 div n"))
+          .withColumn("ttr_permille",
+            expr("cast(size(array_distinct(w)) AS BIGINT) * 1000 div n"))
+          .withColumn("reject_reason",
+            when(col("n") < 20, "too_short")
+              .when(col("mean_len_micro") < 3000000L, "short_words")
+              .when(col("mean_len_micro") > 10000000L, "long_words")
+              .when(col("ttr_permille") < 150, "low_type_token_ratio")
+              .otherwise("keep"))
+          .select("doc_id", "reject_reason")
+        drain(s, OutputMode.Append())(labeled)
+          .groupBy("reject_reason")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
+          .orderBy("reject_reason")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 length(replace(text, ' ', '')) AS sum_len,
+                 len(list_distinct(string_split(text, ' '))) AS nd
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN n < 20 THEN 'too_short'
+                      WHEN sum_len * 1000000 // n < 3000000 THEN 'short_words'
+                      WHEN sum_len * 1000000 // n > 10000000 THEN 'long_words'
+                      WHEN nd * 1000 // n < 150 THEN 'low_type_token_ratio'
+                      ELSE 'keep' END AS reject_reason
+          FROM m)
+        SELECT reject_reason, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM r
+        GROUP BY reject_reason
+        ORDER BY reject_reason"""))
   )
 }
