@@ -90,8 +90,11 @@ object Bench {
     // truncated, leaving the per-query numbers unparseable driver-side.
     // Locale.ROOT: the f-interpolator honors the JVM default locale and
     // would emit comma decimals (invalid JSON) on e.g. de_DE containers
+    // 2 decimals: 10 ms granularity is enough to adjudicate any plan
+    // regression, and the saved char-per-query keeps the 92-query line
+    // inside the driver's 2000-char tail capture with margin
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench key prefixes collide: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")

@@ -519,6 +519,52 @@ object TrainingDataOps {
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM f
         GROUP BY 1
-        ORDER BY split"""))
+        ORDER BY split""")),
+
+    // ---------------------------------------------------------------- q78
+    // Sequence packing — concat-and-chunk, the way pretraining batches
+    // are actually built: documents are laid end-to-end in a
+    // deterministic order and cut into fixed token-budget packs;
+    // pack_id = exclusive-prefix-sum(tokens) div budget, so a document
+    // starting inside pack k belongs to pack k (documents may span the
+    // cut — the chunker's concern, not the planner's). Packing is PER
+    // SOURCE: the running sum is a keyed window
+    // (partitionBy(source).orderBy(doc_id)), so at 100 TB each shard
+    // packs independently and no global single-partition window ever
+    // exists. Output: per-pack doc counts and token totals.
+    QueryDef(
+      "q78_sequence_packing",
+      (s, dir) => {
+        val budget = 512L // tokens per pack
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("cum_incl", sum("n_tokens").over(w))
+          .withColumn("pack_id",
+            expr(s"(cum_incl - n_tokens) div $budget"))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("pack_tokens"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .orderBy("source", "pack_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 SUM(len(string_split(text, ' ')))
+                   OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_incl
+          FROM documents)
+        SELECT source, CAST((cum_incl - n_tokens) // 512 AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM t
+        GROUP BY source, pack_id
+        ORDER BY source, pack_id"""))
   )
 }
