@@ -184,6 +184,17 @@ class ScaleSpec extends AnyFunSuite {
       s"q77 must not fold word lists per-row (interpreted HOFs):\n$plan")
   }
 
+  test("q78 packs with a keyed window — never a single-partition exchange") {
+    val df = SparkEntry.queries("q78_sequence_packing")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window in:\n$plan")
+    // the prefix sum must partition by source; a global running total
+    // would plan Exchange SinglePartition and serialize the corpus
+    // through one task at 100 TB
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q78 must never exchange to a single partition:\n$plan")
+  }
+
   test("q66 containment is a semi join, never a payload join") {
     // left-semi: benchmark grams probe corpus-gram existence — corpus
     // text must never be joined through to the output side
