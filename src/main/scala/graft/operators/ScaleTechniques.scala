@@ -280,6 +280,55 @@ object ScaleTechniques {
                CAST(MIN(d.weight) AS BIGINT) AS weight
         FROM events e JOIN dim d ON e.event_type = d.event_type
         GROUP BY e.event_type
-        ORDER BY e.event_type"""))
+        ORDER BY e.event_type""")),
+
+    // ---------------------------------------------------------------- q82
+    // Range-clustered layout for data skipping: `events` rewritten once
+    // with repartitionByRange(ts) + sortWithinPartitions(ts), so every
+    // parquet file owns a DISJOINT time range and its row-group min/max
+    // stats answer time filters without decoding (ScaleSpec asserts the
+    // disjointness). A time-range query over the clustered copy then
+    // reads ~1/10th of the files instead of scanning everything — the
+    // sort-once/skip-forever layout for time-series at 100 TB. The
+    // cutoff is computed from a one-row min/max aggregate (driver
+    // scalar, metadata-sized at any SF).
+    QueryDef(
+      "q82_range_clustered_scan",
+      (s, dir) => {
+        val sf = java.nio.file.Paths.get(dir).getFileName.toString
+        val staged = java.nio.file.Paths.get(
+          s"${System.getProperty("java.io.tmpdir")}/graft_range_events/$sf")
+        val marker = staged.resolve("_STAGED")
+        if (!java.nio.file.Files.exists(marker)) {
+          Tables.events(s, dir)
+            .withColumn("ts_us", expr("ts div 1000"))
+            .select("event_id", "ts_us", "event_type", "value")
+            .repartitionByRange(8, col("ts_us"))
+            .sortWithinPartitions("ts_us")
+            .write.mode("overwrite").parquet(staged.resolve("fact").toString)
+          java.nio.file.Files.write(marker, Array.emptyByteArray)
+        }
+        val Array(mn, mx) = Tables.events(s, dir)
+          .agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cutoff = mn + (mx - mn) / 10L
+        s.read.parquet(staged.resolve("fact").toString)
+          .filter(col("ts_us") <= cutoff)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec2(col("value"))).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH b AS (
+          SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+                 MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events, b
+        WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= mn + (mx - mn) // 10
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

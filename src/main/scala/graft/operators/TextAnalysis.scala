@@ -318,6 +318,50 @@ object TextAnalysis {
                     WHEN ttr_permille < 150 THEN 'low_type_token_ratio'
                     ELSE 'keep' END AS reject_reason
         FROM m
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q81
+    // Per-source quality percentile cut — "keep the best half of every
+    // source" corpus curation: rank documents inside each source by an
+    // integer type-token-ratio score and keep rank*2 <= source size.
+    // Both windows share the same partition key, so the plan carries ONE
+    // exchange on `source`; the cut threshold is relative (median), so
+    // no global statistics pass is needed. Exact per-source ranking
+    // costs a per-source sort — the honest price of an exact percentile;
+    // at 100 TB you'd swap the rank for an approx_percentile threshold
+    // (q53's sketch) and keep the same filter shape.
+    QueryDef(
+      "q81_source_quality_cut",
+      (s, dir) => {
+        val rankW = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+        val cntW = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        Tables(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n", size(col("w")).cast("long"))
+          .withColumn("score",
+            expr("cast(size(array_distinct(w)) AS BIGINT) * 1000 div n"))
+          .withColumn("rk", row_number().over(rankW))
+          .withColumn("cnt", count(lit(1)).over(cntW))
+          .filter(col("rk") * 2 <= col("cnt"))
+          .select(col("source"), col("rk"), col("doc_id"), col("score"))
+          .orderBy("source", "rk")
+      },
+      Some("""
+        WITH m AS (
+          SELECT source, doc_id,
+                 len(list_distinct(string_split(text, ' '))) * 1000
+                   // len(string_split(text, ' ')) AS score
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, score,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS cnt
+          FROM m)
+        SELECT source, CAST(rk AS INT) AS rk, doc_id, CAST(score AS BIGINT) AS score
+        FROM r
+        WHERE rk * 2 <= cnt
+        ORDER BY source, rk"""))
   )
 }

@@ -565,6 +565,173 @@ object TrainingDataOps {
                CAST(MAX(doc_id) AS BIGINT) AS last_doc
         FROM t
         GROUP BY source, pack_id
-        ORDER BY source, pack_id"""))
+        ORDER BY source, pack_id""")),
+
+    // ---------------------------------------------------------------- q79
+    // Document chunking with overlap — the RAG/context-window prep step:
+    // each document is cut into fixed 64-token chunks on a 48-token
+    // stride (16-token overlap), so no sentence at a cut boundary is
+    // lost to both neighbors. chunk count is pure integer arithmetic
+    // (1 + ceil_div(max(0, n-64), 48)), the chunk rows come from one
+    // explode(sequence(...)) — a narrow per-row generator, NO shuffle
+    // until the gate's final ORDER BY; at 100 TB chunking is embarrassingly
+    // parallel over the scan.
+    QueryDef(
+      "q79_doc_chunking",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("n_chunks", expr("1 + (greatest(0, n - 64) + 47) div 48"))
+          .select(col("doc_id"), col("toks"),
+            explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+          .withColumn("chunk",
+            expr("slice(toks, cast(chunk_idx * 48 + 1 as int), 64)"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).as("chunk_tokens"),
+            array_join(col("chunk"), " ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks,
+                 1 + (greatest(0, n - 64) + 47) // 48 AS n_chunks
+          FROM t),
+        e AS (
+          SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx
+          FROM c)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INT)
+                 AS chunk_tokens,
+               array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+                 AS chunk_text
+        FROM e
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ---------------------------------------------------------------- q80
+    // Training-example assembly: each user's first-50-event prefix as an
+    // ordered action sequence — the "behavioral context window" shape of
+    // next-event-prediction datasets. The cap happens BEFORE collect:
+    // rank<=50 over (user, time) plans as WindowGroupLimit (each task
+    // keeps its 50 best per user map-side), so the grouped state is
+    // bounded at 50 rows per user no matter how hot a power user's
+    // history gets at 100 TB — never collect-then-truncate.
+    QueryDef(
+      "q80_session_prefix_assembly",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_prefix"),
+            expr("""array_join(
+                      transform(sort_array(collect_list(struct(rn, event_type))),
+                                x -> x.event_type), ' ')""").as("prefix_seq"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_prefix,
+               string_agg(event_type, ' ' ORDER BY rn) AS prefix_seq
+        FROM r
+        WHERE rn <= 50
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q83
+    // Split-leakage audit — composes q41's exact prefix-filtered Jaccard
+    // join with q74's content-hash split: an arriving re-crawl batch is
+    // near-dup-matched against the corpus (3-gram shingles, τ = 0.6,
+    // complete candidates from rare-first prefixes — never all-pairs),
+    // and each verified pair is labeled with both sides' hash-assigned
+    // splits. `leaks = true` rows are the eval-contamination q74's
+    // design prevents for EXACT dups but cannot for near-dups: a
+    // variant's text hashes to a different bucket, so without this audit
+    // a train-side near-twin of a test doc ships silently. Same scale
+    // shape as q41: bucket-key equi-join + integer-exact verify.
+    QueryDef(
+      "q83_split_leakage_audit",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val splitOf = (c: Column) =>
+          when(call_function("graft_polyhash", c) % 100 < 80, "train")
+            .when(call_function("graft_polyhash", c) % 100 < 90, "val")
+            .otherwise("test")
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val b = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            regexp_replace(col("text"), " \\S+$", "").as("text"))
+        val corpus = TrackedCaches.track(docs.unionByName(b)
+          .withColumn("split", splitOf(col("text")))
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("s", expr(Dedup.shinglesExpr))
+          .filter(size(col("s")) > 0)
+          .select("doc_id", "split", "s")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val freq = corpus.select(explode(col("s")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("f"))
+        val sorted = corpus.select(col("doc_id"), col("split"), explode(col("s")).as("t"))
+          .join(freq, "t")
+          .groupBy("doc_id")
+          .agg(first(col("split")).as("split"),
+            expr("transform(array_sort(collect_list(struct(f, t))), x -> x.t)").as("st"))
+        val pref = sorted.withColumn("n", size(col("st")))
+          .withColumn("plen", col("n") - expr("(3 * n + 4) div 5") + lit(1))
+          .select(col("doc_id"), col("split"), col("st"),
+            explode(expr("slice(st, 1, plen)")).as("pt"))
+        val aSide = pref.filter(col("doc_id") < 200000)
+          .select(col("doc_id").as("id_a"), col("split").as("split_a"),
+            col("st").as("sa"), col("pt"))
+        val bSide = pref.filter(col("doc_id") >= 200000)
+          .select(col("doc_id").as("id_b"), col("split").as("split_b"),
+            col("st").as("sb"), col("pt"))
+        aSide.join(bSide, "pt")
+          .select("id_a", "id_b", "split_a", "split_b", "sa", "sb").distinct()
+          .filter(size(array_intersect(col("sa"), col("sb"))) * 5
+            >= size(array_union(col("sa"), col("sb"))) * 3)
+          .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+            (col("split_a") =!= col("split_b")).as("leaks"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, regexp_replace(text, ' \S+$', '')
+          FROM documents WHERE doc_id % 7 = 0),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN fp < 80 THEN 'train'
+                      WHEN fp < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                        i -> CAST(unicode(text[i]) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS fp
+                FROM corpus)),
+        toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+               FROM toks WHERE len(w) >= 3)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               sa.split AS split_a, sb.split AS split_b,
+               (sa.split <> sb.split) AS leaks
+        FROM sh a JOIN sh b
+          ON a.doc_id < 200000 AND b.doc_id >= 200000
+        JOIN sp sa ON sa.doc_id = a.doc_id
+        JOIN sp sb ON sb.doc_id = b.doc_id
+        WHERE 5 * len(list_intersect(a.s, b.s))
+              >= 3 * len(list_distinct(list_concat(a.s, b.s)))
+        ORDER BY id_a, id_b"""))
   )
 }

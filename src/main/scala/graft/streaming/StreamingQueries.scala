@@ -460,6 +460,97 @@ object StreamingQueries {
                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         FROM r
         GROUP BY reject_reason
-        ORDER BY reject_reason"""))
+        ORDER BY reject_reason""")),
+
+    // ---------------------------------------------------------------- s08
+    // Watermarked stream-stream LEFT OUTER interval join — s04's shape
+    // plus the null-emitting side: a purchase with NO view in its
+    // preceding hour must still emit (with null view columns), which a
+    // streaming engine can only do once the watermark proves no matching
+    // view can arrive. The far-future flush sentinel (same mechanism as
+    // s02) advances both sides' watermarks past every real row at drain
+    // end, so ALL unmatched purchases flush deterministically; sentinel
+    // rows pass BOTH side filters via `user_id < 0` (a pre-watermark
+    // event_type filter would drop them before they reach the watermark
+    // operator) and are removed AFTER the drain, batch-side: a sentinel
+    // filter inside the streaming plan references only left-side columns,
+    // so Catalyst pushes it below the purchase-side watermark operator —
+    // the sentinel then never reaches that watermark node, the global
+    // watermark stalls at maxPurchaseTs − delay, and the LAST purchase's
+    // unmatched row is never evicted (observed: exactly one row short).
+    // State stays bounded by the same time-range condition as s04. Null
+    // sort order is pinned NULLS FIRST on both engines — their ASC
+    // defaults disagree.
+    QueryDef(
+      "s08_stream_left_outer_join",
+      (s, dir) => {
+        val base = eventsStream(s, dir, flushSentinel = true)
+        val views = base
+          .filter(col("event_type") === "view" || col("user_id") < 0)
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts_us").as("v_us"), col("ts_t").as("v_t"))
+          .withWatermark("v_t", "10 minutes")
+        val purchases = base
+          .filter(col("event_type") === "purchase" || col("user_id") < 0)
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts_us").as("p_us"), col("ts_t").as("p_t"))
+          .withWatermark("p_t", "10 minutes")
+        val joined = purchases.join(views,
+          col("p_user") === col("v_user")
+            && col("v_t") <= col("p_t")
+            && col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        drain(s, OutputMode.Append())(
+          joined.select("purchase_id", "view_id", "p_us", "v_us"))
+          .filter(col("purchase_id") >= 0) // sentinel rows, batch-side
+          .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                   FROM events),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        v AS (SELECT * FROM e WHERE event_type = 'view')
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+               p.us AS p_us, v.us AS v_us
+        FROM p LEFT JOIN v
+          ON p.user_id = v.user_id
+         AND v.us <= p.us AND v.us >= p.us - 3600000000
+        ORDER BY purchase_id, view_id NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- s09
+    // Streaming hopping windows — the streaming twin of q75, same oracle:
+    // 1-hour windows every 30 minutes, each event fanned to exactly 2
+    // windows by the native window(ts, size, hop) generator. Complete
+    // mode like s01: the single AvailableNow batch emits every window
+    // (append would hold windows open behind the final watermark); the
+    // watermark still bounds state in a continuous deployment.
+    QueryDef(
+      "s09_stream_hopping_window",
+      (s, dir) => {
+        val agg = eventsStream(s, dir)
+          .withWatermark("ts_t", "1 hour")
+          .groupBy(window(col("ts_t"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            Exact.dsum(col("value")).as("sum_value"))
+        drain(s, OutputMode.Complete())(agg)
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("n_events"), col("sum_value"))
+          .orderBy("ws_us")
+      },
+      Some("""
+        WITH e AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        w AS (
+          SELECT us, value,
+                 UNNEST([(us // 1800000000) * 1800000000,
+                         (us // 1800000000) * 1800000000 - 1800000000]) AS ws
+          FROM e)
+        SELECT ws AS ws_us, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM w
+        WHERE us >= ws AND us < ws + 3600000000
+        GROUP BY ws
+        ORDER BY ws_us"""))
   )
 }

@@ -204,4 +204,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"containment must not plan a cartesian product:\n$plan")
   }
+
+  test("q83 leakage audit joins on prefix buckets, never all-pairs") {
+    val plan = SparkEntry.queries("q83_split_leakage_audit")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation must stay an equi-join on prefix tokens:\n$plan")
+  }
+
+  test("q79 chunking is a narrow generator — no shuffle before chunks exist") {
+    val plan = SparkEntry.queries("q79_doc_chunking")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected an explode generator:\n$plan")
+    // the only exchange allowed is the gate's final ORDER BY (range);
+    // a hash exchange or window before the chunks exist would mean the
+    // per-doc work stopped being embarrassingly parallel
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Window"),
+      s"chunk generation must be narrow:\n$plan")
+  }
+
+  test("q80 caps each user's prefix map-side (WindowGroupLimit)") {
+    val plan = SparkEntry.queries("q80_session_prefix_assembly")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // rank<=50 must plan as WindowGroupLimit: each task keeps at most 50
+    // rows per user BEFORE the shuffle — collect-then-truncate would hold
+    // a power user's whole history in the aggregation state
+    assert(plan.contains("WindowGroupLimit"),
+      s"prefix cap must be a partial window group limit:\n$plan")
+  }
+
+  test("q82 range-clustered files own disjoint time ranges and the scan pushes the cutoff") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val df = SparkEntry.queries("q82_range_clustered_scan")(spark, dir)
+    // the time filter must reach the clustered scan (row-group skipping)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(ts_us"),
+      s"cutoff predicate must be pushed into the parquet scan:\n$plan")
+    // staging ran when the query was built — every file's [min,max] ts_us
+    // range must be disjoint from every other's, or min/max stats can't skip
+    val sf = java.nio.file.Paths.get(dir).getFileName.toString
+    val staged =
+      s"${System.getProperty("java.io.tmpdir")}/graft_range_events/$sf/fact"
+    val ranges = spark.read.parquet(staged)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, s"expected multiple clustered files, got $ranges")
+    ranges.sliding(2).foreach { case Array((lo1, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2,
+        s"file ranges overlap: [$lo1,$hi1] vs next starting at $lo2")
+    }
+  }
 }

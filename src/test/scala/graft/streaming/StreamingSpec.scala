@@ -309,6 +309,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"state not evicted: ${lastState.map(_.numRowsTotal)}")
   }
 
+  test("s08 outer join flushes the final purchase's unmatched row") {
+    // regression: a sentinel filter INSIDE the streaming plan gets pushed
+    // below the purchase-side watermark operator, the global watermark
+    // stalls at maxPurchaseTs − delay, and the dataset's LAST purchase
+    // never emits. The fixture's latest purchase must be present, and
+    // outer semantics must produce at least one null-view row.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("s08_stream_left_outer_join")(spark, dir)
+      .collect()
+    val lastPurchase = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .orderBy(col("ts").desc).select("event_id").head().getLong(0)
+    assert(out.exists(_.getLong(0) == lastPurchase),
+      s"latest purchase $lastPurchase missing from outer join output")
+    assert(out.exists(_.isNullAt(1)),
+      "expected at least one unmatched purchase (null view_id)")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
