@@ -362,6 +362,48 @@ object TextAnalysis {
         SELECT source, CAST(rk AS INT) AS rk, doc_id, CAST(score AS BIGINT) AS score
         FROM r
         WHERE rk * 2 <= cnt
-        ORDER BY source, rk"""))
+        ORDER BY source, rk""")),
+
+    // ---------------------------------------------------------------- q84
+    // Vocabulary OOV rate — the tokenizer-coverage evaluation that pairs
+    // with q52's vocabulary build: per document, what per-mille of its
+    // subtokens fall outside the corpus top-100 vocabulary? The vocab is
+    // top-k with a deterministic tie-break (freq desc, token asc), FIXED
+    // cardinality, so its join side is a genuine broadcast at any SF —
+    // the per-doc pass is then one narrow explode + broadcast probe +
+    // keyed aggregate. Integer per-mille arithmetic throughout.
+    QueryDef(
+      "q84_vocab_oov_rate",
+      (s, dir) => {
+        val sub = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("t"))
+        val vocab = sub.groupBy("t").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("t")).limit(100)
+          .select(col("t"), lit(1).as("in_vocab"))
+        sub.join(vocab, Seq("t"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_subtokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_permille", expr("n_oov * 1000 div n_subtokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH sub AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS t
+          FROM documents),
+        vocab AS (
+          SELECT t FROM (
+            SELECT t, COUNT(*) AS f FROM sub GROUP BY t
+            ORDER BY f DESC, t LIMIT 100)),
+        j AS (
+          SELECT s.doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+          FROM sub s LEFT JOIN vocab v ON s.t = v.t)
+        SELECT doc_id, COUNT(*) AS n_subtokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(SUM(oov) * 1000 // COUNT(*) AS BIGINT) AS oov_permille
+        FROM j
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

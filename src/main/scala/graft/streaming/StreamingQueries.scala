@@ -551,6 +551,71 @@ object StreamingQueries {
         FROM w
         WHERE us >= ws AND us < ws + 3600000000
         GROUP BY ws
-        ORDER BY ws_us"""))
+        ORDER BY ws_us""")),
+
+    // ---------------------------------------------------------------- s10
+    // Streaming CDC apply — foreachBatch + SCD1 upsert (q60's Cdc.upsert
+    // driven by a stream): each micro-batch is first reduced to its
+    // latest row per key (a keyed window inside the batch), then merged
+    // into the versioned target; the final table is last-writer-wins per
+    // user. Versioned directories (v0, v1, …) because a parquet dir
+    // cannot be overwritten while it is being read — each batch reads
+    // vN and writes vN+1, which is also what makes a failed batch
+    // harmless (the pointer only advances on success). Cross-batch
+    // ordering rides the source's per-key delivery order (the Kafka
+    // guarantee); an out-of-order source would add a ts guard to the
+    // merge condition. At 100 TB the upsert is q60's single full-outer
+    // equi-join per batch — no state stores, the table IS the state.
+    QueryDef(
+      "s10_stream_cdc_upsert",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        import org.apache.spark.sql.expressions.Window
+        val base = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_stream_upsert", s.sparkContext.applicationId,
+          s"run_${nameCounter.incrementAndGet()}")
+        Files.createDirectories(base)
+        val cols = Seq("user_id", "event_id", "ts_us", "event_type", "value")
+        // v0: empty target with the merge schema
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE")
+        s.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+          .write.mode("overwrite").parquet(base.resolve("v0").toString)
+        var version = 0
+        val applyBatch: (Dataset[Row], Long) => Unit = (batch, _) => {
+          val cur = s.read.parquet(base.resolve(s"v$version").toString)
+          val w = Window.partitionBy("user_id")
+            .orderBy(col("ts_us").desc, col("event_id").desc)
+          val latest = batch
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(cols.map(col): _*)
+          graft.operators.Cdc.upsert(cur, latest, Seq("user_id"))
+            .select(cols.map(col): _*)
+            .write.mode("overwrite").parquet(base.resolve(s"v${version + 1}").toString)
+          version += 1
+        }
+        val q = eventsStream(s, dir)
+          .select(cols.map(col): _*)
+          .writeStream.foreachBatch(applyBatch)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(base.resolve(s"v$version").toString)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("ts_us").as("last_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_type, us AS last_us
+        FROM r
+        WHERE rn = 1
+        ORDER BY user_id"""))
   )
 }

@@ -205,6 +205,16 @@ class ScaleSpec extends AnyFunSuite {
       s"containment must not plan a cartesian product:\n$plan")
   }
 
+  test("q84 probes the fixed-k vocabulary via broadcast, never a shuffle join") {
+    val plan = SparkEntry.queries("q84_vocab_oov_rate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the vocab side is top-100 (fixed cardinality at any SF): the probe
+    // must be a broadcast join; shuffling the exploded subtoken stream on
+    // the token key would dwarf the aggregate at 100 TB
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab probe must broadcast the fixed-k side:\n$plan")
+  }
+
   test("q83 leakage audit joins on prefix buckets, never all-pairs") {
     val plan = SparkEntry.queries("q83_split_leakage_audit")(spark, dir)
       .queryExecution.executedPlan.toString
