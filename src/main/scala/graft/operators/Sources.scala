@@ -272,6 +272,42 @@ object Sources {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
         FROM orders
         GROUP BY 1
-        ORDER BY prio"""))
+        ORDER BY prio""")),
+
+    // ---------------------------------------------------------------- q85
+    // XML scan: part → XML (Spark 4's native XML source, one <part>
+    // element per row) → read back with an explicit schema and rowTag →
+    // aggregate. Same discipline as q36/q37: never infer schemas at
+    // scale (XML inference is a full extra pass). The oracle aggregates
+    // the original parquet — the round-trip is what's under test.
+    QueryDef(
+      "q85_xml_scan",
+      (s, dir) => {
+        val out = stagingDir("xml", dir)
+        if (!Files.exists(Paths.get(out, "_SUCCESS"))) {
+          Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"), col("p_size"),
+              col("p_retailprice"))
+            .write.mode("overwrite")
+            .option("rootTag", "parts").option("rowTag", "part")
+            .format("xml").save(out)
+        }
+        s.read
+          .schema("p_partkey BIGINT, p_brand STRING, p_size INT, p_retailprice DOUBLE")
+          .option("rowTag", "part")
+          .format("xml").load(out)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("p_size").cast("long")).as("sum_size"),
+            Exact.dsum(col("p_retailprice")).as("sum_price"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_parts,
+               CAST(SUM(p_size) AS BIGINT) AS sum_size,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand"""))
   )
 }
