@@ -404,6 +404,71 @@ object TextAnalysis {
                CAST(SUM(oov) * 1000 // COUNT(*) AS BIGINT) AS oov_permille
         FROM j
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q87
+    // Corpus-composition drift monitor: language shares before vs after
+    // a curation pass (s07's stateless keep rules), in integer per-mille,
+    // with the per-language delta. A curation run that silently skews
+    // the language mix is a training-data incident — this is the report
+    // that catches it. One keyed aggregate over the scan; the
+    // lang-level totals window is bounded cardinality (it does not grow
+    // with SF).
+    QueryDef(
+      "q87_lang_drift_monitor",
+      (s, dir) => {
+        val tw = org.apache.spark.sql.expressions.Window.partitionBy()
+        Tables(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n", size(col("w")).cast("long"))
+          .withColumn("sum_len",
+            length(regexp_replace(col("text"), " ", "")).cast("long"))
+          .withColumn("keep",
+            col("n") >= 20
+              && expr("sum_len * 1000000 div n") >= 3000000L
+              && expr("sum_len * 1000000 div n") <= 10000000L
+              && expr("cast(size(array_distinct(w)) AS BIGINT) * 1000 div n") >= 150L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_before"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"))
+          .withColumn("tot_before", sum("n_before").over(tw))
+          .withColumn("tot_after", sum("n_after").over(tw))
+          .select(col("lang"),
+            expr("n_before * 1000 div tot_before").as("permille_before"),
+            expr("n_after * 1000 div tot_after").as("permille_after"),
+            expr("n_after * 1000 div tot_after - n_before * 1000 div tot_before")
+              .as("delta_permille"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH m AS (
+          SELECT lang,
+                 len(string_split(text, ' ')) AS n,
+                 length(replace(text, ' ', '')) AS sum_len,
+                 len(list_distinct(string_split(text, ' '))) AS nd
+          FROM documents),
+        k AS (
+          SELECT lang,
+                 CASE WHEN n >= 20
+                       AND sum_len * 1000000 // n >= 3000000
+                       AND sum_len * 1000000 // n <= 10000000
+                       AND nd * 1000 // n >= 150
+                      THEN 1 ELSE 0 END AS keep
+          FROM m),
+        a AS (
+          SELECT lang, COUNT(*) AS n_before, SUM(keep) AS n_after
+          FROM k GROUP BY lang),
+        t AS (
+          SELECT lang, n_before, n_after,
+                 SUM(n_before) OVER () AS tot_before,
+                 SUM(n_after) OVER () AS tot_after
+          FROM a)
+        SELECT lang,
+               CAST(n_before * 1000 // tot_before AS BIGINT) AS permille_before,
+               CAST(n_after * 1000 // tot_after AS BIGINT) AS permille_after,
+               CAST(n_after * 1000 // tot_after
+                    - n_before * 1000 // tot_before AS BIGINT) AS delta_permille
+        FROM t
+        ORDER BY lang"""))
   )
 }

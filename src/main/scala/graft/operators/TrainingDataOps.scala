@@ -732,6 +732,66 @@ object TrainingDataOps {
         JOIN sp sb ON sb.doc_id = b.doc_id
         WHERE 5 * len(list_intersect(a.s, b.s))
               >= 3 * len(list_distinct(list_concat(a.s, b.s)))
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- q86
+    // Temperature-based mixture quotas — the size^alpha (alpha = 0.5)
+    // reweighting multilingual/multi-source training mixtures use: big
+    // sources are down-weighted, small sources up-weighted, so no source
+    // dominates the batch stream. Weights are floor(sqrt(n)) — IEEE
+    // sqrt is correctly rounded, so both engines produce the identical
+    // integer — and quotas are integer div of a 200-doc budget with a
+    // 1-doc floor. The quota frame is SOURCE-level (bounded cardinality
+    // — it does not grow with SF), so its all-rows window and the join
+    // back to docs are metadata-sized; doc selection is q67's
+    // smallest-fingerprint rank per source.
+    QueryDef(
+      "q86_temperature_mixture",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val docs = Tables(s, dir, "documents")
+          .withColumn("fp", call_function("graft_polyhash", col("text")))
+        val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+          .withColumn("wt", floor(sqrt(col("n_total"))).cast("long"))
+          .withColumn("sum_wt", sum("wt").over(Window.partitionBy()))
+          .withColumn("quota", greatest(lit(1L), expr("(200 * wt) div sum_wt")))
+        val rw = Window.partitionBy("source").orderBy("fp", "doc_id")
+        docs.join(quotas.select("source", "n_total", "quota"), "source")
+          .withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= col("quota"))
+          .groupBy("source")
+          .agg(max("n_total").as("n_total"), max("quota").as("quota"),
+            count(lit(1)).as("n_sampled"),
+            sum("doc_id").as("sum_sampled_ids"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH fp AS (
+          SELECT doc_id, source,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+          FROM documents),
+        c AS (SELECT source, COUNT(*) AS n_total FROM fp GROUP BY source),
+        q AS (SELECT source, n_total,
+                greatest(1, (200 * CAST(floor(sqrt(n_total)) AS BIGINT))
+                             // SUM(CAST(floor(sqrt(n_total)) AS BIGINT)) OVER ())
+                  AS quota
+              FROM c),
+        r AS (SELECT f.doc_id, f.source, q.n_total, q.quota,
+                ROW_NUMBER() OVER (PARTITION BY f.source
+                                   ORDER BY f.fp, f.doc_id) AS rk
+              FROM fp f JOIN q ON f.source = q.source)
+        SELECT source,
+               CAST(MAX(n_total) AS BIGINT) AS n_total,
+               CAST(MAX(quota) AS BIGINT) AS quota,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_sampled_ids
+        FROM r
+        WHERE rk <= quota
+        GROUP BY source
+        ORDER BY source"""))
   )
 }
