@@ -169,4 +169,46 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) == 1000L && r.getBoolean(1)),
       "verbatim-cut benchmark items must be 1000-permille contained")
   }
+
+  test("q79 chunk geometry: counts match the stride formula, sizes bounded") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = SparkEntry.queries("q79_doc_chunking")(spark, dir)
+      .select("doc_id", "chunk_idx", "chunk_tokens").collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 64,
+        s"chunk size out of bounds: $r")
+    }
+    val perDoc = chunks.groupBy(_.getLong(0)).map { case (id, cs) => id -> cs.length }
+    docs.foreach { case (id, n) =>
+      val expected = 1L + (math.max(0L, n - 64) + 47) / 48
+      assert(perDoc(id).toLong == expected,
+        s"doc $id with $n tokens: ${perDoc(id)} chunks, expected $expected")
+    }
+  }
+
+  test("q86 quotas: every source sampled, never above quota, floor of 1 respected") {
+    val rows = SparkEntry.queries("q86_temperature_mixture")(spark, dir)
+      .select("n_total", "quota", "n_sampled").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, quota, sampled) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(quota >= 1, s"quota floor violated: $r")
+      assert(sampled == math.min(total, quota),
+        s"sampled $sampled, expected min($total, $quota)")
+    }
+  }
+
+  test("sequential Cdc.upsert batches: the later batch wins per key") {
+    import spark.implicits._
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b1 = Seq((2L, "b1"), (3L, "c1")).toDF("k", "v")
+    val b2 = Seq((3L, "c2"), (4L, "d2")).toDF("k", "v")
+    val got = Cdc.upsert(Cdc.upsert(t0, b1, Seq("k")), b2, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b1"), (3L, "c2"), (4L, "d2")),
+      s"chained upsert must be last-writer-wins: $got")
+  }
 }
