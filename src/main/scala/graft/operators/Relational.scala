@@ -636,6 +636,54 @@ object Relational {
           FROM p LEFT JOIN v ON p.user_id = v.user_id
                             AND (v.us < p.us OR (v.us = p.us AND v.event_id < p.event_id))) q
         WHERE rn = 1
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---------------------------------------------------------------- q88
+    // Recursive CTE (Spark 4's WITH RECURSIVE → UnionLoop): each
+    // customer's orders form a date-ordered chain; the recursion walks
+    // successor edges from every chain head, depth+1 per step. The
+    // oracle verifies the recursion against its CLOSED FORM — depth of
+    // the k-th order is k — so a recursion that drops, duplicates, or
+    // re-visits rows cannot hash-match. Recursion depth = max orders
+    // per customer (bounded per key, ~25 here, independent of corpus
+    // size), and each iteration is one equi-join of the frontier
+    // against the edge table — the relational twin of q50's iterative
+    // label propagation.
+    QueryDef(
+      "q88_recursive_order_chain",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("graft_rec_orders")
+        s.sql("""
+          WITH RECURSIVE
+          seq AS (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM graft_rec_orders),
+          edges AS (
+            SELECT a.o_orderkey AS prev_ok, b.o_orderkey AS ok
+            FROM seq a JOIN seq b
+              ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+          chain(ok, depth) AS (
+            SELECT o_orderkey, 1 FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT e.ok, c.depth + 1
+            FROM chain c JOIN edges e ON e.prev_ok = c.ok)
+          SELECT depth, COUNT(*) AS n_orders, SUM(ok) AS keys_checksum
+          FROM chain
+          GROUP BY depth
+          ORDER BY depth""")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+        SELECT CAST(rn AS INT) AS depth, COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS keys_checksum
+        FROM seq
+        GROUP BY rn
+        ORDER BY depth"""))
   )
 }
