@@ -166,6 +166,110 @@ object Cdc {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_value
         FROM merged
         GROUP BY o_orderstatus
-        ORDER BY o_orderstatus"""))
+        ORDER BY o_orderstatus""")),
+
+    // ---------------------------------------------------------------- q89
+    // Replica divergence detection by range checksum — the merkle-style
+    // anti-entropy primitive replicated stores repair with: both replicas
+    // aggregate (count, integer row-signature sum) per key range, and
+    // only diverging ranges are reported — so the repair transfer is
+    // O(diverged ranges), never a row-by-row table compare. Replica B
+    // is manufactured drift: a lost row and a corrupted quantity every
+    // 5,000 line numbers. At 100 TB each side is one keyed partial
+    // aggregate over its own scan (map-side combine; the bucket key is
+    // orderkey div 1000, so ranges align with ingest order), and the
+    // compare join carries two small rows per bucket.
+    QueryDef(
+      "q89_replica_range_checksum",
+      (s, dir) => {
+        def rangeSig(df: DataFrame): DataFrame = df
+          .withColumn("bucket", expr("l_orderkey div 1000"))
+          .withColumn("row_sig", expr(
+            "l_orderkey * 1000003 + l_linenumber * 7919 + cast(l_quantity * 100 AS BIGINT)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("row_sig").as("checksum"))
+        val a = rangeSig(Tables(s, dir, "lineitem"))
+        val b = rangeSig(Tables(s, dir, "lineitem")
+          .filter(expr("(l_orderkey * 10 + l_linenumber) % 5000 != 17"))
+          .withColumn("l_quantity",
+            when(expr("(l_orderkey * 10 + l_linenumber) % 5000 = 23"),
+              col("l_quantity") + 1).otherwise(col("l_quantity"))))
+        a.select(col("bucket"), col("n").as("n_a"), col("checksum").as("sum_a"))
+          .join(b.select(col("bucket"), col("n").as("n_b"), col("checksum").as("sum_b")),
+            Seq("bucket"), "full_outer")
+          .filter(!(col("n_a") <=> col("n_b")) || !(col("sum_a") <=> col("sum_b")))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_orderkey // 1000 AS bucket, COUNT(*) AS n,
+                 CAST(SUM(l_orderkey * 1000003 + l_linenumber * 7919
+                          + CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS checksum
+          FROM lineitem GROUP BY 1),
+        b AS (
+          SELECT l_orderkey // 1000 AS bucket, COUNT(*) AS n,
+                 CAST(SUM(l_orderkey * 1000003 + l_linenumber * 7919
+                          + CAST((CASE WHEN (l_orderkey * 10 + l_linenumber) % 5000 = 23
+                                       THEN l_quantity + 1 ELSE l_quantity END) * 100 AS BIGINT))
+                   AS BIGINT) AS checksum
+          FROM lineitem
+          WHERE (l_orderkey * 10 + l_linenumber) % 5000 <> 17
+          GROUP BY 1)
+        SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+               a.n AS n_a, a.checksum AS sum_a,
+               b.n AS n_b, b.checksum AS sum_b
+        FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+        WHERE a.n IS DISTINCT FROM b.n
+           OR a.checksum IS DISTINCT FROM b.checksum
+        ORDER BY bucket""")),
+
+    // ---------------------------------------------------------------- q90
+    // Deletion propagation (right-to-be-forgotten): a deletion list of
+    // customer keys must cascade through every table that references
+    // them; the report is per-table total/deleted/retained counts — the
+    // audit artifact a compliance run files BEFORE rewriting anything.
+    // Each table is one left join against the deletion list plus one
+    // aggregate; the list joins by key (no broadcast hint — it scales
+    // with the customer base, the planner's threshold decides).
+    QueryDef(
+      "q90_deletion_propagation",
+      (s, dir) => {
+        val del = Tables(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"), lit(true).as("del"))
+        def stats(table: String, df: DataFrame, keyCol: String): DataFrame =
+          df.join(del, col(keyCol) === col("k"), "left_outer")
+            .agg(count(lit(1)).as("rows_total"),
+              sum(when(col("del"), 1L).otherwise(0L)).as("rows_deleted"))
+            .select(lit(table).as("table_name"), col("rows_total"),
+              col("rows_deleted"),
+              (col("rows_total") - col("rows_deleted")).as("rows_retained"))
+        stats("customer", Tables(s, dir, "customer"), "c_custkey")
+          .unionByName(stats("events", Tables(s, dir, "events"), "user_id"))
+          .unionByName(stats("orders", Tables(s, dir, "orders"), "o_custkey"))
+          .orderBy("table_name")
+      },
+      Some("""
+        WITH del AS (
+          SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        c AS (
+          SELECT 'customer' AS table_name, COUNT(*) AS rows_total,
+                 CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rows_deleted
+          FROM customer LEFT JOIN del ON c_custkey = k),
+        e AS (
+          SELECT 'events' AS table_name, COUNT(*) AS rows_total,
+                 CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rows_deleted
+          FROM events LEFT JOIN del ON user_id = k),
+        o AS (
+          SELECT 'orders' AS table_name, COUNT(*) AS rows_total,
+                 CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rows_deleted
+          FROM orders LEFT JOIN del ON o_custkey = k)
+        SELECT table_name, rows_total, rows_deleted,
+               rows_total - rows_deleted AS rows_retained
+        FROM (SELECT * FROM c UNION ALL SELECT * FROM e UNION ALL SELECT * FROM o)
+        ORDER BY table_name"""))
   )
 }
