@@ -95,6 +95,27 @@ object StreamingQueries {
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
+  /** Stream the events table split into 4 parquet part-files, read with
+    * maxFilesPerTrigger = 1 — an AvailableNow drain then runs one
+    * micro-batch per file over the same rows (bounded batch size, the
+    * backpressure configuration). Staging is guarded by the committer's
+    * _SUCCESS marker; the file stream ignores underscore files. */
+  private[streaming] def eventsStreamParts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val path = s"$dir/events.parquet"
+    val sf = Paths.get(dir).getFileName.toString
+    val landing = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_parts/$sf")
+    if (!Files.exists(landing.resolve("_SUCCESS"))) {
+      s.read.parquet(path).repartition(4)
+        .write.mode("overwrite").parquet(landing.toString)
+    }
+    s.readStream.schema(s.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
   /** 10-minute session gap (same semantics as batch q20). */
   val sessionGapUs: Long = 600L * 1000000L
 
@@ -616,6 +637,36 @@ object StreamingQueries {
                event_type AS last_type, us AS last_us
         FROM r
         WHERE rn = 1
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- s11
+    // Multi-micro-batch windowed aggregation: every other stream here
+    // drains in ONE AvailableNow batch, which never exercises state
+    // surviving a batch boundary. s11 stages the events table split
+    // into 4 parquet parts and reads with maxFilesPerTrigger=1, so the
+    // SAME q19 aggregation runs across ≥4 micro-batches — windows
+    // accumulate partial counts across batches in the state store and
+    // only the final Complete emission matches the oracle. This is the
+    // bounded-batch-size (backpressure) configuration a production
+    // deployment runs with; StreamingSpec asserts the batch count.
+    QueryDef(
+      "s11_stream_multibatch_window",
+      (s, dir) => {
+        val agg = eventsStreamParts(s, dir)
+          .withWatermark("ts_t", "1 hour")
+          .groupBy(window(col("ts_t"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
+        drain(s, OutputMode.Complete())(agg)
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("n_events"), col("sum_value"))
+          .orderBy("ws_us")
+      },
+      Some("""
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+        ORDER BY ws_us"""))
   )
 }

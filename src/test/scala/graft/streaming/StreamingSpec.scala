@@ -327,6 +327,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected at least one unmatched purchase (null view_id)")
   }
 
+  test("s11 really runs one micro-batch per staged file (bounded batches)") {
+    // the oracle can't see batch boundaries — assert here that the
+    // maxFilesPerTrigger=1 source produces >= 4 data batches, so the
+    // windowed state demonstrably accumulates across micro-batches
+    val evs = StreamingQueries.eventsStreamParts(spark, "/root/testdata/sf0.001")
+    val q = evs.groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4,
+      s"expected >= 4 data micro-batches, got $dataBatches")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
