@@ -116,6 +116,56 @@ object StreamingQueries {
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
+  /** Time-ordered 4-part landing + far-future sentinel: parts hold
+    * disjoint ascending event-time ranges (ntile over the full order) and
+    * carry strictly ascending modification times, so `maxFilesPerTrigger
+    * = 1` processes them oldest-first and a 0-second watermark advances
+    * BETWEEN batches — event-time timeouts then fire mid-stream, not
+    * only at the final sentinel flush. Staging cost (a single-partition
+    * ntile) is test-fixture-only; a production landing zone is already
+    * time-ordered by arrival. */
+  private[streaming] def eventsStreamTimeParts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val path = s"$dir/events.parquet"
+    val sf = Paths.get(dir).getFileName.toString
+    val landing = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_tparts/$sf")
+    val marker = landing.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(landing)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+      val tiled = s.read.parquet(path).withColumn("nt", ntile(4).over(w))
+      def stageOne(df: org.apache.spark.sql.DataFrame, name: String, seq: Int): Unit = {
+        val tmpOut = Files.createTempDirectory("graft_tpart").resolve("out")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val part = Files.list(tmpOut).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dest = landing.resolve(name)
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        // deterministic ascending mtimes: the file source orders
+        // unprocessed files by modification time
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + seq * 60000L))
+      }
+      for (i <- 1 to 4) stageOne(tiled.filter(col("nt") === i).drop("nt"), s"part_$i.parquet", i)
+      val maxTs = s.read.parquet(path).agg(max("ts")).head().getLong(0)
+      val tenYearsNs = 315360000L * 1000000000L
+      stageOne(
+        s.read.parquet(path).limit(1)
+          .withColumn("ts", lit(maxTs + tenYearsNs))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_id", lit(-1L)),
+        "part_5_sentinel.parquet", 5)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    s.readStream.schema(s.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
   /** 10-minute session gap (same semantics as batch q20). */
   val sessionGapUs: Long = 600L * 1000000L
 
@@ -667,6 +717,43 @@ object StreamingQueries {
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1
-        ORDER BY ws_us"""))
+        ORDER BY ws_us""")),
+
+    // ---------------------------------------------------------------- s12
+    // Multi-micro-batch sessionization — the strongest state-lifecycle
+    // test in the suite: events arrive in 4 time-ordered micro-batches
+    // (one file each), the 0-second watermark advances BETWEEN batches,
+    // and s02's flatMapGroupsWithState operator must close sessions
+    // mid-stream as their event-time timeouts pass — emission timing
+    // changes, the emitted set must not. StreamingSpec asserts output
+    // actually lands in >= 2 distinct batches; the oracle (q20's) pins
+    // the final set. At 100 TB this IS the continuous deployment: the
+    // watermark advances with every batch, never only at a drain.
+    QueryDef(
+      "s12_stream_multibatch_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("ts_t")).as[Ev]
+        drain(s, OutputMode.Append())(sessionize(evs).toDF())
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                   FROM events),
+        g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 600000000
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sg AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        FROM sg
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""))
   )
 }

@@ -343,6 +343,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected >= 4 data micro-batches, got $dataBatches")
   }
 
+  test("s12 closes sessions mid-stream: output lands in multiple batches") {
+    import spark.implicits._
+    val evs = StreamingQueries
+      .eventsStreamTimeParts(spark, "/root/testdata/sf0.001")
+      .withWatermark("ts_t", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ts_t")).as[Ev]
+    val q = StreamingQueries.sessionize(evs).toDF()
+      .writeStream.format("noop").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitting = q.recentProgress.count(_.sink.numOutputRows > 0)
+    assert(emitting >= 2,
+      s"sessions must close as the watermark advances between batches, " +
+        s"not only at the final flush; emitting batches = $emitting")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
