@@ -184,8 +184,12 @@ object Cdc {
       (s, dir) => {
         def rangeSig(df: DataFrame): DataFrame = df
           .withColumn("bucket", expr("l_orderkey div 1000"))
+          // signature bounded by the prime so a bucket's SUM stays far
+          // from int64 even at 1e6+ rows per range — DuckDB sums into
+          // HUGEINT while Spark wraps, so an unbounded signature would
+          // diverge silently at extreme scale
           .withColumn("row_sig", expr(
-            "l_orderkey * 1000003 + l_linenumber * 7919 + cast(l_quantity * 100 AS BIGINT)"))
+            "(l_orderkey * 1000003 + l_linenumber * 7919 + cast(l_quantity * 100 AS BIGINT)) % 1000000007"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"), sum("row_sig").as("checksum"))
         val a = rangeSig(Tables(s, dir, "lineitem"))
@@ -203,14 +207,16 @@ object Cdc {
       Some("""
         WITH a AS (
           SELECT l_orderkey // 1000 AS bucket, COUNT(*) AS n,
-                 CAST(SUM(l_orderkey * 1000003 + l_linenumber * 7919
-                          + CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS checksum
+                 CAST(SUM((l_orderkey * 1000003 + l_linenumber * 7919
+                           + CAST(l_quantity * 100 AS BIGINT)) % 1000000007)
+                   AS BIGINT) AS checksum
           FROM lineitem GROUP BY 1),
         b AS (
           SELECT l_orderkey // 1000 AS bucket, COUNT(*) AS n,
-                 CAST(SUM(l_orderkey * 1000003 + l_linenumber * 7919
-                          + CAST((CASE WHEN (l_orderkey * 10 + l_linenumber) % 5000 = 23
-                                       THEN l_quantity + 1 ELSE l_quantity END) * 100 AS BIGINT))
+                 CAST(SUM((l_orderkey * 1000003 + l_linenumber * 7919
+                           + CAST((CASE WHEN (l_orderkey * 10 + l_linenumber) % 5000 = 23
+                                        THEN l_quantity + 1 ELSE l_quantity END) * 100 AS BIGINT))
+                          % 1000000007)
                    AS BIGINT) AS checksum
           FROM lineitem
           WHERE (l_orderkey * 10 + l_linenumber) % 5000 <> 17

@@ -290,14 +290,16 @@ object ScaleTechniques {
     // disjointness). A time-range query over the clustered copy then
     // reads ~1/10th of the files instead of scanning everything — the
     // sort-once/skip-forever layout for time-series at 100 TB. The
-    // cutoff is computed from a one-row min/max aggregate (driver
-    // scalar, metadata-sized at any SF).
+    // cutoff literal is computed ONCE at staging time (a column-pruned
+    // min/max aggregate) and cached in the marker file, so later
+    // constructions stay fully lazy (the q58 discipline) while the
+    // filter still reaches the scan as a literal pushdown.
     QueryDef(
       "q82_range_clustered_scan",
       (s, dir) => {
         val sf = java.nio.file.Paths.get(dir).getFileName.toString
         val staged = java.nio.file.Paths.get(
-          s"${System.getProperty("java.io.tmpdir")}/graft_range_events/$sf")
+          s"${System.getProperty("java.io.tmpdir")}/graft_range_clustered/$sf")
         val marker = staged.resolve("_STAGED")
         if (!java.nio.file.Files.exists(marker)) {
           Tables.events(s, dir)
@@ -306,12 +308,12 @@ object ScaleTechniques {
             .repartitionByRange(8, col("ts_us"))
             .sortWithinPartitions("ts_us")
             .write.mode("overwrite").parquet(staged.resolve("fact").toString)
-          java.nio.file.Files.write(marker, Array.emptyByteArray)
+          val Array(mn, mx) = Tables.events(s, dir)
+            .agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
+            .head().toSeq.map(_.asInstanceOf[Long]).toArray
+          java.nio.file.Files.writeString(marker, (mn + (mx - mn) / 10L).toString)
         }
-        val Array(mn, mx) = Tables.events(s, dir)
-          .agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
-          .head().toSeq.map(_.asInstanceOf[Long]).toArray
-        val cutoff = mn + (mx - mn) / 10L
+        val cutoff = java.nio.file.Files.readString(marker).trim.toLong
         s.read.parquet(staged.resolve("fact").toString)
           .filter(col("ts_us") <= cutoff)
           .groupBy("event_type")

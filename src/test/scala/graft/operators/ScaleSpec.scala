@@ -254,7 +254,7 @@ class ScaleSpec extends AnyFunSuite {
     // range must be disjoint from every other's, or min/max stats can't skip
     val sf = java.nio.file.Paths.get(dir).getFileName.toString
     val staged =
-      s"${System.getProperty("java.io.tmpdir")}/graft_range_events/$sf/fact"
+      s"${System.getProperty("java.io.tmpdir")}/graft_range_clustered/$sf/fact"
     val ranges = spark.read.parquet(staged)
       .groupBy(input_file_name().as("f"))
       .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
