@@ -296,6 +296,93 @@ object Similarity {
                MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
         FROM assigned
         GROUP BY cluster_id
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    // ---------------------------------------------------------------- q91
+    // IVF index persistence — the build-once / serve-many lifecycle q29
+    // leaves implicit: the trained codebook and the bucket assignments
+    // are WRITTEN (the index build, paid once), and queries are answered
+    // purely from the persisted index — no training, no corpus
+    // assignment pass at serve time. The index parquet is partitioned BY
+    // bucket, so a probe's equi-join prunes to the nprobe bucket
+    // directories and the serve-time scan reads ~nprobe/C of the corpus
+    // — on disk, not just in the shuffle. Results are q29's exactly
+    // (same oracle): persistence must not change a single neighbor.
+    QueryDef(
+      "q91_ivf_index_persist",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        val sf = Paths.get(dir).getFileName.toString
+        val idx = Paths.get(
+          s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index/$sf")
+        if (!Files.exists(idx.resolve("index").resolve("_SUCCESS"))) {
+          val base = emb(s, dir)
+          val init = base.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+          val train = base.filter(col("vec_id") % 10 === 0)
+          val cent = lloyd(train, lloyd(train, init)).localCheckpoint(eager = true)
+          cent.write.mode("overwrite").parquet(idx.resolve("centroids").toString)
+          base.join(broadcast(cent), lit(true))
+            .groupBy("vec_id")
+            .agg(
+              max_by(col("cent_id"),
+                struct(cosine(col("e"), col("ce")), -col("cent_id"))).as("bucket"),
+              first(col("e")).as("e"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(idx.resolve("index").toString)
+        }
+        graft.plans.GraftFunctions.register(s)
+        val cent = s.read.parquet(idx.resolve("centroids").toString)
+        val index = s.read.parquet(idx.resolve("index").toString)
+        val qw = Window.partitionBy("query_id")
+          .orderBy(cosine(col("qe"), col("ce")).desc, col("cent_id"))
+        val probes = emb(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+          .join(broadcast(cent), lit(true))
+          .withColumn("prnk", row_number().over(qw))
+          .filter(col("prnk") <= 2)
+          .select(col("query_id"), col("qe"), col("cent_id").as("bucket"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        probes.join(index, "bucket")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("e")).as("sim"))
+          .distinct()
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "rank", "neighbor_id", "sim")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        init AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 8),
+        train AS (SELECT vec_id, e FROM base WHERE vec_id % 10 = 0),
+        ${duckLloyd("train", "init", 1)},
+        ${duckLloyd("train", "cent1", 2)},
+        cent AS (SELECT cent_id, ce FROM cent2),
+        assigned AS (
+          SELECT vec_id, e, cent_id AS bucket FROM (
+            SELECT b.vec_id, b.e, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${duckCosine("b.e", "c.ce")} DESC, c.cent_id) AS arnk
+            FROM base b CROSS JOIN cent c) x WHERE arnk = 1),
+        probes AS (
+          SELECT query_id, qe, cent_id AS bucket FROM (
+            SELECT q.vec_id AS query_id, q.e AS qe, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${duckCosine("q.e", "c.ce")} DESC, c.cent_id) AS prnk
+            FROM base q CROSS JOIN cent c WHERE q.vec_id < 20) x WHERE prnk <= 2),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                 ${duckCosine("p.qe", "a.e")} AS sim
+          FROM probes p JOIN assigned a ON p.bucket = a.bucket
+          WHERE a.vec_id <> p.query_id)
+        SELECT query_id, rank, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM cand) r
+        WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 }

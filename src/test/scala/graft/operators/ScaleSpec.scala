@@ -205,6 +205,16 @@ class ScaleSpec extends AnyFunSuite {
       s"containment must not plan a cartesian product:\n$plan")
   }
 
+  test("q91 serve-time probe prunes index partitions at runtime (DPP on bucket)") {
+    val plan = SparkEntry.queries("q91_ivf_index_persist")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the persisted index is partitioned by bucket; the probe join must
+    // reach the scan as a dynamic partition filter so serve-time reads
+    // only the nprobe bucket directories — not the whole index
+    assert(plan.contains("dynamicpruning"),
+      s"index scan must carry a dynamic bucket filter:\n$plan")
+  }
+
   test("q84 probes the fixed-k vocabulary via broadcast, never a shuffle join") {
     val plan = SparkEntry.queries("q84_vocab_oov_rate")(spark, dir)
       .queryExecution.executedPlan.toString
