@@ -276,6 +276,99 @@ object Cdc {
         SELECT table_name, rows_total, rows_deleted,
                rows_total - rows_deleted AS rows_retained
         FROM (SELECT * FROM c UNION ALL SELECT * FROM e UNION ALL SELECT * FROM o)
-        ORDER BY table_name"""))
+        ORDER BY table_name""")),
+
+    // ---------------------------------------------------------------- q92
+    // Incremental aggregate maintenance — the materialized-view delta
+    // update: a standing per-type aggregate (built from the "already
+    // ingested" 80% of events) is merged with the aggregate of the
+    // arriving 20% delta via one full-outer join and exact-decimal
+    // partial-sum algebra — and the oracle is the FULL RECOMPUTE over
+    // everything, so the merge algebra is proven equivalent. At 100 TB
+    // this is the difference between touching the delta and re-scanning
+    // the world; decimal partials are associative-exact, so merged
+    // doubles are bit-identical to recomputed ones.
+    QueryDef(
+      "q92_incremental_agg_maintenance",
+      (s, dir) => {
+        def aggOf(df: DataFrame): DataFrame = df
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(Exact.dec2(col("value"))).as("sv"))
+        val events = Tables(s, dir, "events")
+        val standing = aggOf(events.filter(col("event_id") % 10 < 8))
+          .select(col("event_type"), col("n").as("n_a"), col("sv").as("sv_a"))
+        val delta = aggOf(events.filter(col("event_id") % 10 >= 8))
+          .select(col("event_type"), col("n").as("n_b"), col("sv").as("sv_b"))
+        standing.join(delta, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_events"),
+            (coalesce(col("sv_a"), lit(java.math.BigDecimal.ZERO).cast("decimal(22,2)"))
+              + coalesce(col("sv_b"), lit(java.math.BigDecimal.ZERO).cast("decimal(22,2)")))
+              .cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q93
+    // Data-quality constraint audit — the dbt-test/Deequ tier: FK
+    // orphan detection, duplicate-key detection, and null checks over a
+    // snapshot with MANUFACTURED corruption (every 100th order's
+    // custkey pointed at nothing, every 1000th order duplicated), so
+    // the audit must find exactly the planted violations. Each check is
+    // one anti-join or keyed aggregate; the report is fixed-cardinality.
+    QueryDef(
+      "q93_constraint_audit",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val corrupted = orders
+          .withColumn("o_custkey",
+            when(col("o_orderkey") % 100 === 7, col("o_custkey") + 10000000L)
+              .otherwise(col("o_custkey")))
+          .unionByName(orders.filter(col("o_orderkey") % 1000 === 13))
+        val cust = Tables(s, dir, "customer").select(col("c_custkey"))
+        val orphans = corrupted
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("fk_orphan_custkey").as("check_name"), col("n_violations"))
+        val dups = corrupted.groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("duplicate_orderkey").as("check_name"), col("n_violations"))
+        val nulls = corrupted.filter(col("o_orderstatus").isNull)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("null_orderstatus").as("check_name"), col("n_violations"))
+        orphans.unionByName(dups).unionByName(nulls)
+          .orderBy("check_name")
+      },
+      Some("""
+        WITH corrupted AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 100 = 7 THEN o_custkey + 10000000
+                      ELSE o_custkey END AS o_custkey,
+                 o_orderstatus
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus
+          FROM orders WHERE o_orderkey % 1000 = 13),
+        orphans AS (
+          SELECT 'fk_orphan_custkey' AS check_name, COUNT(*) AS n_violations
+          FROM corrupted c
+          WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.o_custkey)),
+        dups AS (
+          SELECT 'duplicate_orderkey' AS check_name, COUNT(*) AS n_violations
+          FROM (SELECT o_orderkey FROM corrupted
+                GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+        nulls AS (
+          SELECT 'null_orderstatus' AS check_name, COUNT(*) AS n_violations
+          FROM corrupted WHERE o_orderstatus IS NULL)
+        SELECT check_name, n_violations
+        FROM (SELECT * FROM orphans UNION ALL SELECT * FROM dups
+              UNION ALL SELECT * FROM nulls)
+        ORDER BY check_name"""))
   )
 }
