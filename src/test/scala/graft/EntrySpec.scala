@@ -18,6 +18,15 @@ class EntrySpec extends AnyFunSuite {
       "duplicate query names")
   }
 
+  test("bench short keys (qNN/sNN/pNN prefixes) never collide") {
+    // Bench emits each query under its prefix before the first underscore
+    // and hard-fails on collision — catch it here, before a driver round
+    // loses its bench line to a name slip
+    val keys = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    assert(keys.distinct.size == keys.size,
+      s"colliding bench keys: ${keys.diff(keys.distinct).distinct.mkString(",")}")
+  }
+
   test("oracle SQL column aliases match the driver contract (no bare aggregates)") {
     // the driver hash-compares by sorted column NAME — a bare SUM(x)
     // column would mismatch; require every oracle to alias aggregates
