@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Property tier for the native codegen expressions and the CDC algebra:
+  * each kernel is pinned to an independent straight-Scala reference over
+  * ScalaCheck-generated inputs (sampled with fixed seeds — the
+  * scalatest/scalacheck bridge artifact isn't on the offline classpath),
+  * so a codegen bug that the fixture-driven oracles happen to miss still
+  * fails here.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def registered = {
+    GraftFunctions.register(spark)
+    spark
+  }
+
+  test("property: graft_polyhash matches the code-point fold reference") {
+    import spark.implicits._
+    val s = registered
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'ü', '中', ' ', '!'))).map(_.mkString)
+    val xs = samples(strGen, 60, 2000L)
+    def ref(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val got = xs.toDF("t")
+      .select(call_function("graft_polyhash", col("t"))).as[Long].collect()
+    xs.zip(got).foreach { case (t, h) =>
+      assert(h == ref(t), s"polyhash mismatch for ${t.take(40)}")
+    }
+  }
+
+  test("property: graft_word_ngrams equals the naive sliding window (empty tokens kept)") {
+    import spark.implicits._
+    val s = registered
+    // tokens include empties so double/leading/trailing spaces are covered
+    val tokGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.const("é中"))).map(_.mkString(" "))
+    val xs = samples(tokGen, 60, 3000L)
+    def ref(t: String): Seq[String] = {
+      val toks = t.split(" ", -1).toSeq
+      if (toks.length < 3) Seq.empty else toks.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val got = xs.toDF("t")
+      .select(call_function("graft_word_ngrams", col("t"), lit(3)))
+      .as[Seq[String]].collect()
+    xs.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t), s"ngram mismatch for '${t.take(40)}'")
+    }
+  }
+
+  test("property: graft_nfc equals java.text.Normalizer and is idempotent") {
+    import spark.implicits._
+    val s = registered
+    val strGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaChar,
+      2 -> Gen.oneOf('́', '̈', '̧'), // combining marks
+      1 -> Gen.oneOf('é', 'Å'))).map(_.mkString)
+    val xs = samples(strGen, 60, 4000L)
+    def ref(t: String): String =
+      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    val got = xs.toDF("t")
+      .select(call_function("graft_nfc", col("t")).as("a"))
+      .select(col("a"), call_function("graft_nfc", col("a")).as("b"))
+      .as[(String, String)].collect()
+    xs.zip(got).foreach { case (t, (a, b)) =>
+      assert(a == ref(t), s"nfc mismatch for '${t.take(40)}'")
+      assert(a == b, s"nfc not idempotent for '${t.take(40)}'")
+    }
+  }
+
+  test("property: graft_cosine matches the sequential-fold double reference") {
+    import spark.implicits._
+    val s = registered
+    val vecGen = for {
+      head <- Gen.choose(0.5, 5.0)
+      rest <- Gen.listOfN(7, Gen.choose(-5.0, 5.0))
+    } yield head :: rest
+    val pairs = samples(Gen.zip(vecGen, vecGen), 50, 5000L)
+    def ref(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = pairs.toDF("a", "b")
+      .select(call_function("graft_cosine", col("a"), col("b"))).as[Double].collect()
+    pairs.zip(got).foreach { case ((a, b), sim) =>
+      // bit-exact: both sides run the identical operation sequence
+      assert(java.lang.Double.doubleToLongBits(sim)
+        == java.lang.Double.doubleToLongBits(ref(a, b)),
+        s"cosine mismatch: $sim vs ${ref(a, b)}")
+    }
+  }
+
+  test("property: Cdc.upsert is idempotent (re-applying a source is a no-op)") {
+    import spark.implicits._
+    val kvGen = Gen.listOf(Gen.zip(Gen.choose(0L, 20L), Gen.alphaStr.map(_.take(6))))
+      .map(_.toMap.toSeq) // unique keys per frame
+    samples(Gen.zip(kvGen, kvGen), 10, 6000L).foreach { case (t0, s0) =>
+      val target = t0.toDF("k", "v")
+      val source = s0.toDF("k", "v")
+      val once = graft.operators.Cdc.upsert(target, source, Seq("k"))
+        .as[(Long, String)].collect().toSet
+      val twice = graft.operators.Cdc.upsert(
+        graft.operators.Cdc.upsert(target, source, Seq("k")), source, Seq("k"))
+        .as[(Long, String)].collect().toSet
+      assert(once == twice, s"upsert not idempotent: $once vs $twice")
+    }
+  }
+}
