@@ -131,6 +131,58 @@ object Profiling {
         FROM w
         WHERE us >= ws AND us < ws + 3600000000
         GROUP BY ws
-        ORDER BY ws_us"""))
+        ORDER BY ws_us""")),
+
+    // ---------------------------------------------------------------- q94
+    // Time-spine gap filling — resampling for dashboards/features: the
+    // complete hourly spine per event_type is GENERATED (bounds from a
+    // one-row min/max aggregate cross-joined in, so the plan stays fully
+    // lazy — no driver scalars), the actual hourly aggregates left-join
+    // onto it, and missing hours surface as explicit zeros. Without the
+    // spine, downstream rolling averages silently skip empty hours. The
+    // spine is (types × hours) — metadata-sized next to the fact scan —
+    // and the join is a keyed equi-join the fact side partial-aggregates
+    // into first.
+    QueryDef(
+      "q94_time_spine_gapfill",
+      (s, dir) => {
+        val hourUs = expr("(ts_us div 3600000000) * 3600000000")
+        val ev = Tables.events(s, dir)
+        val hourly = ev.select(col("event_type"), hourUs.as("hour_us"), col("value"))
+          .groupBy("event_type", "hour_us")
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sv"))
+        val bounds = ev.agg(
+          min(hourUs).as("mn"), max(hourUs).as("mx"))
+        val spine = ev.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(mn, mx, 3600000000)")).as("hour_us"))
+        spine.join(hourly, Seq("event_type", "hour_us"), "left_outer")
+          .select(col("event_type"), col("hour_us"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            coalesce(col("sv"), lit(0.0d)).as("sum_value"))
+          .orderBy("event_type", "hour_us")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS hour_us,
+                 value
+          FROM events),
+        hourly AS (
+          SELECT event_type, hour_us, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+          FROM e GROUP BY event_type, hour_us),
+        b AS (SELECT MIN(hour_us) AS mn, MAX(hour_us) AS mx FROM e),
+        spine AS (
+          SELECT t.event_type, CAST(h.h AS BIGINT) AS hour_us
+          FROM (SELECT DISTINCT event_type FROM e) t
+          CROSS JOIN (SELECT UNNEST(range(
+            (SELECT mn FROM b), (SELECT mx FROM b) + 1, 3600000000)) AS h) h)
+        SELECT s.event_type, s.hour_us,
+               COALESCE(n, 0) AS n_events,
+               COALESCE(sv, 0.0) AS sum_value
+        FROM spine s LEFT JOIN hourly USING (event_type, hour_us)
+        ORDER BY event_type, hour_us"""))
   )
 }
