@@ -150,6 +150,53 @@ object Compaction {
                TRUE AS rows_preserved,
                TRUE AS files_reduced,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        FROM events"""))
+        FROM events""")),
+
+    // ---------------------------------------------------------------- q95
+    // Dynamic partition-overwrite backfill — the correction primitive of
+    // a partitioned lake: ONE hive partition (event_type=click) is
+    // rewritten with corrected values (exact-decimal doubling) while
+    // every other partition's files stay byte-identical (mtime-asserted
+    // in CompactionSpec). The write carries
+    // `partitionOverwriteMode=dynamic` as a PER-WRITE option, so only
+    // partitions present in the corrected frame are replaced — static
+    // mode would wipe the whole table. Backfill is marker-guarded
+    // (applied once); constructions after it stay lazy.
+    QueryDef(
+      "q95_partition_backfill",
+      (s, dir) => {
+        val sf = Paths.get(dir).getFileName.toString
+        val tmp = System.getProperty("java.io.tmpdir")
+        val base = s"$tmp/graft_backfill/${s.sparkContext.applicationId}/$sf"
+        val fact = s"$base/fact"
+        if (!Files.exists(Paths.get(base, "_BACKFILLED"))) {
+          Tables.events(s, dir)
+            .select(col("event_id"), col("ts_us"), col("value"), col("event_type"))
+            .write.mode("overwrite").partitionBy("event_type").parquet(fact)
+          val corrected = Tables.events(s, dir)
+            .filter(col("event_type") === "click")
+            .select(col("event_id"), col("ts_us"),
+              (Exact.dec2(col("value")) * 2).cast("double").as("value"),
+              col("event_type"))
+          corrected.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type").parquet(fact)
+          Files.write(Paths.get(base, "_BACKFILLED"), Array.emptyByteArray)
+        }
+        s.read.parquet(fact)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(13,2)")).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN CAST(value AS DECIMAL(12,2)) * 2
+                             ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                 AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

@@ -112,4 +112,33 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(out.toString)
       .agg(sum("id")).as[Long].head() == (1 to 200).map(_.toLong).sum)
   }
+
+  test("dynamic partition overwrite touches only the rewritten partition (q95)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir()
+    (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "click" else "view"))
+      .toDF("id", "t")
+      .write.mode("overwrite").partitionBy("t").parquet(root.toString)
+    def files(p: String): Map[String, java.nio.file.attribute.FileTime] = {
+      val st = Files.walk(root.resolve(p))
+      try st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+      finally st.close()
+    }
+    val viewBefore = files("t=view")
+    Thread.sleep(1100) // mtime granularity can be a full second
+    (1 to 3).map(i => (i * 1000L, "click")).toDF("id", "t")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("t").parquet(root.toString)
+    // the untouched partition: identical file set, identical mtimes
+    assert(files("t=view") == viewBefore,
+      "dynamic overwrite must not touch partitions absent from the write")
+    // the rewritten partition: exactly the new rows
+    val click = spark.read.parquet(root.toString)
+      .filter(col("t") === "click").select("id").as[Long].collect().sorted
+    assert(click.toSeq == Seq(1000L, 2000L, 3000L),
+      s"click partition must hold only the backfill rows, got ${click.toSeq}")
+  }
 }
