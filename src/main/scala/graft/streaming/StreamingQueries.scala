@@ -416,9 +416,13 @@ object StreamingQueries {
     // lookup (SURVEY §2.3/J1) generalized to a real dimension: the event
     // stream joins the static `customer` dim and aggregates per tumbling
     // window × market segment (stateless — no join state to watermark,
-    // unlike s04); at 100 TB the dimension refreshes by re-resolving the
-    // batch DataFrame each micro-batch while the stream side never
-    // re-scans. NO broadcast() hint: `customer` scales with SF, and a
+    // unlike s04); the static side's SCAN re-executes each micro-batch,
+    // but over the file listing captured at query planning — an in-place
+    // rewrite of the dimension breaks the next batch and appended files
+    // are invisible (StaticRefreshSpec pins this). A dimension that must
+    // refresh in-flight is re-read inside foreachBatch (s10's pattern)
+    // or served by a snapshot-isolated table format.
+    // NO broadcast() hint: `customer` scales with SF, and a
     // forced broadcast of an SF-scaling table OOMs the executors at 100×
     // (the q03/q07 discipline). The planner's size threshold broadcasts
     // it while it is genuinely small and falls back to a shuffled join
@@ -451,11 +455,13 @@ object StreamingQueries {
     // Streaming ingest dedup — the streaming twin of q65: arriving
     // records are admitted only if their digest is NOT in the static
     // already-ingested corpus (events with event_id ≡ 0 mod 3). A
-    // stream-static LEFT ANTI join is stateless — the corpus side is
-    // re-resolved per micro-batch and nothing is held in state stores,
-    // so unlike the stream-stream shapes (s03/s04) there is no watermark
-    // to manage; at 100 TB the corpus digest set shuffles once per
-    // micro-batch on the 32-byte key and the stream never re-scans.
+    // stream-static LEFT ANTI join is stateless — the corpus scan
+    // re-executes per micro-batch (over its planning-time file listing;
+    // see StaticRefreshSpec and the s05 note) and nothing is held in
+    // state stores, so unlike the stream-stream shapes (s03/s04) there
+    // is no watermark to manage; at 100 TB the corpus digest set
+    // shuffles once per micro-batch on the 32-byte key and the stream
+    // never re-scans.
     QueryDef(
       "s06_stream_ingest_dedup",
       (s, dir) => {
