@@ -160,14 +160,16 @@ object Compaction {
     // in CompactionSpec). The write carries
     // `partitionOverwriteMode=dynamic` as a PER-WRITE option, so only
     // partitions present in the corrected frame are replaced — static
-    // mode would wipe the whole table. Backfill is marker-guarded
-    // (applied once); constructions after it stay lazy.
+    // mode would wipe the whole table. Backfill is marker-guarded and
+    // sf-keyed (both writes derive from the immutable source table, so
+    // unlike q62's rewrite-every-run staging the result is reusable
+    // across sessions); constructions after it stay lazy.
     QueryDef(
       "q95_partition_backfill",
       (s, dir) => {
         val sf = Paths.get(dir).getFileName.toString
         val tmp = System.getProperty("java.io.tmpdir")
-        val base = s"$tmp/graft_backfill/${s.sparkContext.applicationId}/$sf"
+        val base = s"$tmp/graft_backfill/$sf"
         val fact = s"$base/fact"
         if (!Files.exists(Paths.get(base, "_BACKFILLED"))) {
           Tables.events(s, dir)

@@ -302,14 +302,14 @@ object ScaleTechniques {
           s"${System.getProperty("java.io.tmpdir")}/graft_range_clustered/$sf")
         val marker = staged.resolve("_STAGED")
         if (!java.nio.file.Files.exists(marker)) {
+          // Tables.events already derives the canonical ts_us = ts div 1000
           Tables.events(s, dir)
-            .withColumn("ts_us", expr("ts div 1000"))
             .select("event_id", "ts_us", "event_type", "value")
             .repartitionByRange(8, col("ts_us"))
             .sortWithinPartitions("ts_us")
             .write.mode("overwrite").parquet(staged.resolve("fact").toString)
           val Array(mn, mx) = Tables.events(s, dir)
-            .agg(min(expr("ts div 1000")), max(expr("ts div 1000")))
+            .agg(min(col("ts_us")), max(col("ts_us")))
             .head().toSeq.map(_.asInstanceOf[Long]).toArray
           java.nio.file.Files.writeString(marker, (mn + (mx - mn) / 10L).toString)
         }

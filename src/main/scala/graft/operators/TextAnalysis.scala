@@ -4,6 +4,20 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+/** Curation keep-rule thresholds shared by q77 (batch Gopher rules), q87
+  * (composition-drift monitor), and s07 (streaming ingest filter) — ONE
+  * definition, interpolated into both the Spark expressions and the
+  * oracle SQL, so tuning the ingest filter can never silently diverge
+  * from the monitor that reports on it. */
+object CurationRules {
+  val MinWords = 20L
+  val MaxWords = 100000L
+  val MinMeanLenMicro = 3000000L
+  val MaxMeanLenMicro = 10000000L
+  val MaxTopPermille = 120L
+  val MinTtrPermille = 150L
+}
+
 /** Text-analysis operator family over `documents` (builder brief): token
   * counting, quality scoring, language ID, document fingerprinting.
   *
@@ -16,6 +30,13 @@ import graft.Tables
   * built-ins, so they stay inside whole-stage codegen — no UDFs.
   */
 object TextAnalysis {
+
+  /** The tokenizer subtoken pattern and vocabulary size shared by q31
+    * (subtoken stats), q52 (vocabulary build), and q84 (OOV coverage
+    * against that vocabulary) — q84's rate is only meaningful measured
+    * against the EXACT vocabulary q52 reports. */
+  private[operators] val SubtokenRe = "[a-z]+|[0-9]+"
+  private[operators] val VocabK = 100
 
   /** Deterministic stopword sets per language. The fixture's five langs
     * share one vocabulary, so these are synthetic-but-honest marker sets:
@@ -42,15 +63,15 @@ object TextAnalysis {
             col("doc_id"),
             size(split(col("text"), " ")).as("n_tokens"),
             size(array_distinct(split(col("text"), " "))).as("n_uniq"),
-            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_subtokens"),
+            size(expr(s"regexp_extract_all(text, '$SubtokenRe', 0)")).as("n_subtokens"),
             expr("aggregate(split(text, ' '), 0, (m, t) -> greatest(m, length(t)))")
               .as("max_token_len"))
           .orderBy("doc_id"),
-      Some("""
+      Some(s"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
-               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_subtokens,
+               CAST(len(regexp_extract_all(text, '$SubtokenRe')) AS INT) AS n_subtokens,
                CAST(list_max(list_transform(string_split(text, ' '), t -> length(t))) AS INT)
                  AS max_token_len
         FROM documents
@@ -236,16 +257,16 @@ object TextAnalysis {
       "q52_vocab_topk",
       (s, dir) =>
         Tables(s, dir, "documents")
-          .select(explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("subtok"))
+          .select(explode(expr(s"regexp_extract_all(text, '$SubtokenRe', 0)")).as("subtok"))
           .groupBy("subtok").agg(count(lit(1)).as("freq"))
-          .orderBy(col("freq").desc, col("subtok")).limit(100),
-      Some("""
+          .orderBy(col("freq").desc, col("subtok")).limit(VocabK),
+      Some(s"""
         SELECT t AS subtok, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) t
+        FROM (SELECT unnest(regexp_extract_all(text, '$SubtokenRe')) t
               FROM documents)
         GROUP BY t
         ORDER BY freq DESC, subtok
-        LIMIT 100""")),
+        LIMIT $VocabK""")),
 
     // ---------------------------------------------------------------- q77
     // Gopher-style composite filter rules (Rae et al. 2021 §A1.1 shape):
@@ -275,19 +296,19 @@ object TextAnalysis {
           .withColumn("top_permille", expr("top_cnt * 1000 div n_words"))
           .withColumn("ttr_permille", expr("n_distinct * 1000 div n_words"))
           .withColumn("reject_reason",
-            when(col("n_words") < 20, "too_short")
-              .when(col("n_words") > 100000, "too_long")
-              .when(col("mean_len_micro") < 3000000L, "short_words")
-              .when(col("mean_len_micro") > 10000000L, "long_words")
-              .when(col("top_permille") > 120, "top_word_dominance")
-              .when(col("ttr_permille") < 150, "low_type_token_ratio")
+            when(col("n_words") < CurationRules.MinWords, "too_short")
+              .when(col("n_words") > CurationRules.MaxWords, "too_long")
+              .when(col("mean_len_micro") < CurationRules.MinMeanLenMicro, "short_words")
+              .when(col("mean_len_micro") > CurationRules.MaxMeanLenMicro, "long_words")
+              .when(col("top_permille") > CurationRules.MaxTopPermille, "top_word_dominance")
+              .when(col("ttr_permille") < CurationRules.MinTtrPermille, "low_type_token_ratio")
               .otherwise("keep"))
           .select(col("doc_id"), col("n_words"), col("n_distinct"),
             col("mean_len_micro"), col("top_permille"), col("ttr_permille"),
             col("reject_reason"))
           .orderBy("doc_id")
       },
-      Some("""
+      Some(s"""
         WITH f AS (
           SELECT doc_id, w, COUNT(*) AS cnt
           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -310,12 +331,12 @@ object TextAnalysis {
                CAST(mean_len_micro AS BIGINT) AS mean_len_micro,
                CAST(top_permille AS BIGINT) AS top_permille,
                CAST(ttr_permille AS BIGINT) AS ttr_permille,
-               CASE WHEN n_words < 20 THEN 'too_short'
-                    WHEN n_words > 100000 THEN 'too_long'
-                    WHEN mean_len_micro < 3000000 THEN 'short_words'
-                    WHEN mean_len_micro > 10000000 THEN 'long_words'
-                    WHEN top_permille > 120 THEN 'top_word_dominance'
-                    WHEN ttr_permille < 150 THEN 'low_type_token_ratio'
+               CASE WHEN n_words < ${CurationRules.MinWords} THEN 'too_short'
+                    WHEN n_words > ${CurationRules.MaxWords} THEN 'too_long'
+                    WHEN mean_len_micro < ${CurationRules.MinMeanLenMicro} THEN 'short_words'
+                    WHEN mean_len_micro > ${CurationRules.MaxMeanLenMicro} THEN 'long_words'
+                    WHEN top_permille > ${CurationRules.MaxTopPermille} THEN 'top_word_dominance'
+                    WHEN ttr_permille < ${CurationRules.MinTtrPermille} THEN 'low_type_token_ratio'
                     ELSE 'keep' END AS reject_reason
         FROM m
         ORDER BY doc_id""")),
@@ -377,9 +398,9 @@ object TextAnalysis {
       (s, dir) => {
         val sub = Tables(s, dir, "documents")
           .select(col("doc_id"),
-            explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("t"))
+            explode(expr(s"regexp_extract_all(text, '$SubtokenRe', 0)")).as("t"))
         val vocab = sub.groupBy("t").agg(count(lit(1)).as("f"))
-          .orderBy(col("f").desc, col("t")).limit(100)
+          .orderBy(col("f").desc, col("t")).limit(VocabK)
           .select(col("t"), lit(1).as("in_vocab"))
         sub.join(vocab, Seq("t"), "left_outer")
           .groupBy("doc_id")
@@ -388,14 +409,14 @@ object TextAnalysis {
           .withColumn("oov_permille", expr("n_oov * 1000 div n_subtokens"))
           .orderBy("doc_id")
       },
-      Some("""
+      Some(s"""
         WITH sub AS (
-          SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS t
+          SELECT doc_id, unnest(regexp_extract_all(text, '$SubtokenRe')) AS t
           FROM documents),
         vocab AS (
           SELECT t FROM (
             SELECT t, COUNT(*) AS f FROM sub GROUP BY t
-            ORDER BY f DESC, t LIMIT 100)),
+            ORDER BY f DESC, t LIMIT $VocabK)),
         j AS (
           SELECT s.doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
           FROM sub s LEFT JOIN vocab v ON s.t = v.t)
@@ -424,10 +445,11 @@ object TextAnalysis {
           .withColumn("sum_len",
             length(regexp_replace(col("text"), " ", "")).cast("long"))
           .withColumn("keep",
-            col("n") >= 20
-              && expr("sum_len * 1000000 div n") >= 3000000L
-              && expr("sum_len * 1000000 div n") <= 10000000L
-              && expr("cast(size(array_distinct(w)) AS BIGINT) * 1000 div n") >= 150L)
+            col("n") >= CurationRules.MinWords
+              && expr("sum_len * 1000000 div n") >= CurationRules.MinMeanLenMicro
+              && expr("sum_len * 1000000 div n") <= CurationRules.MaxMeanLenMicro
+              && expr("cast(size(array_distinct(w)) AS BIGINT) * 1000 div n")
+                   >= CurationRules.MinTtrPermille)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_before"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"))
@@ -440,7 +462,7 @@ object TextAnalysis {
               .as("delta_permille"))
           .orderBy("lang")
       },
-      Some("""
+      Some(s"""
         WITH m AS (
           SELECT lang,
                  len(string_split(text, ' ')) AS n,
@@ -449,10 +471,10 @@ object TextAnalysis {
           FROM documents),
         k AS (
           SELECT lang,
-                 CASE WHEN n >= 20
-                       AND sum_len * 1000000 // n >= 3000000
-                       AND sum_len * 1000000 // n <= 10000000
-                       AND nd * 1000 // n >= 150
+                 CASE WHEN n >= ${CurationRules.MinWords}
+                       AND sum_len * 1000000 // n >= ${CurationRules.MinMeanLenMicro}
+                       AND sum_len * 1000000 // n <= ${CurationRules.MaxMeanLenMicro}
+                       AND nd * 1000 // n >= ${CurationRules.MinTtrPermille}
                       THEN 1 ELSE 0 END AS keep
           FROM m),
         a AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
-import graft.operators.{Exact, QueryDef}
+import graft.operators.{CurationRules, Exact, QueryDef}
 
 /** Event-time streaming operators over the `events` fixture — the
   * streaming twins of q19 (tumbling window) and q20 (sessionization),
@@ -45,6 +45,22 @@ object StreamingQueries {
     * arrival folder. `copies > 1` stages the file N times (distinct
     * names), simulating an at-least-once source that replays its data.
     */
+  /** The far-future flush-sentinel row (user_id = event_id = -1, ts ten
+    * years past the fixture's max): advances the event-time watermark
+    * past every real row's timeout at drain end, so state flushes
+    * deterministically under AvailableNow — in a continuous deployment
+    * the advancing live watermark plays this role. `sessionize` (uid < 0
+    * drop) and s08's batch-side filter both key off the -1 marker; this
+    * is the ONE definition of that contract. */
+  private def sentinelRow(s: SparkSession, path: String): DataFrame = {
+    val maxTs = s.read.parquet(path).agg(max("ts")).head().getLong(0)
+    val tenYearsNs = 315360000L * 1000000000L
+    s.read.parquet(path).limit(1)
+      .withColumn("ts", lit(maxTs + tenYearsNs))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_id", lit(-1L))
+  }
+
   private def eventsStream(s: SparkSession, dir: String, copies: Int = 1,
       flushSentinel: Boolean = false): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -66,21 +82,11 @@ object StreamingQueries {
       }
     }
     if (flushSentinel) {
-      // One far-future row (user_id = -1, filtered out of every query):
-      // advances the event-time watermark past every real row's timeout at
-      // drain end, so EventTimeTimeout state flushes deterministically.
-      // In a continuous deployment the advancing live watermark plays this
-      // role; under AvailableNow the sentinel is the drain's stand-in.
       val staged = landing.resolve("events_sentinel.parquet")
       if (!Files.exists(staged)) {
         import scala.jdk.CollectionConverters._
-        val maxTs = s.read.parquet(path).agg(max("ts")).head().getLong(0)
-        val tenYearsNs = 315360000L * 1000000000L
         val tmpOut = Files.createTempDirectory("graft_sentinel").resolve("out")
-        s.read.parquet(path).limit(1)
-          .withColumn("ts", lit(maxTs + tenYearsNs))
-          .withColumn("user_id", lit(-1L))
-          .withColumn("event_id", lit(-1L))
+        sentinelRow(s, path)
           .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
         val part = Files.list(tmpOut).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -149,14 +155,7 @@ object StreamingQueries {
         Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + seq * 60000L))
       }
       for (i <- 1 to 4) stageOne(tiled.filter(col("nt") === i).drop("nt"), s"part_$i.parquet", i)
-      val maxTs = s.read.parquet(path).agg(max("ts")).head().getLong(0)
-      val tenYearsNs = 315360000L * 1000000000L
-      stageOne(
-        s.read.parquet(path).limit(1)
-          .withColumn("ts", lit(maxTs + tenYearsNs))
-          .withColumn("user_id", lit(-1L))
-          .withColumn("event_id", lit(-1L)),
-        "part_5_sentinel.parquet", 5)
+      stageOne(sentinelRow(s, path), "part_5_sentinel.parquet", 5)
       Files.write(marker, Array.emptyByteArray)
     }
     s.readStream.schema(s.read.parquet(path).schema)
@@ -507,10 +506,10 @@ object StreamingQueries {
           .withColumn("ttr_permille",
             expr("cast(size(array_distinct(w)) AS BIGINT) * 1000 div n"))
           .withColumn("reject_reason",
-            when(col("n") < 20, "too_short")
-              .when(col("mean_len_micro") < 3000000L, "short_words")
-              .when(col("mean_len_micro") > 10000000L, "long_words")
-              .when(col("ttr_permille") < 150, "low_type_token_ratio")
+            when(col("n") < CurationRules.MinWords, "too_short")
+              .when(col("mean_len_micro") < CurationRules.MinMeanLenMicro, "short_words")
+              .when(col("mean_len_micro") > CurationRules.MaxMeanLenMicro, "long_words")
+              .when(col("ttr_permille") < CurationRules.MinTtrPermille, "low_type_token_ratio")
               .otherwise("keep"))
           .select("doc_id", "reject_reason")
         drain(s, OutputMode.Append())(labeled)
@@ -518,7 +517,7 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
           .orderBy("reject_reason")
       },
-      Some("""
+      Some(s"""
         WITH m AS (
           SELECT doc_id,
                  len(string_split(text, ' ')) AS n,
@@ -527,10 +526,10 @@ object StreamingQueries {
           FROM documents),
         r AS (
           SELECT doc_id,
-                 CASE WHEN n < 20 THEN 'too_short'
-                      WHEN sum_len * 1000000 // n < 3000000 THEN 'short_words'
-                      WHEN sum_len * 1000000 // n > 10000000 THEN 'long_words'
-                      WHEN nd * 1000 // n < 150 THEN 'low_type_token_ratio'
+                 CASE WHEN n < ${CurationRules.MinWords} THEN 'too_short'
+                      WHEN sum_len * 1000000 // n < ${CurationRules.MinMeanLenMicro} THEN 'short_words'
+                      WHEN sum_len * 1000000 // n > ${CurationRules.MaxMeanLenMicro} THEN 'long_words'
+                      WHEN nd * 1000 // n < ${CurationRules.MinTtrPermille} THEN 'low_type_token_ratio'
                       ELSE 'keep' END AS reject_reason
           FROM m)
         SELECT reject_reason, COUNT(*) AS n_docs,
@@ -661,8 +660,12 @@ object StreamingQueries {
         var version = 0
         val applyBatch: (Dataset[Row], Long) => Unit = (batch, _) => {
           val cur = s.read.parquet(base.resolve(s"v$version").toString)
+          // rank on the RAW nanosecond ts (not the µs-truncated ts_us):
+          // the oracle orders by full-precision ts, and two same-user
+          // events inside one microsecond would otherwise tie-break
+          // differently between the engines
           val w = Window.partitionBy("user_id")
-            .orderBy(col("ts_us").desc, col("event_id").desc)
+            .orderBy(col("ts").desc, col("event_id").desc)
           val latest = batch
             .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
             .select(cols.map(col): _*)
@@ -672,7 +675,7 @@ object StreamingQueries {
           version += 1
         }
         val q = eventsStream(s, dir)
-          .select(cols.map(col): _*)
+          .select((col("ts") +: cols.map(col)): _*)
           .writeStream.foreachBatch(applyBatch)
           .trigger(Trigger.AvailableNow())
           .start()

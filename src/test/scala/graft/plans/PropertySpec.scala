@@ -21,14 +21,9 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
-  private def registered = {
-    GraftFunctions.register(spark)
-    spark
-  }
-
   test("property: graft_polyhash matches the code-point fold reference") {
     import spark.implicits._
-    val s = registered
+    GraftFunctions.register(spark)
     val strGen = Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar,
       2 -> Gen.oneOf('é', 'ü', '中', ' ', '!'))).map(_.mkString)
@@ -44,7 +39,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("property: graft_word_ngrams equals the naive sliding window (empty tokens kept)") {
     import spark.implicits._
-    val s = registered
+    GraftFunctions.register(spark)
     // tokens include empties so double/leading/trailing spaces are covered
     val tokGen = Gen.listOf(Gen.frequency(
       6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
@@ -65,7 +60,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("property: graft_nfc equals java.text.Normalizer and is idempotent") {
     import spark.implicits._
-    val s = registered
+    GraftFunctions.register(spark)
     val strGen = Gen.listOf(Gen.frequency(
       6 -> Gen.alphaChar,
       2 -> Gen.oneOf('́', '̈', '̧'), // combining marks
@@ -85,7 +80,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("property: graft_cosine matches the sequential-fold double reference") {
     import spark.implicits._
-    val s = registered
+    GraftFunctions.register(spark)
     val vecGen = for {
       head <- Gen.choose(0.5, 5.0)
       rest <- Gen.listOfN(7, Gen.choose(-5.0, 5.0))
