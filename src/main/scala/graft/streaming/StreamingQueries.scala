@@ -698,6 +698,38 @@ object StreamingQueries {
         WHERE rn = 1
         ORDER BY user_id""")),
 
+    // ---------------------------------------------------------------- s13
+    // CHAINED stateful operators — exact distinct users per hour window
+    // as one streaming query: a watermark-bounded dedup on (window,
+    // user) feeds a windowed count. Two state stores in one plan (multi-
+    // stateful-operator support), both evicted by the same watermark;
+    // plain streaming aggregation cannot express COUNT(DISTINCT) — this
+    // chain is how it's done exactly (q46's HLL is the approximate
+    // alternative). Append mode is REQUIRED for chained stateful ops:
+    // windows emit once the watermark passes their end, which the flush
+    // sentinel guarantees for every real window — the sentinel's own
+    // far-future window (and its dedup row) stays in state and is never
+    // emitted, so no sentinel filtering is needed anywhere.
+    QueryDef(
+      "s13_stream_windowed_distinct",
+      (s, dir) => {
+        val agg = eventsStream(s, dir, flushSentinel = true)
+          .withWatermark("ts_t", "1 hour")
+          .withColumn("ws_us", expr("(ts_us div 3600000000) * 3600000000"))
+          .dropDuplicatesWithinWatermark("ws_us", "user_id")
+          .groupBy(window(col("ts_t"), "1 hour"))
+          .agg(count(lit(1)).as("n_users"))
+        drain(s, OutputMode.Append())(agg)
+          .select(unix_micros(col("window.start")).as("ws_us"), col("n_users"))
+          .orderBy("ws_us")
+      },
+      Some("""
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+        ORDER BY ws_us""")),
+
     // ---------------------------------------------------------------- s11
     // Multi-micro-batch windowed aggregation: every other stream here
     // drains in ONE AvailableNow batch, which never exercises state
