@@ -33,6 +33,9 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
     rntoDenied: Boolean = false,
     // SIZE is an RFC 3659 extension; `true` mimics servers without it
     noSize: Boolean = false,
+    // LIST is universal in practice but its line format is not mandated;
+    // `true` replies 502 so clients must fall back to NLST + CWD probing
+    noList: Boolean = false,
     // first N MKDs reply 550 WITHOUT creating — mimics a transient
     // quota/permission blip; clients must retry the walk on later uploads
     mkdFailures: Int = 0) {
@@ -49,6 +52,13 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
     new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
   def commandCount(cmd: String): Int =
     Option(commandCounts.get(cmd.toUpperCase)).map(_.get).getOrElse(0)
+
+  /** Per-(verb, exact argument) totals — lets specs assert e.g. that a
+    * recursive scan LISTed each directory exactly once. */
+  private val commandArgCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AtomicInteger]()
+  def commandCount(cmd: String, arg: String): Int =
+    Option(commandArgCounts.get((cmd.toUpperCase, arg))).map(_.get).getOrElse(0)
   @volatile private var running = true
 
   private val acceptor = new Thread(() => {
@@ -111,6 +121,7 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
           case Array(c) => (c.toUpperCase, "")
         }
         commandCounts.computeIfAbsent(cmd, _ => new AtomicInteger(0)).incrementAndGet()
+        commandArgCounts.computeIfAbsent((cmd, arg), _ => new AtomicInteger(0)).incrementAndGet()
         cmd match {
           case "USER" => reply(if (arg == user) "331 need password" else "530 unknown user")
           case "PASS" =>
@@ -174,15 +185,41 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
               try {
                 import scala.jdk.CollectionConverters._
                 // real servers commonly return FULL paths from NLST;
-                // `nlstFullPaths = true` mimics that for client robustness tests
+                // `nlstFullPaths = true` mimics that for client robustness tests.
+                // Directories ARE included — real NLST lists them, and
+                // clients that need to discriminate must probe (CWD/SIZE)
                 val prefix =
                   if (!nlstFullPaths) ""
                   else if (arg.endsWith("/")) arg else s"$arg/"
                 val names = Files.list(d0).iterator().asScala
-                  .filter(Files.isRegularFile(_))
                   .map(p => s"$prefix${p.getFileName.toString}").toSeq.sorted
                   .mkString("", "\r\n", "\r\n")
                 d.getOutputStream.write(names.getBytes(US_ASCII))
+                d.getOutputStream.flush()
+              } finally d.close()
+              reply("226 transfer complete")
+            }
+          case "LIST" =>
+            val d0 = resolve(cwd, arg)
+            if (noList) { disarmData(); reply("502 LIST not implemented") }
+            else if (!Files.isDirectory(d0)) {
+              disarmData(); reply(s"550 $arg: no such directory")
+            }
+            else {
+              reply("150 opening data connection")
+              val d = openData()
+              try {
+                import scala.jdk.CollectionConverters._
+                // unix `ls -l` line format — the de-facto standard clients parse
+                val lines = Files.list(d0).iterator().asScala.toSeq
+                  .sortBy(_.getFileName.toString)
+                  .map { p =>
+                    if (Files.isDirectory(p))
+                      s"drwxr-xr-x 2 $user $user 0 Jan 01 00:00 ${p.getFileName}"
+                    else
+                      s"-rw-r--r-- 1 $user $user ${Files.size(p)} Jan 01 00:00 ${p.getFileName}"
+                  }.mkString("", "\r\n", "\r\n")
+                d.getOutputStream.write(lines.getBytes(US_ASCII))
                 d.getOutputStream.flush()
               } finally d.close()
               reply("226 transfer complete")

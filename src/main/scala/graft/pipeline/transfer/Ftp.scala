@@ -14,6 +14,11 @@ import graft.pipeline.ServerConfig
 final class RenameRefusedException(text: String)
   extends IOException(s"RNTO failed: $text")
 
+/** One remote directory entry from a typed listing: basename, whether it
+  * is a subdirectory, and its size in bytes (-1 when the listing carried
+  * no size — resolved later by SIZE/RETR if a consumer needs it). */
+final case class RemoteEntry(name: String, isDir: Boolean, size: Long)
+
 /** Minimal RFC 959 FTP client over raw sockets.
   *
   * The classpath has no FTP library, so the control/data protocol is
@@ -208,6 +213,37 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
       names
     }
 
+  /** LIST: typed directory listing. Parses the de-facto unix `ls -l`
+    * line format (what commons-net's default parser reads) into
+    * name + directory flag + size — one data connection yields everything
+    * a recursive lister needs, where NLST alone cannot distinguish a
+    * subdirectory from a file without a per-entry probe. 550 → missing
+    * dir (FileNotFoundException); unsupported verb or a non-unix line
+    * format → IOException, which callers treat as "fall back to
+    * NLST + CWD probing" ([[FtpBackend.listEntries]]). */
+  def listStat(remoteDir: String): Seq[RemoteEntry] =
+    dataConnection(s"LIST $remoteDir") { (pre, data) =>
+      if (pre.code == 550) throw new FileNotFoundException(s"Remote dir not found: $remoteDir")
+      if (pre.code >= 400) throw new IOException(s"LIST failed: ${pre.text}")
+      val r = new BufferedReader(new InputStreamReader(data.getInputStream, US_ASCII))
+      val lines = Iterator.continually(r.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(_.nonEmpty).toList
+      val fin = readReply()
+      if (!fin.ok) throw new IOException(s"LIST transfer failed: ${fin.text}")
+      lines.map { line =>
+        // -rw-r--r-- 1 owner group 1234 Jan 01 00:00 name (spaces kept by limit 9)
+        val t = line.split("\\s+", 9)
+        if (t.length < 9 || t(0).length < 10 || !"-dl".contains(t(0).charAt(0)))
+          throw new IOException(s"LIST line not in unix format: $line")
+        val isDir = t(0).charAt(0) == 'd'
+        val size =
+          if (isDir) -1L
+          else try t(4).toLong catch { case _: NumberFormatException => -1L }
+        // names are conventionally basenames; normalize defensively
+        RemoteEntry(t(8).substring(t(8).lastIndexOf('/') + 1), isDir, size)
+      }
+    }
+
   private def pipe(is: InputStream, os: OutputStream): Unit = {
     val buf = new Array[Byte](64 * 1024)
     var n = is.read(buf)
@@ -250,6 +286,29 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
 
   /** List file names under a remote directory (non-recursive). */
   def list(remoteDir: String): Seq[String] = client.nlst(remoteDir)
+
+  /** Typed listing: names + dir flags + sizes. LIST is the primary path
+    * (one data connection for the whole directory); servers without it
+    * — or with a line format we can't parse — fall back to NLST names
+    * plus one CWD probe per entry: same answer, more control round
+    * trips, sizes unknown (-1, resolved later by SIZE/RETR where a
+    * consumer needs them). A missing directory stays FileNotFound on
+    * both paths. */
+  def listEntries(remoteDir: String): Seq[RemoteEntry] =
+    try client.listStat(remoteDir)
+    catch {
+      case e: FileNotFoundException => throw e
+      case _: IOException =>
+        client.nlst(remoteDir)
+          .map(n => n.substring(n.lastIndexOf('/') + 1)).distinct
+          .map { n =>
+            val full =
+              if (remoteDir.endsWith("/")) s"$remoteDir$n" else s"$remoteDir/$n"
+            val probe = client.cmd(s"CWD $full")
+            if (probe.ok) client.cmd("CWD /") // restore after a successful probe
+            RemoteEntry(n, probe.ok, -1L)
+          }
+    }
 
   /** Size of a remote file via SIZE (falls back to -1 when unsupported). */
   def size(remotePath: String): Long = {

@@ -28,11 +28,13 @@ import graft.pipeline.transfer.FtpPools
   *   .load("/remote/dir")          // → (path, length, content) rows
   * }}}
   *
-  * Planning lists the directory once on the driver (NLST — one control
-  * round-trip, names only); each file becomes an InputPartition, so
-  * payload bytes are fetched ON EXECUTORS through the per-executor
-  * connection pool ([[FtpPools]]) and never pass through the driver.
-  * Schema mirrors Spark's `binaryFile` source.
+  * Planning lists the tree via [[FtpListing]]: recursive by default,
+  * names+sizes only, and past `listing.parallelThreshold` discovered
+  * files the remaining subtrees are listed by a distributed job instead
+  * of the driver's connection. Each chunk of files becomes an
+  * InputPartition, so payload bytes are fetched ON EXECUTORS through
+  * the per-executor connection pool ([[FtpPools]]) and never pass
+  * through the driver. Schema mirrors Spark's `binaryFile` source.
   *
   * At cluster scale: file-count parallelism with pooled connections per
   * executor bounds server load at poolSize × executors, exactly like the
@@ -121,8 +123,8 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
       // rewrites) are applied to the driver's NLST listing BEFORE
       // partitions are planned, so a `WHERE path LIKE '/docs/doc_1%'`
       // scan RETRs only the matching files. FTP has no reliable
-      // server-side glob verb, so the one NLST still lists the whole
-      // dir — names are cheap; payloads are not. Pushed predicates are
+      // server-side glob verb, so the listing still walks the whole
+      // tree — names are cheap; payloads are not. Pushed predicates are
       // fully applied here (names are compared with the same Java string
       // semantics Spark would use), so they are NOT re-evaluated upstream.
       private var pushed: Array[Filter] = Array.empty
@@ -158,34 +160,46 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
           (if (pushed.isEmpty) ""
            else s" PushedFilters: [${pushed.mkString(", ")}]")
 
-      override def planInputPartitions(): Array[InputPartition] = {
-        // driver-side listing: names only, one pooled connection
+      // listing: recursive by default (the reference nests transfer
+      // dirs — ftp.py:186-212); past `listing.parallelThreshold`
+      // discovered files the remaining subtrees are listed by a
+      // distributed job, so the driver never performs a single
+      // O(files) round-trip pass (see FtpListing). Lazy: Spark's
+      // physical planning calls planInputPartitions more than once per
+      // action — one Scan must list the tree exactly once.
+      private lazy val listed: Seq[FtpListing.Listed] = {
         val cfg = FtpDataSource.serverConfig(options)
-        val d = FtpDataSource.dir(options)
+        val poolSize = Option(options.get("pool.size")).map(_.toInt).getOrElse(4)
+        val recursive = Option(options.get("recursive")).forall(_.toBoolean)
+        val threshold = Option(options.get("listing.parallelThreshold"))
+          .map(_.toInt).getOrElse(10000)
+        FtpListing.listFiles(
+          cfg, poolSize, FtpDataSource.dir(options), recursive, threshold)
+      }
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val cfg = FtpDataSource.serverConfig(options)
         val poolSize = Option(options.get("pool.size")).map(_.toInt).getOrElse(4)
         // default ONE partition per pooled connection: each reader holds
         // its connection for the whole chunk, so more tasks than
         // connections would just queue on the pool doing nothing
         val nParts = Option(options.get("numPartitions")).map(_.toInt)
           .getOrElse(poolSize)
-        val names = FtpPools(cfg, PipelineConfig("FTP_POOL_SIZE" -> poolSize.toString))
-          .withConnection(_.list(d))
+        // In-progress temps from a concurrent/crashed writer are not
+        // data: listings have no filter verb, so drop the write path's
+        // temp-name pattern here rather than surface truncated duplicates
+        val files = listed
+          .filterNot(f => f.path
+            .substring(f.path.lastIndexOf('/') + 1).matches(""".*\.inprog-\d+$"""))
+          .filter(f => keep(f.path)) // pushed path predicates — plan only matches
+          .sortBy(_.path)
         // chunk round-robin so partitions stay balanced; each partition
         // holds ONE pooled connection for all its files (borrow-per-file
         // throttled throughput 5× on the bulk bench)
-        // NLST may return bare names or full paths depending on the
-        // server — keep only the basename before re-joining with the dir.
-        // In-progress temps from a concurrent/crashed writer are not data:
-        // NLST has no filter verb, so drop the write path's temp-name
-        // pattern here rather than surface truncated duplicates
-        val paths = names.map(n => n.substring(n.lastIndexOf('/') + 1))
-          .filterNot(_.matches(""".*\.inprog-\d+$"""))
-          .sorted.map(n => s"$d/$n")
-          .filter(keep) // pushed path predicates — plan only matching files
-        paths.zipWithIndex.groupBy(_._2 % math.max(1, math.min(nParts, paths.size)))
+        files.zipWithIndex.groupBy(_._2 % math.max(1, math.min(nParts, files.size)))
           .toSeq.sortBy(_._1)
           .map { case (_, ps) =>
-            FtpFilesPartition(cfg, ps.map(_._1), poolSize,
+            FtpFilesPartition(cfg, ps.map(p => (p._1.path, p._1.size)), poolSize,
               required.fieldNames.toSeq): InputPartition }
           .toArray
       }
@@ -288,11 +302,12 @@ final class FtpWriterFactory(
 
 case object FtpWriteCommit extends WriterCommitMessage
 
-/** A chunk of remote files; the reader holds one pooled connection for
-  * the whole chunk (payloads fetched executor-side). `columns` is the
-  * pruned projection, in read-schema order. */
+/** A chunk of remote files as (path, listedSize) pairs — listedSize -1
+  * when the planning listing carried none; the reader holds one pooled
+  * connection for the whole chunk (payloads fetched executor-side).
+  * `columns` is the pruned projection, in read-schema order. */
 final case class FtpFilesPartition(
-    cfg: ServerConfig, paths: Seq[String], poolSize: Int,
+    cfg: ServerConfig, files: Seq[(String, Long)], poolSize: Int,
     columns: Seq[String]) extends InputPartition
 
 final class FtpReaderFactory extends PartitionReaderFactory {
@@ -304,15 +319,17 @@ final class FtpReaderFactory extends PartitionReaderFactory {
       private val pool =
         FtpPools(p.cfg, PipelineConfig("FTP_POOL_SIZE" -> p.poolSize.toString))
       private var conn: graft.pipeline.transfer.FtpBackend = _
-      private val it = p.paths.iterator
+      private val it = p.files.iterator
       private var row: InternalRow = _
 
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        val path = it.next()
-        // content pruned → no RETR; length via one SIZE control round-trip;
-        // path-only/count(*) → no connection at all (driver NLST suffices)
-        if (conn == null && (needContent || needLength))
+        val (path, listedSize) = it.next()
+        // content pruned → no RETR; length served from the planning
+        // listing when it carried sizes (zero per-file round-trips), else
+        // one SIZE control round-trip; path-only/count(*) → no connection
+        // at all (the driver listing suffices)
+        if (conn == null && (needContent || (needLength && listedSize < 0)))
           conn = pool.borrow() // once per partition
         val cell: String => Any =
           if (needContent) {
@@ -321,14 +338,16 @@ final class FtpReaderFactory extends PartitionReaderFactory {
             Map("path" -> UTF8String.fromString(path),
               "length" -> bytes.length.toLong, "content" -> bytes)
           } else if (needLength) {
-            // SIZE is an extension (RFC 3659); a server without it makes
-            // size() return -1. Fall back to RETR so `length` is the same
-            // value a content-bearing scan would report — results must not
-            // depend on the projection
-            val sz = conn.size(path) match {
-              case n if n >= 0 => n
-              case _           => conn.downloadBytes(path).length.toLong
-            }
+            // listing size first; SIZE is an extension (RFC 3659) — a
+            // server without either falls back to RETR so `length` is the
+            // same value a content-bearing scan would report: results
+            // must not depend on the projection
+            val sz =
+              if (listedSize >= 0) listedSize
+              else conn.size(path) match {
+                case n if n >= 0 => n
+                case _           => conn.downloadBytes(path).length.toLong
+              }
             Map("path" -> UTF8String.fromString(path), "length" -> sz)
           } else Map("path" -> (UTF8String.fromString(path): Any))
         row = new GenericInternalRow(p.columns.map(cell).toArray)

@@ -109,15 +109,16 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { FtpPools.closeAll(); srv.stop() }
   }
 
-  test("column-pruned (path,length) scan performs SIZE but ZERO RETRs") {
-    val retrBefore = server.commandCount("RETR")
+  test("column-pruned (path,length) scan answers from the listing: zero RETR, zero SIZE") {
+    val (retrBefore, sizeBefore) = (server.commandCount("RETR"), server.commandCount("SIZE"))
     val rows = read().load("/data")
       .select("path", "length")
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(rows.toSeq == Seq(("/data/a.bin", 5L), ("/data/b.bin", 12L)))
     assert(server.commandCount("RETR") == retrBefore,
       "length-only scan must not download payloads")
-    assert(server.commandCount("SIZE") >= 2, "lengths must come from SIZE")
+    assert(server.commandCount("SIZE") == sizeBefore,
+      "lengths must come from the planning LIST — zero per-file round-trips")
   }
 
   test("path-only and count(*) scans open no data commands at all") {
@@ -282,13 +283,15 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { FtpPools.closeAll(); denied.stop() }
   }
 
-  test("length-only scan falls back to RETR when the server lacks SIZE") {
-    // length must not silently become -1 on SIZE-less servers — results
-    // would then depend on the projection
+  test("length-only scan falls back to RETR when the server lacks LIST and SIZE") {
+    // length must not silently become -1 on metadata-less servers —
+    // results would then depend on the projection. noList forces the
+    // NLST fallback (listing carries no sizes), noSize kills the
+    // per-file probe, so the reader's last resort is a real RETR
     val root2 = Files.createTempDirectory("graft-ftpsrc-nosize")
     Files.createDirectories(root2.resolve("data"))
     Files.write(root2.resolve("data/a.bin"), "alpha".getBytes)
-    val sizeless = new FakeFtpServer(root2, noSize = true)
+    val sizeless = new FakeFtpServer(root2, noSize = true, noList = true)
     try {
       val rows = spark.read.format("graft-ftp")
         .option("host", "127.0.0.1").option("port", sizeless.port.toString)
@@ -349,6 +352,81 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val leftovers = Files.list(root.resolve("half")).iterator().asScala
       .filter(_.getFileName.toString.contains(".inprog")).toSeq
     assert(leftovers.isEmpty, s"aborted task left temps: $leftovers")
+  }
+
+  // ---- recursive + distributed listing (VERDICT r5 #1) -----------------
+
+  private def stageTree(prefix: String): Path = {
+    val r = Files.createTempDirectory(prefix)
+    Files.createDirectories(r.resolve("tree/sub1/deep"))
+    Files.createDirectories(r.resolve("tree/sub2"))
+    Files.write(r.resolve("tree/a.bin"), "aa".getBytes)
+    Files.write(r.resolve("tree/sub1/b.bin"), "bbb".getBytes)
+    Files.write(r.resolve("tree/sub1/deep/c.bin"), "cccc".getBytes)
+    Files.write(r.resolve("tree/sub2/d.bin"), "d".getBytes)
+    r
+  }
+  private val TreeRows = Seq(
+    ("/tree/a.bin", 2L, "aa"),
+    ("/tree/sub1/b.bin", 3L, "bbb"),
+    ("/tree/sub1/deep/c.bin", 4L, "cccc"),
+    ("/tree/sub2/d.bin", 1L, "d"))
+  private def collectTree(srv: FakeFtpServer, extra: (String, String)*) = {
+    val base = spark.read.format("graft-ftp")
+      .option("host", "127.0.0.1").option("port", srv.port.toString)
+      .option("username", "u").option("password", "p")
+    extra.foldLeft(base)((r, kv) => r.option(kv._1, kv._2))
+      .load("/tree")
+      .select("path", "length", "content")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).sortBy(_._1).toSeq
+  }
+
+  test("recursively lists nested directories, LISTing each dir exactly once") {
+    val root2 = stageTree("graft-ftpsrc-tree")
+    val srv = new FakeFtpServer(root2)
+    try {
+      assert(collectTree(srv) == TreeRows)
+      for (d <- Seq("/tree", "/tree/sub1", "/tree/sub1/deep", "/tree/sub2"))
+        assert(srv.commandCount("LIST", d) == 1,
+          s"$d must be LISTed exactly once, got ${srv.commandCount("LIST", d)}")
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
+  test("recursive=false restricts the scan to the root directory") {
+    val root2 = stageTree("graft-ftpsrc-flat")
+    val srv = new FakeFtpServer(root2)
+    try {
+      assert(collectTree(srv, "recursive" -> "false") ==
+        Seq(("/tree/a.bin", 2L, "aa")))
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
+  test("past the file-count threshold, pending subtrees list via a distributed job") {
+    val root2 = stageTree("graft-ftpsrc-dist")
+    val srv = new FakeFtpServer(root2)
+    try {
+      val before = FtpListing.distributedDirCount.get
+      // threshold 0: the root's own files already exceed it, so sub1/
+      // sub2 (and sub1/deep, discovered in-task) must be listed by the
+      // parallel job, not the driver connection
+      assert(collectTree(srv, "listing.parallelThreshold" -> "0") == TreeRows)
+      assert(FtpListing.distributedDirCount.get - before >= 3,
+        "the distributed listing job must walk the pending subtrees")
+      for (d <- Seq("/tree", "/tree/sub1", "/tree/sub1/deep", "/tree/sub2"))
+        assert(srv.commandCount("LIST", d) == 1,
+          s"$d listed ${srv.commandCount("LIST", d)} times — dirs must never be listed twice")
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
+  test("servers without LIST recurse via the NLST + CWD-probe fallback") {
+    val root2 = stageTree("graft-ftpsrc-nolist")
+    val srv = new FakeFtpServer(root2, noList = true)
+    try {
+      assert(collectTree(srv) == TreeRows)
+      assert(srv.commandCount("NLST") >= 4, "fallback must NLST each directory")
+      assert(srv.commandCount("CWD") > 0, "fallback must CWD-probe entries for dir-ness")
+    } finally { FtpPools.closeAll(); srv.stop() }
   }
 
   test("missing directory fails with a clear error") {
