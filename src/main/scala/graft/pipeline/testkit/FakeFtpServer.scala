@@ -38,13 +38,21 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
     noList: Boolean = false,
     // first N MKDs reply 550 WITHOUT creating — mimics a transient
     // quota/permission blip; clients must retry the walk on later uploads
-    mkdFailures: Int = 0) {
+    mkdFailures: Int = 0,
+    // kill-switch: the first `storKillCount` STORs accept only
+    // `storKillAfterBytes` payload bytes, then drop BOTH the data and the
+    // control connection without a 226 — a server/network death mid-upload
+    // (task-failure injection for retry-idempotence proofs). The partial
+    // temp file REMAINS on disk, as it would on a real server.
+    storKillAfterBytes: Long = -1L,
+    storKillCount: Int = 0) {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
   val connectionsOpened = new AtomicInteger(0)
 
   private val rntoTransientLeft = new AtomicInteger(rntoTransientFailures)
   private val mkdFailuresLeft = new AtomicInteger(mkdFailures)
+  private val storKillsLeft = new AtomicInteger(storKillCount)
 
   /** Per-verb command totals (RETR/SIZE/NLST/…) across all sessions —
     * lets specs assert a column-pruned scan performed zero RETRs. */
@@ -165,6 +173,27 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
             val f = resolve(cwd, arg)
             if (!Files.exists(f.getParent)) {
               disarmData(); reply(s"550 ${arg}: parent missing")
+            }
+            else if (storKillAfterBytes >= 0 && storKillsLeft.getAndDecrement() > 0) {
+              reply("150 opening data connection")
+              val d = openData()
+              try {
+                // accept a prefix of the payload, leave the partial file
+                // on disk, then die without a 226 — including the control
+                // connection, so the client's session is unusable too
+                val is = d.getInputStream
+                val os = Files.newOutputStream(f)
+                try {
+                  val buf = new Array[Byte](1)
+                  var copied = 0L
+                  var n = 0
+                  while (copied < storKillAfterBytes && { n = is.read(buf); n > 0 }) {
+                    os.write(buf, 0, n); copied += n
+                  }
+                } finally os.close()
+              } finally d.close()
+              sock.close()
+              return
             }
             else {
               reply("150 opening data connection")

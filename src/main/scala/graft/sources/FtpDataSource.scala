@@ -289,8 +289,22 @@ final class FtpWriterFactory(
 
       override def abort(): Unit = {
         staged.foreach { case (tmp, _) =>
-          try if (conn != null) conn.delete(tmp)
-          catch { case _: Throwable => () }
+          val cleaned = conn != null &&
+            (try { conn.delete(tmp); true } catch { case _: Throwable => false })
+          if (!cleaned) {
+            // the session that staged this temp may have died mid-STOR —
+            // which is exactly when abort runs. Retry through a fresh
+            // pooled connection (the pool NOOP-validates and replaces the
+            // dead one at borrow) so a partial temp does not outlive its
+            // task. A DELE that still fails is swallowed: orphan temps
+            // are invisible to readers (listings filter *.inprog-*) and
+            // task-attempt-unique, so they can never collide or dupe.
+            try {
+              if (conn != null) { pool.give(conn); conn = null }
+              conn = pool.borrow()
+              conn.delete(tmp)
+            } catch { case _: Throwable => () }
+          }
         }
         staged.clear()
       }

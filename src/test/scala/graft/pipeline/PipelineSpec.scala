@@ -166,6 +166,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(staging() == before, "no staging temp files may survive, success or failure")
   }
 
+  test("a connection death mid-upload routes to DLQ and replay converges byte-exact") {
+    // the transfer pipeline STORs straight to the destination path
+    // (reference parity — ftp.py:178 does the same), so its retry story
+    // is idempotent OVERWRITE, not temp+rename: a killed upload leaves a
+    // partial file that the DLQ replay truncates and rewrites in full
+    val killRoot = Files.createTempDirectory("graft-e2e-kill")
+    Files.createDirectories(killRoot.resolve("store"))
+    val killer = new FakeFtpServer(killRoot, storKillAfterBytes = 2L, storKillCount = 1)
+    try {
+      val kpc = new PipelineConfig(Map(
+        "SRC_TYPE" -> "local", "SRC_HOST" -> "localhost",
+        "KILLFTP_TYPE" -> "ftp", "KILLFTP_HOST" -> "127.0.0.1",
+        "KILLFTP_PORT" -> killer.port.toString,
+        "KILLFTP_USERNAME" -> "u", "KILLFTP_PASSWORD" -> "p",
+        "FTP_POOL_SIZE" -> "2"))
+      val content = "survives a mid-upload connection death " * 20
+      val src = writeSrc("kill/in.txt", content)
+      val raw = Seq(jobJson("j-kill", "src", src.toString, "killftp", "/store/out.txt"))
+        .toDF("value")
+      val (res1, dlq1) = Pipeline.run(raw, kpc)
+      // persist the RESULTS before anything executes: the kill-switch is
+      // one-shot, so the transfer must run exactly once — the DLQ
+      // projection then reuses the cached results instead of re-driving
+      // the (now-healthy) upload and silently draining the DLQ
+      val res1c = res1.persist(); res1c.count()
+      val r1 = res1c.collect().head
+      assert(r1.status == "dlq", s"the killed upload must fail the job, got $r1")
+      val frozen = dlq1.persist(); frozen.count()
+      res1c.unpersist()
+      // the replay borrows from the pool — the dead session must be
+      // NOOP-detected and replaced, and the overwrite STOR must converge
+      val (res2, dlq2) = Pipeline.replayDlq(frozen, kpc)
+      assert(res2.collect().head.status == "success")
+      assert(dlq2.count() == 0)
+      assert(new String(Files.readAllBytes(killRoot.resolve("store/out.txt")), "UTF-8") == content)
+      frozen.unpersist()
+    } finally { FtpPools.closeAll(); killer.stop() }
+  }
+
   test("results aggregate: groupBy(status).count() — the §7.2 minimum slice") {
     val srcs = (1 to 6).map(i => writeSrc(s"in/m$i.txt", s"m$i"))
     val jobs = srcs.zipWithIndex.map { case (p, i) =>

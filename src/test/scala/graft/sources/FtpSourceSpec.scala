@@ -429,6 +429,73 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { FtpPools.closeAll(); srv.stop() }
   }
 
+  // ---- task-retry / speculation idempotence (VERDICT r5 #2) ------------
+  // local[4] schedules with maxFailures=1, so a real in-Spark retry can't
+  // be provoked; these tests drive the DataWriter protocol exactly as
+  // Spark's WritingSparkTask does — write→(failure)→abort→close, then a
+  // fresh writer with a new task id for the retry / speculative attempt.
+
+  private def writerRow(path: String, text: String) = {
+    val bytes = text.getBytes("UTF-8")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(path),
+        bytes.length.toLong, bytes))
+  }
+
+  test("a task killed mid-STOR retries cleanly: no temp orphans, no dupes, exact bytes") {
+    val root2 = Files.createTempDirectory("graft-ftpsrc-kill")
+    Files.createDirectories(root2.resolve("out"))
+    // the first STOR accepts 3 payload bytes, then the server drops both
+    // the data and control connections — a mid-upload death
+    val srv = new FakeFtpServer(root2, storKillAfterBytes = 3L, storKillCount = 1)
+    val cfg = graft.pipeline.ServerConfig(
+      "kill-test", "ftp", "127.0.0.1", srv.port, "u", "p")
+    try {
+      val factory = new FtpWriterFactory(cfg, 2, FtpDataSource.Schema)
+      val payload = "full payload, much longer than the three accepted bytes"
+      // attempt 1: the task dies mid-write
+      val w1 = factory.createWriter(0, 101L)
+      intercept[java.io.IOException](w1.write(writerRow("/out/f.bin", payload)))
+      w1.abort(); w1.close()
+      import scala.jdk.CollectionConverters._
+      def entries() = Files.list(root2.resolve("out")).iterator().asScala
+        .map(_.getFileName.toString).toSeq.sorted
+      assert(entries().isEmpty,
+        s"abort must clean the partial temp through a fresh connection, left: ${entries()}")
+      // attempt 2: Spark re-runs the task under a new task id
+      val w2 = factory.createWriter(0, 102L)
+      w2.write(writerRow("/out/f.bin", payload))
+      w2.commit(); w2.close()
+      assert(entries() == Seq("f.bin"), s"retry must leave exactly the final file: ${entries()}")
+      assert(new String(Files.readAllBytes(root2.resolve("out/f.bin")), "UTF-8") == payload)
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
+  test("a speculative duplicate attempt's abort never touches the committed file") {
+    val root2 = Files.createTempDirectory("graft-ftpsrc-spec")
+    Files.createDirectories(root2.resolve("spec"))
+    val srv = new FakeFtpServer(root2)
+    val cfg = graft.pipeline.ServerConfig(
+      "spec-test", "ftp", "127.0.0.1", srv.port, "u", "p")
+    try {
+      val factory = new FtpWriterFactory(cfg, 2, FtpDataSource.Schema)
+      // two attempts of the SAME partition race (speculation); both stage
+      // under task-unique temp names, so neither can clobber the other
+      val w1 = factory.createWriter(0, 201L)
+      val w2 = factory.createWriter(0, 202L)
+      w1.write(writerRow("/spec/s.bin", "winner"))
+      w2.write(writerRow("/spec/s.bin", "winner"))
+      w1.commit(); w1.close() // the commit coordinator picks attempt 1
+      w2.abort(); w2.close()  // Spark kills the speculative loser
+      import scala.jdk.CollectionConverters._
+      val entries = Files.list(root2.resolve("spec")).iterator().asScala
+        .map(_.getFileName.toString).toSeq.sorted
+      assert(entries == Seq("s.bin"),
+        s"loser's abort must remove ONLY its own temp: $entries")
+      assert(new String(Files.readAllBytes(root2.resolve("spec/s.bin")), "UTF-8") == "winner")
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
   test("missing directory fails with a clear error") {
     val e = intercept[Exception](read().load("/nope").collect())
     assert(e.getMessage.contains("Remote dir not found") ||
