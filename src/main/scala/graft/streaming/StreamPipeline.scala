@@ -11,11 +11,12 @@ import graft.pipeline.{Pipeline, PipelineConfig}
   *
   * Source: a file-stream of JSON-lines job messages. The classpath ships
   * no Kafka connector (zero-egress container), so the "topic" is a
-  * directory of message files; the source is isolated behind `readJobs`
-  * and swapping in Kafka is exactly
-  * `spark.readStream.format("kafka").option("subscribe", topic)` +
-  * `selectExpr("CAST(value AS STRING) AS value")` — every operator
-  * downstream of the `value` column is source-agnostic.
+  * directory of message files; source and DLQ sink are isolated behind
+  * [[StreamConnector]], whose Kafka option mapping (subscribe /
+  * startingOffsets / kafka.group.id / kafka.max.block.ms ↔
+  * consumer.py:53-66, 211-225) is pinned by StreamConnectorSpec — a real
+  * cluster is a config swap, and every operator downstream of the
+  * `value` column is source-agnostic.
   *
   * Delivery semantics (SURVEY §7.4 item 1): the reference commits offsets
   * after success AND after failure-with-DLQ (consumer.py:123,137) —
@@ -28,12 +29,10 @@ import graft.pipeline.{Pipeline, PipelineConfig}
   */
 object StreamPipeline {
 
-  /** S1: subscribe to the job-message stream. */
+  /** S1: subscribe to the job-message stream — through the connector
+    * seam ([[StreamConnector]]), where the Kafka swap lives. */
   def readJobs(spark: SparkSession, inputDir: String): DataFrame =
-    spark.readStream
-      .format("text")
-      .load(inputDir)
-      .select(col("value"))
+    StreamConnector.source(spark, StreamConnector.FileJobSource(inputDir))
 
   /** S2 + K1-K4 + E1-E3: micro-batch loop. Each batch runs the batch
     * engine, writing successes to `resultsDir` and DLQ records (tagged
@@ -70,18 +69,15 @@ object StreamPipeline {
             .parquet(resultsDir)
           // DLQ send failures are swallowed-and-logged, never fatal to the
           // batch (consumer.py:224-225, pinned by test_consumer.py:346-357).
-          try dlq
-            .withColumn("dlq_topic", lit(pc.dlqTopic(topic)))
-            // the reference serializes the DLQ timestamp as an ISO-8601
-            // UTC string (message.py:127-129) — rendered here at the sink
-            // boundary; the typed column stays for analytics
-            .withColumn("timestamp_iso",
-              date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dlqDir)
+          try StreamConnector.writeDlq(
+            dlq
+              .withColumn("dlq_topic", lit(pc.dlqTopic(topic)))
+              // the reference serializes the DLQ timestamp as an ISO-8601
+              // UTC string (message.py:127-129) — rendered here at the sink
+              // boundary; the typed column stays for analytics
+              .withColumn("timestamp_iso",
+                date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")),
+            StreamConnector.FileDlqSink(dlqDir), batchId)
           catch {
             case e: Throwable =>
               System.err.println(s"[stream] DLQ write failed (swallowed): ${e.getMessage}")
