@@ -45,6 +45,12 @@ final class PipelineConfig(env: Map[String, String]) extends Serializable {
   def ftpPoolSize: Int = int("FTP_POOL_SIZE", 4)
   def ftpPoolMaxWaitSec: Double = double("FTP_POOL_MAX_WAIT", 30.0)
   def ftpPoolIdleTimeoutSec: Double = double("FTP_POOL_IDLE_TIMEOUT", 300.0)
+  /** NOT in the reference (its idle timeout is stored, never enforced —
+    * config.py:43-44, and default-off keeps that parity). Opting in
+    * makes pools evict connections idle beyond FTP_POOL_IDLE_TIMEOUT —
+    * what a long-lived deployment needs so idle executors don't pin
+    * server connection slots between micro-batches. */
+  def ftpPoolIdleEnforce: Boolean = bool("FTP_POOL_IDLE_ENFORCE", default = false)
   /** config.py:37,39 */
   def dlqTopicSuffix: String = get("DLQ_TOPIC_SUFFIX").getOrElse("-dlq")
   def dlqSendTimeoutSec: Int = int("DLQ_SEND_TIMEOUT", 10)

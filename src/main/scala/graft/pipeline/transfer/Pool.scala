@@ -25,8 +25,13 @@ import graft.pipeline.{PipelineConfig, ServerConfig}
   *    rejected-and-closed — never parked in a closed pool's queue.
   *
   * The reference's idle timeout is *stored but never enforced* (no
-  * eviction loop exists — config.py:41-44); we replicate that: the value
-  * is carried in config and intentionally unused.
+  * eviction loop exists — config.py:41-44); that parity is the DEFAULT.
+  * `FTP_POOL_IDLE_ENFORCE=true` opts into enforcement — what a
+  * long-lived deployment actually needs, or idle executors pin server
+  * connection slots forever between micro-batches: connections idle
+  * beyond the timeout are closed by a daemon sweeper (and re-checked at
+  * borrow), freeing their capacity slots; in-use connections are never
+  * touched.
   *
   * On Spark this lives as a per-executor JVM singleton (see
   * [[FtpPools]]): tasks on the same executor share pooled connections
@@ -42,9 +47,14 @@ trait ConnectionFactory[C] extends Serializable {
 final class ConnectionPool[C](
     factory: ConnectionFactory[C],
     poolSize: Int,
-    maxWaitSec: Double) {
+    maxWaitSec: Double,
+    idleTimeoutSec: Double = 300.0,
+    enforceIdleTimeout: Boolean = false) {
 
-  private val idle = new ArrayBlockingQueue[C](poolSize)
+  /** An idle connection + when it was parked (for idle-timeout aging). */
+  private final case class IdleEntry(conn: C, returnedAt: Long)
+
+  private val idle = new ArrayBlockingQueue[IdleEntry](poolSize)
   private val lock = new Object
   private var createdCount = 0
   @volatile private var closed = false
@@ -52,15 +62,20 @@ final class ConnectionPool[C](
   def created: Int = lock.synchronized(createdCount)
   def idleCount: Int = idle.size()
 
+  private def expired(e: IdleEntry): Boolean =
+    enforceIdleTimeout && idleTimeoutSec > 0 &&
+      (System.nanoTime() - e.returnedAt) > (idleTimeoutSec * 1e9).toLong
+
   /** pool.py:88-160 */
   @annotation.tailrec
   def borrow(): C = {
     if (closed) throw new IllegalStateException("Pool is closed")
     idle.poll() match {
-      case conn if conn != null =>
-        if (factory.validate(conn)) conn
+      case e if e != null =>
+        if (expired(e)) { discard(e.conn); borrow() } // aged out while idle
+        else if (factory.validate(e.conn)) e.conn
         else { // stale: close, free the slot, retry (pool.py:117-125)
-          discard(conn)
+          discard(e.conn)
           borrow()
         }
       case _ =>
@@ -72,12 +87,13 @@ final class ConnectionPool[C](
           catch { case e: Throwable => lock.synchronized(createdCount -= 1); throw e }
         } else {
           // at capacity: block for a return (pool.py:139-160)
-          val conn = idle.poll((maxWaitSec * 1000).toLong, TimeUnit.MILLISECONDS)
-          if (conn == null)
+          val e = idle.poll((maxWaitSec * 1000).toLong, TimeUnit.MILLISECONDS)
+          if (e == null)
             throw new TimeoutException(
               s"Timeout waiting for connection from pool (waited ${maxWaitSec}s)")
-          if (factory.validate(conn)) conn
-          else { discard(conn); borrow() }
+          if (expired(e)) { discard(e.conn); borrow() }
+          else if (factory.validate(e.conn)) e.conn
+          else { discard(e.conn); borrow() }
         }
     }
   }
@@ -86,8 +102,42 @@ final class ConnectionPool[C](
     * the lock, so a return racing closeAll can't park a connection in a
     * queue that was already drained (it gets discarded instead). */
   def give(conn: C): Unit = {
-    val returned = lock.synchronized(!closed && idle.offer(conn))
+    val returned = lock.synchronized(
+      !closed && idle.offer(IdleEntry(conn, System.nanoTime())))
     if (!returned) discard(conn)
+  }
+
+  /** Close idle connections older than the timeout, freeing their slots.
+    * Only meaningful with enforcement on; callable directly so tests are
+    * deterministic. In-use connections are untouched — they re-age from
+    * their next give(). */
+  def evictIdle(): Unit = lock.synchronized {
+    if (closed) return
+    val keep = new java.util.ArrayList[IdleEntry]()
+    var e = idle.poll()
+    while (e != null) {
+      if (expired(e)) {
+        try factory.close(e.conn) catch { case _: Throwable => () }
+        createdCount -= 1
+      } else keep.add(e)
+      e = idle.poll()
+    }
+    keep.forEach(k => idle.offer(k))
+  }
+
+  // opt-in background sweeper: without it, an idle executor would pin
+  // server connection slots until its next borrow
+  if (enforceIdleTimeout && idleTimeoutSec > 0) {
+    val t = new Thread(() => {
+      val periodMs = math.max((idleTimeoutSec * 1000 / 4).toLong, 10L)
+      var interrupted = false
+      while (!closed && !interrupted) {
+        try { Thread.sleep(periodMs); evictIdle() }
+        catch { case _: InterruptedException => interrupted = true }
+      }
+    }, "graft-pool-idle-sweeper")
+    t.setDaemon(true)
+    t.start()
   }
 
   private def discard(conn: C): Unit = {
@@ -107,11 +157,11 @@ final class ConnectionPool[C](
     * consistent instead of letting late returns drive it negative. */
   def closeAll(): Unit = lock.synchronized {
     closed = true
-    var c = idle.poll()
-    while (c != null) {
-      try factory.close(c) catch { case _: Throwable => () }
+    var e = idle.poll()
+    while (e != null) {
+      try factory.close(e.conn) catch { case _: Throwable => () }
       createdCount -= 1
-      c = idle.poll()
+      e = idle.poll()
     }
   }
 }
@@ -140,7 +190,8 @@ object FtpPools {
     val key = s"${cfg.host}:${cfg.port}:${cfg.username}" // pool.py:293
     pools.computeIfAbsent(key, _ =>
       new ConnectionPool[FtpBackend](
-        new FtpFactory(cfg, pc.ftpPassiveMode), pc.ftpPoolSize, pc.ftpPoolMaxWaitSec))
+        new FtpFactory(cfg, pc.ftpPassiveMode), pc.ftpPoolSize, pc.ftpPoolMaxWaitSec,
+        pc.ftpPoolIdleTimeoutSec, pc.ftpPoolIdleEnforce))
   }
 
   def closeAll(): Unit = {

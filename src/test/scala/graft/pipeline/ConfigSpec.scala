@@ -64,6 +64,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(p.ftpPoolSize == 4)
     assert(p.ftpPoolMaxWaitSec == 30.0)
     assert(p.ftpPoolIdleTimeoutSec == 300.0)
+    assert(!p.ftpPoolIdleEnforce,
+      "idle enforcement must default OFF — the reference stores the timeout, never evicts")
     assert(p.ftpPassiveMode) // config.py:36 default true
   }
 

@@ -114,6 +114,60 @@ class PoolSpec extends AnyFunSuite {
     assert(f.createdTotal.get <= 2 + f.closedTotal.get)
   }
 
+  test("idle timeout is stored but NOT enforced by default (config.py:43-44 parity)") {
+    val f = new FakeFactory
+    val pool = new ConnectionPool[FakeConn](f, poolSize = 1, maxWaitSec = 1.0,
+      idleTimeoutSec = 0.05) // enforcement defaults OFF
+    val c1 = pool.borrow(); pool.give(c1)
+    Thread.sleep(150) // far past the timeout
+    pool.evictIdle() // even an explicit sweep is a no-op without the flag
+    val c2 = pool.borrow()
+    assert(c2 eq c1, "without FTP_POOL_IDLE_ENFORCE the connection must survive idling")
+    assert(f.closedTotal.get == 0)
+    pool.give(c2)
+  }
+
+  test("FTP_POOL_IDLE_ENFORCE: aged idle connections are closed, slots freed") {
+    val f = new FakeFactory
+    val pool = new ConnectionPool[FakeConn](f, poolSize = 2, maxWaitSec = 1.0,
+      idleTimeoutSec = 0.05, enforceIdleTimeout = true)
+    val c1 = pool.borrow(); pool.give(c1)
+    Thread.sleep(150)
+    pool.evictIdle() // deterministic sweep (the daemon does the same on a timer)
+    assert(f.closedTotal.get == 1, "the aged idle connection must be closed")
+    assert(pool.created == 0, "eviction must free the capacity slot")
+    val c2 = pool.borrow()
+    assert(c2.id != c1.id, "a post-eviction borrow gets a fresh connection")
+    pool.give(c2)
+  }
+
+  test("idle enforcement: the background sweeper evicts without a borrow") {
+    val f = new FakeFactory
+    val pool = new ConnectionPool[FakeConn](f, poolSize = 1, maxWaitSec = 1.0,
+      idleTimeoutSec = 0.05, enforceIdleTimeout = true)
+    val c1 = pool.borrow(); pool.give(c1)
+    val deadline = System.nanoTime() + 3_000_000_000L
+    while (f.closedTotal.get == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(f.closedTotal.get == 1, "the daemon sweeper must evict the aged connection")
+    assert(pool.idleCount == 0)
+  }
+
+  test("idle enforcement never touches in-use or freshly-returned connections") {
+    val f = new FakeFactory
+    val pool = new ConnectionPool[FakeConn](f, poolSize = 2, maxWaitSec = 1.0,
+      idleTimeoutSec = 0.1, enforceIdleTimeout = true)
+    val held = pool.borrow() // in use for the whole test
+    Thread.sleep(200)
+    pool.evictIdle()
+    assert(f.closedTotal.get == 0, "an in-use connection must never be evicted")
+    pool.give(held) // returning re-ages it
+    pool.evictIdle()
+    assert(f.closedTotal.get == 0, "a freshly-returned connection is not yet aged")
+    val again = pool.borrow()
+    assert(again eq held)
+    pool.give(again)
+  }
+
   test("closeAll racing concurrent give never leaks a connection") {
     // give() offers under the pool lock after checking `closed`, so every
     // connection ends up closed exactly once — whether it was drained from
