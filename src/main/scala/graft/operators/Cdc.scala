@@ -187,9 +187,13 @@ object Cdc {
           // signature bounded by the prime so a bucket's SUM stays far
           // from int64 even at 1e6+ rows per range — DuckDB sums into
           // HUGEINT while Spark wraps, so an unbounded signature would
-          // diverge silently at extreme scale
+          // diverge silently at extreme scale. The quantity term goes
+          // through DECIMAL(12,2) BEFORE the ×100 bigint cast: on raw
+          // doubles Spark truncates while DuckDB rounds (0.29*100 →
+          // 28.999… → 28 vs 29), so a non-integral quantity would make
+          // the two engines disagree about an undiverged range
           .withColumn("row_sig", expr(
-            "(l_orderkey * 1000003 + l_linenumber * 7919 + cast(l_quantity * 100 AS BIGINT)) % 1000000007"))
+            "(l_orderkey * 1000003 + l_linenumber * 7919 + cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) % 1000000007"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"), sum("row_sig").as("checksum"))
         val a = rangeSig(Tables(s, dir, "lineitem"))
@@ -208,14 +212,15 @@ object Cdc {
         WITH a AS (
           SELECT l_orderkey // 1000 AS bucket, COUNT(*) AS n,
                  CAST(SUM((l_orderkey * 1000003 + l_linenumber * 7919
-                           + CAST(l_quantity * 100 AS BIGINT)) % 1000000007)
+                           + CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) % 1000000007)
                    AS BIGINT) AS checksum
           FROM lineitem GROUP BY 1),
         b AS (
           SELECT l_orderkey // 1000 AS bucket, COUNT(*) AS n,
                  CAST(SUM((l_orderkey * 1000003 + l_linenumber * 7919
-                           + CAST((CASE WHEN (l_orderkey * 10 + l_linenumber) % 5000 = 23
-                                        THEN l_quantity + 1 ELSE l_quantity END) * 100 AS BIGINT))
+                           + CAST(CAST((CASE WHEN (l_orderkey * 10 + l_linenumber) % 5000 = 23
+                                             THEN l_quantity + 1 ELSE l_quantity END)
+                                   AS DECIMAL(12,2)) * 100 AS BIGINT))
                           % 1000000007)
                    AS BIGINT) AS checksum
           FROM lineitem
@@ -326,8 +331,12 @@ object Cdc {
       (s, dir) => {
         val orders = Tables(s, dir, "orders")
         val corrupted = orders
+          // orphan keys are NEGATED (not offset): customer keys are
+          // positive at every SF, so -(k+1) can never collide with a real
+          // customer — an additive offset would silently stop planting
+          // orphans once the customer table passes the offset (SF ≳ 67)
           .withColumn("o_custkey",
-            when(col("o_orderkey") % 100 === 7, col("o_custkey") + 10000000L)
+            when(col("o_orderkey") % 100 === 7, -(col("o_custkey") + 1L))
               .otherwise(col("o_custkey")))
           .unionByName(orders.filter(col("o_orderkey") % 1000 === 13))
         val cust = Tables(s, dir, "customer").select(col("c_custkey"))
@@ -348,7 +357,7 @@ object Cdc {
       Some("""
         WITH corrupted AS (
           SELECT o_orderkey,
-                 CASE WHEN o_orderkey % 100 = 7 THEN o_custkey + 10000000
+                 CASE WHEN o_orderkey % 100 = 7 THEN -(o_custkey + 1)
                       ELSE o_custkey END AS o_custkey,
                  o_orderstatus
           FROM orders

@@ -167,11 +167,8 @@ object Compaction {
     QueryDef(
       "q95_partition_backfill",
       (s, dir) => {
-        val sf = Paths.get(dir).getFileName.toString
-        val tmp = System.getProperty("java.io.tmpdir")
-        val base = s"$tmp/graft_backfill/$sf"
-        val fact = s"$base/fact"
-        if (!Files.exists(Paths.get(base, "_BACKFILLED"))) {
+        val base = Staging.ensure("backfill", dir, s"$dir/events.parquet") { d =>
+          val fact = d.resolve("fact").toString
           Tables.events(s, dir)
             .select(col("event_id"), col("ts_us"), col("value"), col("event_type"))
             .write.mode("overwrite").partitionBy("event_type").parquet(fact)
@@ -183,9 +180,9 @@ object Compaction {
           corrected.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("event_type").parquet(fact)
-          Files.write(Paths.get(base, "_BACKFILLED"), Array.emptyByteArray)
+          ""
         }
-        s.read.parquet(fact)
+        s.read.parquet(base.resolve("fact").toString)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast("decimal(13,2)")).cast("double").as("sum_value"))

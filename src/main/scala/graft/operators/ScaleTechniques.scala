@@ -237,16 +237,12 @@ object ScaleTechniques {
       "q55_dynamic_partition_pruning",
       (s, dir) => {
         import s.implicits._
-        val sf = java.nio.file.Paths.get(dir).getFileName.toString
-        val staged = java.nio.file.Paths.get(
-          s"${System.getProperty("java.io.tmpdir")}/graft_part_events/$sf")
-        val marker = staged.resolve("_STAGED")
-        if (!java.nio.file.Files.exists(marker)) {
+        val staged = Staging.ensure("part_events", dir, s"$dir/events.parquet") { d =>
           Tables.events(s, dir)
             .select(col("event_id"), col("value"), col("event_type"))
             .write.mode("overwrite")
             .partitionBy("event_type")
-            .parquet(staged.resolve("fact").toString)
+            .parquet(d.resolve("fact").toString)
           // the dim must be a real datasource: a literal local relation
           // gets its filter constant-folded away (ConvertToLocalRelation),
           // and DPP requires a live selective predicate on the build side
@@ -254,8 +250,8 @@ object ScaleTechniques {
               ("signup", 99L), ("error", 99L))
             .toDF("event_type", "weight")
             .coalesce(1)
-            .write.mode("overwrite").parquet(staged.resolve("dim").toString)
-          java.nio.file.Files.write(marker, Array.emptyByteArray)
+            .write.mode("overwrite").parquet(d.resolve("dim").toString)
+          ""
         }
         val fact = s.read.parquet(staged.resolve("fact").toString)
         // the SELECTIVE dim filter is what DPP turns into a runtime
@@ -297,23 +293,19 @@ object ScaleTechniques {
     QueryDef(
       "q82_range_clustered_scan",
       (s, dir) => {
-        val sf = java.nio.file.Paths.get(dir).getFileName.toString
-        val staged = java.nio.file.Paths.get(
-          s"${System.getProperty("java.io.tmpdir")}/graft_range_clustered/$sf")
-        val marker = staged.resolve("_STAGED")
-        if (!java.nio.file.Files.exists(marker)) {
+        val staged = Staging.ensure("range_clustered", dir, s"$dir/events.parquet") { d =>
           // Tables.events already derives the canonical ts_us = ts div 1000
           Tables.events(s, dir)
             .select("event_id", "ts_us", "event_type", "value")
             .repartitionByRange(8, col("ts_us"))
             .sortWithinPartitions("ts_us")
-            .write.mode("overwrite").parquet(staged.resolve("fact").toString)
+            .write.mode("overwrite").parquet(d.resolve("fact").toString)
           val Array(mn, mx) = Tables.events(s, dir)
             .agg(min(col("ts_us")), max(col("ts_us")))
             .head().toSeq.map(_.asInstanceOf[Long]).toArray
-          java.nio.file.Files.writeString(marker, (mn + (mx - mn) / 10L).toString)
+          (mn + (mx - mn) / 10L).toString // cached in the marker
         }
-        val cutoff = java.nio.file.Files.readString(marker).trim.toLong
+        val cutoff = Staging.markerContent(staged).toLong
         s.read.parquet(staged.resolve("fact").toString)
           .filter(col("ts_us") <= cutoff)
           .groupBy("event_type")

@@ -311,17 +311,13 @@ object Similarity {
     QueryDef(
       "q91_ivf_index_persist",
       (s, dir) => {
-        import java.nio.file.{Files, Paths}
-        val sf = Paths.get(dir).getFileName.toString
-        val idx = Paths.get(
-          s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index/$sf")
-        if (!Files.exists(idx.resolve("index").resolve("_SUCCESS"))) {
+        val idx = Staging.ensure("ivf_index", dir, s"$dir/embeddings.parquet") { d =>
           val base = emb(s, dir)
           val init = base.filter(col("vec_id") < 8)
             .select(col("vec_id").as("cent_id"), col("e").as("ce"))
           val train = base.filter(col("vec_id") % 10 === 0)
           val cent = lloyd(train, lloyd(train, init)).localCheckpoint(eager = true)
-          cent.write.mode("overwrite").parquet(idx.resolve("centroids").toString)
+          cent.write.mode("overwrite").parquet(d.resolve("centroids").toString)
           base.join(broadcast(cent), lit(true))
             .groupBy("vec_id")
             .agg(
@@ -329,7 +325,8 @@ object Similarity {
                 struct(cosine(col("e"), col("ce")), -col("cent_id"))).as("bucket"),
               first(col("e")).as("e"))
             .write.mode("overwrite").partitionBy("bucket")
-            .parquet(idx.resolve("index").toString)
+            .parquet(d.resolve("index").toString)
+          ""
         }
         graft.plans.GraftFunctions.register(s)
         val cent = s.read.parquet(idx.resolve("centroids").toString)

@@ -61,6 +61,16 @@ object StreamingQueries {
       .withColumn("event_id", lit(-1L))
   }
 
+  // Staging discipline (ADVICE r5): landing dirs are keyed by fixture
+  // CONTENT (regenerated fixtures restage fresh), markers are placed by
+  // atomic move, and concurrent stagers of the same keyed dir write
+  // byte-identical files via atomic per-file moves — shared with the
+  // batch-side staging in graft.operators.Staging.
+  private def fixtureKey(path: String): String =
+    graft.operators.Staging.fixtureKey(path)
+  private def placeMarker(marker: java.nio.file.Path): Unit =
+    graft.operators.Staging.placeMarker(marker)
+
   private def eventsStream(s: SparkSession, dir: String, copies: Int = 1,
       flushSentinel: Boolean = false): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -68,7 +78,7 @@ object StreamingQueries {
     val sf = Paths.get(dir).getFileName.toString
     val variant = s"x$copies${if (flushSentinel) "s" else ""}"
     val landing = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events/$sf/$variant")
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events/$sf-${fixtureKey(path)}/$variant")
     Files.createDirectories(landing)
     for (i <- 1 to copies) {
       val staged = landing.resolve(s"events_$i.parquet")
@@ -104,17 +114,30 @@ object StreamingQueries {
   /** Stream the events table split into 4 parquet part-files, read with
     * maxFilesPerTrigger = 1 — an AvailableNow drain then runs one
     * micro-batch per file over the same rows (bounded batch size, the
-    * backpressure configuration). Staging is guarded by the committer's
-    * _SUCCESS marker; the file stream ignores underscore files. */
+    * backpressure configuration). Staged through a process-private temp
+    * dir + atomic per-file moves + atomic marker into a fixture-keyed
+    * landing dir; the file stream ignores the underscore marker. */
   private[streaming] def eventsStreamParts(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     val path = s"$dir/events.parquet"
     val sf = Paths.get(dir).getFileName.toString
     val landing = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_parts/$sf")
-    if (!Files.exists(landing.resolve("_SUCCESS"))) {
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_parts/$sf-${fixtureKey(path)}")
+    val marker = landing.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(landing)
+      val tmpOut = Files.createTempDirectory("graft_parts").resolve("out")
       s.read.parquet(path).repartition(4)
-        .write.mode("overwrite").parquet(landing.toString)
+        .write.mode("overwrite").parquet(tmpOut.toString)
+      val parts = Files.list(tmpOut).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, landing.resolve(s"part_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      placeMarker(marker)
     }
     s.readStream.schema(s.read.parquet(path).schema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
@@ -123,13 +146,14 @@ object StreamingQueries {
   }
 
   /** Time-ordered 4-part landing + far-future sentinel: parts hold
-    * disjoint ascending event-time ranges (ntile over the full order) and
-    * carry strictly ascending modification times, so `maxFilesPerTrigger
-    * = 1` processes them oldest-first and a 0-second watermark advances
-    * BETWEEN batches — event-time timeouts then fire mid-stream, not
-    * only at the final sentinel flush. Staging cost (a single-partition
-    * ntile) is test-fixture-only; a production landing zone is already
-    * time-ordered by arrival. */
+    * disjoint ascending (ts, event_id) ranges and carry strictly
+    * ascending modification times, so `maxFilesPerTrigger = 1` processes
+    * them oldest-first and a 0-second watermark advances BETWEEN
+    * batches — event-time timeouts then fire mid-stream, not only at the
+    * final sentinel flush. Ranges come from ONE distributed
+    * `repartitionByRange` job (sampled boundaries, partition i = i-th
+    * ascending range — no global single-partition window anywhere), and
+    * land via atomic moves + atomic marker in a fixture-keyed dir. */
   private[streaming] def eventsStreamTimeParts(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
@@ -137,26 +161,33 @@ object StreamingQueries {
     val path = s"$dir/events.parquet"
     val sf = Paths.get(dir).getFileName.toString
     val landing = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_tparts/$sf")
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_tparts/$sf-${fixtureKey(path)}")
     val marker = landing.resolve("_STAGED")
     if (!Files.exists(marker)) {
       Files.createDirectories(landing)
-      val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
-      val tiled = s.read.parquet(path).withColumn("nt", ntile(4).over(w))
-      def stageOne(df: org.apache.spark.sql.DataFrame, name: String, seq: Int): Unit = {
-        val tmpOut = Files.createTempDirectory("graft_tpart").resolve("out")
-        df.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = Files.list(tmpOut).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
+      def place(part: java.nio.file.Path, name: String, seq: Int): Unit = {
         val dest = landing.resolve(name)
         Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
         // deterministic ascending mtimes: the file source orders
         // unprocessed files by modification time
         Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + seq * 60000L))
       }
-      for (i <- 1 to 4) stageOne(tiled.filter(col("nt") === i).drop("nt"), s"part_$i.parquet", i)
-      stageOne(sentinelRow(s, path), "part_5_sentinel.parquet", 5)
-      Files.write(marker, Array.emptyByteArray)
+      val tmpOut = Files.createTempDirectory("graft_tpart").resolve("out")
+      s.read.parquet(path)
+        .repartitionByRange(4, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(tmpOut.toString)
+      val parts = Files.list(tmpOut).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString) // part-0000i = i-th range
+      require(parts.size == 4, s"expected 4 range parts, got ${parts.size}")
+      parts.zipWithIndex.foreach { case (p, i) => place(p, s"part_${i + 1}.parquet", i + 1) }
+      val sentinelOut = Files.createTempDirectory("graft_tpart").resolve("out")
+      sentinelRow(s, path).coalesce(1)
+        .write.mode("overwrite").parquet(sentinelOut.toString)
+      place(Files.list(sentinelOut).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get,
+        "part_5_sentinel.parquet", 5)
+      placeMarker(marker)
     }
     s.readStream.schema(s.read.parquet(path).schema)
       .option("maxFilesPerTrigger", 1)
@@ -673,6 +704,19 @@ object StreamingQueries {
             .select(cols.map(col): _*)
             .write.mode("overwrite").parquet(base.resolve(s"v${version + 1}").toString)
           version += 1
+          // retention: "the table IS the state" would otherwise keep one
+          // full table copy per micro-batch forever. Only the current
+          // pointer is ever read, so once v(N+1) committed, prune
+          // v(N-1) — keeping current + one rollback version bounds
+          // storage at 2× the table in a continuous deployment.
+          if (version >= 2) {
+            val old = base.resolve(s"v${version - 2}")
+            if (Files.exists(old)) {
+              import scala.jdk.CollectionConverters._
+              Files.walk(old).iterator().asScala.toSeq.reverse
+                .foreach(Files.deleteIfExists(_))
+            }
+          }
         }
         val q = eventsStream(s, dir)
           .select((col("ts") +: cols.map(col)): _*)

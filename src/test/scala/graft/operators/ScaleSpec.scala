@@ -262,9 +262,9 @@ class ScaleSpec extends AnyFunSuite {
       s"cutoff predicate must be pushed into the parquet scan:\n$plan")
     // staging ran when the query was built — every file's [min,max] ts_us
     // range must be disjoint from every other's, or min/max stats can't skip
-    val sf = java.nio.file.Paths.get(dir).getFileName.toString
-    val staged =
-      s"${System.getProperty("java.io.tmpdir")}/graft_range_clustered/$sf/fact"
+    val staged = graft.operators.Staging
+      .dirFor("range_clustered", dir, s"$dir/events.parquet")
+      .resolve("fact").toString
     val ranges = spark.read.parquet(staged)
       .groupBy(input_file_name().as("f"))
       .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
