@@ -84,6 +84,46 @@ object Bench {
           (name, -1.0, gcMillis() - gc0)
       }
     }
+    // ---- self-adjudication (closes the r4/r5 manual-triage loop) ----
+    // BENCH_FLOORS.json records the best-known per-query seconds, flat
+    // keys "sf0.1/q01". A query whose time grew >1.5x over its floor AND
+    // whose GC burned >=10% of its wall time smells like suite-run heap
+    // contention, not plan cost — re-run it once after the suite (post-
+    // suite heap, same min-of-iters protocol) and emit BOTH numbers
+    // ("q38":4.15,"q38_iso":1.74) so the adjudication is in the line
+    // itself. Floors self-maintain: every run lowers them monotonically.
+    val sfKey = new java.io.File(sfDir).getName
+    val floorsFile = new java.io.File("BENCH_FLOORS.json")
+    val floorRe = """"([^"]+)":([0-9.]+)""".r
+    val floors: Map[String, Double] =
+      if (!floorsFile.exists) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(floorsFile)
+        try floorRe.findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally src.close()
+      }
+    val suspects = results.filter { case (name, v, g) =>
+      v >= 0 && floors.get(s"$sfKey/${name.takeWhile(_ != '_')}")
+        .exists(fl => v > fl * 1.5 && g >= v * 1000 * 0.10)
+    }.take(6) // bound the extra wall time on a badly-contended run
+    val isoResults = suspects.map { case (name, _, _) =>
+      val t =
+        try (1 to iters).map { _ =>
+          val t0 = System.nanoTime(); drain(name); (System.nanoTime() - t0) / 1e9
+        }.min
+        catch { case _: Throwable => -1.0 }
+      (name.takeWhile(_ != '_'), t)
+    }
+    // floors: keep the best of (old floor, this run, isolated re-run)
+    val isoMap = isoResults.toMap
+    val floorUpdates = results.collect { case (name, v, _) if v >= 0 =>
+      val short = name.takeWhile(_ != '_')
+      val best = math.min(v, isoMap.get(short).filter(_ >= 0).getOrElse(v))
+      val key = s"$sfKey/$short"
+      key -> math.min(best, floors.getOrElse(key, Double.MaxValue))
+    }
+
     // Keys are shortened to the qNN/sNN/pNN prefix and times rounded to
     // ms so the whole line stays well inside the driver's 2000-char
     // output-tail capture — r01–r03 emitted full names and the line got
@@ -98,8 +138,9 @@ object Bench {
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench key prefixes collide: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
-    val qs = results
-      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    val qs = (results
+      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) } ++
+      isoResults.map { case (k, v) => "\"" + k + "_iso\":" + fmt(v) })
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val gcTotal = gcMillis() - gcStart
@@ -113,6 +154,14 @@ object Bench {
     val errJson = errors.sorted
       .map(e => "\"" + e.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"gc":$gcJson,"gc_total_ms":$gcTotal,"errors":$errJson,"sf":"$sfDir"}""")
+    try {
+      val merged = (floors ++ floorUpdates).toSeq.sorted
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}\n")
+      java.nio.file.Files.writeString(floorsFile.toPath, merged)
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] floor update failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
