@@ -64,17 +64,21 @@ final class PipelineConfig(env: Map[String, String]) extends Serializable {
   def serverConfig(hostname: String): ServerConfig = {
     val h = hostname.toUpperCase
     def prop(p: String): Option[String] = get(s"${h}_$p")
+    // error strings are byte-identical to the reference's ValueErrors
+    // (config.py:108,112,118) — pinned by ErrorTaxonomySpec so DLQ
+    // payloads classify and read identically
     val serverType = prop("TYPE").map(_.trim.toLowerCase).getOrElse(
-      throw new NoSuchElementException(s"No configuration found for server: $hostname"))
+      throw new NoSuchElementException(s"Server type not found for hostname: $hostname"))
     val host = prop("HOST").map(_.trim).getOrElse(
-      throw new NoSuchElementException(s"Missing host for server: $hostname"))
+      throw new NoSuchElementException(s"Host not found for hostname: $hostname"))
+    // default "21" regardless of type (config.py:114) — local ignores it
     val port = prop("PORT").map(_.trim) match {
-      case None => if (serverType == "ftp") 21 else 0
+      case None => 21
       case Some(p) =>
         try p.toInt
         catch {
           case _: NumberFormatException =>
-            throw new NoSuchElementException(s"Invalid port for server: $hostname")
+            throw new NoSuchElementException(s"Invalid port for hostname $hostname: $p")
         }
     }
     ServerConfig(

@@ -55,12 +55,13 @@ final class LocalBackend extends TransferBackend {
     Files.copy(s, d, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
   }
 
-  // local.py:50-71 / :73-94 — identical copy in both directions, with the
-  // reference's distinct error prefixes.
+  // local.py:50-71 / :73-94 — identical copy in both directions; BOTH
+  // directions use "Source file not found" (local.py:64,87 — only the
+  // FTP backend's upload says "Local file not found", ftp.py:168).
   override def download(remotePath: String, localPath: String): Unit =
     copy(remotePath, localPath, "Source file not found")
   override def upload(localPath: String, remotePath: String): Unit =
-    copy(localPath, remotePath, "Local file not found")
+    copy(localPath, remotePath, "Source file not found")
 }
 
 /** base.py:73-108 — type→backend registry. Case-insensitive keys; unknown

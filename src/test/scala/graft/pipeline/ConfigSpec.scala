@@ -26,21 +26,21 @@ class ConfigSpec extends AnyFunSuite {
     assert(p.serverConfig("x").port == 21)
   }
 
-  test("unknown hostname raises with reference error text (config.py:104-106)") {
+  test("unknown hostname raises with reference error text (config.py:106-108)") {
     val e = intercept[NoSuchElementException](pc.serverConfig("nope"))
-    assert(e.getMessage == "No configuration found for server: nope")
+    assert(e.getMessage == "Server type not found for hostname: nope")
   }
 
-  test("missing host raises (config.py:108-110)") {
+  test("missing host raises (config.py:110-112)") {
     val p = PipelineConfig("X_TYPE" -> "ftp")
     val e = intercept[NoSuchElementException](p.serverConfig("x"))
-    assert(e.getMessage == "Missing host for server: x")
+    assert(e.getMessage == "Host not found for hostname: x")
   }
 
   test("invalid port raises (config.py:114-118)") {
     val p = PipelineConfig("X_TYPE" -> "ftp", "X_HOST" -> "h", "X_PORT" -> "abc")
     val e = intercept[NoSuchElementException](p.serverConfig("x"))
-    assert(e.getMessage == "Invalid port for server: x")
+    assert(e.getMessage == "Invalid port for hostname x: abc")
   }
 
   test("bool parsing accepts true/1/yes/on (config.py:87-90)") {

@@ -40,11 +40,14 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.startsWith("Source file not found: "))
   }
 
-  test("local upload missing source → 'Local file not found' (local.py:86-87)") {
+  test("local upload missing source → 'Source file not found' (local.py:86-87)") {
+    // the LOCAL backend says "Source file not found" in both directions
+    // (local.py:64,87); only the FTP upload says "Local file not found"
+    // (ftp.py:168) — pinned in ErrorTaxonomySpec rows 6-7
     val b = new LocalBackend
     val e = intercept[FileNotFoundException](
       b.upload(tmp.resolve("nope2.bin").toString, tmp.resolve("out2.bin").toString))
-    assert(e.getMessage.startsWith("Local file not found: "))
+    assert(e.getMessage.startsWith("Source file not found: "))
   }
 
   test("local upload overwrites existing destination (copy2 parity)") {
