@@ -4,6 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkSpec, SparkEntry}
 
+object ScaleSpec {
+  /** Marks the multi-minute 10x-corpus probe (excludable with
+    * `testOnly -- -l graft.SlowProbe` when iterating). */
+  object SlowProbe extends org.scalatest.Tag("graft.SlowProbe")
+}
+
 /** Plan-shape assertions for the scale-technique operators — the
   * properties the DuckDB value oracle cannot see. */
 class ScaleSpec extends AnyFunSuite {
@@ -251,6 +257,58 @@ class ScaleSpec extends AnyFunSuite {
     // a power user's whole history in the aggregation state
     assert(plan.contains("WindowGroupLimit"),
       s"prefix cap must be a partial window group limit:\n$plan")
+  }
+
+  test("10x corpus probe: q26/q41/q50 grow sub-quadratically, never broadcast the corpus",
+      ScaleSpec.SlowProbe) {
+    // The only way to catch a scale cliff the sf0.1 bench can't see
+    // (VERDICT r5 #4): synthesize 1x and 10x corpora from sf0.01
+    // documents (driver fixtures untouched). Copy c rewrites every token
+    // with a _c suffix, so each copy is an isolated shard: intra-copy
+    // near-dup structure is preserved per copy, cross-copy similarity is
+    // zero, and total near-dup work scales linearly BY CONSTRUCTION for
+    // a linear algorithm — an all-pairs candidate generator, a hot
+    // bucket, or a size-estimate flip to broadcasting the corpus still
+    // shows itself as a super-linear ratio or a nested-loop join.
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.01"
+    def synth(copies: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-probe-${copies}x")
+      spark.read.parquet(s"$src/documents.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("doc_id", col("doc_id") * copies + col("c"))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(t, lit("_"), col("c")))))
+        .drop("c")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      out.toString
+    }
+    def run(dirPath: String, q: String): (Double, String) = {
+      val df = SparkEntry.queries(q)(spark, dirPath)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString // AQE-final after execution
+      graft.operators.TrackedCaches.releaseAll()
+      (sec, plan)
+    }
+    val d1 = synth(1)
+    val d10 = synth(10)
+    val report = new StringBuilder
+    for (q <- Seq("q26_minhash_neardup", "q41_prefix_filter_jaccard_join", "q50_dup_clusters")) {
+      run(d1, q) // warm codegen + parquet footers, untimed
+      val (t1, _) = run(d1, q)
+      val (t10, plan10) = run(d10, q)
+      report ++= f"$q: 1x=$t1%.2f s, 10x=$t10%.2f s (ratio ${t10 / t1}%.1f)\n"
+      // linear is ~10x; 30x + 5 s slack absorbs fixed overheads and test
+      // JVM noise while a quadratic candidate path (~100x) still fails
+      assert(t10 <= t1 * 30 + 5.0,
+        f"$q scales super-linearly: 1x=$t1%.2f s vs 10x=$t10%.2f s")
+      assert(!plan10.contains("BroadcastNestedLoopJoin")
+        && !plan10.contains("CartesianProduct"),
+        s"$q flipped to an all-pairs join at 10x:\n$plan10")
+    }
+    info(report.toString)
   }
 
   test("q82 range-clustered files own disjoint time ranges and the scan pushes the cutoff") {
