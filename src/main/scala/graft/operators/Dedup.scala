@@ -346,6 +346,117 @@ object Dedup {
         labels AS (SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u)
         SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
         FROM labels GROUP BY cluster_id
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    // ---------------------------------------------------------------- q96
+    // Near-dup corpus MATERIALIZATION — the policy step q50 stops short
+    // of: each cluster collapses to its canonical member (the component
+    // label = min doc_id), every other member is dropped, singletons
+    // pass through untouched. Output is the audit row a curation run
+    // logs: corpus size, kept size, drop count, and an exact integer
+    // checksum of the kept ids — a wrong keep-set cannot hash-match the
+    // oracle. At 100 TB the drop set (cluster members minus canonicals)
+    // is tiny relative to the corpus, so the final filter is a
+    // broadcast LEFT ANTI against it — document text never shuffles.
+    QueryDef(
+      "q96_neardup_materialize",
+      (s, dir) => {
+        val corpus = nearCorpus(s, dir)
+        val dropped = connectedComponents(minhashPairs(s, dir).select("id_a", "id_b"))
+          .filter(col("node") =!= col("label"))
+          .select(col("node").as("doc_id"))
+        val kept = corpus.join(dropped, Seq("doc_id"), "left_anti")
+        kept.agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("kept_id_sum"))
+          // single-row broadcast cross join (the q58/q71 discipline)
+          .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+          .select(col("n_total"), col("n_kept"),
+            (col("n_total") - col("n_kept")).as("n_dropped"),
+            col("kept_id_sum"))
+      },
+      Some(s"""
+        WITH RECURSIVE $duckPairsCtes,
+        edges AS (SELECT id_a u, id_b v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) n
+          UNION
+          SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.u = e.v),
+        labels AS (SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u),
+        dropped AS (SELECT node FROM labels WHERE node <> cluster_id)
+        SELECT (SELECT COUNT(*) FROM corpus) AS n_total,
+               COUNT(*) AS n_kept,
+               (SELECT COUNT(*) FROM corpus) - COUNT(*) AS n_dropped,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        FROM corpus
+        WHERE doc_id NOT IN (SELECT node FROM dropped)"""))
+  ,
+
+    // ---------------------------------------------------------------- q98
+    // Bloom-pruned incremental ingest — q65's digest anti-join with the
+    // scan-side prune Spark's runtime-filter rewrite applies internally,
+    // written explicitly: a bloom filter built over the SMALL side (the
+    // new batch's digests, one aggregate) is pushed as a scalar-subquery
+    // predicate into the CORPUS scan, so only corpus rows that MIGHT
+    // match the batch ever reach the join. Bloom false positives cost a
+    // few extra joined rows, never a wrong answer — the anti join stays
+    // exact. At 100 TB this turns "shuffle every corpus digest per
+    // ingest tick" into "scan-filter the corpus, shuffle ~|batch|".
+    // Uses graft_bloom_agg / graft_bloom_contains (Spark's own
+    // BloomFilterAggregate/MightContain, which Spark does not expose as
+    // SQL functions — registered via GraftFunctions/GraftExtensions).
+    QueryDef(
+      "q98_bloom_pruned_ingest",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val d = docs(s, dir).select("doc_id", "text")
+        // re-crawl batch: every 3rd doc is an exact dup under a new id;
+        // every 3rd+1 doc arrives genuinely new (content extended)
+        val batch = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 1)
+            .select((col("doc_id") + 400000).as("doc_id"),
+              concat(col("text"), lit(" fresh-"), col("doc_id")).as("text")))
+        d.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .createOrReplaceTempView("g98_corpus")
+        batch.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .createOrReplaceTempView("g98_batch")
+        s.sql("""
+          WITH bloom AS (
+            SELECT graft_bloom_agg(xxhash64(h),
+                     CAST(1000000 AS BIGINT), CAST(4194304 AS BIGINT)) AS b
+            FROM g98_batch),
+          survivors AS (
+            SELECT h FROM g98_corpus
+            WHERE graft_bloom_contains((SELECT b FROM bloom), xxhash64(h))),
+          admitted AS (
+            SELECT b.doc_id FROM g98_batch b
+            LEFT ANTI JOIN survivors s2 ON b.h = s2.h)
+          SELECT (SELECT COUNT(*) FROM g98_batch) AS n_batch,
+                 COUNT(*) AS n_admitted,
+                 (SELECT COUNT(*) FROM g98_batch) - COUNT(*) AS n_dups,
+                 CAST(SUM(doc_id) AS BIGINT) AS admitted_id_sum
+          FROM admitted""")
+      },
+      // digest equality == text equality for the oracle's purposes, so
+      // DuckDB states the contract directly over text — bloom pruning
+      // must be answer-invisible
+      Some("""
+        WITH batch AS (
+          SELECT doc_id + 300000 AS doc_id, text
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 400000 AS doc_id,
+                 text || ' fresh-' || CAST(doc_id AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 3 = 1),
+        admitted AS (
+          SELECT b.doc_id FROM batch b
+          WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text))
+        SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+               COUNT(*) AS n_admitted,
+               (SELECT COUNT(*) FROM batch) - COUNT(*) AS n_dups,
+               CAST(SUM(doc_id) AS BIGINT) AS admitted_id_sum
+        FROM admitted"""))
   )
 }

@@ -323,6 +323,73 @@ object ScaleTechniques {
         FROM events, b
         WHERE epoch_us(CAST(ts AS TIMESTAMP)) <= mn + (mx - mn) // 10
         GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- q99
+    // Z-ORDER (Morton) clustered layout — q82's range clustering extended
+    // to TWO dimensions: both ts_us and the exact-cents value are
+    // normalized to 16-bit ranks, bit-interleaved into a Morton code
+    // (pure shift/and/or — whole-stage codegen), and the table rewritten
+    // range-partitioned + sorted on z. Every file then covers a small
+    // rectangle in (time, value) space, so a query filtering BOTH
+    // dimensions skips files on both — the layout Delta/Iceberg OPTIMIZE
+    // ZORDER buys, built from Spark primitives. ScaleSpec asserts the
+    // two-dim skipping; the oracle states the box aggregate over the
+    // original table (layout must be answer-invisible).
+    QueryDef(
+      "q99_zorder_clustered_scan",
+      (s, dir) => {
+        val staged = Staging.ensure("zorder_clustered", dir, s"$dir/events.parquet") { d =>
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("ts_us"), col("event_type"),
+              expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          val b = ev.agg(min("ts_us"), max("ts_us"), min("vc"), max("vc")).head()
+          val (mnT, mxT, mnV, mxV) =
+            (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+          // 16->32-bit Morton spread via the classic magic masks
+          def spread(x0: org.apache.spark.sql.Column) = {
+            var x = x0
+            x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+            x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+            x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+            x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+            x
+          }
+          val t16 = expr(s"((ts_us - $mnT) * 65535) div ${math.max(1L, mxT - mnT)}")
+          val v16 = expr(s"((vc - $mnV) * 65535) div ${math.max(1L, mxV - mnV)}")
+          ev.withColumn("z", shiftleft(spread(t16), 1).bitwiseOR(spread(v16)))
+            .repartitionByRange(16, col("z"))
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite").parquet(d.resolve("fact").toString)
+          s"$mnT $mxT $mnV $mxV" // bounds cached for the serve-time box
+        }
+        val Array(mnT, mxT, mnV, mxV) =
+          Staging.markerContent(staged).split(" ").map(_.toLong)
+        // the middle-quarter box in BOTH dimensions
+        val (tsLo, tsHi) = (mnT + (mxT - mnT) * 3 / 8, mnT + (mxT - mnT) * 5 / 8)
+        val (vLo, vHi) = (mnV + (mxV - mnV) * 3 / 8, mnV + (mxV - mnV) * 5 / 8)
+        s.read.parquet(staged.resolve("fact").toString)
+          .filter(col("ts_us") >= tsLo && col("ts_us") <= tsHi
+            && col("vc") >= vLo && col("vc") <= vHi)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        b AS (SELECT MIN(ts_us) mnT, MAX(ts_us) mxT, MIN(vc) mnV, MAX(vc) mxV FROM e)
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(vc) AS BIGINT) AS sum_cents
+        FROM e, b
+        WHERE ts_us >= mnT + (mxT - mnT) * 3 // 8
+          AND ts_us <= mnT + (mxT - mnT) * 5 // 8
+          AND vc >= mnV + (mxV - mnV) * 3 // 8
+          AND vc <= mnV + (mxV - mnV) * 5 // 8
+        GROUP BY event_type
         ORDER BY event_type"""))
   )
 }

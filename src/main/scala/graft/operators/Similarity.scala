@@ -380,6 +380,104 @@ object Similarity {
                                        ORDER BY sim DESC, neighbor_id) AS rank
           FROM cand) r
         WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ---------------------------------------------------------------- q97
+    // Incremental IVF index MAINTENANCE — the lifecycle step after q91's
+    // build-once/serve-many: a new embedding batch (every vec_id % 10 ==
+    // 3, withheld from the build) is assigned to the FROZEN codebook
+    // (one broadcast pass over just the batch — no retraining, no
+    // re-assignment of the existing corpus) and APPENDED into the
+    // bucket-partitioned index files. Serving over the maintained index
+    // must equal serving over a full assignment under the same codebook
+    // — the invariant that makes append-only maintenance sound. At
+    // 100 TB this is the difference between touching O(batch) and
+    // re-clustering O(corpus) on every ingest tick.
+    QueryDef(
+      "q97_ivf_incremental_add",
+      (s, dir) => {
+        val idx = Staging.ensure("ivf_incr", dir, s"$dir/embeddings.parquet") { d =>
+          val base = emb(s, dir)
+          val existing = base.filter(col("vec_id") % 10 =!= 3)
+          val newBatch = base.filter(col("vec_id") % 10 === 3)
+          val init = existing.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+          val train = existing.filter(col("vec_id") % 10 === 0)
+          val cent = lloyd(train, lloyd(train, init)).localCheckpoint(eager = true)
+          cent.write.mode("overwrite").parquet(d.resolve("centroids").toString)
+          def assign(df: DataFrame) = df.join(broadcast(cent), lit(true))
+            .groupBy("vec_id")
+            .agg(
+              max_by(col("cent_id"),
+                struct(cosine(col("e"), col("ce")), -col("cent_id"))).as("bucket"),
+              first(col("e")).as("e"))
+          // the build: existing corpus assigned + written once
+          assign(existing)
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(d.resolve("index").toString)
+          // the maintenance tick: ONLY the batch is assigned; its rows
+          // append as new files inside the existing bucket partitions
+          assign(newBatch)
+            .write.mode("append").partitionBy("bucket")
+            .parquet(d.resolve("index").toString)
+          ""
+        }
+        graft.plans.GraftFunctions.register(s)
+        val cent = s.read.parquet(idx.resolve("centroids").toString)
+        val index = s.read.parquet(idx.resolve("index").toString)
+        val qw = Window.partitionBy("query_id")
+          .orderBy(cosine(col("qe"), col("ce")).desc, col("cent_id"))
+        val probes = emb(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+          .join(broadcast(cent), lit(true))
+          .withColumn("prnk", row_number().over(qw))
+          .filter(col("prnk") <= 2)
+          .select(col("query_id"), col("qe"), col("cent_id").as("bucket"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        probes.join(index, "bucket")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("e")).as("sim"))
+          .distinct()
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "rank", "neighbor_id", "sim")
+          .orderBy("query_id", "rank")
+      },
+      // the oracle assigns the FULL base against the frozen codebook in
+      // one pass — exactly what build+append must be equivalent to
+      Some(s"""
+        WITH base AS ($duckEmb),
+        init AS (SELECT vec_id AS cent_id, e AS ce FROM base
+                 WHERE vec_id < 8 AND vec_id % 10 <> 3),
+        train AS (SELECT vec_id, e FROM base
+                  WHERE vec_id % 10 = 0),
+        ${duckLloyd("train", "init", 1)},
+        ${duckLloyd("train", "cent1", 2)},
+        cent AS (SELECT cent_id, ce FROM cent2),
+        assigned AS (
+          SELECT vec_id, e, cent_id AS bucket FROM (
+            SELECT b.vec_id, b.e, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${duckCosine("b.e", "c.ce")} DESC, c.cent_id) AS arnk
+            FROM base b CROSS JOIN cent c) x WHERE arnk = 1),
+        probes AS (
+          SELECT query_id, qe, cent_id AS bucket FROM (
+            SELECT q.vec_id AS query_id, q.e AS qe, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${duckCosine("q.e", "c.ce")} DESC, c.cent_id) AS prnk
+            FROM base q CROSS JOIN cent c WHERE q.vec_id < 20) x WHERE prnk <= 2),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                 ${duckCosine("p.qe", "a.e")} AS sim
+          FROM probes p JOIN assigned a ON p.bucket = a.bucket
+          WHERE a.vec_id <> p.query_id)
+        SELECT query_id, rank, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM cand) r
+        WHERE rank <= 5
         ORDER BY query_id, rank"""))
   )
 }

@@ -115,6 +115,27 @@ object GraftFunctions {
       s"graft_word_ngrams expects 2 arguments, got ${other.length}")
   }
 
+  // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+  // internal runtime-filter rewrite but does NOT register them as SQL
+  // functions; exposing them makes the bloom-prune pattern (build a
+  // bloom over the SMALL side, push it as a filter into the BIG side's
+  // scan) writable as a query — see q98. Inputs are xxhash64 longs,
+  // matching the internal usage.
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child, items, bits) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        child, items, bits)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_agg expects 3 arguments (xxhash64 value, est items, num bits), got ${other.length}")
+  }
+
+  val bloomContainsBuilder: Seq[Expression] => Expression = {
+    case Seq(bloom, value) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_contains expects 2 arguments (bloom, xxhash64 value), got ${other.length}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
@@ -124,6 +145,10 @@ object GraftFunctions {
       "graft_nfc", nfcBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams", wordNgramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", bloomAggBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", bloomContainsBuilder, "built-in")
   }
 }
 
@@ -145,5 +170,17 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
       new FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       GraftFunctions.wordNgramsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      GraftFunctions.bloomAggBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      GraftFunctions.bloomContainsBuilder))
   }
 }

@@ -311,6 +311,49 @@ class ScaleSpec extends AnyFunSuite {
     info(report.toString)
   }
 
+  test("q99 z-order files cover small (time, value) rectangles — both dims skip") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val df = SparkEntry.queries("q99_zorder_clustered_scan")(spark, dir)
+    // both box predicates must reach the clustered scan for row-group and
+    // file skipping (formatted mode: the simple string truncates
+    // PushedFilters at ~100 chars, hiding the vc entries)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(ts_us") && plan.contains("GreaterThanOrEqual(vc"),
+      s"both dimensions' predicates must push into the scan:\n$plan")
+    val staged = graft.operators.Staging
+      .dirFor("zorder_clustered", dir, s"$dir/events.parquet")
+    val Array(mnT, mxT, mnV, mxV) =
+      graft.operators.Staging.markerContent(staged).split(" ").map(_.toLong)
+    val (tsLo, tsHi) = (mnT + (mxT - mnT) * 3 / 8, mnT + (mxT - mnT) * 5 / 8)
+    val (vLo, vHi) = (mnV + (mxV - mnV) * 3 / 8, mnV + (mxV - mnV) * 5 / 8)
+    val files = spark.read.parquet(staged.resolve("fact").toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("ts_us")).as("tLo"), max(col("ts_us")).as("tHi"),
+        min(col("vc")).as("vLo"), max(col("vc")).as("vHi"))
+      .collect()
+    val total = files.length
+    // a file's (time, value) bounding box must miss the query box for it
+    // to skip; z-ordering makes most files miss a middle-quarter box in
+    // BOTH dims — 1-D range clustering could only ever skip on one
+    val hit = files.count(r => r.getLong(2) >= tsLo && r.getLong(1) <= tsHi
+      && r.getLong(4) >= vLo && r.getLong(3) <= vHi)
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    assert(hit <= total * 3 / 4,
+      s"z-order should let >=1/4 of files skip the box: $hit of $total intersect")
+  }
+
+  test("q98 bloom prune filters the corpus scan below the anti join") {
+    val plan = SparkEntry.queries("q98_bloom_pruned_ingest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the bloom (built over the small batch) must reach the CORPUS side
+    // as a might_contain scalar-subquery filter — scan-side pruning, so
+    // the anti join shuffles ~|batch| instead of every corpus digest
+    assert(plan.contains("might_contain"),
+      s"bloom predicate missing from the corpus scan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+  }
+
   test("q82 range-clustered files own disjoint time ranges and the scan pushes the cutoff") {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val df = SparkEntry.queries("q82_range_clustered_scan")(spark, dir)
