@@ -183,6 +183,41 @@ object Profiling {
                COALESCE(n, 0) AS n_events,
                COALESCE(sv, 0.0) AS sum_value
         FROM spine s LEFT JOIN hourly USING (event_type, hour_us)
-        ORDER BY event_type, hour_us"""))
+        ORDER BY event_type, hour_us""")),
+
+    // --------------------------------------------------------------- q100
+    // k-anonymity audit — the privacy gate a training-data release runs:
+    // customers grouped by their quasi-identifier tuple (nation, market
+    // segment); any group with fewer than k=5 members re-identifies its
+    // members. Per-segment report: groups, risky groups, and how many
+    // ROWS are exposed — the number a release decision needs. One keyed
+    // aggregate + one rollup over the (tiny) group frame; the customer
+    // table never moves twice. At 100 TB the quasi-identifier aggregate
+    // is a map-side-combined groupBy on low-cardinality keys.
+    QueryDef(
+      "q100_k_anonymity_audit",
+      (s, dir) => {
+        val k = 5
+        val groups = Tables(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+        groups.groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+            sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_exposed_rows"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+          FROM customer GROUP BY 1, 2)
+        SELECT c_mktsegment,
+               COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_exposed_rows
+        FROM g
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
   )
 }
