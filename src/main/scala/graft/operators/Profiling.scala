@@ -218,6 +218,60 @@ object Profiling {
                CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_exposed_rows
         FROM g
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // --------------------------------------------------------------- q101
+    // Exact winsorization (p1/p99 outlier clipping) — the numeric
+    // normalization a feature/curation pipeline applies before training.
+    // Bounds are EXACT order statistics (the value at rank ceil(n/100)
+    // from each end, event_id tie-break), not approximations, so the
+    // oracle is hash-exact. Per type: one keyed rank window over exact
+    // cents, a 5-row bounds frame broadcast back, then one keyed
+    // aggregate — two exchanges total on the same key at any scale.
+    QueryDef(
+      "q101_winsorized_values",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+        val w = Window.partitionBy("event_type").orderBy(col("vc"), col("event_id"))
+        val ranked = ev
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        val bounds = ranked.groupBy("event_type").agg(
+          min(when(col("rn") === expr("(n + 99) div 100"), col("vc"))).as("lo"),
+          min(when(col("rn") === expr("n + 1 - (n + 99) div 100"), col("vc"))).as("hi"))
+        ev.join(broadcast(bounds), "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("vc") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+            sum(when(col("vc") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+            sum(least(greatest(col("vc"), col("lo")), col("hi"))).as("sum_winsorized_cents"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM e),
+        b AS (
+          SELECT event_type,
+                 MIN(CASE WHEN rn = (n + 99) // 100 THEN vc END) AS lo,
+                 MIN(CASE WHEN rn = n + 1 - (n + 99) // 100 THEN vc END) AS hi
+          FROM r GROUP BY event_type)
+        SELECT e.event_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN vc < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN vc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+               CAST(SUM(LEAST(GREATEST(vc, lo), hi)) AS BIGINT) AS sum_winsorized_cents
+        FROM e JOIN b USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type"""))
   )
 }
