@@ -125,6 +125,7 @@ class PoolSpec extends AnyFunSuite {
     assert(c2 eq c1, "without FTP_POOL_IDLE_ENFORCE the connection must survive idling")
     assert(f.closedTotal.get == 0)
     pool.give(c2)
+    pool.closeAll()
   }
 
   test("FTP_POOL_IDLE_ENFORCE: aged idle connections are closed, slots freed") {
@@ -139,6 +140,7 @@ class PoolSpec extends AnyFunSuite {
     val c2 = pool.borrow()
     assert(c2.id != c1.id, "a post-eviction borrow gets a fresh connection")
     pool.give(c2)
+    pool.closeAll() // also stops the sweeper daemon
   }
 
   test("idle enforcement: the background sweeper evicts without a borrow") {
@@ -150,6 +152,7 @@ class PoolSpec extends AnyFunSuite {
     while (f.closedTotal.get == 0 && System.nanoTime() < deadline) Thread.sleep(10)
     assert(f.closedTotal.get == 1, "the daemon sweeper must evict the aged connection")
     assert(pool.idleCount == 0)
+    pool.closeAll()
   }
 
   test("idle enforcement never touches in-use or freshly-returned connections") {
@@ -166,6 +169,7 @@ class PoolSpec extends AnyFunSuite {
     val again = pool.borrow()
     assert(again eq held)
     pool.give(again)
+    pool.closeAll()
   }
 
   test("closeAll racing concurrent give never leaks a connection") {
