@@ -93,7 +93,11 @@ object Bench {
     // ("q38":4.15,"q38_iso":1.74) so the adjudication is in the line
     // itself. Floors self-maintain: every run lowers them monotonically.
     val sfKey = new java.io.File(sfDir).getName
-    val floorsFile = new java.io.File("BENCH_FLOORS.json")
+    // anchored via env when the bench runs outside the repo root —
+    // a CWD-relative miss would silently disable adjudication AND
+    // write a stray floors file
+    val floorsFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_FLOORS", "BENCH_FLOORS.json"))
     val floorRe = """"([^"]+)":([0-9.]+)""".r
     val floors: Map[String, Double] =
       if (!floorsFile.exists) Map.empty

@@ -355,8 +355,14 @@ object ScaleTechniques {
             x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
             x
           }
-          val t16 = expr(s"((ts_us - $mnT) * 65535) div ${math.max(1L, mxT - mnT)}")
-          val v16 = expr(s"((vc - $mnV) * 65535) div ${math.max(1L, mxV - mnV)}")
+          // divide-first ranks: (x - mn) * 65535 would overflow Long once
+          // the span exceeds ~2^63/65535 (≈4.5 years of microseconds) and
+          // silently scramble the z codes; a step of ceil-ish span/65535
+          // keeps ranks in [0, 65535] with pure Long arithmetic at any span
+          val stepT = (mxT - mnT) / 65535L + 1
+          val stepV = (mxV - mnV) / 65535L + 1
+          val t16 = expr(s"(ts_us - $mnT) div $stepT")
+          val v16 = expr(s"(vc - $mnV) div $stepV")
           ev.withColumn("z", shiftleft(spread(t16), 1).bitwiseOR(spread(v16)))
             .repartitionByRange(16, col("z"))
             .sortWithinPartitions("z")

@@ -243,7 +243,11 @@ final class FakeFtpServer(root: Path, user: String = "u", pass: String = "p",
                 val lines = Files.list(d0).iterator().asScala.toSeq
                   .sortBy(_.getFileName.toString)
                   .map { p =>
-                    if (Files.isDirectory(p))
+                    // symlink check FIRST: isDirectory/size follow links
+                    if (Files.isSymbolicLink(p))
+                      s"lrwxrwxrwx 1 $user $user 0 Jan 01 00:00 " +
+                        s"${p.getFileName} -> ${Files.readSymbolicLink(p)}"
+                    else if (Files.isDirectory(p))
                       s"drwxr-xr-x 2 $user $user 0 Jan 01 00:00 ${p.getFileName}"
                     else
                       s"-rw-r--r-- 1 $user $user ${Files.size(p)} Jan 01 00:00 ${p.getFileName}"

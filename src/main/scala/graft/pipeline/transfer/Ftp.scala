@@ -235,12 +235,29 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
         val t = line.split("\\s+", 9)
         if (t.length < 9 || t(0).length < 10 || !"-dl".contains(t(0).charAt(0)))
           throw new IOException(s"LIST line not in unix format: $line")
-        val isDir = t(0).charAt(0) == 'd'
-        val size =
-          if (isDir) -1L
-          else try t(4).toLong catch { case _: NumberFormatException => -1L }
-        // names are conventionally basenames; normalize defensively
-        RemoteEntry(t(8).substring(t(8).lastIndexOf('/') + 1), isDir, size)
+        t(0).charAt(0) match {
+          case 'l' =>
+            // symlink lines render as "name -> target"; the line alone
+            // can't say whether the TARGET is a directory, so strip the
+            // target and CWD-probe the link itself (control channel is
+            // free — the data transfer already completed above). Size is
+            // the link's, not the target's → -1, resolved later by
+            // SIZE/RETR where a consumer needs it.
+            val name = t(8).split(" -> ", 2)(0)
+            val base = name.substring(name.lastIndexOf('/') + 1)
+            val full =
+              if (remoteDir.endsWith("/")) s"$remoteDir$base" else s"$remoteDir/$base"
+            val probe = cmd(s"CWD $full")
+            if (probe.ok) cmd("CWD /")
+            RemoteEntry(base, probe.ok, -1L)
+          case typeCh =>
+            val isDir = typeCh == 'd'
+            val size =
+              if (isDir) -1L
+              else try t(4).toLong catch { case _: NumberFormatException => -1L }
+            // names are conventionally basenames; normalize defensively
+            RemoteEntry(t(8).substring(t(8).lastIndexOf('/') + 1), isDir, size)
+        }
       }
     }
 

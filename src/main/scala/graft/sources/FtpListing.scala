@@ -37,10 +37,17 @@ object FtpListing {
     * spec can assert the parallel path actually ran). */
   private[sources] val distributedDirCount = new AtomicInteger(0)
 
+  /** Trees deeper than this are almost certainly a symlink cycle
+    * (FTP gives no inode identity to detect one directly) — fail loudly
+    * instead of walking forever. */
+  private val MaxDepth = 64
+
   /** All files under `rootDir`. Sub-directories are descended only when
     * `recursive`; once more than `threshold` files are known and
     * directories remain pending, the remaining subtrees are listed by a
-    * distributed job instead of the driver's connection. */
+    * distributed job instead of the driver's connection. The driver
+    * walk holds ONE pooled connection for the entire pass (no
+    * borrow/validate round-trip per directory). */
   def listFiles(
       cfg: ServerConfig,
       poolSize: Int,
@@ -48,16 +55,23 @@ object FtpListing {
       recursive: Boolean,
       threshold: Int): Seq[Listed] = {
     val files = mutable.ArrayBuffer.empty[Listed]
-    val pending = mutable.Queue(rootDir)
-    while (pending.nonEmpty) {
-      if (recursive && files.size > threshold)
-        return files.toSeq ++ listDistributed(cfg, poolSize, pending.toSeq)
-      val dir = pending.dequeue()
-      val entries = withConn(cfg, poolSize)(_.listEntries(dir))
-      files ++= entries.filterNot(_.isDir).map(e => Listed(join(dir, e.name), e.size))
-      if (recursive) pending ++= entries.filter(_.isDir).map(e => join(dir, e.name))
+    val pending = mutable.Queue(rootDir -> 0)
+    var handoff: Seq[String] = Nil
+    withConn(cfg, poolSize) { be =>
+      while (pending.nonEmpty && handoff.isEmpty) {
+        if (recursive && files.size > threshold) handoff = pending.map(_._1).toSeq
+        else {
+          val (dir, depth) = pending.dequeue()
+          checkDepth(dir, depth)
+          val entries = be.listEntries(dir)
+          files ++= entries.filterNot(_.isDir).map(e => Listed(join(dir, e.name), e.size))
+          if (recursive)
+            pending ++= entries.filter(_.isDir).map(e => join(dir, e.name) -> (depth + 1))
+        }
+      }
     }
-    files.toSeq
+    if (handoff.nonEmpty) files.toSeq ++ listDistributed(cfg, poolSize, handoff)
+    else files.toSeq
   }
 
   /** One task per chunk of directories; each task walks its whole
@@ -70,18 +84,26 @@ object FtpListing {
     sc.parallelize(dirs, nTasks)
       .flatMap { d =>
         val out = mutable.ArrayBuffer.empty[Listed]
-        val stack = mutable.Stack(d)
-        while (stack.nonEmpty) {
-          val cur = stack.pop()
-          distributedDirCount.incrementAndGet()
-          val entries = withConn(cfg, poolSize)(_.listEntries(cur))
-          out ++= entries.filterNot(_.isDir).map(e => Listed(join(cur, e.name), e.size))
-          entries.filter(_.isDir).foreach(e => stack.push(join(cur, e.name)))
+        withConn(cfg, poolSize) { be =>
+          val stack = mutable.Stack(d -> 0)
+          while (stack.nonEmpty) {
+            val (cur, depth) = stack.pop()
+            checkDepth(cur, depth)
+            distributedDirCount.incrementAndGet()
+            val entries = be.listEntries(cur)
+            out ++= entries.filterNot(_.isDir).map(e => Listed(join(cur, e.name), e.size))
+            entries.filter(_.isDir).foreach(e => stack.push(join(cur, e.name) -> (depth + 1)))
+          }
         }
         out
       }
       .collect().toSeq
   }
+
+  private def checkDepth(dir: String, depth: Int): Unit =
+    if (depth > MaxDepth)
+      throw new IllegalStateException(
+        s"FTP tree deeper than $MaxDepth at $dir — symlink cycle?")
 
   private def withConn[A](cfg: ServerConfig, poolSize: Int)(f: FtpBackend => A): A =
     FtpPools(cfg, PipelineConfig("FTP_POOL_SIZE" -> poolSize.toString))

@@ -71,6 +71,21 @@ object StreamingQueries {
   private def placeMarker(marker: java.nio.file.Path): Unit =
     graft.operators.Staging.placeMarker(marker)
 
+  /** Write `df` into a process-private temp dir and return its parquet
+    * part files sorted by name (partition order). The temp dir is
+    * created by `createTempDirectory` (pid-unique), so concurrent JVMs
+    * staging the same landing dir can never see each other's
+    * half-written files — only the atomic per-file moves that follow. */
+  private def parquetParts(df: org.apache.spark.sql.DataFrame): Seq[java.nio.file.Path] = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val tmpOut = Files.createTempDirectory("graft_stage").resolve("out")
+    df.write.mode("overwrite").parquet(tmpOut.toString)
+    Files.list(tmpOut).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
   private def eventsStream(s: SparkSession, dir: String, copies: Int = 1,
       flushSentinel: Boolean = false): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -80,12 +95,16 @@ object StreamingQueries {
     val landing = Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft_stream_events/$sf-${fixtureKey(path)}/$variant")
     Files.createDirectories(landing)
+    // tmp names are PID-unique: two JVMs staging the same content-keyed
+    // landing dir must never share a temp file, or one's ATOMIC_MOVE
+    // could publish the other's half-written copy under the final name
+    val pid = ProcessHandle.current.pid
     for (i <- 1 to copies) {
       val staged = landing.resolve(s"events_$i.parquet")
       if (!Files.exists(staged)) {
         // copy-then-atomic-move so an interrupted prior run can't leave a
         // truncated file that a later run would trust
-        val tmp = landing.resolve(s".events_$i.parquet.tmp")
+        val tmp = landing.resolve(s".events_$i.parquet.tmp-$pid")
         Files.copy(Paths.get(path), tmp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -94,13 +113,8 @@ object StreamingQueries {
     if (flushSentinel) {
       val staged = landing.resolve("events_sentinel.parquet")
       if (!Files.exists(staged)) {
-        import scala.jdk.CollectionConverters._
-        val tmpOut = Files.createTempDirectory("graft_sentinel").resolve("out")
-        sentinelRow(s, path)
-          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val part = Files.list(tmpOut).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val tmp = landing.resolve(".events_sentinel.parquet.tmp")
+        val part = parquetParts(sentinelRow(s, path).coalesce(1)).head
+        val tmp = landing.resolve(s".events_sentinel.parquet.tmp-$pid")
         Files.copy(part, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
@@ -127,16 +141,11 @@ object StreamingQueries {
     val marker = landing.resolve("_STAGED")
     if (!Files.exists(marker)) {
       Files.createDirectories(landing)
-      val tmpOut = Files.createTempDirectory("graft_parts").resolve("out")
-      s.read.parquet(path).repartition(4)
-        .write.mode("overwrite").parquet(tmpOut.toString)
-      val parts = Files.list(tmpOut).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, landing.resolve(s"part_$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-      }
+      parquetParts(s.read.parquet(path).repartition(4)).zipWithIndex
+        .foreach { case (p, i) =>
+          Files.move(p, landing.resolve(s"part_$i.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
       placeMarker(marker)
     }
     s.readStream.schema(s.read.parquet(path).schema)
@@ -172,20 +181,11 @@ object StreamingQueries {
         // unprocessed files by modification time
         Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + seq * 60000L))
       }
-      val tmpOut = Files.createTempDirectory("graft_tpart").resolve("out")
-      s.read.parquet(path)
-        .repartitionByRange(4, col("ts"), col("event_id"))
-        .write.mode("overwrite").parquet(tmpOut.toString)
-      val parts = Files.list(tmpOut).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString) // part-0000i = i-th range
+      val parts = parquetParts( // part-0000i = i-th ascending range
+        s.read.parquet(path).repartitionByRange(4, col("ts"), col("event_id")))
       require(parts.size == 4, s"expected 4 range parts, got ${parts.size}")
       parts.zipWithIndex.foreach { case (p, i) => place(p, s"part_${i + 1}.parquet", i + 1) }
-      val sentinelOut = Files.createTempDirectory("graft_tpart").resolve("out")
-      sentinelRow(s, path).coalesce(1)
-        .write.mode("overwrite").parquet(sentinelOut.toString)
-      place(Files.list(sentinelOut).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get,
+      place(parquetParts(sentinelRow(s, path).coalesce(1)).head,
         "part_5_sentinel.parquet", 5)
       placeMarker(marker)
     }

@@ -419,6 +419,25 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { FtpPools.closeAll(); srv.stop() }
   }
 
+  test("symlinked files and dirs in LIST resolve via the CWD probe") {
+    // unix LIST renders links as "name -> target"; the client must strip
+    // the target, probe the link for dir-ness, and treat it accordingly
+    val root2 = Files.createTempDirectory("graft-ftpsrc-link")
+    Files.createDirectories(root2.resolve("tree/real"))
+    Files.write(root2.resolve("tree/real/a.bin"), "aa".getBytes)
+    Files.write(root2.resolve("tree/f.bin"), "ff".getBytes)
+    Files.createSymbolicLink(root2.resolve("tree/flink.bin"), root2.resolve("tree/f.bin"))
+    Files.createSymbolicLink(root2.resolve("tree/dlink"), root2.resolve("tree/real"))
+    val srv = new FakeFtpServer(root2)
+    try {
+      assert(collectTree(srv) == Seq(
+        ("/tree/dlink/a.bin", 2L, "aa"), // recursed THROUGH the dir link
+        ("/tree/f.bin", 2L, "ff"),
+        ("/tree/flink.bin", 2L, "ff"),   // file link fetches target bytes
+        ("/tree/real/a.bin", 2L, "aa")))
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
   test("servers without LIST recurse via the NLST + CWD-probe fallback") {
     val root2 = stageTree("graft-ftpsrc-nolist")
     val srv = new FakeFtpServer(root2, noList = true)
