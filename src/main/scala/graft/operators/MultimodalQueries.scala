@@ -185,6 +185,100 @@ object MultimodalQueries {
                            FOR x IN range(w)] FOR y IN range(h)]),
                  (a, b) -> (a * 31 + b) % 1000000007) AS pixel_fp
         FROM g
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q102
+    // Perceptual-hash (aHash) image dedup through the REAL decoder:
+    // 32×32 deterministic images (every doc_id % 4 == 1 is its
+    // predecessor's image uniformly brightened by +2 — a re-encode/
+    // brightness near-dup), PNG-encoded and DECODED by javax.imageio;
+    // the 8×8-block average hash is computed from the DECODED pixels in
+    // pure integer arithmetic (bit i set iff blockSum·64 > totalSum —
+    // brightness shifts cancel, so each planted pair collides on the
+    // hash). Grouping on the 64-bit hash (as two 32-bit halves: DuckDB
+    // BIGINT errors on wrap where Java silently overflows) yields the
+    // dup groups. A single mis-decoded pixel flips a bit and breaks the
+    // oracle match. Narrow mapPartitions → one keyed aggregate; at scale
+    // the shuffle carries 16 bytes per image, never pixels.
+    QueryDef(
+      "q102_perceptual_hash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 32).select(col("doc_id")).as[Long]
+        val hashed = ids.mapPartitions { it =>
+          it.map { id =>
+            val seed = if (id % 4 == 1) id - 1 else id
+            val off = if (id % 4 == 1) 2 else 0
+            val img = new java.awt.image.BufferedImage(
+              32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until 32; x <- 0 until 32) {
+              // nonlinear x*y term: distinct seeds produce structurally
+              // different images (a pure linear gradient would aHash
+              // identically across seeds); % 254 + off stays <= 255, so
+              // the +2 brightening never clamps and cancels exactly
+              val g = ((seed * 31 + x * 7 + y * 13 + x * y * (1 + seed % 5)) % 254 + off).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            require(javax.imageio.ImageIO.write(img, "png", baos), s"doc $id: no png writer")
+            // decode with the real decoder; hash from DECODED pixels
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            val grays = Array.tabulate(32, 32)((y, x) => (dec.getRGB(x, y) & 0xFF).toLong)
+            val total = grays.map(_.sum).sum
+            var hi = 0L; var lo = 0L
+            for (by <- 0 until 8; bx <- 0 until 8) {
+              var bs = 0L
+              for (dy <- 0 until 4; dx <- 0 until 4) bs += grays(by * 4 + dy)(bx * 4 + dx)
+              val i = by * 8 + bx
+              if (bs * 64 > total) {
+                if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
+              }
+            }
+            (id, hi, lo)
+          }
+        }.toDF("doc_id", "hash_hi", "hash_lo")
+        hashed.groupBy("hash_hi", "hash_lo")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select("keep_id", "n_copies", "hash_hi", "hash_lo")
+          .orderBy("keep_id")
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
+                 CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 0 END AS off
+          FROM documents WHERE doc_id < 32),
+        pix AS (
+          SELECT i.doc_id, p.x, p.y,
+                 ((i.seed * 31 + p.x * 7 + p.y * 13 + p.x * p.y * (1 + i.seed % 5)) % 254
+                  + i.off) AS g
+          FROM ids i CROSS JOIN
+               (SELECT a.range AS x, b.range AS y
+                FROM range(32) a CROSS JOIN range(32) b) p),
+        blocks AS (
+          SELECT doc_id, y // 4 AS by, x // 4 AS bx, SUM(g) AS bs
+          FROM pix GROUP BY 1, 2, 3),
+        tot AS (SELECT doc_id, SUM(g) AS ts FROM pix GROUP BY 1),
+        bits AS (
+          SELECT b.doc_id, by * 8 + bx AS i,
+                 CASE WHEN bs * 64 > ts THEN 1 ELSE 0 END AS bit
+          FROM blocks b JOIN tot USING (doc_id)),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN i < 32
+                               THEN bit * (CAST(1 AS BIGINT) << (31 - i))
+                               ELSE 0 END) AS BIGINT) AS hash_hi,
+                 CAST(SUM(CASE WHEN i >= 32
+                               THEN bit * (CAST(1 AS BIGINT) << (63 - i))
+                               ELSE 0 END) AS BIGINT) AS hash_lo
+          FROM bits GROUP BY doc_id)
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, hash_hi, hash_lo
+        FROM hashes
+        GROUP BY hash_hi, hash_lo
+        HAVING COUNT(*) > 1
+        ORDER BY keep_id"""))
   )
 }
