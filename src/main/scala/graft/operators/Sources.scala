@@ -203,6 +203,64 @@ object Sources {
         FROM documents
         ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- s14
+    // FTP as a Structured Streaming SOURCE (graft.sources.
+    // FtpMicroBatchStream): the reference's poll loop (consumer.py:90-98)
+    // as a DSv2 MicroBatchStream — each trigger lists the tree and the
+    // files new since the committed offset become the micro-batch;
+    // payloads fetch executor-side through the pools. Here an
+    // AvailableNow drain ingests the staged corpus and must match q47's
+    // batch-read oracle exactly: stream vs batch reads of the same
+    // landing zone cannot disagree.
+    QueryDef(
+      "s14_ftp_stream_source",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-s14-ftp")
+        val server = new graft.pipeline.testkit.FakeFtpServer(root)
+        try {
+          val docsDir = s"$root/docs"
+          Files.createDirectories(Paths.get(docsDir))
+          Tables(s, dir, "documents").select("doc_id", "text")
+            .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+              rows.foreach { r =>
+                Files.write(Paths.get(s"$docsDir/doc_${r.getLong(0)}.bin"),
+                  r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              }
+            }
+          val out = Files.createTempDirectory("graft-s14-out").toString
+          val cp = Files.createTempDirectory("graft-s14-cp").toString
+          val q = s.readStream.format("graft-ftp")
+            .option("host", "127.0.0.1").option("port", server.port.toString)
+            .option("username", "u").option("password", "p")
+            .option("pool.size", "32")
+            .load("/docs")
+            .writeStream
+            .option("checkpointLocation", cp)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val df = s.read.parquet(out)
+            .select(
+              regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+              col("length"),
+              substring(col("content"), 1, 4).cast("string").as("head4"))
+            .orderBy("doc_id")
+          TrackedCaches.track(df.localCheckpoint(eager = true))
+        } finally {
+          graft.pipeline.transfer.FtpPools.closeAll()
+          server.stop()
+        }
+      },
+      Some("""
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS length,
+               substr(text, 1, 4) AS head4
+        FROM documents
+        ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- q61
     // ORC scan: lineitem → ORC (Spark's built-in columnar alternative;
     // zlib by default) → aggregate. Same round-trip contract as

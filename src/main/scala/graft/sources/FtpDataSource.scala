@@ -83,7 +83,8 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
     s"graft-ftp://${options.get("host")}${FtpDataSource.dir(options)}"
   override def schema(): StructType = FtpDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
 
   /** Write path: rows of the table schema (path, length, content) are
     * STOR'd executor-side through the per-executor pool. Each task
@@ -206,6 +207,15 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
 
       override def createReaderFactory(): PartitionReaderFactory =
         new FtpReaderFactory
+
+      // streaming read: the same listing/pruning/pushdown machinery,
+      // driven per-trigger (see FtpMicroBatchStream — the reference's
+      // poll loop as a DSv2 source)
+      override def toMicroBatchStream(
+          checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new FtpMicroBatchStream(
+          FtpDataSource.serverConfig(options), options,
+          required.fieldNames.toSeq, keep)
     }
 }
 

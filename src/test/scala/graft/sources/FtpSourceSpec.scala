@@ -515,6 +515,51 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { FtpPools.closeAll(); srv.stop() }
   }
 
+  // ---- streaming source (the reference's poll loop as DSv2) ------------
+
+  test("streaming source drains existing files, then ONLY new files after restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root2 = Files.createTempDirectory("graft-ftpsrc-stream")
+    Files.createDirectories(root2.resolve("stream"))
+    Files.write(root2.resolve("stream/a.bin"), "alpha".getBytes)
+    Files.write(root2.resolve("stream/b.bin"), "bravo".getBytes)
+    val srv = new FakeFtpServer(root2)
+    val checkpoint = Files.createTempDirectory("graft-ftpsrc-stream-cp").toString
+    try {
+      def drain(): Seq[(String, String)] = {
+        val collected = scala.collection.mutable.Buffer.empty[(String, String)]
+        val q = spark.readStream.format("graft-ftp")
+          .option("host", "127.0.0.1").option("port", srv.port.toString)
+          .option("username", "u").option("password", "p")
+          .load("/stream")
+          .writeStream
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            collected ++= b.select("path", "content").collect()
+              .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        collected.toSeq.sorted
+      }
+      assert(drain() == Seq(("/stream/a.bin", "alpha"), ("/stream/b.bin", "bravo")))
+      // a new file lands; the checkpointed offset must admit ONLY it
+      Files.write(root2.resolve("stream/c.bin"), "charlie".getBytes)
+      assert(drain() == Seq(("/stream/c.bin", "charlie")),
+        "restart must process exactly the files that appeared since the committed offset")
+      // nothing new: an empty drain, not a re-read
+      assert(drain() == Seq.empty)
+    } finally { FtpPools.closeAll(); srv.stop() }
+  }
+
+  test("streaming offsets JSON round-trip, including quotes and backslashes") {
+    val o = FtpOffset(Seq(("/a/b.bin", 5L), ("""/weird "name"\x.bin""", -1L)))
+    assert(FtpOffset.fromJson(o.json()) == o)
+    assert(FtpOffset.fromJson(FtpOffset(Nil).json()) == FtpOffset(Nil))
+  }
+
   test("missing directory fails with a clear error") {
     val e = intercept[Exception](read().load("/nope").collect())
     assert(e.getMessage.contains("Remote dir not found") ||
