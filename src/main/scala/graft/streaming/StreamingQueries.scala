@@ -839,6 +839,46 @@ object StreamingQueries {
                MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         FROM sg
         GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""))
+        ORDER BY user_id, session_id""")),
+
+    // ---------------------------------------------------------------- s15
+    // Streaming approximate distinct — the SCALE path s13's exact chain
+    // trades against: streaming aggregation cannot express
+    // COUNT(DISTINCT) (unbounded per-group state), but HLL sketches
+    // merge, so approx_count_distinct runs as an ordinary windowed
+    // streaming aggregate with O(sketch) state per window. The accuracy
+    // CONTRACT is checked q46-style: the drained approximations join the
+    // batch-exact per-window distincts and must land within
+    // max(2, 5%) of exact. The sketch runs at rsd=0.01 (a few KB of
+    // state per window — still O(sketch), which is the whole trade):
+    // per-window cardinalities here are ~10-60, where a coarse
+    // rsd=0.05 sketch showed +/-3 outliers across 720 windows and a
+    // naive 5%-only bound already fails on a +/-1 deviation. Oracle
+    // states the exact counts + the contract booleans.
+    QueryDef(
+      "s15_stream_approx_distinct",
+      (s, dir) => {
+        val approx = drain(s, OutputMode.Complete())(
+          eventsStream(s, dir)
+            .withWatermark("ts_t", "1 hour")
+            .groupBy(window(col("ts_t"), "1 hour"))
+            .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx")))
+          .select(unix_micros(col("window.start")).as("ws_us"), col("n_approx"))
+        val exact = graft.Tables.events(s, dir)
+          .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("ws_us"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        approx.join(exact, "ws_us")
+          .select(col("ws_us"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact"))
+              <= greatest(lit(2.0), col("n_exact") * 0.05)).as("within_bound"))
+          .orderBy("ws_us")
+      },
+      Some("""
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+               COUNT(DISTINCT user_id) AS n_exact,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY 1
+        ORDER BY ws_us"""))
   )
 }
