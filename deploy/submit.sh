@@ -14,7 +14,7 @@
 # size --num-executors x --executor-cores >= topic partitions (O3).
 
 SPARK_HOME="${SPARK_HOME:-/opt/spark}"
-JAR="${GRAFT_JAR:-target/scala-2.13/etlfilesyncspark_2.13-0.1.0-SNAPSHOT.jar}"
+JAR="${GRAFT_JAR:-target/scala-2.13/etlfilesyncspark_2.13-0.1.0.jar}"
 SPARK_VERSION="${SPARK_VERSION:-4.0.0}"
 
 exec "$SPARK_HOME/bin/spark-submit" \

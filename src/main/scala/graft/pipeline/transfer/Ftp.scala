@@ -230,7 +230,7 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
         .map(_.trim).filter(_.nonEmpty).toList
       val fin = readReply()
       if (!fin.ok) throw new IOException(s"LIST transfer failed: ${fin.text}")
-      lines.map { line =>
+      lines.flatMap { line =>
         // -rw-r--r-- 1 owner group 1234 Jan 01 00:00 name (spaces kept by limit 9)
         val t = line.split("\\s+", 9)
         if (t.length < 9 || t(0).length < 10 || !"-dl".contains(t(0).charAt(0)))
@@ -238,28 +238,44 @@ final class FtpClient(host: String, port: Int, timeoutMs: Int = 30000) {
         t(0).charAt(0) match {
           case 'l' =>
             // symlink lines render as "name -> target"; the line alone
-            // can't say whether the TARGET is a directory, so strip the
-            // target and CWD-probe the link itself (control channel is
-            // free — the data transfer already completed above). Size is
-            // the link's, not the target's → -1, resolved later by
-            // SIZE/RETR where a consumer needs it.
+            // can't say whether the TARGET is a directory — or exists at
+            // all. Strip the target and classify the link itself
+            // (control channel is free — the data transfer completed
+            // above): CWD ok → directory; else SIZE ok → file with a
+            // known size; else 550 → DANGLING, skipped (listing it as
+            // data would poison every scan with a 550 on RETR). A 502
+            // (server without SIZE) can't distinguish file from
+            // dangling — kept as a file, the pre-existing behavior.
             val name = t(8).split(" -> ", 2)(0)
             val base = name.substring(name.lastIndexOf('/') + 1)
             val full =
               if (remoteDir.endsWith("/")) s"$remoteDir$base" else s"$remoteDir/$base"
-            val probe = cmd(s"CWD $full")
-            if (probe.ok) cmd("CWD /")
-            RemoteEntry(base, probe.ok, -1L)
+            classifyLink(base, full)
           case typeCh =>
             val isDir = typeCh == 'd'
             val size =
               if (isDir) -1L
               else try t(4).toLong catch { case _: NumberFormatException => -1L }
             // names are conventionally basenames; normalize defensively
-            RemoteEntry(t(8).substring(t(8).lastIndexOf('/') + 1), isDir, size)
+            Some(RemoteEntry(t(8).substring(t(8).lastIndexOf('/') + 1), isDir, size))
         }
       }
     }
+
+  /** Classify a path whose type a listing could not determine: dir /
+    * file(+size) / dangling-link (None). See listStat's symlink note. */
+  private[transfer] def classifyLink(base: String, full: String): Option[RemoteEntry] = {
+    val probe = cmd(s"CWD $full")
+    if (probe.ok) { cmd("CWD /"); Some(RemoteEntry(base, isDir = true, -1L)) }
+    else {
+      val sz = cmd(s"SIZE $full")
+      if (sz.code == 213)
+        Some(RemoteEntry(base, isDir = false, sz.text.drop(4).trim.toLong))
+      else if (sz.code == 502) // no SIZE verb: can't rule out a live file
+        Some(RemoteEntry(base, isDir = false, -1L))
+      else None // dangling link
+    }
+  }
 
   private def pipe(is: InputStream, os: OutputStream): Unit = {
     val buf = new Array[Byte](64 * 1024)
@@ -307,10 +323,9 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
   /** Typed listing: names + dir flags + sizes. LIST is the primary path
     * (one data connection for the whole directory); servers without it
     * — or with a line format we can't parse — fall back to NLST names
-    * plus one CWD probe per entry: same answer, more control round
-    * trips, sizes unknown (-1, resolved later by SIZE/RETR where a
-    * consumer needs them). A missing directory stays FileNotFound on
-    * both paths. */
+    * plus per-entry CWD/SIZE probes (same classification as LIST's
+    * symlink handling: dir / file+size / dangling-link-skipped). A
+    * missing directory stays FileNotFound on both paths. */
   def listEntries(remoteDir: String): Seq[RemoteEntry] =
     try client.listStat(remoteDir)
     catch {
@@ -318,12 +333,10 @@ final class FtpBackend(cfg: ServerConfig, passiveMode: Boolean = true) extends T
       case _: IOException =>
         client.nlst(remoteDir)
           .map(n => n.substring(n.lastIndexOf('/') + 1)).distinct
-          .map { n =>
+          .flatMap { n =>
             val full =
               if (remoteDir.endsWith("/")) s"$remoteDir$n" else s"$remoteDir/$n"
-            val probe = client.cmd(s"CWD $full")
-            if (probe.ok) client.cmd("CWD /") // restore after a successful probe
-            RemoteEntry(n, probe.ok, -1L)
+            client.classifyLink(n, full)
           }
     }
 

@@ -168,42 +168,18 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
       // O(files) round-trip pass (see FtpListing). Lazy: Spark's
       // physical planning calls planInputPartitions more than once per
       // action — one Scan must list the tree exactly once.
-      private lazy val listed: Seq[FtpListing.Listed] = {
-        val cfg = FtpDataSource.serverConfig(options)
-        val poolSize = Option(options.get("pool.size")).map(_.toInt).getOrElse(4)
-        val recursive = Option(options.get("recursive")).forall(_.toBoolean)
-        val threshold = Option(options.get("listing.parallelThreshold"))
-          .map(_.toInt).getOrElse(10000)
-        FtpListing.listFiles(
-          cfg, poolSize, FtpDataSource.dir(options), recursive, threshold)
-      }
+      private lazy val listed: Seq[FtpListing.Listed] =
+        FtpListing.listFiles(FtpListing.readOptions(options))
 
-      override def planInputPartitions(): Array[InputPartition] = {
-        val cfg = FtpDataSource.serverConfig(options)
-        val poolSize = Option(options.get("pool.size")).map(_.toInt).getOrElse(4)
-        // default ONE partition per pooled connection: each reader holds
-        // its connection for the whole chunk, so more tasks than
-        // connections would just queue on the pool doing nothing
-        val nParts = Option(options.get("numPartitions")).map(_.toInt)
-          .getOrElse(poolSize)
-        // In-progress temps from a concurrent/crashed writer are not
-        // data: listings have no filter verb, so drop the write path's
-        // temp-name pattern here rather than surface truncated duplicates
-        val files = listed
-          .filterNot(f => f.path
-            .substring(f.path.lastIndexOf('/') + 1).matches(""".*\.inprog-\d+$"""))
-          .filter(f => keep(f.path)) // pushed path predicates — plan only matches
-          .sortBy(_.path)
-        // chunk round-robin so partitions stay balanced; each partition
-        // holds ONE pooled connection for all its files (borrow-per-file
-        // throttled throughput 5× on the bulk bench)
-        files.zipWithIndex.groupBy(_._2 % math.max(1, math.min(nParts, files.size)))
-          .toSeq.sortBy(_._1)
-          .map { case (_, ps) =>
-            FtpFilesPartition(cfg, ps.map(p => (p._1.path, p._1.size)), poolSize,
-              required.fieldNames.toSeq): InputPartition }
-          .toArray
-      }
+      override def planInputPartitions(): Array[InputPartition] =
+        // temp-filter + pushed path predicates + deterministic order +
+        // round-robin chunking — all shared with the streaming source
+        // (FtpMicroBatchStream) via FtpListing, so the two paths can't
+        // drift apart
+        FtpListing.chunk(
+          FtpListing.planFiles(listed, keep),
+          FtpListing.readOptions(options),
+          required.fieldNames.toSeq)
 
       override def createReaderFactory(): PartitionReaderFactory =
         new FtpReaderFactory
@@ -213,9 +189,7 @@ final class FtpTable(options: CaseInsensitiveStringMap) extends Table
       // poll loop as a DSv2 source)
       override def toMicroBatchStream(
           checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new FtpMicroBatchStream(
-          FtpDataSource.serverConfig(options), options,
-          required.fieldNames.toSeq, keep)
+        new FtpMicroBatchStream(options, required.fieldNames.toSeq, keep)
     }
 }
 

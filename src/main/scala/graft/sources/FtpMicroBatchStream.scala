@@ -4,8 +4,6 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFacto
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.pipeline.ServerConfig
-
 /** FTP directory as a Structured Streaming SOURCE — the reference's
   * poll loop (S2, /root/reference/src/etl/consumer.py:90-98) as a DSv2
   * `MicroBatchStream`: every trigger lists the tree ([[FtpListing]] —
@@ -26,40 +24,31 @@ import graft.pipeline.ServerConfig
   * (documented trade, not built).
   */
 final class FtpMicroBatchStream(
-    cfg: ServerConfig,
     options: CaseInsensitiveStringMap,
     columns: Seq[String],
     keep: String => Boolean) extends MicroBatchStream {
 
-  private val dir = FtpDataSource.dir(options)
-  private val poolSize = Option(options.get("pool.size")).map(_.toInt).getOrElse(4)
-  private val recursive = Option(options.get("recursive")).forall(_.toBoolean)
-  private val threshold = Option(options.get("listing.parallelThreshold"))
-    .map(_.toInt).getOrElse(10000)
-  private val nParts = Option(options.get("numPartitions")).map(_.toInt)
-    .getOrElse(poolSize)
+  private val ro = FtpListing.readOptions(options)
 
   override def initialOffset(): Offset = FtpOffset(Nil)
 
-  override def latestOffset(): Offset = {
-    val listed = FtpListing.listFiles(cfg, poolSize, dir, recursive, threshold)
-      .filterNot(f => f.path
-        .substring(f.path.lastIndexOf('/') + 1).matches(""".*\.inprog-\d+$"""))
-      .filter(f => keep(f.path))
-      .sortBy(_.path)
-    FtpOffset(listed.map(f => (f.path, f.size)))
-  }
+  // offsets record the RAW listing (sorted for stable serialization):
+  // the pushed predicate and the temp-name filter apply at PLANNING,
+  // like FileStreamSource — so broadening a query filter across a
+  // restart cannot misclassify months-old files as newly arrived
+  override def latestOffset(): Offset =
+    FtpOffset(FtpListing.listFiles(ro).sortBy(_.path).map(f => (f.path, f.size)))
 
   override def deserializeOffset(json: String): Offset = FtpOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[FtpOffset].files.map(_._1).toSet
     val fresh = end.asInstanceOf[FtpOffset].files.filterNot(f => seen(f._1))
-    fresh.zipWithIndex.groupBy(_._2 % math.max(1, math.min(nParts, fresh.size)))
-      .toSeq.sortBy(_._1)
-      .map { case (_, ps) =>
-        FtpFilesPartition(cfg, ps.map(_._1), poolSize, columns): InputPartition }
-      .toArray
+    // same temp-filter/pushdown/order/chunking as the batch scan
+    FtpListing.chunk(
+      FtpListing.planFiles(
+        fresh.map { case (p, s) => FtpListing.Listed(p, s) }, keep),
+      ro, columns)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new FtpReaderFactory
@@ -80,8 +69,18 @@ final case class FtpOffset(files: Seq[(String, Long)]) extends Offset {
 
 object FtpOffset {
   private val Entry = """\["((?:[^"\\]|\\.)*)",(-?\d+)\]""".r
-  def fromJson(json: String): FtpOffset =
-    FtpOffset(Entry.findAllMatchIn(json).map { m =>
+
+  /** STRICT parse: a truncated or hand-edited offset in the checkpoint
+    * must fail loudly — a lenient parse would silently shrink the seen
+    * set and re-ingest the whole landing zone as "new" files. The
+    * serializer is canonical, so round-trip equality IS the validator. */
+  def fromJson(json: String): FtpOffset = {
+    val parsed = FtpOffset(Entry.findAllMatchIn(json).map { m =>
       (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), m.group(2).toLong)
     }.toSeq)
+    if (parsed.json() != json.trim)
+      throw new IllegalStateException(
+        s"corrupt graft-ftp offset in checkpoint (round-trip mismatch): $json")
+    parsed
+  }
 }

@@ -97,7 +97,18 @@ object StreamingQueries {
     Files.createDirectories(landing)
     // tmp names are PID-unique: two JVMs staging the same content-keyed
     // landing dir must never share a temp file, or one's ATOMIC_MOVE
-    // could publish the other's half-written copy under the final name
+    // could publish the other's half-written copy under the final name.
+    // PID-unique temps are never reused, so sweep crashed stagers'
+    // leftovers (anything older than 10 minutes is dead weight — no
+    // live stager copies a fixture for that long)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val cutoff = System.currentTimeMillis() - 600000L
+      Files.list(landing).iterator().asScala
+        .filter(p => p.getFileName.toString.matches("""\..*\.tmp-\d+"""))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(Files.deleteIfExists(_))
+    }
     val pid = ProcessHandle.current.pid
     for (i <- 1 to copies) {
       val staged = landing.resolve(s"events_$i.parquet")

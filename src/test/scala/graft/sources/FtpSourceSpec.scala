@@ -428,6 +428,9 @@ class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Files.write(root2.resolve("tree/f.bin"), "ff".getBytes)
     Files.createSymbolicLink(root2.resolve("tree/flink.bin"), root2.resolve("tree/f.bin"))
     Files.createSymbolicLink(root2.resolve("tree/dlink"), root2.resolve("tree/real"))
+    // a DANGLING link must be skipped, not listed as data — it would
+    // 550 every RETR and poison the scan (and every streaming trigger)
+    Files.createSymbolicLink(root2.resolve("tree/ghost.bin"), root2.resolve("tree/gone.bin"))
     val srv = new FakeFtpServer(root2)
     try {
       assert(collectTree(srv) == Seq(
