@@ -458,5 +458,67 @@ object Dedup {
                (SELECT COUNT(*) FROM batch) - COUNT(*) AS n_dups,
                CAST(SUM(doc_id) AS BIGINT) AS admitted_id_sum
         FROM admitted"""))
+  ,
+
+    // --------------------------------------------------------------- q103
+    // Corpus-level repeated-passage audit (the FineWeb/CCNet "line
+    // dedup" signal, restated over word 8-grams because the fixture
+    // text has no line structure): an 8-gram that appears in 2+
+    // DIFFERENT documents is boilerplate; each document is scored by
+    // the per-mille of its distinct 8-grams that are corpus-shared,
+    // and flagged when more than 5% of its passages are boilerplate.
+    // Complements q63 (WITHIN-doc repetition) and q26 (whole-doc
+    // near-dup): this catches templated fragments that whole-doc
+    // similarity misses.
+    // Scale: grams come from the native codegen byte-slicer
+    // (graft_word_ngrams, no interpreted lambdas); the document-
+    // frequency aggregate keys on a 256-bit digest of the gram so the
+    // shuffle carries 32 B + count per distinct gram, never the
+    // passage text (q25's digest discipline); the score join is
+    // digest-keyed with map-side partial counts. Two shuffles total —
+    // gram DF and the per-doc regroup — both reduce before they move.
+    QueryDef(
+      "q103_corpus_ngram_dedup",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val grams = docs(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              call_function("graft_word_ngrams", col("text"), lit(8)))).as("g"))
+          .select(col("doc_id"), sha2(col("g"), 256).as("h"))
+        val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+        grams.join(dfreq, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("shared_permille",
+            expr("n_shared * 1000 div n_grams"))
+          .withColumn("boilerplate", col("shared_permille") > 50)
+          .orderBy("doc_id")
+      },
+      // the oracle states document frequency over the gram STRINGS —
+      // the digest is the engine's shuffle-key mechanism, not semantics
+      Some("""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 UNNEST(list_transform(range(1, len(ws) - 6),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                        ws[i+6] || ' ' || ws[i+7])) AS g
+          FROM words),
+        d AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+                 // COUNT(*) AS shared_permille,
+               (CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+                 // COUNT(*)) > 50 AS boilerplate
+        FROM grams JOIN d USING (g)
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

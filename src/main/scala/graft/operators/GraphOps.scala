@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over the relational fixture — the family a
+  * warehouse reaches for when "who links to whom" questions (supplier
+  * dependency, dedup clusters, influence ranking) outgrow one join.
+  * Complements q50 (connected components over the near-dup pair graph)
+  * and q88 (recursive chain traversal) with a weighted POWER-ITERATION
+  * ranking: the shape (edges join ranks → partial-agg inflow → rebuild
+  * ranks, k times) is PageRank's, and it is exactly the loop GraphX /
+  * Pregel run — expressed in DataFrames so Catalyst handles partial
+  * aggregation and AQE each iteration.
+  *
+  * 100 TB scale design: the edge list is the big side and stays put —
+  * each iteration shuffles only (node, rank) pairs (metadata-sized
+  * relative to edges) into the edge join, and the inflow aggregate
+  * map-side-combines per dst before moving. Rank arithmetic is integer
+  * parts-per-billion, so partial aggregation is order-independent and
+  * bit-stable (no float accumulation drift across cluster layouts).
+  * Lineage grows linearly in iterations; past ~10 rounds a production
+  * loop checkpoints like q50 does (localCheckpoint every 5).
+  */
+object GraphOps {
+
+  private val Damp = 85 // ×/100 — 0.85 damping, kept integer
+  private val Scale = 1000000000L // ranks in parts-per-billion
+
+  /** One DuckDB power-iteration CTE pair (inflow + next rank), kept
+    * adjacent to the Spark loop below so the two stay in lock-step. */
+  private def duckIter(n: Int): String = s"""
+        inf$n AS (
+          SELECT dst, SUM((r * w) // ow) AS inflow
+          FROM e JOIN r${n - 1} ON r${n - 1}.node = e.src
+          GROUP BY dst),
+        r$n AS (
+          SELECT node,
+                 (150000000 // (SELECT c FROM nn))
+                   + ($Damp * COALESCE(inflow, 0)) // 100 AS r
+          FROM (SELECT n_nationkey AS node FROM nation) nodes
+          LEFT JOIN inf$n ON nodes.node = inf$n.dst)"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q106
+    // Nation trade-flow PageRank: edges are supplier-nation →
+    // customer-nation weighted by lineitem count (who ships to whom),
+    // ranks start uniform and run 5 damped power iterations. Per
+    // iteration each edge forwards rank[src]·w/out_w (integer div in
+    // ppb) and every node is rebuilt as base + 0.85·inflow. Dangling
+    // nodes (no out-edges) drop their mass — the standard simplified
+    // formulation, stated identically in the oracle.
+    QueryDef(
+      "q106_nation_pagerank",
+      (s, dir) => {
+        val nations = Tables(s, dir, "nation").select(col("n_nationkey").as("node"))
+        // nation is a metadata-sized dimension (25 rows at every SF);
+        // the count is a scalar driver aggregate, same discipline as
+        // q58's corpus-size scalar
+        val nNodes = nations.count()
+        val base = 150000000L / nNodes // (1-d)/N in ppb, integer
+        val edges = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          // supplier SCALES with SF — no broadcast hint (the s05 lesson);
+          // AQE picks broadcast when the projection is actually small
+          .join(Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val outW = edges.groupBy("src").agg(sum("w").as("ow"))
+        // the weighted edge list is the loop's big side: build once,
+        // cache once, release after the final action
+        val e = TrackedCaches.track(edges.join(outW, "src").persist())
+        var rank = nations.select(col("node"), lit(Scale / nNodes).as("r"))
+        for (_ <- 1 to 5) {
+          val inflow = e.join(rank, col("src") === col("node"))
+            .select(col("dst"), expr("(r * w) div ow").as("c"))
+            .groupBy("dst").agg(sum("c").as("inflow"))
+          rank = nations.join(inflow, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(base) + expr(s"($Damp * coalesce(inflow, 0L)) div 100")).as("r"))
+        }
+        rank.select(col("node").as("n_nationkey"), col("r").as("rank_ppb"))
+          .orderBy(col("rank_ppb").desc, col("n_nationkey"))
+      },
+      Some(s"""
+        WITH edges AS (
+          SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY src, dst),
+        ow AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        e AS (SELECT edges.src, dst, w, ow.ow FROM edges JOIN ow USING (src)),
+        nn AS (SELECT COUNT(*) AS c FROM nation),
+        r0 AS (SELECT n_nationkey AS node,
+                      $Scale // (SELECT c FROM nn) AS r FROM nation),
+        ${(1 to 5).map(duckIter).mkString(",")}
+        SELECT node AS n_nationkey, CAST(r AS BIGINT) AS rank_ppb
+        FROM r5
+        ORDER BY rank_ppb DESC, n_nationkey"""))
+  )
+}

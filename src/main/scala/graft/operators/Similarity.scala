@@ -479,5 +479,46 @@ object Similarity {
           FROM cand) r
         WHERE rank <= 5
         ORDER BY query_id, rank"""))
+  ,
+
+    // --------------------------------------------------------------- q105
+    // Sparse sign random projection: 64-dim embeddings reduced to 8
+    // dims via a ±1 matrix derived from a fixed LCG bit — the
+    // Achlioptas/JL-style cheap projection a pipeline runs before
+    // sketching, clustering, or shipping vectors to a cheaper index.
+    // The matrix is a FORMULA (sign(i,j) from an integer hash of the
+    // cell), so nothing is stored or broadcast — both engines derive
+    // the identical matrix from the same arithmetic.
+    // Determinism: each output dim accumulates ±e[j] in ARRAY ORDER
+    // with IEEE double adds inside the native codegen kernel
+    // (plans/SignProject.scala) — the graft_cosine contract, bit-exact
+    // against DuckDB's in-order list_sum fold. (A decimal(27,12)
+    // formulation drifted 1 ulp on rounding ties; same-order double
+    // adds cannot drift.)
+    // Scale: a PURE NARROW MAP — scan → project(8 kernel calls) →
+    // sort for output. No join, no aggregate, no shuffle at all; at
+    // 100 TB each executor reduces its vectors 8× in one codegen pass.
+    QueryDef(
+      "q105_sign_projection",
+      (s, dir) => {
+        val projected = emb(s, dir).select(
+          col("vec_id") +:
+            (0 until 8).map(i =>
+              call_function("graft_sign_project", col("e"), lit(i)).as(s"p$i")): _*)
+        projected.orderBy("vec_id")
+      },
+      Some {
+        val projCols = (0 until 8).map { i =>
+          s"""list_sum(list_transform(range(0, len(e)),
+                 j -> CASE WHEN ((CAST(1103515245 AS BIGINT) * ($i * 1009 + j) + 12345)
+                                  // 1024) % 2 = 0
+                      THEN e[j + 1] ELSE -e[j + 1] END)) AS p$i"""
+        }.mkString(",\n               ")
+        s"""
+        WITH base AS ($duckEmb)
+        SELECT vec_id,
+               $projCols
+        FROM base ORDER BY vec_id"""
+      })
   )
 }

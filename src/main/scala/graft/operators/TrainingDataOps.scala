@@ -793,5 +793,60 @@ object TrainingDataOps {
         WHERE rk <= quota
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q104
+    // Padding-aware batch assembly: documents are binned into width-16
+    // token-length buckets, ordered longest-first within each bucket,
+    // and cut into batches of 8; the report is the per-batch padding
+    // waste (batch_max·n − Σlen — the tokens a fixed-shape trainer pads
+    // and throws away). Length-bucketed batching is why production
+    // loaders (Megatron, T5) sort-by-length: random batching wastes
+    // ~40% of FLOPs on padding at typical length variance; this is the
+    // batch-shaping step between q78 (bin packing into fixed windows)
+    // and the trainer.
+    // Scale: one narrow length projection, one window shuffle keyed by
+    // BUCKET (bounded spread of the length distribution — no global
+    // sort), then a (bucket, batch) hash aggregate with map-side
+    // partials. All arithmetic integer-exact.
+    QueryDef(
+      "q104_length_bucket_batches",
+      (s, dir) => {
+        val w = Window.partitionBy("bucket").orderBy(col("n_tokens").desc, col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("bucket", expr("((n_tokens - 1) div 16 + 1) * 16"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("batch_id", expr("(rn - 1) div 8"))
+          .groupBy("bucket", "batch_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max("n_tokens").as("max_len"),
+            sum("n_tokens").as("sum_tokens"))
+          .withColumn("pad_waste", expr("max_len * n_docs - sum_tokens"))
+          .orderBy("bucket", "batch_id")
+      },
+      Some("""
+        WITH lens AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        bucketed AS (
+          SELECT doc_id, n_tokens,
+                 ((n_tokens - 1) // 16 + 1) * 16 AS bucket
+          FROM lens),
+        batched AS (
+          SELECT bucket, n_tokens,
+                 (ROW_NUMBER() OVER (PARTITION BY bucket
+                    ORDER BY n_tokens DESC, doc_id) - 1) // 8 AS batch_id
+          FROM bucketed)
+        SELECT bucket, batch_id,
+               COUNT(*) AS n_docs,
+               MAX(n_tokens) AS max_len,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               MAX(n_tokens) * COUNT(*) - CAST(SUM(n_tokens) AS BIGINT)
+                 AS pad_waste
+        FROM batched
+        GROUP BY bucket, batch_id
+        ORDER BY bucket, batch_id"""))
   )
 }

@@ -129,6 +129,12 @@ object GraftFunctions {
       s"graft_bloom_agg expects 3 arguments (xxhash64 value, est items, num bits), got ${other.length}")
   }
 
+  val signProjectBuilder: Seq[Expression] => Expression = {
+    case Seq(e, i) => SignProject(e, i)
+    case other => throw new IllegalArgumentException(
+      s"graft_sign_project expects 2 arguments, got ${other.length}")
+  }
+
   val bloomContainsBuilder: Seq[Expression] => Expression = {
     case Seq(bloom, value) =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
@@ -145,6 +151,8 @@ object GraftFunctions {
       "graft_nfc", nfcBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams", wordNgramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sign_project", signProjectBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -170,6 +178,10 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
       new FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       GraftFunctions.wordNgramsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sign_project"),
+      new ExpressionInfo(classOf[SignProject].getName, "graft_sign_project"),
+      GraftFunctions.signProjectBuilder))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(

@@ -891,5 +891,67 @@ object StreamingQueries {
         FROM events
         GROUP BY 1
         ORDER BY ws_us"""))
+  ,
+
+    // ---------------------------------------------------------------- s16
+    // Streaming z-score anomaly detection against a STATIC baseline —
+    // the monitoring shape every ingest pipeline runs: per-type
+    // mean/variance are profiled from the historical batch table, and
+    // arriving events are flagged when |x − μ| > 1.5σ. Fully STATELESS
+    // (append mode, no watermark, no state stores): the stream side is
+    // a per-row filter against the joined baseline, so a 1000-executor
+    // deployment scales it like a map.
+    // The baseline join is an explicit broadcast: per-TYPE baselines
+    // are bounded cardinality at every SF (unlike s05's customer dim —
+    // that lesson holds), and streaming plans can't rely on AQE to
+    // discover that at runtime.
+    // Exactness: the z-test is stated in integer cents with the square
+    // multiplied out — 4·(x−μ)² > 9·σ² avoids sqrt and floats
+    // entirely; μ and σ² use integer-div truncation, identically in
+    // both engines (all quantities non-negative).
+    QueryDef(
+      "s16_stream_zscore_anomaly",
+      (s, dir) => {
+        val cents = (c: org.apache.spark.sql.Column) =>
+          (Exact.dec2(c) * 100).cast("long")
+        val baseline = graft.Tables(s, dir, "events")
+          .select(col("event_type"), cents(col("value")).as("xc"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("xc").as("s_c"),
+            sum(expr("xc * xc")).as("s2_c"))
+          .withColumn("mean_c", expr("s_c div n"))
+          .withColumn("var_c", expr("s2_c div n - mean_c * mean_c"))
+          .select("event_type", "mean_c", "var_c")
+        val flagged = eventsStream(s, dir)
+          .select(col("event_id"), col("event_type"), cents(col("value")).as("xc"))
+          .join(broadcast(baseline), "event_type")
+          .filter(expr("4 * (xc - mean_c) * (xc - mean_c) > 9 * var_c"))
+        drain(s, OutputMode.Append())(flagged)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_anomalies"),
+            sum("event_id").as("id_checksum"),
+            min("xc").as("min_cents"), max("xc").as("max_cents"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+          FROM events),
+        b AS (
+          SELECT event_type,
+                 SUM(xc) // COUNT(*) AS mean_c,
+                 SUM(xc * xc) // COUNT(*)
+                   - (SUM(xc) // COUNT(*)) * (SUM(xc) // COUNT(*)) AS var_c
+          FROM c GROUP BY event_type)
+        SELECT event_type,
+               COUNT(*) AS n_anomalies,
+               CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+               CAST(MIN(xc) AS BIGINT) AS min_cents,
+               CAST(MAX(xc) AS BIGINT) AS max_cents
+        FROM c JOIN b USING (event_type)
+        WHERE 4 * (xc - mean_c) * (xc - mean_c) > 9 * var_c
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

@@ -376,4 +376,48 @@ class ScaleSpec extends AnyFunSuite {
         s"file ranges overlap: [$lo1,$hi1] vs next starting at $lo2")
     }
   }
+
+  test("q103 builds 8-grams narrowly and shuffles digests, not passages") {
+    val plan = SparkEntry.queries("q103_corpus_ngram_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // gram generation must be the q63 shape: no window shuffle of
+    // exploded tokens, nothing but Generate/Project/Scan below the
+    // bottom-most (partial) aggregate
+    assert(!plan.contains("Window"),
+      s"grams must not be built via a window shuffle:\n$plan")
+    val partial = plan.lastIndexOf("HashAggregate")
+    assert(partial >= 0, s"expected a gram aggregate in:\n$plan")
+    assert(!plan.substring(partial).contains("Exchange"),
+      s"no Exchange may sit below the first gram aggregate:\n$plan")
+    // the document-frequency key is the 256-bit digest — the gram text
+    // itself must never be a shuffle key
+    assert(plan.contains("sha2"), s"digest key missing from plan:\n$plan")
+  }
+
+  test("q105 sign projection is a pure narrow map — no shuffle before the output sort") {
+    val plan = SparkEntry.queries("q105_sign_projection")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // only the final orderBy may exchange (rangepartitioning); a
+    // hashpartitioning exchange would mean the projection regrouped
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle:\n$plan")
+    // the kernel must be the native expression, not an interpreted HOF
+    assert(plan.contains("graft_sign_project"),
+      s"native kernel missing from plan:\n$plan")
+    assert(!plan.contains("ArrayAggregate") && !plan.contains("ArrayTransform"),
+      s"projection must not fall back to interpreted HOFs:\n$plan")
+  }
+
+  test("q106 power iterations reuse the cached edge list") {
+    val df = SparkEntry.queries("q106_nation_pagerank")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // the weighted edge list is built once and persisted; all 5
+      // iterations must read the InMemoryRelation, not rebuild the
+      // 4-table join per iteration
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"edge list must come from cache:\n$plan")
+      assert(df.count() == 25, "one rank row per nation")
+    } finally TrackedCaches.releaseAll()
+  }
 }

@@ -360,6 +360,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"not only at the final flush; emitting batches = $emitting")
   }
 
+  test("s16 streaming anomaly flags equal the batch z-score twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.SparkEntry.queries("s16_stream_zscore_anomaly")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: identical integer-cents z-test over the same table
+    val cents = (expr("CAST(value AS DECIMAL(12,2))") * 100).cast("long")
+    val base = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("event_id"), cents.as("xc"))
+    val bl = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("xc").as("s_c"),
+        sum(expr("xc * xc")).as("s2_c"))
+      .withColumn("mean_c", expr("s_c div n"))
+      .withColumn("var_c", expr("s2_c div n - mean_c * mean_c"))
+      .select("event_type", "mean_c", "var_c")
+    val batch = base.join(bl, "event_type")
+      .filter(expr("4 * (xc - mean_c) * (xc - mean_c) > 9 * var_c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("ck"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "expected anomalies in the fixture")
+    assert(streamed == batch,
+      s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
