@@ -73,6 +73,27 @@ object Dedup {
     * J ≥ 0.6 over LSH candidates) — shared with q50's duplicate-cluster
     * components, which consume pairs exactly as a production dedup
     * pipeline does: shingle → LSH candidates → verify → cluster. */
+  /** (doc_id, s: shingle array) → (doc_id, band, bh) LSH bucket keys:
+    * 64-element minhash signature computed COLUMNAR (explode + 64
+    * codegen'd min() aggregates over seed-mixed rehashes — map-side
+    * partial min means the shuffle carries one 64-long signature per
+    * doc, not shingles), then 32 bands × 2 rows hashed to bucket keys.
+    * Shared by q26's corpus self-join and q107's batch-vs-index probe. */
+  private def bandBuckets(sh: DataFrame): DataFrame = {
+    val minCols = (0 until 64).map(k =>
+      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+    val sig = sh
+      .select(col("doc_id"), explode(col("s")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until 32).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh")))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Persisted: the shingle sets feed signature building AND both
     // sides of the verify join — without reuse the O(text) shingle
@@ -92,20 +113,7 @@ object Dedup {
     // drops to the interpreted higher-order path: 10× slower at
     // sf0.1, worse at scale.) Map-side partial min() means the
     // shuffle carries one 64-long signature per doc, not shingles.
-    val minCols = (0 until 64).map(k =>
-      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
-    val sig = sh
-      .select(col("doc_id"), explode(col("s")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-    // 32 bands × 2 rows → (band, hash-of-rows) bucket keys.
-    val bandCols = (0 until 32).map(b =>
-      struct(lit(b).as("band"),
-        xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh")))
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandBuckets(sh)
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -520,5 +528,99 @@ object Dedup {
         FROM grams JOIN d USING (g)
         GROUP BY doc_id
         ORDER BY doc_id"""))
+  ,
+
+    // --------------------------------------------------------------- q107
+    // Incremental NEAR-dup ingest: q65's admission pattern upgraded from
+    // exact-digest to MinHash-LSH — a new batch probes the corpus's
+    // band-bucket index (batch-side buckets equi-join corpus-side
+    // buckets), exact Jaccard verifies only bucket-mates, and each batch
+    // doc is admitted or rejected as a near-duplicate. This is the shape
+    // a production curation pipeline runs per ingest tick: the corpus
+    // index is built once and persisted (here rebuilt per run — the
+    // q91/q97 persistence discipline applies unchanged), and per tick
+    // the work is O(batch × collision rate), never corpus × corpus.
+    // Recall contract: at the J ≥ 0.6 admission threshold, 32 bands × 2
+    // rows collide with P ≥ 1 − (1 − 0.6²)³² ≈ 1 − 6·10⁻⁷ — the oracle
+    // states EXACT all-pairs containment and the gate hash-compares, so
+    // a recall miss is a loud failure, not silent data loss.
+    QueryDef(
+      "q107_incremental_neardup_ingest",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val d = docs(s, dir).select("doc_id", "text")
+        // ingest batch: every 9th doc re-arrives with its last word
+        // dropped (a true near-dup of its origin); every 9th+1 doc is
+        // genuinely novel text (no shingle overlap with the corpus)
+        val batch = d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            regexp_replace(col("text"), " \\S+$", "").as("text"))
+          .unionByName(d.filter(col("doc_id") % 9 === 1)
+            .select((col("doc_id") + 600000).as("doc_id"),
+              concat(lit("novel content batch item "),
+                col("doc_id").cast("string")).as("text")))
+        def shingled(df: DataFrame): DataFrame = df
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("s", expr(shinglesExpr))
+          .filter(size(col("s")) > 0)
+          .select("doc_id", "s")
+        val csh = TrackedCaches.track(shingled(d).persist(MEMORY_AND_DISK))
+        val bsh = TrackedCaches.track(shingled(batch).persist(MEMORY_AND_DISK))
+        val cand = bandBuckets(bsh)
+          .select(col("doc_id").as("batch_id"), col("band"), col("bh"))
+          .join(bandBuckets(csh)
+            .select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+            Seq("band", "bh"))
+          .select("batch_id", "corpus_id").distinct()
+        val dups = cand
+          .join(bsh.select(col("doc_id").as("batch_id"), col("s").as("sb")), "batch_id")
+          .join(csh.select(col("doc_id").as("corpus_id"), col("s").as("sc")), "corpus_id")
+          .filter(size(array_intersect(col("sb"), col("sc"))) * 5
+            >= size(array_union(col("sb"), col("sc"))) * 3)
+          .select("batch_id").distinct()
+          .withColumn("dup", lit(true))
+        batch.join(dups, col("doc_id") === col("batch_id"), "left")
+          .withColumn("reason",
+            when(col("dup"), "near_dup").otherwise("admitted"))
+          .groupBy("reason")
+          .agg(count(lit(1)).as("n"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("reason")
+      },
+      // the oracle states the admission contract EXACTLY (all-pairs
+      // Jaccard vs the corpus) — banding is the engine's candidate
+      // mechanism and must be answer-invisible
+      Some("""
+        WITH batch AS (
+          SELECT doc_id + 500000 AS doc_id,
+                 regexp_replace(text, ' \S+$', '') AS text
+          FROM documents WHERE doc_id % 9 = 0
+          UNION ALL
+          SELECT doc_id + 600000,
+                 'novel content batch item ' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 9 = 1),
+        bsh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+                FROM (SELECT doc_id, string_split(text, ' ') w FROM batch) t
+                WHERE len(w) >= 3),
+        csh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+                FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) t
+                WHERE len(w) >= 3),
+        dup AS (
+          SELECT DISTINCT b.doc_id
+          FROM bsh b JOIN csh c
+            ON 5 * len(list_intersect(b.s, c.s))
+               >= 3 * len(list_distinct(list_concat(b.s, c.s))))
+        SELECT CASE WHEN dup.doc_id IS NOT NULL
+                    THEN 'near_dup' ELSE 'admitted' END AS reason,
+               COUNT(*) AS n,
+               MIN(batch.doc_id) AS min_id,
+               MAX(batch.doc_id) AS max_id
+        FROM batch LEFT JOIN dup ON batch.doc_id = dup.doc_id
+        GROUP BY reason
+        ORDER BY reason"""))
   )
 }

@@ -408,6 +408,26 @@ class ScaleSpec extends AnyFunSuite {
       s"projection must not fall back to interpreted HOFs:\n$plan")
   }
 
+  test("q107 probes the band index by equi-join — never all-pairs") {
+    val df = SparkEntry.queries("q107_incremental_neardup_ingest")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"batch-vs-corpus candidates must come from the (band, bh) " +
+          s"equi-join, not an all-pairs product:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q108 funnel plans exactly one user exchange for all three stages") {
+    val plan = SparkEntry.queries("q108_funnel_analysis")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the chained-window formulation shares one hash partitioning; a
+    // staged aggregate-and-join formulation planned SIX user shuffles
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(n == 1, s"expected one user_id exchange, found $n:\n$plan")
+  }
+
   test("q106 power iterations reuse the cached edge list") {
     val df = SparkEntry.queries("q106_nation_pagerank")(spark, dir)
     try {
