@@ -273,5 +273,80 @@ object Profiling {
         FROM e JOIN b USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q110
+    // Per-label embedding centroid drift: the model-monitoring twin of
+    // q87's composition drift — a reference snapshot (even vec_ids) and
+    // a current snapshot (odd vec_ids) each collapse to per-label
+    // centroids, and the report is each label's squared L2 centroid
+    // shift plus both population counts. An embedding distribution that
+    // moves between snapshots invalidates downstream ANN indexes and
+    // classifier calibration; this is the alarm.
+    // Determinism: centroids are exact-decimal means cast to double
+    // (the q29/q64 Lloyd discipline — order-independent, so distributed
+    // partials are safe); the drift fold runs over LABEL-cardinality
+    // rows only (bounded at every SF), where the interpreted
+    // aggregate(zip_with) lambda is metadata-sized, matching DuckDB's
+    // in-order list_sum fold bit-for-bit.
+    // Scale: two narrow passes + (label, dim) partial aggregates —
+    // the shuffle carries one decimal per (label, dim, partition);
+    // nothing broadcasts, no window, and the join is label-keyed over
+    // bounded cardinality.
+    QueryDef(
+      "q110_centroid_drift",
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"))
+        def centroids(df: org.apache.spark.sql.DataFrame, suffix: String) = df
+          .select(col("label"), posexplode(col("e")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          // bround first: Spark's double→decimal cast is HALF_UP, DuckDB's
+          // HALF_EVEN, and float32-sourced values hit exact ties (the
+          // Similarity.lloyd comment has the full story)
+          .agg((sum(bround(col("v"), 12).cast("decimal(27,12)")).cast("double")
+            / count(lit(1))).as("m"), count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+            .as(s"ce_$suffix"), max("n").as(s"n_$suffix"))
+        val ref = centroids(base.filter(col("vec_id") % 2 === 0), "ref")
+        val cur = centroids(base.filter(col("vec_id") % 2 === 1), "cur")
+        ref.join(cur, "label")
+          .select(col("label"), col("n_ref"), col("n_cur"),
+            expr("""aggregate(zip_with(ce_ref, ce_cur, (x, y) -> (x - y) * (x - y)),
+                      0d, (acc, v) -> acc + v)""").as("drift_sq"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+          FROM embeddings),
+        mref AS (
+          SELECT label, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m,
+                 COUNT(*) AS n
+          FROM (SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS dim
+                FROM base WHERE vec_id % 2 = 0) z
+          GROUP BY label, dim),
+        cref AS (SELECT label, list(m ORDER BY dim) AS ce, MAX(n) AS n
+                 FROM mref GROUP BY label),
+        mcur AS (
+          SELECT label, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m,
+                 COUNT(*) AS n
+          FROM (SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS dim
+                FROM base WHERE vec_id % 2 = 1) z
+          GROUP BY label, dim),
+        ccur AS (SELECT label, list(m ORDER BY dim) AS ce, MAX(n) AS n
+                 FROM mcur GROUP BY label)
+        SELECT r.label,
+               CAST(r.n AS BIGINT) AS n_ref,
+               CAST(c.n AS BIGINT) AS n_cur,
+               list_sum(list_transform(list_zip(r.ce, c.ce),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS drift_sq
+        FROM cref r JOIN ccur c ON r.label = c.label
+        ORDER BY r.label"""))
   )
 }

@@ -76,7 +76,15 @@ object Similarity {
     assigned
       .select(col("bucket"), posexplode(col("e")).as(Seq("dim", "v")))
       .groupBy(col("bucket"), col("dim"))
-      .agg((sum(col("v").cast("decimal(27,12)")).cast("double") / count(lit(1))).as("m"))
+      // bround (HALF_EVEN) BEFORE the decimal cast: Spark's double→decimal
+      // cast rounds HALF_UP while DuckDB's rounds HALF_EVEN, and
+      // float32-sourced values land on exact 12-digit ties (e.g.
+      // 0.1983642578125 = 1625/2^13) often enough to bite — q110 caught
+      // it live. bround pre-resolves the tie the way the oracle does;
+      // the follow-up cast is then tie-free (the rounded double is
+      // ~1e-17 from its decimal, never halfway).
+      .agg((sum(bround(col("v"), 12).cast("decimal(27,12)")).cast("double")
+        / count(lit(1))).as("m"))
       .groupBy(col("bucket").as("cent_id"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("ce"))
   }
