@@ -33,6 +33,14 @@ final case class SessionOut(
   * closed sessions are emitted immediately, so state is O(1) per active user
   * and evicted by event-time timeout once the watermark passes the gap. */
 final case class OpenSession(sid: Long, n: Long, start_us: Long, last_us: Long)
+/** s17's typed event row (needs event_type; `ts_t` carries the watermark
+  * tag, as in [[Ev]]). */
+final case class FunnelEv(user_id: Long, ts_us: Long, event_type: String,
+    ts_t: java.sql.Timestamp)
+/** s17's per-user funnel progress: stage timestamps, -1 = not reached.
+  * O(1) per user — the state machine never holds events. */
+final case class FunnelState(t1: Long, t2: Long, t3: Long)
+final case class FunnelOut(user_id: Long, final_stage: String)
 
 object StreamingQueries {
 
@@ -266,6 +274,66 @@ object StreamingQueries {
               state.setTimeoutTimestamp(cur.last_us / 1000L + gapUs / 1000L)
             }
             out.result().iterator
+          }
+      }
+  }
+
+  /** s17's stateful funnel walker (streaming twin of q108, same oracle
+    * semantics): per user, t1 = first view, t2 = first click after t1,
+    * t3 = first purchase after t2, classified against the t1 + 1h
+    * window at emission. The state is O(1) per user (three longs — no
+    * event history), refined GREEDILY, which is exact only because
+    * events arrive per-user in event-time order (the time-ranged parts
+    * staging guarantees ascending ranges across batches; each batch's
+    * group iterator is sorted here). Ties are handled identically to
+    * the batch SQL: a next-stage event at exactly the prior stage's
+    * timestamp is excluded (strict >).
+    * Emission happens ONLY by event-time timeout at t1 + 1h — before
+    * the watermark passes that point a purchase could still arrive and
+    * upgrade the classification; after it, nothing can change it. The
+    * timeout clamps to watermark + 1 ms when the hour already elapsed
+    * inside the arriving batch (a timeout at-or-behind the watermark is
+    * rejected by Spark; the classification is already final, so the
+    * one-batch delay is harmless). The far-future sentinel flushes
+    * every pending user at drain end. */
+  def funnel(evs: Dataset[FunnelEv]): Dataset[FunnelOut] = {
+    import evs.sparkSession.implicits._
+    val hourUs = 3600000000L
+    evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          def classify(st: FunnelState): String =
+            if (st.t2 >= 0 && st.t2 <= st.t1 + hourUs
+              && st.t3 >= 0 && st.t3 <= st.t1 + hourUs) "purchase"
+            else if (st.t2 >= 0 && st.t2 <= st.t1 + hourUs) "click"
+            else "view"
+          if (uid < 0) Iterator.empty // flush sentinel (see sentinelRow)
+          else if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(FunnelOut(uid, classify(st)))
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_type))
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            for (e <- sorted) {
+              if (st.t1 < 0) {
+                if (e.event_type == "view") st = FunnelState(e.ts_us, -1L, -1L)
+              } else if (st.t2 < 0) {
+                if (e.event_type == "click" && e.ts_us > st.t1)
+                  st = st.copy(t2 = e.ts_us)
+              } else if (st.t3 < 0) {
+                if (e.event_type == "purchase" && e.ts_us > st.t2)
+                  st = st.copy(t3 = e.ts_us)
+              }
+            }
+            if (st.t1 >= 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.t1 / 1000L + 3600001L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            Iterator.empty
           }
       }
   }
@@ -953,5 +1021,59 @@ object StreamingQueries {
         WHERE 4 * (xc - mean_c) * (xc - mean_c) > 9 * var_c
         GROUP BY event_type
         ORDER BY event_type"""))
+  ,
+
+    // ---------------------------------------------------------------- s17
+    // Streaming funnel — q108's sequence semantics as a LIVE per-user
+    // state machine ([[funnel]]): three longs of state per user, refined
+    // greedily over the time-ordered multi-batch stream, classified and
+    // EMITTED by event-time timeout once the watermark proves the 1-hour
+    // conversion window closed. This is the streaming shape sessionize
+    // (s02/s12) cannot cover: stage progression depends on ORDER ACROSS
+    // types, not gaps — and it must match the batch SQL row for row,
+    // which is the whole correctness claim.
+    // Scale: state is O(users), three longs each, evicted at timeout;
+    // the stream shuffles once on user_id into the state operator.
+    QueryDef(
+      "s17_stream_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .select(col("user_id"), col("ts_us"), col("event_type"), col("ts_t"))
+          .as[FunnelEv]
+        drain(s, OutputMode.Append())(funnel(evs).toDF())
+          .groupBy("final_stage")
+          .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_checksum"))
+          .orderBy("final_stage")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+          FROM events),
+        v AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT ev.user_id, v.t1, MIN(ts_us) AS t2
+              FROM ev JOIN v ON ev.user_id = v.user_id
+              WHERE event_type = 'click' AND ts_us > v.t1
+              GROUP BY ev.user_id, v.t1),
+        p AS (SELECT ev.user_id, c.t1, c.t2, MIN(ts_us) AS t3
+              FROM ev JOIN c ON ev.user_id = c.user_id
+              WHERE event_type = 'purchase' AND ts_us > c.t2
+              GROUP BY ev.user_id, c.t1, c.t2),
+        cls AS (
+          SELECT v.user_id,
+                 CASE WHEN c.t2 <= v.t1 + 3600000000
+                       AND p.t3 <= v.t1 + 3600000000 THEN 'purchase'
+                      WHEN c.t2 <= v.t1 + 3600000000 THEN 'click'
+                      ELSE 'view' END AS final_stage
+          FROM v
+          LEFT JOIN c ON v.user_id = c.user_id
+          LEFT JOIN p ON v.user_id = p.user_id)
+        SELECT final_stage, COUNT(*) AS n_users,
+               CAST(SUM(user_id) AS BIGINT) AS user_checksum
+        FROM cls
+        GROUP BY final_stage
+        ORDER BY final_stage"""))
   )
 }

@@ -259,7 +259,7 @@ class ScaleSpec extends AnyFunSuite {
       s"prefix cap must be a partial window group limit:\n$plan")
   }
 
-  test("10x corpus probe: q26/q41/q50 grow sub-quadratically, never broadcast the corpus",
+  test("10x corpus probe: the near-dup family grows sub-quadratically, never broadcasts the corpus",
       ScaleSpec.SlowProbe) {
     // The only way to catch a scale cliff the sf0.1 bench can't see
     // (VERDICT r5 #4): synthesize 1x and 10x corpora from sf0.01
@@ -295,7 +295,9 @@ class ScaleSpec extends AnyFunSuite {
     val d1 = synth(1)
     val d10 = synth(10)
     val report = new StringBuilder
-    for (q <- Seq("q26_minhash_neardup", "q41_prefix_filter_jaccard_join", "q50_dup_clusters")) {
+    for (q <- Seq("q26_minhash_neardup", "q41_prefix_filter_jaccard_join",
+        "q50_dup_clusters", "q103_corpus_ngram_dedup",
+        "q107_incremental_neardup_ingest")) {
       run(d1, q) // warm codegen + parquet footers, untimed
       val (t1, _) = run(d1, q)
       val (t10, plan10) = run(d10, q)

@@ -360,6 +360,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"not only at the final flush; emitting batches = $emitting")
   }
 
+  test("s17 funnel classifies by event-time timeout, state evicted live") {
+    import spark.implicits._
+    val land = base.resolve("funnel-land"); Files.createDirectories(land)
+    val h = 3600L * 1000000L
+    def write(name: String, rows: Seq[(Long, Long, String)], mtime: Long): Unit = {
+      val p = land.resolve(name)
+      Files.write(p, rows.map { case (u, us, t) =>
+        s"""{"user_id":$u,"ts_us":$us,"event_type":"$t"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // b1: user 1 views then clicks (within the hour), then goes quiet;
+    // b2: user 2, 3h later — the watermark passes user 1's t1 + 1h, so
+    // user 1 must classify 'click' via hasTimedOut MID-STREAM (no
+    // sentinel exists here) and the state slot must be freed. User 2's
+    // funnel is still open and held.
+    write("b1.jsonl", Seq((1L, 10 * h, "view"), (1L, 10 * h + 600000000L, "click")),
+      1000000L)
+    write("b2.jsonl", Seq((2L, 13 * h, "view")), 2000000L)
+    val evs = spark.readStream
+      .schema("user_id BIGINT, ts_us BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(land.toString)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "0 seconds")
+      .select(col("user_id"), col("ts_us"), col("event_type"), col("ts_t"))
+      .as[FunnelEv]
+    val q = StreamingQueries.funnel(evs).toDF()
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("funnel_evict")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "click")),
+      s"expected user 1 classified 'click' by timeout, got: $rows")
+    val lastState = q.recentProgress.flatMap(_.stateOperators).lastOption
+    assert(lastState.exists(_.numRowsTotal == 1L),
+      s"only user 2's open funnel may remain: ${lastState.map(_.numRowsTotal)}")
+  }
+
   test("s16 streaming anomaly flags equal the batch z-score twin") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.SparkEntry.queries("s16_stream_zscore_anomaly")(spark, dir)
