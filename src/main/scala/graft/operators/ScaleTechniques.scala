@@ -397,5 +397,56 @@ object ScaleTechniques {
           AND vc <= mnV + (mxV - mnV) * 5 // 8
         GROUP BY event_type
         ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q111
+    // Mergeable-sketch rollup — the pre-aggregation discipline that makes
+    // distinct counts affordable at 100 TB: per (event_type, day) HLL
+    // sketches (DataSketches hll_sketch_agg) are built ONCE and PERSISTED
+    // to parquet (binary column), and every later rollup — here per-type
+    // totals across all days — is hll_union_agg over the stored sketches,
+    // never a re-scan of raw events. This is what q46's one-shot
+    // approx_count_distinct cannot do: its HLL dies with the query, while
+    // a stored sketch answers "distinct users this month/quarter/year"
+    // from kilobytes per day. Merge is associative, so daily builds
+    // partial-aggregate map-side and the union moves sketch bytes only.
+    // Oracle: sketch VALUES are engine-specific, so the gate checks the
+    // exact distinct plus the q46-style accuracy contract (lgK=14 keeps
+    // the relative error well inside 5% at every SF).
+    QueryDef(
+      "q111_sketch_rollup",
+      (s, dir) => {
+        val staged = Staging.ensure("hll_daily", dir, s"$dir/events.parquet") { out =>
+          Tables.events(s, dir)
+            .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+              col("user_id"))
+            .groupBy("event_type", "day")
+            .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+              count(lit(1)).as("n_events"))
+            .write.mode("overwrite").parquet(out.resolve("daily").toString)
+          ""
+        }
+        val rolled = s.read.parquet(staged.resolve("daily").toString)
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_approx"),
+            count(lit(1)).as("n_days"))
+        val exact = Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        rolled.join(exact, "event_type")
+          .select(col("event_type"), col("n_days"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact"))
+              <= greatest(lit(2.0), col("n_exact") * 0.05)).as("within_bound"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               COUNT(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                 AS n_days,
+               COUNT(DISTINCT user_id) AS n_exact,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
