@@ -489,11 +489,15 @@ object Dedup {
       "q103_corpus_ngram_dedup",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        val grams = docs(s, dir)
+        // persisted: the gram stream feeds the frequency aggregate AND
+        // the score join — without reuse the kernel re-slices every
+        // document (the q26 shingle discipline)
+        val grams = TrackedCaches.track(docs(s, dir)
           .select(col("doc_id"),
             explode(array_distinct(
               call_function("graft_word_ngrams", col("text"), lit(8)))).as("g"))
           .select(col("doc_id"), sha2(col("g"), 256).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
         grams.join(dfreq, "h")
           .groupBy("doc_id")
