@@ -379,5 +379,69 @@ object Cdc {
         FROM (SELECT * FROM orphans UNION ALL SELECT * FROM dups
               UNION ALL SELECT * FROM nulls)
         ORDER BY check_name"""))
+  ,
+
+    // --------------------------------------------------------------- q113
+    // SCD2 temporal dimension join — the "attribute as of fact time"
+    // question q60's SCD1 upsert (which overwrites history) cannot
+    // answer. A two-version customer dimension is synthesized
+    // deterministically: every 3rd customer changes market segment on
+    // 1998-01-01 (version rows carry [valid_from, valid_to) ranges),
+    // and each order joins the version VALID AT ITS ORDER DATE. With
+    // non-overlapping version ranges the as-of pick needs no window:
+    // the custkey equi-join carries the range predicate and matches
+    // exactly one version per order — at 100 TB that is one keyed
+    // shuffle with the interval filter applied join-side, the cheapest
+    // correct shape (q24's window-based as-of is for the unbounded-
+    // versions case).
+    // Revenue per as-of segment is the report a mis-joined dimension
+    // silently corrupts; sums are exact decimals.
+    QueryDef(
+      "q113_scd2_asof_join",
+      (s, dir) => {
+        val split = "TIMESTAMP '1998-01-01 00:00:00'"
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val v1 = cust.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          expr("TIMESTAMP '1900-01-01 00:00:00'").as("valid_from"),
+          expr(s"""CASE WHEN c_custkey % 3 = 0 THEN $split
+                        ELSE TIMESTAMP '9999-01-01 00:00:00' END""").as("valid_to"))
+        val v2 = cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            concat(lit("V2-"), col("c_mktsegment")).as("segment"),
+            expr(s"$split").as("valid_from"),
+            expr("TIMESTAMP '9999-01-01 00:00:00'").as("valid_to"))
+        val dim = v1.unionByName(v2)
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("od"),
+            col("o_totalprice"))
+          .join(dim, col("o_custkey") === col("c_custkey")
+            && col("od") >= col("valid_from") && col("od") < col("valid_to"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("segment")
+      },
+      Some("""
+        WITH dim AS (
+          SELECT c_custkey, c_mktsegment AS segment,
+                 TIMESTAMP '1900-01-01' AS valid_from,
+                 CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1998-01-01'
+                      ELSE TIMESTAMP '9999-01-01' END AS valid_to
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, 'V2-' || c_mktsegment,
+                 TIMESTAMP '1998-01-01', TIMESTAMP '9999-01-01'
+          FROM customer WHERE c_custkey % 3 = 0)
+        SELECT segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        JOIN dim ON o_custkey = c_custkey
+          AND CAST(o_orderdate AS TIMESTAMP) >= valid_from
+          AND CAST(o_orderdate AS TIMESTAMP) < valid_to
+        GROUP BY segment
+        ORDER BY segment"""))
   )
 }

@@ -367,5 +367,56 @@ object Sources {
         FROM part
         GROUP BY p_brand
         ORDER BY p_brand"""))
+  ,
+
+    // --------------------------------------------------------------- q112
+    // Semi-structured processing through Spark 4's VARIANT type: nested
+    // JSON (synthesized deterministically from event columns — the
+    // fixture's own props are flat) is parsed ONCE into variant's
+    // binary encoding, then typed paths are extracted with
+    // variant_get — nested object hop AND array index. This is the
+    // Spark-4-native path for schema-flexible columns: parse once,
+    // extract many, no per-access string re-parse and no rigid
+    // from_json schema that breaks when producers add fields.
+    // Scale: one narrow projection (parse + extracts live in the same
+    // codegen stage), then a map-side-combined keyed aggregate — the
+    // JSON string itself never shuffles.
+    QueryDef(
+      "q112_variant_extract",
+      (s, dir) => {
+        val cents = "cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        Tables(s, dir, "events")
+          .withColumn("j", expr(
+            s"""concat('{"e":{"t":"', event_type, '","v":', $cents,
+                       '},"tags":[', user_id % 5, ',', user_id % 7, ']}')"""))
+          .withColumn("v", expr("parse_json(j)"))
+          .select(
+            expr("variant_get(v, '$.e.t', 'string')").as("etype"),
+            expr("variant_get(v, '$.e.v', 'bigint')").as("cents"),
+            expr("variant_get(v, '$.tags[0]', 'bigint')").as("tag0"))
+          .groupBy("etype")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            sum("tag0").as("sum_tag0"))
+          .orderBy("etype")
+      },
+      // the oracle builds the IDENTICAL JSON and extracts with DuckDB's
+      // json functions — both engines must agree through a real parse
+      Some("""
+        WITH j AS (
+          SELECT '{"e":{"t":"' || event_type || '","v":' ||
+                 CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      AS VARCHAR) ||
+                 '},"tags":[' || CAST(user_id % 5 AS VARCHAR) || ',' ||
+                 CAST(user_id % 7 AS VARCHAR) || ']}' AS doc
+          FROM events)
+        SELECT json_extract_string(doc, '$.e.t') AS etype,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(doc, '$.e.v') AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(SUM(CAST(json_extract(doc, '$.tags[0]') AS BIGINT)) AS BIGINT)
+                 AS sum_tag0
+        FROM j
+        GROUP BY etype
+        ORDER BY etype"""))
   )
 }
