@@ -626,5 +626,59 @@ object Dedup {
         FROM batch LEFT JOIN dup ON batch.doc_id = dup.doc_id
         GROUP BY reason
         ORDER BY reason"""))
+  ,
+
+    // --------------------------------------------------------------- q114
+    // Survivorship merge (MDM-style entity consolidation): q96 keeps
+    // each cluster's min-id member — the POLICY a curation run wants is
+    // usually richer: per duplicate cluster, elect the survivor by
+    // field quality (here: longest text, smallest id as tie-break) and
+    // carry merged lineage (member count, earliest id, total bytes).
+    // Built on the same verified pair stream → connected components as
+    // q50/q96; the merge itself is ONE keyed aggregate over cluster
+    // labels (max_by election — no window, no second shuffle), so the
+    // policy step costs O(cluster members) however big the corpus.
+    QueryDef(
+      "q114_survivorship_merge",
+      (s, dir) => {
+        val members = nearCorpus(s, dir)
+          .withColumn("len", length(col("text")).cast("long"))
+          .select("doc_id", "len")
+          .join(connectedComponents(minhashPairs(s, dir).select("id_a", "id_b")),
+            col("doc_id") === col("node"))
+        members.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max_by(col("doc_id"), struct(col("len"), -col("doc_id"))).as("survivor_id"),
+            max("len").as("survivor_len"),
+            min("doc_id").as("first_id"),
+            sum("len").as("total_bytes"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $duckPairsCtes,
+        edges AS (SELECT id_a u, id_b v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) n
+          UNION
+          SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.u = e.v),
+        labels AS (SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u),
+        members AS (
+          SELECT l.cluster_id, c.doc_id, length(c.text) AS len
+          FROM labels l JOIN corpus c ON c.doc_id = l.node),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY len DESC, doc_id) AS rk
+          FROM members)
+        SELECT cluster_id,
+               COUNT(*) AS n_members,
+               CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+                 AS survivor_id,
+               CAST(MAX(len) AS BIGINT) AS survivor_len,
+               CAST(MIN(doc_id) AS BIGINT) AS first_id,
+               CAST(SUM(len) AS BIGINT) AS total_bytes
+        FROM ranked
+        GROUP BY cluster_id
+        ORDER BY cluster_id"""))
   )
 }
