@@ -130,5 +130,84 @@ object EventAnalytics {
         FROM activity a JOIN cohort c ON a.user_id = c.user_id
         GROUP BY c.cohort_day, offset_days
         ORDER BY cohort_day, offset_days"""))
+  ,
+
+    // --------------------------------------------------------------- q115
+    // Co-occurrence mining ("frequently bought together"): part pairs
+    // appearing in the same order, counted across all orders, top-20 by
+    // support. The pair generator is a SELF-JOIN ON THE ORDER KEY with
+    // p_a < p_b — fan-out is quadratic per order but orders hold ≤7
+    // line items at every SF (TPC-H invariant), so the explosion is a
+    // bounded constant per key, never corpus²: the q26 bucket-join
+    // argument, with the order as the bucket. Distinct parts per order
+    // first (array_distinct semantics via the DISTINCT projection), so
+    // a part twice in one order doesn't inflate support. Top-k lands in
+    // TakeOrderedAndProject (partial per partition, k rows to the
+    // driver-side merge).
+    QueryDef(
+      "q115_part_pair_support",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = items.as("a"); val b = items.as("b")
+        a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("p_a"), col("b.pk").as("p_b"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("p_a"), col("p_b"))
+          .limit(20)
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        SELECT a.pk AS p_a, b.pk AS p_b, COUNT(*) AS support
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY p_a, p_b
+        ORDER BY support DESC, p_a, p_b
+        LIMIT 20""")),
+
+    // --------------------------------------------------------------- q116
+    // Event-transition matrix (first-order Markov counts): for each
+    // user's time-ordered event sequence, count (event_type → next
+    // event_type) transitions plus per-source totals and an integer
+    // per-mille transition share — the sequence-mining signal behind
+    // "what do users do after an error?". One lead() window over the
+    // user exchange (the q108 partitioning), then a map-side-combined
+    // pair aggregate; transition cardinality is types² = bounded.
+    QueryDef(
+      "q116_event_transitions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+        pairs.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("from_total",
+            sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+          .withColumn("share_permille", expr("n * 1000 div from_total"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 event_id, event_type
+          FROM events),
+        p AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS to_type
+          FROM e),
+        t AS (SELECT from_type, to_type, COUNT(*) AS n
+              FROM p WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type)
+        SELECT from_type, to_type, n,
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+               n * 1000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                 AS share_permille
+        FROM t
+        ORDER BY from_type, to_type"""))
   )
 }
