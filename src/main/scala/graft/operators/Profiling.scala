@@ -348,5 +348,144 @@ object Profiling {
                  x -> (x[1] - x[2]) * (x[1] - x[2]))) AS drift_sq
         FROM cref r JOIN ccur c ON r.label = c.label
         ORDER BY r.label"""))
+  ,
+
+    // --------------------------------------------------------------- q117
+    // MAD robust outliers — the third leg of the robust-stats tier
+    // (q101 winsorizes on exact percentiles, s16 z-scores on mean/
+    // variance): median absolute deviation is immune to the very
+    // outliers it hunts, which mean/variance are not. Both medians
+    // (value, then absolute deviation) are EXACT lower-median order
+    // statistics via q101's rank trick; the flag is |x − med| > 5·MAD
+    // in pure integer cents (the 1.4826 normal-consistency constant is
+    // a float, so the threshold is stated directly in MAD units).
+    // Scale: both rank windows and the final aggregate share ONE
+    // event_type hash partitioning — Catalyst plans a single exchange,
+    // the second window just re-sorts in place.
+    QueryDef(
+      "q117_mad_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+        val tw = Window.partitionBy("event_type")
+        // exact lower median = the rank-(n+1)/2 order statistic
+        def lowerMedian(valueCol: String) =
+          min(when(col("rn") === expr("(n + 1) div 2"), col(valueCol)))
+        val ranked = ev
+          .withColumn("rn", row_number().over(
+            tw.orderBy(col("vc"), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(tw))
+        val med = ranked.groupBy("event_type")
+          .agg(lowerMedian("vc").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("d", abs(col("vc") - col("med")))
+        val rankedDev = dev
+          .withColumn("rn", row_number().over(
+            tw.orderBy(col("d"), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(tw))
+        val mad = rankedDev.groupBy("event_type")
+          .agg(lowerMedian("d").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            max("med").as("median_cents"), max("mad").as("mad_cents"),
+            sum(when(col("d") > col("mad") * 5, 1L).otherwise(0L)).as("n_outliers"),
+            sum(when(col("d") > col("mad") * 5, col("event_id"))).as("outlier_checksum"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                           ORDER BY vc, event_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM e),
+        med AS (SELECT event_type,
+                       MIN(CASE WHEN rn = (n + 1) // 2 THEN vc END) AS med
+                FROM r1 GROUP BY event_type),
+        d AS (SELECT e.event_type, e.event_id, e.vc, ABS(e.vc - m.med) AS dd,
+                     m.med
+              FROM e JOIN med m USING (event_type)),
+        r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                           ORDER BY dd, event_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM d),
+        mad AS (SELECT event_type,
+                       MIN(CASE WHEN rn = (n + 1) // 2 THEN dd END) AS mad
+                FROM r2 GROUP BY event_type)
+        SELECT d.event_type,
+               COUNT(*) AS n_rows,
+               CAST(MAX(d.med) AS BIGINT) AS median_cents,
+               CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+               CAST(SUM(CASE WHEN d.dd > mad.mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               CAST(SUM(CASE WHEN d.dd > mad.mad * 5 THEN d.event_id END) AS BIGINT)
+                 AS outlier_checksum
+        FROM d JOIN mad USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type""")),
+
+    // --------------------------------------------------------------- q118
+    // LOCF forward fill (last observation carried forward) — q94 fills
+    // gaps with explicit ZEROS; a sensor/metric pipeline wants the last
+    // KNOWN value instead. The hourly spine left-join marks missing
+    // hours null, then one `last(value, ignoreNulls)` running window
+    // per type carries the prior reading forward; hours before the
+    // first reading stay null (there is nothing to carry — stated
+    // identically in both engines). Sums carried as integer cents so
+    // the filled series is hash-exact. One keyed window over the spine
+    // (bounded: types × hours), partial-aggregated hourly input.
+    QueryDef(
+      "q118_locf_fill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourUs = expr("(ts_us div 3600000000) * 3600000000")
+        val ev = Tables.events(s, dir)
+        val hourly = ev
+          .select(col("event_type"), hourUs.as("hour_us"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          .groupBy("event_type", "hour_us")
+          .agg(sum("vc").as("sum_cents"))
+        val bounds = ev.agg(min(hourUs).as("mn"), max(hourUs).as("mx"))
+        val spine = ev.select("event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(mn, mx, 3600000000)")).as("hour_us"))
+        val w = Window.partitionBy("event_type").orderBy("hour_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("event_type", "hour_us"), "left_outer")
+          .withColumn("observed", col("sum_cents").isNotNull)
+          .withColumn("filled_cents", last(col("sum_cents"), ignoreNulls = true).over(w))
+          .select("event_type", "hour_us", "observed", "filled_cents")
+          .orderBy("event_type", "hour_us")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000
+                   AS hour_us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        hourly AS (
+          SELECT event_type, hour_us, CAST(SUM(vc) AS BIGINT) AS sum_cents
+          FROM e GROUP BY event_type, hour_us),
+        b AS (SELECT MIN(hour_us) AS mn, MAX(hour_us) AS mx FROM e),
+        spine AS (
+          SELECT t.event_type, CAST(h.h AS BIGINT) AS hour_us
+          FROM (SELECT DISTINCT event_type FROM e) t
+          CROSS JOIN (SELECT UNNEST(range(
+            (SELECT mn FROM b), (SELECT mx FROM b) + 1, 3600000000)) AS h) h)
+        SELECT s.event_type, s.hour_us,
+               sum_cents IS NOT NULL AS observed,
+               last_value(sum_cents IGNORE NULLS) OVER (
+                 PARTITION BY s.event_type ORDER BY s.hour_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS filled_cents
+        FROM spine s LEFT JOIN hourly USING (event_type, hour_us)
+        ORDER BY event_type, hour_us"""))
   )
 }
