@@ -45,6 +45,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      // realistic small-file open cost — see GraftSession.builder
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -49,6 +49,13 @@ object GraftSession {
       // local[32] bench real scan parallelism; on a production cluster
       // with many files per table the default is the right setting.
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      // The default openCostInBytes (4 MB) bills every file 4 MB of
+      // phantom size, so a 5,000-tiny-file binaryFile scan (q38) plans
+      // ~2 files per partition — 2,500 near-empty tasks whose scheduling
+      // dwarfs the 20 MB of I/O (measured 5.4 s → 0.95 s). 64 KB bills
+      // small files realistically and leaves every parquet fixture file
+      // (all ≫ 64 KB) packed exactly as before.
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** Apply graft settings onto an externally-built session (for the
