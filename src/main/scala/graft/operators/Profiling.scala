@@ -487,5 +487,80 @@ object Profiling {
                  AS filled_cents
         FROM spine s LEFT JOIN hourly USING (event_type, hour_us)
         ORDER BY event_type, hour_us"""))
+  ,
+
+    // --------------------------------------------------------------- q119
+    // Spearman rank correlation, exactly — quantity vs extended price
+    // per return flag. Pearson needs sqrt (floats, parity risk);
+    // Spearman over ranks stays in INTEGERS end to end: ties take the
+    // average rank, carried doubled (min_rank + max_rank of the tie
+    // block, always an integer), the statistic is the d² shortcut
+    // 1 − 6·Σd²/(n(n²−1)) stated in parts-per-million with the 4×
+    // scaling of doubled ranks folded into the constant (1.5e6), and
+    // the product runs in decimal(38,0) (n³-sized — past int64 at
+    // sf ≥ 1). Defined METRIC: the d²-shortcut over average ranks
+    // (textbook tie correction would adjust the denominator; both
+    // engines state the identical formula, which is the contract).
+    // Scale: every window — both rank orders and both tie blocks
+    // (RANGE 0..0 peer frames) — rides ONE l_returnflag hash
+    // partitioning; no joins, one final aggregate.
+    QueryDef(
+      "q119_spearman_correlation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Window.partitionBy("grp")
+        def rank2(vCol: String, rnCol: String): org.apache.spark.sql.Column = {
+          val tie = g.orderBy(col(vCol)).rangeBetween(0, 0)
+          min(col(rnCol)).over(tie) + max(col(rnCol)).over(tie)
+        }
+        val ranked = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+            expr("cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").as("xc"),
+            expr("cast(cast(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("yc"))
+          .withColumn("rnx", row_number().over(g.orderBy("xc", "k1", "k2")).cast("long"))
+          .withColumn("rny", row_number().over(g.orderBy("yc", "k1", "k2")).cast("long"))
+          .withColumn("r2x", rank2("xc", "rnx"))
+          .withColumn("r2y", rank2("yc", "rny"))
+        ranked.groupBy("grp")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("(r2x - r2y) * (r2x - r2y)")).as("d2sum"))
+          .select(col("grp"), col("n"),
+            expr("""cast(1000000 - (CAST(d2sum AS DECIMAL(38,0)) * 1500000)
+                         div (n * (n * n - 1)) AS BIGINT)""").as("rho_ppm"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH e AS (
+          SELECT l_returnflag AS grp, l_orderkey AS k1, l_linenumber AS k2,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+          FROM lineitem),
+        r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY grp ORDER BY xc, k1, k2) AS rnx,
+            row_number() OVER (PARTITION BY grp ORDER BY yc, k1, k2) AS rny
+          FROM e),
+        r2 AS (
+          SELECT grp,
+            MIN(rnx) OVER wx + MAX(rnx) OVER wx AS r2x,
+            MIN(rny) OVER wy + MAX(rny) OVER wy AS r2y
+          FROM r
+          WINDOW wx AS (PARTITION BY grp ORDER BY xc
+                        RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING),
+                 wy AS (PARTITION BY grp ORDER BY yc
+                        RANGE BETWEEN 0 PRECEDING AND 0 FOLLOWING))
+        SELECT grp, COUNT(*) AS n,
+               -- HUGEINT, not DECIMAL: DuckDB's decimal // rounds the
+               -- quotient at the result scale before flooring (observed
+               -- +1 at sf0.01); int128 division is exact like Spark's
+               -- decimal divideToIntegralValue
+               CAST(1000000 - (CAST(SUM((r2x - r2y) * (r2x - r2y))
+                                    AS HUGEINT) * 1500000)
+                    // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT)
+                 AS rho_ppm
+        FROM r2
+        GROUP BY grp
+        ORDER BY grp"""))
   )
 }

@@ -102,6 +102,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: graft_sign_project matches the LCG-sign fold reference") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def reference(e: Seq[Double], i: Int): Double = {
+      var acc = 0.0
+      for (j <- e.indices) {
+        val h = (1103515245L * (i.toLong * 1009L + j) + 12345L) / 1024L
+        acc += (if ((h & 1L) == 0L) e(j) else -e(j))
+      }
+      acc
+    }
+    val vecGen = Gen.listOf(Gen.chooseNum(-10.0, 10.0))
+    val xs = samples(vecGen, 40, 7000L)
+    val rows = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("id", "e")
+      .select(col("id"), col("e"),
+        call_function("graft_sign_project", col("e"), lit(3)).as("p3"))
+      .collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Double](1)
+      val exp = reference(e, 3)
+      assert(java.lang.Double.doubleToLongBits(exp)
+        == java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: $exp != ${r.getDouble(2)}")
+    }
+  }
+
   test("property: Cdc.upsert is idempotent (re-applying a source is a no-op)") {
     import spark.implicits._
     val kvGen = Gen.listOf(Gen.zip(Gen.choose(0L, 20L), Gen.alphaStr.map(_.take(6))))
