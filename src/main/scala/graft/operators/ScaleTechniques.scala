@@ -448,5 +448,117 @@ object ScaleTechniques {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q120
+    // AQE skew-join — the RUNTIME half of skew handling (q44 salts at
+    // plan time; AQE re-plans at run time from actual shuffle sizes,
+    // which is what saves the day when the hot key isn't known in
+    // advance). A deliberately skewed fact (half of all rows on key 0)
+    // sort-merge-joins a uniform dimension; AQE detects the oversized
+    // partition and splits it across tasks (plan-asserted: the executed
+    // join carries skew=true).
+    // Conf scoping: skew thresholds are tuned WAY down so the
+    // demonstration triggers at fixture scale — on a SIBLING session
+    // (s.newSession()), which shares the SparkContext but owns its
+    // SQLConf, so the tuning never leaks into other queries' plans.
+    // Broadcast is disabled to force the SMJ (a dimension this small
+    // would broadcast and dissolve the skew for free — ALSO a valid
+    // production answer; the point here is the path for when the dim
+    // side is too big to broadcast).
+    QueryDef(
+      "q120_aqe_skew_join",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.adaptive.enabled", "true")
+        s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // force past the cost check and keep split partitions visible
+        // (coalescing would re-merge them at fixture scale)
+        s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "8KB")
+        s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val fact = graft.Tables(s2, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("CASE WHEN event_id % 10 < 9 THEN CAST(0 AS BIGINT) " +
+              "ELSE event_id % 100 END").as("k"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          // several mappers must feed the join shuffle: AQE splits a
+          // skewed reduce partition along MAPPER ranges, so a
+          // single-split parquet scan is physically unsplittable
+          .repartition(8)
+        val dim = s2.range(0, 100)
+          .select(col("id").as("k"), expr("id * 7 % 13").as("wt"))
+        fact.join(dim, "k")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("vc * wt")).as("weighted_cents"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH f AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 10 < 9 THEN 0
+                      ELSE event_id % 100 END AS k,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        dim AS (SELECT CAST(r.r AS BIGINT) AS k, (r.r * 7) % 13 AS wt
+                FROM (SELECT UNNEST(range(0, 100)) AS r) r)
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(vc * wt) AS BIGINT) AS weighted_cents
+        FROM f JOIN dim USING (k)
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q121
+    // Binned interval join — the equi-join acceleration for PURE range
+    // predicates (IP-range lookups, genomic intervals), where q23's
+    // equi+range shape doesn't apply because there is NO equality key:
+    // the naive theta join plans a nested-loop product (every fact row
+    // against every range). Instead each range explodes into the
+    // fixed-width bins it overlaps, facts compute their bin with one
+    // integer division, the join is an EQUI-join on bin, and an exact
+    // containment filter removes bin-boundary false candidates.
+    // Plan-asserted: no nested-loop/cartesian product survives. Ranges
+    // overlap, so a value can match multiple ranges — the bin fan-out
+    // is ceil(width/binW)+1 per range, a bounded constant, never
+    // |fact|×|ranges|.
+    QueryDef(
+      "q121_binned_range_join",
+      (s, dir) => {
+        val binW = 1000L
+        val ranges = s.range(0, 40)
+          .select(col("id").as("range_id"),
+            (col("id") * 1100 + 37).as("lo"), (col("id") * 1100 + 1537).as("hi"))
+        val binned = ranges.select(col("range_id"), col("lo"), col("hi"),
+          explode(expr(s"sequence(lo div $binW, (hi - 1) div $binW)")).as("bin"))
+        val fact = Tables(s, dir, "events")
+          .select(expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          .withColumn("bin", expr(s"vc div $binW"))
+        fact.join(binned, "bin")
+          .filter(col("vc") >= col("lo") && col("vc") < col("hi"))
+          .groupBy("range_id")
+          .agg(count(lit(1)).as("n_in_range"), sum("vc").as("sum_cents"))
+          .orderBy("range_id")
+      },
+      // the oracle states the CONTAINMENT contract directly as the
+      // theta join — binning must be answer-invisible
+      Some("""
+        WITH f AS (
+          SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        ranges AS (
+          SELECT CAST(r.r AS BIGINT) AS range_id,
+                 r.r * 1100 + 37 AS lo, r.r * 1100 + 1537 AS hi
+          FROM (SELECT UNNEST(range(0, 40)) AS r) r)
+        SELECT range_id, COUNT(*) AS n_in_range,
+               CAST(SUM(vc) AS BIGINT) AS sum_cents
+        FROM f JOIN ranges ON vc >= lo AND vc < hi
+        GROUP BY range_id
+        ORDER BY range_id"""))
   )
 }

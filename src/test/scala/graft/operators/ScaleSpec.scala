@@ -430,6 +430,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(n == 1, s"expected one user_id exchange, found $n:\n$plan")
   }
 
+  test("q120 AQE splits the skewed partition at runtime (skew=true in the executed join)") {
+    val df = SparkEntry.queries("q120_aqe_skew_join")(spark, dir)
+    df.collect() // AQE finalizes the plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE skew handling must have split the hot key-0 partition:\n$plan")
+  }
+
+  test("q121 binned range join stays an equi-join — no nested-loop product") {
+    val df = SparkEntry.queries("q121_binned_range_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"interval containment must join on the bin key, not all-pairs:\n$plan")
+  }
+
   test("q106 power iterations reuse the cached edge list") {
     val df = SparkEntry.queries("q106_nation_pagerank")(spark, dir)
     try {
