@@ -562,5 +562,103 @@ object Profiling {
         FROM r2
         GROUP BY grp
         ORDER BY grp"""))
+  ,
+
+    // --------------------------------------------------------------- q122
+    // Equi-DEPTH histogram — q70's equi-width twin and the statistic
+    // CBO engines actually store (equal-count buckets adapt to the
+    // distribution; equal-width buckets starve in the tails). Bucket
+    // assignment is pure integer rank arithmetic — (rn−1)·k div n —
+    // on q101's rank machinery; the report is each bucket's population
+    // and [lo, hi] value bounds. One rank window + one aggregate on
+    // the same event_type exchange.
+    QueryDef(
+      "q122_equidepth_histogram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tw = Window.partitionBy("event_type")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          .withColumn("rn", row_number().over(
+            tw.orderBy(col("vc"), col("event_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(tw))
+          .withColumn("bucket", expr("(rn - 1) * 8 div n"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("vc").as("lo_cents"), max("vc").as("hi_cents"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY vc, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM e)
+        SELECT event_type, (rn - 1) * 8 // n AS bucket,
+               COUNT(*) AS n_rows,
+               CAST(MIN(vc) AS BIGINT) AS lo_cents,
+               CAST(MAX(vc) AS BIGINT) AS hi_cents
+        FROM r
+        GROUP BY event_type, bucket
+        ORDER BY event_type, bucket""")),
+
+    // --------------------------------------------------------------- q123
+    // Exact least-squares trend slope per event type — value (cents)
+    // regressed on event-time (hours), the drift detector behind
+    // "is this metric creeping up?". The closed form
+    // (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) runs entirely in integers: hours
+    // are CENTERED per group (x′ = x − min x, one window min on the
+    // same exchange) to keep magnitudes sane, sums are plain longs,
+    // and the two n²-scale products go through decimal(38,0) /
+    // HUGEINT with exact integral division (the q119 discipline).
+    // Slope surfaces as micro-cents per hour (ppm).
+    QueryDef(
+      "q123_trend_slope",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tw = Window.partitionBy("event_type")
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("ts_us div 3600000000").as("xh"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("yc"))
+          .withColumn("x", col("xh") - min("xh").over(tw))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("yc").as("sy"),
+            sum(expr("x * yc")).as("sxy"), sum(expr("x * x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            expr("""cast((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                         * 1000000
+                         div (CAST(n AS DECIMAL(38,0)) * sxx
+                              - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""")
+              .as("slope_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS xh,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+          FROM events),
+        c AS (
+          SELECT event_type,
+                 xh - MIN(xh) OVER (PARTITION BY event_type) AS x, yc
+          FROM e),
+        a AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(yc) AS HUGEINT) AS sy,
+                 CAST(SUM(x * yc) AS HUGEINT) AS sxy,
+                 CAST(SUM(x * x) AS HUGEINT) AS sxx
+          FROM c GROUP BY event_type)
+        SELECT event_type, n,
+               CAST(((n * sxy - sx * sy) * 1000000)
+                    // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
+        FROM a
+        ORDER BY event_type"""))
   )
 }
