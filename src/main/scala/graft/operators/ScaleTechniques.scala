@@ -560,5 +560,50 @@ object ScaleTechniques {
         FROM f JOIN ranges ON vc >= lo AND vc < hi
         GROUP BY range_id
         ORDER BY range_id"""))
+  ,
+
+    // --------------------------------------------------------------- q124
+    // The OPTIMIZER-extension face of q121 (brief option (c)): the query
+    // is written the NAIVE way — `fact JOIN ranges ON vc >= lo AND
+    // vc < hi`, which Spark plans as a nested-loop product — and
+    // graft.plans.RangeJoinRule (a Rule[LogicalPlan], injectable via
+    // GraftExtensions or registered per-session) rewrites it into the
+    // binned equi-join automatically under the configured bin width.
+    // Same semantics, same oracle as q121's hand-written form; the
+    // no-nested-loop plan shape is asserted in ScaleSpec, and
+    // RangeJoinRuleSpec pins bit-equality against the un-rewritten
+    // plan plus the rule's scope guards.
+    QueryDef(
+      "q124_range_join_rule",
+      (s, dir) => {
+        // conf-isolated sibling session (the q120 discipline): the rule
+        // registration + bin width stay scoped to this query even
+        // though the rewrite itself is answer-invisible by construction
+        val s2 = s.newSession()
+        graft.plans.RangeJoin.register(s2)
+        s2.conf.set(graft.plans.RangeJoinRule.BinWidthKey, "1000")
+        val ranges = s2.range(0, 40)
+          .select(col("id").as("range_id"),
+            (col("id") * 1100 + 37).as("lo"), (col("id") * 1100 + 1537).as("hi"))
+        val fact = Tables(s2, dir, "events")
+          .select(expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+        fact.join(ranges, col("vc") >= col("lo") && col("vc") < col("hi"))
+          .groupBy("range_id")
+          .agg(count(lit(1)).as("n_in_range"), sum("vc").as("sum_cents"))
+          .orderBy("range_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        ranges AS (
+          SELECT CAST(r.r AS BIGINT) AS range_id,
+                 r.r * 1100 + 37 AS lo, r.r * 1100 + 1537 AS hi
+          FROM (SELECT UNNEST(range(0, 40)) AS r) r)
+        SELECT range_id, COUNT(*) AS n_in_range,
+               CAST(SUM(vc) AS BIGINT) AS sum_cents
+        FROM f JOIN ranges ON vc >= lo AND vc < hi
+        GROUP BY range_id
+        ORDER BY range_id"""))
   )
 }

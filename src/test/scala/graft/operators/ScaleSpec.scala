@@ -446,6 +446,16 @@ class ScaleSpec extends AnyFunSuite {
       s"interval containment must join on the bin key, not all-pairs:\n$plan")
   }
 
+  test("q124 optimizer rule turns the naive theta join into the bin join") {
+    val df = SparkEntry.queries("q124_range_join_rule")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"),
+      s"RangeJoinRule must have rewritten the product join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"no nested-loop may survive the rewrite:\n$plan")
+  }
+
   test("q106 power iterations reuse the cached edge list") {
     val df = SparkEntry.queries("q106_nation_pagerank")(spark, dir)
     try {
