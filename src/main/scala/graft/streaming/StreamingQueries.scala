@@ -41,6 +41,14 @@ final case class FunnelEv(user_id: Long, ts_us: Long, event_type: String,
   * O(1) per user — the state machine never holds events. */
 final case class FunnelState(t1: Long, t2: Long, t3: Long)
 final case class FunnelOut(user_id: Long, final_stage: String)
+/** s18's per-user state: the LAST event's type — one string per user,
+  * the minimum state a transition counter can carry. */
+final case class LastEvent(event_type: String)
+final case class TransitionOut(from_type: String, to_type: String)
+/** s18's typed event row (event_id carries the same-timestamp tie-break
+  * the batch oracle sorts by). */
+final case class TransEv(user_id: Long, event_id: Long, ts_us: Long,
+    event_type: String, ts_t: java.sql.Timestamp)
 
 object StreamingQueries {
 
@@ -334,6 +342,36 @@ object StreamingQueries {
                   state.getCurrentWatermarkMs() + 1L))
             }
             Iterator.empty
+          }
+      }
+  }
+
+  /** s18's transition walker: per user, each arriving event emits the
+    * (previous type → this type) pair and becomes the new last-event
+    * state — one string per user, never an event history. Exact against
+    * q116's batch lead() oracle because the time-ranged parts keep each
+    * user's events globally ordered and each batch iterator is sorted
+    * (ties by event_id, the oracle's tie-break). No timeout: an
+    * idle-eviction would DROP the transition across the idle gap and
+    * change the semantics — state is O(users) by design, which is what
+    * the batch definition costs too. */
+  def transitions(evs: Dataset[TransEv]): Dataset[TransitionOut] = {
+    import evs.sparkSession.implicits._
+    evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TransEv], state: GroupState[LastEvent]) =>
+          if (uid < 0) Iterator.empty // flush sentinel
+          else {
+            val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[TransitionOut]
+            var last = state.getOption.map(_.event_type).orNull
+            for (e <- sorted) {
+              if (last != null) out += TransitionOut(last, e.event_type)
+              last = e.event_type
+            }
+            if (last != null) state.update(LastEvent(last))
+            out.result().iterator
           }
       }
   }
@@ -1075,5 +1113,53 @@ object StreamingQueries {
         FROM cls
         GROUP BY final_stage
         ORDER BY final_stage"""))
+  ,
+
+    // ---------------------------------------------------------------- s18
+    // Streaming event-transition matrix — q116's lead() window as a LIVE
+    // per-user walker ([[transitions]]): lead() does not exist in
+    // streaming (it would need the future), but the same pairs fall out
+    // of one string of state per user — each arriving event emits
+    // (last type → this type) and replaces the state. Emission is
+    // immediate (append mode, no timeout, no watermark-held rows);
+    // the drained pair stream is rolled up into q116's exact report and
+    // must match its batch oracle row for row.
+    QueryDef(
+      "s18_stream_transitions",
+      (s, dir) => {
+        import s.implicits._
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("event_type"), col("ts_t"))
+          .as[TransEv]
+        val pairs = drain(s, OutputMode.Append())(transitions(evs).toDF())
+        val counted = pairs.groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        counted
+          .withColumn("from_total", sum("n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+          .withColumn("share_permille", expr("n * 1000 div from_total"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 event_id, event_type
+          FROM events),
+        p AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS to_type
+          FROM e),
+        t AS (SELECT from_type, to_type, COUNT(*) AS n
+              FROM p WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type)
+        SELECT from_type, to_type, n,
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+               n * 1000 // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                 AS share_permille
+        FROM t
+        ORDER BY from_type, to_type"""))
   )
 }
