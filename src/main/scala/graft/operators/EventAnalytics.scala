@@ -14,12 +14,12 @@ import graft.Tables
   * Both are pure integer event-time arithmetic (epoch micros / day
   * indexes), so the DuckDB oracle hash-matches without tolerance.
   *
-  * 100 TB scale design: every stage keys on user_id — the funnel's
-  * three stage aggregates and their joins share one hash-partitioning,
-  * so Catalyst plans ONE user exchange and reuses it (no re-shuffle
-  * between stages); retention's two aggregates reduce map-side before
-  * moving (distinct activity days collapse per partition first). No
-  * windows, no broadcasts of SF-scaling sides, no driver loops.
+  * 100 TB scale design: everything keys on user_id — the funnel's
+  * three chained stage windows ride ONE user exchange (plan-asserted),
+  * retention's aggregates reduce map-side before moving (distinct
+  * activity days collapse per partition first), transitions take one
+  * lead() window on the same key. Bounded-cardinality share windows
+  * only; no broadcasts of SF-scaling sides, no driver loops.
   */
 object EventAnalytics {
 
