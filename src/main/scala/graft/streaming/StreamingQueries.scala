@@ -49,6 +49,11 @@ final case class TransitionOut(from_type: String, to_type: String)
   * the batch oracle sorts by). */
 final case class TransEv(user_id: Long, event_id: Long, ts_us: Long,
     event_type: String, ts_t: java.sql.Timestamp)
+/** s19's day-deduped activity row and per-user state (the first-seen
+  * day — one long per user). */
+final case class DayEv(user_id: Long, day: Long, ts_t: java.sql.Timestamp)
+final case class Cohort(cohort_day: Long)
+final case class RetentionOut(user_id: Long, cohort_day: Long, day: Long)
 
 object StreamingQueries {
 
@@ -372,6 +377,32 @@ object StreamingQueries {
             }
             if (last != null) state.update(LastEvent(last))
             out.result().iterator
+          }
+      }
+  }
+
+  /** s19's cohort walker: per user, the FIRST day ever seen is the
+    * cohort (one long of state — arrival order is per-user ascending
+    * under the time-ranged parts, so the first row's day is the min);
+    * every day-deduped activity row emits (user, cohort_day, day)
+    * immediately. Runs downstream of dropDuplicatesWithinWatermark, so
+    * rows arrive at most once per (user, day). */
+  def cohorts(evs: Dataset[DayEv]): Dataset[RetentionOut] = {
+    import evs.sparkSession.implicits._
+    evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[DayEv], state: GroupState[Cohort]) =>
+          if (uid < 0) Iterator.empty // flush sentinel
+          else {
+            val sorted = it.toArray.sortBy(_.day)
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val cohort = state.getOption.map(_.cohort_day)
+                .getOrElse(sorted.head.day)
+              state.update(Cohort(cohort))
+              sorted.iterator.map(e => RetentionOut(uid, cohort, e.day))
+            }
           }
       }
   }
@@ -1161,5 +1192,47 @@ object StreamingQueries {
                  AS share_permille
         FROM t
         ORDER BY from_type, to_type"""))
+  ,
+
+    // ---------------------------------------------------------------- s19
+    // Streaming cohort retention — q109 live, completing the streaming
+    // event-analytics trio (s17 funnel, s18 transitions): TWO chained
+    // stateful operators (the s13 pattern). Stage 1 dedups activity to
+    // one row per (user, day) with dropDuplicatesWithinWatermark — a
+    // 25-hour watermark keeps each day-key alive exactly as long as a
+    // duplicate can still arrive, then the store evicts it (bounded
+    // state, unlike a plain dropDuplicates). Stage 2 holds ONE long per
+    // user (the first-seen day = the cohort) and emits each deduped
+    // activity row tagged with it, immediately. The drained rows roll
+    // up into q109's exact retention triangle.
+    QueryDef(
+      "s19_stream_retention",
+      (s, dir) => {
+        import s.implicits._
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "25 hours")
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+            col("ts_t"))
+          .dropDuplicatesWithinWatermark("user_id", "day")
+          .as[DayEv]
+        drain(s, OutputMode.Append())(cohorts(evs).toDF())
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_day", "offset_days")
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events),
+        cohort AS (SELECT user_id, MIN(day) AS cohort_day
+                   FROM ev GROUP BY user_id),
+        activity AS (SELECT DISTINCT user_id, day FROM ev)
+        SELECT c.cohort_day,
+               a.day - c.cohort_day AS offset_days,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY c.cohort_day, offset_days
+        ORDER BY cohort_day, offset_days"""))
   )
 }

@@ -426,6 +426,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
 
+  test("s19 cohort pins to first-seen day; dedup state is watermark-bounded") {
+    import spark.implicits._
+    val land = base.resolve("retention-land"); Files.createDirectories(land)
+    val d = 86400L * 1000000L
+    def write(name: String, rows: Seq[(Long, Long)], mtime: Long): Unit = {
+      val p = land.resolve(name)
+      Files.write(p, rows.map { case (u, us) =>
+        s"""{"user_id":$u,"ts_us":$us}""" }.mkString("\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // b1: user 1 twice on day 10 (within-day dup); b2: user 1 returns on
+    // day 12, user 2 first seen on day 12; b3: user 3 on day 20. During
+    // b3 the watermark (12d - 25h) has passed day 10, so the dedup store
+    // must have evicted the (1, day10) key — 4 distinct keys seen, at
+    // most 3 held. The cohort must stay pinned to the FIRST batch's day
+    // even after user 1 reappears two days later.
+    write("b1.jsonl", Seq((1L, 10 * d), (1L, 10 * d + 5L)), 1000000L)
+    write("b2.jsonl", Seq((1L, 12 * d), (2L, 12 * d)), 2000000L)
+    write("b3.jsonl", Seq((3L, 20 * d)), 3000000L)
+    val evs = spark.readStream
+      .schema("user_id BIGINT, ts_us BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .json(land.toString)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "25 hours")
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"), col("ts_t"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .as[DayEv]
+    val q = StreamingQueries.cohorts(evs).toDF()
+      .writeStream.format("memory").queryName("retention_live")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("retention_live")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 10L, 10L), (1L, 10L, 12L), (2L, 12L, 12L),
+      (3L, 20L, 20L)),
+      s"expected dup-free activity tagged with first-seen cohorts, got: $rows")
+    val dedupState = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.toLowerCase.contains("dedupe"))
+      .lastOption.map(_.numRowsTotal)
+    assert(dedupState.exists(_ <= 3L),
+      s"dedup store must evict keys older than the watermark " +
+        s"(4 distinct keys seen): held = $dedupState")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
