@@ -680,5 +680,85 @@ object Dedup {
         FROM ranked
         GROUP BY cluster_id
         ORDER BY cluster_id"""))
+  ,
+
+    // --------------------------------------------------------------- q126
+    // Exact-substring dedup with REWRITE semantics (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): where
+    // q25/q96 drop whole documents and q103 only SCORES shared grams,
+    // this removes the duplicated SPANS and keeps the rest of the
+    // document. Each doc splits into consecutive non-overlapping 8-word
+    // segments; a segment instance survives only if it is the FIRST
+    // occurrence of that segment text in corpus order (doc_id, pos) —
+    // the keep-first policy applied at span granularity. The planted
+    // re-crawl (every 4th doc re-enters under a new id with its full
+    // text plus a novel tail) must lose exactly its copied spans and
+    // keep the tail. Output is the per-doc rewrite audit: segment
+    // count, removed count, surviving word count — a wrong keep-set
+    // cannot hash-match.
+    // 100 TB shape: the dedup key is a 32 B sha2 digest, so the
+    // first-occurrence aggregate and the mark join both shuffle
+    // digest + (doc_id, pos) — never segment text; the join reuses the
+    // aggregate's hash partitioning (one exchange for both), and the
+    // final per-doc rollup is the only other shuffle.
+    QueryDef(
+      "q126_substring_dedup",
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val corpus = d.unionByName(
+          d.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 700000).as("doc_id"),
+              concat(col("text"), lit(" novel tail "), col("doc_id")).as("text")))
+        val segs = TrackedCaches.track(corpus
+          .select(col("doc_id"),
+            posexplode(expr(
+              """transform(sequence(0, (size(split(text, ' ')) - 1) div 8),
+                   i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8)))"""))
+              .as(Seq("pos", "seg")))
+          .select(col("doc_id"), col("pos"), sha2(col("seg"), 256).as("h"),
+            size(split(col("seg"), " ")).cast("long").as("nw"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val firsts = segs.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+        segs.join(firsts, "h")
+          .withColumn("removed",
+            when(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"),
+              0L).otherwise(1L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum(col("removed")).as("n_removed"),
+            sum(when(col("removed") === 0L, col("nw"))).as("kept_words"))
+          .orderBy("doc_id")
+      },
+      // the oracle states first-occurrence over the segment STRINGS —
+      // the digest is the engine's shuffle-key mechanism, not semantics
+      Some("""
+        WITH batch AS (
+          SELECT doc_id + 700000 AS doc_id,
+                 text || ' novel tail ' || CAST(doc_id AS VARCHAR) AS text
+          FROM documents WHERE doc_id % 4 = 0),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM batch),
+        words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+        segs AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ') AS seg,
+                 len(ws[i * 8 + 1 : i * 8 + 8]) AS nw
+          FROM words, UNNEST(range(0, (len(ws) - 1) // 8 + 1)) AS t(i)),
+        marked AS (
+          SELECT doc_id, pos, nw,
+                 CASE WHEN row_number() OVER (PARTITION BY seg
+                        ORDER BY doc_id, pos) = 1
+                      THEN 0 ELSE 1 END AS removed
+          FROM segs)
+        SELECT doc_id,
+               COUNT(*) AS n_segments,
+               CAST(SUM(removed) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN removed = 0 THEN nw END) AS BIGINT)
+                 AS kept_words
+        FROM marked
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

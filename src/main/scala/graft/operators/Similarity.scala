@@ -528,5 +528,92 @@ object Similarity {
                $projCols
         FROM base ORDER BY vec_id"""
       })
+  ,
+
+    // --------------------------------------------------------------- q125
+    // SemDeDup (semantic dedup, Abbas et al. 2023): near-duplicates are
+    // found WITHOUT any pairing hint by clustering the embedding space
+    // and comparing only WITHIN each cluster — the observation that a
+    // semantic near-dup pair always lands in the same k-means cell, so
+    // the quadratic compare shrinks from corpus² to Σ cluster². Here:
+    // every 5th vector re-enters under a new id with a tiny dim-1 nudge
+    // (cosine ≥ 0.99995 to its original; the strongest NATURAL pair in
+    // the fixture is ≤ 0.52, measured — clean τ=0.99 separation), the
+    // q64 codebook assigns the combined corpus, and within each cluster
+    // any vector whose near-twin has a lower id is dropped (greedy
+    // keep-min, the q96 policy). Output is the per-cluster audit row:
+    // total, dropped, and an exact checksum of kept ids — a wrong drop
+    // set cannot hash-match.
+    // 100 TB shape: training touches only the sample; assignment is a
+    // narrow map under a broadcast codebook; the within-cluster self-join
+    // is an equi-join on cluster_id whose cost is Σc² — in production k
+    // grows ∝ corpus (the paper uses ~100k cells) so c stays bounded and
+    // the compare never degenerates to all-pairs. The 8-cell codebook
+    // here is the fixture-sized stand-in; the plan shape is identical.
+    QueryDef(
+      "q125_semdedup",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val pert = base.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            expr("concat(array(element_at(e, 1) + 0.01d), slice(e, 2, 63))").as("e"))
+        val corpus = base.unionByName(pert)
+        val init = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+        val train = base.filter(col("vec_id") % 10 === 0)
+        val cent = lloyd(train, lloyd(train, init)).localCheckpoint(eager = true)
+        // assigned feeds both sides of the self-join and the final audit
+        val assigned = TrackedCaches.track(
+          corpus.join(broadcast(cent), lit(true))
+            .groupBy("vec_id")
+            .agg(max_by(col("cent_id"),
+              struct(cosine(col("e"), col("ce")), -col("cent_id"))).as("cluster_id"),
+              first(col("e")).as("e"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val drops = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
+            col("e").as("ea"))
+          .join(assigned.select(col("cluster_id"), col("vec_id").as("id_b"),
+            col("e").as("eb")), Seq("cluster_id"))
+          .filter(col("id_a") < col("id_b") &&
+            cosine(col("ea"), col("eb")) >= 0.99)
+          .select(col("id_b").as("vec_id")).distinct()
+        assigned
+          .join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("dropped").isNull, col("vec_id"))).as("kept_id_sum"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        pert AS (SELECT vec_id + 100000 AS vec_id,
+                        list_concat([e[1] + 0.01], e[2:64]) AS e
+                 FROM base WHERE vec_id % 5 = 0),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        init AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 8),
+        train AS (SELECT vec_id, e FROM base WHERE vec_id % 10 = 0),
+        ${duckLloyd("train", "init", 1)},
+        ${duckLloyd("train", "cent1", 2)},
+        assigned AS (
+          SELECT vec_id, e, cent_id AS cluster_id FROM (
+            SELECT c0.vec_id, c0.e, c.cent_id,
+                   row_number() OVER (PARTITION BY c0.vec_id
+                     ORDER BY ${duckCosine("c0.e", "c.ce")} DESC, c.cent_id) AS rnk
+            FROM corpus c0 CROSS JOIN cent2 c) x WHERE rnk = 1),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+           AND ${duckCosine("a.e", "b.e")} >= 0.99)
+        SELECT cluster_id,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a.vec_id END)
+                 AS BIGINT) AS kept_id_sum
+        FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+        GROUP BY cluster_id
+        ORDER BY cluster_id"""))
   )
 }
