@@ -259,6 +259,31 @@ class ScaleSpec extends AnyFunSuite {
       s"prefix cap must be a partial window group limit:\n$plan")
   }
 
+  test("q125 compares only within clusters: keyed self-join, codebook is the only cross") {
+    val plan = SparkEntry.queries("q125_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the within-cluster compare must stay an equi-join on cluster_id:\n$plan")
+    // the cosine verify must ride a join KEYED on cluster_id (the cached
+    // assignment lineage re-prints its codebook broadcast at every
+    // consumer, so counting NLJs overcounts — assert the join key itself)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cluster_id".r
+        .findFirstIn(plan).isDefined,
+      s"expected the self-join keyed on cluster_id:\n$plan")
+  }
+
+  test("q126 keep-first is an aggregate, never a corpus-wide window") {
+    val df = SparkEntry.queries("q126_substring_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the oracle STATES first-occurrence as row_number() over every
+    // segment; the engine must plan it as a digest-keyed min aggregate
+    // (map-side partial) + mark join — a Window here would sort the
+    // whole gram stream inside each hash partition for no reason
+    assert(!plan.contains("Window"),
+      s"first-occurrence must be min-aggregate + join, not a window:\n$plan")
+    assert(plan.contains("Generate"), s"expected the segment generator:\n$plan")
+  }
+
   test("10x corpus probe: the near-dup family grows sub-quadratically, never broadcasts the corpus",
       ScaleSpec.SlowProbe) {
     // The only way to catch a scale cliff the sf0.1 bench can't see
