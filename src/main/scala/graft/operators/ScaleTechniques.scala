@@ -605,5 +605,86 @@ object ScaleTechniques {
         FROM f JOIN ranges ON vc >= lo AND vc < hi
         GROUP BY range_id
         ORDER BY range_id"""))
+  ,
+
+    // --------------------------------------------------------------- q127
+    // Mergeable quantile-histogram rollup — q111's persisted-sketch
+    // lifecycle applied to PERCENTILES. Each (event_type, day) persists
+    // a fixed-bin value histogram (bin = integer cents div 1000, one
+    // count per occupied bin — kilobytes per day); serving any horizon
+    // merges the stored histograms by summing counts (associative and
+    // commutative, so distributed partial aggregation is safe and a
+    // month/quarter/year percentile never re-scans raw events). The
+    // percentile read-off is the histogram lower bound: the first bin
+    // whose running count reaches ceil(q% of total) — pure integer
+    // arithmetic end to end, so unlike q111's accuracy contract this
+    // sketch is EXACTLY reproducible and the oracle hash-matches it
+    // (DuckDB states the same binning straight from raw events — legal
+    // precisely because the merge is lossless over the binned domain).
+    // The keyed cumulative window runs over at most #bins rows per type.
+    QueryDef(
+      "q127_quantile_sketch_rollup",
+      (s, dir) => {
+        val staged = Staging.ensure("qhist_daily", dir, s"$dir/events.parquet") { out =>
+          Tables.events(s, dir)
+            .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+              expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 1000")
+                .as("bin"))
+            .groupBy("event_type", "day", "bin")
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite").parquet(out.resolve("daily").toString)
+          ""
+        }
+        val daily = s.read.parquet(staged.resolve("daily").toString)
+        val merged = daily.groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+        val tot = merged.groupBy("event_type").agg(sum("cnt").as("total_n"))
+        val days = daily.groupBy("event_type")
+          .agg(countDistinct("day").as("n_days"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val cum = merged.withColumn("run", sum("cnt").over(w))
+          .join(tot, "event_type")
+        def pick(q: Int) = cum
+          .filter(col("run") * 100 >= col("total_n") * q)
+          .groupBy("event_type").agg(min("bin").as(s"b$q"))
+        tot.join(days, "event_type")
+          .join(pick(50), "event_type").join(pick(95), "event_type")
+          .select(col("event_type"), col("n_days"), col("total_n"),
+            (col("b50") * 1000).as("p50_floor_cents"),
+            (col("b95") * 1000).as("p95_floor_cents"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH binned AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000
+                   AS bin
+          FROM events),
+        merged AS (
+          SELECT event_type, bin, COUNT(*) AS cnt
+          FROM binned GROUP BY event_type, bin),
+        tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total_n
+                FROM merged GROUP BY event_type),
+        days AS (SELECT event_type, COUNT(DISTINCT day) AS n_days
+                 FROM binned GROUP BY event_type),
+        cum AS (
+          SELECT m.event_type, m.bin, t.total_n,
+                 SUM(m.cnt) OVER (PARTITION BY m.event_type ORDER BY m.bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM merged m JOIN tot t ON m.event_type = t.event_type),
+        p50 AS (SELECT event_type, MIN(bin) AS b50 FROM cum
+                WHERE run * 100 >= total_n * 50 GROUP BY event_type),
+        p95 AS (SELECT event_type, MIN(bin) AS b95 FROM cum
+                WHERE run * 100 >= total_n * 95 GROUP BY event_type)
+        SELECT t.event_type AS event_type, d.n_days, t.total_n,
+               CAST(b50 * 1000 AS BIGINT) AS p50_floor_cents,
+               CAST(b95 * 1000 AS BIGINT) AS p95_floor_cents
+        FROM tot t
+        JOIN days d ON t.event_type = d.event_type
+        JOIN p50 ON t.event_type = p50.event_type
+        JOIN p95 ON t.event_type = p95.event_type
+        ORDER BY t.event_type"""))
   )
 }
