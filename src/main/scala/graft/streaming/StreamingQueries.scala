@@ -1234,5 +1234,80 @@ object StreamingQueries {
         FROM activity a JOIN cohort c ON a.user_id = c.user_id
         GROUP BY c.cohort_day, offset_days
         ORDER BY cohort_day, offset_days"""))
+  ,
+
+    // ---------------------------------------------------------------- s20
+    // Streaming quantile-sketch BUILD — q127's daily histogram stage as
+    // a continuous job: a watermarked 1-day tumbling window counts
+    // integer-cents bins per (day, event_type), each day's histogram
+    // emitting (and its state evicting) as the watermark passes the day
+    // boundary. State is O(open-day × types × bins) — kilobytes — and
+    // the drained sketches feed q127's exact merge + percentile
+    // read-off, so the streamed build must reproduce the batch rollup
+    // bit-for-bit (same oracle). Windows align with q127's epoch-day
+    // indexes because the session pins UTC.
+    QueryDef(
+      "s20_stream_quantile_hist",
+      (s, dir) => {
+        val daily = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .groupBy(window(col("ts_t"), "1 day"), col("event_type"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 1000")
+              .as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+            col("event_type"), col("bin"), col("cnt"))
+        val drained = drain(s, OutputMode.Append())(daily)
+        val merged = drained.groupBy("event_type", "bin")
+          .agg(sum("cnt").as("cnt"))
+        val tot = merged.groupBy("event_type").agg(sum("cnt").as("total_n"))
+        val days = drained.groupBy("event_type")
+          .agg(countDistinct("day").as("n_days"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val cum = merged.withColumn("run", sum("cnt").over(w))
+          .join(tot, "event_type")
+        def pick(q: Int) = cum
+          .filter(col("run") * 100 >= col("total_n") * q)
+          .groupBy("event_type").agg(min("bin").as(s"b$q"))
+        tot.join(days, "event_type")
+          .join(pick(50), "event_type").join(pick(95), "event_type")
+          .select(col("event_type"), col("n_days"), col("total_n"),
+            (col("b50") * 1000).as("p50_floor_cents"),
+            (col("b95") * 1000).as("p95_floor_cents"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH binned AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000
+                   AS bin
+          FROM events),
+        merged AS (
+          SELECT event_type, bin, COUNT(*) AS cnt
+          FROM binned GROUP BY event_type, bin),
+        tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total_n
+                FROM merged GROUP BY event_type),
+        days AS (SELECT event_type, COUNT(DISTINCT day) AS n_days
+                 FROM binned GROUP BY event_type),
+        cum AS (
+          SELECT m.event_type, m.bin, t.total_n,
+                 SUM(m.cnt) OVER (PARTITION BY m.event_type ORDER BY m.bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM merged m JOIN tot t ON m.event_type = t.event_type),
+        p50 AS (SELECT event_type, MIN(bin) AS b50 FROM cum
+                WHERE run * 100 >= total_n * 50 GROUP BY event_type),
+        p95 AS (SELECT event_type, MIN(bin) AS b95 FROM cum
+                WHERE run * 100 >= total_n * 95 GROUP BY event_type)
+        SELECT t.event_type AS event_type, d.n_days, t.total_n,
+               CAST(b50 * 1000 AS BIGINT) AS p50_floor_cents,
+               CAST(b95 * 1000 AS BIGINT) AS p95_floor_cents
+        FROM tot t
+        JOIN days d ON t.event_type = d.event_type
+        JOIN p50 ON t.event_type = p50.event_type
+        JOIN p95 ON t.event_type = p95.event_type
+        ORDER BY t.event_type"""))
   )
 }
