@@ -848,5 +848,69 @@ object TrainingDataOps {
         FROM batched
         GROUP BY bucket, batch_id
         ORDER BY bucket, batch_id"""))
+  ,
+
+    // --------------------------------------------------------------- q128
+    // Quality-WEIGHTED sampling (the DCLM/DataComp recipe): where q81
+    // cuts on a hard threshold and q67 fills per-source quotas, this
+    // admits each document with probability proportional to its quality
+    // score — soft sampling that keeps some tail data and deduplicates
+    // nothing outright. The coin flip is the content fingerprint
+    // (graft_polyhash % 1000 < weight_permille), so the sample is
+    // seed-free, reproducible across engines and reruns, and stable
+    // under re-partitioning — the q67/q74 discipline; weight =
+    // 1000 − stopword per-mille clamped to [100, 900] so every doc has
+    // a real chance in AND out (pure integer arithmetic end to end).
+    // 100 TB shape: scoring + the coin flip are one narrow codegen'd
+    // map over the corpus; the only shuffle is the per-source audit
+    // rollup, partial-aggregated map-side.
+    QueryDef(
+      "q128_quality_weighted_sample",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n", size(col("toks")))
+          .withColumn("sw", expr(
+            """size(filter(toks, t -> t IN ('the', 'a', 'join', 'hash', 'row')))"""))
+          .withColumn("w", expr(
+            "CAST(greatest(100, least(900, 1000 - sw * 1000 div n)) AS BIGINT)"))
+          .withColumn("admit",
+            call_function("graft_polyhash", col("text")) % 1000 < col("w"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("admit"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("admit"), col("doc_id"))).as("kept_id_sum"),
+            sum("w").as("sum_weight_permille"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source, text, string_split(text, ' ') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, source, text, len(toks) AS n,
+                 len(list_filter(toks,
+                   x -> x IN ('the', 'a', 'join', 'hash', 'row'))) AS sw
+          FROM t),
+        wts AS (
+          SELECT doc_id, source,
+                 CAST(greatest(100, least(900, 1000 - sw * 1000 // n))
+                   AS BIGINT) AS w,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) % 1000 AS h
+          FROM m)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN h < w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN h < w THEN doc_id END) AS BIGINT)
+                 AS kept_id_sum,
+               CAST(SUM(w) AS BIGINT) AS sum_weight_permille
+        FROM wts
+        GROUP BY source
+        ORDER BY source"""))
   )
 }
