@@ -106,5 +106,68 @@ object GraphOps {
         SELECT node AS n_nationkey, CAST(r AS BIGINT) AS rank_ppb
         FROM r5
         ORDER BY rank_ppb DESC, n_nationkey"""))
+  ,
+
+    // --------------------------------------------------------------- q129
+    // Triangle counting over the co-purchase graph — the classic
+    // distributed-graph benchmark, and the clustering-coefficient
+    // numerator behind "do these products form communities?". Nodes are
+    // parts; edges are part pairs co-ordered with support ≥ 2 (q115's
+    // pair stream, thresholded). The count uses the ORIENTED
+    // node-iterator algorithm: every edge points lower→higher part id,
+    // wedges come from one equi-join of the edge list with itself on
+    // the middle node, and a second equi-join closes them — each
+    // triangle (a<b<c) is found exactly once, no division by 6, and
+    // wedge fan-out is bounded by FORWARD degree (≤ total degree, the
+    // reason oriented counting survives hub nodes). Output is the
+    // single audit row: edges, wedges, triangles, and an exact id-sum
+    // checksum over the closed triangles.
+    // 100 TB shape: both joins are equi-joins on node ids (shuffle
+    // carries (a,b,c) id triples, never adjacency lists); the edge list
+    // is cached once and reused by all three consumers; the three
+    // scalar aggregates broadcast-cross into one row (the q58/q71
+    // single-row discipline).
+    QueryDef(
+      "q129_triangle_count",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = TrackedCaches.track(items.as("a")
+          .join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2).select("u", "v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val wed = e.select(col("u").as("wa"), col("v").as("wb"))
+          .join(e.select(col("u").as("wb2"), col("v").as("wc")),
+            col("wb") === col("wb2"))
+          .select("wa", "wb", "wc")
+        val tri = wed.join(e,
+          wed("wa") === e("u") && wed("wc") === e("v"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(wed.agg(count(lit(1)).as("n_wedges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles"),
+            sum(col("wa") + col("wb") + col("wc")).as("tri_id_sum")))
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        pairs AS (
+          SELECT a.pk AS u, b.pk AS v, COUNT(*) AS sup
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY u, v),
+        e AS (SELECT u, v FROM pairs WHERE sup >= 2),
+        wed AS (
+          SELECT e1.u AS wa, e1.v AS wb, e2.v AS wc
+          FROM e e1 JOIN e e2 ON e1.v = e2.u),
+        tri AS (
+          SELECT wa, wb, wc FROM wed JOIN e ON wed.wa = e.u AND wed.wc = e.v)
+        SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+               (SELECT COUNT(*) FROM wed) AS n_wedges,
+               (SELECT COUNT(*) FROM tri) AS n_triangles,
+               (SELECT CAST(SUM(wa + wb + wc) AS BIGINT) FROM tri)
+                 AS tri_id_sum"""))
   )
 }
