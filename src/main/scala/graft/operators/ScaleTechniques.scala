@@ -686,5 +686,72 @@ object ScaleTechniques {
         JOIN p50 ON t.event_type = p50.event_type
         JOIN p95 ON t.event_type = p95.event_type
         ORDER BY t.event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q130
+    // 2-D skyline (Pareto frontier): the parts no other part beats on
+    // BOTH price (lower-better) and size (higher-better) — dominance
+    // with at least one strict inequality, so exact (price, size) ties
+    // all survive. The textbook answer is a running max over the
+    // global price order — a single-partition window at scale. Here the
+    // prefix-scan is DISTRIBUTED the way a cluster does it: collapse to
+    // one row per price (keyed aggregate), bucket prices coarsely,
+    // compute each bucket's max once, derive per-bucket OFFSETS (max
+    // over all strictly-lower buckets) with a broadcast theta self-join
+    // over the bounded bucket frame, and run the within-bucket prefix
+    // max as a BUCKET-KEYED window. greatest(offset, within-bucket
+    // prefix) is exactly the global prefix max — no unkeyed window
+    // anywhere, every stage partition-parallel. The survivor join back
+    // to rows is an equi-join on (price, size).
+    QueryDef(
+      "q130_skyline",
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+          .select(col("p_partkey"),
+            expr("cast(cast(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("price"),
+            col("p_size").cast("long").as("size"))
+        val g = p.groupBy("price").agg(max("size").as("gmax"))
+          .withColumn("bucket", expr("price div 1000"))
+        val bmax = g.groupBy("bucket").agg(max("gmax").as("bmax"))
+        val off = bmax.as("x")
+          .join(broadcast(bmax.as("y")), col("y.bucket") < col("x.bucket"),
+            "left")
+          .groupBy(col("x.bucket").as("bucket"))
+          .agg(max(col("y.bmax")).as("omax"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("price")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val sky = g.join(broadcast(off), "bucket")
+          .withColumn("runmax", max("gmax").over(w))
+          .withColumn("pm",
+            greatest(coalesce(col("omax"), lit(-1L)),
+              coalesce(col("runmax"), lit(-1L))))
+          .filter(col("gmax") > col("pm"))
+          .select(col("price").as("sky_price"), col("gmax"))
+        p.join(sky, p("price") === col("sky_price") && p("size") === col("gmax"))
+          .select(col("p_partkey"), col("price").as("price_cents"), col("size"))
+          .orderBy("price_cents", "p_partkey")
+      },
+      // the oracle states the frontier with the single global window the
+      // engine refuses to plan — same semantics, DuckDB is one node
+      Some("""
+        WITH p AS (
+          SELECT p_partkey,
+                 CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price,
+                 CAST(p_size AS BIGINT) AS size
+          FROM part),
+        g AS (SELECT price, MAX(size) AS gmax FROM p GROUP BY price),
+        sky AS (
+          SELECT price, gmax FROM (
+            SELECT price, gmax,
+                   MAX(gmax) OVER (ORDER BY price
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM g) t
+          WHERE pm IS NULL OR gmax > pm)
+        SELECT p.p_partkey, p.price AS price_cents, p.size
+        FROM p JOIN sky ON p.price = sky.price AND p.size = sky.gmax
+        ORDER BY price_cents, p_partkey"""))
   )
 }
