@@ -473,6 +473,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"(4 distinct keys seen): held = $dedupState")
   }
 
+  test("s20 histogram state emits mid-stream and evicts closed days") {
+    val evs = StreamingQueries
+      .eventsStreamTimeParts(spark, "/root/testdata/sf0.001")
+      .withWatermark("ts_t", "0 seconds")
+      .groupBy(window(col("ts_t"), "1 day"), col("event_type"),
+        expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 1000")
+          .as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = evs.writeStream.format("noop").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = q.recentProgress.map(_.sink.numOutputRows).sum
+    val emittingBatches = q.recentProgress.count(_.sink.numOutputRows > 0)
+    assert(emittingBatches >= 2,
+      s"day histograms must flush as the watermark crosses day boundaries " +
+        s"mid-stream, not only at the sentinel; emitting = $emittingBatches")
+    val held = q.recentProgress.flatMap(_.stateOperators).lastOption
+      .map(_.numRowsTotal).getOrElse(Long.MaxValue)
+    // the fixture spans ~a month of days; closed days must leave the
+    // store, so end-state holds at most the open tail — a fraction of
+    // everything emitted (without eviction held would exceed emitted)
+    assert(held * 5 < emitted,
+      s"state must hold only open-day bins: held=$held emitted=$emitted")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
