@@ -209,5 +209,70 @@ object EventAnalytics {
                  AS share_permille
         FROM t
         ORDER BY from_type, to_type"""))
+  ,
+
+    // --------------------------------------------------------------- q131
+    // Sequence pattern matching — SQL's MATCH_RECOGNIZE, which Spark
+    // does not ship, emulated with the row-pattern trick: encode each
+    // user's time-ordered event types as a one-char-per-event string
+    // (one keyed aggregate — the batch twin of s18's one-string state),
+    // then evaluate row patterns as plain regexes over it in codegen.
+    // Adjacency, repetition bounds ('e{3}'), and gaps ('sv.*p') all
+    // come free from the regex engine — the things q108's fixed
+    // three-stage funnel cannot express. Four patterns of varying
+    // selectivity, each with an exact matched-user checksum.
+    // 100 TB shape: the sequence build keys on user_id and each string
+    // is bounded by that user's own activity; a production run caps the
+    // tail (q80's WindowGroupLimit discipline) before aggregating. The
+    // pattern fan-out is a Generate over the aggregated per-user frame
+    // (4 rows per user), never over raw events.
+    QueryDef(
+      "q131_sequence_pattern",
+      (s, dir) => {
+        val code = expr("""CASE event_type WHEN 'view' THEN 'v'
+          WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+          WHEN 'signup' THEN 's' ELSE 'e' END""")
+        val seq = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"), code.as("ch"))
+          .groupBy("user_id")
+          .agg(expr("""concat_ws('',
+              transform(array_sort(collect_list(struct(ts_us, event_id, ch))),
+                x -> x.ch))""").as("sq"))
+        seq.select(col("user_id"), expr("""stack(4,
+            'error_burst',        sq rlike 'e{3}',
+            'funnel_adjacent',    sq rlike 'vcp',
+            'repeat_purchase',    sq rlike 'pp',
+            'signup_to_purchase', sq rlike 'sv.*p')""")
+            .as(Seq("pattern", "hit")))
+          .groupBy("pattern")
+          .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_users"),
+            sum(when(col("hit"), col("user_id"))).as("user_id_sum"))
+          .orderBy("pattern")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id,
+                 string_agg(CASE event_type WHEN 'view' THEN 'v'
+                     WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                     WHEN 'signup' THEN 's' ELSE 'e' END, ''
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS sq
+          FROM events GROUP BY user_id),
+        hits AS (
+          SELECT 'error_burst' AS pattern, user_id,
+                 regexp_matches(sq, 'e{3}') AS hit FROM seq
+          UNION ALL SELECT 'funnel_adjacent', user_id,
+                 regexp_matches(sq, 'vcp') FROM seq
+          UNION ALL SELECT 'repeat_purchase', user_id,
+                 regexp_matches(sq, 'pp') FROM seq
+          UNION ALL SELECT 'signup_to_purchase', user_id,
+                 regexp_matches(sq, 'sv.*p') FROM seq)
+        SELECT pattern,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_users,
+               CAST(SUM(CASE WHEN hit THEN user_id END) AS BIGINT)
+                 AS user_id_sum
+        FROM hits
+        GROUP BY pattern
+        ORDER BY pattern"""))
   )
 }
