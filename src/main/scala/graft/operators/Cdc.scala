@@ -443,5 +443,61 @@ object Cdc {
           AND CAST(o_orderdate AS TIMESTAMP) < valid_to
         GROUP BY segment
         ORDER BY segment"""))
+  ,
+
+    // --------------------------------------------------------------- q132
+    // Incremental JOIN maintenance — the join half of the delta algebra
+    // (q92 proves the aggregate half): a materialized orders⋈customer
+    // view is PERSISTED once over the standing 90%/95% of both sides,
+    // and when deltas arrive on BOTH sides the refresh computes only
+    //   ΔA⋈B_old  ∪  A_old⋈ΔB  ∪  ΔA⋈ΔB
+    // and unions the stored view — the standing data is re-SCANNED but
+    // never re-JOINED, and every delta term joins against a delta
+    // (broadcast-sized at any scale where deltas are small). The terms
+    // partition the full join exactly (orderkey splits A, custkey
+    // splits B), and the oracle is the FULL recompute, so a missing or
+    // double-counted term cannot hash-match. Output is the per-nation
+    // rollup with an exact orderkey checksum.
+    QueryDef(
+      "q132_incremental_join_maintenance",
+      (s, dir) => {
+        def joined(a: DataFrame, b: DataFrame): DataFrame = a
+          .join(b, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"),
+            expr("cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        val orders = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val aOld = orders.filter(col("o_orderkey") % 10 < 9)
+        val aNew = orders.filter(col("o_orderkey") % 10 === 9)
+        val bOld = cust.filter(col("c_custkey") % 20 =!= 7)
+        val bNew = cust.filter(col("c_custkey") % 20 === 7)
+        val staged = Staging.ensure("mjoin_standing", dir,
+            s"$dir/orders.parquet") { out =>
+          joined(aOld, bOld)
+            .write.mode("overwrite").parquet(out.resolve("view").toString)
+          ""
+        }
+        val standing = s.read.parquet(staged.resolve("view").toString)
+        standing
+          .unionByName(joined(aNew, bOld))
+          .unionByName(joined(aOld, broadcast(bNew)))
+          .unionByName(joined(aNew, broadcast(bNew)))
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum("cents").as("revenue_cents"),
+            sum("o_orderkey").as("orderkey_sum"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        SELECT c_nationkey AS nationkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY nationkey
+        ORDER BY nationkey"""))
   )
 }
