@@ -274,5 +274,82 @@ object EventAnalytics {
         FROM hits
         GROUP BY pattern
         ORDER BY pattern"""))
+  ,
+
+    // --------------------------------------------------------------- q133
+    // Experiment (A/B) lift analysis — the readout every product
+    // warehouse serves after q108's funnels: users who were EXPOSED
+    // (have a first view) split into two arms by a deterministic
+    // integer LCG on user_id (the q105 formula — seed-free and
+    // engine-reproducible, the assignment a real experiment system
+    // derives from a hash of user × experiment), conversion = a
+    // purchase strictly within 24 hours AFTER the user's first view
+    // (outcome follows exposure inside an attribution window, not mere
+    // co-occurrence — an unbounded window converts everyone in this
+    // fixture and reads out nothing). Rates and lift are integer basis
+    // points, so the single audit row hash-matches exactly.
+    // 100 TB shape: exposure is one keyed aggregate; conversion is a
+    // keyed equi-join of the purchase stream against the (small)
+    // exposed-user frame; then one global single-row rollup.
+    QueryDef(
+      "q133_ab_lift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val fv = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_us")).as("first_view"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("ts_us") > col("first_view") &&
+            col("ts_us") <= col("first_view") + expr("24L * 3600000000"))
+          .select("user_id").distinct()
+          .withColumn("c", lit(true))
+        val u = fv.join(conv, Seq("user_id"), "left")
+          .withColumn("arm",
+            expr("((1103515245 * user_id + 12345) div 1024) % 2"))
+          .withColumn("conv", coalesce(col("c"), lit(false)))
+        u.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === 0 && col("conv"), 1L).otherwise(0L))
+              .as("conv_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("arm") === 1 && col("conv"), 1L).otherwise(0L))
+              .as("conv_b"))
+          .select(col("n_a"), col("conv_a"),
+            expr("conv_a * 10000 div n_a").as("cr_a_bp"),
+            col("n_b"), col("conv_b"),
+            expr("conv_b * 10000 div n_b").as("cr_b_bp"),
+            expr("conv_b * 10000 div n_b - conv_a * 10000 div n_a")
+              .as("lift_bp"))
+      },
+      Some("""
+        WITH fv AS (
+          SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_view
+          FROM events WHERE event_type = 'view'
+          GROUP BY user_id),
+        conv AS (
+          SELECT DISTINCT e.user_id
+          FROM events e JOIN fv ON e.user_id = fv.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > first_view
+            AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                  <= first_view + 24 * 3600000000),
+        exposed AS (
+          SELECT ((1103515245 * fv.user_id + 12345) // 1024) % 2 AS arm,
+                 (conv.user_id IS NOT NULL) AS conv
+          FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id),
+        a AS (
+          SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END)
+                   AS BIGINT) AS conv_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END)
+                   AS BIGINT) AS conv_b
+          FROM exposed)
+        SELECT n_a, conv_a, conv_a * 10000 // n_a AS cr_a_bp,
+               n_b, conv_b, conv_b * 10000 // n_b AS cr_b_bp,
+               conv_b * 10000 // n_b - conv_a * 10000 // n_a AS lift_bp
+        FROM a"""))
   )
 }
