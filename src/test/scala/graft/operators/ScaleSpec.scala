@@ -322,7 +322,7 @@ class ScaleSpec extends AnyFunSuite {
     val report = new StringBuilder
     for (q <- Seq("q26_minhash_neardup", "q41_prefix_filter_jaccard_join",
         "q50_dup_clusters", "q103_corpus_ngram_dedup",
-        "q107_incremental_neardup_ingest")) {
+        "q107_incremental_neardup_ingest", "q126_substring_dedup")) {
       run(d1, q) // warm codegen + parquet footers, untimed
       val (t1, _) = run(d1, q)
       val (t10, plan10) = run(d10, q)
