@@ -351,5 +351,102 @@ object EventAnalytics {
                n_b, conv_b, conv_b * 10000 // n_b AS cr_b_bp,
                conv_b * 10000 // n_b - conv_a * 10000 // n_a AS lift_bp
         FROM a"""))
+  ,
+
+    // --------------------------------------------------------------- q134
+    // Path mining — the top navigation paths behind q116's single-step
+    // transition matrix: every consecutive THREE-event path in every
+    // user's time-ordered sequence, counted corpus-wide, top-20. Reuses
+    // q131's one-char encoding (one keyed aggregate builds each user's
+    // sequence), then a narrow generator slides the 3-wide window over
+    // the string — per-user fan-out is (events − 2), so total work is
+    // linear in events, and path cardinality is bounded (types³) so the
+    // count aggregate is tiny. Guarded for users with < 3 events
+    // (Spark's sequence() runs DESCENDING when stop < start — an empty
+    // guard, not a clamp, is required).
+    QueryDef(
+      "q134_path_mining",
+      (s, dir) => {
+        val code = expr("""CASE event_type WHEN 'view' THEN 'v'
+          WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+          WHEN 'signup' THEN 's' ELSE 'e' END""")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"), code.as("ch"))
+          .groupBy("user_id")
+          .agg(expr("""concat_ws('',
+              transform(array_sort(collect_list(struct(ts_us, event_id, ch))),
+                x -> x.ch))""").as("sq"))
+          .select(explode(expr("""CASE WHEN length(sq) >= 3
+              THEN transform(sequence(1, length(sq) - 2),
+                     i -> substring(sq, i, 3))
+              ELSE array() END""")).as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id,
+                 string_agg(CASE event_type WHEN 'view' THEN 'v'
+                     WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                     WHEN 'signup' THEN 's' ELSE 'e' END, ''
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS sq
+          FROM events GROUP BY user_id),
+        paths AS (
+          SELECT UNNEST(list_transform(range(1, length(sq) - 1),
+                   i -> sq[i : i + 2])) AS path
+          FROM seq)
+        SELECT path, COUNT(*) AS n
+        FROM paths
+        GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 20"""))
+  ,
+
+    // --------------------------------------------------------------- q135
+    // Engagement stickiness (DAU/WAU/MAU): the rolling-distinct metric
+    // product dashboards live on. Rolling COUNT(DISTINCT) does not
+    // decompose into a window sum, so the scale-honest formulation
+    // EXPLODES each (user, day) activity row into the ≤ 7 / ≤ 30 target
+    // days it supports — constant fan-out per activity row, then plain
+    // keyed distinct aggregates; no self-join of activity against
+    // activity, no unkeyed window. Days are integer epoch-day indexes;
+    // stickiness is integer per-mille DAU/MAU.
+    QueryDef(
+      "q135_stickiness",
+      (s, dir) => {
+        val act = TrackedCaches.track(Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        def rolling(span: Int, name: String) = act
+          .select(col("user_id"),
+            explode(expr(s"sequence(day, day + ${span - 1})")).as("day"))
+          .groupBy("day").agg(countDistinct("user_id").as(name))
+        dau.join(rolling(7, "wau"), "day").join(rolling(30, "mau"), "day")
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            expr("dau * 1000 div mau").as("stickiness_permille"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events),
+        dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+                FROM act GROUP BY day),
+        wau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS wau FROM (
+                  SELECT user_id, UNNEST(range(day, day + 7)) AS d
+                  FROM act) t GROUP BY d),
+        mau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS mau FROM (
+                  SELECT user_id, UNNEST(range(day, day + 30)) AS d
+                  FROM act) t GROUP BY d)
+        SELECT dau.day AS day, dau, wau, mau,
+               dau * 1000 // mau AS stickiness_permille
+        FROM dau JOIN wau ON dau.day = wau.day
+        JOIN mau ON dau.day = mau.day
+        ORDER BY day"""))
   )
 }
