@@ -30,6 +30,13 @@ final case class FrameSample(doc_id: Long, frame_idx: Int, offset: Long, frame_f
 final case class ResizedMedia(
     doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int, out_fp: Long)
 
+/** Output of the audio feature-extraction stage: windowed energy
+  * (mean-absolute-amplitude) contour statistics over a 16-bit PCM
+  * interpretation of the payload. */
+final case class AudioFeature(
+    doc_id: Long, n_samples: Long, n_windows: Long,
+    peak_energy: Long, mean_energy: Long, n_silent: Long)
+
 trait MediaDecoder extends Serializable {
   /** Decode one payload into its metadata. Real implementations wrap an
     * image/audio library; per-partition state (decoder contexts, native
@@ -43,6 +50,34 @@ trait MediaDecoder extends Serializable {
   /** Resize to fit `maxDim` on the longer edge, preserving aspect ratio
     * (the thumbnail stage of an image-preprocessing pipeline). */
   def resize(id: Long, bytes: Array[Byte], maxDim: Int): ResizedMedia
+
+  /** Windowed energy contour over the payload read as 16-bit
+    * little-endian PCM mono — unlike the stubbed image fields this IS
+    * the real signal math (it runs unchanged on actual PCM bytes):
+    * consecutive `win`-sample windows, energy = sum of |amplitude|
+    * (exact integers), silence = energy below `silentBelow`. Trailing
+    * partial windows are dropped. */
+  def audioEnergy(id: Long, bytes: Array[Byte], win: Int,
+      silentBelow: Long): AudioFeature = {
+    val n = bytes.length / 2
+    val nw = n / win
+    var peak = 0L; var total = 0L; var silent = 0L
+    var w = 0
+    while (w < nw) {
+      var e = 0L; var i = 0
+      while (i < win) {
+        val k = (w * win + i) * 2
+        var v = (bytes(k) & 0xFF) + ((bytes(k + 1) & 0xFF) << 8)
+        if (v >= 32768) v -= 65536
+        e += math.abs(v); i += 1
+      }
+      if (e > peak) peak = e
+      if (e < silentBelow) silent += 1
+      total += e; w += 1
+    }
+    AudioFeature(id, n.toLong, nw.toLong, peak,
+      if (nw > 0) total / nw else 0L, silent)
+  }
 
   def open(): Unit = ()
   def close(): Unit = ()
@@ -180,6 +215,25 @@ object Multimodal {
       new Iterator[MediaMeta] {
         def hasNext: Boolean = { val h = it.hasNext; if (!h) dec.close(); h }
         def next(): MediaMeta = { val (id, b) = it.next(); dec.decode(id, b) }
+      }
+    }
+  }
+
+  /** Audio feature extraction with the same per-partition decoder
+    * lifecycle as [[decodeMeta]] (open once per batch, close on drain —
+    * the `mapInPandas` batch shape). */
+  def audioFeatures(bin: Dataset[(Long, Array[Byte])],
+      mkDecoder: () => MediaDecoder, win: Int,
+      silentBelow: Long): Dataset[AudioFeature] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.mapPartitions { it =>
+      val dec = mkDecoder()
+      dec.open()
+      new Iterator[AudioFeature] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) dec.close(); h }
+        def next(): AudioFeature =
+          { val (id, b) = it.next(); dec.audioEnergy(id, b, win, silentBelow) }
       }
     }
   }

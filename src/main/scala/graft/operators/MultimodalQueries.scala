@@ -280,5 +280,62 @@ object MultimodalQueries {
         GROUP BY hash_hi, hash_lo
         HAVING COUNT(*) > 1
         ORDER BY keep_id"""))
+  ,
+
+    // --------------------------------------------------------------- q136
+    // Audio feature extraction — the modality q35/q43/q54 leave out:
+    // the payload read as 16-bit little-endian PCM mono, reduced to a
+    // windowed energy contour (16-sample windows, energy = exact
+    // integer sum of |amplitude|) with peak / mean / silence-count
+    // stats per track. Unlike the stubbed image dims this is the REAL
+    // signal kernel — it runs unchanged on actual PCM bytes; only the
+    // payload is a stand-in. Per-partition decoder lifecycle (the
+    // mapInPandas batch shape), narrow map, integer-exact against the
+    // oracle's byte arithmetic.
+    QueryDef(
+      "q136_audio_energy",
+      (s, dir) => {
+        import s.implicits._
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        graft.functions.Multimodal
+          .audioFeatures(bin, () => new FakeMediaDecoder, 16, 360000L)
+          .toDF().orderBy("doc_id")
+      },
+      // ASCII payloads keep every sample positive; the oracle still
+      // states the signed-int16 fold so the contract is the real one
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT)
+                   AS ns
+          FROM documents),
+        b2 AS (SELECT doc_id, text, ns, ns // 16 AS nw FROM base),
+        w AS (SELECT doc_id, text, UNNEST(range(0, nw)) AS wi FROM b2),
+        e AS (
+          SELECT doc_id, wi,
+                 list_sum(list_transform(range(0, 16), i ->
+                   abs(CASE WHEN unicode(text[CAST((wi * 16 + i) * 2 + 1 AS INT)])
+                              + 256 * unicode(text[CAST((wi * 16 + i) * 2 + 2 AS INT)])
+                            >= 32768
+                       THEN unicode(text[CAST((wi * 16 + i) * 2 + 1 AS INT)])
+                              + 256 * unicode(text[CAST((wi * 16 + i) * 2 + 2 AS INT)])
+                              - 65536
+                       ELSE unicode(text[CAST((wi * 16 + i) * 2 + 1 AS INT)])
+                              + 256 * unicode(text[CAST((wi * 16 + i) * 2 + 2 AS INT)])
+                       END))) AS en
+          FROM w),
+        agg AS (
+          SELECT doc_id, MAX(en) AS peak, SUM(en) // COUNT(*) AS meane,
+                 SUM(CASE WHEN en < 360000 THEN 1 ELSE 0 END) AS sil
+          FROM e GROUP BY doc_id)
+        SELECT b2.doc_id AS doc_id, ns AS n_samples,
+               CAST(nw AS BIGINT) AS n_windows,
+               CAST(COALESCE(peak, 0) AS BIGINT) AS peak_energy,
+               CAST(COALESCE(meane, 0) AS BIGINT) AS mean_energy,
+               CAST(COALESCE(sil, 0) AS BIGINT) AS n_silent
+        FROM b2 LEFT JOIN agg ON b2.doc_id = agg.doc_id
+        ORDER BY b2.doc_id"""))
   )
 }
