@@ -54,6 +54,10 @@ final case class TransEv(user_id: Long, event_id: Long, ts_us: Long,
 final case class DayEv(user_id: Long, day: Long, ts_t: java.sql.Timestamp)
 final case class Cohort(cohort_day: Long)
 final case class RetentionOut(user_id: Long, cohort_day: Long, day: Long)
+/** s21's CEP state: the user's event-type sequence so far plus a bitmask
+  * of already-fired patterns (so each fires at most once per user). */
+final case class CepState(seq: String, fired: Int)
+final case class CepMatch(user_id: Long, pattern: String)
 
 object StreamingQueries {
 
@@ -376,6 +380,54 @@ object StreamingQueries {
               last = e.event_type
             }
             if (last != null) state.update(LastEvent(last))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** s21's CEP patterns — shared with batch q131 so the stream/batch
+    * twins cannot drift. Order is the bitmask position. */
+  val cepPatterns: Seq[(String, scala.util.matching.Regex)] = Seq(
+    "error_burst" -> "e{3}".r,
+    "funnel_adjacent" -> "vcp".r,
+    "repeat_purchase" -> "pp".r,
+    "signup_to_purchase" -> "sv.*p".r)
+
+  /** s21's pattern detector (Flink-CEP's role on Spark): per user, the
+    * running event-type string is the state; each arriving batch appends
+    * its (time-sorted) chars and fires every not-yet-fired pattern the
+    * grown string now matches — at most once per (user, pattern), emitted
+    * the moment the completing event arrives. All patterns are existential
+    * substring regexes, so a mid-stream match equals a match on the final
+    * string (monotone) and the drained set must equal batch q131's.
+    * State is the user's own history (the q80 cap discipline applies in
+    * production); the fired bitmask makes re-evaluation cheap. */
+  def cep(evs: Dataset[TransEv]): Dataset[CepMatch] = {
+    import evs.sparkSession.implicits._
+    evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TransEv], state: GroupState[CepState]) =>
+          if (uid < 0) Iterator.empty // flush sentinel
+          else {
+            val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val st = state.getOption.getOrElse(CepState("", 0))
+            val sb = new StringBuilder(st.seq)
+            var fired = st.fired
+            val out = Seq.newBuilder[CepMatch]
+            for (e <- sorted) {
+              sb += (e.event_type match {
+                case "view" => 'v'; case "click" => 'c'
+                case "purchase" => 'p'; case "signup" => 's'; case _ => 'e'
+              })
+              val sq = sb.toString
+              for (((name, re), i) <- cepPatterns.zipWithIndex)
+                if ((fired & (1 << i)) == 0 && re.findFirstIn(sq).isDefined) {
+                  fired |= 1 << i
+                  out += CepMatch(uid, name)
+                }
+            }
+            state.update(CepState(sb.toString, fired))
             out.result().iterator
           }
       }
@@ -1309,5 +1361,56 @@ object StreamingQueries {
         JOIN p50 ON t.event_type = p50.event_type
         JOIN p95 ON t.event_type = p95.event_type
         ORDER BY t.event_type"""))
+  ,
+
+    // ---------------------------------------------------------------- s21
+    // Streaming complex-event processing — Flink CEP's role, on Spark:
+    // q131's row patterns detected LIVE. Per user the running
+    // event-type string is the state (s18's one-string shape); every
+    // arriving event appends and fires each not-yet-fired pattern the
+    // string now matches, at most once per (user, pattern), the moment
+    // the completing event lands. Existential patterns are monotone, so
+    // the drained match set must equal the batch MATCH_RECOGNIZE
+    // emulation exactly — same oracle as q131.
+    QueryDef(
+      "s21_stream_cep",
+      (s, dir) => {
+        import s.implicits._
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("event_type"), col("ts_t"))
+          .as[TransEv]
+        drain(s, OutputMode.Append())(cep(evs).toDF())
+          .groupBy("pattern")
+          .agg(count(lit(1)).as("n_users"),
+            sum("user_id").as("user_id_sum"))
+          .orderBy("pattern")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id,
+                 string_agg(CASE event_type WHEN 'view' THEN 'v'
+                     WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                     WHEN 'signup' THEN 's' ELSE 'e' END, ''
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS sq
+          FROM events GROUP BY user_id),
+        hits AS (
+          SELECT 'error_burst' AS pattern, user_id,
+                 regexp_matches(sq, 'e{3}') AS hit FROM seq
+          UNION ALL SELECT 'funnel_adjacent', user_id,
+                 regexp_matches(sq, 'vcp') FROM seq
+          UNION ALL SELECT 'repeat_purchase', user_id,
+                 regexp_matches(sq, 'pp') FROM seq
+          UNION ALL SELECT 'signup_to_purchase', user_id,
+                 regexp_matches(sq, 'sv.*p') FROM seq)
+        SELECT pattern,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_users,
+               CAST(SUM(CASE WHEN hit THEN user_id END) AS BIGINT)
+                 AS user_id_sum
+        FROM hits WHERE hit
+        GROUP BY pattern
+        ORDER BY pattern"""))
   )
 }

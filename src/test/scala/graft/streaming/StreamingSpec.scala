@@ -499,6 +499,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"state must hold only open-day bins: held=$held emitted=$emitted")
   }
 
+  test("s21 CEP fires mid-stream and at most once per (user, pattern)") {
+    import spark.implicits._
+    val evs = StreamingQueries
+      .eventsStreamTimeParts(spark, "/root/testdata/sf0.001")
+      .withWatermark("ts_t", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("ts_t"))
+      .as[TransEv]
+    val q = StreamingQueries.cep(evs).toDF()
+      .writeStream.format("memory").queryName("cep_live")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitting = q.recentProgress.count(_.sink.numOutputRows > 0)
+    assert(emitting >= 2,
+      s"matches must fire the moment the completing event arrives, " +
+        s"across batches; emitting = $emitting")
+    val rows = spark.table("cep_live").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.length == rows.distinct.length,
+      s"a (user, pattern) pair fired more than once: " +
+        rows.groupBy(identity).filter(_._2.length > 1).keys.take(5).toList)
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
