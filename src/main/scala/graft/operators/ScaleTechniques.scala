@@ -753,5 +753,75 @@ object ScaleTechniques {
         SELECT p.p_partkey, p.price AS price_cents, p.size
         FROM p JOIN sky ON p.price = sky.price AND p.size = sky.gmax
         ORDER BY price_cents, p_partkey"""))
+  ,
+
+    // --------------------------------------------------------------- q137
+    // Sketch-based audience overlap — the question q111's union-only
+    // rollup cannot answer: |users(A) ∩ users(B)| for event-type pairs,
+    // estimated by inclusion-exclusion over HLL sketches
+    // (est_A + est_B − est_A∪B) — three sketch reads, zero joins of raw
+    // users. One pass builds a kilobyte sketch per type; every pairwise
+    // overlap then costs O(sketch merge), which is how an ads/analytics
+    // stack prices audience intersections across hundreds of segments
+    // without N² distinct-count joins. Intersection differences
+    // amplify the individual ±0.8% (lgK=14) errors, so the q46-style
+    // contract is checked against the EXACT overlap (a semi-joined
+    // distinct count) per pair.
+    QueryDef(
+      "q137_audience_overlap",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_type", "user_id")
+        val sk = ev.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+            countDistinct("user_id").as("n"))
+        val pairs = s.createDataFrame(Seq(
+          ("view", "purchase"), ("view", "signup"), ("click", "error")))
+          .toDF("type_a", "type_b")
+        val est = pairs
+          .join(broadcast(sk.select(col("event_type").as("type_a"),
+            col("sk").as("sk_a"), col("n").as("n_a"))), Seq("type_a"))
+          .join(broadcast(sk.select(col("event_type").as("type_b"),
+            col("sk").as("sk_b"), col("n").as("n_b"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            (expr("hll_sketch_estimate(sk_a)")
+              + expr("hll_sketch_estimate(sk_b)")
+              - expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+              .as("est_overlap"))
+        val act = ev.distinct()
+        val exact = pairs
+          .join(act.select(col("event_type").as("type_a"), col("user_id")),
+            Seq("type_a"))
+          .join(act.select(col("event_type").as("type_b"), col("user_id")),
+            Seq("type_b", "user_id"))
+          .groupBy("type_a", "type_b")
+          .agg(countDistinct("user_id").as("n_exact_overlap"))
+        est.join(exact, Seq("type_a", "type_b"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_exact_overlap"),
+            (abs(col("est_overlap") - col("n_exact_overlap"))
+              <= greatest(lit(3.0), col("n_exact_overlap") * 0.05))
+              .as("within_bound"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""
+        WITH act AS (SELECT DISTINCT event_type, user_id FROM events),
+        n AS (SELECT event_type, COUNT(*) AS n FROM act GROUP BY event_type),
+        pairs AS (
+          SELECT 'view' AS type_a, 'purchase' AS type_b
+          UNION ALL SELECT 'view', 'signup'
+          UNION ALL SELECT 'click', 'error'),
+        ov AS (
+          SELECT p.type_a, p.type_b, COUNT(*) AS n_exact_overlap
+          FROM pairs p
+          JOIN act a ON a.event_type = p.type_a
+          JOIN act b ON b.event_type = p.type_b AND b.user_id = a.user_id
+          GROUP BY p.type_a, p.type_b)
+        SELECT ov.type_a AS type_a, ov.type_b AS type_b,
+               na.n AS n_a, nb.n AS n_b,
+               n_exact_overlap, TRUE AS within_bound
+        FROM ov
+        JOIN n na ON na.event_type = ov.type_a
+        JOIN n nb ON nb.event_type = ov.type_b
+        ORDER BY ov.type_a, ov.type_b"""))
   )
 }
