@@ -238,11 +238,13 @@ object EventAnalytics {
           .agg(expr("""concat_ws('',
               transform(array_sort(collect_list(struct(ts_us, event_id, ch))),
                 x -> x.ch))""").as("sq"))
-        seq.select(col("user_id"), expr("""stack(4,
-            'error_burst',        sq rlike 'e{3}',
-            'funnel_adjacent',    sq rlike 'vcp',
-            'repeat_purchase',    sq rlike 'pp',
-            'signup_to_purchase', sq rlike 'sv.*p')""")
+        // patterns come from the SHARED registry s21's live CEP walker
+        // uses, so the batch and streaming twins cannot drift
+        val pats = graft.streaming.StreamingQueries.cepPatterns
+        val stackArgs = pats.map { case (n, re) =>
+          s"'$n', sq rlike '${re.pattern.pattern}'" }.mkString(", ")
+        seq.select(col("user_id"),
+            expr(s"stack(${pats.size}, $stackArgs)")
             .as(Seq("pattern", "hit")))
           .groupBy("pattern")
           .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_users"),

@@ -76,4 +76,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("42"))
   }
+
+  test("audioEnergy: closed form on constant PCM, sign fold, partial-window drop") {
+    val dec = new FakeMediaDecoder
+    // 32 samples of +1000 (LE 0xE8 0x03): two full 16-sample windows,
+    // each energy = 16 * 1000
+    val pos = Array.fill(32)(Array(0xE8.toByte, 0x03.toByte)).flatten
+    val f = dec.audioEnergy(7L, pos, 16, 10000L)
+    assert(f == graft.functions.AudioFeature(7L, 32, 2, 16000, 16000, 0))
+    // -1000 (LE 0x18 0xFC) must fold through the signed branch to the
+    // same |amplitude| energy
+    val neg = Array.fill(32)(Array(0x18.toByte, 0xFC.toByte)).flatten
+    assert(dec.audioEnergy(8L, neg, 16, 10000L).peak_energy == 16000)
+    // 33rd sample starts a partial window: dropped, stats unchanged
+    val partial = pos ++ Array(0xE8.toByte, 0x03.toByte)
+    val p = dec.audioEnergy(9L, partial, 16, 10000L)
+    assert(p.n_samples == 33 && p.n_windows == 2 && p.mean_energy == 16000)
+    // silence threshold: zero samples count as silent windows
+    val quiet = Array.fill(64)(0.toByte)
+    assert(dec.audioEnergy(10L, quiet, 16, 10000L).n_silent == 2)
+  }
 }
