@@ -304,7 +304,12 @@ object MultimodalQueries {
           .toDF().orderBy("doc_id")
       },
       // ASCII payloads keep every sample positive; the oracle still
-      // states the signed-int16 fold so the contract is the real one
+      // states the signed-int16 fold so the contract is the real one.
+      // DORMANT ASSUMPTION: the oracle reads text[i] (a CHARACTER) as
+      // byte i — identical only while the fixture is pure ASCII. A
+      // multi-byte fixture would need the oracle rewritten over
+      // CAST(text AS BLOB) byte access; the engine side reads real
+      // bytes and needs no change.
       Some("""
         WITH base AS (
           SELECT doc_id, text,
