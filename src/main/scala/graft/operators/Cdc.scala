@@ -499,5 +499,89 @@ object Cdc {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY nationkey
         ORDER BY nationkey"""))
+  ,
+
+    // --------------------------------------------------------------- q138
+    // Time travel — the lakehouse "AS OF" read (Delta/Iceberg's
+    // VERSION AS OF), from plain parquet: three immutable version
+    // snapshots are staged once (v0 = the base, each successor = q60's
+    // delta-wins upsert applying inserts AND balance updates), and the
+    // query reads EVERY version back concurrently, auditing count /
+    // balance / key checksums per version. Snapshots never mutate —
+    // writing v2 cannot disturb a v0 reader — which is exactly the
+    // contract s10's streaming CDC relies on ("the table IS the
+    // state"); here it is surfaced as a user-facing read API. The
+    // oracle replays the same upsert algebra from the raw fixture, so
+    // a version that leaked a later update (or lost an insert) cannot
+    // hash-match.
+    QueryDef(
+      "q138_time_travel",
+      (s, dir) => {
+        def cents(c: org.apache.spark.sql.Column) =
+          expr(s"cast(cast(${c.toString} AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        def upsert(cur: DataFrame, delta: DataFrame): DataFrame =
+          delta.unionByName(cur.join(delta.select("c_custkey"),
+            Seq("c_custkey"), "left_anti"))
+        val staged = Staging.ensure("timetravel", dir,
+            s"$dir/customer.parquet") { out =>
+          val base = Tables(s, dir, "customer")
+            .select(col("c_custkey"), cents(col("c_acctbal")).as("bal"))
+          val v0 = base.filter(col("c_custkey") % 3 === 0)
+          v0.write.parquet(out.resolve("v0").toString)
+          val r0 = s.read.parquet(out.resolve("v0").toString)
+          val d1 = base.filter(col("c_custkey") % 3 === 1)
+            .unionByName(r0.filter(col("c_custkey") % 5 === 0)
+              .select(col("c_custkey"), (col("bal") + 111).as("bal")))
+          upsert(r0, d1).write.parquet(out.resolve("v1").toString)
+          val r1 = s.read.parquet(out.resolve("v1").toString)
+          val d2 = base.filter(col("c_custkey") % 3 === 2)
+            .unionByName(r1.filter(col("c_custkey") % 7 === 0)
+              .select(col("c_custkey"), (col("bal") + 222).as("bal")))
+          upsert(r1, d2).write.parquet(out.resolve("v2").toString)
+          ""
+        }
+        (0 to 2).map { k =>
+          s.read.parquet(staged.resolve(s"v$k").toString)
+            .agg(lit(k.toLong).as("version"),
+              count(lit(1)).as("n_rows"),
+              sum("bal").as("balance_cents"),
+              sum("c_custkey").as("key_sum"))
+        }.reduce(_.unionByName(_)).orderBy("version")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS bal
+          FROM customer),
+        v0 AS (SELECT * FROM base WHERE c_custkey % 3 = 0),
+        d1 AS (
+          SELECT * FROM base WHERE c_custkey % 3 = 1
+          UNION ALL
+          SELECT c_custkey, bal + 111 FROM v0 WHERE c_custkey % 5 = 0),
+        v1 AS (
+          SELECT * FROM d1
+          UNION ALL
+          SELECT * FROM v0
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM d1)),
+        d2 AS (
+          SELECT * FROM base WHERE c_custkey % 3 = 2
+          UNION ALL
+          SELECT c_custkey, bal + 222 FROM v1 WHERE c_custkey % 7 = 0),
+        v2 AS (
+          SELECT * FROM d2
+          UNION ALL
+          SELECT * FROM v1
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM d2))
+        SELECT 0 AS version, COUNT(*) AS n_rows,
+               CAST(SUM(bal) AS BIGINT) AS balance_cents,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM v0
+        UNION ALL
+        SELECT 1, COUNT(*), CAST(SUM(bal) AS BIGINT),
+               CAST(SUM(c_custkey) AS BIGINT) FROM v1
+        UNION ALL
+        SELECT 2, COUNT(*), CAST(SUM(bal) AS BIGINT),
+               CAST(SUM(c_custkey) AS BIGINT) FROM v2
+        ORDER BY version"""))
   )
 }
