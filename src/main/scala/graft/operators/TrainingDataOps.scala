@@ -912,5 +912,71 @@ object TrainingDataOps {
         FROM wts
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q139
+    // Deterministic negative sampling via a hash ring — contrastive
+    // training prep: every document's "hard random" negative is its
+    // SUCCESSOR on the content-hash ring (next (h, doc_id) in cyclic
+    // order) — seed-free, engine-reproducible, uniformly scrambled, and
+    // stable under repartitioning, the same ring trick consistent
+    // hashing uses. The global successor scan is the distributed
+    // primitive here (q130 did prefix-max; this is its successor-scan
+    // sibling): a bucket-KEYED lead() finds within-bucket successors,
+    // each bucket's last element takes the FIRST element of the nearest
+    // higher non-empty bucket (broadcast theta self-join over the
+    // bounded bucket frame), and the ring wraps the global maximum to
+    // the global minimum — no unkeyed window anywhere.
+    QueryDef(
+      "q139_negative_sampling",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val h = TrackedCaches.track(Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            call_function("graft_polyhash", col("text")).as("h"))
+          .withColumn("bucket", expr("h div 62500001"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("h", "doc_id")
+        val within = h.withColumn("succ", lead("doc_id", 1).over(w))
+        val firsts = h.groupBy("bucket")
+          .agg(min(struct(col("h"), col("doc_id"))).as("f"))
+          .select(col("bucket"), col("f.doc_id").as("bfirst"))
+        val nextb = firsts.as("x")
+          .join(broadcast(firsts.as("y")),
+            col("y.bucket") > col("x.bucket"), "left")
+          .groupBy(col("x.bucket").as("bucket"))
+          .agg(min(struct(col("y.bucket"), col("y.bfirst"))).as("nb"))
+          .select(col("bucket"), col("nb.bfirst").as("next_first"))
+        val gfirst = h.agg(min(struct(col("h"), col("doc_id"))).as("g"))
+          .select(col("g.doc_id").as("gfirst"))
+        within.join(broadcast(nextb), Seq("bucket"), "left")
+          .crossJoin(broadcast(gfirst)) // single-row (q58/q71 discipline)
+          .select(col("doc_id"),
+            coalesce(col("succ"), col("next_first"), col("gfirst"))
+              .as("neg_id"))
+          .orderBy("doc_id")
+      },
+      // the oracle states the ring with the single global window the
+      // engine decomposes into keyed pieces — same total order
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          FROM documents),
+        ord AS (
+          SELECT doc_id, h,
+                 lead(doc_id) OVER (ORDER BY h, doc_id) AS nxt
+          FROM h),
+        frst AS (
+          SELECT doc_id AS f FROM h ORDER BY h, doc_id LIMIT 1)
+        SELECT doc_id,
+               COALESCE(nxt, (SELECT f FROM frst)) AS neg_id
+        FROM ord
+        ORDER BY doc_id"""))
   )
 }
