@@ -1412,5 +1412,74 @@ object StreamingQueries {
         FROM hits WHERE hit
         GROUP BY pattern
         ORDER BY pattern"""))
+  ,
+
+    // ---------------------------------------------------------------- s22
+    // Streaming temporal table join — Flink's "FOR SYSTEM_TIME AS OF"
+    // on Spark: arriving events join the SCD2 user-tier dimension on
+    // key AND event-time validity (q113's batch as-of contract, live).
+    // Every user starts 'basic'; even users upgrade to 'pro' at the
+    // fixture's day-15 split, so a pro user's PRE-split events must
+    // still bill as 'basic' — the mis-join an untimed dimension lookup
+    // silently commits. The dim (with validity bounds computed once,
+    // batch-side) broadcasts under the stream-static inner join, so
+    // per-batch cost is a narrow probe; rollup happens post-drain.
+    QueryDef(
+      "s22_stream_temporal_join",
+      (s, dir) => {
+        val batchEv = graft.Tables.events(s, dir)
+        val splitUs = batchEv
+          .agg(((expr("min(ts_us) div 86400000000") + 15) * 86400000000L)
+            .as("split_us"))
+        val users = batchEv.select(col("user_id").as("u")).distinct()
+        val far = 4611686018427387904L // 2^62, past any event time
+        val dim = users.crossJoin(broadcast(splitUs))
+          .select(col("u"), lit("basic").as("tier"), lit(0L).as("vf"),
+            when(col("u") % 2 === 0, col("split_us")).otherwise(lit(far))
+              .as("vt"))
+          .unionByName(users.filter(col("u") % 2 === 0)
+            .crossJoin(broadcast(splitUs))
+            .select(col("u"), lit("pro").as("tier"),
+              col("split_us").as("vf"), lit(far).as("vt")))
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .select(col("user_id"), col("ts_us"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        val joined = evs.join(broadcast(dim),
+          evs("user_id") === dim("u")
+            && evs("ts_us") >= dim("vf") && evs("ts_us") < dim("vt"))
+          .select(col("user_id"), col("tier"), col("cents"))
+        drain(s, OutputMode.Append())(joined)
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_events"),
+            sum("cents").as("cents_sum"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("tier")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        sp AS (SELECT (MIN(ts_us) // 86400000000 + 15) * 86400000000
+                 AS split_us FROM ev),
+        users AS (SELECT DISTINCT user_id FROM ev),
+        dim AS (
+          SELECT user_id, 'basic' AS tier, CAST(0 AS BIGINT) AS vf,
+                 CASE WHEN user_id % 2 = 0 THEN (SELECT split_us FROM sp)
+                      ELSE CAST(4611686018427387904 AS BIGINT) END AS vt
+          FROM users
+          UNION ALL
+          SELECT user_id, 'pro', (SELECT split_us FROM sp),
+                 CAST(4611686018427387904 AS BIGINT)
+          FROM users WHERE user_id % 2 = 0)
+        SELECT tier, COUNT(*) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum,
+               COUNT(DISTINCT ev.user_id) AS n_users
+        FROM ev JOIN dim ON ev.user_id = dim.user_id
+          AND ev.ts_us >= vf AND ev.ts_us < vt
+        GROUP BY tier
+        ORDER BY tier"""))
   )
 }
