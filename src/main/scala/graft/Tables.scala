@@ -17,19 +17,33 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries parquet TIMESTAMP(NANOS) which Spark cannot read as a
-    * timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` so
-    * `ts` arrives as Long nanoseconds. This loader derives:
+  /** Epoch-microsecond Column for an events-shaped frame's `ts` field,
+    * adaptive to BOTH fixture generations the driver has shipped:
+    *   - parquet TIMESTAMP(NANOS) read as Long nanoseconds (sessions set
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`) → integer `div 1000`;
+    *   - parquet timestamp[us] read as TIMESTAMP_NTZ/TIMESTAMP → cast to
+    *     TimestampType (identity on the UTC wall clock — every session pins
+    *     `spark.sql.session.timeZone=UTC`) then `unix_micros`.
+    * Both land on the same epoch microseconds DuckDB's
+    * `epoch_us(CAST(ts AS TIMESTAMP))` produces, so oracle time math is
+    * exact integer arithmetic either way. */
+  def tsUsCol(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  /** Events loader deriving the two canonical time columns:
     *   - `ts_us`: epoch microseconds (Long) — exact integer arithmetic, used
     *     for all oracle-checked time math (DuckDB: `epoch_us(CAST(ts AS TIMESTAMP))`);
     *   - `ts_t`:  TimestampType at microsecond precision, for window()/watermark ops.
-    * ns→µs truncation matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast (both
-    * truncate toward zero; all fixture timestamps are positive).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    raw
+      .withColumn("ts_us", tsUsCol(raw))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
 }
 
 /** One SparkSession configuration for every entrypoint (Verify, Bench,

@@ -823,5 +823,81 @@ object ScaleTechniques {
         JOIN n na ON na.event_type = ov.type_a
         JOIN n nb ON nb.event_type = ov.type_b
         ORDER BY ov.type_a, ov.type_b"""))
+  ,
+
+    // --------------------------------------------------------------- q140
+    // Exact φ-heavy hitters at shuffle cost O(candidates), not
+    // O(distinct keys) — the two-pass Misra-Gries pattern. Pass 1 runs
+    // a size-127 Misra-Gries summary PER PARTITION (mapPartitions,
+    // constant memory) and ships only its ≤127 surviving keys; the
+    // pigeonhole argument makes the union of partition summaries a
+    // SUPERSET of every φ=1/100-heavy key (a key with global count
+    // > N/100 has local count > n_p/100 ≥ n_p/128 in at least one
+    // partition, and a size-127 summary keeps every key locally above
+    // n_p/128 — superset property spec-asserted in ScaleSpec over the
+    // exposed mgCandidates helper). Pass 2 recounts ONLY the candidates
+    // exactly (broadcast semi join, map-side-combined groupBy) and
+    // keeps keys above the 1% share. At 100 TB a plain groupBy-count
+    // ships one partial per DISTINCT key per partition — billions for
+    // user-id-like domains — while this plan moves ≤127 longs per
+    // partition plus O(candidates) exact partials. The key stream is
+    // skew-manufactured as in q120: half the events collapse onto 7
+    // hot keys, the rest stay unique, so exactly those 7 are heavy.
+    QueryDef(
+      "q140_heavy_hitters",
+      (s, dir) => {
+        val keyExpr =
+          "CASE WHEN event_id % 4 < 2 THEN event_id % 7 ELSE event_id + 1000000 END"
+        val keys = Tables(s, dir, "events")
+          .select(expr(keyExpr).cast("long").as("k"))
+        val candidates = mgCandidates(s, keys, 127)
+        val total = Tables(s, dir, "events").agg(count(lit(1)).as("n_total"))
+        keys.join(broadcast(candidates), "k")
+          .groupBy("k").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(total), lit(true))
+          .filter(col("cnt") * 100 > col("n_total"))
+          .select(col("k"), col("cnt"),
+            expr("cnt * 1000 div n_total").as("share_permille"))
+          .orderBy("k")
+      },
+      Some("""
+        WITH kk AS (
+          SELECT CASE WHEN event_id % 4 < 2 THEN event_id % 7
+                      ELSE event_id + 1000000 END AS k
+          FROM events),
+        tot AS (SELECT COUNT(*) AS n_total FROM kk),
+        c AS (SELECT k, COUNT(*) AS cnt FROM kk GROUP BY k)
+        SELECT k, cnt, cnt * 1000 // n_total AS share_permille
+        FROM c, tot
+        WHERE cnt * 100 > n_total
+        ORDER BY k"""))
   )
+
+  /** q140's pass-1: per-partition Misra-Gries summaries of size `m`,
+    * unioned and deduped. Guarantee (spec-asserted): the result contains
+    * every key whose GLOBAL count exceeds N/(m+1) — per partition, MG
+    * keeps any key locally above n_p/(m+1), and a globally-heavy key is
+    * locally heavy somewhere by pigeonhole. Constant memory per task,
+    * ≤ m rows shipped per partition. */
+  private[graft] def mgCandidates(
+      s: org.apache.spark.sql.SparkSession,
+      keys: org.apache.spark.sql.DataFrame,
+      m: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    keys.select(col("k").cast("long")).as[Long].mapPartitions { it =>
+      var counts = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { k =>
+        if (counts.contains(k)) counts(k) += 1L
+        else if (counts.size < m) counts(k) = 1L
+        else {
+          // MG decrement step: all counters down one, zeros evicted,
+          // the unseen key not admitted.
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          counts.foreach { case (kk, v) => if (v > 1L) next(kk) = v - 1L }
+          counts = next
+        }
+      }
+      counts.keysIterator
+    }.toDF("k").distinct()
+  }
 }

@@ -78,10 +78,19 @@ object StreamingQueries {
     * drop) and s08's batch-side filter both key off the -1 marker; this
     * is the ONE definition of that contract. */
   private def sentinelRow(s: SparkSession, path: String): DataFrame = {
-    val maxTs = s.read.parquet(path).agg(max("ts")).head().getLong(0)
-    val tenYearsNs = 315360000L * 1000000000L
-    s.read.parquet(path).limit(1)
-      .withColumn("ts", lit(maxTs + tenYearsNs))
+    val raw = s.read.parquet(path)
+    // max in epoch micros via the schema-adaptive helper (fixtures have
+    // shipped ts as both Long nanos and timestamp[us] — see Tables.tsUsCol),
+    // then rebuild the sentinel ts in the column's own type.
+    val maxUs = raw.agg(max(graft.Tables.tsUsCol(raw))).head().getLong(0)
+    val tenYearsUs = 315360000L * 1000000L
+    val sentinelTs: org.apache.spark.sql.Column =
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit((maxUs + tenYearsUs) * 1000L)
+        case dt => timestamp_micros(lit(maxUs + tenYearsUs)).cast(dt)
+      }
+    raw.limit(1)
+      .withColumn("ts", sentinelTs)
       .withColumn("user_id", lit(-1L))
       .withColumn("event_id", lit(-1L))
   }
@@ -156,8 +165,9 @@ object StreamingQueries {
       }
     }
     val schema = s.read.parquet(path).schema
-    s.readStream.schema(schema).parquet(landing.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val stream0 = s.readStream.schema(schema).parquet(landing.toString)
+    stream0
+      .withColumn("ts_us", graft.Tables.tsUsCol(stream0))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
@@ -184,9 +194,10 @@ object StreamingQueries {
         }
       placeMarker(marker)
     }
-    s.readStream.schema(s.read.parquet(path).schema)
+    val stream0 = s.readStream.schema(s.read.parquet(path).schema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
+    stream0
+      .withColumn("ts_us", graft.Tables.tsUsCol(stream0))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
@@ -225,10 +236,11 @@ object StreamingQueries {
         "part_5_sentinel.parquet", 5)
       placeMarker(marker)
     }
-    s.readStream.schema(s.read.parquet(path).schema)
+    val stream0 = s.readStream.schema(s.read.parquet(path).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landing.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
+    stream0
+      .withColumn("ts_us", graft.Tables.tsUsCol(stream0))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
