@@ -450,5 +450,110 @@ object EventAnalytics {
         FROM dau JOIN wau ON dau.day = wau.day
         JOIN mau ON dau.day = mau.day
         ORDER BY day"""))
+  ,
+
+    // --------------------------------------------------------------- q142
+    // CUSUM changepoint detection per event_type: the day where the
+    // cumulative deviation of daily volume from the series mean peaks —
+    // the standard level-shift detector a pipeline-health monitor runs
+    // over ingest counters. Exact integer arithmetic throughout: the
+    // per-day deviation is (c_i * D - N) — the mean-centered residual
+    // scaled by D days, so no fractions ever appear — and the CUSUM is
+    // its keyed prefix sum. 100 TB: one keyed daily aggregate (map-side
+    // combined), one slim per-type total (broadcast back), and windows
+    // partitioned by event_type over ~O(days) rows per key; the raw
+    // event volume is reduced before anything is sequenced.
+    QueryDef(
+      "q142_cusum_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val totals = daily.groupBy("event_type")
+          .agg(sum("c").as("n_tot"), count(lit(1)).as("n_days"))
+        val cusum = daily.join(broadcast(totals), "event_type")
+          .withColumn("dev", col("c") * col("n_days") - col("n_tot"))
+          .withColumn("cusum",
+            sum("dev").over(Window.partitionBy("event_type").orderBy("day")))
+        cusum
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type")
+              .orderBy(abs(col("cusum")).desc, col("day"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("change_day"),
+            col("cusum").as("peak_cusum"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // $DayUs AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, SUM(c) AS n_tot, COUNT(*) AS n_days
+          FROM daily GROUP BY 1),
+        cs AS (
+          SELECT d.event_type, d.day,
+                 SUM(d.c * t.n_days - t.n_tot)
+                   OVER (PARTITION BY d.event_type ORDER BY d.day) AS cusum
+          FROM daily d JOIN tot t USING (event_type)),
+        r AS (
+          SELECT event_type, day, cusum,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY ABS(cusum) DESC, day) AS rn
+          FROM cs)
+        SELECT event_type, day AS change_day,
+               CAST(cusum AS BIGINT) AS peak_cusum
+        FROM r WHERE rn = 1
+        ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q144
+    // Association-lift matrix between event_type and hour-of-day:
+    // observed/expected cell ratio in basis points — the dependence
+    // screen behind "does behavior differ by hour" dashboards, exact
+    // where a chi-square statistic would be float-order-dependent.
+    // lift_bp = o * T * 10000 div (row_total * col_total) is pure
+    // bigint arithmetic (o*T*1e4 <= ~1e16 at sf1, well inside int64).
+    // 100 TB: one keyed (type, hour) count reduces everything map-side;
+    // the two marginals derive from the 120-row cell table itself —
+    // nothing re-scans events, and both joins broadcast slim sides.
+    QueryDef(
+      "q144_hour_type_lift",
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr(s"(ts_us div $HourUs) % 24").as("hour"))
+          .agg(count(lit(1)).as("o"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        TrackedCaches.track(cells)
+        val rowT = cells.groupBy("event_type").agg(sum("o").as("r_tot"))
+        val colT = cells.groupBy("hour").agg(sum("o").as("c_tot"))
+        val tot = cells.agg(sum("o").as("t_tot"))
+        cells
+          .join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "hour")
+          .join(broadcast(tot), lit(true))
+          .select(col("event_type"), col("hour"), col("o"),
+            expr("o * t_tot * 10000 div (r_tot * c_tot)").as("lift_bp"))
+          .orderBy("event_type", "hour")
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT event_type,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // $HourUs) % 24 AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, SUM(o) AS r_tot FROM cells GROUP BY 1),
+        ct AS (SELECT hour, SUM(o) AS c_tot FROM cells GROUP BY 1),
+        t AS (SELECT SUM(o) AS t_tot FROM cells)
+        SELECT c.event_type, c.hour, c.o,
+               CAST(c.o * t.t_tot * 10000
+                    // (rt.r_tot * ct.c_tot) AS BIGINT) AS lift_bp
+        FROM cells c
+        JOIN rt USING (event_type) JOIN ct USING (hour) CROSS JOIN t
+        ORDER BY c.event_type, c.hour"""))
   )
 }

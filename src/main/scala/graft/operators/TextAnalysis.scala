@@ -492,5 +492,72 @@ object TextAnalysis {
                     - n_before * 1000 // tot_before AS BIGINT) AS delta_permille
         FROM t
         ORDER BY lang"""))
+  ,
+
+    // --------------------------------------------------------------- q141
+    // Sharded inverted-index build — the posting-list construction a
+    // search/retrieval layer runs over a curated corpus. Two-level
+    // aggregation so a stop-word's posting list never materializes in
+    // one task: (term, doc-block) groups first (block = doc_id div 100,
+    // so each group holds <= 100 postings and the hot term's work
+    // spreads over doc_id-many blocks), then a per-term roll-up that
+    // combines BLOCK DIGESTS, not postings — the second shuffle carries
+    // one 64-hex row per (term, block), never the raw doc ids again.
+    // That is exactly how a 100 TB index build stays skew-safe: the
+    // biggest single reduce group is bounded by the block size, not by
+    // document frequency. Determinism: postings sorted numerically
+    // inside a block, blocks sorted by zero-padded id in the roll-up,
+    // sha2-256 at both levels (the q25-established DuckDB parity).
+    QueryDef(
+      "q141_inverted_index",
+      (s, dir) => {
+        val postings = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .distinct() // term PRESENCE, one posting per (w, doc)
+        val blocks = postings
+          .withColumn("blk", expr("doc_id div 100"))
+          .groupBy("w", "blk")
+          .agg(
+            count(lit(1)).as("df_blk"),
+            sha2(expr(
+              "array_join(transform(array_sort(collect_list(doc_id))," +
+                " x -> cast(x as string)), ',')"), 256).as("blk_digest"))
+        blocks
+          .groupBy("w")
+          .agg(
+            sum("df_blk").as("df"),
+            count(lit(1)).as("n_blocks"),
+            sha2(expr(
+              "array_join(array_sort(collect_list(" +
+                "concat(lpad(cast(blk as string), 8, '0'), ':', blk_digest)" +
+                ")), ',')"), 256).as("postings_digest"))
+          .filter(col("df") >= 5)
+          .orderBy(col("df").desc, col("w"))
+          .limit(200)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, t AS w
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents)
+          WHERE len(t) > 0),
+        blk AS (
+          SELECT w, doc_id // 100 AS blk,
+                 CAST(COUNT(*) AS BIGINT) AS df_blk,
+                 sha256(string_agg(CAST(doc_id AS VARCHAR), ','
+                                   ORDER BY doc_id)) AS blk_digest
+          FROM toks GROUP BY w, doc_id // 100)
+        SELECT w, CAST(SUM(df_blk) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               sha256(string_agg(lpad(CAST(blk AS VARCHAR), 8, '0') ||
+                                   ':' || blk_digest, ','
+                                 ORDER BY lpad(CAST(blk AS VARCHAR), 8, '0') ||
+                                   ':' || blk_digest))
+                 AS postings_digest
+        FROM blk GROUP BY w
+        HAVING SUM(df_blk) >= 5
+        ORDER BY df DESC, w
+        LIMIT 200"""))
   )
 }

@@ -978,5 +978,57 @@ object TrainingDataOps {
                COALESCE(nxt, (SELECT f FROM frst)) AS neg_id
         FROM ord
         ORDER BY doc_id"""))
+  ,
+
+    // --------------------------------------------------------------- q143
+    // Per-source weighted systematic sampling: k=5 draws per source,
+    // probability proportional to document size (n_chars), WITHOUT
+    // replacement-style randomness — the classic PPS systematic design
+    // (Madow 1949): lay documents on a weight line (keyed prefix sum,
+    // ordered by doc_id), drop k equally-spaced midpoints
+    // t_j = ((2j+1)·T) div (2k), and take the document whose interval
+    // contains each midpoint. Everything is integer arithmetic, so the
+    // draw is exactly reproducible on any engine — the property a
+    // training-mixture spec needs for auditability. 100 TB: the prefix
+    // sum is keyed by source (never a global window), the per-source
+    // totals and the 5k threshold rows are broadcast, and the
+    // interval-containment join is an equi-join on source followed by a
+    // range filter — no all-pairs product (a source's thresholds are
+    // k rows, so the post-join filter touches k copies per doc).
+    QueryDef(
+      "q143_systematic_weighted_sample",
+      (s, dir) => {
+        val k = 5
+        val docs = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars").as("w"))
+          .withColumn("e", sum("w").over(
+            Window.partitionBy("source").orderBy("doc_id")))
+          .withColumn("st", col("e") - col("w"))
+        val totals = docs.groupBy("source").agg(sum("w").as("t_w"))
+        val thresholds = totals
+          .select(col("source"), col("t_w"),
+            explode(expr(s"cast(sequence(0, ${k - 1}) as array<bigint>)")).as("j"))
+          .select(col("source"), col("j"),
+            expr(s"(2 * j + 1) * t_w div ${2 * k}").as("t"))
+        docs.join(broadcast(thresholds), "source")
+          .filter(col("st") <= col("t") && col("t") < col("e"))
+          .select(col("source"), col("j"), col("doc_id"), col("w"))
+          .orderBy("source", "j")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id, n_chars AS w,
+                 SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS e
+          FROM documents),
+        dd AS (SELECT source, doc_id, w, e, e - w AS st FROM d),
+        tot AS (SELECT source, SUM(n_chars) AS t_w FROM documents GROUP BY 1),
+        th AS (
+          SELECT source, j, (2 * j + 1) * t_w // 10 AS t
+          FROM tot CROSS JOIN (SELECT range AS j FROM range(0, 5)) u)
+        SELECT dd.source AS source, th.j AS j, dd.doc_id AS doc_id, dd.w AS w
+        FROM dd JOIN th ON dd.source = th.source
+        WHERE dd.st <= th.t AND th.t < dd.e
+        ORDER BY source, j"""))
   )
 }

@@ -493,4 +493,73 @@ class ScaleSpec extends AnyFunSuite {
       assert(df.count() == 25, "one rank row per nation")
     } finally TrackedCaches.releaseAll()
   }
+
+  test("q140 Misra-Gries candidates are a superset of every phi-heavy key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Adversarial skew: key 7 takes half the stream, keys 0-6 take ~5%
+    // each, the long tail is all-unique — with m=127 the guarantee is
+    // "every key above N/128 survives", so all eight hot keys must.
+    val n = 20000
+    val keys = spark.range(n).select(
+      expr(s"CASE WHEN id % 2 = 0 THEN 7 " +
+        s"WHEN id % 20 < 14 THEN id % 7 ELSE id + 1000000 END")
+        .cast("long").as("k"))
+      .repartition(8) // force multiple partition-local summaries
+    val cands = ScaleTechniques.mgCandidates(spark, keys, 127)
+      .as[Long].collect().toSet
+    val exact = keys.groupBy("k").count()
+      .filter(col("count") > n / 128).as[(Long, Long)].collect()
+    assert(exact.nonEmpty, "fixture must manufacture heavy keys")
+    exact.foreach { case (k, c) =>
+      assert(cands.contains(k),
+        s"key $k (count $c > ${n / 128}) missing from MG candidates")
+    }
+    // and the shipped set stays small: <= m rows per partition
+    assert(cands.size <= 8 * 127, s"candidate set too large: ${cands.size}")
+  }
+
+  test("q141 index build is two-level: reduce groups bounded by the block size") {
+    val rows = SparkEntry.queries("q141_inverted_index")(spark, dir).collect()
+    assert(rows.nonEmpty, "index must surface frequent terms")
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df"); val nb = r.getAs[Long]("n_blocks")
+      // a block holds <= 100 postings, so df <= 100 * n_blocks proves the
+      // hot term's postings really spread across doc-id blocks instead of
+      // collapsing into one reduce group
+      assert(df <= 100L * nb, s"term ${r.get(0)}: df=$df exceeds block bound")
+    }
+    val plan = SparkEntry.queries("q141_inverted_index")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-200 must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q142 CUSUM windows are all keyed — no single-partition sequencing") {
+    val plan = SparkEntry.queries("q142_cusum_changepoint")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"prefix sums must ride the event_type partitioning:\n$plan")
+  }
+
+  test("q143 threshold join broadcasts the slim side — never all-pairs") {
+    val plan = SparkEntry.queries("q143_systematic_weighted_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds (k rows per source) must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval containment must join on source first:\n$plan")
+  }
+
+  test("q144 marginals derive from the cached cell table, not an events re-scan") {
+    val df = SparkEntry.queries("q144_hour_type_lift")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"cells must come from cache:\n$plan")
+      // 5 event types x 24 hours
+      assert(df.count() <= 120, "cell table stays bounded")
+    } finally TrackedCaches.releaseAll()
+  }
 }
