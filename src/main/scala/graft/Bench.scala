@@ -109,9 +109,16 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         finally src.close()
       }
+    // Two triggers (r6 widened): (a) moderate growth (>1.5x floor) with
+    // GC >=10% of wall — the classic heap-contention smell; (b) SEVERE
+    // growth (>3x floor) regardless of GC — r6's q107 ran 16x its floor
+    // in-suite with low GC (scheduler/cache contention, 5.3 s cold in a
+    // fresh JVM) and the GC-gated trigger never re-adjudicated it.
     val suspects = results.filter { case (name, v, g) =>
       v >= 0 && floors.get(s"$sfKey/${name.takeWhile(_ != '_')}")
-        .exists(fl => v > fl * 1.5 && g >= v * 1000 * 0.10)
+        .exists(fl => (v > fl * 1.5 && g >= v * 1000 * 0.10) || v > fl * 3.0)
+    }.sortBy { case (name, v, _) => // worst ratios first, then cap
+      -(v / floors.getOrElse(s"$sfKey/${name.takeWhile(_ != '_')}", v))
     }.take(6) // bound the extra wall time on a badly-contended run
     val isoResults = suspects.map { case (name, _, _) =>
       val t =

@@ -94,7 +94,7 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Persisted: the shingle sets feed signature building AND both
     // sides of the verify join — without reuse the O(text) shingle
     // construction runs three times. (At cluster scale this is the
@@ -154,7 +154,8 @@ object Dedup {
     * silently return SPLIT clusters that still look plausible — that is
     * wrong data, so this fails loudly instead. */
   private[operators] def connectedComponents(pairs: DataFrame,
-      maxIter: Int = 25, checkpointEvery: Int = 5): DataFrame = {
+      maxIter: Int = 25, checkpointEvery: Int = 5,
+      verbose: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = TrackedCaches.track(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -174,17 +175,23 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
+      // one join + one keyed aggregate per iteration: neighbor labels
+      // and the node's own label meet in the SAME min-aggregate (the
+      // self-label rides the union), so the old third stage — re-joining
+      // labels against the neighbor minimum — never happens. At cluster
+      // scale that saved exchange is the whole label table per round.
+      val stepped = edges
         .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
-        .groupBy("u").agg(min("vl").as("nl"))
-        .select(col("u").as("node"), col("nl"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("u").as("node"), col("vl").as("label"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("label").as("label"))
       val next = TrackedCaches.track(
         if ((iter + 1) % checkpointEvery == 0) stepped.localCheckpoint(true)
         else stepped.persist(MEMORY_AND_DISK))
+      val t0 = System.nanoTime()
       val curSum = labelSum(next)
+      if (verbose)
+        println(f"CCPROBE   iter $iter%2d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       labels.unpersist(blocking = false)
