@@ -555,5 +555,53 @@ object EventAnalytics {
         FROM cells c
         JOIN rt USING (event_type) JOIN ct USING (hour) CROSS JOIN t
         ORDER BY c.event_type, c.hour"""))
+  ,
+
+    // --------------------------------------------------------------- q146
+    // Time-weighted average value (TWAP) per event_type: each reading
+    // holds until the next reading of its type, so the average weights
+    // every value by its holding interval — the market-data/metrics
+    // standard where a plain AVG over-counts bursts. Exact arithmetic end to
+    // end: values in integer cents, intervals in integer microseconds,
+    // the Σ(v·Δt) accumulator in decimal(38,0) (cents × µs × corpus
+    // outgrows int64 past sf0.1), and the final ratio via decimal
+    // `div` ↔ DuckDB HUGEINT `//` (both truncate; all values
+    // non-negative — q119's established pairing). Scale: one lead()
+    // window and the aggregate ride the SAME event_type partitioning;
+    // nothing else moves.
+    QueryDef(
+      "q146_time_weighted_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("ts_us"), col("event_id"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          .withColumn("dt", lead("ts_us", 1).over(w) - col("ts_us"))
+          .filter(col("dt").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(expr("cast(vc AS DECIMAL(38,0)) * dt")).as("swv"),
+            sum(expr("cast(dt AS DECIMAL(38,0))")).as("sw"))
+          .select(col("event_type"), col("n_intervals"),
+            expr("cast(swv div sw AS BIGINT)").as("twap_cents"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        iv AS (
+          SELECT event_type, vc,
+                 lead(ts_us) OVER (PARTITION BY event_type
+                                   ORDER BY ts_us, event_id) - ts_us AS dt
+          FROM e)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(CAST(vc AS HUGEINT) * dt)
+                    // CAST(SUM(dt) AS HUGEINT) AS BIGINT) AS twap_cents
+        FROM iv WHERE dt IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -438,7 +438,6 @@ object TextAnalysis {
     QueryDef(
       "q87_lang_drift_monitor",
       (s, dir) => {
-        val tw = org.apache.spark.sql.expressions.Window.partitionBy()
         Tables(s, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .withColumn("n", size(col("w")).cast("long"))
@@ -453,8 +452,15 @@ object TextAnalysis {
           .groupBy("lang")
           .agg(count(lit(1)).as("n_before"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"))
-          .withColumn("tot_before", sum("n_before").over(tw))
-          .withColumn("tot_after", sum("n_after").over(tw))
+          .transform { byLang =>
+            // corpus totals via a broadcast single-row aggregate (q58's
+            // lazy idiom), not an all-rows window — no WindowExec noise
+            val cached = TrackedCaches.track(byLang.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            cached.join(broadcast(cached.agg(
+              sum("n_before").as("tot_before"),
+              sum("n_after").as("tot_after"))), lit(true))
+          }
           .select(col("lang"),
             expr("n_before * 1000 div tot_before").as("permille_before"),
             expr("n_after * 1000 div tot_after").as("permille_after"),
@@ -559,5 +565,44 @@ object TextAnalysis {
         HAVING SUM(df_blk) >= 5
         ORDER BY df DESC, w
         LIMIT 200"""))
+  ,
+
+    // --------------------------------------------------------------- q145
+    // BPE merge-pair statistics — ONE iteration of byte-pair-encoding
+    // tokenizer training: the corpus-wide frequency of every adjacent
+    // character pair inside words, top-50 (the pair a BPE trainer would
+    // merge next, plus the candidate list). The pair kernel is the
+    // native codegen `graft_char_ngrams` expression (codepoint-aligned
+    // byte slicing, linear per word) — the HOF spelling
+    // `transform(sequence(...), i -> substring(w, i, 2))` is both
+    // CodegenFallback and quadratic. Plan: scan → generate(words) →
+    // generate(pairs) → partial-aggregated count — all narrow until the
+    // aggregate's own reduced shuffle, top-50 via TakeOrdered. At
+    // 100 TB this is the canonical tokenizer-training inner loop: the
+    // shuffle carries one (pair, count) partial per task, bounded by
+    // the alphabet², never by corpus size.
+    QueryDef(
+      "q145_bpe_pair_counts",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(expr("graft_char_ngrams(w, 2)")).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(50)
+      },
+      Some("""
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        p AS (
+          SELECT unnest(list_transform(range(1, length(w)),
+                   i -> substring(w, i, 2))) AS pair
+          FROM w WHERE length(w) >= 2)
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM p GROUP BY pair
+        ORDER BY freq DESC, pair
+        LIMIT 50"""))
   )
 }

@@ -751,9 +751,15 @@ object TrainingDataOps {
         graft.plans.GraftFunctions.register(s)
         val docs = Tables(s, dir, "documents")
           .withColumn("fp", call_function("graft_polyhash", col("text")))
-        val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
-          .withColumn("wt", floor(sqrt(col("n_total"))).cast("long"))
-          .withColumn("sum_wt", sum("wt").over(Window.partitionBy()))
+        // weight total via a broadcast single-row aggregate (q58's lazy
+        // idiom) rather than an all-rows window: same bounded-frame
+        // cost, but no single-partition WindowExec in any log
+        val weights = TrackedCaches.track(
+          docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+            .withColumn("wt", floor(sqrt(col("n_total"))).cast("long"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val quotas = weights
+          .join(broadcast(weights.agg(sum("wt").as("sum_wt"))), lit(true))
           .withColumn("quota", greatest(lit(1L), expr("(200 * wt) div sum_wt")))
         val rw = Window.partitionBy("source").orderBy("fp", "doc_id")
         docs.join(quotas.select("source", "n_total", "quota"), "source")

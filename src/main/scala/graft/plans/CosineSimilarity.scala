@@ -115,6 +115,12 @@ object GraftFunctions {
       s"graft_word_ngrams expects 2 arguments, got ${other.length}")
   }
 
+  val charNgramsBuilder: Seq[Expression] => Expression = {
+    case Seq(s, n) => CharNgrams(s, n)
+    case other => throw new IllegalArgumentException(
+      s"graft_char_ngrams expects 2 arguments, got ${other.length}")
+  }
+
   // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
   // internal runtime-filter rewrite but does NOT register them as SQL
   // functions; exposing them makes the bloom-prune pattern (build a
@@ -152,6 +158,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams", wordNgramsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_ngrams", charNgramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sign_project", signProjectBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg", bloomAggBuilder, "built-in")
@@ -179,6 +187,10 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
       new FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       GraftFunctions.wordNgramsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      GraftFunctions.charNgramsBuilder))
     ext.injectFunction((
       new FunctionIdentifier("graft_sign_project"),
       new ExpressionInfo(classOf[SignProject].getName, "graft_sign_project"),

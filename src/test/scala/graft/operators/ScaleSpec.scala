@@ -322,7 +322,8 @@ class ScaleSpec extends AnyFunSuite {
     val report = new StringBuilder
     for (q <- Seq("q26_minhash_neardup", "q41_prefix_filter_jaccard_join",
         "q50_dup_clusters", "q103_corpus_ngram_dedup",
-        "q107_incremental_neardup_ingest", "q126_substring_dedup")) {
+        "q107_incremental_neardup_ingest", "q126_substring_dedup",
+        "q141_inverted_index")) {
       run(d1, q) // warm codegen + parquet footers, untimed
       val (t1, _) = run(d1, q)
       val (t10, plan10) = run(d10, q)
@@ -335,6 +336,26 @@ class ScaleSpec extends AnyFunSuite {
         && !plan10.contains("CartesianProduct"),
         s"$q flipped to an all-pairs join at 10x:\n$plan10")
     }
+    // q140 probes over a synthesized events stream (same 1x/10x copy
+    // construction on event_id — the MG summary is data-agnostic, so a
+    // super-linear ratio means the candidate recount broke, not the data)
+    val evTimes = Seq(1, 10).map { copies =>
+      val out = java.nio.file.Files.createTempDirectory(s"graft-ev-${copies}x")
+      spark.read.parquet(s"$src/events.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("event_id", col("event_id") * copies + col("c"))
+        .drop("c")
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      run(out.toString, "q140_heavy_hitters") // warm
+      val (t, plan) = run(out.toString, "q140_heavy_hitters")
+      report ++= f"q140_heavy_hitters ${copies}x: $t%.2f s\n"
+      if (copies == 10)
+        assert(!plan.contains("CartesianProduct"),
+          s"q140 must stay candidate-bounded at 10x:\n$plan")
+      t
+    }
+    assert(evTimes(1) <= evTimes(0) * 30 + 5.0,
+      f"q140 scales super-linearly: 1x=${evTimes(0)}%.2f s vs 10x=${evTimes(1)}%.2f s")
     info(report.toString)
   }
 
@@ -550,6 +571,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"),
       s"interval containment must join on source first:\n$plan")
+  }
+
+  test("q145 pair kernel is the native codegen expression, not an interpreted HOF") {
+    val plan = SparkEntry.queries("q145_bpe_pair_counts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_char_ngrams"),
+      s"native kernel missing from plan:\n$plan")
+    assert(!plan.contains("ArrayTransform"),
+      s"pair build must not fall back to interpreted HOFs:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q146 lead window and aggregate ride one event_type exchange") {
+    val plan = SparkEntry.queries("q146_time_weighted_avg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning\\(event_type".r.findAllIn(plan).size
+    assert(n == 1, s"expected one event_type exchange, found $n:\n$plan")
   }
 
   test("q144 marginals derive from the cached cell table, not an events re-scan") {
