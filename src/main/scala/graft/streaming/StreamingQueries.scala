@@ -59,6 +59,11 @@ final case class RetentionOut(user_id: Long, cohort_day: Long, day: Long)
 final case class CepState(seq: String, fired: Int)
 final case class CepMatch(user_id: Long, pattern: String)
 
+final case class TwapEv(event_type: String, event_id: Long, ts_us: Long,
+    vc: Long)
+final case class TwapLast(ts_us: Long, vc: Long)
+final case class TwapInterval(event_type: String, vc: Long, dt: Long)
+
 object StreamingQueries {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -394,6 +399,31 @@ object StreamingQueries {
             if (last != null) state.update(LastEvent(last))
             out.result().iterator
           }
+      }
+  }
+
+  /** s23's interval closer: per event_type, ONE last reading (ts, cents)
+    * of state; each arriving event closes the previous reading's holding
+    * interval and emits it immediately — the streaming half of q146's
+    * TWAP, leaving only exact-arithmetic aggregation for the rollup.
+    * In-batch order is restored by the (ts_us, event_id) sort (the s18
+    * discipline); cross-batch order is the staged time-parts' contract. */
+  def twapIntervals(evs: Dataset[TwapEv]): Dataset[TwapInterval] = {
+    import evs.sparkSession.implicits._
+    evs
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (et: String, it: Iterator[TwapEv], state: GroupState[TwapLast]) =>
+          val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = Seq.newBuilder[TwapInterval]
+          var last = state.getOption.orNull
+          for (e <- sorted) {
+            if (last != null)
+              out += TwapInterval(et, last.vc, e.ts_us - last.ts_us)
+            last = TwapLast(e.ts_us, e.vc)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
       }
   }
 
@@ -1493,5 +1523,55 @@ object StreamingQueries {
           AND ev.ts_us >= vf AND ev.ts_us < vt
         GROUP BY tier
         ORDER BY tier"""))
+  ,
+
+    // ---------------------------------------------------------------- s23
+    // Streaming TWAP — q146 live: per event_type, ONE last reading of
+    // state; every arriving event closes the previous reading's holding
+    // interval the moment it lands (no lead(), no lookahead — the
+    // streaming formulation of interval weighting). The drained
+    // (type, cents, Δt) rows roll up with q146's exact decimal algebra,
+    // so the final table must hash-match q146's oracle bit for bit —
+    // the open last interval per type is dropped by BOTH formulations.
+    // State is 2 longs × |event types|, watermark-independent (the
+    // sentinel only advances the clock; its row is filtered before the
+    // stateful operator, after the watermark node has seen it).
+    QueryDef(
+      "s23_stream_twap",
+      (s, dir) => {
+        import s.implicits._
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .filter(col("event_id") >= 0) // drop the watermark sentinel
+          .select(col("event_type"), col("event_id"), col("ts_us"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("vc"))
+          .as[TwapEv]
+        drain(s, OutputMode.Append())(twapIntervals(evs).toDF())
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(expr("cast(vc AS DECIMAL(38,0)) * dt")).as("swv"),
+            sum(expr("cast(dt AS DECIMAL(38,0))")).as("sw"))
+          .select(col("event_type"), col("n_intervals"),
+            expr("cast(swv div sw AS BIGINT)").as("twap_cents"))
+          .orderBy("event_type")
+      },
+      // q146's oracle verbatim: the stream/batch twins share the contract
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        iv AS (
+          SELECT event_type, vc,
+                 lead(ts_us) OVER (PARTITION BY event_type
+                                   ORDER BY ts_us, event_id) - ts_us AS dt
+          FROM e)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(CAST(vc AS HUGEINT) * dt)
+                    // CAST(SUM(dt) AS HUGEINT) AS BIGINT) AS twap_cents
+        FROM iv WHERE dt IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -524,6 +524,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         rows.groupBy(identity).filter(_._2.length > 1).keys.take(5).toList)
   }
 
+  test("s23 intervals close across batch boundaries; nothing is double-closed") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evs = StreamingQueries.eventsStreamTimeParts(spark, dir)
+      .withWatermark("ts_t", "0 seconds")
+      .filter(col("event_id") >= 0)
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+      .as[TwapEv]
+    val q = StreamingQueries.twapIntervals(evs).toDF()
+      .writeStream.format("memory").queryName("twap_live")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every batch after the first emits: its first event per type closes
+    // the interval the PREVIOUS batch's last reading opened — the state
+    // really carries across micro-batches
+    val emitting = q.recentProgress.count(_.sink.numOutputRows > 0)
+    assert(emitting >= 2,
+      s"intervals must emit across multiple batches; emitting = $emitting")
+    // exactly (n_events - n_types) intervals: one per event except each
+    // type's open last reading — a per-batch reset would LOSE boundary
+    // intervals, a replay would double-close them
+    val n = spark.table("twap_live").count()
+    val byType = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").count().collect()
+    val expected = byType.map(_.getLong(1) - 1).sum
+    assert(n == expected,
+      s"expected $expected closed intervals, got $n")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
