@@ -603,5 +603,57 @@ object EventAnalytics {
                     // CAST(SUM(dt) AS HUGEINT) AS BIGINT) AS twap_cents
         FROM iv WHERE dt IS NOT NULL
         GROUP BY event_type ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q147
+    // Gini coefficient of the value distribution per event_type — the
+    // inequality screen ("do a few events carry all the value?") a
+    // monetization dashboard runs, exactly. The rank formulation
+    // G = (2·Σ(i·x_i) − (n+1)·Σx_i) / (n·Σx_i) over ascending-sorted
+    // values is pure integer arithmetic in cents: the rank window and
+    // both aggregates ride ONE event_type exchange, the Σ(i·x_i)
+    // accumulator runs in decimal(38,0) (rank × cents × corpus is past
+    // int64 at sf ≥ 1), and the ratio surfaces in parts-per-million
+    // via decimal div ↔ HUGEINT // (q119/q146's pairing; numerator
+    // non-negative for sorted non-negative values). Ties break on
+    // event_id identically in both engines, and the rank formula is
+    // tie-order-invariant anyway (equal values swap ranks freely).
+    QueryDef(
+      "q147_gini_by_type",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("vc").as("sum_cents"),
+            sum(expr("cast(i AS DECIMAL(38,0)) * vc")).as("six"))
+          .select(col("event_type"), col("n"), col("sum_cents"),
+            expr("""cast((2 * six - (n + 1) * cast(sum_cents AS DECIMAL(38,0)))
+                         * 1000000 div (n * cast(sum_cents AS DECIMAL(38,0)))
+                    AS BIGINT)""").as("gini_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        r AS (
+          SELECT event_type, vc,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY vc, event_id) AS BIGINT) AS i
+          FROM e)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vc) AS BIGINT) AS sum_cents,
+               CAST((2 * SUM(CAST(i AS HUGEINT) * vc)
+                     - (COUNT(*) + 1) * CAST(SUM(vc) AS HUGEINT)) * 1000000
+                    // (COUNT(*) * CAST(SUM(vc) AS HUGEINT)) AS BIGINT)
+                 AS gini_ppm
+        FROM r GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

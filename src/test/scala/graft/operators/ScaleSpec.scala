@@ -591,6 +591,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(n == 1, s"expected one event_type exchange, found $n:\n$plan")
   }
 
+  test("q147 rank window and aggregate ride one event_type exchange") {
+    val plan = SparkEntry.queries("q147_gini_by_type")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning\\(event_type".r.findAllIn(plan).size
+    assert(n == 1, s"expected one event_type exchange, found $n:\n$plan")
+  }
+
   test("q144 marginals derive from the cached cell table, not an events re-scan") {
     val df = SparkEntry.queries("q144_hour_type_lift")(spark, dir)
     try {
