@@ -1573,5 +1573,82 @@ object StreamingQueries {
                     // CAST(SUM(dt) AS HUGEINT) AS BIGINT) AS twap_cents
         FROM iv WHERE dt IS NOT NULL
         GROUP BY event_type ORDER BY event_type"""))
+  ,
+
+    // ---------------------------------------------------------------- s24
+    // Streaming windowed heavy hitters — q140's two-pass discipline made
+    // LIVE, with the state-bounding step a naive streaming top-k lacks:
+    // pass 1 runs the Misra-Gries candidate sweep over the standing
+    // batch table (superset of every φ-heavy key, ≤127 per partition);
+    // pass 2 keeps TWO streaming aggregates — per-(window, key) counts
+    // over the stream SEMI-FILTERED to the broadcast candidates (state
+    // ≤ |candidates| rows per open 6 h window, instead of one row per
+    // DISTINCT key — the difference between bounded and unbounded state
+    // at 100 TB), and per-window totals over the unfiltered stream (one
+    // row per window). Both drain append as the watermark closes each
+    // window; the batch-side join + φ=5% share filter is exact because
+    // candidate recounts are exact. Same skew-manufactured key stream
+    // as q140: keys 0-6 carry ~7% of each window each, the tail is
+    // all-unique, so exactly those seven are heavy in every window.
+    QueryDef(
+      "s24_stream_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val keyExpr =
+          "CASE WHEN event_id % 4 < 2 THEN event_id % 7 ELSE event_id + 1000000 END"
+        // WINDOW-PARTITIONED candidate sweep: a key can be heavy inside
+        // one window yet rare globally, so the batch pass repartitions
+        // by window before the per-partition MG summaries — all of a
+        // window's rows land in one partition, and with ~W windows per
+        // partition the size-511 summary keeps any key above
+        // n_p/512 ≤ (W·N_w)/512 < φ·N_w for φ=5% while W < 25. The
+        // exact oracle makes any residual recall miss a loud hash
+        // failure, never silent data loss.
+        val cand = graft.operators.ScaleTechniques.mgCandidates(
+          s, graft.Tables.events(s, dir)
+            .select(expr(keyExpr).cast("long").as("k"),
+              expr("ts_us div 21600000000").as("w"))
+            .repartition(col("w"))
+            .select("k"), 511)
+        // the sentinel flows UNFILTERED here (s13's discipline): append
+        // emission needs the watermark to pass the last real window, and
+        // a pre-agg filter gets pushed below the watermark node and
+        // starves it. The sentinel's own far-future window never closes
+        // (it is the max event time), so it never emits; its k=-1 row is
+        // additionally outside the candidate set, and the final inner
+        // join discards any totals-side window with no counts.
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .select(expr(keyExpr).cast("long").as("k"), col("ts_t"))
+        val counts = drain(s, OutputMode.Append())(
+          evs.join(broadcast(cand), "k")
+            .groupBy(window(col("ts_t"), "6 hours"), col("k"))
+            .agg(count(lit(1)).as("cnt")))
+          .select(unix_micros(col("window.start")).as("w_us"), col("k"), col("cnt"))
+        val totals = drain(s, OutputMode.Append())(
+          evs.groupBy(window(col("ts_t"), "6 hours"))
+            .agg(count(lit(1)).as("n_total")))
+          .select(unix_micros(col("window.start")).as("w_us"), col("n_total"))
+        counts.join(broadcast(totals), "w_us")
+          .filter(col("cnt") * 20 > col("n_total"))
+          .select(col("w_us"), col("k"), col("cnt"),
+            expr("cnt * 1000 div n_total").as("share_permille"))
+          .orderBy("w_us", "k")
+      },
+      Some("""
+        WITH kk AS (
+          SELECT CASE WHEN event_id % 4 < 2 THEN event_id % 7
+                      ELSE event_id + 1000000 END AS k,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000)
+                   * 21600000000 AS w_us
+          FROM events),
+        c AS (SELECT w_us, k, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM kk GROUP BY w_us, k),
+        t AS (SELECT w_us, CAST(COUNT(*) AS BIGINT) AS n_total
+              FROM kk GROUP BY w_us)
+        SELECT c.w_us, c.k, c.cnt, c.cnt * 1000 // t.n_total AS share_permille
+        FROM c JOIN t ON c.w_us = t.w_us
+        WHERE c.cnt * 20 > t.n_total
+        ORDER BY c.w_us, c.k"""))
   )
 }

@@ -556,6 +556,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected $expected closed intervals, got $n")
   }
 
+  test("s24 window-count state holds only candidate keys; emits across batches") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val keyExpr =
+      "CASE WHEN event_id % 4 < 2 THEN event_id % 7 ELSE event_id + 1000000 END"
+    val cand = graft.operators.ScaleTechniques.mgCandidates(
+      spark, graft.Tables.events(spark, dir)
+        .select(expr(keyExpr).cast("long").as("k"),
+          expr("ts_us div 21600000000").as("w"))
+        .repartition(col("w")).select("k"), 511)
+    val candSet = cand.as[Long].collect().toSet
+    val evs = StreamingQueries.eventsStreamTimeParts(spark, dir)
+      .withWatermark("ts_t", "0 seconds")
+      .select(expr(keyExpr).cast("long").as("k"), col("ts_t"))
+    val q = evs.join(broadcast(cand), "k")
+      .groupBy(window(col("ts_t"), "6 hours"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("hh_counts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the semi-filter really bounds the aggregation: every state row —
+    // and so every emitted row — is a candidate key, never the unique
+    // tail that would make streaming state O(distinct keys)
+    val keys = spark.table("hh_counts").select("k").as[Long].collect()
+    assert(keys.nonEmpty && keys.forall(candSet.contains),
+      s"non-candidate key leaked into windowed state: " +
+        keys.filterNot(candSet.contains).take(5).toList)
+    val emitting = q.recentProgress.count(_.sink.numOutputRows > 0)
+    assert(emitting >= 2,
+      s"windows must close across multiple batches; emitting = $emitting")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
