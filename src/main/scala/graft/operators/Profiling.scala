@@ -660,5 +660,62 @@ object Profiling {
                     // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
         FROM a
         ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q148
+    // Exact WEIGHTED median per group — extended price weighted by
+    // quantity per return flag: the order statistic where half the
+    // total WEIGHT sits at or below the value (a plain median treats a
+    // 1-unit and a 50-unit line item alike; inventory/pricing wants the
+    // quantity-weighted cut). Pure integer arithmetic in cents: one
+    // keyed cumulative-weight window (ascending value, ties broken by
+    // the line key but the crossing value is tie-order-invariant), a
+    // broadcast 3-row total join, then the first value whose doubled
+    // cumulative weight reaches the total. Scale shape: the window and
+    // the final min-aggregate ride the same grp partitioning; the only
+    // other movement is the slim totals broadcast.
+    QueryDef(
+      "q148_weighted_median",
+      (s, dir) => {
+        val base = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+            expr("cast(cast(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("vc"),
+            expr("cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("wt"))
+        val w = Window.partitionBy("grp").orderBy("vc", "k1", "k2")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("grp"))
+          .agg(expr("sum(cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))")
+            .as("totw"))
+        base.withColumn("cumw", sum("wt").over(w))
+          .join(broadcast(tot), "grp")
+          .filter(col("cumw") * 2 >= col("totw"))
+          .groupBy("grp")
+          .agg(min("vc").as("wmedian_cents"), max("totw").as("total_weight"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH e AS (
+          SELECT l_returnflag AS grp, l_orderkey AS k1, l_linenumber AS k2,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS vc,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS wt
+          FROM lineitem),
+        c AS (
+          SELECT grp, vc, wt,
+                 SUM(wt) OVER (PARTITION BY grp ORDER BY vc, k1, k2
+                               ROWS UNBOUNDED PRECEDING) AS cumw
+          FROM e),
+        t AS (SELECT grp, CAST(SUM(wt) AS BIGINT) AS totw FROM e GROUP BY grp)
+        SELECT c.grp AS grp,
+               CAST(MIN(vc) AS BIGINT) AS wmedian_cents,
+               CAST(MAX(totw) AS BIGINT) AS total_weight
+        FROM c JOIN t ON c.grp = t.grp
+        WHERE cumw * 2 >= totw
+        GROUP BY c.grp
+        ORDER BY grp"""))
   )
 }
