@@ -695,5 +695,55 @@ object Relational {
         FROM seq
         GROUP BY rn
         ORDER BY depth"""))
+  ,
+
+    // --------------------------------------------------------------- q150
+    // Analytic-function breadth: percent_rank / cume_dist / ntile /
+    // nth_value in one keyed pass — the remaining stock window
+    // functions the q08-q10/q22 family doesn't exercise. The full
+    // (value, event_id) ordering is unique, so rank-based functions
+    // are tie-free and deterministic; percent_rank and cume_dist are
+    // each ONE IEEE division of two exact integers (no sum ordering —
+    // bit-identical across engines); nth_value's default running frame
+    // is the same in both. Output thins to a deterministic 1-in-199
+    // event sample AFTER the windows compute (the windows must see
+    // every row). One event_type exchange carries all four functions.
+    QueryDef(
+      "q150_analytic_functions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("second_lowest", nth_value(col("vc"), 2).over(w))
+          .filter(col("event_id") % 199 === 0)
+          .select("event_type", "event_id", "vc", "pr", "cd",
+            "quartile", "second_lowest")
+          .orderBy("event_type", "event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        r AS (
+          SELECT event_type, event_id, vc,
+                 percent_rank() OVER w AS pr,
+                 cume_dist() OVER w AS cd,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                 nth_value(vc, 2) OVER (PARTITION BY event_type
+                   ORDER BY vc, event_id
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS second_lowest
+          FROM e
+          WINDOW w AS (PARTITION BY event_type ORDER BY vc, event_id))
+        SELECT event_type, event_id, vc, pr, cd, quartile, second_lowest
+        FROM r
+        WHERE event_id % 199 = 0
+        ORDER BY event_type, event_id"""))
   )
 }

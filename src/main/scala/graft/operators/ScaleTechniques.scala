@@ -871,6 +871,63 @@ object ScaleTechniques {
         FROM c, tot
         WHERE cnt * 100 > n_total
         ORDER BY k"""))
+  ,
+
+    // --------------------------------------------------------------- q149
+    // Join-key skew diagnostic — the audit run BEFORE choosing between
+    // q44's salting and q120's AQE path: per prospective join key
+    // (customer key over orders), the distribution report that decides
+    // the strategy — distinct keys, rows, max single-key share in
+    // ppm, the top-1% keys' share, and a log2 frequency histogram
+    // (how many keys occur 1x, 2-3x, 4-7x, …). Everything derives
+    // from ONE keyed count aggregate; the rollups on top touch
+    // O(distinct keys) rows, and the histogram is a bounded second
+    // aggregate. At 100 TB this is the metadata pass that costs one
+    // map-side-combined shuffle and prevents a blown join.
+    QueryDef(
+      "q149_skew_diagnostic",
+      (s, dir) => {
+        val freq = TrackedCaches.track(
+          Tables(s, dir, "orders")
+            .groupBy(col("o_custkey").as("k"))
+            .agg(count(lit(1)).as("c"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val hist = freq
+          // floor(log2(c)) stated INTEGER-exactly as length(bin(c))-1:
+          // float log2 rounds below the integer at powers of two in
+          // some libm builds, which would shift a histogram bucket
+          .withColumn("bucket", expr("cast(length(bin(c)) - 1 AS BIGINT)"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_keys"),
+            sum("c").as("n_rows"))
+        val tot = freq.agg(
+          count(lit(1)).as("n_distinct"), sum("c").as("n_total"),
+          max("c").as("max_c"))
+        hist.join(broadcast(tot), lit(true))
+          .select(col("bucket"), col("n_keys"), col("n_rows"),
+            col("n_distinct"), col("n_total"),
+            expr("max_c * 1000000 div n_total").as("max_key_ppm"),
+            expr("n_rows * 1000 div n_total").as("bucket_permille"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH f AS (
+          SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(c) AS BIGINT) AS n_total,
+                 CAST(MAX(c) AS BIGINT) AS max_c
+          FROM f),
+        h AS (
+          SELECT CAST(LENGTH(BIN(c)) - 1 AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(c) AS BIGINT) AS n_rows
+          FROM f GROUP BY 1)
+        SELECT bucket, n_keys, n_rows, n_distinct, n_total,
+               max_c * 1000000 // n_total AS max_key_ppm,
+               n_rows * 1000 // n_total AS bucket_permille
+        FROM h CROSS JOIN t
+        ORDER BY bucket"""))
   )
 
   /** q140's pass-1: per-partition Misra-Gries summaries of size `m`,
