@@ -265,8 +265,16 @@ object Relational {
     QueryDef(
       "q09_window_running_total",
       (s, dir) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the driver's
+        // fixtures (~20% of rows sit in duplicate groups that differ in
+        // quantity/price), so a ROWS running sum needs the full
+        // value tiebreak or the intra-tie order — and the running total
+        // at the first of the pair — is engine-dependent (caught live
+        // at sf0.1: one row differed by exactly the duplicate's
+        // quantity). (ok, ln, qty, price) is verified unique.
         val w = Window.partitionBy("l_suppkey")
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .withColumn("running_qty", sum(dec2(col("l_quantity"))).over(w).cast(DoubleType))
@@ -277,7 +285,8 @@ object Relational {
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
                     OVER (PARTITION BY l_suppkey
-                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                   l_quantity, l_extendedprice
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         FROM lineitem
         ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
@@ -311,12 +320,16 @@ object Relational {
       (s, dir) =>
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          // l_quantity completes the tiebreak: duplicate (ok, ln) pairs
+          // exist in the fixtures and the limit boundary must not let
+          // two engines pick different members of a tie
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
           .limit(20),
       Some("""
         SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
         FROM lineitem
-        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity
         LIMIT 20""")),
 
     // ---------------------------------------------------------------- q12
