@@ -655,5 +655,114 @@ object EventAnalytics {
                  AS gini_ppm
         FROM r GROUP BY event_type
         ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q151
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands pattern a retention team runs for badge/streak
+    // features: distinct activity days per user, then day − row_number
+    // is CONSTANT within a consecutive run (each next day advances both
+    // by one), so grouping on that anchor yields one row per island.
+    // Report the longest streak and how many distinct streaks per user,
+    // thinned to users with streaks ≥ 3 days. All integer day indexes;
+    // both keyed shuffles (user-day dedup, island rollup) reduce
+    // map-side, and the row_number window rides the same user key.
+    QueryDef(
+      "q151_longest_streak",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val islands = days
+          .withColumn("anchor", col("day") - row_number().over(w))
+          .groupBy("user_id", "anchor")
+          .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        islands.groupBy("user_id")
+          .agg(max("len").as("longest_streak"),
+            count(lit(1)).as("n_streaks"),
+            min("start_day").as("first_day"))
+          .filter(col("longest_streak") >= 3)
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // $DayUs AS day
+          FROM events),
+        i AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS anchor
+          FROM d),
+        runs AS (
+          SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+                 MIN(day) AS start_day
+          FROM i GROUP BY user_id, anchor)
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MIN(start_day) AS BIGINT) AS first_day
+        FROM runs GROUP BY user_id
+        HAVING MAX(len) >= 3
+        ORDER BY user_id"""))
+  ,
+
+    // --------------------------------------------------------------- q152
+    // Peak concurrency per event_type — the interval-overlap sweep:
+    // each event opens a 30-minute presence interval; the +1/−1
+    // boundary stream sorted by time with a running sum gives the
+    // concurrency curve, whose max is the capacity-planning number.
+    // Boundary ordering puts −1 BEFORE +1 at the same instant
+    // (half-open [start, end) intervals — an interval ending exactly
+    // when another starts does not overlap it), then event_id makes
+    // the order total so the running sum is engine-deterministic. One
+    // keyed window over the 2N boundary rows; the fan-out is a
+    // constant ×2, never a join.
+    QueryDef(
+      "q152_max_concurrency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val halfHourUs = 1800000000L
+        val ev = Tables.events(s, dir)
+        val bounds = ev
+          .select(col("event_type"), col("ts_us").as("t"),
+            lit(1L).as("delta"), col("event_id"))
+          .unionByName(ev.select(col("event_type"),
+            (col("ts_us") + halfHourUs).as("t"),
+            lit(-1L).as("delta"), col("event_id")))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("t"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bounds
+          .withColumn("conc", sum("delta").over(w))
+          .groupBy("event_type")
+          .agg(max("conc").as("peak_concurrency"),
+            count(lit(1)).as("n_boundaries"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 event_id
+          FROM events),
+        b AS (
+          SELECT event_type, ts_us AS t, CAST(1 AS BIGINT) AS delta,
+                 event_id FROM e
+          UNION ALL
+          SELECT event_type, ts_us + 1800000000, CAST(-1 AS BIGINT),
+                 event_id FROM e),
+        c AS (
+          SELECT event_type,
+                 SUM(delta) OVER (PARTITION BY event_type
+                                  ORDER BY t, delta, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+          FROM b)
+        SELECT event_type,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+               CAST(COUNT(*) AS BIGINT) AS n_boundaries
+        FROM c GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
