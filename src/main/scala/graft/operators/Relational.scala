@@ -758,5 +758,125 @@ object Relational {
         FROM r
         WHERE event_id % 199 = 0
         ORDER BY event_type, event_id"""))
+  ,
+
+    // --------------------------------------------------------------- q153
+    // LATERAL correlated subquery (Spark 4 SQL surface): each nation's
+    // top-2 customers by balance via a correlated per-row subquery —
+    // the SQL spelling analysts port from Postgres/DuckDB, planned by
+    // Catalyst as DecorrelateInnerQuery → ranked window (the same
+    // physical shape as q08's window top-k, NOT one subquery execution
+    // per outer row). Exercises the sql() entry path and the
+    // decorrelation rule; balances in integer cents via the DECIMAL
+    // discipline, full-key deterministic ordering inside the lateral.
+    QueryDef(
+      "q153_lateral_topk",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("graft_nation")
+        t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+        s.sql("""
+          SELECT n.n_name AS nation, top.c_custkey,
+                 top.bal_cents
+          FROM graft_nation n,
+          LATERAL (
+            SELECT c_custkey,
+                   cast(cast(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     AS bal_cents
+            FROM graft_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY bal_cents DESC, c_custkey
+            LIMIT 2
+          ) AS top
+          ORDER BY nation, bal_cents DESC, c_custkey""")
+      },
+      Some("""
+        SELECT n.n_name AS nation, top.c_custkey, top.bal_cents
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS bal_cents
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_custkey
+          LIMIT 2
+        ) AS top
+        ORDER BY nation, bal_cents DESC, c_custkey"""))
+  ,
+
+    // --------------------------------------------------------------- q154
+    // ABC / Pareto classification — the merchandising contribution
+    // analysis: parts classed A (first 80% of cumulative revenue),
+    // B (next 15%), C (tail) by exact cumulative revenue share.
+    // Revenue reduces per part FIRST (map-side combined); the global
+    // running sum over (rev desc, part) then DECOMPOSES q130/q139
+    // style — parts land in ~33 revenue bands, per-band totals
+    // broadcast as prefix offsets via a bounded theta self-join, and
+    // the within-band prefix rides a band-KEYED window. No
+    // single-partition window at the part grain (parts scale with the
+    // corpus). The oracle states the contract with the plain global
+    // window. Output is the per-class rollup.
+    QueryDef(
+      "q154_abc_classification",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = TrackedCaches.track(
+          t(s, dir, "lineitem")
+            .groupBy(col("l_partkey").as("part"))
+            .agg(expr(
+              "sum(cast(cast(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))")
+              .as("rev"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val stats = rev.agg(sum("rev").as("tot"), max("rev").as("mx"))
+        // ~33 ordered revenue bands; width from the broadcast max so the
+        // band id is a pure narrow map (band 0 holds the richest parts)
+        val banded = rev.join(broadcast(stats), lit(true))
+          .withColumn("band", expr("(mx - rev) div (mx div 32 + 1)"))
+        val bandTot = banded.groupBy("band").agg(sum("rev").as("band_rev"))
+        val offsets = bandTot.as("a")
+          .join(bandTot.as("b"), col("b.band") < col("a.band"), "left")
+          .groupBy(col("a.band").as("band"))
+          .agg(coalesce(sum(col("b.band_rev")), lit(0L)).as("offset"))
+        val w = Window.partitionBy("band")
+          .orderBy(col("rev").desc, col("part"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        banded
+          .withColumn("cumb", sum("rev").over(w))
+          .join(broadcast(offsets), "band")
+          .withColumn("cum", col("cumb") + col("offset"))
+          .withColumn("cls",
+            when(expr("(cum - rev) * 100 < tot * 80"), "A")
+              .when(expr("(cum - rev) * 100 < tot * 95"), "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_rev"),
+            max("cum").as("cum_end"))
+          .orderBy("cls")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_partkey AS part,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS rev
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM rev),
+        c AS (
+          SELECT part, rev,
+                 SUM(rev) OVER (ORDER BY rev DESC, part
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM rev),
+        k AS (
+          SELECT part, rev, cum,
+                 CASE WHEN (cum - rev) * 100 < (SELECT tot FROM t) * 80
+                        THEN 'A'
+                      WHEN (cum - rev) * 100 < (SELECT tot FROM t) * 95
+                        THEN 'B'
+                      ELSE 'C' END AS cls
+          FROM c)
+        SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev) AS BIGINT) AS class_rev,
+               CAST(MAX(cum) AS BIGINT) AS cum_end
+        FROM k GROUP BY cls
+        ORDER BY cls"""))
   )
 }

@@ -598,6 +598,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(n == 1, s"expected one event_type exchange, found $n:\n$plan")
   }
 
+  test("q153 lateral subquery decorrelates to a window top-k, not a per-row loop") {
+    val plan = SparkEntry.queries("q153_lateral_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // DecorrelateInnerQuery must turn the correlated LIMIT into a ranked
+    // window with map-side group limits — the q08 physical shape
+    assert(plan.contains("WindowGroupLimit"),
+      s"lateral must decorrelate to a window group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no per-outer-row subquery execution:\n$plan")
+  }
+
+  test("q154 cumulative revenue rides the band-keyed window, never a global one") {
+    val df = SparkEntry.queries("q154_abc_classification")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("windowspecdefinition(band"),
+        s"the prefix sum must partition by the revenue band:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
   test("q144 marginals derive from the cached cell table, not an events re-scan") {
     val df = SparkEntry.queries("q144_hour_type_lift")(spark, dir)
     try {
