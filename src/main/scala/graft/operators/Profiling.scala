@@ -717,5 +717,69 @@ object Profiling {
         WHERE cumw * 2 >= totw
         GROUP BY c.grp
         ORDER BY grp"""))
+  ,
+
+    // --------------------------------------------------------------- q155
+    // Classifier evaluation metrics — the eval half of a training-data
+    // pipeline: per-class true/false positives and negatives, precision
+    // and recall in ppm, plus micro accuracy, over a DETERMINISTIC
+    // pseudo-model (every 10th event's predicted label shifts to the
+    // next event type in lexical order — both engines derive the same
+    // predictions from the fixture, so the confusion matrix is data,
+    // not randomness). Shape: one (label, prediction) count aggregate
+    // (bounded types²), then per-class rollups on the tiny matrix —
+    // the metrics stage costs one map-side-combined shuffle no matter
+    // the corpus size.
+    QueryDef(
+      "q155_classification_metrics",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val nextOf = types.zip(types.tail :+ types.head).toMap
+        val shiftExpr = types.map { t =>
+          s"WHEN event_type = '$t' THEN '${nextOf(t)}'"
+        }.mkString("CASE ", " ", " END")
+        val pairs = Tables.events(s, dir)
+          .select(col("event_type").as("label"),
+            expr(s"CASE WHEN event_id % 10 = 0 THEN $shiftExpr " +
+              "ELSE event_type END").as("pred"))
+        val cm = TrackedCaches.track(
+          pairs.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val tp = cm.filter(col("label") === col("pred"))
+          .select(col("label").as("cls"), col("n").as("tp"))
+        val byLabel = cm.groupBy(col("label").as("cls"))
+          .agg(sum("n").as("n_actual"))
+        val byPred = cm.groupBy(col("pred").as("cls"))
+          .agg(sum("n").as("n_predicted"))
+        byLabel.join(byPred, "cls").join(tp, "cls")
+          .select(col("cls"), col("tp"), col("n_actual"), col("n_predicted"),
+            expr("tp * 1000000 div n_predicted").as("precision_ppm"),
+            expr("tp * 1000000 div n_actual").as("recall_ppm"))
+          .orderBy("cls")
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_type AS label,
+                 CASE WHEN event_id % 10 = 0 THEN
+                   CASE event_type
+                     WHEN 'click' THEN 'error'
+                     WHEN 'error' THEN 'purchase'
+                     WHEN 'purchase' THEN 'signup'
+                     WHEN 'signup' THEN 'view'
+                     WHEN 'view' THEN 'click' END
+                 ELSE event_type END AS pred
+          FROM events),
+        cm AS (SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+               FROM p GROUP BY 1, 2),
+        tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+        a AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS n_actual
+              FROM cm GROUP BY 1),
+        pr AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS n_predicted
+               FROM cm GROUP BY 1)
+        SELECT cls, tp, n_actual, n_predicted,
+               tp * 1000000 // n_predicted AS precision_ppm,
+               tp * 1000000 // n_actual AS recall_ppm
+        FROM a JOIN pr USING (cls) JOIN tp USING (cls)
+        ORDER BY cls"""))
   )
 }
