@@ -878,5 +878,57 @@ object Relational {
                CAST(MAX(cum) AS BIGINT) AS cum_end
         FROM k GROUP BY cls
         ORDER BY cls"""))
+  ,
+
+    // --------------------------------------------------------------- q156
+    // Datetime-function breadth over event time: the calendar surface
+    // q16 doesn't reach — quarter, ISO week, day-of-year, last-day-of-
+    // month, month arithmetic (add_months clamps to month end in both
+    // engines), and day truncation — each chosen for exact DuckDB
+    // parity (no locale/week-start ambiguity: weekofyear is ISO in
+    // both; dayofweek is NOT emitted because the engines number days
+    // differently). Narrow map over a deterministic 1-in-97 sample;
+    // every output is an integer or epoch value.
+    QueryDef(
+      "q156_datetime_breadth",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .filter(col("event_id") % 97 === 0)
+          .select(col("event_id"),
+            col("ts_us"),
+            year(col("ts_t")).cast("long").as("y"),
+            quarter(col("ts_t")).cast("long").as("q"),
+            month(col("ts_t")).cast("long").as("m"),
+            dayofmonth(col("ts_t")).cast("long").as("dom"),
+            dayofyear(col("ts_t")).cast("long").as("doy"),
+            hour(col("ts_t")).cast("long").as("h"),
+            weekofyear(col("ts_t")).cast("long").as("iso_week"),
+            expr("unix_micros(cast(last_day(ts_t) as timestamp))")
+              .as("last_day_us"),
+            expr("unix_micros(cast(add_months(cast(ts_t as date), 3) as timestamp))")
+              .as("plus3m_us"),
+            expr("unix_micros(date_trunc('DAY', ts_t))").as("day_us"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, CAST(ts AS TIMESTAMP) AS t,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_id % 97 = 0)
+        SELECT event_id, ts_us,
+               CAST(EXTRACT(year FROM t) AS BIGINT) AS y,
+               CAST(EXTRACT(quarter FROM t) AS BIGINT) AS q,
+               CAST(EXTRACT(month FROM t) AS BIGINT) AS m,
+               CAST(EXTRACT(day FROM t) AS BIGINT) AS dom,
+               CAST(EXTRACT(doy FROM t) AS BIGINT) AS doy,
+               CAST(EXTRACT(hour FROM t) AS BIGINT) AS h,
+               CAST(EXTRACT(week FROM t) AS BIGINT) AS iso_week,
+               epoch_us(CAST(last_day(CAST(t AS DATE)) AS TIMESTAMP))
+                 AS last_day_us,
+               epoch_us(CAST(CAST(t AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP))
+                 AS plus3m_us,
+               epoch_us(date_trunc('day', t)) AS day_us
+        FROM e
+        ORDER BY event_id"""))
   )
 }
