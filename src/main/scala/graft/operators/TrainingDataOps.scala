@@ -1036,5 +1036,147 @@ object TrainingDataOps {
         FROM dd JOIN th ON dd.source = th.source
         WHERE dd.st <= th.t AND th.t < dd.e
         ORDER BY source, j"""))
+  ,
+
+    // --------------------------------------------------------------- q157
+    // The FLAGSHIP composition: the whole training-data pipeline as one
+    // query — exact dedup (q25's keep-first) → quality gate (q77's
+    // CurationRules subset) → decontamination (q66's benchmark 5-gram
+    // semi-join, here dropping the contaminated CORPUS docs) → mixture
+    // selection (q67's fingerprint-rank quota) → sequence packing
+    // (q78's budgeted prefix-sum chunks) — reported as the per-source
+    // funnel every curation run publishes: counts surviving each stage,
+    // packs produced, tokens selected. Every stage is the established
+    // deterministic formulation, so the five-stage composition is
+    // hash-exact end to end; the stage frames persist once each (the
+    // funnel counts re-aggregate cached data, not re-derived lineage).
+    // 100 TB: dedup shuffles 32 B digests, the gram semi-join shuffles
+    // grams against a slim benchmark side, quota + packing ride one
+    // source partitioning — no stage breaks the individual operators'
+    // scale contracts by being composed.
+    QueryDef(
+      "q157_training_pipeline_e2e",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        graft.plans.GraftFunctions.register(s)
+        val base = Tables(s, dir, "documents").select("doc_id", "source", "text")
+        // re-crawl corpus: every 5th doc arrives twice (q25's fixture)
+        val raw = base.unionByName(
+          base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              col("source"), col("text")))
+        val keepIds = raw.withColumn("dig", sha2(col("text"), 256))
+          .groupBy("dig").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val deduped = TrackedCaches.track(
+          raw.join(keepIds, Seq("doc_id"), "left_semi").persist(MEMORY_AND_DISK))
+        val quality = TrackedCaches.track(deduped
+          .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+          .withColumn("sum_len",
+            length(regexp_replace(col("text"), " ", "")).cast("long"))
+          .filter(col("n_words") >= CurationRules.MinWords
+            && expr("sum_len * 1000000 div n_words") >= CurationRules.MinMeanLenMicro
+            && expr("sum_len * 1000000 div n_words") <= CurationRules.MaxMeanLenMicro)
+          .persist(MEMORY_AND_DISK))
+        val benchGrams = base.filter(col("doc_id") % 13 === 0)
+          .select(concat_ws(" ", slice(split(col("text"), " "), 6, 20)).as("text"))
+          .select(explode(
+            call_function("graft_word_ngrams", col("text"), lit(5))).as("g"))
+          .distinct()
+        val contaminated = quality
+          .select(col("doc_id"), explode(
+            call_function("graft_word_ngrams", col("text"), lit(5))).as("g"))
+          .join(benchGrams, Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        val clean = TrackedCaches.track(
+          quality.join(contaminated, Seq("doc_id"), "left_anti")
+            .withColumn("fp", call_function("graft_polyhash", col("text")))
+            .persist(MEMORY_AND_DISK))
+        val rw = Window.partitionBy("source").orderBy("fp", "doc_id")
+        val packed = clean
+          .withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= 30)
+          .withColumn("cum", sum("n_words").over(
+            rw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("pack_id", expr("(cum - n_words) div 512"))
+        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy("source").agg(count(lit(1)).as(name))
+        cnt(raw, "n_raw")
+          .join(cnt(deduped, "n_dedup"), "source")
+          .join(cnt(quality, "n_quality"), "source")
+          .join(cnt(clean, "n_clean"), "source")
+          .join(packed.groupBy("source").agg(
+            count(lit(1)).as("n_selected"),
+            (max("pack_id") + 1).as("n_packs"),
+            sum("n_words").as("tokens_selected")), "source")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH base AS (SELECT doc_id, source, text FROM documents),
+        raw AS (
+          SELECT doc_id, source, text FROM base
+          UNION ALL
+          SELECT doc_id + 100000, source, text FROM base WHERE doc_id % 5 = 0),
+        keepd AS (SELECT MIN(doc_id) AS doc_id FROM raw GROUP BY sha256(text)),
+        dedup AS (SELECT r.* FROM raw r
+                  WHERE r.doc_id IN (SELECT doc_id FROM keepd)),
+        qm AS (
+          SELECT *, len(string_split(text, ' ')) AS n_words,
+                 length(replace(text, ' ', '')) AS sum_len
+          FROM dedup),
+        quality AS (
+          SELECT * FROM qm
+          WHERE n_words >= ${CurationRules.MinWords}
+            AND sum_len * 1000000 // n_words >= ${CurationRules.MinMeanLenMicro}
+            AND sum_len * 1000000 // n_words <= ${CurationRules.MaxMeanLenMicro}),
+        bgrams AS (
+          SELECT DISTINCT UNNEST(list_transform(range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                      ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM (SELECT string_split(
+                  array_to_string(string_split(text, ' ')[6:25], ' '), ' ') AS ws
+                FROM base WHERE doc_id % 13 = 0)),
+        contam AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, UNNEST(list_transform(range(1, len(ws) - 3),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4])) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM quality))
+          WHERE g IN (SELECT g FROM bgrams)),
+        clean AS (
+          SELECT q.*, list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+          FROM quality q
+          WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)),
+        sel AS (
+          SELECT *, SUM(n_words) OVER (PARTITION BY source ORDER BY fp, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY fp, doc_id) AS rk
+            FROM clean) WHERE rk <= 30),
+        packed AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+                 CAST(MAX((cum - n_words) // 512) + 1 AS BIGINT) AS n_packs,
+                 CAST(SUM(n_words) AS BIGINT) AS tokens_selected
+          FROM sel GROUP BY source),
+        c_raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+                  FROM raw GROUP BY source),
+        c_dedup AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup
+                    FROM dedup GROUP BY source),
+        c_quality AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+                      FROM quality GROUP BY source),
+        c_clean AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean
+                    FROM clean GROUP BY source)
+        SELECT source, n_raw, n_dedup, n_quality, n_clean,
+               n_selected, n_packs, tokens_selected
+        FROM c_raw JOIN c_dedup USING (source)
+        JOIN c_quality USING (source) JOIN c_clean USING (source)
+        JOIN packed USING (source)
+        ORDER BY source"""))
   )
 }
