@@ -205,6 +205,84 @@ object Dedup {
     labels
   }
 
+  /** q158: sorted-neighborhood near-dup candidates — the THIRD classic
+    * blocking family next to MinHash-LSH (q26) and prefix filtering
+    * (q41): sort by a content key, compare each record only with its w
+    * nearest neighbors in sort order (Hernández & Stolfo 1995). Stated
+    * block-scoped for distribution: the neighborhood window rides a
+    * prefix-block KEY (the multi-pass SNM trade — neighbors across a
+    * block boundary are a second pass with a rotated key), so no global
+    * window exists; leads carry only doc_ids and the Jaccard verify
+    * re-joins text by id, touching candidates alone. */
+  private[operators] val snmQuery: QueryDef = QueryDef(
+    "q158_sorted_neighborhood",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = TrackedCaches.track(nearCorpus(s, dir)
+        .withColumn("sk", substring(col("text"), 1, 24))
+        .withColumn("blk", substring(col("text"), 1, 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+      val cand = docs
+        .select(col("blk"), col("sk"), col("doc_id"))
+        .withColumn("n1", lead("doc_id", 1).over(w))
+        .withColumn("n2", lead("doc_id", 2).over(w))
+        .withColumn("n3", lead("doc_id", 3).over(w))
+        .select(col("doc_id"), explode(array(col("n1"), col("n2"), col("n3")))
+          .as("nbr"))
+        .filter(col("nbr").isNotNull)
+        .select(least(col("doc_id"), col("nbr")).as("id_a"),
+          greatest(col("doc_id"), col("nbr")).as("id_b"))
+        .distinct()
+      val sets = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wa")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+        .withColumn("uni", size(array_union(col("wa"), col("wb"))).cast("long"))
+        .filter(col("inter") * 5 >= col("uni") * 4)
+        .select(col("id_a"), col("id_b"),
+          expr("inter * 1000 div uni").as("jaccard_permille"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, regexp_replace(text, ' \S+$', '')
+        FROM documents WHERE doc_id % 7 = 0),
+      keyed AS (
+        SELECT doc_id, text, substring(text, 1, 24) AS sk,
+               substring(text, 1, 8) AS blk
+        FROM corpus),
+      nbrs AS (
+        SELECT doc_id,
+               lead(doc_id, 1) OVER w AS n1,
+               lead(doc_id, 2) OVER w AS n2,
+               lead(doc_id, 3) OVER w AS n3
+        FROM keyed
+        WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)),
+      cand AS (
+        SELECT DISTINCT LEAST(doc_id, n) AS id_a, GREATEST(doc_id, n) AS id_b
+        FROM (SELECT doc_id, UNNEST([n1, n2, n3]) AS n FROM nbrs)
+        WHERE n IS NOT NULL),
+      sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        FROM keyed),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+               CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT)
+                 AS uni
+        FROM cand c
+        JOIN sets a ON a.doc_id = c.id_a
+        JOIN sets b ON b.doc_id = c.id_b)
+      SELECT id_a, id_b, inter * 1000 // uni AS jaccard_permille
+      FROM verified
+      WHERE inter * 5 >= uni * 4
+      ORDER BY id_a, id_b"""))
+
   /** DuckDB CTE chain producing the same verified pair stream (brute-force
     * all-pairs verify — oracle-side code over small fixtures, not the
     * engine's plan); ends with a `pairs(id_a, id_b, inter, uni)` CTE. */
@@ -767,5 +845,5 @@ object Dedup {
         FROM marked
         GROUP BY doc_id
         ORDER BY doc_id"""))
-  )
+  ) :+ snmQuery
 }

@@ -64,6 +64,12 @@ final case class TwapEv(event_type: String, event_id: Long, ts_us: Long,
 final case class TwapLast(ts_us: Long, vc: Long)
 final case class TwapInterval(event_type: String, vc: Long, dt: Long)
 
+final case class StreakEv(user_id: Long, day: Long, ts_t: java.sql.Timestamp)
+final case class StreakState(last_day: Long, cur_len: Long, best_len: Long,
+    n_streaks: Long, first_day: Long)
+final case class StreakOut(user_id: Long, longest_streak: Long,
+    n_streaks: Long, first_day: Long)
+
 object StreamingQueries {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -424,6 +430,47 @@ object StreamingQueries {
           }
           if (last != null) state.update(last)
           out.result().iterator
+      }
+  }
+
+  /** s25's streak walker: per user, five longs of state maintain the
+    * consecutive-day run LIVE (current run, best run, run count, first
+    * day), and the FINAL report emits via event-time timeout once the
+    * watermark passes last activity + 40 days — "streak report after 40
+    * idle days", the product semantic a continuous deployment wants,
+    * and past the fixture's 30-day span so only the far-future sentinel
+    * fires it here. Cross-batch same-day duplicates collapse against
+    * `last_day` (days arrive in order across the staged batches). */
+  def streaks(evs: Dataset[StreakEv]): Dataset[StreakOut] = {
+    import evs.sparkSession.implicits._
+    evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[StreakEv], state: GroupState[StreakState]) =>
+          if (uid < 0) Iterator.empty // watermark sentinel
+          else if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(StreakOut(uid, st.best_len, st.n_streaks, st.first_day))
+          } else {
+            val days = it.map(_.day).toArray.sorted.distinct
+            var st = state.getOption.orNull
+            for (d <- days) {
+              if (st == null) st = StreakState(d, 1L, 1L, 1L, d)
+              else if (d == st.last_day) () // cross-batch duplicate day
+              else if (d == st.last_day + 1) {
+                val cur = st.cur_len + 1
+                st = st.copy(last_day = d, cur_len = cur,
+                  best_len = math.max(st.best_len, cur))
+              } else st = st.copy(last_day = d, cur_len = 1L,
+                n_streaks = st.n_streaks + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp((st.last_day + 40L) * 86400000L)
+            }
+            Iterator.empty
+          }
       }
   }
 
@@ -1650,5 +1697,52 @@ object StreamingQueries {
         FROM c JOIN t ON c.w_us = t.w_us
         WHERE c.cnt * 20 > t.n_total
         ORDER BY c.w_us, c.k"""))
+  ,
+
+    // ---------------------------------------------------------------- s25
+    // Streaming streak maintenance — q151's gaps-and-islands LIVE: five
+    // longs of per-user state walk the consecutive-day runs as activity
+    // arrives, and the final report emits by EVENT-TIME TIMEOUT (40
+    // idle days — the streak-report-when-user-goes-quiet semantic),
+    // fired here by the far-future sentinel after the drain. The state
+    // never holds activity history — only the run counters — so a
+    // year-active user costs the same 40 bytes as a one-day user.
+    // Same oracle as q151: the drained reports filtered to streaks ≥ 3
+    // must hash-match the batch island computation exactly.
+    QueryDef(
+      "s25_stream_streaks",
+      (s, dir) => {
+        import s.implicits._
+        val evs = eventsStreamTimeParts(s, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .select(col("user_id"),
+            expr("ts_us div 86400000000").as("day"), col("ts_t"))
+          .as[StreakEv]
+        drain(s, OutputMode.Append())(streaks(evs).toDF())
+          .filter(col("longest_streak") >= 3)
+          .orderBy("user_id")
+      },
+      // q151's oracle verbatim: the stream/batch twins share the contract
+      Some("""
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events),
+        i AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS anchor
+          FROM d),
+        runs AS (
+          SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+                 MIN(day) AS start_day
+          FROM i GROUP BY user_id, anchor)
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MIN(start_day) AS BIGINT) AS first_day
+        FROM runs GROUP BY user_id
+        HAVING MAX(len) >= 3
+        ORDER BY user_id"""))
   )
 }

@@ -590,6 +590,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"windows must close across multiple batches; emitting = $emitting")
   }
 
+  test("s25 streak reports emit only via event-time timeout, never mid-stream") {
+    import spark.implicits._
+    val evs = StreamingQueries
+      .eventsStreamTimeParts(spark, "/root/testdata/sf0.001")
+      .withWatermark("ts_t", "0 seconds")
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+        col("ts_t"))
+      .as[StreakEv]
+    val q = StreamingQueries.streaks(evs).toDF()
+      .writeStream.format("memory").queryName("streaks_live")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the 40-idle-day horizon exceeds the fixture's span, so nothing
+    // may time out until the sentinel batch throws the watermark ten
+    // years forward — all reports land in the FINAL emitting batch
+    val emitting = q.recentProgress.filter(_.sink.numOutputRows > 0)
+    assert(emitting.length == 1,
+      s"reports must emit in exactly one (final) batch, got ${emitting.length}")
+    // one final report per active user, exactly once
+    val users = spark.table("streaks_live").select("user_id").as[Long].collect()
+    assert(users.length == users.distinct.length, "a user reported twice")
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(users.length == expected,
+      s"expected $expected user reports, got ${users.length}")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
