@@ -930,5 +930,85 @@ object Relational {
                epoch_us(date_trunc('day', t)) AS day_us
         FROM e
         ORDER BY event_id"""))
+  ,
+
+    // --------------------------------------------------------------- q159
+    // Array-function breadth over tokenized documents: position /
+    // containment / slicing / reversal / sorting — each paired with its
+    // exact DuckDB list twin (one chosen divergence papered explicitly:
+    // list_position yields NULL where array_position yields 0, stated
+    // with COALESCE). Array-valued intermediates leave the query as
+    // join-digests because the gate's comparator can't hash nested
+    // cells. Narrow map over a deterministic sample.
+    QueryDef(
+      "q159_array_breadth",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .withColumn("ws", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n"),
+            size(array_distinct(col("ws"))).cast("long").as("nd"),
+            expr("array_position(ws, 'the')").as("pos_the"),
+            array_contains(col("ws"), "data").as("has_data"),
+            concat_ws(" ", slice(col("ws"), 1, 3)).as("first3"),
+            sha2(concat_ws(" ", reverse(col("ws"))), 256).as("rev_digest"),
+            sha2(concat_ws(" ", array_sort(col("ws"))), 256).as("sorted_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+               CAST(COALESCE(list_position(ws, 'the'), 0) AS BIGINT)
+                 AS pos_the,
+               list_contains(ws, 'data') AS has_data,
+               array_to_string(ws[1:3], ' ') AS first3,
+               sha256(array_to_string(list_reverse(ws), ' ')) AS rev_digest,
+               sha256(array_to_string(list_sort(ws), ' ')) AS sorted_digest
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id % 7 = 0)
+        ORDER BY doc_id"""))
+  ,
+
+    // --------------------------------------------------------------- q160
+    // String-function breadth: translate / levenshtein / padding /
+    // search position / codepoint / reversal — the remaining scalar
+    // string surface q16 doesn't reach, each paired with an exact
+    // DuckDB twin (instr and strpos agree on 1-based-or-0; ascii is
+    // the first CODEPOINT in both). Narrow map over a deterministic
+    // sample; Levenshtein runs on the bounded first/last tokens, not
+    // whole documents.
+    QueryDef(
+      "q160_string_breadth",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") % 11 === 0)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("w1", col("ws").getItem(0))
+          .withColumn("wn", element_at(col("ws"), -1))
+          .select(col("doc_id"),
+            translate(col("w1"), "aeiou", "AEIOU").as("w1_tr"),
+            levenshtein(col("w1"), col("wn")).cast("long").as("lev"),
+            lpad(col("doc_id").cast("string"), 8, "0").as("id_pad"),
+            instr(col("text"), "the").cast("long").as("pos_the"),
+            ascii(col("w1")).cast("long").as("cp1"),
+            reverse(col("w1")).as("w1_rev"),
+            length(col("text")).cast("long").as("len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               translate(w1, 'aeiou', 'AEIOU') AS w1_tr,
+               CAST(levenshtein(w1, wn) AS BIGINT) AS lev,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
+               CAST(instr(text, 'the') AS BIGINT) AS pos_the,
+               CAST(ascii(w1) AS BIGINT) AS cp1,
+               reverse(w1) AS w1_rev,
+               CAST(length(text) AS BIGINT) AS len
+        FROM (SELECT doc_id, text, ws[1] AS w1, ws[-1] AS wn
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 11 = 0))
+        ORDER BY doc_id"""))
   )
 }

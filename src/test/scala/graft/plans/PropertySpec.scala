@@ -37,6 +37,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: graft_char_ngrams equals the codepoint sliding window") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val strGen = Gen.listOf(Gen.frequency(
+      7 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('é', 'ü', '中', '日', ' '))).map(_.mkString)
+    val xs = samples(strGen, 60, 4000L)
+    def ref(t: String, n: Int): Seq[String] = {
+      // codepoint-aligned reference: surrogate-safe sliding window
+      val cps = t.codePoints().toArray
+      if (cps.length < n) Seq.empty
+      else cps.sliding(n).map(w => new String(w, 0, w.length)).toSeq
+    }
+    for (n <- Seq(1, 2, 3)) {
+      val got = xs.toDF("t")
+        .select(call_function("graft_char_ngrams", col("t"), lit(n)))
+        .as[Seq[String]].collect()
+      xs.zip(got).foreach { case (t, g) =>
+        assert(g == ref(t, n), s"char-ngram($n) mismatch for '${t.take(40)}'")
+      }
+    }
+  }
+
   test("property: graft_word_ngrams equals the naive sliding window (empty tokens kept)") {
     import spark.implicits._
     GraftFunctions.register(spark)
