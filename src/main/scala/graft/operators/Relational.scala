@@ -1006,9 +1006,125 @@ object Relational {
                CAST(ascii(w1) AS BIGINT) AS cp1,
                reverse(w1) AS w1_rev,
                CAST(length(text) AS BIGINT) AS len
-        FROM (SELECT doc_id, text, ws[1] AS w1, ws[-1] AS wn
-              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM (SELECT doc_id, text, ws[1] AS w1, wn
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws,
+                           string_split(text, ' ')[-1] AS wn
                     FROM documents WHERE doc_id % 11 = 0))
         ORDER BY doc_id"""))
+  ,
+
+    // --------------------------------------------------------------- q161
+    // Last-to-ship supplier analysis — TPC-H Q21's question ("which
+    // supplier keeps multi-supplier orders waiting?") restated for this
+    // fixture's columns as pure two-level aggregation instead of
+    // correlated EXISTS chains: per (order, supplier) the latest ship
+    // date reduces map-side first; per order the max, the supplier
+    // count, and the count of suppliers TIED at the max derive from
+    // that slim table; the laggard is the unique supplier at the max of
+    // a ≥2-supplier order. Top-10 by blocked-order count. Both
+    // shuffles are keyed and partial-aggregated; no self-join of
+    // lineitem against lineitem.
+    QueryDef(
+      "q161_laggard_supplier",
+      (s, dir) => {
+        val perOS = t(s, dir, "lineitem")
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max("l_shipdate").as("s_max"))
+        val perO = perOS.groupBy("l_orderkey")
+          .agg(max("s_max").as("o_max"),
+            count(lit(1)).as("n_supp"))
+        val tied = perOS.join(perO, "l_orderkey")
+          .filter(col("s_max") === col("o_max"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_at_max"))
+        perOS.join(perO, "l_orderkey").join(tied, "l_orderkey")
+          .filter(col("n_supp") >= 2 && col("n_at_max") === 1
+            && col("s_max") === col("o_max"))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_blocked_orders"))
+          .orderBy(col("n_blocked_orders").desc, col("l_suppkey"))
+          .limit(10)
+      },
+      Some("""
+        WITH pos AS (
+          SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+          FROM lineitem GROUP BY 1, 2),
+        po AS (
+          SELECT l_orderkey, MAX(s_max) AS o_max,
+                 CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM pos GROUP BY 1),
+        tied AS (
+          SELECT pos.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_at_max
+          FROM pos JOIN po USING (l_orderkey)
+          WHERE pos.s_max = po.o_max
+          GROUP BY 1)
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_blocked_orders
+        FROM pos JOIN po USING (l_orderkey) JOIN tied USING (l_orderkey)
+        WHERE n_supp >= 2 AND n_at_max = 1 AND s_max = o_max
+        GROUP BY l_suppkey
+        ORDER BY n_blocked_orders DESC, l_suppkey
+        LIMIT 10"""))
+  ,
+
+    // --------------------------------------------------------------- q162
+    // Shipping-delay distribution per order priority: exact median and
+    // p90 delay (days from order date to line ship date) plus the
+    // late share (> 60 days) — the SLA report. Order date joins in by
+    // key (broadcast decided by the planner), delays are integer day
+    // diffs, and both order statistics use the cumulative-count
+    // crossing (q148's discipline): the rank window and the rollup
+    // ride ONE priority partitioning; ties on the day value make the
+    // crossing order-invariant.
+    QueryDef(
+      "q162_priority_ship_delay",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("prio"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("delay"))
+        val w = Window.partitionBy("prio").orderBy("delay")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = d.groupBy("prio").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("delay") > 60, 1L).otherwise(0L)).as("n_late"))
+        d.withColumn("cum", count(lit(1)).over(w))
+          .join(broadcast(tot), "prio")
+          .groupBy("prio")
+          .agg(
+            min(when(col("cum") * 2 >= col("n"), col("delay"))).as("median_days"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("delay"))).as("p90_days"),
+            max("n").as("n_lines"),
+            expr("max(n_late) * 1000 div max(n)").as("late_permille"))
+          .orderBy("prio")
+      },
+      Some("""
+        WITH d AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS BIGINT) AS delay
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        tot AS (
+          SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN delay > 60 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late
+          FROM d GROUP BY 1),
+        c AS (
+          SELECT prio, delay,
+                 COUNT(*) OVER (PARTITION BY prio ORDER BY delay
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT c.prio AS prio,
+               CAST(MIN(CASE WHEN cum * 2 >= n THEN delay END) AS BIGINT)
+                 AS median_days,
+               CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN delay END) AS BIGINT)
+                 AS p90_days,
+               CAST(MAX(n) AS BIGINT) AS n_lines,
+               MAX(n_late) * 1000 // MAX(n) AS late_permille
+        FROM c JOIN tot USING (prio)
+        GROUP BY c.prio
+        ORDER BY prio"""))
   )
 }
