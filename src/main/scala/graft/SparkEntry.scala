@@ -17,7 +17,8 @@ object SparkEntry {
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ MultimodalQueries.all ++
       Sources.all ++ UdfQueries.all ++ SimilarityJoin.all ++ ScaleTechniques.all ++
       TrainingDataOps.all ++ Cdc.all ++ Compaction.all ++ Profiling.all ++
-      GraphOps.all ++ EventAnalytics.all ++ graft.streaming.StreamingQueries.all
+      GraphOps.all ++ EventAnalytics.all ++ Statistics.all ++
+      graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Statistical-analysis operators over the `events` / `documents`
+  * fixtures: map-typed column manipulation, chi-square independence,
+  * Simpson diversity, and a distributed two-sample Kolmogorov–Smirnov
+  * statistic. The reference moves events without analyzing them
+  * (SURVEY §2.9); these are the distribution-level health checks a
+  * data-quality team runs over an event warehouse or training corpus.
+  *
+  * Exactness: every statistic is computed in integer / decimal
+  * arithmetic and surfaced as parts-per-million BIGINTs (the q147
+  * discipline) — chi-square, diversity, and KS are all rational in the
+  * counts, so no engine ever touches a float and the DuckDB oracle
+  * hash-matches bit-for-bit. Spark decimal `div` pairs with DuckDB
+  * HUGEINT `//` (both truncate toward zero on non-negative operands).
+  *
+  * 100 TB scale design: every input reduces map-side on a keyed
+  * aggregate before anything wide runs; contingency/diversity tables
+  * are bounded-cardinality (types × buckets, sources × langs) so the
+  * post-aggregate joins broadcast. The KS cumulative counts use a
+  * range-partitioned two-pass prefix sum (per-partition cumsum + a
+  * 32-row offset table) instead of a global-ORDER window, so no stage
+  * ever serializes the distinct-value stream through one task.
+  */
+object Statistics {
+
+  private val HourUs = 3600000000L
+
+  /** Exact value-cents column (events.value is a 2-decimal double). */
+  private def cents = expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q163
+    // Map-typed column breadth — per event type, the hourly profile is
+    // carried as a MAP<hour, …> column and manipulated with the map
+    // higher-order functions end-to-end: map_from_entries builds
+    // hour→count and hour→cents maps from sorted entry arrays,
+    // map_zip_with aligns the two maps into per-hour (count, avg_cents)
+    // structs, map_filter drops hours below a support threshold, and
+    // explode lands the map back on rows. The exactly-equivalent
+    // relational query is the oracle, so the whole map round-trip is
+    // hash-gated. Maps stay bounded (≤24 keys per type) — the wide work
+    // is the one keyed (type, hour) aggregate that reduces map-side.
+    QueryDef(
+      "q163_map_functions",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr(s"(ts_us div $HourUs) % 24").as("hour"), cents.as("vc"))
+          .groupBy("event_type", "hour")
+          .agg(count(lit(1)).as("cnt"), sum("vc").as("cents"))
+        hourly.groupBy("event_type")
+          .agg(
+            map_from_entries(array_sort(
+              collect_list(struct(col("hour"), col("cnt"))))).as("cnt_map"),
+            map_from_entries(array_sort(
+              collect_list(struct(col("hour"), col("cents"))))).as("cents_map"))
+          .select(col("event_type"),
+            explode(expr(
+              """map_filter(
+                   map_zip_with(cnt_map, cents_map,
+                     (k, c, v) -> struct(c AS cnt, v div c AS avg_cents)),
+                   (k, s) -> s.cnt >= 5)""")).as(Seq("hour", "st")))
+          .select(col("event_type"), col("hour"),
+            col("st.cnt").as("cnt"), col("st.avg_cents").as("avg_cents"))
+          .orderBy("event_type", "hour")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT event_type,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // $HourUs) % 24 AS hour,
+                 COUNT(*) AS cnt,
+                 SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+               CAST(cents // cnt AS BIGINT) AS avg_cents
+        FROM h WHERE cnt >= 5
+        ORDER BY event_type, hour""")),
+
+    // --------------------------------------------------------------- q164
+    // Chi-square independence, event_type × 6-hour day-part — "does
+    // traffic mix shift across the day", the drift test run before
+    // trusting a sampled corpus. Observed counts come from ONE keyed
+    // aggregate; row totals, column totals, and N are slim re-aggregates
+    // of that table (bounded: types × 4 cells), so all three joins
+    // broadcast. Per-cell term in exact ppm:
+    //   (O·N − RT·CT)² · 10⁶ div (N·RT·CT)
+    // summed per event_type (both engines floor each cell before the
+    // sum, so the order-insensitive integer sum matches exactly).
+    // Decimal(38) holds (O·N)²·10⁶ up to N ≈ 3·10⁹ rows; a full 100 TB
+    // run rescales counts to per-million shares first.
+    QueryDef(
+      "q164_chi_square",
+      (s, dir) => {
+        val cell = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr(s"(ts_us div $HourUs) % 24 div 6").as("daypart"))
+          .groupBy("event_type", "daypart")
+          .agg(count(lit(1)).as("o"))
+        val rt = cell.groupBy("event_type").agg(sum("o").as("rt"))
+        val ct = cell.groupBy("daypart").agg(sum("o").as("ct"))
+        val n = cell.agg(sum("o").as("n"))
+        cell.join(broadcast(rt), "event_type")
+          .join(broadcast(ct), "daypart")
+          .crossJoin(broadcast(n))
+          .withColumn("d",
+            expr("cast(o AS DECIMAL(38,0)) * n - cast(rt AS DECIMAL(38,0)) * ct"))
+          .withColumn("term_ppm",
+            expr("""cast(d * d * 1000000
+                         div (cast(n AS DECIMAL(38,0)) * rt * ct) AS BIGINT)"""))
+          .groupBy("event_type")
+          .agg(first("rt").as("n_type"), sum("term_ppm").as("chi2_term_ppm"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH cell AS (
+          SELECT event_type,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // $HourUs) % 24 // 6 AS daypart,
+                 COUNT(*) AS o
+          FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, SUM(o) AS rt FROM cell GROUP BY 1),
+        ct AS (SELECT daypart, SUM(o) AS ct FROM cell GROUP BY 1),
+        n AS (SELECT SUM(o) AS n FROM cell),
+        t AS (
+          SELECT cell.event_type, rt.rt AS rt,
+                 (CAST(o AS HUGEINT) * n.n - CAST(rt.rt AS HUGEINT) * ct.ct) AS d,
+                 CAST(n.n AS HUGEINT) * rt.rt * ct.ct AS denom
+          FROM cell JOIN rt USING (event_type) JOIN ct USING (daypart), n)
+        SELECT event_type, CAST(MIN(rt) AS BIGINT) AS n_type,
+               CAST(SUM(d * d * 1000000 // denom) AS BIGINT) AS chi2_term_ppm
+        FROM t GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q165
+    // Simpson diversity of the language mix per document source — the
+    // exact-rational twin of Shannon entropy (whose log2 is not
+    // bit-reproducible across engines): the probability two draws
+    // without replacement differ in language,
+    //   1 − Σ cᵢ(cᵢ−1) / (N(N−1)),   in ppm.
+    // A monoculture source scores 0; a perfectly mixed one approaches
+    // 10⁶. One keyed (source, lang) count that reduces map-side, then a
+    // bounded per-source rollup — nothing wide ever carries text.
+    QueryDef(
+      "q165_simpson_diversity",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum("c").as("n_docs"), count(lit(1)).as("n_langs"),
+            sum(expr("c * (c - 1)")).as("same_pairs"))
+          .filter(col("n_docs") > 1)
+          .select(col("source"), col("n_docs"), col("n_langs"),
+            expr("1000000 - same_pairs * 1000000 div (n_docs * (n_docs - 1))")
+              .as("simpson_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, lang, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+        r AS (
+          SELECT source, SUM(c) AS n_docs, COUNT(*) AS n_langs,
+                 SUM(c * (c - 1)) AS same_pairs
+          FROM c GROUP BY source)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_langs AS BIGINT) AS n_langs,
+               CAST(1000000 - same_pairs * 1000000
+                    // (n_docs * (n_docs - 1)) AS BIGINT) AS simpson_ppm
+        FROM r WHERE n_docs > 1
+        ORDER BY source""")),
+
+    // --------------------------------------------------------------- q166
+    // Two-sample Kolmogorov–Smirnov statistic, view vs purchase value
+    // distributions — "did the distribution shift" with zero
+    // distributional assumptions. D = max over x of |F₁(x) − F₂(x)| is
+    // rational in the counts: with per-distinct-value deltas d₁,d₂ and
+    // cumulative counts c₁,c₂, D·n₁·n₂ = max |c₁·n₂ − c₂·n₁| — all
+    // integers. The cumulative step is the scale-critical part: a
+    // global ORDER BY window would serialize every distinct value
+    // through one task, so instead the deltas are range-partitioned by
+    // value, each partition cumsums locally under a pid-KEYED window,
+    // and a 32-row per-partition offset table (the only unkeyed window,
+    // bounded at the partition count) broadcasts back on top — the q78
+    // keyed-prefix-sum discipline applied to ECDFs.
+    QueryDef(
+      "q166_ks_test",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(cents.as("vc"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g2"))
+        val cell = base.groupBy("vc").agg(sum("g1").as("d1"), sum("g2").as("d2"))
+        val ranged = cell.repartitionByRange(32, col("vc"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint() // pin pid: the two consumers below must see one assignment
+        val wIntra = Window.partitionBy("pid").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val intra = ranged
+          .withColumn("c1p", sum("d1").over(wIntra))
+          .withColumn("c2p", sum("d2").over(wIntra))
+        // ≤32 rows: bounded-cardinality offset table, unkeyed window OK
+        val wOff = Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = ranged.groupBy("pid")
+          .agg(sum("d1").as("t1"), sum("d2").as("t2"))
+          .select(col("pid"),
+            coalesce(sum("t1").over(wOff), lit(0L)).as("o1"),
+            coalesce(sum("t2").over(wOff), lit(0L)).as("o2"))
+        val tot = base.agg(sum("g1").as("n1"), sum("g2").as("n2"))
+        intra.join(broadcast(off), "pid")
+          .crossJoin(broadcast(tot)) // single-row totals (q58/q71 discipline)
+          .select(col("n1"), col("n2"),
+            abs((col("c1p") + col("o1")) * col("n2")
+              - (col("c2p") + col("o2")) * col("n1")).as("dnum"))
+          .groupBy("n1", "n2").agg(max("dnum").as("d_num_max"))
+          .select(col("n1"), col("n2"), col("d_num_max"),
+            expr("d_num_max * 1000000 div (n1 * n2)").as("ks_ppm"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        cell AS (SELECT vc, SUM(g1) AS d1, SUM(g2) AS d2 FROM v GROUP BY vc),
+        cum AS (
+          SELECT SUM(d1) OVER (ORDER BY vc) AS c1,
+                 SUM(d2) OVER (ORDER BY vc) AS c2
+          FROM cell),
+        tot AS (SELECT SUM(g1) AS n1, SUM(g2) AS n2 FROM v)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num_max,
+               CAST(MAX(ABS(c1 * n2 - c2 * n1)) * 1000000
+                    // (n1 * n2) AS BIGINT) AS ks_ppm
+        FROM cum, tot GROUP BY n1, n2"""))
+  )
+}

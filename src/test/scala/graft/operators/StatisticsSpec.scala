@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Semantic pins for the Statistics module beyond the value-hash oracle:
+  * the map round-trip is lossless, chi-square/diversity/KS land in their
+  * mathematical ranges, and KS matches an independent local re-derivation.
+  * Runs at sf0.001.
+  */
+class StatisticsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q163 map round-trip equals the direct relational computation") {
+    import spark.implicits._
+    val got = run("q163_map_functions")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts_us div 3600000000) % 24").as("hour"),
+        expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("cnt"), expr("sum(vc) div count(1)").as("avg_cents"))
+      .filter(col("cnt") >= 5)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == direct, "map_from_entries→map_zip_with→map_filter→explode must be lossless")
+    assert(got.nonEmpty)
+  }
+
+  test("q164 chi-square terms are non-negative and row totals cover the table") {
+    import spark.implicits._
+    val rows = run("q164_chi_square").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 0), "each per-type chi-square contribution is >= 0")
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_._2).sum == total, "row totals must partition the event count")
+  }
+
+  test("q165 Simpson diversity lands in [0, 1e6] with sane counts") {
+    import spark.implicits._
+    val rows = run("q165_simpson_diversity")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nLangs, ppm) =>
+      assert(ppm >= 0 && ppm < 1000000, s"$src: ppm=$ppm out of range")
+      assert(nLangs >= 1 && nLangs <= nDocs)
+      if (nLangs == 1) assert(ppm == 0, s"$src: monoculture must score 0")
+    }
+  }
+
+  test("q166 KS statistic matches an independent local re-derivation") {
+    import spark.implicits._
+    val Array((n1, n2, dnum, ppm)) =
+      run("q166_ks_test").as[(Long, Long, Long, Long)].collect()
+    assert(ppm >= 0 && ppm <= 1000000)
+    // local ECDF re-derivation from the raw fixture
+    val vals = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        col("event_type"))
+      .as[(Long, String)].collect()
+    val a = vals.collect { case (v, "view") => v }.sorted
+    val b = vals.collect { case (v, "purchase") => v }.sorted
+    assert(n1 == a.length && n2 == b.length)
+    val expected = (a ++ b).distinct.map { x =>
+      val c1 = a.count(_ <= x).toLong
+      val c2 = b.count(_ <= x).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    assert(dnum == expected,
+      s"distributed prefix-sum ECDF diverged from local KS: $dnum vs $expected")
+  }
+}
