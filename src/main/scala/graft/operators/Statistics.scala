@@ -240,6 +240,95 @@ object Statistics {
                CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num_max,
                CAST(MAX(ABS(c1 * n2 - c2 * n1)) * 1000000
                     // (n1 * n2) AS BIGINT) AS ks_ppm
-        FROM cum, tot GROUP BY n1, n2"""))
+        FROM cum, tot GROUP BY n1, n2""")),
+
+    // --------------------------------------------------------------- q167
+    // Total-variation distance between the first and second half of the
+    // observation window — the distribution-drift number a corpus
+    // monitor alarms on, exact where PSI/KL (which need logs) are not:
+    //   TVD = ½ Σᵢ |c₁ᵢ/n₁ − c₂ᵢ/n₂|
+    //       = Σᵢ |c₁ᵢ·n₂ − c₂ᵢ·n₁| div (2·n₁·n₂)   — rational in counts.
+    // The midpoint comes from one (min,max) aggregate broadcast back; the
+    // bucketed counts are ONE keyed aggregate ($50-wide value buckets,
+    // bounded cardinality), so the final rollup is a single slim pass.
+    QueryDef(
+      "q167_tvd_drift",
+      (s, dir) => {
+        val ts = Tables.events(s, dir).select(col("ts_us"), cents.as("vc"))
+        val mid = ts.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid_us"))
+        val cell = ts.crossJoin(broadcast(mid)) // single-row scalar (q58/q71)
+          .select(expr("vc div 5000").as("bucket"),
+            when(col("ts_us") <= col("mid_us"), 1L).otherwise(0L).as("g1"),
+            when(col("ts_us") > col("mid_us"), 1L).otherwise(0L).as("g2"))
+          .groupBy("bucket").agg(sum("g1").as("c1"), sum("g2").as("c2"))
+        val tot = cell.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+        cell.crossJoin(broadcast(tot))
+          .groupBy("n1", "n2")
+          .agg(sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"))
+          .select(col("n1"), col("n2"),
+            expr("num * 1000000 div (2 * n1 * n2)").as("tvd_ppm"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        m AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM e),
+        cell AS (
+          SELECT vc // 5000 AS bucket,
+                 SUM(CASE WHEN ts_us <= mid_us THEN 1 ELSE 0 END) AS c1,
+                 SUM(CASE WHEN ts_us > mid_us THEN 1 ELSE 0 END) AS c2
+          FROM e, m GROUP BY 1),
+        tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM cell)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(SUM(ABS(c1 * n2 - c2 * n1)) * 1000000
+                    // (2 * n1 * n2) AS BIGINT) AS tvd_ppm
+        FROM cell, tot GROUP BY n1, n2""")),
+
+    // --------------------------------------------------------------- q168
+    // Benford first-digit audit of order totals — the classic anomaly
+    // screen over financial-looking columns. The expected shares are the
+    // nine log₁₀(1+1/d) constants PINNED as integer ppm literals in BOTH
+    // engines (they sum to exactly 10⁶), so no engine evaluates a log and
+    // the comparison stays bit-exact. One keyed digit count (9 groups,
+    // map-side reduced), then a broadcast join against the 9-row
+    // constant table.
+    QueryDef(
+      "q168_benford_audit",
+      (s, dir) => {
+        import s.implicits._
+        val benford = Seq(
+          (1L, 301030L), (2L, 176091L), (3L, 124939L), (4L, 96910L),
+          (5L, 79181L), (6L, 66947L), (7L, 57992L), (8L, 51153L),
+          (9L, 45757L)).toDF("digit", "benford_ppm")
+        val d = Tables(s, dir, "orders")
+          .select(expr(
+            """cast(substring(cast(cast(cast(o_totalprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT) AS STRING), 1, 1) AS BIGINT)""").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("c"))
+        val tot = d.agg(sum("c").as("n"))
+        d.crossJoin(broadcast(tot))
+          .join(broadcast(benford), "digit")
+          .select(col("digit"), col("c").as("n_orders"),
+            expr("c * 1000000 div n").as("obs_ppm"), col("benford_ppm"),
+            expr("abs(c * 1000000 div n - benford_ppm)").as("dev_ppm"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH b(digit, benford_ppm) AS (VALUES
+          (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+          (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        d AS (
+          SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                     * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 COUNT(*) AS c
+          FROM orders GROUP BY 1),
+        t AS (SELECT SUM(c) AS n FROM d)
+        SELECT digit, CAST(c AS BIGINT) AS n_orders,
+               CAST(c * 1000000 // n AS BIGINT) AS obs_ppm,
+               CAST(benford_ppm AS BIGINT) AS benford_ppm,
+               CAST(ABS(c * 1000000 // n - benford_ppm) AS BIGINT) AS dev_ppm
+        FROM d JOIN b USING (digit), t
+        ORDER BY digit"""))
   )
 }

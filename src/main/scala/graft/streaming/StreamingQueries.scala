@@ -1743,6 +1743,76 @@ object StreamingQueries {
                CAST(MIN(start_day) AS BIGINT) AS first_day
         FROM runs GROUP BY user_id
         HAVING MAX(len) >= 3
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- s26
+    // Streaming distribution-drift monitor — the live twin of q167's
+    // total-variation distance: per event-time DAY, the value histogram
+    // ($50-wide buckets, bounded cardinality) accumulates as a windowed
+    // streaming aggregate, and each day's distribution is scored against
+    // the static full-corpus reference in exact ppm:
+    //   TVD(day) = Σᵢ |cᵢ·n_ref − rᵢ·n_day| div (2·n_day·n_ref).
+    // The streaming side holds only (day × bucket) counts — watermark-
+    // bounded, a few hundred longs of state regardless of event volume;
+    // the reference histogram is a slim batch aggregate joined broadcast.
+    // Missing buckets count as zero via a days×reference grid (the
+    // reference spans the corpus, so it covers every bucket any day
+    // has). A day whose mix matches the corpus scores near 0; the
+    // fixture's uniform generator keeps every day low — the oracle
+    // pins the exact values, drift or not.
+    QueryDef(
+      "s26_stream_dist_drift",
+      (s, dir) => {
+        val cells = eventsStream(s, dir)
+          .withColumn("vc",
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .withWatermark("ts_t", "1 hour")
+          .groupBy(window(col("ts_t"), "1 day").as("w"),
+            expr("vc div 5000").as("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val drained = drain(s, OutputMode.Complete())(cells)
+          .select(unix_micros(col("w.start")).as("day_us"),
+            col("bucket"), col("c"))
+        val ref = graft.Tables.events(s, dir)
+          .select(expr(
+            "cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 5000")
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("r"))
+        val nref = ref.agg(sum("r").as("n_ref"))
+        val days = drained.groupBy("day_us").agg(sum("c").as("n_day"))
+        days.crossJoin(broadcast(ref)) // days × ~10 ref buckets
+          .join(drained, Seq("day_us", "bucket"), "left")
+          .na.fill(0L, Seq("c"))
+          .crossJoin(broadcast(nref)) // single-row total (q58/q71)
+          .groupBy("day_us", "n_day", "n_ref")
+          .agg(sum(abs(col("c") * col("n_ref") - col("r") * col("n_day")))
+            .as("num"))
+          .select(col("day_us"), col("n_day"),
+            expr("num * 1000000 div (2 * n_day * n_ref)").as("tvd_ppm"))
+          .orderBy("day_us")
+      },
+      Some("""
+        WITH e AS (
+          SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                   * 86400000000 AS day_us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   // 5000 AS bucket
+          FROM events),
+        ref AS (SELECT bucket, COUNT(*) AS r FROM e GROUP BY bucket),
+        nref AS (SELECT SUM(r) AS n_ref FROM ref),
+        days AS (SELECT day_us, COUNT(*) AS n_day FROM e GROUP BY day_us),
+        cells AS (SELECT day_us, bucket, COUNT(*) AS c
+                  FROM e GROUP BY day_us, bucket),
+        grid AS (
+          SELECT d.day_us, d.n_day, ref.bucket, ref.r,
+                 COALESCE(cells.c, 0) AS c
+          FROM days d CROSS JOIN ref
+          LEFT JOIN cells ON cells.day_us = d.day_us
+                         AND cells.bucket = ref.bucket)
+        SELECT day_us, CAST(n_day AS BIGINT) AS n_day,
+               CAST(SUM(ABS(c * n_ref - r * n_day)) * 1000000
+                    // (2 * n_day * n_ref) AS BIGINT) AS tvd_ppm
+        FROM grid, nref GROUP BY day_us, n_day, n_ref
+        ORDER BY day_us"""))
   )
 }

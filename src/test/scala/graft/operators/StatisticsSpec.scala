@@ -75,4 +75,48 @@ class StatisticsSpec extends AnyFunSuite {
     assert(dnum == expected,
       s"distributed prefix-sum ECDF diverged from local KS: $dnum vs $expected")
   }
+
+  test("q167 TVD is in [0, 1e6] and halves partition the table") {
+    import spark.implicits._
+    val Array((n1, n2, ppm)) =
+      run("q167_tvd_drift").as[(Long, Long, Long)].collect()
+    assert(ppm >= 0 && ppm <= 1000000)
+    assert(n1 + n2 == Tables.events(spark, dir).count())
+    assert(math.abs(n1 - n2) < (n1 + n2) / 2, "midpoint split is not degenerate")
+  }
+
+  test("q168 Benford shares sum to ~1e6 and digits cover 1-9") {
+    import spark.implicits._
+    val rows = run("q168_benford_audit")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == (1L to 9L).toSet)
+    assert(rows.map(_._4).sum == 1000000L, "pinned Benford constants sum to 1e6")
+    val obsSum = rows.map(_._3).sum
+    assert(obsSum > 999990 && obsSum <= 1000000,
+      s"observed shares sum to $obsSum (floored ppm loses < 9)")
+  }
+
+  test("s26 streaming drift matches a per-day batch TVD re-derivation") {
+    import spark.implicits._
+    val got = run("s26_stream_dist_drift")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, ppm) => ppm >= 0 && ppm <= 1000000 })
+    // local re-derivation from the raw fixture
+    val ev = Tables.events(spark, dir)
+      .select(expr("ts_us div 86400000000 * 86400000000"),
+        expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) div 5000"))
+      .as[(Long, Long)].collect()
+    val ref = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nRef = ev.length.toLong
+    val expected = ev.groupBy(_._1).map { case (day, rows) =>
+      val nDay = rows.length.toLong
+      val cells = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val num = ref.map { case (b, r) =>
+        math.abs(cells.getOrElse(b, 0L) * nRef - r * nDay)
+      }.sum
+      (day, nDay, num * 1000000L / (2L * nDay * nRef))
+    }.toSeq.sortBy(_._1)
+    assert(got == expected, "streaming day histograms diverged from batch TVD")
+  }
 }
