@@ -1125,6 +1125,87 @@ object Relational {
                MAX(n_late) * 1000 // MAX(n) AS late_permille
         FROM c JOIN tot USING (prio)
         GROUP BY c.prio
-        ORDER BY prio"""))
+        ORDER BY prio""")),
+
+    // --------------------------------------------------------------- q169
+    // Null-semantics breadth — three-valued logic is where engines
+    // silently disagree, so pin it: NULLIF manufactures nulls from the
+    // flag columns, then COUNT(*) vs COUNT(col), null-safe equality
+    // (Spark `<=>` ↔ DuckDB IS NOT DISTINCT FROM — true when BOTH
+    // sides are null, the case plain `=` loses), COALESCE fallback
+    // chains as the grouping key, and IFNULL defaults. One keyed
+    // aggregate over the bounded flag domain; every count is integer.
+    QueryDef(
+      "q169_null_semantics",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .withColumn("a", expr("nullif(l_returnflag, 'N')"))
+          .withColumn("b", expr("nullif(l_linestatus, 'O')"))
+          .groupBy(expr("coalesce(a, b, '-')").as("grp"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("a")).as("n_a"),
+            count(col("b")).as("n_b"),
+            sum(when(expr("a <=> b"), 1L).otherwise(0L)).as("n_null_safe_eq"),
+            sum(when(expr("a = b"), 1L).otherwise(0L)).as("n_plain_eq"),
+            min(expr("ifnull(a, 'z')")).as("min_a_defaulted"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH x AS (
+          SELECT NULLIF(l_returnflag, 'N') AS a,
+                 NULLIF(l_linestatus, 'O') AS b
+          FROM lineitem)
+        SELECT COALESCE(a, b, '-') AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(a) AS BIGINT) AS n_a,
+               CAST(COUNT(b) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
+               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_plain_eq,
+               MIN(IFNULL(a, 'z')) AS min_a_defaulted
+        FROM x GROUP BY 1
+        ORDER BY grp""")),
+
+    // --------------------------------------------------------------- q172
+    // Collation-aware grouping — Spark 4's collated string type: part
+    // types arrive in mixed case (upper-cased on even part keys, the
+    // generator's case otherwise) and group under UTF8_LCASE collation,
+    // so both case variants of a type land in ONE group without any
+    // expression rewriting at the grouping site. The oracle lowers
+    // explicitly — for this ASCII domain the two are provably the same
+    // partition of rows, which is exactly what the gate checks. Output
+    // re-lowers the representative (the retained case under a collated
+    // group-by is engine-internal) so the result is deterministic.
+    QueryDef(
+      "q172_collation_group",
+      (s, dir) => {
+        t(s, dir, "part")
+          .withColumn("ptype_mixed",
+            // fixture p_type is uppercase; lower-casing half the rows
+            // manufactures the mixed-case arrivals the collation merges
+            when(col("p_partkey") % 2 === 0, lower(col("p_type")))
+              .otherwise(col("p_type")))
+          .groupBy(expr("collate(ptype_mixed, 'UTF8_LCASE')").as("ptype_ci"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("p_size").cast("long")).as("sum_size"),
+            countDistinct(col("ptype_mixed")).as("n_case_variants"))
+          .select(expr("cast(lower(ptype_ci) AS STRING)").as("ptype"),
+            col("n_parts"), col("sum_size"), col("n_case_variants"))
+          .orderBy("ptype")
+      },
+      Some("""
+        WITH x AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN LOWER(p_type)
+                      ELSE p_type END AS ptype_mixed,
+                 p_size
+          FROM part)
+        SELECT LOWER(ptype_mixed) AS ptype,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(p_size) AS BIGINT) AS sum_size,
+               CAST(COUNT(DISTINCT ptype_mixed) AS BIGINT) AS n_case_variants
+        FROM x GROUP BY 1
+        ORDER BY ptype"""))
   )
 }

@@ -927,7 +927,56 @@ object ScaleTechniques {
                max_c * 1000000 // n_total AS max_key_ppm,
                n_rows * 1000 // n_total AS bucket_permille
         FROM h CROSS JOIN t
-        ORDER BY bucket"""))
+        ORDER BY bucket""")),
+
+    // --------------------------------------------------------------- q170
+    // Exact mergeable distinct via bitmaps — the scale answer to
+    // "distinct users per type, any horizon" that HLL (q46/q111) only
+    // approximates: per (type, day, bucket) the user ids collapse into
+    // RoaringBitmap-style chunks (bitmap_construct_agg over 32k-wide
+    // buckets), and those per-day pre-aggregates OR-merge
+    // (bitmap_or_agg) into EXACT month-level distincts — no re-scan of
+    // the raw events, no approximation. The same pre-aggregate also
+    // answers Σ per-day distincts (the engagement denominator), so one
+    // materialization serves both. Everything shuffles bitmap bytes
+    // keyed by (type, bucket) — user ids cross the wire once, as bits.
+    QueryDef(
+      "q170_bitmap_distinct",
+      (s, dir) => {
+        val perDay = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("ts_us div 86400000000").as("day"), col("user_id"))
+          .groupBy(col("event_type"), col("day"),
+            expr("bitmap_bucket_number(user_id)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+            .as("bm"))
+        val monthly = perDay
+          .groupBy("event_type", "bucket")
+          .agg(expr("bitmap_or_agg(bm)").as("bmm"))
+          .groupBy("event_type")
+          .agg(sum(expr("bitmap_count(bmm)")).as("n_users"))
+        val userDays = perDay
+          .select(col("event_type"), col("day"),
+            expr("bitmap_count(bm)").as("c"))
+          .groupBy("event_type").agg(sum("c").as("user_days"))
+        monthly.join(userDays, "event_type")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 user_id
+          FROM events),
+        m AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+              FROM e GROUP BY 1),
+        d AS (SELECT event_type, day, COUNT(DISTINCT user_id) AS c
+              FROM e GROUP BY 1, 2),
+        ud AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS user_days
+               FROM d GROUP BY 1)
+        SELECT event_type, CAST(n_users AS BIGINT) AS n_users, user_days
+        FROM m JOIN ud USING (event_type)
+        ORDER BY event_type"""))
   )
 
   /** q140's pass-1: per-partition Misra-Gries summaries of size `m`,

@@ -329,6 +329,70 @@ object Statistics {
                CAST(benford_ppm AS BIGINT) AS benford_ppm,
                CAST(ABS(c * 1000000 // n - benford_ppm) AS BIGINT) AS dev_ppm
         FROM d JOIN b USING (digit), t
-        ORDER BY digit"""))
+        ORDER BY digit""")),
+
+    // --------------------------------------------------------------- q171
+    // Mann–Whitney U (rank-sum), view vs purchase values — the
+    // nonparametric "is one sample stochastically larger" companion to
+    // q166's KS, exact through tie-averaged ranks by carrying DOUBLED
+    // ranks (a tie-average is a half-integer; ×2 keeps everything in
+    // BIGINT): with per-distinct-value deltas d₁,d₂, combined ties
+    // d = d₁+d₂ and exclusive below-count b,
+    //   2·R₁ = Σ d₁·(2b + d + 1),   2·U₁ = 2·R₁ − n₁(n₁+1),
+    // and the effect size (AUC = U₁/n₁n₂) lands in exact ppm. The
+    // below-counts ride the same range-partitioned two-pass prefix sum
+    // as q166 — per-pid keyed cumsums plus a 32-row offset table, never
+    // a global-order window.
+    QueryDef(
+      "q171_mann_whitney",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(cents.as("vc"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("g1"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("g2"))
+        val cell = base.groupBy("vc").agg(sum("g1").as("d1"), sum("g2").as("d2"))
+        val ranged = cell.repartitionByRange(32, col("vc"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint() // pin pid across the two consumers
+        val wIntra = Window.partitionBy("pid").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val intra = ranged.withColumn("bp",
+          coalesce(sum(col("d1") + col("d2")).over(wIntra), lit(0L)))
+        // ≤32 rows: bounded-cardinality offset table, unkeyed window OK
+        val wOff = Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = ranged.groupBy("pid")
+          .agg(sum(col("d1") + col("d2")).as("t"))
+          .select(col("pid"), coalesce(sum("t").over(wOff), lit(0L)).as("o"))
+        val tot = base.agg(sum("g1").as("n1"), sum("g2").as("n2"))
+        intra.join(broadcast(off), "pid")
+          .crossJoin(broadcast(tot)) // single-row totals (q58/q71 discipline)
+          .groupBy("n1", "n2")
+          .agg(sum(expr("d1 * (2 * (bp + o) + d1 + d2 + 1)")).as("r1_x2"))
+          .select(col("n1"), col("n2"),
+            expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
+            expr("(r1_x2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2)")
+              .as("auc_ppm"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        cell AS (SELECT vc, SUM(g1) AS d1, SUM(g2) AS d2 FROM v GROUP BY vc),
+        cum AS (
+          SELECT vc, d1, d2,
+                 COALESCE(SUM(d1 + d2) OVER (ORDER BY vc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+          FROM cell),
+        r AS (SELECT SUM(d1 * (2 * b + d1 + d2 + 1)) AS r1_x2 FROM cum),
+        tot AS (SELECT SUM(g1) AS n1, SUM(g2) AS n2 FROM v)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               CAST((r1_x2 - n1 * (n1 + 1)) * 1000000
+                    // (2 * n1 * n2) AS BIGINT) AS auc_ppm
+        FROM r, tot"""))
   )
 }

@@ -96,6 +96,29 @@ class StatisticsSpec extends AnyFunSuite {
       s"observed shares sum to $obsSum (floored ppm loses < 9)")
   }
 
+  test("q171 Mann-Whitney U matches a local tie-averaged rank re-derivation") {
+    import spark.implicits._
+    val Array((n1, n2, u1x2, ppm)) =
+      run("q171_mann_whitney").as[(Long, Long, Long, Long)].collect()
+    assert(u1x2 >= 0 && u1x2 <= 2 * n1 * n2, "U1 lands in [0, n1*n2]")
+    assert(ppm >= 0 && ppm <= 1000000)
+    val vals = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        col("event_type"))
+      .as[(Long, String)].collect()
+    val a = vals.collect { case (v, "view") => v }
+    val b = vals.collect { case (v, "purchase") => v }
+    val all = (a ++ b).sorted
+    // doubled tie-averaged rank of value v: 2*below + ties + 1
+    val rankX2 = all.distinct.map { v =>
+      v -> (2L * all.count(_ < v) + all.count(_ == v) + 1L)
+    }.toMap
+    val r1x2 = a.map(rankX2).sum
+    assert(u1x2 == r1x2 - a.length.toLong * (a.length + 1),
+      "distributed doubled-rank sum diverged from the local one")
+  }
+
   test("s26 streaming drift matches a per-day batch TVD re-derivation") {
     import spark.implicits._
     val got = run("s26_stream_dist_drift")
