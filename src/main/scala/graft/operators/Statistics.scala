@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,40 @@ object Statistics {
 
   /** Exact value-cents column (events.value is a 2-decimal double). */
   private def cents = expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+
+  /** Distributed INCLUSIVE prefix sums of `deltaCols` (Long) over
+    * ascending `orderCol` — the scale-safe replacement for a
+    * global-ORDER running-sum window: range-partition by the order
+    * column, cumsum inside each partition under a pid-KEYED window,
+    * then broadcast a `partitions`-row per-partition offset table back
+    * on top (the only unkeyed window, bounded at the partition count).
+    * Adds one `cum_<c>` column per delta column; row set and existing
+    * columns pass through unchanged. `localCheckpoint` pins the pid
+    * assignment so the offset table and the intra-partition pass see
+    * the SAME partitioning (and the range sampling runs once).
+    * Property-pinned against a straight-Scala scan in PropertySpec. */
+  private[graft] def prefixSums(df: DataFrame, orderCol: String,
+      deltaCols: Seq[String], partitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wIntra = Window.partitionBy("pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = deltaCols.foldLeft(ranged)((d, c) =>
+      d.withColumn(s"cum_$c", sum(col(c)).over(wIntra)))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = ranged.groupBy("pid")
+      .agg(sum(deltaCols.head).as(s"t_${deltaCols.head}"),
+        deltaCols.tail.map(c => sum(c).as(s"t_$c")): _*)
+    val off = deltaCols.foldLeft(totals)((d, c) =>
+        d.withColumn(s"o_$c", coalesce(sum(col(s"t_$c")).over(wOff), lit(0L))))
+      .select(col("pid") +: deltaCols.map(c => col(s"o_$c")): _*)
+    deltaCols.foldLeft(intra.join(broadcast(off), "pid"))((d, c) =>
+        d.withColumn(s"cum_$c", col(s"cum_$c") + col(s"o_$c"))
+          .drop(s"o_$c"))
+      .drop("pid")
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -198,28 +232,12 @@ object Statistics {
             when(col("event_type") === "view", 1L).otherwise(0L).as("g1"),
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("g2"))
         val cell = base.groupBy("vc").agg(sum("g1").as("d1"), sum("g2").as("d2"))
-        val ranged = cell.repartitionByRange(32, col("vc"))
-          .withColumn("pid", spark_partition_id())
-          .localCheckpoint() // pin pid: the two consumers below must see one assignment
-        val wIntra = Window.partitionBy("pid").orderBy("vc")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val intra = ranged
-          .withColumn("c1p", sum("d1").over(wIntra))
-          .withColumn("c2p", sum("d2").over(wIntra))
-        // ≤32 rows: bounded-cardinality offset table, unkeyed window OK
-        val wOff = Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val off = ranged.groupBy("pid")
-          .agg(sum("d1").as("t1"), sum("d2").as("t2"))
-          .select(col("pid"),
-            coalesce(sum("t1").over(wOff), lit(0L)).as("o1"),
-            coalesce(sum("t2").over(wOff), lit(0L)).as("o2"))
         val tot = base.agg(sum("g1").as("n1"), sum("g2").as("n2"))
-        intra.join(broadcast(off), "pid")
+        prefixSums(cell, "vc", Seq("d1", "d2"))
           .crossJoin(broadcast(tot)) // single-row totals (q58/q71 discipline)
           .select(col("n1"), col("n2"),
-            abs((col("c1p") + col("o1")) * col("n2")
-              - (col("c2p") + col("o2")) * col("n1")).as("dnum"))
+            abs(col("cum_d1") * col("n2")
+              - col("cum_d2") * col("n1")).as("dnum"))
           .groupBy("n1", "n2").agg(max("dnum").as("d_num_max"))
           .select(col("n1"), col("n2"), col("d_num_max"),
             expr("d_num_max * 1000000 div (n1 * n2)").as("ks_ppm"))
@@ -352,24 +370,15 @@ object Statistics {
             when(col("event_type") === "view", 1L).otherwise(0L).as("g1"),
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("g2"))
         val cell = base.groupBy("vc").agg(sum("g1").as("d1"), sum("g2").as("d2"))
-        val ranged = cell.repartitionByRange(32, col("vc"))
-          .withColumn("pid", spark_partition_id())
-          .localCheckpoint() // pin pid across the two consumers
-        val wIntra = Window.partitionBy("pid").orderBy("vc")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val intra = ranged.withColumn("bp",
-          coalesce(sum(col("d1") + col("d2")).over(wIntra), lit(0L)))
-        // ≤32 rows: bounded-cardinality offset table, unkeyed window OK
-        val wOff = Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val off = ranged.groupBy("pid")
-          .agg(sum(col("d1") + col("d2")).as("t"))
-          .select(col("pid"), coalesce(sum("t").over(wOff), lit(0L)).as("o"))
         val tot = base.agg(sum("g1").as("n1"), sum("g2").as("n2"))
-        intra.join(broadcast(off), "pid")
+        // exclusive below-count from the inclusive prefix sums:
+        //   b = (cum_d1 − d1) + (cum_d2 − d2)
+        prefixSums(cell, "vc", Seq("d1", "d2"))
           .crossJoin(broadcast(tot)) // single-row totals (q58/q71 discipline)
           .groupBy("n1", "n2")
-          .agg(sum(expr("d1 * (2 * (bp + o) + d1 + d2 + 1)")).as("r1_x2"))
+          .agg(sum(expr(
+            "d1 * (2 * (cum_d1 + cum_d2 - d1 - d2) + d1 + d2 + 1)"))
+            .as("r1_x2"))
           .select(col("n1"), col("n2"),
             expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
             expr("(r1_x2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2)")

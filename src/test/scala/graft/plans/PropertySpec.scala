@@ -167,4 +167,26 @@ class PropertySpec extends AnyFunSuite {
       assert(once == twice, s"upsert not idempotent: $once vs $twice")
     }
   }
+
+  test("property: Statistics.prefixSums matches a straight-Scala scan") {
+    import spark.implicits._
+    // distinct keys with two delta columns; few partitions so the
+    // offset-table path (not just intra-partition cumsum) is exercised
+    val rowsGen = Gen.listOf(Gen.zip(
+        Gen.choose(-1000L, 1000L), Gen.choose(0L, 20L), Gen.choose(0L, 20L)))
+      .map(_.groupBy(_._1).map { case (k, g) =>
+        (k, g.map(_._2).sum, g.map(_._3).sum) }.toSeq)
+    samples(rowsGen, 12, 7000L).filter(_.nonEmpty).foreach { rows =>
+      val got = graft.operators.Statistics
+        .prefixSums(rows.toDF("k", "d1", "d2"), "k", Seq("d1", "d2"),
+          partitions = 4)
+        .select("k", "cum_d1", "cum_d2")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val sorted = rows.sortBy(_._1)
+      val exp = sorted.scanLeft((0L, 0L, 0L)) { case ((_, a, b), (k, d1, d2)) =>
+        (k, a + d1, b + d2) }.drop(1)
+      assert(got.toSeq == exp,
+        s"distributed prefix sums diverged on ${rows.size} rows")
+    }
+  }
 }
