@@ -402,6 +402,155 @@ object Statistics {
                CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
                CAST((r1_x2 - n1 * (n1 + 1)) * 1000000
                     // (2 * n1 * n2) AS BIGINT) AS auc_ppm
-        FROM r, tot"""))
+        FROM r, tot""")),
+
+    // --------------------------------------------------------------- q173
+    // Lag-1 autocorrelation of the daily volume series per event type —
+    // "is today's traffic predicted by yesterday's", the signal a
+    // capacity planner reads before trusting a forecast. Exact by
+    // clearing the mean's denominator: with daily counts x_t, N days
+    // and S = Σx, the centered products scale by N²:
+    //   num = Σ (N·xₜ − S)(N·xₜ₊₁ − S),  den = Σ (N·xₜ − S)²,
+    // and |num| ≤ den (Cauchy–Schwarz), so the PERSISTENCE score
+    // (1+ρ)/2 = (num + den) / (2·den) is non-negative — truncating
+    // div/ // agree. Accumulators in decimal(38,0) ↔ HUGEINT. The lead
+    // and both aggregates ride one event_type exchange; the daily
+    // series is the only thing that moves.
+    QueryDef(
+      "q173_autocorrelation",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("x_next", lead("x", 1).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("x").as("s"),
+            sum(expr("cast(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("cast(x AS DECIMAL(38,0)) * x_next")).as("sxy"),
+            sum(when(col("x_next").isNotNull, col("x"))).as("sx_head"),
+            sum(when(col("x_next").isNotNull, col("x_next"))).as("sx_tail"),
+            sum(when(col("x_next").isNotNull, lit(1L))).as("n_pairs"))
+          .select(col("event_type"), col("n_days"), col("s").as("n_events"),
+            // num = N²·Σxy − N·S·(Σx_head + Σx_tail) + pairs·S²
+            // den = N²·Σx² − 2·N·S·S + N·S² = N²·Σx² − N·S²
+            expr("""cast(((cast(n_days AS DECIMAL(38,0)) * n_days * sxy
+                            - n_days * s * (sx_head + sx_tail)
+                            + n_pairs * cast(s AS DECIMAL(38,0)) * s)
+                          + (cast(n_days AS DECIMAL(38,0)) * n_days * sxx
+                            - n_days * cast(s AS DECIMAL(38,0)) * s)) * 1000000
+                         div (2 * (cast(n_days AS DECIMAL(38,0)) * n_days * sxx
+                                   - n_days * cast(s AS DECIMAL(38,0)) * s))
+                    AS BIGINT)""").as("persistence_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, x,
+                 lead(x) OVER (PARTITION BY event_type ORDER BY day) AS x_next
+          FROM daily),
+        a AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS n_days,
+                 CAST(SUM(x) AS HUGEINT) AS s,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(x AS HUGEINT) * x_next) AS HUGEINT) AS sxy,
+                 CAST(SUM(CASE WHEN x_next IS NOT NULL THEN x END)
+                   AS HUGEINT) AS sx_head,
+                 CAST(SUM(CASE WHEN x_next IS NOT NULL THEN x_next END)
+                   AS HUGEINT) AS sx_tail,
+                 CAST(SUM(CASE WHEN x_next IS NOT NULL THEN 1 END)
+                   AS HUGEINT) AS n_pairs
+          FROM l GROUP BY 1)
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               CAST(s AS BIGINT) AS n_events,
+               CAST(((n_days * n_days * sxy
+                       - n_days * s * (sx_head + sx_tail)
+                       + n_pairs * s * s)
+                     + (n_days * n_days * sxx - n_days * s * s)) * 1000000
+                    // (2 * (n_days * n_days * sxx - n_days * s * s))
+                 AS BIGINT) AS persistence_ppm
+        FROM a
+        ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q174
+    // Wald–Wolfowitz runs test per event type — "does the daily series
+    // wander (trend/regimes) or flip like noise": the daily counts
+    // binarize against their LOWER MEDIAN (the ⌈N/2⌉-th smallest —
+    // exact, no interpolation), the observed run count is 1 + the
+    // number of sign changes (one lag over the day order), and the
+    // expected run count under randomness, 1 + 2·n₀·n₁/(n₀+n₁), lands
+    // in exact ppm. Three keyed windows (rank, the median pick, the
+    // lag) all ride one event_type exchange over the bounded daily
+    // table — the raw events reduce to ~30 rows per type map-side
+    // before any window runs.
+    QueryDef(
+      "q174_runs_test",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val wRank = Window.partitionBy("event_type")
+          .orderBy(col("x"), col("day"))
+        val wTot = Window.partitionBy("event_type")
+        val wDay = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wTot))
+          // lower median value broadcast within the type partition
+          .withColumn("med",
+            max(when(col("rk") === expr("(n + 1) div 2"), col("x"))).over(wTot))
+          .withColumn("above", (col("x") > col("med")).cast("long"))
+          .withColumn("prev", lag("above", 1).over(wDay))
+          .groupBy("event_type")
+          .agg(sum("above").as("n_above"),
+            sum(lit(1L) - col("above")).as("n_below"),
+            (sum(when(col("prev").isNotNull
+              && col("prev") =!= col("above"), 1L).otherwise(0L)) + 1L)
+              .as("runs"))
+          .select(col("event_type"), col("n_above"), col("n_below"), col("runs"),
+            expr("""1000000 + 2 * n_above * n_below * 1000000
+                    div (n_above + n_below)""").as("expected_runs_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, day, x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY x, day) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM daily),
+        m AS (
+          SELECT event_type, x AS med FROM r WHERE rk = (n + 1) // 2),
+        b AS (
+          SELECT r.event_type, r.day,
+                 CASE WHEN r.x > m.med THEN 1 ELSE 0 END AS above
+          FROM r JOIN m ON r.event_type = m.event_type),
+        l AS (
+          SELECT event_type, above,
+                 lag(above) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS prev
+          FROM b)
+        SELECT event_type,
+               CAST(SUM(above) AS BIGINT) AS n_above,
+               CAST(SUM(1 - above) AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> above
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs,
+               CAST(1000000 + 2 * SUM(above) * SUM(1 - above) * 1000000
+                    // (SUM(above) + SUM(1 - above)) AS BIGINT)
+                 AS expected_runs_ppm
+        FROM l GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

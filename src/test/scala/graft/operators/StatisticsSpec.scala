@@ -119,6 +119,56 @@ class StatisticsSpec extends AnyFunSuite {
       "distributed doubled-rank sum diverged from the local one")
   }
 
+  test("q173 persistence score matches a local BigInt re-derivation") {
+    import spark.implicits._
+    val got = run("q173_autocorrelation")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, ppm) => assert(ppm >= 0 && ppm <= 1000000) }
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toLong)).toMap
+    got.foreach { case (et, nDays, nEvents, ppm) =>
+      val xs = daily(et)
+      assert(nDays == xs.length && nEvents == xs.sum)
+      val n = BigInt(xs.length); val s = BigInt(xs.sum)
+      val cent = xs.map(x => n * x - s)
+      val num = cent.zip(cent.drop(1)).map { case (a, b) => a * b }.sum
+      val den = cent.map(a => a * a).sum
+      assert(ppm == ((num + den) * 1000000 / (2 * den)).toLong,
+        s"$et: persistence diverged")
+    }
+  }
+
+  test("q174 runs count matches a local median-binarized scan") {
+    import spark.implicits._
+    val got = run("q174_runs_test")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._2, r._3))).toMap
+    got.foreach { case (et, nAbove, nBelow, runs, expPpm) =>
+      val series = daily(et)
+      assert(nAbove + nBelow == series.length)
+      // lower median: the ceil(n/2)-th smallest under (x, day) order
+      val med = series.map(_._2).zip(series.map(_._1)).sorted
+        .apply((series.length + 1) / 2 - 1)._1
+      val signs = series.map { case (_, x) => if (x > med) 1 else 0 }
+      assert(nAbove == signs.count(_ == 1))
+      val expRuns = 1 + signs.zip(signs.drop(1)).count { case (a, b) => a != b }
+      assert(runs == expRuns, s"$et: runs diverged")
+      assert(expPpm == 1000000L
+        + 2 * nAbove * nBelow * 1000000L / (nAbove + nBelow))
+      assert(runs >= 1 && runs <= series.length)
+    }
+  }
+
   test("s26 streaming drift matches a per-day batch TVD re-derivation") {
     import spark.implicits._
     val got = run("s26_stream_dist_drift")
