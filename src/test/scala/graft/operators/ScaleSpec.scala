@@ -618,6 +618,36 @@ class ScaleSpec extends AnyFunSuite {
     } finally TrackedCaches.releaseAll()
   }
 
+  test("q166/q171 big-side cumsums ride the pid-keyed window (prefixSums path)") {
+    Seq("q166_ks_test", "q171_mann_whitney").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // the distinct-value stream cumsums under PARTITION BY pid — a
+      // global-order formulation would show windowspecdefinition(vc#…
+      // with no pid partition column in front
+      assert("windowspecdefinition\\(pid#\\d+, vc#\\d+L? ASC".r
+          .findFirstIn(plan).isDefined,
+        s"$q: expected the pid-keyed cumsum window:\n$plan")
+      assert("windowspecdefinition\\(vc#\\d+".r.findFirstIn(plan).isEmpty,
+        s"$q: found a global-order window over the value stream:\n$plan")
+    }
+  }
+
+  test("q173/q174 reduce events map-side before any event_type exchange") {
+    // the right shape is TWO keyed exchanges: (event_type, day) with a
+    // partial aggregate below it (full parallelism over raw events),
+    // then event_type alone moving only the ~30-rows-per-type daily
+    // table for the windows — never a third, and never a raw-row shuffle
+    Seq("q173_autocorrelation", "q174_runs_test").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning\\(event_type".r.findAllIn(plan).size
+      assert(n == 2, s"$q: expected two event_type exchanges, found $n:\n$plan")
+      assert(plan.contains("partial_count"),
+        s"$q: daily counts must reduce map-side below the first exchange:\n$plan")
+    }
+  }
+
   test("q144 marginals derive from the cached cell table, not an events re-scan") {
     val df = SparkEntry.queries("q144_hour_type_lift")(spark, dir)
     try {
