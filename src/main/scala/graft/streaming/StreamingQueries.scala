@@ -64,6 +64,62 @@ final case class TwapEv(event_type: String, event_id: Long, ts_us: Long,
 final case class TwapLast(ts_us: Long, vc: Long)
 final case class TwapInterval(event_type: String, vc: Long, dt: Long)
 
+/** s27's typed event row, per-user rollup state, and report row for the
+  * transformWithState processor (top-level for encoder codegen, as [[Ev]]). */
+final case class SpendEv(user_id: Long, ts_us: Long, vc: Long,
+    ts_t: java.sql.Timestamp)
+final case class SpendAgg(n: Long, cents: Long, last_us: Long, expiry_ms: Long)
+final case class SpendOut(user_id: Long, n_events: Long, total_cents: Long,
+    last_us: Long)
+
+/** s27's processor on Spark 4's transformWithState API (the arbitrary-
+  * stateful surface that supersedes flatMapGroupsWithState): one
+  * ValueState rollup per user, an explicit event-time timer re-armed to
+  * last_activity + 40 idle days on every batch (the previous timer is
+  * DELETED first — a stale timer would otherwise fire early, emit a
+  * partial rollup, and clear live state; the expiry echoed in state
+  * double-checks it), and emission ONLY from handleExpiredTimer, so a
+  * user reports exactly once, when they go quiet. State is 4 longs per
+  * active user, timer-evicted — O(active users) at any event volume. */
+final class SpendProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SpendEv, SpendOut] {
+  private val idleMs = 40L * 86400L * 1000L
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[SpendAgg] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[SpendAgg]("agg",
+      org.apache.spark.sql.Encoders.product[SpendAgg],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SpendEv],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendOut] = {
+    if (key < 0) return Iterator.empty // watermark sentinel: no state, no timer
+    val prev = if (st.exists()) st.get() else SpendAgg(0L, 0L, Long.MinValue, -1L)
+    var n = prev.n; var c = prev.cents; var last = prev.last_us
+    rows.foreach { e =>
+      n += 1; c += e.vc; if (e.ts_us > last) last = e.ts_us
+    }
+    if (prev.expiry_ms >= 0) getHandle.deleteTimer(prev.expiry_ms)
+    val expiry = last / 1000L + idleMs
+    getHandle.registerTimer(expiry)
+    st.update(SpendAgg(n, c, last, expiry))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long,
+      tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SpendOut] = {
+    if (!st.exists()) return Iterator.empty
+    val a = st.get()
+    // a deleted-then-refired race can't emit: only the CURRENT timer may
+    if (info.getExpiryTimeInMs() != a.expiry_ms) Iterator.empty
+    else { st.clear(); Iterator.single(SpendOut(key, a.n, a.cents, a.last_us)) }
+  }
+}
+
 final case class StreakEv(user_id: Long, day: Long, ts_t: java.sql.Timestamp)
 final case class StreakState(last_day: Long, cur_len: Long, best_len: Long,
     n_streaks: Long, first_day: Long)
@@ -1813,6 +1869,57 @@ object StreamingQueries {
                CAST(SUM(ABS(c * n_ref - r * n_day)) * 1000000
                     // (2 * n_day * n_ref) AS BIGINT) AS tvd_ppm
         FROM grid, nref GROUP BY day_us, n_day, n_ref
-        ORDER BY day_us"""))
+        ORDER BY day_us""")),
+
+    // ---------------------------------------------------------------- s27
+    // transformWithState — Spark 4's arbitrary-stateful API (the
+    // successor to s02/s25's flatMapGroupsWithState), driven over the
+    // SAME harness: per-user spend rollups in a typed ValueState,
+    // explicit re-armed event-time timers (delete-then-register each
+    // batch), emission only when the user goes quiet (40 idle days —
+    // fired by the time-ordered parts' advancing watermark + the final
+    // sentinel), on the RocksDB state store provider the new API
+    // requires. Cross-batch accumulation is real: the 4 time-range
+    // parts each carry a slice of most users, so state merges 4 times
+    // before the timer report. Oracle = the whole-table per-user
+    // rollup, exact cents.
+    QueryDef(
+      "s27_transform_with_state",
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val evs = eventsStreamTimeParts(s, dir)
+            .withWatermark("ts_t", "0 seconds")
+            .select(col("user_id"), col("ts_us"),
+              expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+                .as("vc"),
+              col("ts_t")).as[SpendEv]
+          // the sentinel row flows INTO the processor (a pre-filter would
+          // be pushed below the watermark node and starve it — see the
+          // drain contract above); the processor drops key < 0 itself
+          val out = evs.groupByKey(_.user_id)
+            .transformWithState(new SpendProcessor,
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              OutputMode.Append())
+          drain(s, OutputMode.Append())(out.toDF())
+            .orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS total_cents,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
 }

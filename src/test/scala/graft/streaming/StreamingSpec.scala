@@ -620,6 +620,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected $expected user reports, got ${users.length}")
   }
 
+  test("s27 transformWithState reports each user exactly once and restores the provider conf") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val df = graft.SparkEntry.queries("s27_transform_with_state")(
+      spark, "/root/testdata/sf0.001")
+    val users = df.select("user_id").as[Long].collect()
+    // delete-then-register must leave no stale timer to double-report a
+    // user who appeared in several of the 4 time-range batches
+    assert(users.length == users.distinct.length, "a user reported twice")
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(users.length == expected,
+      s"expected $expected user reports, got ${users.length}")
+    assert(spark.conf.getOption(key) == before,
+      "the RocksDB provider override must not leak out of s27")
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
