@@ -196,6 +196,48 @@ object Compaction {
                  AS sum_value
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q175
+    // Compression-codec round-trip — the storage decision a 100 TB
+    // deployment tunes first (zstd for cold data, snappy for hot): the
+    // same lineitem projection writes through gzip, snappy, and zstd
+    // parquet and each copy reads back to an exact (row count, integer
+    // checksum) audit, so a codec that corrupted or dropped anything
+    // cannot hash-match. The write path really exercises all three
+    // codecs (CodecSpec asserts the file names carry each codec's
+    // extension); staging is applicationId-keyed per run.
+    QueryDef(
+      "q175_codec_roundtrip",
+      (s, dir) => {
+        val base = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_codec_roundtrip", s.sparkContext.applicationId)
+        Files.createDirectories(base)
+        val src = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("qc"))
+        val perCodec = Seq("gzip", "snappy", "zstd").map { codec =>
+          val out = base.resolve(codec).toString
+          src.write.mode("overwrite").option("compression", codec).parquet(out)
+          s.read.parquet(out)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(expr("l_orderkey * 31 + qc")).as("checksum"))
+            .select(lit(codec).as("codec"), col("n_rows"), col("checksum"))
+        }
+        perCodec.reduce(_ unionByName _).orderBy("codec")
+      },
+      Some("""
+        WITH src AS (
+          SELECT l_orderkey,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc
+          FROM lineitem),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(l_orderkey * 31 + qc) AS BIGINT) AS checksum
+          FROM src)
+        SELECT codec, n_rows, checksum
+        FROM (VALUES ('gzip'), ('snappy'), ('zstd')) v(codec), a
+        ORDER BY codec"""))
   )
 }

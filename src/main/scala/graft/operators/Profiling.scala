@@ -780,6 +780,61 @@ object Profiling {
                tp * 1000000 // n_predicted AS precision_ppm,
                tp * 1000000 // n_actual AS recall_ppm
         FROM a JOIN pr USING (cls) JOIN tp USING (cls)
-        ORDER BY cls"""))
+        ORDER BY cls""")),
+
+    // --------------------------------------------------------------- q176
+    // Single-pass audit via the Observation API — at 100 TB the naive
+    // "report + audit" pattern scans the fact table twice; `observe`
+    // attaches commutative audit aggregates (row count, exact cents
+    // total, min/max) to the SAME scan that feeds the per-flag report,
+    // so the audit is free. The collected rollup is bounded (3 return
+    // flags) and the observed metrics arrive on the driver with the
+    // action (observe is a plan no-op — the audit adds no scan or
+    // shuffle). The result carries both the report and its audit
+    // columns; SqlBreadthSpec asserts they reconcile exactly and the
+    // oracle recomputes both relationally.
+    QueryDef(
+      "q176_observed_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val obs = new org.apache.spark.sql.Observation(
+          "g176_" + java.util.UUID.randomUUID().toString.take(8))
+        val main = Tables(s, dir, "lineitem")
+          .filter(col("l_quantity") > 0)
+          .select(col("l_returnflag"),
+            expr("cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("qc"))
+          .observe(obs, count(lit(1)).as("n_rows"), sum("qc").as("total_qc"),
+            min("qc").as("min_qc"), max("qc").as("max_qc"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_lines"), sum("qc").as("sum_qc"))
+        val rollup = main.collect() // bounded: 3 return flags
+        val m = obs.get
+        val audit = Seq((m("n_rows").asInstanceOf[Long],
+            m("total_qc").asInstanceOf[Long],
+            m("min_qc").asInstanceOf[Long],
+            m("max_qc").asInstanceOf[Long]))
+          .toDF("audit_n_rows", "audit_total_qc", "audit_min_qc", "audit_max_qc")
+        s.createDataFrame(java.util.Arrays.asList(rollup: _*), main.schema)
+          .crossJoin(broadcast(audit))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH src AS (
+          SELECT l_returnflag,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc
+          FROM lineitem WHERE l_quantity > 0),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS audit_n_rows,
+                 CAST(SUM(qc) AS BIGINT) AS audit_total_qc,
+                 MIN(qc) AS audit_min_qc, MAX(qc) AS audit_max_qc
+          FROM src)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(qc) AS BIGINT) AS sum_qc,
+               audit_n_rows, audit_total_qc, audit_min_qc, audit_max_qc
+        FROM src, a
+        GROUP BY l_returnflag, audit_n_rows, audit_total_qc,
+                 audit_min_qc, audit_max_qc
+        ORDER BY l_returnflag"""))
   )
 }

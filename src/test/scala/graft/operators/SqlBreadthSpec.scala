@@ -46,6 +46,37 @@ class SqlBreadthSpec extends AnyFunSuite {
       "user-days dominate distinct users")
   }
 
+  test("q175 writes really go through each codec (file extensions carry it)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val rows = run("q175_codec_roundtrip").as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("gzip", "snappy", "zstd"))
+    assert(rows.map(_._2).distinct.size == 1, "all codecs see the same rows")
+    assert(rows.map(_._3).distinct.size == 1, "all codecs hash identically")
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_codec_roundtrip", spark.sparkContext.applicationId)
+    Seq("gzip" -> ".gz.parquet", "snappy" -> ".snappy.parquet",
+        "zstd" -> ".zstd.parquet").foreach { case (codec, ext) =>
+      val files = Files.list(base.resolve(codec)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty && files.forall(_.endsWith(ext)),
+        s"$codec dir must hold only $ext files, got $files")
+    }
+  }
+
+  test("q176 observed audit reconciles exactly with the report it rode along with") {
+    import spark.implicits._
+    val df = run("q176_observed_metrics")
+    val rows = df.as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == Set("A", "N", "R"))
+    // the audit columns came from observe() on the SAME pass — they must
+    // reconcile exactly with the per-flag report they rode along with
+    assert(rows.map(_._2).sum == rows.head._4, "audit n_rows reconciles")
+    assert(rows.map(_._3).sum == rows.head._5, "audit total reconciles")
+    assert(rows.head._6 <= rows.head._7)
+  }
+
   test("q172 collation grouping partitions rows exactly like lower()") {
     import spark.implicits._
     val rows = run("q172_collation_group")
