@@ -640,6 +640,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the RocksDB provider override must not leak out of s27")
   }
 
+  test("s27 transformWithState state survives a checkpointed restart (RocksDB)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val cp = Files.createTempDirectory("graft_s27_cp").toString
+      val out = Files.createTempDirectory("graft_s27_out").toString
+      def stream() = {
+        val evs = StreamingQueries.eventsStreamTimeParts(spark, dir)
+          .withWatermark("ts_t", "0 seconds")
+          .select(col("user_id"), col("ts_us"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"),
+            col("ts_t")).as[SpendEv]
+        evs.groupByKey(_.user_id)
+          .transformWithState(new SpendProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+      }
+      def start() = stream().writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => b.write.mode("append").parquet(out))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // phase 1: let at least two of the five single-file batches commit,
+      // then kill the query mid-stream
+      val q1 = start()
+      val deadline = System.currentTimeMillis() + 120000
+      while (q1.isActive
+          && Option(q1.lastProgress).map(_.batchId).getOrElse(-1L) < 1
+          && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      q1.stop(); q1.awaitTermination()
+      assert(Option(q1.lastProgress).exists(_.batchId >= 1),
+        "phase 1 must commit at least two batches before the kill")
+      // phase 2: same checkpoint — the engine resumes from the committed
+      // offset; per-user rollups accumulated in phase 1 must still be in
+      // RocksDB state or the final reports undercount
+      val q2 = start()
+      q2.awaitTermination()
+      val got = spark.read.parquet(out)
+        .select("user_id", "n_events", "total_cents").as[(Long, Long, Long)]
+        .collect().toSet
+      val expected = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("vc").as("cents"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        "restarted stream lost or double-counted state across the checkpoint")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("graceful shutdown: stop is idempotent (consumer.py:76-88)") {
     val q = StreamPipeline.start(spark, base.resolve("in").toString, pc,
       "jobs2", base.resolve("r2").toString, base.resolve("d2").toString,
