@@ -72,20 +72,21 @@ final case class SpendAgg(n: Long, cents: Long, last_us: Long, expiry_ms: Long)
 final case class SpendOut(user_id: Long, n_events: Long, total_cents: Long,
     last_us: Long)
 
-/** s27's processor on Spark 4's transformWithState API (the arbitrary-
-  * stateful surface that supersedes flatMapGroupsWithState): one
-  * ValueState rollup per user, an explicit event-time timer re-armed to
-  * last_activity + 40 idle days on every batch (the previous timer is
-  * DELETED first — a stale timer would otherwise fire early, emit a
-  * partial rollup, and clear live state; the expiry echoed in state
-  * double-checks it), and emission ONLY from handleExpiredTimer, so a
-  * user reports exactly once, when they go quiet. State is 4 longs per
-  * active user, timer-evicted — O(active users) at any event volume. */
-final class SpendProcessor
+/** s27/s28's processor core on Spark 4's transformWithState API (the
+  * arbitrary-stateful surface that supersedes flatMapGroupsWithState):
+  * one ValueState rollup per user, an explicit event-time timer
+  * re-armed to last_activity + 40 idle days on every batch (the
+  * previous timer is DELETED first — a stale timer would otherwise
+  * fire early, emit a partial rollup, and clear live state; the expiry
+  * echoed in state double-checks it), and emission ONLY from
+  * handleExpiredTimer, so a user reports exactly once, when they go
+  * quiet. State is 4 longs per active user, timer-evicted — O(active
+  * users) at any event volume. */
+sealed trait SpendCore
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, SpendEv, SpendOut] {
-  private val idleMs = 40L * 86400L * 1000L
-  @transient private var st:
+  protected final val idleMs = 40L * 86400L * 1000L
+  @transient protected var st:
     org.apache.spark.sql.streaming.ValueState[SpendAgg] = _
 
   override def init(outputMode: OutputMode,
@@ -94,18 +95,25 @@ final class SpendProcessor
       org.apache.spark.sql.Encoders.product[SpendAgg],
       org.apache.spark.sql.streaming.TTLConfig.NONE)
 
-  override def handleInputRows(key: Long, rows: Iterator[SpendEv],
-      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendOut] = {
-    if (key < 0) return Iterator.empty // watermark sentinel: no state, no timer
+  /** Fold + re-arm: shared by arriving batches and the batch-seeded
+    * initial state (the seed is just a rollup that arrived early). */
+  protected final def absorb(add: SpendAgg): Unit = {
     val prev = if (st.exists()) st.get() else SpendAgg(0L, 0L, Long.MinValue, -1L)
-    var n = prev.n; var c = prev.cents; var last = prev.last_us
-    rows.foreach { e =>
-      n += 1; c += e.vc; if (e.ts_us > last) last = e.ts_us
-    }
+    val last = math.max(prev.last_us, add.last_us)
     if (prev.expiry_ms >= 0) getHandle.deleteTimer(prev.expiry_ms)
     val expiry = last / 1000L + idleMs
     getHandle.registerTimer(expiry)
-    st.update(SpendAgg(n, c, last, expiry))
+    st.update(SpendAgg(prev.n + add.n, prev.cents + add.cents, last, expiry))
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[SpendEv],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendOut] = {
+    if (key < 0) return Iterator.empty // watermark sentinel: no state, no timer
+    var n = 0L; var c = 0L; var last = Long.MinValue
+    rows.foreach { e =>
+      n += 1; c += e.vc; if (e.ts_us > last) last = e.ts_us
+    }
+    absorb(SpendAgg(n, c, last, -1L))
     Iterator.empty
   }
 
@@ -118,6 +126,20 @@ final class SpendProcessor
     if (info.getExpiryTimeInMs() != a.expiry_ms) Iterator.empty
     else { st.clear(); Iterator.single(SpendOut(key, a.n, a.cents, a.last_us)) }
   }
+}
+
+final class SpendProcessor extends SpendCore
+
+/** s28's seeded variant: identical semantics, but per-user state warm-
+  * starts from a BATCH rollup (handleInitialState runs once per seeded
+  * key before any stream row) — the backfill→live cutover pattern. A
+  * seeded-but-silent user still reports via the timer armed at seeding. */
+final class SpendProcessorSeeded
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, SpendEv, SpendOut, SpendAgg] with SpendCore {
+  override def handleInitialState(key: Long, seed: SpendAgg,
+      tv: org.apache.spark.sql.streaming.TimerValues): Unit =
+    absorb(seed)
 }
 
 final case class StreakEv(user_id: Long, day: Long, ts_t: java.sql.Timestamp)
@@ -1912,6 +1934,70 @@ object StreamingQueries {
           case None => s.conf.unset(key)
         }
       },
+      Some("""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS total_cents,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- s28
+    // transformWithState with BATCH-SEEDED initial state — the
+    // backfill→live cutover every 100 TB deployment performs: history
+    // up to the cutover is rolled up ONCE as a batch job and handed to
+    // the stream as initial state (handleInitialState runs per seeded
+    // key before any stream row); the stream then carries only
+    // post-cutover events. The halves are disjoint by the literal
+    // cutover timestamp, so seed + stream must reproduce the
+    // whole-table rollup exactly — s27's oracle, shared. A user active
+    // only BEFORE the cutover still reports (the seed arms their
+    // timer); one active only after starts from empty state.
+    QueryDef(
+      "s28_tws_initial_state",
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val midUs = 1705363200000000L // 2024-01-16T00:00:00Z cutover
+          val seed = graft.Tables.events(s, dir)
+            .filter(col("ts_us") < midUs)
+            .select(col("user_id"),
+              expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+                .as("vc"),
+              col("ts_us"))
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n"), sum("vc").as("cents"),
+              max("ts_us").as("last_us"))
+            .as[(Long, Long, Long, Long)]
+            .map { case (u, n, c, l) => (u, SpendAgg(n, c, l, -1L)) }
+            .groupByKey(_._1).mapValues(_._2)
+          val evs = eventsStreamTimeParts(s, dir)
+            .withWatermark("ts_t", "0 seconds")
+            // keep only post-cutover rows — and the sentinel, which must
+            // reach the watermark node (see s27)
+            .filter(col("user_id") < 0 || expr(s"ts_us >= ${midUs}L"))
+            .select(col("user_id"), col("ts_us"),
+              expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+                .as("vc"),
+              col("ts_t")).as[SpendEv]
+          val out = evs.groupByKey(_.user_id)
+            .transformWithState(new SpendProcessorSeeded,
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              OutputMode.Append(), seed)
+          drain(s, OutputMode.Append())(out.toDF())
+            .orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      // the s27 contract verbatim: cutover seeding must be invisible
       Some("""
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,

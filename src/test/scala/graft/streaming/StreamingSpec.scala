@@ -640,6 +640,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the RocksDB provider override must not leak out of s27")
   }
 
+  test("s28 batch seeding is invisible: seeded cutover equals the unseeded stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def rows(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val seeded = rows("s28_tws_initial_state")
+    assert(seeded == rows("s27_transform_with_state"),
+      "the cutover must not change any user's rollup")
+    // users quiet after the cutover exist only via handleInitialState —
+    // if the fixture has any, their report is pure seed
+    val midUs = 1705363200000000L
+    val preOnly = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(max("ts_us").as("m"))
+      .filter(col("m") < midUs).select("user_id").as[Long].collect().toSet
+    val reported = seeded.map(_._1).toSet
+    assert(preOnly.subsetOf(reported),
+      s"seed-only users must still report: missing ${preOnly.diff(reported)}")
+  }
+
   test("s27 transformWithState state survives a checkpointed restart (RocksDB)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
