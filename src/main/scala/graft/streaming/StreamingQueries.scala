@@ -142,6 +142,78 @@ final class SpendProcessorSeeded
     absorb(seed)
 }
 
+/** s29's typed row and report (top-level for encoder codegen). */
+final case class TypedEv(user_id: Long, ts_us: Long, event_type: String,
+    vc: Long, ts_t: java.sql.Timestamp)
+final case class ProfileOut(user_id: Long, n_events: Long, n_types: Long,
+    top3_cents: Long, last_us: Long)
+
+/** s29's processor — the composite-state surface of transformWithState:
+  * a MapState (per-type counts; RocksDB stores each map ENTRY as its
+  * own key, so updating one type never rewrites the others), a bounded
+  * ListState (the 3 largest purchase amounts — arriving values compete
+  * against the retained min, so state stays 3 longs no matter how many
+  * purchases), and a ValueState carrying the [[SpendCore]] rollup +
+  * timer discipline. Emission at user-quiet, exactly once. */
+final class ProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TypedEv, ProfileOut] {
+  private val idleMs = 40L * 86400L * 1000L
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[SpendAgg] = _
+  @transient private var types:
+    org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var top3:
+    org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val h = getHandle
+    val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+    st = h.getValueState[SpendAgg]("agg",
+      org.apache.spark.sql.Encoders.product[SpendAgg], ttl)
+    types = h.getMapState[String, Long]("types",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+    top3 = h.getListState[Long]("top3",
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEv],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[ProfileOut] = {
+    if (key < 0) return Iterator.empty // watermark sentinel
+    val prev = if (st.exists()) st.get() else SpendAgg(0L, 0L, Long.MinValue, -1L)
+    var n = prev.n; var last = prev.last_us
+    var best = top3.get().toList
+    rows.foreach { e =>
+      n += 1; if (e.ts_us > last) last = e.ts_us
+      val c = if (types.containsKey(e.event_type)) types.getValue(e.event_type) else 0L
+      types.updateValue(e.event_type, c + 1L)
+      if (e.event_type == "purchase")
+        best = (e.vc :: best).sorted(Ordering[Long].reverse).take(3)
+    }
+    // the store rejects EMPTY list writes — absent list ≡ no purchases
+    if (best.nonEmpty) top3.put(best.toArray)
+    if (prev.expiry_ms >= 0) getHandle.deleteTimer(prev.expiry_ms)
+    val expiry = last / 1000L + idleMs
+    getHandle.registerTimer(expiry)
+    st.update(SpendAgg(n, 0L, last, expiry))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long,
+      tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ProfileOut] = {
+    if (!st.exists()) return Iterator.empty
+    val a = st.get()
+    if (info.getExpiryTimeInMs() != a.expiry_ms) return Iterator.empty
+    val out = ProfileOut(key, a.n, types.keys().size.toLong,
+      top3.get().sum, a.last_us)
+    st.clear(); types.clear(); top3.clear()
+    Iterator.single(out)
+  }
+}
+
 final case class StreakEv(user_id: Long, day: Long, ts_t: java.sql.Timestamp)
 final case class StreakState(last_day: Long, cur_len: Long, best_len: Long,
     n_streaks: Long, first_day: Long)
@@ -2006,6 +2078,66 @@ object StreamingQueries {
                MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
         FROM events
         GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- s29
+    // transformWithState composite state — MapState + bounded ListState
+    // + ValueState in one processor: live per-user engagement profiles
+    // (total events, distinct event types via per-entry map state, the
+    // sum of the 3 largest purchase amounts via a 3-long list that
+    // arriving values compete into), reported once at user-quiet. The
+    // top-3 sum is tie-invariant (equal amounts contribute equally
+    // whichever copy is retained), so the integer oracle is exact. On
+    // RocksDB each map entry is its own store key — a user gaining one
+    // new type writes one entry, not the whole profile.
+    QueryDef(
+      "s29_tws_composite_state",
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val evs = eventsStreamTimeParts(s, dir)
+            .withWatermark("ts_t", "0 seconds")
+            .select(col("user_id"), col("ts_us"), col("event_type"),
+              expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+                .as("vc"),
+              col("ts_t")).as[TypedEv]
+          val out = evs.groupByKey(_.user_id)
+            .transformWithState(new ProfileProcessor,
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              OutputMode.Append())
+          drain(s, OutputMode.Append())(out.toDF())
+            .orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        base AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                 MAX(us) AS last_us
+          FROM e GROUP BY user_id),
+        p AS (
+          SELECT user_id, vc,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY vc DESC) AS rn
+          FROM e WHERE event_type = 'purchase'),
+        t3 AS (
+          SELECT user_id, CAST(SUM(vc) AS BIGINT) AS top3_cents
+          FROM p WHERE rn <= 3 GROUP BY user_id)
+        SELECT base.user_id, n_events, n_types,
+               CAST(COALESCE(top3_cents, 0) AS BIGINT) AS top3_cents, last_us
+        FROM base LEFT JOIN t3 USING (user_id)
         ORDER BY user_id"""))
   )
 }
