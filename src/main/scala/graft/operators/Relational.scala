@@ -1206,6 +1206,45 @@ object Relational {
                CAST(SUM(p_size) AS BIGINT) AS sum_size,
                CAST(COUNT(DISTINCT ptype_mixed) AS BIGINT) AS n_case_variants
         FROM x GROUP BY 1
-        ORDER BY ptype"""))
+        ORDER BY ptype""")),
+
+    // --------------------------------------------------------------- q177
+    // Grouping metadata — the part of CUBE output q14 doesn't surface:
+    // grouping() flags and grouping_id() disambiguate "the value IS
+    // null" from "this row aggregates over that column", which any
+    // report layer consuming a cube needs. Bit layout is pinned
+    // cross-engine (first cube column = high bit in both Spark's
+    // grouping_id() and DuckDB's GROUPING(a, b)). One cube over the
+    // bounded flag domain; counts and cents exact.
+    QueryDef(
+      "q177_grouping_metadata",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          // grouping()/grouping_id() are only legal inside the cube's agg
+          .agg(grouping("l_returnflag").cast("long").as("g_rf"),
+            grouping("l_linestatus").cast("long").as("g_ls"),
+            expr("cast(grouping_id() AS BIGINT)").as("gid"),
+            count(lit(1)).as("n"),
+            sum(expr("cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .as("qc"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("g_rf"), col("g_ls"), col("gid"), col("n"), col("qc"))
+          .orderBy("gid", "rf", "ls")
+      },
+      Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS qc
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, rf, ls"""))
   )
 }
