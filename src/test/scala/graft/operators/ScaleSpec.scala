@@ -339,6 +339,7 @@ class ScaleSpec extends AnyFunSuite {
     // q140 probes over a synthesized events stream (same 1x/10x copy
     // construction on event_id — the MG summary is data-agnostic, so a
     // super-linear ratio means the candidate recount broke, not the data)
+    val evQueries = Seq("q140_heavy_hitters", "q166_ks_test")
     val evTimes = Seq(1, 10).map { copies =>
       val out = java.nio.file.Files.createTempDirectory(s"graft-ev-${copies}x")
       spark.read.parquet(s"$src/events.parquet")
@@ -346,16 +347,28 @@ class ScaleSpec extends AnyFunSuite {
         .withColumn("event_id", col("event_id") * copies + col("c"))
         .drop("c")
         .write.mode("overwrite").parquet(s"$out/events.parquet")
-      run(out.toString, "q140_heavy_hitters") // warm
-      val (t, plan) = run(out.toString, "q140_heavy_hitters")
-      report ++= f"q140_heavy_hitters ${copies}x: $t%.2f s\n"
-      if (copies == 10)
-        assert(!plan.contains("CartesianProduct"),
-          s"q140 must stay candidate-bounded at 10x:\n$plan")
-      t
+      evQueries.map { q =>
+        run(out.toString, q) // warm
+        val (t, plan) = run(out.toString, q)
+        report ++= f"$q ${copies}x: $t%.2f s\n"
+        if (copies == 10) {
+          assert(!plan.contains("CartesianProduct"),
+            s"$q must stay candidate-bounded at 10x:\n$plan")
+          if (q == "q166_ks_test")
+            // the ECDF cumsum must stay pid-keyed at 10x — a
+            // size-estimate flip to a global-order window would show
+            // windowspecdefinition(vc… with no pid in front
+            assert("windowspecdefinition\\(vc#\\d+".r.findFirstIn(plan).isEmpty,
+              s"q166 flipped to a global-order window at 10x:\n$plan")
+        }
+        t
+      }
     }
-    assert(evTimes(1) <= evTimes(0) * 30 + 5.0,
-      f"q140 scales super-linearly: 1x=${evTimes(0)}%.2f s vs 10x=${evTimes(1)}%.2f s")
+    evQueries.indices.foreach { i =>
+      assert(evTimes(1)(i) <= evTimes(0)(i) * 30 + 5.0,
+        f"${evQueries(i)} scales super-linearly: " +
+          f"1x=${evTimes(0)(i)}%.2f s vs 10x=${evTimes(1)(i)}%.2f s")
+    }
     info(report.toString)
   }
 
