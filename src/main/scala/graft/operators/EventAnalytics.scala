@@ -763,6 +763,63 @@ object EventAnalytics {
                CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
                CAST(COUNT(*) AS BIGINT) AS n_boundaries
         FROM c GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q178
+    // Multi-touch attribution — the marketing-analytics question q108's
+    // funnel doesn't answer: when a purchase lands, which PRECEDING
+    // touches (views/clicks within 24 h) get the credit? Linear model:
+    // each of a purchase's n touches earns 10⁶ div n ppm (both engines
+    // truncate identically, so the per-type credit sums are exact).
+    // The touch↔purchase pairing is a user-keyed interval join (the
+    // batch twin of s04's stream-stream join) — fan-out is bounded per
+    // user by the 24-hour window, never corpus²; the per-purchase touch
+    // count rides a purchase-keyed window on the SAME join output.
+    QueryDef(
+      "q178_multitouch_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            col("ts_us").as("p_us"))
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("event_type").as("touch"),
+            col("event_id").as("t_id"), col("ts_us").as("t_us"))
+        val paired = purchases.join(touches,
+          col("p_user") === col("t_user")
+            && col("t_us") < col("p_us")
+            && col("t_us") >= col("p_us") - HourUs * 24)
+        val withN = paired.withColumn("n_touches",
+          count(lit(1)).over(Window.partitionBy("p_id")))
+        withN
+          .withColumn("credit_ppm", expr("1000000 div n_touches"))
+          .groupBy("touch")
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct("p_id").as("n_purchases"),
+            sum("credit_ppm").as("credit_ppm"))
+          .orderBy("touch")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        pair AS (
+          SELECT t.event_type AS touch, p.event_id AS p_id
+          FROM e p JOIN e t
+            ON p.event_type = 'purchase'
+           AND t.event_type IN ('view', 'click')
+           AND p.user_id = t.user_id
+           AND t.us < p.us AND t.us >= p.us - ${HourUs * 24}),
+        n AS (
+          SELECT touch, p_id,
+                 COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+          FROM pair)
+        SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+               CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_ppm
+        FROM n GROUP BY touch
+        ORDER BY touch"""))
   )
 }
