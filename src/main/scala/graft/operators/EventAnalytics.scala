@@ -820,6 +820,85 @@ object EventAnalytics {
                CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
                CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_ppm
         FROM n GROUP BY touch
-        ORDER BY touch"""))
+        ORDER BY touch""")),
+
+    // --------------------------------------------------------------- q179
+    // Position-based (U-shaped) attribution — q178's linear model
+    // over-credits long middle stretches; the U-shape gives the
+    // discovery touch and the closing touch 40% each and splits the
+    // remaining 20% across the middles (a 2-touch path splits 50/50, a
+    // 1-touch path takes it all). Positions come from one
+    // purchase-keyed rank window over the SAME interval-join output as
+    // q178 — ties break on event_id so both engines class identically;
+    // all credits are exact ppm with truncating division.
+    QueryDef(
+      "q179_ushape_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            col("ts_us").as("p_us"))
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("event_type").as("touch"),
+            col("event_id").as("t_id"), col("ts_us").as("t_us"))
+        val w = Window.partitionBy("p_id")
+        val paired = purchases.join(touches,
+          col("p_user") === col("t_user")
+            && col("t_us") < col("p_us")
+            && col("t_us") >= col("p_us") - HourUs * 24)
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("t_us"), col("t_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+        paired
+          .withColumn("position", expr("""
+            CASE WHEN n = 1 THEN 'only'
+                 WHEN rn = 1 THEN 'first'
+                 WHEN rn = n THEN 'last'
+                 ELSE 'middle' END"""))
+          .withColumn("credit_ppm", expr("""
+            CASE WHEN n = 1 THEN 1000000
+                 WHEN rn = 1 OR rn = n THEN
+                   CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+                 ELSE 200000 div (n - 2) END"""))
+          .groupBy("touch", "position")
+          .agg(count(lit(1)).as("n_touches"),
+            sum("credit_ppm").as("credit_ppm"))
+          .orderBy("touch", "position")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        pair AS (
+          SELECT t.event_type AS touch, p.event_id AS p_id,
+                 t.event_id AS t_id, t.us AS t_us
+          FROM e p JOIN e t
+            ON p.event_type = 'purchase'
+           AND t.event_type IN ('view', 'click')
+           AND p.user_id = t.user_id
+           AND t.us < p.us AND t.us >= p.us - ${HourUs * 24}),
+        r AS (
+          SELECT touch,
+                 row_number() OVER (PARTITION BY p_id
+                                    ORDER BY t_us, t_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY p_id) AS n
+          FROM pair),
+        c AS (
+          SELECT touch,
+                 CASE WHEN n = 1 THEN 'only'
+                      WHEN rn = 1 THEN 'first'
+                      WHEN rn = n THEN 'last'
+                      ELSE 'middle' END AS position,
+                 CASE WHEN n = 1 THEN 1000000
+                      WHEN rn = 1 OR rn = n THEN
+                        CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+                      ELSE 200000 // (n - 2) END AS credit
+          FROM r)
+        SELECT touch, position, CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit) AS BIGINT) AS credit_ppm
+        FROM c GROUP BY touch, position
+        ORDER BY touch, position"""))
   )
 }
