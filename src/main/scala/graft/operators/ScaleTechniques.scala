@@ -976,7 +976,59 @@ object ScaleTechniques {
                FROM d GROUP BY 1)
         SELECT event_type, CAST(n_users AS BIGINT) AS n_users, user_days
         FROM m JOIN ud USING (event_type)
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q180
+    // Exact distinct-count CUBE from ONE bitmap pre-aggregate — the
+    // composition that makes q170's bitmaps pay for themselves: the
+    // per-(type, day, bucket) bitmaps OR-merge along each grouping of
+    // CUBE(type, day) — per type, per day, and grand total — so four
+    // distinct-count reports cost one pass over the raw events plus
+    // three slim re-merges of kilobyte bitmaps. COUNT(DISTINCT) under
+    // CUBE is exactly what engines can't partial-aggregate from counts
+    // alone; bitmaps restore map-side mergeability with EXACT results
+    // (HLL's mergeability, none of its error). Week keys keep the
+    // grouping domain bounded.
+    QueryDef(
+      "q180_bitmap_distinct_cube",
+      (s, dir) => {
+        val pre = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("ts_us div 604800000000").as("week"), col("user_id"))
+          .groupBy(col("event_type"), col("week"),
+            expr("bitmap_bucket_number(user_id)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+            .as("bm"))
+          .persist()
+        TrackedCaches.track(pre) // one raw-events pass feeds all 4 groupings
+        def mergeBy(keys: Seq[String], label: Seq[org.apache.spark.sql.Column]) =
+          pre.groupBy((keys :+ "bucket").map(col): _*)
+            .agg(expr("bitmap_or_agg(bm)").as("bmm"))
+            .groupBy(keys.map(col): _*)
+            .agg(sum(expr("bitmap_count(bmm)")).as("n_users"))
+            .select(label :+ col("n_users"): _*)
+        val all = lit("ALL")
+        val frames = Seq(
+          mergeBy(Seq("event_type", "week"),
+            Seq(col("event_type"), col("week").cast("string").as("week"))),
+          mergeBy(Seq("event_type"), Seq(col("event_type"), all.as("week"))),
+          mergeBy(Seq("week"),
+            Seq(all.as("event_type"), col("week").cast("string").as("week"))),
+          mergeBy(Seq(), Seq(all.as("event_type"), all.as("week"))))
+        frames.reduce(_ unionByName _).orderBy("event_type", "week")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+                 user_id
+          FROM events)
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(week AS VARCHAR), 'ALL') AS week,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM e
+        GROUP BY CUBE (event_type, week)
+        ORDER BY event_type, week"""))
   )
 
   /** q140's pass-1: per-partition Misra-Gries summaries of size `m`,
