@@ -603,6 +603,57 @@ object TextAnalysis {
         SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
         FROM p GROUP BY pair
         ORDER BY freq DESC, pair
-        LIMIT 50"""))
+        LIMIT 50""")),
+
+    // --------------------------------------------------------------- q181
+    // Flesch-style readability per source — the classic reading-ease
+    // screen a curation pass runs next to q32's quality score, in exact
+    // integer milli-units: syllables ≈ Latin-vowel groups (counted
+    // case-explicitly — no lower(), whose Unicode mapping is
+    // engine-specific), sentences ≈ terminal punctuation (floored at
+    // 1), and the 206.835 − 1.015·W/S − 84.6·Syl/W formula evaluated
+    // with one truncating division per term in BOTH engines, so the
+    // per-source averages hash-match. Pure narrow map + one keyed
+    // rollup; no shuffle carries text.
+    QueryDef(
+      "q181_readability",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("size(split(text, ' '))").cast("long").as("w"),
+            expr("greatest(regexp_count(text, '[.!?]'), 1)").cast("long").as("sn"),
+            expr("greatest(regexp_count(text, '[aeiouAEIOU]+'), 1)")
+              .cast("long").as("syl"))
+          .select(col("source"),
+            expr("""206835 - (1015 * (w * 1000 div sn)) div 1000
+                           - (84600 * (syl * 1000 div w)) div 1000""")
+              .as("f_milli"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(f_milli) div count(1)").as("avg_f_milli"),
+            min("f_milli").as("min_f_milli"),
+            max("f_milli").as("max_f_milli"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                 GREATEST(CAST(len(regexp_extract_all(text, '[.!?]'))
+                   AS BIGINT), 1) AS sn,
+                 GREATEST(CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                   AS BIGINT), 1) AS syl
+          FROM documents),
+        f AS (
+          SELECT source,
+                 206835 - (1015 * (w * 1000 // sn)) // 1000
+                        - (84600 * (syl * 1000 // w)) // 1000 AS f_milli
+          FROM d)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(f_milli) // COUNT(*) AS BIGINT) AS avg_f_milli,
+               CAST(MIN(f_milli) AS BIGINT) AS min_f_milli,
+               CAST(MAX(f_milli) AS BIGINT) AS max_f_milli
+        FROM f GROUP BY source
+        ORDER BY source"""))
   )
 }
