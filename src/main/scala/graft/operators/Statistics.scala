@@ -551,6 +551,218 @@ object Statistics {
                     // (SUM(above) + SUM(1 - above)) AS BIGINT)
                  AS expected_runs_ppm
         FROM l GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q182
+    // Aggregate-function breadth — the long tail of SQL aggregates a
+    // warehouse migration trips over: deterministic mode (ties resolve
+    // to the LOWEST value — `mode(vc, true)`), exact median surfaced as
+    // 2·median (the midpoint of two BIGINTs times two is again a
+    // BIGINT, so no float ever reaches the gate), discrete 25th
+    // percentile (smallest value with cume_dist ≥ 0.25 — pinned by
+    // that definition in the oracle rather than trusting two engines'
+    // quantile_disc to agree), count_if, bool_and/bool_or, and the
+    // bitwise aggregate trio over user_id. One keyed aggregate, one
+    // exchange; every function partial-aggregates map-side except the
+    // sort-based percentiles, whose per-group state is bounded by the
+    // distinct-cents cardinality.
+    QueryDef(
+      "q182_agg_breadth",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"), cents.as("vc"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("mode(vc, true)").as("mode_cents"),
+            expr("cast(median(vc) * 2 AS BIGINT)").as("median_x2"),
+            expr("cast(percentile_disc(0.25) within group (order by vc) AS BIGINT)")
+              .as("p25_cents"),
+            expr("count_if(vc > 50000)").as("n_hi"),
+            expr("bool_and(vc >= 0)").as("all_nonneg"),
+            expr("bool_or(vc > 99000)").as("any_big"),
+            expr("bit_and(user_id)").as("uid_and"),
+            expr("bit_or(user_id)").as("uid_or"),
+            expr("bit_xor(user_id)").as("uid_xor"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        base AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(2 * median(vc) AS BIGINT) AS median_x2,
+                 CAST(count_if(vc > 50000) AS BIGINT) AS n_hi,
+                 bool_and(vc >= 0) AS all_nonneg,
+                 bool_or(vc > 99000) AS any_big,
+                 CAST(bit_and(user_id) AS BIGINT) AS uid_and,
+                 CAST(bit_or(user_id) AS BIGINT) AS uid_or,
+                 CAST(bit_xor(user_id) AS BIGINT) AS uid_xor
+          FROM e GROUP BY event_type),
+        freq AS (
+          SELECT event_type, vc, COUNT(*) AS c,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY COUNT(*) DESC, vc ASC) AS rk
+          FROM e GROUP BY event_type, vc),
+        md AS (SELECT event_type, vc AS mode_cents FROM freq WHERE rk = 1),
+        rnk AS (
+          SELECT event_type, vc,
+                 cume_dist() OVER (PARTITION BY event_type ORDER BY vc) AS cd
+          FROM e),
+        p25 AS (
+          SELECT event_type, CAST(MIN(vc) AS BIGINT) AS p25_cents
+          FROM rnk WHERE cd >= 0.25 GROUP BY event_type)
+        SELECT b.event_type, n, mode_cents, median_x2, p25_cents, n_hi,
+               all_nonneg, any_big, uid_and, uid_or, uid_xor
+        FROM base b
+        JOIN md USING (event_type)
+        JOIN p25 USING (event_type)
+        ORDER BY b.event_type""")),
+
+    // --------------------------------------------------------------- q183
+    // Mann–Kendall trend test per event type — the standard
+    // monotonic-trend detector for daily operational series (is volume
+    // drifting up, down, or stable). S = Σ_{i<j} sign(x_j − x_i) over
+    // the day-ordered daily counts; the tie-corrected variance is kept
+    // as VAR·18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) so everything
+    // stays integer, and the 5% two-sided normal test |S| > 1.96·√Var
+    // is decided by the equivalent square comparison
+    // 180000·S² > 38416·(VAR·18) — no sqrt, no float, same verdict.
+    // Scale shape: the raw events reduce to one bounded daily row per
+    // (type, day) map-side; the pairwise join runs over that daily
+    // table only, whose length is calendar days — it does NOT grow
+    // with data volume, so the O(days²) pair stage is a constant-sized
+    // tail on a 100 TB scan.
+    QueryDef(
+      "q183_mann_kendall",
+      (s, dir) => {
+        val daily = TrackedCaches.track(Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val a = daily.select(col("event_type"), col("day"), col("x"))
+        val b = daily.select(col("event_type").as("et2"),
+          col("day").as("day2"), col("x").as("x2"))
+        val sStat = a.join(b,
+            col("event_type") === col("et2") && col("day") < col("day2"))
+          .groupBy("event_type")
+          .agg(sum(expr("cast(sign(x2 - x) AS BIGINT)")).as("s_stat"))
+        val ties = daily.groupBy("event_type", "x")
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_levels"),
+            sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"),
+            sum("t").as("n_days"))
+        sStat.join(ties, "event_type")
+          .select(col("event_type"), col("n_days"), col("s_stat"),
+            expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+              .as("var18"))
+          .withColumn("trend", expr("""
+            CASE WHEN 180000 * s_stat * s_stat > 38416 * var18
+                 THEN CASE WHEN s_stat > 0 THEN 'increasing'
+                           ELSE 'decreasing' END
+                 ELSE 'no_trend' END"""))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT a.event_type,
+                 CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                               WHEN b.x < a.x THEN -1 ELSE 0 END)
+                   AS BIGINT) AS s_stat
+          FROM daily a
+          JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+          GROUP BY a.event_type),
+        t AS (
+          SELECT event_type, x, COUNT(*) AS t FROM daily GROUP BY 1, 2),
+        v AS (
+          SELECT event_type,
+                 CAST(SUM(t) AS BIGINT) AS n_days,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM t GROUP BY event_type)
+        SELECT s.event_type, v.n_days, s.s_stat,
+               CAST(v.n_days * (v.n_days - 1) * (2 * v.n_days + 5)
+                    - v.tie_term AS BIGINT) AS var18,
+               CASE WHEN 180000 * s.s_stat * s.s_stat >
+                         38416 * (v.n_days * (v.n_days - 1) * (2 * v.n_days + 5)
+                                  - v.tie_term)
+                    THEN CASE WHEN s.s_stat > 0 THEN 'increasing'
+                              ELSE 'decreasing' END
+                    ELSE 'no_trend' END AS trend
+        FROM s JOIN v ON s.event_type = v.event_type
+        ORDER BY s.event_type""")),
+
+    // --------------------------------------------------------------- q184
+    // EWMA volume anomaly scoring in exact dyadic arithmetic — the
+    // capacity-alarm primitive: each day's count is compared to an
+    // exponentially weighted average of the 20 PRIOR days with decay
+    // α = 1/2. Scaling the weights to integers (lag i gets 2^(20−i))
+    // makes the forecast a ratio of two BIGINTs: forecast_num =
+    // Σ x_{t−i}·2^(20−i), weight_sum = Σ 2^(20−i) over the lags that
+    // exist, so the deviation ratio x·weight_sum·10⁶ ÷ forecast_num is
+    // exact ppm in both engines — no float decay powers, no drift.
+    // Days with a calendar gap simply contribute no weight (the ratio
+    // denominators track the lags actually present). Scale shape: the
+    // daily rollup is the only pass over raw data; the 20-lag
+    // band-join fans the bounded daily table out ≤20× map-side.
+    QueryDef(
+      "q184_ewma_anomaly",
+      (s, dir) => {
+        val daily = TrackedCaches.track(Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val prior = daily.select(col("event_type").as("et2"),
+          col("day").as("pday"), col("x").as("px"))
+        daily.join(prior,
+            col("event_type") === col("et2")
+              && col("pday") >= col("day") - 20 && col("pday") <= col("day") - 1)
+          .groupBy("event_type", "day", "x")
+          .agg(sum(expr("px * shiftleft(1L, cast(20 - (day - pday) AS INT))"))
+              .as("forecast_num"),
+            sum(expr("shiftleft(1L, cast(20 - (day - pday) AS INT))"))
+              .as("weight_sum"))
+          .select(col("event_type"), col("day"), col("x"),
+            col("forecast_num"), col("weight_sum"),
+            expr("x * weight_sum * 1000000 div forecast_num").as("ratio_ppm"))
+          .withColumn("status", expr("""
+            CASE WHEN ratio_ppm > 2000000 THEN 'spike'
+                 WHEN ratio_ppm < 500000 THEN 'dip'
+                 ELSE 'normal' END"""))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT d.event_type, d.day, d.x,
+                 CAST(SUM(p.x * (1::BIGINT << CAST(20 - (d.day - p.day) AS INT)))
+                   AS BIGINT) AS forecast_num,
+                 CAST(SUM(1::BIGINT << CAST(20 - (d.day - p.day) AS INT))
+                   AS BIGINT) AS weight_sum
+          FROM daily d
+          JOIN daily p ON p.event_type = d.event_type
+                      AND p.day BETWEEN d.day - 20 AND d.day - 1
+          GROUP BY d.event_type, d.day, d.x)
+        SELECT event_type, day, x, forecast_num, weight_sum,
+               CAST(x * weight_sum * 1000000 // forecast_num AS BIGINT)
+                 AS ratio_ppm,
+               CASE WHEN x * weight_sum * 1000000 // forecast_num > 2000000
+                    THEN 'spike'
+                    WHEN x * weight_sum * 1000000 // forecast_num < 500000
+                    THEN 'dip'
+                    ELSE 'normal' END AS status
+        FROM j
+        ORDER BY event_type, day"""))
   )
 }
