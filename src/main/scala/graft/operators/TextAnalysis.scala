@@ -654,6 +654,111 @@ object TextAnalysis {
                CAST(MIN(f_milli) AS BIGINT) AS min_f_milli,
                CAST(MAX(f_milli) AS BIGINT) AS max_f_milli
         FROM f GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // --------------------------------------------------------------- q185
+    // Pairwise vocabulary overlap between sources — "how much does
+    // corpus A's word list share with corpus B's", the cheap
+    // domain-similarity screen run before mixing sources into one
+    // training blend. Exact set Jaccard over DISTINCT (source, token)
+    // pairs, computed WITHOUT an all-pairs token join: tokens group
+    // into their (bounded, ≤ n_sources) source sets once, and each
+    // set's ordered pairs explode from that row — so the wide work is
+    // one map-side-combining distinct plus one token-keyed aggregate,
+    // and what moves per token is its source LIST, never a cross
+    // product. Jaccard lands as exact ppm (intersection·10⁶ ÷ union).
+    QueryDef(
+      "q185_vocab_overlap",
+      (s, dir) => {
+        val vocab = Tables(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .distinct()
+        val sizes = TrackedCaches.track(vocab.groupBy("source")
+          .agg(count(lit(1)).as("vsz"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val inter = vocab.groupBy("tok")
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+                 transform(slice(srcs, i + 2, size(srcs)),
+                   b -> struct(a AS s1, b AS s2))))""")).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(count(lit(1)).as("inter_sz"))
+        inter
+          .join(broadcast(sizes).withColumnRenamed("source", "s1")
+            .withColumnRenamed("vsz", "v1"), "s1")
+          .join(broadcast(sizes).withColumnRenamed("source", "s2")
+            .withColumnRenamed("vsz", "v2"), "s2")
+          .select(col("s1"), col("s2"), col("v1"), col("v2"), col("inter_sz"),
+            expr("inter_sz * 1000000 div (v1 + v2 - inter_sz)")
+              .as("jaccard_ppm"))
+          .orderBy("s1", "s2")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        v AS (SELECT DISTINCT source, tok FROM toks WHERE tok <> ''),
+        sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vsz
+                  FROM v GROUP BY source),
+        inter AS (
+          SELECT a.source AS s1, b.source AS s2,
+                 CAST(COUNT(*) AS BIGINT) AS inter_sz
+          FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT s1, s2, x.vsz AS v1, y.vsz AS v2, inter_sz,
+               CAST(inter_sz * 1000000 // (x.vsz + y.vsz - inter_sz)
+                 AS BIGINT) AS jaccard_ppm
+        FROM inter
+        JOIN sizes x ON x.source = s1
+        JOIN sizes y ON y.source = s2
+        ORDER BY s1, s2""")),
+
+    // --------------------------------------------------------------- q186
+    // Encoding-health audit per (source, lang) — the mojibake screen a
+    // crawl-ingest pass runs before any tokenizer sees the text: bytes
+    // vs characters (UTF-8 multi-byte spread), the byte-per-character
+    // ratio in exact ppm, and how many documents carry U+FFFD (the
+    // replacement character a lossy transcode leaves behind — counted
+    // via chr(65533) in both engines, no literal in the source). Both
+    // engines count CODE POINTS for length and UTF-8 bytes for
+    // octet_length, so every number is exact integer arithmetic.
+    // Scale shape: one narrow codegen map over the corpus, one keyed
+    // rollup that partial-aggregates map-side; no shuffle carries text.
+    QueryDef(
+      "q186_encoding_audit",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            length(col("text")).cast("long").as("nchars"),
+            octet_length(col("text")).cast("long").as("nbytes"),
+            expr("contains(text, chr(65533))").as("has_repl"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nchars").as("n_chars"),
+            sum("nbytes").as("n_bytes"),
+            sum(expr("nbytes - nchars")).as("extra_bytes"),
+            expr("count_if(has_repl)").as("n_repl_docs"),
+            expr("cast(sum(nbytes) * 1000000 div sum(nchars) AS BIGINT)")
+              .as("bpc_ppm"))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, lang,
+                 CAST(length(text) AS BIGINT) AS nchars,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+                 CASE WHEN position(chr(65533) IN text) > 0
+                      THEN TRUE ELSE FALSE END AS has_repl
+          FROM documents)
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nchars) AS BIGINT) AS n_chars,
+               CAST(SUM(nbytes) AS BIGINT) AS n_bytes,
+               CAST(SUM(nbytes - nchars) AS BIGINT) AS extra_bytes,
+               CAST(count_if(has_repl) AS BIGINT) AS n_repl_docs,
+               CAST(SUM(nbytes) * 1000000 // SUM(nchars) AS BIGINT) AS bpc_ppm
+        FROM d GROUP BY source, lang
+        ORDER BY source, lang"""))
   )
 }
