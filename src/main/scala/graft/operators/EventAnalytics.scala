@@ -899,6 +899,64 @@ object EventAnalytics {
         SELECT touch, position, CAST(COUNT(*) AS BIGINT) AS n_touches,
                CAST(SUM(credit) AS BIGINT) AS credit_ppm
         FROM c GROUP BY touch, position
-        ORDER BY touch, position"""))
+        ORDER BY touch, position""")),
+
+    // --------------------------------------------------------------- q188
+    // Bot detection via inter-event timing regularity — humans arrive
+    // with bursty gaps, schedulers arrive on a metronome, so the
+    // squared coefficient of variation of each user's inter-event gaps
+    // separates them without any content signal. Exact arithmetic by
+    // clearing denominators: with n gaps, S = Σg and Q = Σg² (µs),
+    // cv² = var/mean² = (n·Q − S²)/S², surfaced as exact ppm through
+    // DECIMAL(38)/HUGEINT accumulators (Q is ~10²² at day-scale gaps,
+    // past BIGINT); n·Q ≥ S² by Cauchy–Schwarz so truncating div//
+    // agree. A user is flagged 'metronomic' under cv² < 0.01 (ppm
+    // < 10000) with ≥ 20 gaps. Scale shape: the lag and the rollup
+    // ride ONE user_id exchange; per-user state is four numbers.
+    QueryDef(
+      "q188_bot_detection",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+          .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(expr("cast(gap AS DECIMAL(38,0))")).as("s"),
+            sum(expr("cast(gap AS DECIMAL(38,0)) * gap")).as("q"))
+          .filter(col("n_gaps") >= 20)
+          .select(col("user_id"), col("n_gaps"),
+            col("s").cast("long").as("sum_gap_us"),
+            expr("cast((n_gaps * q - s * s) * 1000000 div (s * s) AS BIGINT)")
+              .as("cv2_ppm"))
+          .withColumn("verdict",
+            expr("CASE WHEN cv2_ppm < 10000 THEN 'metronomic' ELSE 'organic' END"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   AS gap
+          FROM events),
+        a AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(gap) AS HUGEINT) AS s,
+                 CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+          FROM g WHERE gap IS NOT NULL
+          GROUP BY user_id
+          HAVING COUNT(*) >= 20)
+        SELECT user_id, n_gaps, CAST(s AS BIGINT) AS sum_gap_us,
+               CAST((n_gaps * q - s * s) * 1000000 // (s * s) AS BIGINT)
+                 AS cv2_ppm,
+               CASE WHEN (n_gaps * q - s * s) * 1000000 // (s * s) < 10000
+                    THEN 'metronomic' ELSE 'organic' END AS verdict
+        FROM a
+        ORDER BY user_id"""))
   )
 }

@@ -836,5 +836,73 @@ object Profiling {
         GROUP BY l_returnflag, audit_n_rows, audit_total_qc,
                  audit_min_qc, audit_max_qc
         ORDER BY l_returnflag"""))
+  ,
+
+    // --------------------------------------------------------------- q187
+    // Declarative data-quality constraint suite (the Deequ pattern) —
+    // a contract of five named checks over `orders`, all measured in
+    // ONE aggregate pass and emitted as a long (constraint, metric,
+    // passed) result table: completeness of the FK column, key
+    // uniqueness, domain conformity of the status code, a positive
+    // price range check, and the priority-code shape check (pinned
+    // with substring + set membership, not regex, so both engines
+    // apply the byte-identical predicate). Metrics are exact ppm.
+    // Scale shape: a single map-side-combining aggregate over the
+    // table computes every metric at once — five checks cost one scan,
+    // the way a 100 TB contract run must (the distinct count for
+    // uniqueness is the only part with reduce-side state, keyed by
+    // o_orderkey). stack() pivots the one metrics row into the
+    // result contract.
+    QueryDef(
+      "q187_quality_constraints",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .agg(count(lit(1)).as("n"),
+            count(col("o_custkey")).as("nn_cust"),
+            countDistinct(col("o_orderkey")).as("d_ok"),
+            expr("count_if(o_orderstatus IN ('F', 'O', 'P'))").as("c_status"),
+            expr("count_if(o_totalprice > 0)").as("c_price"),
+            expr("""count_if(substring(o_orderpriority, 1, 1)
+                              IN ('1', '2', '3', '4', '5')
+                            AND substring(o_orderpriority, 2, 1) = '-')""")
+              .as("c_prio"))
+          .select(expr("""stack(5,
+              'completeness(o_custkey)',        nn_cust * 1000000 div n,
+              'uniqueness(o_orderkey)',         d_ok * 1000000 div n,
+              'domain(o_orderstatus)',          c_status * 1000000 div n,
+              'range(o_totalprice > 0)',        c_price * 1000000 div n,
+              'pattern(o_orderpriority)',       c_prio * 1000000 div n)
+            AS (check_name, metric_ppm)"""))
+          .withColumn("passed", col("metric_ppm") === 1000000L)
+          .orderBy("check_name")
+      },
+      Some("""
+        WITH m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(o_custkey) AS BIGINT) AS nn_cust,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_ok,
+                 CAST(count_if(o_orderstatus IN ('F', 'O', 'P'))
+                   AS BIGINT) AS c_status,
+                 CAST(count_if(o_totalprice > 0) AS BIGINT) AS c_price,
+                 CAST(count_if(substring(o_orderpriority, 1, 1)
+                                 IN ('1', '2', '3', '4', '5')
+                               AND substring(o_orderpriority, 2, 1) = '-')
+                   AS BIGINT) AS c_prio
+          FROM orders),
+        u AS (
+          SELECT 'completeness(o_custkey)' AS check_name,
+                 nn_cust * 1000000 // n AS metric_ppm FROM m
+          UNION ALL
+          SELECT 'uniqueness(o_orderkey)', d_ok * 1000000 // n FROM m
+          UNION ALL
+          SELECT 'domain(o_orderstatus)', c_status * 1000000 // n FROM m
+          UNION ALL
+          SELECT 'range(o_totalprice > 0)', c_price * 1000000 // n FROM m
+          UNION ALL
+          SELECT 'pattern(o_orderpriority)', c_prio * 1000000 // n FROM m)
+        SELECT check_name, CAST(metric_ppm AS BIGINT) AS metric_ppm,
+               metric_ppm = 1000000 AS passed
+        FROM u
+        ORDER BY check_name"""))
   )
 }
