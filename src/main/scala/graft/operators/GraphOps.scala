@@ -168,6 +168,77 @@ object GraphOps {
                (SELECT COUNT(*) FROM wed) AS n_wedges,
                (SELECT COUNT(*) FROM tri) AS n_triangles,
                (SELECT CAST(SUM(wa + wb + wc) AS BIGINT) FROM tri)
-                 AS tri_id_sum"""))
+                 AS tri_id_sum""")),
+
+    // --------------------------------------------------------------- q189
+    // Local clustering coefficient per part — how tightly each part's
+    // co-purchase neighborhood closes on itself (2·tri(v) / deg(v)·
+    // (deg(v)−1) in exact ppm): the community-structure signal that
+    // separates hub parts (bridging many baskets, low closure) from
+    // clique parts (bought in tight bundles). Reuses q129's oriented
+    // triangle enumeration (u<v<w once each) and credits each triangle
+    // to its three corners — so the heavy work stays the wedge
+    // equi-join on the SUPPORT-FILTERED edge list, never an all-pairs
+    // pass, and the per-node rollups are keyed aggregates that
+    // partial-combine map-side. Degrees count both edge directions by
+    // unioning the two projections before one keyed count.
+    QueryDef(
+      "q189_clustering_coefficient",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = TrackedCaches.track(items.as("a")
+          .join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2).select("u", "v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val deg = e.select(col("u").as("node"))
+          .union(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val wed = e.select(col("u").as("wa"), col("v").as("wb"))
+          .join(e.select(col("u").as("wb2"), col("v").as("wc")),
+            col("wb") === col("wb2"))
+          .select("wa", "wb", "wc")
+        val tri = wed.join(e, wed("wa") === e("u") && wed("wc") === e("v"))
+          .select(explode(array(col("wa"), col("wb"), col("wc"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("tri"))
+        deg.join(tri, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("tri"), lit(0L)).as("tri"))
+          .filter(col("deg") >= 2)
+          .withColumn("coeff_ppm",
+            expr("2 * tri * 1000000 div (deg * (deg - 1))"))
+          .orderBy("node")
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        pairs AS (
+          SELECT a.pk AS u, b.pk AS v, COUNT(*) AS sup
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY u, v),
+        e AS (SELECT u, v FROM pairs WHERE sup >= 2),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e) d
+          GROUP BY node),
+        wed AS (
+          SELECT e1.u AS wa, e1.v AS wb, e2.v AS wc
+          FROM e e1 JOIN e e2 ON e1.v = e2.u),
+        tris AS (
+          SELECT wa, wb, wc FROM wed JOIN e ON wed.wa = e.u AND wed.wc = e.v),
+        tri AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+            SELECT unnest([wa, wb, wc]) AS node FROM tris) t
+          GROUP BY node)
+        SELECT d.node, d.deg, COALESCE(tri.tri, 0) AS tri,
+               CAST(2 * COALESCE(tri.tri, 0) * 1000000
+                    // (d.deg * (d.deg - 1)) AS BIGINT) AS coeff_ppm
+        FROM deg d LEFT JOIN tri ON d.node = tri.node
+        WHERE d.deg >= 2
+        ORDER BY d.node"""))
   )
 }

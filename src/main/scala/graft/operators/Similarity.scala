@@ -614,6 +614,66 @@ object Similarity {
                  AS BIGINT) AS kept_id_sum
         FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
         GROUP BY cluster_id
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    // --------------------------------------------------------------- q190
+    // Product quantization — the vector-compression step between IVF
+    // (q29/q91) and raw storage: each 64-dim embedding splits into
+    // M = 4 contiguous 16-dim subvectors, and each subvector is coded
+    // as its nearest of K = 8 codewords, so a vector stores as 4 small
+    // codes instead of 64 floats (48× compression at this geometry).
+    // Codewords here are the corpus's first 8 subvectors per subspace
+    // (a deterministic sampled codebook — the assignment/audit
+    // machinery is identical under a Lloyd-trained one, q64 shows the
+    // training loop). Assignment metric is cosine via the shared
+    // native kernel (inner-product PQ), highest-sim-lowest-code
+    // tie-break. The audit reports per (subspace, code) utilization
+    // and total fit (similarity summed through DECIMAL(27,12), the
+    // q110 rounding discipline, so the aggregate is order-independent
+    // and hash-exact). 100 TB shape: the K·M codebook broadcasts,
+    // scoring is a narrow map, and the per-vector argmax partial-
+    // aggregates map-side before the (subspace, code) rollup — the
+    // corpus never shuffles.
+    QueryDef(
+      "q190_product_quantization",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val sub = base.select(col("vec_id"), explode(expr(
+            """transform(sequence(0, 3),
+                 m -> struct(m AS m, slice(e, m * 16 + 1, 16) AS se))"""))
+            .as("p"))
+          .select(col("vec_id"), col("p.m").cast("long").as("m"),
+            col("p.se").as("se"))
+        val codebook = sub.filter(col("vec_id") < 8)
+          .select(col("m").as("cm"), col("vec_id").as("code"),
+            col("se").as("ce"))
+        sub.join(broadcast(codebook), col("m") === col("cm"))
+          .groupBy("vec_id", "m")
+          .agg(max(struct(cosine(col("se"), col("ce")).as("sim"),
+            (-col("code")).as("nc"))).as("w"))
+          .select(col("m"), (-col("w.nc")).as("code"), col("w.sim").as("sim"))
+          .groupBy("m", "code")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(bround(col("sim"), 12).cast("decimal(27,12)"))
+              .cast("double").as("sum_sim"))
+          .orderBy("m", "code")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        sub AS (
+          SELECT vec_id, ms.m, e[ms.m * 16 + 1 : ms.m * 16 + 16] AS se
+          FROM base CROSS JOIN (SELECT unnest(range(0, 4)) AS m) ms),
+        cb AS (
+          SELECT m AS cm, vec_id AS code, se AS ce FROM sub WHERE vec_id < 8),
+        scored AS (
+          SELECT s.vec_id, s.m, c.code, ${duckCosine("s.se", "c.ce")} AS sim,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${duckCosine("s.se", "c.ce")} DESC, c.code) AS rnk
+          FROM sub s JOIN cb c ON s.m = c.cm)
+        SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CAST(sim AS DECIMAL(27,12))) AS DOUBLE) AS sum_sim
+        FROM scored WHERE rnk = 1
+        GROUP BY m, code
+        ORDER BY m, code"""))
   )
 }
