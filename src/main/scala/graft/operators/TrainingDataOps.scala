@@ -1177,6 +1177,66 @@ object TrainingDataOps {
         FROM c_raw JOIN c_dedup USING (source)
         JOIN c_quality USING (source) JOIN c_clean USING (source)
         JOIN packed USING (source)
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // --------------------------------------------------------------- q191
+    // Distribution matching by rejection sampling — flatten the corpus's
+    // document-length distribution to its rarest bucket (the anti-bias
+    // resample run before length-sensitive training): each 256-char
+    // bucket gets an acceptance threshold t_b = c_min·2²⁰ ÷ c_b, and a
+    // document is kept iff its content-hash coin (graft_polyhash mod
+    // 2²⁰ — seed-free, engine-reproducible, stable under repartition)
+    // lands under its bucket's threshold, so every bucket keeps ≈ c_min
+    // docs in expectation and exactly the same docs in both engines.
+    // Scale shape: pass 1 is a map-side-combining bucket count (bounded
+    // rows), the thresholds broadcast back, and pass 2 is one narrow
+    // codegen map — the corpus itself never shuffles.
+    QueryDef(
+      "q191_distribution_matching",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            expr("n_chars div 256").as("bucket"))
+        val counts = d.groupBy("bucket").agg(count(lit(1)).as("c"))
+        val cmin = counts.agg(min("c").as("c_min"))
+        val th = counts.crossJoin(broadcast(cmin))
+          .select(col("bucket"), col("c"),
+            expr("c_min * 1048576 div c").as("t"))
+        d.join(broadcast(th), "bucket")
+          .withColumn("admit",
+            call_function("graft_polyhash", col("text")) % 1048576 < col("t"))
+          .groupBy("bucket", "c", "t")
+          .agg(expr("count_if(admit)").as("n_kept"),
+            sum(when(col("admit"), col("doc_id"))).as("kept_id_sum"))
+          .select(col("bucket"), col("c").as("n_docs"),
+            col("t").as("threshold"), col("n_kept"), col("kept_id_sum"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, n_chars // 256 AS bucket FROM documents),
+        counts AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d GROUP BY bucket),
+        th AS (
+          SELECT bucket, c,
+                 (SELECT MIN(c) FROM counts) * 1048576 // c AS t
+          FROM counts),
+        coin AS (
+          SELECT d.doc_id, d.bucket, th.c, th.t,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(d.text) + 1),
+                       i -> CAST(unicode(d.text[i]) AS BIGINT))),
+                   (acc, ch) -> (acc * 31 + ch) % 1000000007) % 1048576 AS h
+          FROM d JOIN th ON d.bucket = th.bucket)
+        SELECT bucket, c AS n_docs, CAST(t AS BIGINT) AS threshold,
+               CAST(count_if(h < t) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN h < t THEN doc_id END) AS BIGINT)
+                 AS kept_id_sum
+        FROM coin
+        GROUP BY bucket, c, t
+        ORDER BY bucket"""))
   )
 }

@@ -2138,6 +2138,53 @@ object StreamingQueries {
         SELECT base.user_id, n_events, n_types,
                CAST(COALESCE(top3_cents, 0) AS BIGINT) AS top3_cents, last_us
         FROM base LEFT JOIN t3 USING (user_id)
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- s30
+    // Native session_window sessionization — the DECLARATIVE sibling of
+    // s02's hand-rolled flatMapGroupsWithState sessionizer: Spark's
+    // built-in session-window aggregation handles the merge/close state
+    // machine inside the streaming aggregation operator, so the query is
+    // one groupBy — the form a migration lands on first, pinned here
+    // against the same gaps-and-islands batch oracle. Boundary semantics
+    // differ from s02's by ONE microsecond and are pinned by the oracle:
+    // session_window ends are exclusive (window = [t, t+gap)), so an
+    // event arriving EXACTLY gap after its predecessor starts a NEW
+    // session — the batch rule is `diff >= gap`, where s02's hand-rolled
+    // gap used `>`. The far-future sentinel closes every real session at
+    // drain end (its own open session is dropped batch-side by the
+    // user_id >= 0 filter — the sentinel must FLOW through the operator,
+    // see the verify-skill note). State per user is the one open
+    // session, watermark-evicted — O(active users) forever.
+    QueryDef(
+      "s30_stream_session_window",
+      (s, dir) => {
+        val agg = eventsStream(s, dir, flushSentinel = true)
+          .withWatermark("ts_t", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts_t"), "10 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        drain(s, OutputMode.Append())(agg)
+          .filter(col("user_id") >= 0)
+          .select("user_id", "n_events", "start_us", "end_us")
+          .orderBy("user_id", "start_us")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                   FROM events),
+        g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w >= 600000000
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sg AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                             ORDER BY ts_us, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g)
+        SELECT user_id, COUNT(*) AS n_events,
+               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        FROM sg
+        GROUP BY user_id, sid
+        ORDER BY user_id, start_us"""))
   )
 }
