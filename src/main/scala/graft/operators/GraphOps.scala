@@ -239,6 +239,90 @@ object GraphOps {
                     // (d.deg * (d.deg - 1)) AS BIGINT) AS coeff_ppm
         FROM deg d LEFT JOIN tri ON d.node = tri.node
         WHERE d.deg >= 2
-        ORDER BY d.node"""))
+        ORDER BY d.node""")),
+
+    // --------------------------------------------------------------- q192
+    // 3-core peeling over the co-purchase graph — the standard
+    // dense-subgraph extraction (drop nodes of induced degree < 3,
+    // recompute, repeat): what survives is the stable co-purchase core
+    // that basket recommendations can trust. The operator is pinned as
+    // EXACTLY 12 peeling rounds in both engines, reporting the full
+    // (round, n_alive, node_checksum) trajectory — a bounded-round
+    // contract is well-defined at every scale factor, unlike
+    // "iterate to convergence", whose round count depends on the data
+    // (sf0.01 converges in 10; the flat tail in the trajectory SHOWS
+    // convergence). Per round: two semi-joins restrict the edge list
+    // to surviving endpoints and one keyed count recomputes degrees —
+    // edges stay put, only (node) sets move, and localCheckpoint
+    // truncates lineage each round (the q50 discipline). The oracle's
+    // 12 unrolled CTEs are generated by the same loop, so Spark and
+    // DuckDB can never disagree on round structure.
+    QueryDef(
+      "q192_kcore_peeling",
+      (s, dir) => {
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = TrackedCaches.track(items.as("a")
+          .join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2).select("u", "v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        def summary(alive: org.apache.spark.sql.DataFrame, r: Int) =
+          alive.agg(count(lit(1)).as("n_alive"),
+              coalesce(sum("node"), lit(0L)).as("node_checksum"))
+            .select(lit(r.toLong).as("round"), col("n_alive"),
+              col("node_checksum"))
+        var alive = e.select(col("u").as("node"))
+          .union(e.select(col("v").as("node")))
+          .distinct().localCheckpoint()
+        val rounds = scala.collection.mutable.ArrayBuffer(summary(alive, 0))
+        for (r <- 1 to 12) {
+          val live = e
+            .join(alive, e("u") === alive("node"), "left_semi")
+            .join(alive, e("v") === alive("node"), "left_semi")
+          alive = live.select(col("u").as("node"))
+            .union(live.select(col("v").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select("node")
+            .localCheckpoint()
+          rounds += summary(alive, r)
+        }
+        rounds.reduce(_ unionAll _).orderBy("round")
+      },
+      Some {
+        val rounds = (1 to 12).map { r =>
+          s"""a$r AS MATERIALIZED (
+            SELECT node FROM (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT e.u AS node FROM e
+                JOIN a${r - 1} x ON e.u = x.node JOIN a${r - 1} y ON e.v = y.node
+                UNION ALL
+                SELECT e.v FROM e
+                JOIN a${r - 1} x ON e.u = x.node JOIN a${r - 1} y ON e.v = y.node) d
+              GROUP BY node) g
+            WHERE deg >= 3)"""
+        }.mkString(",\n")
+        val sels = (0 to 12).map { r =>
+          s"""SELECT $r AS round, CAST(COUNT(*) AS BIGINT) AS n_alive,
+                 CAST(COALESCE(SUM(node), 0) AS BIGINT) AS node_checksum
+             FROM a$r"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+        WITH items AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        pairs AS (
+          SELECT a.pk AS u, b.pk AS v, COUNT(*) AS sup
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY u, v),
+        e AS MATERIALIZED (SELECT u, v FROM pairs WHERE sup >= 2),
+        a0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e) z),
+        $rounds
+        SELECT * FROM ($sels) t
+        ORDER BY round"""
+      })
   )
 }
