@@ -674,6 +674,57 @@ object Similarity {
                CAST(SUM(CAST(sim AS DECIMAL(27,12))) AS DOUBLE) AS sum_sim
         FROM scored WHERE rnk = 1
         GROUP BY m, code
-        ORDER BY m, code"""))
+        ORDER BY m, code""")),
+
+    // --------------------------------------------------------------- q194
+    // Label-separability audit — before trusting `label` as a training
+    // signal (or an IVF routing key), measure how far apart the label
+    // centroids actually sit: pairwise cosine between per-label mean
+    // embeddings. Centroid means use q110's exact-decimal discipline
+    // (bround to 12 digits, sum in DECIMAL(27,12), divide by count —
+    // order-independent, so distributed partial aggregation cannot
+    // drift), and the pairwise cosine runs through the shared native
+    // kernel, bit-identical to the oracle. Scale shape: the corpus
+    // reduces to (label, dim) partials map-side — one narrow pass —
+    // and the pairwise stage is a broadcast theta-join over the
+    // BOUNDED centroid set (labels × labels, metadata-sized).
+    QueryDef(
+      "q194_label_separation",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val base = Tables(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"))
+        val cent = base
+          .select(col("label"), posexplode(col("e")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg((sum(bround(col("v"), 12).cast("decimal(27,12)")).cast("double")
+            / count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+            .as("ce"))
+        cent.as("a").join(broadcast(cent.as("b")),
+            col("a.label") < col("b.label"))
+          .select(col("a.label").as("l1"), col("b.label").as("l2"),
+            cosine(col("a.ce"), col("b.ce")).as("sim"))
+          .orderBy("l1", "l2")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        m AS (
+          SELECT label, dim,
+                 CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+          FROM (SELECT label, unnest(e) AS v,
+                       generate_subscripts(e, 1) AS dim FROM base) z
+          GROUP BY label, dim),
+        cent AS (SELECT label, list(m ORDER BY dim) AS ce
+                 FROM m GROUP BY label)
+        SELECT a.label AS l1, b.label AS l2,
+               ${duckCosine("a.ce", "b.ce")} AS sim
+        FROM cent a JOIN cent b ON a.label < b.label
+        ORDER BY l1, l2"""))
   )
 }

@@ -1237,6 +1237,62 @@ object TrainingDataOps {
                  AS kept_id_sum
         FROM coin
         GROUP BY bucket, c, t
-        ORDER BY bucket"""))
+        ORDER BY bucket""")),
+
+    // --------------------------------------------------------------- q193
+    // Unigram surprisal scoring — the perplexity-proxy quality filter
+    // run when no language model is at hand: a document full of rare
+    // tokens scores high (gibberish/OCR noise), one full of corpus-
+    // typical tokens scores low. Kept EXACT by measuring information in
+    // whole bits via floor(log2): floor_log2(x) = length(bin(x)) − 1 is
+    // pure integer in both engines (no float log to disagree on), and a
+    // token's surprisal is floor_log2(corpus_tokens) − floor_log2(count).
+    // Scale shape: the frequency table is the slim side of the one
+    // token-keyed join (vocab-sized — broadcastable at moderate vocab,
+    // AQE decides); the corpus-total scalar rides in as a broadcast
+    // one-row aggregate (the q58 discipline, no driver materialization);
+    // the per-doc rollup partial-aggregates map-side.
+    QueryDef(
+      "q193_surprisal_score",
+      (s, dir) => {
+        val toks = TrackedCaches.track(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cnts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = cnts.agg(sum("cnt").as("n"))
+          .select(expr("length(bin(n)) - 1").as("ln"))
+        toks.join(cnts, "tok")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("source"),
+            expr("ln - (length(bin(cnt)) - 1)").as("bits"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_toks"),
+            sum("bits").as("surprisal_bits"))
+          .withColumn("bpt_milli",
+            expr("surprisal_bits * 1000 div n_toks"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        t AS (SELECT doc_id, source, tok FROM toks WHERE tok <> ''),
+        cnts AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+        nn AS (
+          SELECT CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) - 1 AS BIGINT)
+            AS ln FROM cnts),
+        sc AS (
+          SELECT t.doc_id, t.source,
+                 nn.ln - (length(bin(c.cnt)) - 1) AS bits
+          FROM t JOIN cnts c ON t.tok = c.tok CROSS JOIN nn)
+        SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+               CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS bpt_milli
+        FROM sc
+        GROUP BY doc_id, source
+        ORDER BY doc_id"""))
   )
 }
