@@ -2185,6 +2185,58 @@ object StreamingQueries {
                MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         FROM sg
         GROUP BY user_id, sid
-        ORDER BY user_id, start_us"""))
+        ORDER BY user_id, start_us""")),
+
+    // ---------------------------------------------------------------- s31
+    // Watermarked stream-stream FULL OUTER interval join — completes the
+    // join-mode set (s04 inner, s08 left outer): BOTH unmatched sides
+    // must emit, each only once its own watermark proves no partner can
+    // arrive — views that never led to a purchase in the following hour
+    // AND purchases with no preceding view. The flush sentinel rides
+    // both sides (s08's lesson: it must FLOW through both watermark
+    // operators, so each side's filter passes user_id < 0); the two
+    // sentinels time-match each other, producing one (-1, -1) pair
+    // dropped batch-side by the null-safe coalesce filter — which must
+    // keep half-null rows, since those are exactly the unmatched
+    // emissions under test. State on both sides stays bounded by the
+    // interval condition plus the 10-minute delay.
+    QueryDef(
+      "s31_stream_full_outer_join",
+      (s, dir) => {
+        val base = eventsStream(s, dir, flushSentinel = true)
+        val views = base
+          .filter(col("event_type") === "view" || col("user_id") < 0)
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts_us").as("v_us"), col("ts_t").as("v_t"))
+          .withWatermark("v_t", "10 minutes")
+        val purchases = base
+          .filter(col("event_type") === "purchase" || col("user_id") < 0)
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts_us").as("p_us"), col("ts_t").as("p_t"))
+          .withWatermark("p_t", "10 minutes")
+        val joined = purchases.join(views,
+          col("p_user") === col("v_user")
+            && col("v_t") <= col("p_t")
+            && col("v_t") >= col("p_t") - expr("INTERVAL 1 HOUR"),
+          "full_outer")
+        drain(s, OutputMode.Append())(
+          joined.select("purchase_id", "view_id", "p_us", "v_us"))
+          .filter(coalesce(col("purchase_id"), lit(0L)) >= 0
+            && coalesce(col("view_id"), lit(0L)) >= 0)
+          .orderBy(col("purchase_id").asc_nulls_first,
+            col("view_id").asc_nulls_first)
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                   FROM events),
+        p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        v AS (SELECT * FROM e WHERE event_type = 'view')
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+               p.us AS p_us, v.us AS v_us
+        FROM p FULL OUTER JOIN v
+          ON p.user_id = v.user_id
+         AND v.us <= p.us AND v.us >= p.us - 3600000000
+        ORDER BY purchase_id NULLS FIRST, view_id NULLS FIRST"""))
   )
 }
