@@ -1245,6 +1245,96 @@ object Relational {
                  AS BIGINT)) AS BIGINT) AS qc
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY gid, rf, ls"""))
+        ORDER BY gid, rf, ls""")),
+
+    // --------------------------------------------------------------- q197
+    // NEAREST as-of join — q24 matches each purchase to the latest view
+    // BEFORE it; this completes the as-of family with the bidirectional
+    // variant (nearest purchase to each click in EITHER direction,
+    // ties to the earlier side), the alignment step for sensor/quote
+    // data where the closest reading matters, not the preceding one.
+    // Scale shape — the two-pointer trick, not a join: both directions
+    // are keyed window scans over ONE user_id exchange (backward =
+    // last purchase over preceding rows, forward = first purchase over
+    // following rows, both IGNORE NULLS), so no per-click candidate
+    // set ever materializes. Deterministic total order (ts_us,
+    // event_id) everywhere; distance math is exact integer micros.
+    QueryDef(
+      "q197_nearest_asof",
+      (s, dir) => {
+        val wb = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wf = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        val isP = col("event_type") === "purchase"
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("event_type"))
+          .withColumn("prev_pid",
+            last(when(isP, col("event_id")), ignoreNulls = true).over(wb))
+          .withColumn("prev_pts",
+            last(when(isP, col("ts_us")), ignoreNulls = true).over(wb))
+          .withColumn("next_pid",
+            first(when(isP, col("event_id")), ignoreNulls = true).over(wf))
+          .withColumn("next_pts",
+            first(when(isP, col("ts_us")), ignoreNulls = true).over(wf))
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us"), col("prev_pid"), col("next_pid"),
+            expr("""CASE
+              WHEN prev_pts IS NULL AND next_pts IS NULL THEN NULL
+              WHEN prev_pts IS NULL THEN next_pid
+              WHEN next_pts IS NULL THEN prev_pid
+              WHEN ts_us - prev_pts <= next_pts - ts_us THEN prev_pid
+              ELSE next_pid END""").as("nearest_pid"),
+            expr("""CASE
+              WHEN prev_pts IS NULL AND next_pts IS NULL THEN NULL
+              WHEN prev_pts IS NULL THEN next_pts - ts_us
+              WHEN next_pts IS NULL THEN ts_us - prev_pts
+              ELSE least(ts_us - prev_pts, next_pts - ts_us)
+              END""").as("dist_us"))
+          .orderBy("click_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events),
+        x AS (
+          SELECT user_id, event_id, event_type, ts_us,
+                 last_value(CASE WHEN event_type = 'purchase'
+                                 THEN event_id END IGNORE NULLS)
+                   OVER wb AS prev_pid,
+                 last_value(CASE WHEN event_type = 'purchase'
+                                 THEN ts_us END IGNORE NULLS)
+                   OVER wb AS prev_pts,
+                 first_value(CASE WHEN event_type = 'purchase'
+                                  THEN event_id END IGNORE NULLS)
+                   OVER wf AS next_pid,
+                 first_value(CASE WHEN event_type = 'purchase'
+                                  THEN ts_us END IGNORE NULLS)
+                   OVER wf AS next_pts
+          FROM e
+          WINDOW
+            wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT event_id AS click_id, user_id, ts_us, prev_pid, next_pid,
+               CASE
+                 WHEN prev_pts IS NULL AND next_pts IS NULL THEN NULL
+                 WHEN prev_pts IS NULL THEN next_pid
+                 WHEN next_pts IS NULL THEN prev_pid
+                 WHEN ts_us - prev_pts <= next_pts - ts_us THEN prev_pid
+                 ELSE next_pid END AS nearest_pid,
+               CASE
+                 WHEN prev_pts IS NULL AND next_pts IS NULL THEN NULL
+                 WHEN prev_pts IS NULL THEN next_pts - ts_us
+                 WHEN next_pts IS NULL THEN ts_us - prev_pts
+                 ELSE LEAST(ts_us - prev_pts, next_pts - ts_us)
+                 END AS dist_us
+        FROM x
+        WHERE event_type = 'click'
+        ORDER BY click_id"""))
   )
 }

@@ -759,6 +759,64 @@ object TextAnalysis {
                CAST(count_if(has_repl) AS BIGINT) AS n_repl_docs,
                CAST(SUM(nbytes) * 1000000 // SUM(nchars) AS BIGINT) AS bpc_ppm
         FROM d GROUP BY source, lang
-        ORDER BY source, lang"""))
+        ORDER BY source, lang""")),
+
+    // --------------------------------------------------------------- q195
+    // Regexp-function breadth — regexp_count / regexp_extract /
+    // regexp_replace / first-match position exercised per document and
+    // rolled up per source. Patterns are restricted to plain character
+    // classes ([0-9], [A-Z][a-z]) — the subset Java's regex engine and
+    // DuckDB's RE2 interpret identically (no backrefs, no lookaround,
+    // no predefined classes whose Unicode scope differs). The
+    // first-capital position is regexp_instr on the Spark side and the
+    // equivalent leading-prefix length + 1 in DuckDB (which lacks
+    // regexp_instr) — same number by construction; DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default. One narrow codegen map + one keyed rollup.
+    QueryDef(
+      "q195_regex_breadth",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("regexp_count(text, '[0-9]+')").as("n_nums"),
+            expr("regexp_count(text, '[A-Z][a-z]+')").as("n_caps"),
+            expr("length(text) - length(regexp_replace(text, '[0-9]', ''))")
+              .as("n_digit_chars"),
+            expr("regexp_instr(text, '[A-Z]')").as("cap_pos"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_nums").as("sum_numbers"),
+            expr("count_if(n_nums > 0)").as("docs_with_numbers"),
+            sum("n_caps").as("sum_capwords"),
+            sum("n_digit_chars").as("sum_digit_chars"),
+            min(when(col("cap_pos") > 0, col("cap_pos"))).as("min_cap_pos"),
+            max(col("cap_pos")).as("max_cap_pos"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                   AS n_nums,
+                 CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+                   AS n_caps,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS BIGINT) AS n_digit_chars,
+                 CASE WHEN regexp_matches(text, '[A-Z]')
+                      THEN CAST(length(regexp_extract(text, '^[^A-Z]*')) + 1
+                        AS BIGINT)
+                      ELSE 0 END AS cap_pos
+          FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_nums) AS BIGINT) AS sum_numbers,
+               CAST(count_if(n_nums > 0) AS BIGINT) AS docs_with_numbers,
+               CAST(SUM(n_caps) AS BIGINT) AS sum_capwords,
+               CAST(SUM(n_digit_chars) AS BIGINT) AS sum_digit_chars,
+               CAST(MIN(CASE WHEN cap_pos > 0 THEN cap_pos END) AS BIGINT)
+                 AS min_cap_pos,
+               CAST(MAX(cap_pos) AS BIGINT) AS max_cap_pos
+        FROM d GROUP BY source
+        ORDER BY source"""))
   )
 }
