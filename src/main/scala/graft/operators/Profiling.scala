@@ -903,6 +903,47 @@ object Profiling {
         SELECT check_name, CAST(metric_ppm AS BIGINT) AS metric_ppm,
                metric_ppm = 1000000 AS passed
         FROM u
-        ORDER BY check_name"""))
+        ORDER BY check_name""")),
+
+    // --------------------------------------------------------------- q198
+    // l-diversity audit — q100's k-anonymity sibling: a quasi-identifier
+    // group can be large (k-anonymous) yet still leak if everyone in it
+    // shares the same SENSITIVE value, so each (nationkey, mktsegment)
+    // group is scored by how many distinct account-balance bands its
+    // members span, and groups under l = 3 bands are flagged with their
+    // exposed row counts. Two keyed aggregates, both partial-combining
+    // map-side; the group table is bounded by the quasi-identifier
+    // domain, so the rollup is metadata-sized at any customer count.
+    QueryDef(
+      "q198_l_diversity",
+      (s, dir) => {
+        val groups = Tables(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            expr("cast(floor(c_acctbal / 1000) AS BIGINT)").as("band"))
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("band")).as("diversity"))
+        groups.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_groups"),
+            expr("count_if(diversity < 3)").as("n_low_diversity"),
+            sum(when(col("diversity") < 3, col("n")).otherwise(0L))
+              .as("n_exposed_rows"),
+            min("diversity").as("min_diversity"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                 COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                   AS diversity
+          FROM customer GROUP BY 1, 2)
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(count_if(diversity < 3) AS BIGINT) AS n_low_diversity,
+               CAST(SUM(CASE WHEN diversity < 3 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_exposed_rows,
+               CAST(MIN(diversity) AS BIGINT) AS min_diversity
+        FROM g GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))
   )
 }

@@ -763,6 +763,53 @@ object Statistics {
                     THEN 'dip'
                     ELSE 'normal' END AS status
         FROM j
-        ORDER BY event_type, day"""))
+        ORDER BY event_type, day""")),
+
+    // --------------------------------------------------------------- q199
+    // Deterministic global sequence numbers — the distributed
+    // zipWithIndex: every event gets a dense 1..N rank in total
+    // (ts_us, event_id) order WITHOUT a global-ORDER window (which
+    // serializes N rows through one task) and WITHOUT
+    // monotonically_increasing_id (which is neither dense nor
+    // order-stable). Same two-pass shape as `prefixSums`, widened to a
+    // composite order: range-partition on BOTH order columns (ties
+    // split across partitions still rank correctly — the intra row_number
+    // uses the full key), row_number inside each pid, then add the
+    // 32-row broadcast per-partition offset table. localCheckpoint pins
+    // the pid assignment so both passes see one partitioning. Every
+    // 199th id is emitted as the audit sample; the rank of those rows
+    // still depends on EVERY row, so a drop or reorder anywhere moves
+    // some sampled seq.
+    QueryDef(
+      "q199_global_sequence",
+      (s, dir) => {
+        val ranged = Tables.events(s, dir)
+          .select(col("event_id"), col("ts_us"))
+          .repartitionByRange(32, col("ts_us"), col("event_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val wIntra = Window.partitionBy("pid").orderBy("ts_us", "event_id")
+        val intra = ranged
+          .withColumn("local_seq", row_number().over(wIntra).cast("long"))
+        val wOff = Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+          .withColumn("o", coalesce(sum("c").over(wOff), lit(0L)))
+          .select("pid", "o")
+        intra.join(broadcast(off), "pid")
+          .select(col("event_id"), col("ts_us"),
+            (col("o") + col("local_seq")).as("seq"))
+          .filter(col("event_id") % 199 === 0)
+          .orderBy("seq")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 row_number() OVER (ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                    event_id) AS seq
+          FROM events)
+        SELECT event_id, ts_us, CAST(seq AS BIGINT) AS seq
+        FROM r WHERE event_id % 199 = 0
+        ORDER BY seq"""))
   )
 }

@@ -2237,6 +2237,56 @@ object StreamingQueries {
         FROM p FULL OUTER JOIN v
           ON p.user_id = v.user_id
          AND v.us <= p.us AND v.us >= p.us - 3600000000
-        ORDER BY purchase_id NULLS FIRST, view_id NULLS FIRST"""))
+        ORDER BY purchase_id NULLS FIRST, view_id NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- s32
+    // Update output mode — the third and last output mode (s01/s09/s11
+    // complete, everything else append): each micro-batch emits the
+    // CURRENT value of every window it touched, so a window revised by
+    // 2 of the 4 time-ordered batches appears twice in the sink and the
+    // consumer reconciles — exactly how update-mode feeds an upserting
+    // store. Reconciliation here is deterministic without batch ids:
+    // every new event strictly increases a window's count, so the final
+    // revision is max(struct(n_events, sum_cents)) per window — the
+    // struct ties the cents to the same emission. Counts are integer
+    // cents (not doubles) so the struct max is a clean lexicographic
+    // compare. No sentinel needed: update mode emits on change, not on
+    // watermark close — but the watermark still EVICTS: the batches
+    // must be the TIME-ORDERED parts, because with an arbitrary split
+    // the first batch carries the stream's max timestamp, the watermark
+    // jumps to the end, and every later batch's rows are dropped as
+    // late (observed: ~2/3 of each window's count silently missing).
+    QueryDef(
+      "s32_stream_update_mode",
+      (s, dir) => {
+        // the time-parts landing bakes in a 5th sentinel batch (s12
+        // needs it); update mode does not, and its far-future window
+        // would surface in the sink — filter it BEFORE the watermark,
+        // which is safe here precisely because nothing below depends
+        // on the watermark advancing past the real data (emission is
+        // on-change; the starved-sentinel hazard only bites append)
+        val agg = eventsStreamTimeParts(s, dir)
+          .filter(col("user_id") >= 0)
+          .withWatermark("ts_t", "1 hour")
+          .groupBy(window(col("ts_t"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .as("sum_cents"))
+        drain(s, OutputMode.Update())(agg)
+          .groupBy("window")
+          .agg(max(struct(col("n_events"), col("sum_cents"))).as("fin"))
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("fin.n_events").as("n_events"),
+            col("fin.sum_cents").as("sum_cents"))
+          .orderBy("ws_us")
+      },
+      Some("""
+        SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM events
+        GROUP BY 1
+        ORDER BY ws_us"""))
   )
 }
