@@ -957,6 +957,75 @@ object EventAnalytics {
                CASE WHEN (n_gaps * q - s * s) * 1000000 // (s * s) < 10000
                     THEN 'metronomic' ELSE 'organic' END AS verdict
         FROM a
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- q200
+    // Capped running balance — the secondary-sort recurrence pattern:
+    // each user's credit balance earns on purchases, spends on errors,
+    // and is FLOORED AT ZERO, i.e. b_t = max(0, b_{t-1} + d_t) — a
+    // stateful per-row recurrence that plain window functions cannot
+    // express in general (cap above AND below has no closed form).
+    // The distributed shape is the classic one Spark offers for such
+    // scans: hash-repartition on the key, sortWithinPartitions on
+    // (key, time, id), then ONE mapPartitions pass carrying the
+    // per-user state — each user's rows are contiguous and sorted
+    // inside their partition, so the scan is sequential, deterministic,
+    // and shuffles the data exactly once. The floor-at-zero special
+    // case DOES have a closed form by the reflection identity
+    // b_t = S_t − min(0, min_{k≤t} S_k), which is exactly what the
+    // window-only oracle computes — the identity cross-checks the
+    // imperative scan row for row.
+    QueryDef(
+      "q200_capped_running_balance",
+      (s, dir) => {
+        import s.implicits._
+        val deltas = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            expr("""CASE WHEN event_type = 'purchase'
+                         THEN cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         ELSE -cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    END""").as("delta"))
+        deltas
+          .repartition(32, col("user_id"))
+          .sortWithinPartitions("user_id", "ts_us", "event_id")
+          .as[(Long, Long, Long, Long)]
+          .mapPartitions { it =>
+            var curUser = Long.MinValue
+            var bal = 0L
+            it.map { case (u, ts, id, d) =>
+              if (u != curUser) { curUser = u; bal = 0L }
+              bal = math.max(0L, bal + d)
+              (u, id, ts, d, bal)
+            }
+          }
+          .toDF("user_id", "event_id", "ts_us", "delta", "balance")
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      ELSE -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 END AS delta
+          FROM events WHERE event_type IN ('purchase', 'error')),
+        c AS (
+          SELECT user_id, event_id, ts_us, delta,
+                 SUM(delta) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS s
+          FROM d),
+        m AS (
+          SELECT user_id, event_id, ts_us, delta, s,
+                 MIN(s) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS min_s
+          FROM c)
+        SELECT user_id, event_id, ts_us, delta,
+               CAST(s - LEAST(0, min_s) AS BIGINT) AS balance
+        FROM m
+        ORDER BY user_id, ts_us, event_id"""))
   )
 }
