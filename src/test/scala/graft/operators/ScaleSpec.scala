@@ -372,6 +372,64 @@ class ScaleSpec extends AnyFunSuite {
     info(report.toString)
   }
 
+  test("10x graph probe: the co-purchase family counts, scores, and peels linearly, never all-pairs",
+      ScaleSpec.SlowProbe) {
+    // Same construction as the corpus probe, for the graph family:
+    // copy c shifts BOTH l_orderkey and l_partkey into copy-private id
+    // spaces, so the co-purchase graph becomes `copies` disjoint
+    // isomorphic shards — edges, wedges, triangles, and k-core work all
+    // scale linearly BY CONSTRUCTION. A quadratic wedge path, a hot
+    // middle node, or a size-estimate flip to an all-pairs join shows
+    // as a super-linear ratio or a nested-loop operator. q192's 12
+    // peeling rounds run per probe, so its fixed overhead (12 eager
+    // checkpoints) dominates at 1x — the ratio bound still catches a
+    // per-round blowup.
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.01"
+    def synth(copies: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-graph-${copies}x")
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("l_orderkey", col("l_orderkey") * copies + col("c"))
+        .withColumn("l_partkey", col("l_partkey") * copies + col("c"))
+        .drop("c")
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      out.toString
+    }
+    def run(dirPath: String, q: String): (Double, String) = {
+      val df = SparkEntry.queries(q)(spark, dirPath)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      graft.operators.TrackedCaches.releaseAll()
+      (sec, plan)
+    }
+    val d1 = synth(1)
+    val d10 = synth(10)
+    val report = new StringBuilder
+    for (q <- Seq("q129_triangle_count", "q189_clustering_coefficient",
+        "q192_kcore_peeling")) {
+      run(d1, q) // warm codegen + parquet footers, untimed
+      val (t1, _) = run(d1, q)
+      val (t10, plan10) = run(d10, q)
+      report ++= f"$q: 1x=$t1%.2f s, 10x=$t10%.2f s (ratio ${t10 / t1}%.1f)\n"
+      assert(t10 <= t1 * 30 + 5.0,
+        f"$q scales super-linearly: 1x=$t1%.2f s vs 10x=$t10%.2f s")
+      // q129's audit row IS a BroadcastNestedLoopJoin Cross — of three
+      // ONE-ROW aggregates (the q58/q71 single-row discipline), which
+      // stays O(1) at any scale; only a BNLJ over the data path is a
+      // flip. The other two queries have no scalar cross, so any BNLJ
+      // there is a regression.
+      if (q != "q129_triangle_count")
+        assert(!plan10.contains("BroadcastNestedLoopJoin"),
+          s"$q flipped to an all-pairs join at 10x:\n$plan10")
+      assert(!plan10.contains("CartesianProduct"),
+        s"$q flipped to a cartesian join at 10x:\n$plan10")
+    }
+    info(report.toString)
+  }
+
   test("q99 z-order files cover small (time, value) rectangles — both dims skip") {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val df = SparkEntry.queries("q99_zorder_clustered_scan")(spark, dir)
