@@ -59,4 +59,20 @@ class AttributionSpec extends AnyFunSuite {
     assert(total >= 1000000L * nPurchases - nMiddles,
       s"credit $total lost more than the $nMiddles middle-truncation bound")
   }
+
+  test("q200 capped balance matches a local sequential recurrence") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q200_capped_running_balance")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the distributed secondary-sort scan must reproduce the literal
+    // recurrence b_t = max(0, b_{t-1} + d_t), user by user, row by row
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var bal = 0L
+      rs.sortBy(r => (r._3, r._2)).foreach { case (u, id, _, d, got) =>
+        bal = math.max(0L, bal + d)
+        assert(got == bal, s"user $u event $id: got $got, recurrence gives $bal")
+      }
+    }
+  }
 }

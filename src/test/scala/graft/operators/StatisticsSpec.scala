@@ -192,4 +192,62 @@ class StatisticsSpec extends AnyFunSuite {
     }.toSeq.sortBy(_._1)
     assert(got == expected, "streaming day histograms diverged from batch TVD")
   }
+
+  test("q183 Mann-Kendall S and tie-corrected variance match a brute-force scan") {
+    import spark.implicits._
+    val got = run("q183_mann_kendall")
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for ((t, xs) <- daily) {
+      val n = xs.length.toLong
+      val s = (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      val tie = xs.groupBy(identity).values
+        .map(g => { val m = g.size.toLong; m * (m - 1) * (2 * m + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie
+      assert(got(t) == ((n, s, var18)),
+        s"$t: got ${got(t)}, brute force gives (${n}, ${s}, ${var18})")
+    }
+  }
+
+  test("q184 EWMA forecast matches a brute-force 20-lag dyadic re-derivation") {
+    import spark.implicits._
+    val got = run("q184_ewma_anomaly")
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._4, r._5, r._6)).toMap
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    for (((t, day), (fnum, wsum, ratio)) <- got) {
+      val xs = daily(t)
+      val lags = (1 to 20).flatMap(i => xs.get(day - i).map(x => (i, x)))
+      val eFnum = lags.map { case (i, x) => x << (20 - i) }.sum
+      val eWsum = lags.map { case (i, _) => 1L << (20 - i) }.sum
+      assert((fnum, wsum) == ((eFnum, eWsum)), s"($t, $day) forecast parts")
+      assert(ratio == xs(day) * eWsum * 1000000L / eFnum, s"($t, $day) ratio")
+    }
+  }
+
+  test("q199 distributed sequence equals the single-machine sort rank") {
+    import spark.implicits._
+    val got = run("q199_global_sequence")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.nonEmpty)
+    val expected = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_us")).as[(Long, Long)].collect()
+      .sortBy(r => (r._2, r._1)).zipWithIndex
+      .collect { case ((id, _), i) if id % 199 == 0 => id -> (i + 1).toLong }
+      .toMap
+    assert(got == expected,
+      "range-partitioned two-pass enumeration diverged from the local sort")
+  }
 }
