@@ -1026,6 +1026,108 @@ object EventAnalytics {
         SELECT user_id, event_id, ts_us, delta,
                CAST(s - LEAST(0, min_s) AS BIGINT) AS balance
         FROM m
-        ORDER BY user_id, ts_us, event_id"""))
+        ORDER BY user_id, ts_us, event_id""")),
+
+    // --------------------------------------------------------------- q202
+    // RFM segmentation — recency / frequency / monetary quintile codes
+    // per user, the classic lifecycle-marketing rollup. The scale trap
+    // here is the obvious formulation: ntile(5) over ALL users is an
+    // unkeyed window that sorts the whole user table through one task.
+    // Instead the quintile BOUNDARIES are four exact percentile_disc
+    // scalars per dimension (a sort-based aggregate, distributed), the
+    // bounded 1-row threshold frame broadcasts back, and each user's
+    // codes come from comparisons — a narrow map. Scores use the
+    // percentile_disc definition (smallest value with cume_dist ≥ p),
+    // so score s means "value ≤ the s/5 quantile"; ties share a score
+    // (unlike ntile, which splits ties by row — that arbitrariness is
+    // exactly why boundaries beat ntile for a DETERMINISTIC contract).
+    // Output is the bounded 125-cell segment rollup.
+    QueryDef(
+      "q202_rfm_scores",
+      (s, dir) => {
+        val rfm = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(max("ts_us").as("r"),
+            count(lit(1)).as("f"),
+            sum(expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .as("m"))
+        val th = rfm.agg(
+          expr("percentile_disc(0.2) within group (order by r)").as("r1"),
+          expr("percentile_disc(0.4) within group (order by r)").as("r2"),
+          expr("percentile_disc(0.6) within group (order by r)").as("r3"),
+          expr("percentile_disc(0.8) within group (order by r)").as("r4"),
+          expr("percentile_disc(0.2) within group (order by f)").as("f1"),
+          expr("percentile_disc(0.4) within group (order by f)").as("f2"),
+          expr("percentile_disc(0.6) within group (order by f)").as("f3"),
+          expr("percentile_disc(0.8) within group (order by f)").as("f4"),
+          expr("percentile_disc(0.2) within group (order by m)").as("m1"),
+          expr("percentile_disc(0.4) within group (order by m)").as("m2"),
+          expr("percentile_disc(0.6) within group (order by m)").as("m3"),
+          expr("percentile_disc(0.8) within group (order by m)").as("m4"))
+        def score(c: String, t: String) = expr(
+          s"""CASE WHEN $c <= ${t}1 THEN 1 WHEN $c <= ${t}2 THEN 2
+                   WHEN $c <= ${t}3 THEN 3 WHEN $c <= ${t}4 THEN 4
+                   ELSE 5 END""")
+        rfm.crossJoin(broadcast(th))
+          .select(score("r", "r").cast("long").as("r_score"),
+            score("f", "f").cast("long").as("f_score"),
+            score("m", "m").cast("long").as("m_score"),
+            col("user_id"), col("m"))
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_users"),
+            sum("m").as("segment_cents"),
+            sum("user_id").as("uid_checksum"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""
+        WITH rfm AS (
+          SELECT user_id,
+                 MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS r,
+                 CAST(COUNT(*) AS BIGINT) AS f,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS BIGINT) AS m
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id),
+        ranked AS (
+          SELECT *, cume_dist() OVER (ORDER BY r) AS cr,
+                    cume_dist() OVER (ORDER BY f) AS cf,
+                    cume_dist() OVER (ORDER BY m) AS cm
+          FROM rfm),
+        th AS (
+          SELECT MIN(CASE WHEN cr >= 0.2 THEN r END) AS r1,
+                 MIN(CASE WHEN cr >= 0.4 THEN r END) AS r2,
+                 MIN(CASE WHEN cr >= 0.6 THEN r END) AS r3,
+                 MIN(CASE WHEN cr >= 0.8 THEN r END) AS r4,
+                 MIN(CASE WHEN cf >= 0.2 THEN f END) AS f1,
+                 MIN(CASE WHEN cf >= 0.4 THEN f END) AS f2,
+                 MIN(CASE WHEN cf >= 0.6 THEN f END) AS f3,
+                 MIN(CASE WHEN cf >= 0.8 THEN f END) AS f4,
+                 MIN(CASE WHEN cm >= 0.2 THEN m END) AS m1,
+                 MIN(CASE WHEN cm >= 0.4 THEN m END) AS m2,
+                 MIN(CASE WHEN cm >= 0.6 THEN m END) AS m3,
+                 MIN(CASE WHEN cm >= 0.8 THEN m END) AS m4
+          FROM ranked),
+        scored AS (
+          SELECT CASE WHEN r <= r1 THEN 1 WHEN r <= r2 THEN 2
+                      WHEN r <= r3 THEN 3 WHEN r <= r4 THEN 4
+                      ELSE 5 END AS r_score,
+                 CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2
+                      WHEN f <= f3 THEN 3 WHEN f <= f4 THEN 4
+                      ELSE 5 END AS f_score,
+                 CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2
+                      WHEN m <= m3 THEN 3 WHEN m <= m4 THEN 4
+                      ELSE 5 END AS m_score,
+                 user_id, m
+          FROM rfm CROSS JOIN th)
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(m) AS BIGINT) AS segment_cents,
+               CAST(SUM(user_id) AS BIGINT) AS uid_checksum
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score"""))
   )
 }

@@ -810,6 +810,59 @@ object Statistics {
           FROM events)
         SELECT event_id, ts_us, CAST(seq AS BIGINT) AS seq
         FROM r WHERE event_id % 199 = 0
-        ORDER BY seq"""))
+        ORDER BY seq""")),
+
+    // --------------------------------------------------------------- q201
+    // Two-proportion significance test — the statistical backbone of an
+    // A/B readout (q133 reports lift; this decides whether a lift is
+    // real): for every user-cohort pair (cohorts by user_id mod 4, the
+    // deterministic assignment), the pooled two-proportion z-test on
+    // click→purchase conversion is decided ENTIRELY in integers via the
+    // cross-multiplied square comparison
+    //   10000·(k₁n₂ − k₂n₁)²·N  >  38416·n₁n₂·K·(N−K)
+    // (z² > 1.96², N = n₁+n₂, K = k₁+k₂) — no division, no sqrt, no
+    // float; DECIMAL(38)/HUGEINT accumulators carry the ~10²⁹ products.
+    // Scale shape: conversions reduce per cohort map-side to a 4-row
+    // frame; the pairwise stage is a broadcast theta-join over that
+    // bounded frame.
+    QueryDef(
+      "q201_proportion_test",
+      (s, dir) => {
+        val conv = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(expr("user_id % 4").as("cohort"))
+          .agg(expr("count_if(event_type = 'click')").as("n"),
+            expr("count_if(event_type = 'purchase')").as("k"))
+        conv.as("a").join(broadcast(conv.as("b")),
+            col("a.cohort") < col("b.cohort"))
+          .select(col("a.cohort").as("c1"), col("b.cohort").as("c2"),
+            col("a.n").as("n1"), col("a.k").as("k1"),
+            col("b.n").as("n2"), col("b.k").as("k2"))
+          .withColumn("rate1_ppm", expr("k1 * 1000000 div n1"))
+          .withColumn("rate2_ppm", expr("k2 * 1000000 div n2"))
+          .withColumn("significant", expr(
+            """10000 * cast(k1 * cast(n2 AS DECIMAL(38,0)) - k2 * n1 AS DECIMAL(38,0))
+                     * (k1 * cast(n2 AS DECIMAL(38,0)) - k2 * n1) * (n1 + n2)
+               > 38416 * cast(n1 AS DECIMAL(38,0)) * n2 * (k1 + k2)
+                       * (n1 + n2 - k1 - k2)"""))
+          .orderBy("c1", "c2")
+      },
+      Some("""
+        WITH conv AS (
+          SELECT user_id % 4 AS cohort,
+                 CAST(count_if(event_type = 'click') AS BIGINT) AS n,
+                 CAST(count_if(event_type = 'purchase') AS BIGINT) AS k
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1)
+        SELECT a.cohort AS c1, b.cohort AS c2,
+               a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2,
+               CAST(a.k * 1000000 // a.n AS BIGINT) AS rate1_ppm,
+               CAST(b.k * 1000000 // b.n AS BIGINT) AS rate2_ppm,
+               10000 * (a.k * CAST(b.n AS HUGEINT) - b.k * a.n)
+                     * (a.k * CAST(b.n AS HUGEINT) - b.k * a.n) * (a.n + b.n)
+                 > 38416 * CAST(a.n AS HUGEINT) * b.n * (a.k + b.k)
+                         * (a.n + b.n - a.k - b.k) AS significant
+        FROM conv a JOIN conv b ON a.cohort < b.cohort
+        ORDER BY c1, c2"""))
   )
 }
