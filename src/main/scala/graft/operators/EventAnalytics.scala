@@ -1128,6 +1128,69 @@ object EventAnalytics {
                CAST(SUM(user_id) AS BIGINT) AS uid_checksum
         FROM scored
         GROUP BY r_score, f_score, m_score
-        ORDER BY r_score, f_score, m_score"""))
+        ORDER BY r_score, f_score, m_score""")),
+
+    // --------------------------------------------------------------- q204
+    // A-priori frequent triples — one level up from q115's pair mining,
+    // and the step where the A-priori PRUNE matters: candidate triples
+    // are generated ONLY by joining frequent pairs sharing their first
+    // item ((a,b)+(a,c), b<c — every frequent triple's two a-prefixed
+    // sub-pairs are frequent by downward closure, so nothing is
+    // missed), then verified with one membership join per remaining
+    // item against the order-items table. The candidate frame is
+    // |frequent_pairs|-bounded — the itemset lattice is never
+    // enumerated — and per-order fan-out stays the bounded ≤7-items
+    // constant of q115's argument. Support threshold 2 at every stage.
+    QueryDef(
+      "q204_apriori_triples",
+      (s, dir) => {
+        val items = TrackedCaches.track(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val pairs = items.as("a")
+          .join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2).select("u", "v")
+        val cand = pairs.as("p1")
+          .join(pairs.as("p2"),
+            col("p1.u") === col("p2.u") && col("p1.v") < col("p2.v"))
+          .select(col("p1.u").as("x"), col("p1.v").as("y"), col("p2.v").as("z"))
+        cand
+          .join(items.select(col("ok").as("o1"), col("pk").as("k1")),
+            col("x") === col("k1"))
+          .join(items.select(col("ok").as("o2"), col("pk").as("k2")),
+            col("o1") === col("o2") && col("y") === col("k2"))
+          .join(items.select(col("ok").as("o3"), col("pk").as("k3")),
+            col("o2") === col("o3") && col("z") === col("k3"))
+          .groupBy("x", "y", "z")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .orderBy(col("support").desc, col("x"), col("y"), col("z"))
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        pairs AS (
+          SELECT a.pk AS u, b.pk AS v
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        cand AS (
+          SELECT p1.u AS x, p1.v AS y, p2.v AS z
+          FROM pairs p1 JOIN pairs p2
+            ON p1.u = p2.u AND p1.v < p2.v),
+        verified AS (
+          SELECT c.x, c.y, c.z, COUNT(*) AS support
+          FROM cand c
+          JOIN items i1 ON c.x = i1.pk
+          JOIN items i2 ON i1.ok = i2.ok AND c.y = i2.pk
+          JOIN items i3 ON i2.ok = i3.ok AND c.z = i3.pk
+          GROUP BY c.x, c.y, c.z
+          HAVING COUNT(*) >= 2)
+        SELECT x, y, z, CAST(support AS BIGINT) AS support
+        FROM verified
+        ORDER BY support DESC, x, y, z"""))
   )
 }

@@ -725,6 +725,63 @@ object Similarity {
         SELECT a.label AS l1, b.label AS l2,
                ${duckCosine("a.ce", "b.ce")} AS sim
         FROM cent a JOIN cent b ON a.label < b.label
-        ORDER BY l1, l2"""))
+        ORDER BY l1, l2""")),
+
+    // --------------------------------------------------------------- q203
+    // Embedding dispersion per label WITHOUT a pairwise join — the
+    // O(n) identity Σᵢⱼ‖xᵢ−xⱼ‖² = 2n·Σᵢ‖xᵢ‖² − 2‖Σᵢxᵢ‖², the 100 TB
+    // replacement for the O(n²) distance join a naive "how spread is
+    // this cluster" query runs. Components are quantized once to
+    // integer micro-units (bround to 6 digits × 10⁶ — the same fixed
+    // point in both engines), after which every sum, square, and the
+    // final per-pair division is exact DECIMAL(38)/HUGEINT integer
+    // arithmetic — order-independent, so the per-dim Σv and Σv²
+    // partials map-side-combine freely. One narrow pass + one
+    // (label, dim) keyed aggregate; nothing pairwise ever exists.
+    QueryDef(
+      "q203_embedding_dispersion",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(expr(
+              """transform(embedding,
+                   x -> cast(cast(bround(cast(x AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) * 1000000 AS BIGINT))"""))
+              .as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(v AS DECIMAL(38,0))")).as("sv"),
+            sum(expr("cast(v AS DECIMAL(38,0)) * v")).as("svv"))
+          .groupBy("label")
+          .agg(max("n").as("n_vecs"),
+            sum(expr("cast(2 AS DECIMAL(38,0)) * n * svv - 2 * sv * sv"))
+              .as("pair_dist_num"))
+          .select(col("label"), col("n_vecs"),
+            expr("cast(pair_dist_num div (cast(n_vecs AS DECIMAL(38,0)) * (n_vecs - 1)) AS BIGINT)")
+              .as("mean_pair_dist_sq_uu"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH comp AS (
+          SELECT CAST(label AS BIGINT) AS label,
+                 generate_subscripts(embedding, 1) AS dim,
+                 CAST(CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+          FROM embeddings),
+        d AS (
+          SELECT label, dim, CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(v) AS HUGEINT) AS sv,
+                 CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv
+          FROM comp GROUP BY label, dim),
+        agg AS (
+          SELECT label, MAX(n) AS n_vecs,
+                 SUM(2 * n * svv - 2 * sv * sv) AS pair_dist_num
+          FROM d GROUP BY label)
+        SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+               CAST(pair_dist_num // (n_vecs * (n_vecs - 1)) AS BIGINT)
+                 AS mean_pair_dist_sq_uu
+        FROM agg
+        ORDER BY label"""))
   )
 }
