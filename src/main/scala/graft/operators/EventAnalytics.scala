@@ -1191,6 +1191,69 @@ object EventAnalytics {
           HAVING COUNT(*) >= 2)
         SELECT x, y, z, CAST(support AS BIGINT) AS support
         FROM verified
-        ORDER BY support DESC, x, y, z"""))
+        ORDER BY support DESC, x, y, z""")),
+
+    // --------------------------------------------------------------- q205
+    // FIFO lot allocation — the classic "hard SQL" matching problem
+    // (inventory costing, tax-lot accounting): each consumption draws
+    // from the oldest unconsumed purchase lots, which relationally is
+    // an INTERVAL OVERLAP on cumulative quantity lines: lot i covers
+    // [S_{i−1}, S_i) of cumulative supply, consumption j covers
+    // [D_{j−1}, D_j) of cumulative demand, and j draws
+    // min(S_i, D_j) − max(S_{i−1}, D_{j−1}) cents from every lot whose
+    // interval overlaps — no loop, no recursion. Here purchases fund a
+    // user's credit line and error-events consume it. Scale shape: both
+    // cumulative lines are keyed windows on user_id; the overlap join
+    // is an equi-join on user_id with the range predicate as a
+    // post-join filter, so fan-out is bounded by each user's own
+    // lots × consumptions, never cross-user. All integer cents.
+    QueryDef(
+      "q205_fifo_allocation",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        def line(t: String) = Tables.events(s, dir)
+          .filter(col("event_type") === t)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("amt"))
+          .withColumn("hi", sum("amt").over(w))
+          .withColumn("lo", col("hi") - col("amt"))
+        val lots = line("purchase")
+          .select(col("user_id").as("lu"), col("event_id").as("lot_id"),
+            col("lo").as("llo"), col("hi").as("lhi"))
+        val cons = line("error")
+          .select(col("user_id").as("cu"), col("event_id").as("cons_id"),
+            col("lo").as("clo"), col("hi").as("chi"))
+        cons.join(lots, col("cu") === col("lu")
+            && col("llo") < col("chi") && col("clo") < col("lhi"))
+          .select(col("cu").as("user_id"), col("cons_id"), col("lot_id"),
+            (least(col("lhi"), col("chi"))
+              - greatest(col("llo"), col("clo"))).as("drawn_cents"))
+          .orderBy("user_id", "cons_id", "lot_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS amt
+          FROM events),
+        lots AS (
+          SELECT user_id AS lu, event_id AS lot_id,
+                 SUM(amt) OVER w - amt AS llo, SUM(amt) OVER w AS lhi
+          FROM e WHERE event_type = 'purchase'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING)),
+        cons AS (
+          SELECT user_id AS cu, event_id AS cons_id,
+                 SUM(amt) OVER w - amt AS clo, SUM(amt) OVER w AS chi
+          FROM e WHERE event_type = 'error'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING))
+        SELECT cu AS user_id, cons_id, lot_id,
+               CAST(LEAST(lhi, chi) - GREATEST(llo, clo) AS BIGINT)
+                 AS drawn_cents
+        FROM cons JOIN lots
+          ON cu = lu AND llo < chi AND clo < lhi
+        ORDER BY user_id, cons_id, lot_id"""))
   )
 }
