@@ -782,6 +782,125 @@ object Similarity {
                CAST(pair_dist_num // (n_vecs * (n_vecs - 1)) AS BIGINT)
                  AS mean_pair_dist_sq_uu
         FROM agg
-        ORDER BY label"""))
+        ORDER BY label""")),
+
+    // --------------------------------------------------------------- q206
+    // MMR diversity re-ranking — the serving-side step after ANN
+    // retrieval (Carbonell & Goldstein 1998): from each query's top-12
+    // cosine candidates, greedily select 5 maximizing
+    // relevance − 0.5·max-similarity-to-already-selected, so the
+    // result page isn't five near-copies of the best hit. The greedy
+    // recurrence runs as a 5-round driver loop over BOUNDED frames:
+    // candidates and their pairwise sims (≤12²/query) compute once and
+    // persist, each round is a keyed max + anti-join + argmax pick —
+    // per-query work is constant, so rounds cost O(queries), never
+    // O(corpus). Scores stay bit-exact across engines because every
+    // similarity flows through the shared sequential-fold cosine and
+    // the marginal score is one multiply + subtract; ties break to the
+    // lowest candidate id. The oracle unrolls the same 5 rounds from
+    // the same loop (the q192 discipline), MATERIALIZED against
+    // exponential CTE inlining.
+    QueryDef(
+      "q206_mmr_rerank",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val q = base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))
+        val wCand = Window.partitionBy("qid")
+          .orderBy(col("rel").desc, col("cid"))
+        val cand = TrackedCaches.track(base.join(broadcast(q),
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            cosine(col("qe"), col("e")).as("rel"), col("e"))
+          .withColumn("rk", row_number().over(wCand))
+          .filter(col("rk") <= 12)
+          .select("qid", "cid", "rel", "e")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sims = TrackedCaches.track(cand.select(col("qid"), col("cid").as("c1"),
+            col("e").as("e1"))
+          .join(cand.select(col("qid").as("q2"), col("cid").as("c2"),
+            col("e").as("e2")),
+            col("qid") === col("q2") && col("c1") =!= col("c2"))
+          .select(col("qid"), col("c1"), col("c2"),
+            cosine(col("e1"), col("e2")).as("sim"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val wPick = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("cid"))
+        var selected = cand
+          .withColumn("score", col("rel"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("cid"), lit(1L).as("round"), col("score"))
+        for (r <- 2 to 5) {
+          val remaining = cand.select("qid", "cid", "rel")
+            .join(selected.select(col("qid").as("sq"), col("cid").as("sc")),
+              col("qid") === col("sq") && col("cid") === col("sc"), "left_anti")
+          val msim = sims
+            .join(selected.select(col("qid").as("sq"), col("cid").as("sc")),
+              col("qid") === col("sq") && col("c2") === col("sc"))
+            .groupBy(col("qid"), col("c1").as("cid"))
+            .agg(max("sim").as("ms"))
+          val pick = remaining.join(msim, Seq("qid", "cid"))
+            .withColumn("score", col("rel") - lit(0.5) * col("ms"))
+            .withColumn("rn", row_number().over(wPick))
+            .filter(col("rn") === 1)
+            .select(col("qid"), col("cid"), lit(r.toLong).as("round"),
+              col("score"))
+          selected = selected.unionAll(pick).localCheckpoint()
+        }
+        selected.orderBy("qid", "round")
+      },
+      Some {
+        val rounds = (2 to 5).map { r =>
+          s"""rem$r AS (
+            SELECT c.qid, c.cid, c.rel FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+                              WHERE s.qid = c.qid AND s.cid = c.cid)),
+          ms$r AS (
+            SELECT sims.qid, sims.c1 AS cid, MAX(sims.sim) AS ms
+            FROM sims JOIN sel${r - 1} s
+              ON sims.qid = s.qid AND sims.c2 = s.cid
+            GROUP BY sims.qid, sims.c1),
+          pick$r AS (
+            SELECT qid, cid, $r AS round, score FROM (
+              SELECT m.qid, m.cid, m.ms, rem$r.rel,
+                     rem$r.rel - 0.5 * m.ms AS score,
+                     row_number() OVER (PARTITION BY m.qid
+                       ORDER BY rem$r.rel - 0.5 * m.ms DESC, m.cid) AS rn
+              FROM ms$r m JOIN rem$r
+                ON m.qid = rem$r.qid AND m.cid = rem$r.cid) z
+            WHERE rn = 1),
+          sel$r AS MATERIALIZED (
+            SELECT qid, cid, round, score FROM sel${r - 1}
+            UNION ALL SELECT qid, cid, round, score FROM pick$r)"""
+        }.mkString(",\n")
+        s"""
+        WITH base AS MATERIALIZED ($duckEmb),
+        q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 5),
+        cand AS MATERIALIZED (
+          SELECT qid, cid, rel, e FROM (
+            SELECT q.qid, b.vec_id AS cid,
+                   ${duckCosine("q.qe", "b.e")} AS rel, b.e,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${duckCosine("q.qe", "b.e")} DESC, b.vec_id)
+                     AS rk
+            FROM base b JOIN q ON b.vec_id <> q.qid) x
+          WHERE rk <= 12),
+        sims AS MATERIALIZED (
+          SELECT a.qid, a.cid AS c1, b.cid AS c2,
+                 ${duckCosine("a.e", "b.e")} AS sim
+          FROM cand a JOIN cand b
+            ON a.qid = b.qid AND a.cid <> b.cid),
+        sel1 AS MATERIALIZED (
+          SELECT qid, cid, 1 AS round, rel AS score FROM (
+            SELECT qid, cid, rel,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY rel DESC, cid) AS rn
+            FROM cand) z WHERE rn = 1),
+        $rounds
+        SELECT qid, cid, CAST(round AS BIGINT) AS round, score
+        FROM sel5
+        ORDER BY qid, round"""
+      })
   )
 }
