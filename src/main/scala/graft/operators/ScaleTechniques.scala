@@ -12,7 +12,111 @@ import Exact._
   */
 object ScaleTechniques {
 
+  /** q207's ring anchors, computed HERE in plain Scala and inlined as
+    * literals into BOTH engines' queries — the ring layout is a shared
+    * constant, not an engine computation that could drift. MD5, not the
+    * 31-ary rolling hash: anchor names differ only in their suffix, and
+    * a polynomial fold maps near-identical strings to near-identical
+    * positions (measured: all 144 vnode anchors landed in two tight
+    * clusters, degenerating the ring) — position hashing needs
+    * avalanche, which the user-side content coin does not. */
+  private def shardAnchor(name: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8"))
+    val x = java.nio.ByteBuffer.wrap(d).getLong(0)
+    java.lang.Math.floorMod(x, 1000000007L)
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // --------------------------------------------------------------- q207
+    // Consistent-hash sharding audit — the rebalance-cost argument made
+    // with exact numbers: users map to shards by ring successor over
+    // anchor points (one anchor per shard, positions = polyhash of the
+    // shard name, inlined as literals in both engines), and the audit
+    // compares the 8-shard and 9-shard assignments user by user. The
+    // ring's contract is that adding a shard moves only the users whose
+    // successor BECAME the new anchor (≈1/9 of them); naive mod-k
+    // hashing moves ≈8/9 — both fractions are reported in exact ppm
+    // from the same pass. Scale shape: assignment is one narrow codegen
+    // map (17 anchor comparisons against a literal array); the audit
+    // rollup is a bounded keyed aggregate.
+    QueryDef(
+      "q207_consistent_sharding",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        // 16 virtual nodes per shard (the variance-control production
+        // rings actually use); each anchor encodes (position, shard) as
+        // pos*32 + shard — order-preserving in position, so the ring
+        // successor is a plain min over encoded values and the owning
+        // shard decodes with % 32
+        def anchors(shards: Int): Seq[Long] =
+          for (i <- 0 until shards; j <- 0 until 16)
+            yield shardAnchor(s"shard-$i#$j") * 32 + i
+        def ring(enc: Seq[Long]) = {
+          val lits = enc.sorted.mkString("array(", "L, ", "L)")
+          s"""coalesce(array_min(filter($lits, a -> a div 32 >= h)),
+                       array_min($lits)) % 32"""
+        }
+        val a8 = anchors(8)
+        val a9 = anchors(9)
+        Tables(s, dir, "events")
+          .select(col("user_id")).distinct()
+          // 'user-<id>#graft': ≥11 chars, so the 31-ary fold wraps the
+          // 1e9+7 modulus and spreads over the whole ring (a bare short
+          // id hashes to < 31^len — every user would share one successor)
+          .withColumn("h", call_function("graft_polyhash",
+            concat(lit("user-"), col("user_id").cast("string"), lit("#graft"))))
+          .select(col("user_id"),
+            expr(ring(a8)).as("ring8"), expr(ring(a9)).as("ring9"),
+            expr("user_id % 8").as("mod8"), expr("user_id % 9").as("mod9"))
+          .agg(count(lit(1)).as("n_users"),
+            expr("count_if(ring8 != ring9)").as("ring_moved"),
+            expr("count_if(mod8 != mod9)").as("mod_moved"))
+          .select(col("n_users"), col("ring_moved"), col("mod_moved"),
+            expr("ring_moved * 1000000 div n_users").as("ring_moved_ppm"),
+            expr("mod_moved * 1000000 div n_users").as("mod_moved_ppm"))
+      },
+      Some {
+        def anchors(shards: Int): Seq[Long] =
+          for (i <- 0 until shards; j <- 0 until 16)
+            yield shardAnchor(s"shard-$i#$j") * 32 + i
+        def ring(enc: Seq[Long]) = {
+          val lits = enc.sorted.mkString("[", ", ", "]")
+          s"""COALESCE(list_min(list_filter($lits, a -> a // 32 >= h)),
+                       list_min($lits)) % 32"""
+        }
+        val a8 = anchors(8)
+        val a9 = anchors(9)
+        s"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        hs AS (
+          SELECT user_id,
+                 'user-' || CAST(user_id AS VARCHAR) || '#graft' AS str
+          FROM u),
+        h AS (
+          SELECT user_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(str) + 1),
+                       i -> CAST(unicode(str[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          FROM hs),
+        a AS (
+          SELECT user_id,
+                 ${ring(a8)} AS ring8, ${ring(a9)} AS ring9,
+                 user_id % 8 AS mod8, user_id % 9 AS mod9
+          FROM h)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(count_if(ring8 != ring9) AS BIGINT) AS ring_moved,
+               CAST(count_if(mod8 != mod9) AS BIGINT) AS mod_moved,
+               CAST(count_if(ring8 != ring9) * 1000000 // COUNT(*) AS BIGINT)
+                 AS ring_moved_ppm,
+               CAST(count_if(mod8 != mod9) * 1000000 // COUNT(*) AS BIGINT)
+                 AS mod_moved_ppm
+        FROM a"""
+      }),
+
 
     // ---------------------------------------------------------------- q44
     // Salted two-phase aggregation: `events` has only a handful of
