@@ -944,6 +944,88 @@ object Profiling {
                  AS n_exposed_rows,
                CAST(MIN(diversity) AS BIGINT) AS min_diversity
         FROM g GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""))
+        ORDER BY c_mktsegment""")),
+
+    // --------------------------------------------------------------- q208
+    // Whole-schema referential integrity — every foreign-key edge of
+    // the star schema checked in one report: child rows whose key finds
+    // no parent, per edge. Each edge is a LEFT ANTI join (the parent
+    // side reduces to its distinct key column first, so what
+    // broadcasts/shuffles is keys, never rows), and the per-edge
+    // verdict is a one-row aggregate — seven bounded rows union into
+    // the report. At 100 TB each anti join is exactly the shape the
+    // optimizer handles best: equi-key, null-safe, slim build side;
+    // checking the whole schema costs one pass per fact table.
+    QueryDef(
+      "q208_referential_integrity",
+      (s, dir) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val orphans = child.select(col(ck))
+            .join(parent.select(col(pk)).distinct(),
+              col(ck) === col(pk), "left_anti")
+          orphans.agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), col("n_orphans"))
+        }
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val su = Tables(s, dir, "supplier")
+        val n = Tables(s, dir, "nation")
+        Seq(
+          edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+          edge("lineitem.l_partkey->part", li, "l_partkey",
+            Tables(s, dir, "part"), "p_partkey"),
+          edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+          edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+          edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+          edge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"),
+          edge("nation.n_regionkey->region", n, "n_regionkey",
+            Tables(s, dir, "region"), "r_regionkey"))
+          .reduce(_ unionAll _)
+          .withColumn("intact", col("n_orphans") === 0L)
+          .orderBy("fk_edge")
+      },
+      Some("""
+        WITH e AS (
+          SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part',
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM part p
+                                    WHERE p.p_partkey = l.l_partkey))
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier',
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                    WHERE s.s_suppkey = l.l_suppkey))
+          UNION ALL
+          SELECT 'orders.o_custkey->customer',
+                 (SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey))
+          UNION ALL
+          SELECT 'customer.c_nationkey->nation',
+                 (SELECT COUNT(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                    WHERE n.n_nationkey = c.c_nationkey))
+          UNION ALL
+          SELECT 'supplier.s_nationkey->nation',
+                 (SELECT COUNT(*) FROM supplier s
+                  WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                    WHERE n.n_nationkey = s.s_nationkey))
+          UNION ALL
+          SELECT 'nation.n_regionkey->region',
+                 (SELECT COUNT(*) FROM nation n
+                  WHERE NOT EXISTS (SELECT 1 FROM region r
+                                    WHERE r.r_regionkey = n.n_regionkey)))
+        SELECT fk_edge, CAST(n_orphans AS BIGINT) AS n_orphans,
+               n_orphans = 0 AS intact
+        FROM e
+        ORDER BY fk_edge"""))
   )
 }

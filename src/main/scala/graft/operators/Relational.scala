@@ -1335,6 +1335,70 @@ object Relational {
                  END AS dist_us
         FROM x
         WHERE event_type = 'click'
-        ORDER BY click_id"""))
+        ORDER BY click_id""")),
+
+    // --------------------------------------------------------------- q209
+    // SQL pipe syntax (Spark 4's |> operators) — the linear query form
+    // arriving from GoogleSQL: FROM … |> WHERE … |> EXTEND … |>
+    // AGGREGATE … |> ORDER BY, each stage reading the previous one's
+    // output top-to-bottom. Same Catalyst plan as the nested SELECT
+    // (the pipe form is sugar), pinned here against the plain-SQL
+    // oracle so the surface is covered, not assumed.
+    QueryDef(
+      "q209_sql_pipe_syntax",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_pipe_li")
+        s.sql("""
+          FROM graft_pipe_li
+          |> WHERE l_quantity > 30
+          |> EXTEND cast(cast(l_extendedprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT) AS cents
+          |> AGGREGATE count(*) AS n_lines, sum(cents) AS total_cents
+             GROUP BY l_returnflag
+          |> ORDER BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_quantity > 30
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // --------------------------------------------------------------- q210
+    // Named parameterized SQL + lateral column aliases — the injection-
+    // safe query surface (spark.sql(text, args)) a serving layer uses,
+    // composed with Spark 3.4+ lateral aliases (big_ppm reads the
+    // n_big/n aliases defined in the SAME select list — no subquery
+    // nesting for derived metrics). The oracle inlines the parameter
+    // values as literals, so binding is verified to be value-identical.
+    QueryDef(
+      "q210_parameterized_sql",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("graft_param_orders")
+        s.sql(
+          """
+          SELECT o_orderstatus,
+                 count_if(o_totalprice > :hi) AS n_big,
+                 count(*) AS n,
+                 n_big * 1000000 div n AS big_ppm
+          FROM graft_param_orders
+          WHERE o_totalprice > :floor
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus""",
+          Map("hi" -> 150000.0, "floor" -> 50000.0))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(count_if(o_totalprice > 150000.0) AS BIGINT) AS n_big,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(count_if(o_totalprice > 150000.0) * 1000000 // COUNT(*)
+                 AS BIGINT) AS big_ppm
+        FROM orders
+        WHERE o_totalprice > 50000.0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""))
   )
 }
