@@ -33,6 +33,8 @@ final case class ResizedMedia(
 /** Output of the audio feature-extraction stage: windowed energy
   * (mean-absolute-amplitude) contour statistics over a 16-bit PCM
   * interpretation of the payload. */
+final case class FrameEnergy(doc_id: Long, frame_idx: Int, energy: Long)
+
 final case class AudioFeature(
     doc_id: Long, n_samples: Long, n_windows: Long,
     peak_energy: Long, mean_energy: Long, n_silent: Long)
@@ -77,6 +79,22 @@ trait MediaDecoder extends Serializable {
     }
     AudioFeature(id, n.toLong, nw.toLong, peak,
       if (nw > 0) total / nw else 0L, silent)
+  }
+
+  /** Brightness/energy contour over `n` evenly-spaced 16-byte frames
+    * (offsets as [[frameSample]]): energy = sum of unsigned bytes —
+    * the per-frame signal a shot-boundary detector thresholds. Like
+    * [[audioEnergy]] this is real signal math, unchanged on real
+    * frame buffers; only the framing is the stub's. */
+  def frameEnergy(id: Long, bytes: Array[Byte], n: Int): Seq[FrameEnergy] = {
+    val w = 16
+    if (bytes.length < w || n < 2) Seq.empty
+    else (0 until n).map { i =>
+      val off = (i.toLong * (bytes.length - w) / (n - 1)).toInt
+      var e = 0L; var j = off
+      while (j < off + w) { e += (bytes(j) & 0xff); j += 1 }
+      FrameEnergy(id, i, e)
+    }
   }
 
   def open(): Unit = ()

@@ -341,6 +341,62 @@ object MultimodalQueries {
                CAST(COALESCE(meane, 0) AS BIGINT) AS mean_energy,
                CAST(COALESCE(sil, 0) AS BIGINT) AS n_silent
         FROM b2 LEFT JOIN agg ON b2.doc_id = agg.doc_id
-        ORDER BY b2.doc_id"""))
+        ORDER BY b2.doc_id""")),
+
+    // --------------------------------------------------------------- q211
+    // Video shot-boundary detection — the segmentation stage of a video
+    // curation pipeline: 16 evenly-spaced frames per payload flow
+    // through the decoder seam as a brightness/energy contour, and a
+    // cut is declared wherever consecutive frames' energy jumps by more
+    // than 150 (a real detector thresholds histogram distance; the
+    // thresholding/segmentation machinery is identical). Per payload:
+    // frames, detected shots (= cuts + 1), and the sharpest cut. The
+    // frame stream is a narrow mapPartitions flatMap (decoder opened
+    // once per partition); the lag and rollup ride one doc_id exchange.
+    QueryDef(
+      "q211_shot_boundaries",
+      (s, dir) => {
+        import s.implicits._
+        val bin = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        val frames = bin.mapPartitions { it =>
+          val dec = new FakeMediaDecoder
+          it.flatMap { case (id, b) => dec.frameEnergy(id, b, 16) }
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("frame_idx")
+        frames.toDF()
+          .withColumn("delta",
+            abs(col("energy") - lag("energy", 1).over(w)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            (expr("count_if(delta > 150)") + 1L).as("n_shots"),
+            coalesce(max("delta"), lit(0L)).as("max_cut"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, i.range AS frame_idx,
+                 CAST(i.range * (length(text) - 16) // 15 AS BIGINT) AS off
+          FROM documents CROSS JOIN range(16) i
+          WHERE length(text) >= 16),
+        e AS (
+          SELECT doc_id, frame_idx,
+                 list_sum(list_transform(range(1, 17), j ->
+                   CAST(unicode(substr(text, CAST(off AS INT) + CAST(j AS INT), 1))
+                     AS BIGINT))) AS energy
+          FROM f JOIN documents USING (doc_id)),
+        d AS (
+          SELECT doc_id, frame_idx, energy,
+                 abs(energy - lag(energy) OVER (PARTITION BY doc_id
+                                                ORDER BY frame_idx)) AS delta
+          FROM e)
+        SELECT doc_id, COUNT(*) AS n_frames,
+               CAST(count_if(delta > 150) + 1 AS BIGINT) AS n_shots,
+               CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_cut
+        FROM d
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

@@ -1399,6 +1399,40 @@ object Relational {
         FROM orders
         WHERE o_totalprice > 50000.0
         GROUP BY o_orderstatus
-        ORDER BY o_orderstatus"""))
+        ORDER BY o_orderstatus""")),
+
+    // --------------------------------------------------------------- q212
+    // SQL templating surface — IDENTIFIER(:param) binds a TABLE NAME
+    // from a parameter (the injection-safe way a multi-tenant layer
+    // routes one query text across per-tenant tables; string
+    // concatenation is the anti-pattern this replaces), composed with
+    // GROUP BY ALL / ORDER BY ALL (group/order keys inferred from the
+    // select list — the de-duplication-prone boilerplate eliminated).
+    // The oracle states the resolved query directly.
+    QueryDef(
+      "q212_sql_templating",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("graft_tmpl_li")
+        s.sql(
+          """
+          SELECT l_returnflag, l_linestatus,
+                 count(*) AS n,
+                 cast(sum(cast(cast(l_quantity AS DECIMAL(12,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS qty_cents
+          FROM IDENTIFIER(:tbl)
+          WHERE l_discount > :min_disc
+          GROUP BY ALL
+          ORDER BY ALL""",
+          Map("tbl" -> "graft_tmpl_li", "min_disc" -> 0.05))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem
+        WHERE l_discount > 0.05
+        GROUP BY ALL
+        ORDER BY ALL"""))
   )
 }
