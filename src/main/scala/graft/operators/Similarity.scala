@@ -901,6 +901,138 @@ object Similarity {
         SELECT qid, cid, CAST(round AS BIGINT) AS round, score
         FROM sel5
         ORDER BY qid, round"""
-      })
+      }),
+
+    // --------------------------------------------------------------- q213
+    // k-NN classification eval — leave-one-out on a deterministic 1/40
+    // sample: each sampled vector is classified by majority vote of its
+    // 5 nearest corpus neighbors (cosine, the q28 ranking contract;
+    // vote ties break to the LOWEST label), and the report is the
+    // per-query verdict against the true label. The embedding-space
+    // answer to "is `label` learnable from geometry", pairing with
+    // q194's centroid separability. Scale shape: the sample broadcasts
+    // (q28's plan — the corpus never shuffles), ranking and voting are
+    // two keyed aggregates on qid.
+    QueryDef(
+      "q213_knn_eval",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"),
+            col("label").cast("long").as("lbl"))
+        val q = base.filter(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("lbl").as("true_label"))
+        val wRank = Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id"))
+        val wVote = Window.partitionBy("qid")
+          .orderBy(col("votes").desc, col("nlbl"))
+        base.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("true_label"), col("vec_id"),
+            col("lbl").as("nlbl"), cosine(col("qe"), col("e")).as("sim"))
+          .withColumn("rk", row_number().over(wRank))
+          .filter(col("rk") <= 5)
+          .groupBy("qid", "true_label", "nlbl")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("qid"), col("true_label"),
+            col("nlbl").as("predicted"), col("votes"),
+            (col("nlbl") === col("true_label")).as("correct"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 CAST(label AS BIGINT) AS lbl
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe, lbl AS true_label
+              FROM base WHERE vec_id % 40 = 0),
+        scored AS (
+          SELECT q.qid, q.true_label, b.vec_id, b.lbl AS nlbl,
+                 ${duckCosine("q.qe", "b.e")} AS sim
+          FROM base b JOIN q ON b.vec_id <> q.qid),
+        top5 AS (
+          SELECT qid, true_label, nlbl FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, vec_id) AS rk
+            FROM scored) x WHERE rk <= 5),
+        votes AS (
+          SELECT qid, true_label, nlbl, CAST(COUNT(*) AS BIGINT) AS votes
+          FROM top5 GROUP BY 1, 2, 3)
+        SELECT qid, true_label, nlbl AS predicted, votes,
+               nlbl = true_label AS correct
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY votes DESC, nlbl) AS vr
+              FROM votes) v
+        WHERE vr = 1
+        ORDER BY qid""")),
+
+    // --------------------------------------------------------------- q214
+    // NDCG@5 retrieval eval — the ranking-quality half of the eval pair
+    // (q213 judges the LABEL, this judges the ORDERING): relevance is
+    // label match, and the log2 position discounts are pinned as the
+    // same five integer ppm weights in both engines (the q168
+    // Benford-constant discipline — irrational discounts never touch
+    // engine float math): w = ⌊10⁶/log2(i+1)⌉ = 1000000, 630930,
+    // 500000, 430677, 386853. Every label has ≥ 5 corpus members, so
+    // IDCG@5 is the constant Σw = 2948460 and NDCG lands as exact ppm
+    // integer division. Same broadcast-sample plan as q213.
+    QueryDef(
+      "q214_ndcg_eval",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"),
+            col("label").cast("long").as("lbl"))
+        val q = base.filter(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("lbl").as("true_label"))
+        val wRank = Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id"))
+        base.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("true_label"),
+            col("vec_id"), col("lbl").as("nlbl"),
+            cosine(col("qe"), col("e")).as("sim"))
+          .withColumn("rk", row_number().over(wRank))
+          .filter(col("rk") <= 5)
+          .withColumn("w", expr(
+            """element_at(array(1000000L, 630930L, 500000L, 430677L, 386853L),
+                 cast(rk AS INT))"""))
+          .groupBy("qid", "true_label")
+          .agg(expr("count_if(nlbl = true_label)").as("n_rel"),
+            sum(when(col("nlbl") === col("true_label"), col("w"))
+              .otherwise(0L)).as("dcg_ppm"))
+          .withColumn("ndcg_ppm", expr("dcg_ppm * 1000000 div 2948460"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                 CAST(label AS BIGINT) AS lbl
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe, lbl AS true_label
+              FROM base WHERE vec_id % 40 = 0),
+        top5 AS (
+          SELECT qid, true_label, nlbl, rk FROM (
+            SELECT q.qid, q.true_label, b.lbl AS nlbl, b.vec_id,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY ${duckCosine("q.qe", "b.e")} DESC, b.vec_id)
+                     AS rk
+            FROM base b JOIN q ON b.vec_id <> q.qid) x
+          WHERE rk <= 5)
+        SELECT qid, true_label,
+               CAST(count_if(nlbl = true_label) AS BIGINT) AS n_rel,
+               CAST(SUM(CASE WHEN nlbl = true_label
+                 THEN [1000000, 630930, 500000, 430677, 386853][rk]
+                 ELSE 0 END) AS BIGINT) AS dcg_ppm,
+               CAST(SUM(CASE WHEN nlbl = true_label
+                 THEN [1000000, 630930, 500000, 430677, 386853][rk]
+                 ELSE 0 END) * 1000000 // 2948460 AS BIGINT) AS ndcg_ppm
+        FROM top5
+        GROUP BY qid, true_label
+        ORDER BY qid"""))
   )
 }
