@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -582,6 +583,71 @@ object Cdc {
         UNION ALL
         SELECT 2, COUNT(*), CAST(SUM(bal) AS BIGINT),
                CAST(SUM(c_custkey) AS BIGINT) FROM v2
-        ORDER BY version"""))
+        ORDER BY version""")),
+
+    // --------------------------------------------------------------- q215
+    // Incremental sessionization — merging a late event batch into a
+    // stored session table WITHOUT re-sessionizing the world: the last
+    // 6 days of events arrive as the delta, and only the users present
+    // in the delta are re-derived (their full event history re-runs the
+    // q20 windows); everyone else's stored sessions pass through via an
+    // anti join untouched. The result must equal full-corpus
+    // sessionization exactly — passthrough is safe because an
+    // unaffected user's event set is unchanged, and that equality IS
+    // the oracle. 100 TB shape: recompute scope is bounded by the
+    // delta's user keys (a day's actives ≪ all-time users); the stored
+    // table feeds only the slim anti join — unaffected history is
+    // never re-shuffled. The day cutoff rides in as a broadcast scalar
+    // aggregate (the q58 discipline — nothing driver-side).
+    QueryDef(
+      "q215_incremental_sessions",
+      (s, dir) => {
+        val gapUs = 600L * 1000000L
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def sessionize(df: DataFrame): DataFrame = df
+          .withColumn("new_sess",
+            when(lag("ts_us", 1).over(w).isNull
+              || col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        val ev = TrackedCaches.track(Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            expr("ts_us div 86400000000").as("day"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cutoff = ev.agg((min("day") + 24L).as("cut"))
+        val tagged = ev.crossJoin(broadcast(cutoff))
+        val stored = sessionize(tagged.filter(col("day") < col("cut"))
+          .select("user_id", "event_id", "ts_us"))
+        val affected = tagged.filter(col("day") >= col("cut"))
+          .select("user_id").distinct()
+        val untouched = stored.join(affected, Seq("user_id"), "left_anti")
+        val redone = sessionize(
+          ev.join(affected, Seq("user_id"), "left_semi")
+            .select("user_id", "event_id", "ts_us"))
+        untouched.unionAll(redone)
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                   FROM events),
+        g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 600000000
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id)),
+        sg AS (SELECT *, CAST(SUM(new_sess)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        FROM sg
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""))
   )
 }
