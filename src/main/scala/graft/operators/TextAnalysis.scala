@@ -817,6 +817,56 @@ object TextAnalysis {
                  AS min_cap_pos,
                CAST(MAX(cap_pos) AS BIGINT) AS max_cap_pos
         FROM d GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // --------------------------------------------------------------- q216
+    // Document version diff — the refresh-pipeline step when a crawl
+    // re-fetches a page: each document joins its NEW REVISION (here the
+    // deterministic suffix-dropped variant — every 7th doc loses its
+    // last word) on the known version lineage key, and the pair is
+    // scored with exact character-level edit distance (both engines'
+    // built-in Levenshtein DP agrees cell-for-cell) plus a similarity
+    // ppm and a classification: a pure tail deletion has lev == Δlen,
+    // anything else was edited in place. Scale shape: version lineage
+    // is an EQUI-join (no candidate generation — the key is known),
+    // and the per-pair DP is bounded by document length, embarrassingly
+    // parallel.
+    QueryDef(
+      "q216_version_diff",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select("doc_id", "text")
+        val revised = d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("rid"),
+            regexp_replace(col("text"), " \\S+$", "").as("new_text"))
+        d.join(revised, col("doc_id") === col("rid"))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("len_old"),
+            length(col("new_text")).cast("long").as("len_new"),
+            levenshtein(col("text"), col("new_text")).cast("long").as("lev"))
+          .withColumn("similarity_ppm",
+            expr("(len_old - lev) * 1000000 div len_old"))
+          .withColumn("change", expr(
+            "CASE WHEN lev = len_old - len_new THEN 'tail_deletion' " +
+              "ELSE 'edited' END"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id AS rid,
+                 regexp_replace(text, ' \S+$', '') AS new_text
+          FROM documents WHERE doc_id % 7 = 0),
+        p AS (
+          SELECT d.doc_id,
+                 CAST(length(d.text) AS BIGINT) AS len_old,
+                 CAST(length(r.new_text) AS BIGINT) AS len_new,
+                 CAST(levenshtein(d.text, r.new_text) AS BIGINT) AS lev
+          FROM documents d JOIN r ON d.doc_id = r.rid)
+        SELECT doc_id, len_old, len_new, lev,
+               CAST((len_old - lev) * 1000000 // len_old AS BIGINT)
+                 AS similarity_ppm,
+               CASE WHEN lev = len_old - len_new THEN 'tail_deletion'
+                    ELSE 'edited' END AS change
+        FROM p
+        ORDER BY doc_id"""))
   )
 }
