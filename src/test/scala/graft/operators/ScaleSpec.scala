@@ -31,6 +31,45 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 broadcasts bucket thresholds; the corpus side never sort-merge shuffles") {
+    val df = SparkEntry.queries("q191_distribution_matching")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join should exist:\n$plan")
+  }
+
+  test("q199 ranks inside pid-keyed windows, never a global ts order") {
+    val df = SparkEntry.queries("q199_global_sequence")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"intra-partition pass must key on pid:\n$plan")
+    // a size-estimate regression to the naive formulation would show a
+    // window partitioned on nothing and ordered by the time column
+    assert(!"windowspecdefinition\\(ts_us#\\d+".r.findFirstIn(plan).isDefined,
+      s"global-order window over ts_us must not exist:\n$plan")
+  }
+
+  test("q202 scores RFM without any window operator") {
+    val df = SparkEntry.queries("q202_rfm_scores")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the naive formulation is ntile(5) OVER () — an unkeyed sort of all
+    // users through one task; boundaries-from-percentile_disc plans with
+    // aggregates only
+    assert(!plan.contains("Window"),
+      s"RFM must come from broadcast thresholds, not a global ntile:\n$plan")
+  }
+
+  test("q215 scopes recomputation with semi/anti joins on the delta's users") {
+    val df = SparkEntry.queries("q215_incremental_sessions")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"re-derivation must be restricted to affected users:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"untouched sessions must pass through an anti join:\n$plan")
+  }
+
   test("q02 pushes its filter and projection into the parquet scan") {
     val df = SparkEntry.queries("q02_filter_pushdown")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
