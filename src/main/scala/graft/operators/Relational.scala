@@ -1433,6 +1433,125 @@ object Relational {
         FROM lineitem
         WHERE l_discount > 0.05
         GROUP BY ALL
-        ORDER BY ALL"""))
+        ORDER BY ALL""")),
+
+    // --------------------------------------------------------------- q217
+    // Schema-alignment breadth — the two null-semantics corners a
+    // multi-source ingest hits first: unionByName with
+    // allowMissingColumns = true aligns two differently-shaped
+    // projections by NAME (absent columns fill with null — positional
+    // union would silently transpose values), and explode_outer keeps
+    // a row for documents whose token-pair array is EMPTY (plain
+    // explode drops them, losing the "empty doc" signal). The rollup
+    // counts both: per source, rows from each input shape, null-filled
+    // cells, and empty-array survivors.
+    QueryDef(
+      "q217_schema_alignment",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").as("chars"))
+        val b = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"),
+            col("lang"))
+        val unioned = a.unionByName(b, allowMissingColumns = true)
+        val pairs = docs
+          .select(col("doc_id"), col("source"),
+            expr("""filter(transform(split(text, ' '),
+                      t -> CASE WHEN length(t) >= 12 THEN t END),
+                    t -> t IS NOT NULL)""").as("long_toks"))
+          .select(col("doc_id"), col("source"),
+            explode_outer(col("long_toks")).as("tok"))
+        val u = unioned.groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            expr("count_if(chars IS NULL)").as("null_chars"),
+            expr("count_if(lang IS NULL)").as("null_lang"))
+        val p = pairs.groupBy("source")
+          .agg(expr("count_if(tok IS NULL)").as("empty_docs"),
+            expr("count_if(tok IS NOT NULL)").as("long_tok_rows"))
+        u.join(p, "source").orderBy("source")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, source, n_chars AS chars, NULL AS lang
+          FROM documents WHERE doc_id % 2 = 0),
+        b AS (
+          SELECT doc_id, source, NULL AS chars, lang
+          FROM documents WHERE doc_id % 2 = 1),
+        unioned AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        u AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(count_if(chars IS NULL) AS BIGINT) AS null_chars,
+                 CAST(count_if(lang IS NULL) AS BIGINT) AS null_lang
+          FROM unioned GROUP BY source),
+        toks AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '),
+                   t -> length(t) >= 12) AS long_toks
+          FROM documents),
+        pairs AS (
+          SELECT doc_id, source, unnest(
+            CASE WHEN len(long_toks) = 0 THEN [NULL] ELSE long_toks END)
+            AS tok
+          FROM toks),
+        p AS (
+          SELECT source,
+                 CAST(count_if(tok IS NULL) AS BIGINT) AS empty_docs,
+                 CAST(count_if(tok IS NOT NULL) AS BIGINT) AS long_tok_rows
+          FROM pairs GROUP BY source)
+        SELECT u.source, n_rows, null_chars, null_lang,
+               empty_docs, long_tok_rows
+        FROM u JOIN p ON u.source = p.source
+        ORDER BY u.source""")),
+
+    // --------------------------------------------------------------- q218
+    // Error-safe arithmetic (the try_* family) — the difference between
+    // a 100 TB job that completes with nulls to audit and one that dies
+    // at hour nine on a single bad row: try_divide (÷0 → null instead
+    // of error/Inf), try_add at BIGINT max (overflow → null instead of
+    // ANSI abort), and try_to_number against a malformed string. The
+    // oracle states the SAME total semantics with explicit CASE guards,
+    // since DuckDB's raw operators error where Spark's try_* null out —
+    // which is precisely the contract worth pinning.
+    QueryDef(
+      "q218_try_arithmetic",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          .select(col("event_type"),
+            expr("try_divide(vc, event_id % 5)").as("per_slot"),
+            expr("try_add(9223372036854775807L, vc)").as("overflowed"),
+            expr("""try_to_number(
+                      CASE WHEN event_id % 3 = 0 THEN 'oops'
+                           ELSE cast(vc AS STRING) END, '999999999')""")
+              .as("parsed"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("count_if(per_slot IS NULL)").as("div_by_zero"),
+            expr("count_if(overflowed IS NULL)").as("overflows"),
+            expr("count_if(parsed IS NULL)").as("bad_parses"),
+            expr("cast(sum(parsed) AS BIGINT)").as("parsed_sum"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        t AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS div0,
+                 CASE WHEN vc > 0 THEN 1 ELSE 0 END AS ovf,
+                 CASE WHEN event_id % 3 = 0 THEN NULL ELSE vc END AS parsed
+          FROM e)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(div0) AS BIGINT) AS div_by_zero,
+               CAST(SUM(ovf) AS BIGINT) AS overflows,
+               CAST(count_if(parsed IS NULL) AS BIGINT) AS bad_parses,
+               CAST(SUM(parsed) AS BIGINT) AS parsed_sum
+        FROM t GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
