@@ -1552,6 +1552,47 @@ object Relational {
                CAST(count_if(parsed IS NULL) AS BIGINT) AS bad_parses,
                CAST(SUM(parsed) AS BIGINT) AS parsed_sum
         FROM t GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- q219
+    // Multi-aggregate pivot — q48 pivots one measure; real reports
+    // pivot several at once (count AND exact cents per pivoted status),
+    // and Spark suffixes each pivot value with each aggregate alias
+    // (F_n, F_cents, O_n, …). The pivot value list is EXPLICIT — at
+    // 100 TB an unlisted pivot runs a distinct scan just to discover
+    // headers, and a late-arriving surprise value silently widens the
+    // schema; listing the domain pins both. One keyed aggregate,
+    // map-side combined; the oracle states the same table as
+    // conditional aggregates.
+    QueryDef(
+      "q219_multi_agg_pivot",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(expr("year(o_orderdate)").cast("long").as("yr"),
+            col("o_orderstatus"),
+            expr("cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .groupBy("yr")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .orderBy("yr")
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS F_n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 END) AS BIGINT) AS F_cents,
+               CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS O_n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 END) AS BIGINT) AS O_cents,
+               CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P_n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 END) AS BIGINT) AS P_cents
+        FROM orders
+        GROUP BY yr
+        ORDER BY yr"""))
   )
 }

@@ -2287,6 +2287,37 @@ object StreamingQueries {
                  AS BIGINT) AS sum_cents
         FROM events
         GROUP BY 1
-        ORDER BY ws_us"""))
+        ORDER BY ws_us""")),
+
+    // ---------------------------------------------------------------- s33
+    // Global (un-windowed) streaming aggregation — the hello-world shape
+    // every streaming tutorial starts with, pinned last because its
+    // state story is the one to UNDERSTAND before shipping it: per-key
+    // running totals with no watermark and no window means state lives
+    // FOREVER (one row per key — fine for bounded domains like
+    // event_type, an OOM time-bomb for user-id-scale keys; that
+    // bounded-key caveat is the operator's contract). Complete mode
+    // re-emits the whole result table each batch; the drain's overwrite
+    // sink keeps the last batch = totals over everything.
+    QueryDef(
+      "s33_stream_running_totals",
+      (s, dir) => {
+        val agg = eventsStream(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .as("sum_cents"),
+            expr("count_if(value > 500.0)").as("n_big"))
+        drain(s, OutputMode.Complete())(agg)
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS sum_cents,
+               CAST(count_if(value > 500.0) AS BIGINT) AS n_big
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }
