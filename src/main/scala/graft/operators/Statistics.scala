@@ -731,7 +731,10 @@ object Statistics {
               .as("weight_sum"))
           .select(col("event_type"), col("day"), col("x"),
             col("forecast_num"), col("weight_sum"),
-            expr("x * weight_sum * 1000000 div forecast_num").as("ratio_ppm"))
+            // DECIMAL(38) not BIGINT: x·wsum·10⁶ passes 2⁶³ once a type
+            // sees ~4.4M events/day — dormant at test SFs, fatal at 100 TB
+            expr("""cast(cast(x AS DECIMAL(38,0)) * weight_sum * 1000000
+                         div forecast_num AS BIGINT)""").as("ratio_ppm"))
           .withColumn("status", expr("""
             CASE WHEN ratio_ppm > 2000000 THEN 'spike'
                  WHEN ratio_ppm < 500000 THEN 'dip'
@@ -755,11 +758,13 @@ object Statistics {
                       AND p.day BETWEEN d.day - 20 AND d.day - 1
           GROUP BY d.event_type, d.day, d.x)
         SELECT event_type, day, x, forecast_num, weight_sum,
-               CAST(x * weight_sum * 1000000 // forecast_num AS BIGINT)
-                 AS ratio_ppm,
-               CASE WHEN x * weight_sum * 1000000 // forecast_num > 2000000
+               CAST(CAST(x AS HUGEINT) * weight_sum * 1000000
+                    // forecast_num AS BIGINT) AS ratio_ppm,
+               CASE WHEN CAST(x AS HUGEINT) * weight_sum * 1000000
+                         // forecast_num > 2000000
                     THEN 'spike'
-                    WHEN x * weight_sum * 1000000 // forecast_num < 500000
+                    WHEN CAST(x AS HUGEINT) * weight_sum * 1000000
+                         // forecast_num < 500000
                     THEN 'dip'
                     ELSE 'normal' END AS status
         FROM j
