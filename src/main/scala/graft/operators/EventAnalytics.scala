@@ -1254,6 +1254,82 @@ object EventAnalytics {
                  AS drawn_cents
         FROM cons JOIN lots
           ON cu = lu AND llo < chi AND clo < lhi
-        ORDER BY user_id, cons_id, lot_id"""))
+        ORDER BY user_id, cons_id, lot_id""")),
+
+    // --------------------------------------------------------------- q220
+    // Decile lift table (gains chart) — the artifact a targeting model
+    // ships with: users scored by click count (the propensity proxy),
+    // outcome = made a purchase; deciles come from nine exact
+    // percentile_disc boundaries broadcast back (the q202 discipline —
+    // never a global ntile), so heavy score ties share a decile
+    // deterministically and bins are honestly uneven. Per decile:
+    // users, responders, response ppm, and lift vs the base rate as
+    // (resp_d·N) ·10⁶ div (n_d·R) — exact integers end to end. The
+    // bounded 10-row frame tolerates its one ordered window.
+    QueryDef(
+      "q220_decile_lift",
+      (s, dir) => {
+        val users = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(expr("count_if(event_type = 'click')").as("score"),
+            expr("count_if(event_type = 'purchase') > 0").as("responded"))
+        val thCols = (1 to 9).map(i =>
+          expr(s"percentile_disc(0.${i}) within group (order by score)")
+            .as(s"t$i"))
+        val th = users.agg(thCols.head, thCols.tail: _*)
+        val dec = (1 to 9).foldRight("10") { (i, acc) =>
+          s"CASE WHEN score <= t$i THEN $i ELSE $acc END"
+        }
+        val binned = users.crossJoin(broadcast(th))
+          .select(expr(dec).cast("long").as("decile"),
+            col("responded"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_users"),
+            expr("count_if(responded)").as("n_resp"))
+        val tot = binned.agg(sum("n_users").as("nn"), sum("n_resp").as("rr"))
+        binned.crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_users"), col("n_resp"),
+            expr("n_resp * 1000000 div n_users").as("resp_ppm"),
+            expr("n_resp * nn * 1000000 div (n_users * rr)").as("lift_ppm"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH users AS (
+          SELECT user_id,
+                 CAST(count_if(event_type = 'click') AS BIGINT) AS score,
+                 count_if(event_type = 'purchase') > 0 AS responded
+          FROM events GROUP BY user_id),
+        r AS (SELECT *, cume_dist() OVER (ORDER BY score) AS cd FROM users),
+        th AS (
+          SELECT MIN(CASE WHEN cd >= 0.1 THEN score END) AS t1,
+                 MIN(CASE WHEN cd >= 0.2 THEN score END) AS t2,
+                 MIN(CASE WHEN cd >= 0.3 THEN score END) AS t3,
+                 MIN(CASE WHEN cd >= 0.4 THEN score END) AS t4,
+                 MIN(CASE WHEN cd >= 0.5 THEN score END) AS t5,
+                 MIN(CASE WHEN cd >= 0.6 THEN score END) AS t6,
+                 MIN(CASE WHEN cd >= 0.7 THEN score END) AS t7,
+                 MIN(CASE WHEN cd >= 0.8 THEN score END) AS t8,
+                 MIN(CASE WHEN cd >= 0.9 THEN score END) AS t9
+          FROM r),
+        binned AS (
+          SELECT CASE WHEN score <= t1 THEN 1 WHEN score <= t2 THEN 2
+                      WHEN score <= t3 THEN 3 WHEN score <= t4 THEN 4
+                      WHEN score <= t5 THEN 5 WHEN score <= t6 THEN 6
+                      WHEN score <= t7 THEN 7 WHEN score <= t8 THEN 8
+                      WHEN score <= t9 THEN 9 ELSE 10 END AS decile,
+                 responded
+          FROM users CROSS JOIN th),
+        agg AS (
+          SELECT CAST(decile AS BIGINT) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(count_if(responded) AS BIGINT) AS n_resp
+          FROM binned GROUP BY decile),
+        tot AS (SELECT SUM(n_users) AS nn, SUM(n_resp) AS rr FROM agg)
+        SELECT decile, n_users, n_resp,
+               CAST(n_resp * 1000000 // n_users AS BIGINT) AS resp_ppm,
+               CAST(n_resp * nn * 1000000 // (n_users * rr) AS BIGINT)
+                 AS lift_ppm
+        FROM agg CROSS JOIN tot
+        ORDER BY decile"""))
   )
 }
