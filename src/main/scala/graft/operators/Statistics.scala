@@ -868,6 +868,81 @@ object Statistics {
                  > 38416 * CAST(a.n AS HUGEINT) * b.n * (a.k + b.k)
                          * (a.n + b.n - a.k - b.k) AS significant
         FROM conv a JOIN conv b ON a.cohort < b.cohort
-        ORDER BY c1, c2"""))
+        ORDER BY c1, c2""")),
+
+    // --------------------------------------------------------------- q221
+    // CUPED variance-reduction audit — the experimentation-platform
+    // step that decides whether pre-period covariates are worth wiring
+    // into an A/B readout: using each user's FIRST-15-days spend as the
+    // covariate x for their LAST-15-days metric y, CUPED's achievable
+    // variance reduction is exactly ρ², and ρ² is RATIONAL in the
+    // sums — ppm = (n·Σxy − ΣxΣy)²·10⁶ div ((n·Σx² − (Σx)²)·(n·Σy² −
+    // (Σy)²)) with every product carried in DECIMAL(38)/HUGEINT (the
+    // cross terms reach ~10³² at fixture scale). No float covariance
+    // ever computed, so the engines agree bit-for-bit. One user-keyed
+    // rollup per period riding a single exchange; the per-cohort
+    // moment aggregation partial-combines map-side.
+    QueryDef(
+      "q221_cuped_audit",
+      (s, dir) => {
+        val spine = Tables.events(s, dir)
+          .select(col("user_id"), cents.as("vc"),
+            expr("ts_us div 86400000000").as("day"))
+        val cut = spine.agg((min("day") + 15L).as("cut"))
+        val per = spine.crossJoin(broadcast(cut))
+          .groupBy("user_id")
+          // whole DOLLARS, not cents: the squared-covariance cross terms
+          // reach ~10^36 in cents at sf0.1 — one SF step from silently
+          // nulling Spark's DECIMAL(38) while DuckDB's HUGEINT errors;
+          // the ratio is scale-invariant and trunc-div agrees engine-wise
+          .agg(expr("""sum(CASE WHEN day < cut THEN vc ELSE 0 END) div 100""")
+              .as("x"),
+            expr("""sum(CASE WHEN day >= cut THEN vc ELSE 0 END) div 100""")
+              .as("y"))
+          .withColumn("cohort", expr("user_id % 2"))
+        per.groupBy("cohort")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(x AS DECIMAL(38,0))")).as("sx"),
+            sum(expr("cast(y AS DECIMAL(38,0))")).as("sy"),
+            sum(expr("cast(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("cast(y AS DECIMAL(38,0)) * y")).as("syy"),
+            sum(expr("cast(x AS DECIMAL(38,0)) * y")).as("sxy"))
+          .select(col("cohort"), col("n"),
+            col("sx").cast("long").as("pre_dollars"),
+            col("sy").cast("long").as("post_dollars"),
+            expr("""cast((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                         div ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                    AS BIGINT)""").as("var_reduction_ppm"))
+          .orderBy("cohort")
+      },
+      Some("""
+        WITH spine AS (
+          SELECT user_id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events),
+        cut AS (SELECT MIN(day) + 15 AS cut FROM spine),
+        per AS (
+          SELECT user_id, user_id % 2 AS cohort,
+                 CAST(SUM(CASE WHEN day < cut THEN vc ELSE 0 END) // 100
+                   AS HUGEINT) AS x,
+                 CAST(SUM(CASE WHEN day >= cut THEN vc ELSE 0 END) // 100
+                   AS HUGEINT) AS y
+          FROM spine CROSS JOIN cut
+          GROUP BY user_id),
+        m AS (
+          SELECT cohort, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                 SUM(x * y) AS sxy
+          FROM per GROUP BY cohort)
+        SELECT CAST(cohort AS BIGINT) AS cohort, CAST(n AS BIGINT) AS n,
+               CAST(sx AS BIGINT) AS pre_dollars,
+               CAST(sy AS BIGINT) AS post_dollars,
+               CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                    // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 AS BIGINT) AS var_reduction_ppm
+        FROM m
+        ORDER BY cohort"""))
   )
 }
