@@ -1330,6 +1330,76 @@ object EventAnalytics {
                CAST(n_resp * nn * 1000000 // (n_users * rr) AS BIGINT)
                  AS lift_ppm
         FROM agg CROSS JOIN tot
-        ORDER BY decile"""))
+        ORDER BY decile""")),
+
+    // --------------------------------------------------------------- q223
+    // Accumulating-snapshot fact table — the Kimball pattern for
+    // processes with milestones: ONE wide row per user carrying the
+    // first-view / first-click-after-view / first-purchase-after-click
+    // timestamps plus the inter-milestone durations, nulls where the
+    // journey stalled. q108 aggregates this pipeline into a funnel
+    // report; this materializes the underlying snapshot table a
+    // warehouse actually stores and updates. Same single-exchange
+    // chained-window shape as q108 (three stage minimums over one
+    // user_id partitioning), then one row per user via the grouped
+    // first() — the wide work never leaves the user key.
+    QueryDef(
+      "q223_accumulating_snapshot",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_type"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts_us"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click"
+              && col("ts_us") > col("t1"), col("ts_us"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase"
+              && col("ts_us") > col("t2"), col("ts_us"))).over(w))
+          .groupBy("user_id")
+          .agg(first("t1").as("first_view_us"),
+            first("t2").as("first_click_us"),
+            first("t3").as("first_purchase_us"))
+          .withColumn("view_to_click_us",
+            col("first_click_us") - col("first_view_us"))
+          .withColumn("click_to_purchase_us",
+            col("first_purchase_us") - col("first_click_us"))
+          .withColumn("stage", expr("""
+            CASE WHEN first_purchase_us IS NOT NULL THEN 'purchased'
+                 WHEN first_click_us IS NOT NULL THEN 'clicked'
+                 WHEN first_view_us IS NOT NULL THEN 'viewed'
+                 ELSE 'never_viewed' END"""))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+          FROM events),
+        v AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT ev.user_id, MIN(ts_us) AS t2
+              FROM ev JOIN v ON ev.user_id = v.user_id
+              WHERE event_type = 'click' AND ts_us > v.t1
+              GROUP BY ev.user_id),
+        p AS (SELECT ev.user_id, MIN(ts_us) AS t3
+              FROM ev JOIN c ON ev.user_id = c.user_id
+              WHERE event_type = 'purchase' AND ts_us > c.t2
+              GROUP BY ev.user_id),
+        base AS (SELECT DISTINCT user_id FROM ev)
+        SELECT base.user_id,
+               v.t1 AS first_view_us, c.t2 AS first_click_us,
+               p.t3 AS first_purchase_us,
+               c.t2 - v.t1 AS view_to_click_us,
+               p.t3 - c.t2 AS click_to_purchase_us,
+               CASE WHEN p.t3 IS NOT NULL THEN 'purchased'
+                    WHEN c.t2 IS NOT NULL THEN 'clicked'
+                    WHEN v.t1 IS NOT NULL THEN 'viewed'
+                    ELSE 'never_viewed' END AS stage
+        FROM base
+        LEFT JOIN v ON base.user_id = v.user_id
+        LEFT JOIN c ON base.user_id = c.user_id
+        LEFT JOIN p ON base.user_id = p.user_id
+        ORDER BY base.user_id"""))
   )
 }

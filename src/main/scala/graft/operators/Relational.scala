@@ -1593,6 +1593,54 @@ object Relational {
                  END) AS BIGINT) AS P_cents
         FROM orders
         GROUP BY yr
-        ORDER BY yr"""))
+        ORDER BY yr""")),
+
+    // --------------------------------------------------------------- q222
+    // The NOT IN null trap — the classic three-valued-logic footgun,
+    // pinned as behavior: `key NOT IN (subquery)` yields UNKNOWN for
+    // every row the moment the subquery produces a single NULL (so the
+    // filter returns ZERO rows), while the intended NOT EXISTS
+    // anti-join semantics returns the real complement. The probe
+    // subquery is customer keys with one injected NULL; the report
+    // carries all three counts side by side — not_in against the
+    // clean list, not_in against the null-poisoned list (0), and
+    // not_exists against the poisoned list (unaffected) — so a
+    // migration can't silently ship the wrong operator. Plans are
+    // anti-joins either way (NullAware for NOT IN); counts only.
+    QueryDef(
+      "q222_not_in_null_trap",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        o.createOrReplaceTempView("graft_nin_orders")
+        Tables(s, dir, "customer").createOrReplaceTempView("graft_nin_cust")
+        s.sql("""
+          WITH probe AS (
+            SELECT c_custkey AS k FROM graft_nin_cust WHERE c_custkey % 3 = 0),
+          poisoned AS (
+            SELECT k FROM probe UNION ALL SELECT CAST(NULL AS BIGINT)),
+          a AS (SELECT count(*) AS n_not_in_clean FROM graft_nin_orders
+                WHERE o_custkey NOT IN (SELECT k FROM probe)),
+          b AS (SELECT count(*) AS n_not_in_poisoned FROM graft_nin_orders
+                WHERE o_custkey NOT IN (SELECT k FROM poisoned)),
+          c AS (SELECT count(*) AS n_not_exists FROM graft_nin_orders o
+                WHERE NOT EXISTS (SELECT 1 FROM poisoned p
+                                  WHERE p.k = o.o_custkey))
+          SELECT n_not_in_clean, n_not_in_poisoned, n_not_exists
+          FROM a, b, c""")
+      },
+      Some("""
+        WITH probe AS (
+          SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
+        poisoned AS (
+          SELECT k FROM probe UNION ALL SELECT CAST(NULL AS BIGINT)),
+        a AS (SELECT COUNT(*) AS n_not_in_clean FROM orders
+              WHERE o_custkey NOT IN (SELECT k FROM probe)),
+        b AS (SELECT COUNT(*) AS n_not_in_poisoned FROM orders
+              WHERE o_custkey NOT IN (SELECT k FROM poisoned)),
+        c AS (SELECT COUNT(*) AS n_not_exists FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM poisoned p
+                                WHERE p.k = o.o_custkey))
+        SELECT n_not_in_clean, n_not_in_poisoned, n_not_exists
+        FROM a, b, c"""))
   )
 }
