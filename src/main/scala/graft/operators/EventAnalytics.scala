@@ -1400,6 +1400,83 @@ object EventAnalytics {
         LEFT JOIN v ON base.user_id = v.user_id
         LEFT JOIN c ON base.user_id = c.user_id
         LEFT JOIN p ON base.user_id = p.user_id
-        ORDER BY base.user_id"""))
+        ORDER BY base.user_id""")),
+
+    // --------------------------------------------------------------- q224
+    // Markov next-event prediction eval — the simplest sequential model
+    // given an honest out-of-time test: transition counts learned from
+    // the first 24 days (per-user lead() over one user_id exchange)
+    // collapse to a per-state argmax predictor (most frequent
+    // successor, ties to the alphabetically first — the bounded
+    // types×types matrix), which is then scored on the LAST 6 days'
+    // transitions it never saw. Per from-state: evaluated transitions,
+    // hits, and accuracy ppm. The train/test day cutoff rides in as a
+    // broadcast scalar; the predictor is a broadcast map join — the
+    // eval stream never shuffles against the model.
+    QueryDef(
+      "q224_markov_eval",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        val ev = TrackedCaches.track(Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("event_type"),
+            expr("ts_us div 86400000000").as("day"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .withColumn("next_day", lead("day", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cut = ev.agg((min("day") + 24L).as("cut"))
+        val tagged = ev.crossJoin(broadcast(cut))
+        val wPick = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("n").desc, col("next_type"))
+        val model = tagged.filter(col("next_day") < col("cut"))
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("next_type").as("predicted"))
+        tagged.filter(col("day") >= col("cut"))
+          .join(broadcast(model), Seq("event_type"))
+          .groupBy("event_type", "predicted")
+          .agg(count(lit(1)).as("n_eval"),
+            expr("count_if(next_type = predicted)").as("n_hit"))
+          .withColumn("accuracy_ppm", expr("n_hit * 1000000 div n_eval"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events),
+        seq AS (
+          SELECT *,
+                 lead(event_type) OVER w AS next_type,
+                 lead(day) OVER w AS next_day
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        t AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+        cut AS (SELECT MIN(day) + 24 AS cut FROM t),
+        model AS (
+          SELECT event_type, next_type AS predicted FROM (
+            SELECT event_type, next_type, COUNT(*) AS n,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY COUNT(*) DESC, next_type) AS rk
+            FROM t CROSS JOIN cut
+            WHERE next_day < cut
+            GROUP BY event_type, next_type) x
+          WHERE rk = 1)
+        SELECT t.event_type, m.predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(count_if(t.next_type = m.predicted) AS BIGINT) AS n_hit,
+               CAST(count_if(t.next_type = m.predicted) * 1000000
+                    // COUNT(*) AS BIGINT) AS accuracy_ppm
+        FROM t CROSS JOIN cut
+        JOIN model m ON t.event_type = m.event_type
+        WHERE t.day >= cut
+        GROUP BY t.event_type, m.predicted
+        ORDER BY t.event_type"""))
   )
 }
