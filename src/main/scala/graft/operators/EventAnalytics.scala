@@ -1477,6 +1477,77 @@ object EventAnalytics {
         JOIN model m ON t.event_type = m.event_type
         WHERE t.day >= cut
         GROUP BY t.event_type, m.predicted
-        ORDER BY t.event_type"""))
+        ORDER BY t.event_type""")),
+
+    // --------------------------------------------------------------- q225
+    // "Also bought" recommendation table — q115's co-purchase pairs
+    // served per item and ranked by exact LIFT (pair_orders · N ÷
+    // sup_x·sup_y in ppm), not raw support, so a partner that merely
+    // appears everywhere doesn't dominate every item's list. Pairs
+    // symmetrize (u→v and v→u both serve), each item keeps its top-3
+    // by (lift, partner-id) — WindowGroupLimit prunes map-side before
+    // the rank shuffle. The order count rides in as a broadcast scalar;
+    // item supports broadcast-join onto the bounded pair table. All
+    // integer: DECIMAL(38) carries pair·N·10⁶.
+    QueryDef(
+      "q225_also_bought",
+      (s, dir) => {
+        val items = TrackedCaches.track(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sup = items.groupBy("pk").agg(count(lit(1)).as("sup"))
+        val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_ord"))
+        val pairs = items.as("a")
+          .join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("pn"))
+          .filter(col("pn") >= 2)
+        val sym = pairs.select(col("u").as("item"), col("v").as("partner"), col("pn"))
+          .unionAll(pairs.select(col("v").as("item"), col("u").as("partner"), col("pn")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("item").orderBy(col("lift_ppm").desc, col("partner"))
+        sym
+          .join(sup.select(col("pk").as("item"), col("sup").as("sup_i")), "item")
+          .join(sup.select(col("pk").as("partner"), col("sup").as("sup_p")),
+            "partner")
+          .crossJoin(broadcast(nOrders))
+          .withColumn("lift_ppm", expr(
+            "cast(cast(pn AS DECIMAL(38,0)) * n_ord * 1000000 div (cast(sup_i AS DECIMAL(38,0)) * sup_p) AS BIGINT)"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("item"), col("rk").cast("long").as("rk"),
+            col("partner"), col("pn"), col("lift_ppm"))
+          .orderBy("item", "rk")
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        sup AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS sup
+                FROM items GROUP BY pk),
+        no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_ord FROM items),
+        pairs AS (
+          SELECT a.pk AS u, b.pk AS v, CAST(COUNT(*) AS BIGINT) AS pn
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        sym AS (
+          SELECT u AS item, v AS partner, pn FROM pairs
+          UNION ALL SELECT v, u, pn FROM pairs),
+        scored AS (
+          SELECT sym.item, sym.partner, sym.pn,
+                 CAST(CAST(sym.pn AS HUGEINT) * no.n_ord * 1000000
+                      // (CAST(si.sup AS HUGEINT) * sp.sup) AS BIGINT)
+                   AS lift_ppm
+          FROM sym
+          JOIN sup si ON si.pk = sym.item
+          JOIN sup sp ON sp.pk = sym.partner
+          CROSS JOIN no)
+        SELECT item, rk, partner, pn, lift_ppm FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY item
+                      ORDER BY lift_ppm DESC, partner) AS BIGINT) AS rk
+          FROM scored) z
+        WHERE rk <= 3
+        ORDER BY item, rk"""))
   )
 }

@@ -867,6 +867,74 @@ object TextAnalysis {
                CASE WHEN lev = len_old - len_new THEN 'tail_deletion'
                     ELSE 'edited' END AS change
         FROM p
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q226
+    // Collocation mining — corpus bigrams ranked by LIFT, the log-free
+    // PMI: lift = p(xy)/(p(x)·p(y)) = b·Tu² ÷ (u(x)·u(y)·Tb) in exact
+    // ppm, so "strongly associated word pairs" (multiword terms,
+    // named entities) surface without any float log. Bigrams stream
+    // from the native `graft_word_ngrams` codegen kernel; unigram
+    // counts join back on the bigram's two words (the frequency tables
+    // are vocab-bounded — slim join sides); support ≥ 5 prunes noise
+    // and the top-30 lands in TakeOrderedAndProject. DECIMAL(38)
+    // carries b·Tu²·10⁶ (~10²⁰ at sf0.1).
+    QueryDef(
+      "q226_collocations",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val docs = Tables(s, dir, "documents")
+        val uni = TrackedCaches.track(docs
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("tok").agg(count(lit(1)).as("uc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val tu = uni.agg(sum("uc").as("tu"))
+        val bi = docs
+          .select(explode(call_function("graft_word_ngrams",
+            col("text"), lit(2))).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("b"))
+          .filter(col("b") >= 5)
+        val tb = bi.agg(sum("b").as("tb"))
+        bi
+          .withColumn("x", expr("split(g, ' ')[0]"))
+          .withColumn("y", expr("split(g, ' ')[1]"))
+          .join(uni.select(col("tok").as("x"), col("uc").as("ux")), "x")
+          .join(uni.select(col("tok").as("y"), col("uc").as("uy")), "y")
+          .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+          .select(col("g").as("bigram"), col("b"),
+            expr("""cast(cast(b AS DECIMAL(38,0)) * tu * tu * 1000000
+                         div (cast(ux AS DECIMAL(38,0)) * uy * tb)
+                    AS BIGINT)""").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("bigram"))
+          .limit(30)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS uc
+                FROM toks WHERE tok <> '' GROUP BY tok),
+        tu AS (SELECT CAST(SUM(uc) AS BIGINT) AS tu FROM uni),
+        ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        grams AS (
+          SELECT unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1])) AS g
+          FROM ws),
+        bi AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS b
+               FROM grams GROUP BY g HAVING COUNT(*) >= 5),
+        tb AS (SELECT CAST(SUM(b) AS BIGINT) AS tb FROM bi),
+        scored AS (
+          SELECT bi.g AS bigram, bi.b,
+                 CAST(CAST(bi.b AS HUGEINT) * tu.tu * tu.tu * 1000000
+                      // (CAST(ux.uc AS HUGEINT) * uy.uc * tb.tb) AS BIGINT)
+                   AS lift_ppm
+          FROM bi
+          JOIN uni ux ON ux.tok = string_split(bi.g, ' ')[1]
+          JOIN uni uy ON uy.tok = string_split(bi.g, ' ')[2]
+          CROSS JOIN tu CROSS JOIN tb)
+        SELECT bigram, b, lift_ppm
+        FROM scored
+        ORDER BY lift_ppm DESC, bigram
+        LIMIT 30"""))
   )
 }
