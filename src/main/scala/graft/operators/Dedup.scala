@@ -844,6 +844,54 @@ object Dedup {
                  AS kept_words
         FROM marked
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- q228
+    // Cross-source duplication matrix — the corpus-governance artifact
+    // that answers "who syndicates whom": content digests grouped
+    // across sources, every source pair sharing a digest counted. The
+    // fixture corpus has no natural cross-source copies, so every 9th
+    // document re-enters under a 'syndicated' source (the established
+    // deterministic augmentation pattern) and the matrix must recover
+    // exactly those pairs. Scale shape: the join key is the 32-byte
+    // sha2 digest — text never shuffles — and the per-digest source
+    // sets are bounded by the source count, so pair explosion is
+    // bounded per digest (the q185 vocabulary-pair argument).
+    QueryDef(
+      "q228_cross_source_dup_matrix",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select("doc_id", "source", "text")
+        val aug = d.unionByName(
+          d.filter(col("doc_id") % 9 === 0)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              lit("syndicated").as("source"), col("text")))
+        aug
+          .select(col("source"), sha2(col("text"), 256).as("h"))
+          .distinct()
+          .groupBy("h")
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+                 transform(slice(srcs, i + 2, size(srcs)),
+                   b -> struct(a AS s1, b AS s2))))""")).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(count(lit(1)).as("shared_docs"))
+          .orderBy("s1", "s2")
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, 'syndicated', text
+          FROM documents WHERE doc_id % 9 = 0),
+        hs AS (SELECT DISTINCT source, sha256(text) AS h FROM aug),
+        pairs AS (
+          SELECT a.source AS s1, b.source AS s2
+          FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source)
+        SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS shared_docs
+        FROM pairs
+        GROUP BY s1, s2
+        ORDER BY s1, s2"""))
   ) :+ snmQuery
 }

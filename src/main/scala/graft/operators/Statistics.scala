@@ -943,6 +943,57 @@ object Statistics {
                     // ((n * sxx - sx * sx) * (n * syy - sy * sy))
                  AS BIGINT) AS var_reduction_ppm
         FROM m
-        ORDER BY cohort"""))
+        ORDER BY cohort""")),
+
+    // --------------------------------------------------------------- q227
+    // Same-weekday seasonal anomaly — q184's EWMA flags drift against
+    // the recent past; this flags against the SEASONAL baseline (a
+    // quiet Sunday is normal, a quiet Tuesday is an incident): each
+    // (type, day)'s volume is scored against the mean of all days
+    // sharing its weekday (day-index mod 7 — baseline includes the day
+    // itself, the simple population form, stated as such), with the
+    // deviation ratio x·cnt·10⁶ div sum exact in integers. Two keyed
+    // aggregates riding the (type, dow) key; the bounded baseline
+    // table broadcasts back.
+    QueryDef(
+      "q227_weekday_anomaly",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("dow", expr("day % 7"))
+        val base = daily.groupBy("event_type", "dow")
+          .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        daily.join(broadcast(base), Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"), col("dow"), col("x"),
+            expr("x * cnt * 1000000 div sx").as("ratio_ppm"))
+          .withColumn("verdict", expr("""
+            CASE WHEN ratio_ppm > 1500000 THEN 'high'
+                 WHEN ratio_ppm < 500000 THEN 'low'
+                 ELSE 'normal' END"""))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        d AS (SELECT *, day % 7 AS dow FROM daily),
+        base AS (
+          SELECT event_type, dow, CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM d GROUP BY 1, 2)
+        SELECT d.event_type, d.day, d.dow, d.x,
+               CAST(d.x * base.cnt * 1000000 // base.sx AS BIGINT)
+                 AS ratio_ppm,
+               CASE WHEN d.x * base.cnt * 1000000 // base.sx > 1500000
+                    THEN 'high'
+                    WHEN d.x * base.cnt * 1000000 // base.sx < 500000
+                    THEN 'low'
+                    ELSE 'normal' END AS verdict
+        FROM d JOIN base
+          ON d.event_type = base.event_type AND d.dow = base.dow
+        ORDER BY d.event_type, d.day"""))
   )
 }
