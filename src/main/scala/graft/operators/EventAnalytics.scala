@@ -1548,6 +1548,138 @@ object EventAnalytics {
                       ORDER BY lift_ppm DESC, partner) AS BIGINT) AS rk
           FROM scored) z
         WHERE rk <= 3
-        ORDER BY item, rk"""))
+        ORDER BY item, rk""")),
+
+    // --------------------------------------------------------------- q229
+    // Session-length distribution — the product metric sessions exist
+    // to feed: q20's 10-minute-gap sessions reduce to their durations
+    // and event counts, then per-duration-band (0, ≤1 min, ≤10 min,
+    // longer) counts plus exact discrete percentiles (p50/p90/p99 of
+    // duration in seconds) from sort-based aggregates — no global
+    // window anywhere. The sessionization windows ride one user_id
+    // exchange; the summary is a bounded two-row-stage rollup.
+    QueryDef(
+      "q229_session_length_dist",
+      (s, dir) => {
+        val gapUs = 600L * 1000000L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+        val sess = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+          .withColumn("new_sess",
+            when(lag("ts_us", 1).over(w).isNull
+              || col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("new_sess").over(cum))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"),
+            ((max("ts_us") - min("ts_us")) / 1000000L).cast("long")
+              .as("dur_s"))
+        sess.agg(count(lit(1)).as("n_sessions"),
+            expr("count_if(dur_s = 0)").as("single_event"),
+            expr("count_if(dur_s > 0 AND dur_s <= 60)").as("under_1m"),
+            expr("count_if(dur_s > 60 AND dur_s <= 600)").as("under_10m"),
+            expr("count_if(dur_s > 600)").as("over_10m"),
+            expr("cast(percentile_disc(0.5) within group (order by dur_s) AS BIGINT)")
+              .as("p50_s"),
+            expr("cast(percentile_disc(0.9) within group (order by dur_s) AS BIGINT)")
+              .as("p90_s"),
+            expr("cast(percentile_disc(0.99) within group (order by dur_s) AS BIGINT)")
+              .as("p99_s"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                   FROM events),
+        g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 600000000
+                             THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id)),
+        sg AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+        sess AS (
+          SELECT user_id, sid,
+                 (MAX(ts_us) - MIN(ts_us)) // 1000000 AS dur_s
+          FROM sg GROUP BY user_id, sid),
+        r AS (SELECT dur_s,
+                     cume_dist() OVER (ORDER BY dur_s) AS cd
+              FROM sess)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(count_if(dur_s = 0) AS BIGINT) AS single_event,
+               CAST(count_if(dur_s > 0 AND dur_s <= 60) AS BIGINT)
+                 AS under_1m,
+               CAST(count_if(dur_s > 60 AND dur_s <= 600) AS BIGINT)
+                 AS under_10m,
+               CAST(count_if(dur_s > 600) AS BIGINT) AS over_10m,
+               CAST((SELECT MIN(dur_s) FROM r WHERE cd >= 0.5) AS BIGINT)
+                 AS p50_s,
+               CAST((SELECT MIN(dur_s) FROM r WHERE cd >= 0.9) AS BIGINT)
+                 AS p90_s,
+               CAST((SELECT MIN(dur_s) FROM r WHERE cd >= 0.99) AS BIGINT)
+                 AS p99_s
+        FROM sess""")),
+
+    // --------------------------------------------------------------- q230
+    // Repeat-purchase dynamics — the commerce loyalty readout: per
+    // user, gaps between successive purchases (one lag over the
+    // purchase stream, user-keyed); rolled up to the repeat rate (users
+    // with ≥ 2 purchases), the exact median inter-purchase gap in
+    // hours, and the one-and-done count. All integers; the purchase
+    // stream reduces per user before anything global, and the global
+    // percentile is a sort-based aggregate over the bounded gap set.
+    QueryDef(
+      "q230_repeat_purchase",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        val gaps = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+          .withColumn("gap_h",
+            ((col("ts_us") - lag("ts_us", 1).over(w)) / 3600000000L)
+              .cast("long"))
+        val perUser = gaps.groupBy("user_id")
+          .agg(count(lit(1)).as("n_purch"))
+        perUser.agg(count(lit(1)).as("n_buyers"),
+            expr("count_if(n_purch >= 2)").as("repeat_buyers"),
+            expr("count_if(n_purch = 1)").as("one_and_done"),
+            expr("cast(count_if(n_purch >= 2) * 1000000 div count(1) AS BIGINT)")
+              .as("repeat_ppm"))
+          .crossJoin(broadcast(gaps.filter(col("gap_h").isNotNull)
+            .agg(expr("cast(percentile_disc(0.5) within group (order by gap_h) AS BIGINT)")
+              .as("median_gap_h"),
+              count(lit(1)).as("n_gaps"))))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events WHERE event_type = 'purchase'),
+        g AS (
+          SELECT user_id,
+                 (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id)) // 3600000000 AS gap_h
+          FROM p),
+        pu AS (SELECT user_id, COUNT(*) AS n_purch FROM p GROUP BY user_id),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+                 CAST(count_if(n_purch >= 2) AS BIGINT) AS repeat_buyers,
+                 CAST(count_if(n_purch = 1) AS BIGINT) AS one_and_done,
+                 CAST(count_if(n_purch >= 2) * 1000000 // COUNT(*) AS BIGINT)
+                   AS repeat_ppm
+          FROM pu),
+        r AS (SELECT gap_h, cume_dist() OVER (ORDER BY gap_h) AS cd
+              FROM g WHERE gap_h IS NOT NULL),
+        med AS (
+          SELECT CAST((SELECT MIN(gap_h) FROM r WHERE cd >= 0.5) AS BIGINT)
+                   AS median_gap_h,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps
+          FROM r)
+        SELECT * FROM base CROSS JOIN med"""))
   )
 }
