@@ -929,7 +929,9 @@ object EventAnalytics {
           .filter(col("n_gaps") >= 20)
           .select(col("user_id"), col("n_gaps"),
             col("s").cast("long").as("sum_gap_us"),
-            expr("cast((n_gaps * q - s * s) * 1000000 div (s * s) AS BIGINT)")
+            // nullif: all-zero gaps (coincident timestamps) zero S — both
+            // engines yield NULL instead of a DuckDB div-by-zero abort
+            expr("cast((n_gaps * q - s * s) * 1000000 div nullif(s * s, 0) AS BIGINT)")
               .as("cv2_ppm"))
           .withColumn("verdict",
             expr("CASE WHEN cv2_ppm < 10000 THEN 'metronomic' ELSE 'organic' END"))
@@ -952,9 +954,10 @@ object EventAnalytics {
           GROUP BY user_id
           HAVING COUNT(*) >= 20)
         SELECT user_id, n_gaps, CAST(s AS BIGINT) AS sum_gap_us,
-               CAST((n_gaps * q - s * s) * 1000000 // (s * s) AS BIGINT)
+               CAST((n_gaps * q - s * s) * 1000000 // nullif(s * s, 0) AS BIGINT)
                  AS cv2_ppm,
-               CASE WHEN (n_gaps * q - s * s) * 1000000 // (s * s) < 10000
+               CASE WHEN (n_gaps * q - s * s) * 1000000 // nullif(s * s, 0)
+                         < 10000
                     THEN 'metronomic' ELSE 'organic' END AS verdict
         FROM a
         ORDER BY user_id""")),

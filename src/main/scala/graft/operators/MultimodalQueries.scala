@@ -353,6 +353,8 @@ object MultimodalQueries {
     // frames, detected shots (= cuts + 1), and the sharpest cut. The
     // frame stream is a narrow mapPartitions flatMap (decoder opened
     // once per partition); the lag and rollup ride one doc_id exchange.
+    // Oracle is BYTE-exact (hex(encode(text)) nibble decode), matching
+    // the decoder's UTF-8 view — multi-byte text cannot diverge.
     QueryDef(
       "q211_shot_boundaries",
       (s, dir) => {
@@ -376,17 +378,24 @@ object MultimodalQueries {
           .orderBy("doc_id")
       },
       Some("""
-        WITH f AS (
-          SELECT doc_id, i.range AS frame_idx,
-                 CAST(i.range * (length(text) - 16) // 15 AS BIGINT) AS off
-          FROM documents CROSS JOIN range(16) i
-          WHERE length(text) >= 16),
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        f AS (
+          SELECT doc_id, i.range AS frame_idx, h,
+                 CAST(i.range * (n - 16) // 15 AS BIGINT) AS off
+          FROM b CROSS JOIN range(16) i
+          WHERE n >= 16),
         e AS (
           SELECT doc_id, frame_idx,
                  list_sum(list_transform(range(1, 17), j ->
-                   CAST(unicode(substr(text, CAST(off AS INT) + CAST(j AS INT), 1))
+                   CAST((strpos('0123456789ABCDEF',
+                           substr(h, CAST((off + j) * 2 - 1 AS INT), 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                           substr(h, CAST((off + j) * 2 AS INT), 1)) - 1
                      AS BIGINT))) AS energy
-          FROM f JOIN documents USING (doc_id)),
+          FROM f),
         d AS (
           SELECT doc_id, frame_idx, energy,
                  abs(energy - lag(energy) OVER (PARTITION BY doc_id

@@ -976,9 +976,13 @@ object Similarity {
     // same five integer ppm weights in both engines (the q168
     // Benford-constant discipline — irrational discounts never touch
     // engine float math): w = ⌊10⁶/log2(i+1)⌉ = 1000000, 630930,
-    // 500000, 430677, 386853. Every label has ≥ 5 corpus members, so
-    // IDCG@5 is the constant Σw = 2948460 and NDCG lands as exact ppm
-    // integer division. Same broadcast-sample plan as q213.
+    // 500000, 430677, 386853. IDCG@5 is DERIVED per query, not assumed:
+    // self is excluded from candidates, so a label with m corpus members
+    // has only m−1 reachable relevant neighbors — the ideal is the
+    // prefix sum of the first min(m−1, 5) weights (the prefix-sum table
+    // is the same pinned-integer literal in both engines). NDCG lands
+    // as exact ppm integer division. Same broadcast-sample plan as
+    // q213; the label-count side is vocab-bounded and broadcasts.
     QueryDef(
       "q214_ndcg_eval",
       (s, dir) => {
@@ -990,6 +994,8 @@ object Similarity {
         val q = base.filter(col("vec_id") % 40 === 0)
           .select(col("vec_id").as("qid"), col("e").as("qe"),
             col("lbl").as("true_label"))
+        val lblCnt = base.groupBy(col("lbl").as("true_label"))
+          .agg(count(lit(1)).as("n_members"))
         val wRank = Window.partitionBy("qid")
           .orderBy(col("sim").desc, col("vec_id"))
         base.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -1005,7 +1011,17 @@ object Similarity {
           .agg(expr("count_if(nlbl = true_label)").as("n_rel"),
             sum(when(col("nlbl") === col("true_label"), col("w"))
               .otherwise(0L)).as("dcg_ppm"))
-          .withColumn("ndcg_ppm", expr("dcg_ppm * 1000000 div 2948460"))
+          .join(broadcast(lblCnt), "true_label")
+          // ideal = prefix sum of the first min(m−1, 5) weights; a label
+          // whose only member is the query itself has no reachable
+          // relevant neighbor — NDCG pins NULL in both engines
+          .withColumn("idcg_ppm", expr(
+            """CASE WHEN n_members <= 1 THEN NULL
+                    ELSE element_at(
+                      array(1000000L, 1630930L, 2130930L, 2561607L, 2948460L),
+                      cast(least(n_members - 1, 5) AS INT)) END"""))
+          .select(col("qid"), col("true_label"), col("n_rel"), col("dcg_ppm"),
+            expr("dcg_ppm * 1000000 div idcg_ppm").as("ndcg_ppm"))
           .orderBy("qid")
       },
       Some(s"""
@@ -1015,6 +1031,8 @@ object Similarity {
           FROM embeddings),
         q AS (SELECT vec_id AS qid, e AS qe, lbl AS true_label
               FROM base WHERE vec_id % 40 = 0),
+        lc AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM base GROUP BY lbl),
         top5 AS (
           SELECT qid, true_label, nlbl, rk FROM (
             SELECT q.qid, q.true_label, b.lbl AS nlbl, b.vec_id,
@@ -1022,17 +1040,22 @@ object Similarity {
                      ORDER BY ${duckCosine("q.qe", "b.e")} DESC, b.vec_id)
                      AS rk
             FROM base b JOIN q ON b.vec_id <> q.qid) x
-          WHERE rk <= 5)
-        SELECT qid, true_label,
-               CAST(count_if(nlbl = true_label) AS BIGINT) AS n_rel,
-               CAST(SUM(CASE WHEN nlbl = true_label
-                 THEN [1000000, 630930, 500000, 430677, 386853][rk]
-                 ELSE 0 END) AS BIGINT) AS dcg_ppm,
-               CAST(SUM(CASE WHEN nlbl = true_label
-                 THEN [1000000, 630930, 500000, 430677, 386853][rk]
-                 ELSE 0 END) * 1000000 // 2948460 AS BIGINT) AS ndcg_ppm
-        FROM top5
-        GROUP BY qid, true_label
-        ORDER BY qid"""))
+          WHERE rk <= 5),
+        agg AS (
+          SELECT qid, true_label,
+                 CAST(count_if(nlbl = true_label) AS BIGINT) AS n_rel,
+                 CAST(SUM(CASE WHEN nlbl = true_label
+                   THEN [1000000, 630930, 500000, 430677, 386853][rk]
+                   ELSE 0 END) AS BIGINT) AS dcg_ppm
+          FROM top5
+          GROUP BY qid, true_label)
+        SELECT agg.qid, agg.true_label, agg.n_rel, agg.dcg_ppm,
+               CAST(agg.dcg_ppm * 1000000 //
+                 (CASE WHEN lc.n_members <= 1 THEN NULL
+                       ELSE [1000000, 1630930, 2130930, 2561607, 2948460]
+                            [CAST(least(lc.n_members - 1, 5) AS INT)] END)
+                 AS BIGINT) AS ndcg_ppm
+        FROM agg JOIN lc ON agg.true_label = lc.lbl
+        ORDER BY agg.qid"""))
   )
 }

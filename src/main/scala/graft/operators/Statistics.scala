@@ -910,8 +910,10 @@ object Statistics {
           .select(col("cohort"), col("n"),
             col("sx").cast("long").as("pre_dollars"),
             col("sy").cast("long").as("post_dollars"),
+            // nullif: an all-equal covariate cohort zeroes a variance term;
+            // both engines must yield NULL, not a DuckDB div-by-zero abort
             expr("""cast((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
-                         div ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         div nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
                     AS BIGINT)""").as("var_reduction_ppm"))
           .orderBy("cohort")
       },
@@ -940,7 +942,7 @@ object Statistics {
                CAST(sx AS BIGINT) AS pre_dollars,
                CAST(sy AS BIGINT) AS post_dollars,
                CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
-                    // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                    // nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
                  AS BIGINT) AS var_reduction_ppm
         FROM m
         ORDER BY cohort""")),
@@ -966,7 +968,11 @@ object Statistics {
           .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
         daily.join(broadcast(base), Seq("event_type", "dow"))
           .select(col("event_type"), col("day"), col("dow"), col("x"),
-            expr("x * cnt * 1000000 div sx").as("ratio_ppm"))
+            // DECIMAL(38) numerator: x·cnt·10⁶ wraps BIGINT silently at
+            // large scale in non-ANSI Spark while DuckDB errors (q184's
+            // 'dormant at test SFs, fatal at 100 TB' class)
+            expr("cast(cast(x AS DECIMAL(38,0)) * cnt * 1000000 div sx AS BIGINT)")
+              .as("ratio_ppm"))
           .withColumn("verdict", expr("""
             CASE WHEN ratio_ppm > 1500000 THEN 'high'
                  WHEN ratio_ppm < 500000 THEN 'low'
@@ -985,11 +991,13 @@ object Statistics {
                  CAST(COUNT(*) AS BIGINT) AS cnt
           FROM d GROUP BY 1, 2)
         SELECT d.event_type, d.day, d.dow, d.x,
-               CAST(d.x * base.cnt * 1000000 // base.sx AS BIGINT)
-                 AS ratio_ppm,
-               CASE WHEN d.x * base.cnt * 1000000 // base.sx > 1500000
+               CAST(CAST(d.x AS HUGEINT) * base.cnt * 1000000 // base.sx
+                 AS BIGINT) AS ratio_ppm,
+               CASE WHEN CAST(d.x AS HUGEINT) * base.cnt * 1000000 // base.sx
+                         > 1500000
                     THEN 'high'
-                    WHEN d.x * base.cnt * 1000000 // base.sx < 500000
+                    WHEN CAST(d.x AS HUGEINT) * base.cnt * 1000000 // base.sx
+                         < 500000
                     THEN 'low'
                     ELSE 'normal' END AS verdict
         FROM d JOIN base

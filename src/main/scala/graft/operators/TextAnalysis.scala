@@ -844,7 +844,9 @@ object TextAnalysis {
             length(col("new_text")).cast("long").as("len_new"),
             levenshtein(col("text"), col("new_text")).cast("long").as("lev"))
           .withColumn("similarity_ppm",
-            expr("(len_old - lev) * 1000000 div len_old"))
+            // nullif: an empty original doc pins NULL in both engines
+            // rather than a DuckDB div-by-zero abort
+            expr("(len_old - lev) * 1000000 div nullif(len_old, 0)"))
           .withColumn("change", expr(
             "CASE WHEN lev = len_old - len_new THEN 'tail_deletion' " +
               "ELSE 'edited' END"))
@@ -862,7 +864,7 @@ object TextAnalysis {
                  CAST(levenshtein(d.text, r.new_text) AS BIGINT) AS lev
           FROM documents d JOIN r ON d.doc_id = r.rid)
         SELECT doc_id, len_old, len_new, lev,
-               CAST((len_old - lev) * 1000000 // len_old AS BIGINT)
+               CAST((len_old - lev) * 1000000 // nullif(len_old, 0) AS BIGINT)
                  AS similarity_ppm,
                CASE WHEN lev = len_old - len_new THEN 'tail_deletion'
                     ELSE 'edited' END AS change
