@@ -1,65 +1,78 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark main. Emits ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+/** Per-round benchmark main. Emits ONE JSON line (summary fields LAST so a
+  * tail-truncated capture still reads total/errors; see layout note below).
   *
-  * Measurement notes (VERDICT r01 items 3-4, r02 item 4):
+  * Measurement notes (VERDICT r01 items 3-4, r02 item 4, r06 items 2/4):
   *  - each query is fully executed via the `noop` sink, not `count()` —
   *    count() lets Catalyst drop global sorts and projections, so it
   *    under-measures real work;
-  *  - one untimed warmup query runs first so JVM/Spark session warmup
-  *    (codegen, classloading, parquet footer caching) doesn't inflate the
-  *    first timed query (r01's q03 "7.87 s" was warmup, not plan cost);
+  *  - PHASE SPLIT (r06 item 2): batch (q*), pipeline (p*) and streaming
+  *    (s*) queries run in SEPARATE SparkSessions, each stopped before the
+  *    next starts. r05→r06 showed the 20 state-store-heavy streaming
+  *    queries inflating batch numbers (and each other) by 1.5–6× purely
+  *    through shared-JVM heap/state-store contention (s15 31.3 s suite vs
+  *    3.9 s iso); a fresh session per family drops executor-side state
+  *    caches and lets each family's numbers read clean. The JVM itself
+  *    stays warm (codegen + classloader), so cross-phase warmup does not
+  *    recur; each phase still runs its own untimed warmup query;
+  *  - one untimed warmup query runs per phase so session warmup (codegen,
+  *    classloading, parquet footer caching) doesn't inflate the first
+  *    timed query (r01's q03 "7.87 s" was warmup, not plan cost);
   *  - each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and
   *    reports the MIN — one-shot timings confound plan cost with
-  *    whatever the previous query left behind (r02's "q01 regression"
-  *    was 11.9 s after the p06 FTP bulk run but 2.1 s in isolation);
-  *    min-of-n isolates the repeatable plan cost;
-  *  - per-query GC time is recorded (GarbageCollectorMXBeans collection-
-  *    time delta across the query's iterations) and emitted as a `gc` map
-  *    so a reader can tell machine contention / heap pressure from a real
-  *    plan regression — BENCH_r04 showed every CPU-bound query 1.5–25×
-  *    inflated under the full-suite run while isolated re-runs matched
-  *    r03, and nothing in the line distinguished the two. Only queries
-  *    with >= 100 ms of GC appear (keeps the line inside the driver's
-  *    ~2000-char tail capture); `gc_total_ms` always reports the whole
-  *    run. A query whose wall time grew while its gc entry is large is
-  *    heap pressure, not plan cost — re-measure it in isolation;
-  *  - r03 note on q41/q26-class deltas: TrackedCaches now releases each
-  *    query's persisted intermediates after its drain, so queries no
-  *    longer ride earlier queries' leaked caches (r02's q41 "3.5 s"
-  *    reused q26's still-cached shingle sets; ~7 s is its honest
-  *    standalone cost, the number a production run would see);
+  *    whatever the previous query left behind;
+  *  - per-query GC time is recorded and emitted as a `gc` map (top-8,
+  *    >=100 ms) so a reader can tell heap pressure from a real plan
+  *    regression; `gc_total_ms` always reports the whole run;
+  *  - TrackedCaches releases each query's persisted intermediates after
+  *    its drain, so queries never ride earlier queries' leaked caches;
   *  - failures are loud: the query records value -1 and lands in "errors",
   *    never a silently-plausible timing.
+  *
+  * Self-adjudication (r06 item 2 lifted the cap): suspects — queries
+  * whose suite time exceeds their BENCH_FLOORS.json floor by the
+  * moderate-growth-with-GC or severe-growth triggers — are re-run in a
+  * FRESH post-suite session, worst ratio first, under a WALL BUDGET
+  * (SPARK_GRAFT_ISO_BUDGET_SEC, default 240 s) instead of the former
+  * `.take(6)` cap that let r06's s24/s29 ship unadjudicated. If the
+  * budget runs out mid-list the line says so ("iso_skipped":N) rather
+  * than silently dropping suspects. Floors self-maintain monotonically.
+  *
+  * JSON layout: the driver stores the LAST ~2000 chars of output, so the
+  * 270-entry queries map is emitted FIRST and the headline fields
+  * (metric/value/errors/sf) LAST — a truncated capture loses the oldest
+  * per-query entries, never the total (r06's headline total was cut).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
-      // realistic small-file open cost — see GraftSession.builder
-      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val isoBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_ISO_BUDGET_SEC", "240").toDouble
 
-    def drain(name: String): Unit =
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+        // realistic small-file open cost — see GraftSession.builder
+        .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    def drain(spark: SparkSession, name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       finally graft.operators.TrackedCaches.releaseAll()
-
-    // Warmup: a representative join+agg pipeline, untimed.
-    try drain("q07_region_nation_revenue")
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
@@ -70,34 +83,54 @@ object Bench {
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
     val gcStart = gcMillis()
-    val results = selected.map { name =>
-      val gc0 = gcMillis()
-      try {
-        val times = (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
-          drain(name)
-          (System.nanoTime() - t0) / 1e9
+
+    // Phase split: family -> (queries, warmup query for that family).
+    // Warmups come from the selected set's own family so a restricted
+    // run doesn't pay for (or fail on) an unrelated query.
+    val phases: Seq[(String, Seq[String], Option[String])] = Seq(
+      ("q", selected.filter(_.startsWith("q")),
+        Some("q07_region_nation_revenue").filter(_ => args.isEmpty)),
+      ("p", selected.filter(_.startsWith("p")), None),
+      ("s", selected.filter(_.startsWith("s")), None))
+
+    var phaseSecs = List.empty[(String, Double)]
+    val results = phases.flatMap { case (family, names, warmup) =>
+      if (names.isEmpty) Seq.empty
+      else {
+        val phaseT0 = System.nanoTime()
+        val spark = newSession()
+        warmup.foreach { w =>
+          try drain(spark, w)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
         }
-        (name, times.min, gcMillis() - gc0)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name
-          (name, -1.0, gcMillis() - gc0)
+        val rs = names.map { name =>
+          val gc0 = gcMillis()
+          try {
+            val times = (1 to iters).map { _ =>
+              val t0 = System.nanoTime()
+              drain(spark, name)
+              (System.nanoTime() - t0) / 1e9
+            }
+            (name, times.min, gcMillis() - gc0)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              errors ::= name
+              (name, -1.0, gcMillis() - gc0)
+          }
+        }
+        spark.stop()
+        phaseSecs ::= (family, (System.nanoTime() - phaseT0) / 1e9)
+        rs
       }
     }
-    // ---- self-adjudication (closes the r4/r5 manual-triage loop) ----
+
+    // ---- self-adjudication (wall-budgeted, no suspect cap) ----
     // BENCH_FLOORS.json records the best-known per-query seconds, flat
-    // keys "sf0.1/q01". A query whose time grew >1.5x over its floor AND
-    // whose GC burned >=10% of its wall time smells like suite-run heap
-    // contention, not plan cost — re-run it once after the suite (post-
-    // suite heap, same min-of-iters protocol) and emit BOTH numbers
-    // ("q38":4.15,"q38_iso":1.74) so the adjudication is in the line
-    // itself. Floors self-maintain: every run lowers them monotonically.
+    // keys "sf0.1/q01". Floors self-maintain: every run lowers them
+    // monotonically (best of suite run, iso re-run, old floor).
     val sfKey = new java.io.File(sfDir).getName
-    // anchored via env when the bench runs outside the repo root —
-    // a CWD-relative miss would silently disable adjudication AND
-    // write a stray floors file
     val floorsFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_FLOORS", "BENCH_FLOORS.json"))
     val floorRe = """"([^"]+)":([0-9.]+)""".r
@@ -109,24 +142,35 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         finally src.close()
       }
-    // Two triggers (r6 widened): (a) moderate growth (>1.5x floor) with
-    // GC >=10% of wall — the classic heap-contention smell; (b) SEVERE
-    // growth (>3x floor) regardless of GC — r6's q107 ran 16x its floor
-    // in-suite with low GC (scheduler/cache contention, 5.3 s cold in a
-    // fresh JVM) and the GC-gated trigger never re-adjudicated it.
+    // Two triggers (r6): (a) moderate growth (>1.5x floor) with GC >=10%
+    // of wall — the classic heap-contention smell; (b) SEVERE growth
+    // (>3x floor) regardless of GC — r6's q107 ran 16x its floor in-suite
+    // with low GC and the GC-gated trigger never re-adjudicated it.
     val suspects = results.filter { case (name, v, g) =>
       v >= 0 && floors.get(s"$sfKey/${name.takeWhile(_ != '_')}")
         .exists(fl => (v > fl * 1.5 && g >= v * 1000 * 0.10) || v > fl * 3.0)
-    }.sortBy { case (name, v, _) => // worst ratios first, then cap
+    }.sortBy { case (name, v, _) => // worst ratios first
       -(v / floors.getOrElse(s"$sfKey/${name.takeWhile(_ != '_')}", v))
-    }.take(6) // bound the extra wall time on a badly-contended run
-    val isoResults = suspects.map { case (name, _, _) =>
-      val t =
-        try (1 to iters).map { _ =>
-          val t0 = System.nanoTime(); drain(name); (System.nanoTime() - t0) / 1e9
-        }.min
-        catch { case _: Throwable => -1.0 }
-      (name.takeWhile(_ != '_'), t)
+    }
+    var isoSkipped = 0
+    val isoResults = if (suspects.isEmpty) Seq.empty else {
+      val isoSpark = newSession() // fresh post-suite session
+      val isoT0 = System.nanoTime()
+      val rs = suspects.flatMap { case (name, _, _) =>
+        if ((System.nanoTime() - isoT0) / 1e9 > isoBudgetSec) {
+          isoSkipped += 1; None
+        } else {
+          val t =
+            try (1 to iters).map { _ =>
+              val t0 = System.nanoTime(); drain(isoSpark, name)
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            catch { case _: Throwable => -1.0 }
+          Some((name.takeWhile(_ != '_'), t))
+        }
+      }
+      isoSpark.stop()
+      rs
     }
     // floors: keep the best of (old floor, this run, isolated re-run)
     val isoMap = isoResults.toMap
@@ -138,14 +182,9 @@ object Bench {
     }
 
     // Keys are shortened to the qNN/sNN/pNN prefix and times rounded to
-    // ms so the whole line stays well inside the driver's 2000-char
-    // output-tail capture — r01–r03 emitted full names and the line got
-    // truncated, leaving the per-query numbers unparseable driver-side.
-    // Locale.ROOT: the f-interpolator honors the JVM default locale and
-    // would emit comma decimals (invalid JSON) on e.g. de_DE containers
-    // 2 decimals: 10 ms granularity is enough to adjudicate any plan
-    // regression, and the saved char-per-query keeps the 92-query line
-    // inside the driver's 2000-char tail capture with margin
+    // ms to keep the line compact. Locale.ROOT: the f-interpolator honors
+    // the JVM default locale and would emit comma decimals (invalid JSON)
+    // on e.g. de_DE containers.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
@@ -157,8 +196,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val gcTotal = gcMillis() - gcStart
-    // top-8 noisiest only: at 91 queries a contended run could otherwise
-    // push dozens of ≥100 ms entries and blow the ~1.8 kB line budget
+    // top-8 noisiest only: a contended run could otherwise push dozens of
+    // >=100 ms entries and blow the line budget
     val gcJson = results
       .collect { case (k, _, g) if g >= 100 => (k.takeWhile(_ != '_'), g) }
       .sortBy(-_._2).take(8).sortBy(_._1)
@@ -166,7 +205,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted
       .map(e => "\"" + e.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"gc":$gcJson,"gc_total_ms":$gcTotal,"errors":$errJson,"sf":"$sfDir"}""")
+    val phaseJson = phaseSecs.reverse
+      .map { case (f, v) => "\"" + f + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val isoSkippedField =
+      if (isoSkipped > 0) s""","iso_skipped":$isoSkipped""" else ""
+    // summary fields LAST — see layout note in the scaladoc
+    println(s"""{"queries":$qs,"gc":$gcJson,"gc_total_ms":$gcTotal,"phase_sec":$phaseJson$isoSkippedField,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}}""")
     try {
       val merged = (floors ++ floorUpdates).toSeq.sorted
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -175,6 +220,5 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] floor update failed: ${e.getMessage}")
     }
-    spark.stop()
   }
 }

@@ -283,11 +283,20 @@ object Dedup {
       WHERE inter * 5 >= uni * 4
       ORDER BY id_a, id_b"""))
 
-  /** DuckDB CTE chain producing the same verified pair stream (brute-force
-    * all-pairs verify — oracle-side code over small fixtures, not the
-    * engine's plan); ends with a `pairs(id_a, id_b, inter, uni)` CTE. */
+  /** DuckDB CTE chain producing the same verified pair stream; ends with a
+    * `pairs(id_a, id_b, inter, uni)` CTE.
+    *
+    * Candidate generation is PREFIX FILTERING (rare-first order, prefix
+    * length |s|−⌈0.6|s|⌉+1, plus the 5·min ≥ 3·max length bound) — an
+    * EXACT-complete candidate set for J ≥ 0.6, not the engine's
+    * probabilistic LSH banding, so oracle independence is preserved while
+    * the sf0.1 run stays tractable (the former all-pairs join was
+    * quadratic by construction and timed out there). MATERIALIZED pins
+    * each stage against DuckDB's exponential CTE inlining. Completeness
+    * is additionally probed against a brute-force stratified subsample by
+    * scripts/oracle_completeness.py. */
   private val duckPairsCtes: String = """
-        corpus AS (
+        corpus AS MATERIALIZED (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 200000, regexp_replace(text, ' \S+$', '')
@@ -297,13 +306,27 @@ object Dedup {
                  list_distinct(list_transform(range(1, len(w) - 1),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
                FROM toks WHERE len(w) >= 3),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 len(list_intersect(a.s, b.s)) AS inter,
-                 len(list_distinct(list_concat(a.s, b.s))) AS uni
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE 5 * len(list_intersect(a.s, b.s))
-                >= 3 * len(list_distinct(list_concat(a.s, b.s))))"""
+        tok2 AS MATERIALIZED (SELECT doc_id, unnest(s) AS t FROM sh),
+        freq AS MATERIALIZED (SELECT t, COUNT(*) AS f FROM tok2 GROUP BY t),
+        sorted AS MATERIALIZED (
+          SELECT doc_id, list(t ORDER BY f, t) AS st, COUNT(*) AS n
+          FROM tok2 JOIN freq USING (t) GROUP BY doc_id),
+        pref AS MATERIALIZED (
+          SELECT doc_id, n,
+                 unnest(list_slice(st, 1, n - (3*n + 4)//5 + 1)) AS pt
+          FROM sorted),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pref a JOIN pref b ON a.pt = b.pt AND a.doc_id < b.doc_id
+          WHERE 5 * b.n >= 3 * a.n AND 5 * a.n >= 3 * b.n),
+        pairs AS MATERIALIZED (
+          SELECT id_a, id_b,
+                 len(list_intersect(sa.st, sb.st)) AS inter,
+                 len(list_distinct(list_concat(sa.st, sb.st))) AS uni
+          FROM cand JOIN sorted sa ON sa.doc_id = cand.id_a
+                    JOIN sorted sb ON sb.doc_id = cand.id_b
+          WHERE 5 * len(list_intersect(sa.st, sb.st))
+                >= 3 * len(list_distinct(list_concat(sa.st, sb.st))))"""
 
   val all: Seq[QueryDef] = Seq(
 

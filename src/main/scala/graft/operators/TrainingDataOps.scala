@@ -722,16 +722,33 @@ object TrainingDataOps {
         sh AS (SELECT doc_id,
                  list_distinct(list_transform(range(1, len(w) - 1),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
-               FROM toks WHERE len(w) >= 3)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               FROM toks WHERE len(w) >= 3),
+        tok2 AS MATERIALIZED (SELECT doc_id, unnest(s) AS t FROM sh),
+        freq AS MATERIALIZED (SELECT t, COUNT(*) AS f FROM tok2 GROUP BY t),
+        sorted AS MATERIALIZED (
+          SELECT doc_id, list(t ORDER BY f, t) AS st, COUNT(*) AS n
+          FROM tok2 JOIN freq USING (t) GROUP BY doc_id),
+        pref AS MATERIALIZED (
+          SELECT doc_id, n,
+                 unnest(list_slice(st, 1, n - (3*n + 4)//5 + 1)) AS pt
+          FROM sorted),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pref a JOIN pref b
+            ON a.pt = b.pt AND a.doc_id < 200000 AND b.doc_id >= 200000
+          WHERE 5 * b.n >= 3 * a.n AND 5 * a.n >= 3 * b.n),
+        verified AS (
+          SELECT id_a, id_b
+          FROM cand JOIN sorted sa ON sa.doc_id = cand.id_a
+                    JOIN sorted sb ON sb.doc_id = cand.id_b
+          WHERE 5 * len(list_intersect(sa.st, sb.st))
+                >= 3 * len(list_distinct(list_concat(sa.st, sb.st))))
+        SELECT id_a, id_b,
                sa.split AS split_a, sb.split AS split_b,
                (sa.split <> sb.split) AS leaks
-        FROM sh a JOIN sh b
-          ON a.doc_id < 200000 AND b.doc_id >= 200000
-        JOIN sp sa ON sa.doc_id = a.doc_id
-        JOIN sp sb ON sb.doc_id = b.doc_id
-        WHERE 5 * len(list_intersect(a.s, b.s))
-              >= 3 * len(list_distinct(list_concat(a.s, b.s)))
+        FROM verified
+        JOIN sp sa ON sa.doc_id = id_a
+        JOIN sp sb ON sb.doc_id = id_b
         ORDER BY id_a, id_b""")),
 
     // ---------------------------------------------------------------- q86
