@@ -916,5 +916,163 @@ object Dedup {
         FROM pairs
         GROUP BY s1, s2
         ORDER BY s1, s2"""))
+  ,
+
+    // --------------------------------------------------------------- q231
+    // URL canonicalization + host-level dedup — the curation operator a
+    // web-scale corpus hits before any content dedup: the same page
+    // arrives under scheme/host-case variants, a www. prefix, a
+    // trailing slash, shuffled query-parameter order, and tracking
+    // params (utm_*, ref=). The fixture has no URL column, so both
+    // engines derive the same deterministic raw URL per doc (case /
+    // slash / param-order / tracking noise keyed off doc_id) and the
+    // OPERATOR is the canonicalizer: lowercase scheme+host, strip www.,
+    // strip the trailing slash, drop tracking params, sort the rest.
+    // Output is the per-host concentration report (the CommonCrawl
+    // head-host problem): rows, distinct canonical URLs, dup ratio,
+    // corpus share. 100 TB shape: canonicalization is a narrow
+    // codegen'd map (parse_url + HOFs over a handful of params); the
+    // rollup keys on host (bounded domain) and the corpus total is a
+    // single-row broadcast — one exchange end to end.
+    QueryDef(
+      "q231_url_canonicalize_host_dedup",
+      (s, dir) => {
+        val raw = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+          .withColumn("url", expr("""
+            concat(
+              CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END,
+              '://',
+              CASE WHEN doc_id % 3 = 0
+                   THEN upper(concat('www.', source, '.example.com'))
+                   ELSE concat(source, '.example.com') END,
+              '/docs/', doc_id % 10,
+              CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+              '?',
+              CASE WHEN doc_id % 2 = 1
+                   THEN concat('b=', lang, '&a=', doc_id % 7,
+                               '&utm_source=feed&ref=r', doc_id)
+                   ELSE concat('a=', doc_id % 7, '&utm_source=feed&b=',
+                               lang, '&ref=r', doc_id) END)"""))
+        val canon = raw
+          .withColumn("host", expr(
+            "regexp_replace(lower(parse_url(url, 'HOST')), '^www\\\\.', '')"))
+          .withColumn("path", expr(
+            "regexp_replace(parse_url(url, 'PATH'), '/$', '')"))
+          .withColumn("q", expr("""
+            array_join(array_sort(filter(split(parse_url(url, 'QUERY'), '&'),
+              p -> NOT (p LIKE 'utm\\_%' OR p LIKE 'ref=%'))), '&')"""))
+          .select(col("host"),
+            concat(lit("https://"), col("host"), col("path"), lit("?"), col("q"))
+              .as("canon_url"))
+        val total = canon.agg(count(lit(1)).as("n_corpus"))
+        canon.groupBy("host")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct("canon_url").as("n_canonical"))
+          .crossJoin(broadcast(total))
+          .select(col("host"), col("n_urls"), col("n_canonical"),
+            (col("n_urls") - col("n_canonical")).as("n_dup"),
+            expr("(n_urls - n_canonical) * 1000 div n_urls").as("dup_permille"),
+            expr("n_urls * 1000000 div n_corpus").as("share_ppm"))
+          .orderBy("host")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 concat(
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END,
+                   '://',
+                   CASE WHEN doc_id % 3 = 0
+                        THEN upper(concat('www.', source, '.example.com'))
+                        ELSE concat(source, '.example.com') END,
+                   '/docs/', CAST(doc_id % 10 AS VARCHAR),
+                   CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                   '?',
+                   CASE WHEN doc_id % 2 = 1
+                        THEN concat('b=', lang, '&a=',
+                               CAST(doc_id % 7 AS VARCHAR),
+                               '&utm_source=feed&ref=r',
+                               CAST(doc_id AS VARCHAR))
+                        ELSE concat('a=', CAST(doc_id % 7 AS VARCHAR),
+                               '&utm_source=feed&b=', lang,
+                               '&ref=r', CAST(doc_id AS VARCHAR)) END)
+                   AS url
+          FROM documents),
+        canon AS (
+          SELECT regexp_replace(lower(regexp_extract(url, '://([^/?]+)', 1)),
+                                '^www\.', '') AS host,
+                 concat(
+                   'https://',
+                   regexp_replace(lower(regexp_extract(url, '://([^/?]+)', 1)),
+                                  '^www\.', ''),
+                   regexp_replace(regexp_extract(url, '://[^/?]+([^?]*)', 1),
+                                  '/$', ''),
+                   '?',
+                   array_to_string(list_sort(list_filter(
+                     string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+                     p -> NOT (p LIKE 'utm\_%' OR p LIKE 'ref=%'))), '&'))
+                   AS canon_url
+          FROM raw),
+        tot AS (SELECT COUNT(*) AS n_corpus FROM canon)
+        SELECT host,
+               COUNT(*) AS n_urls,
+               CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_canonical,
+               COUNT(*) - COUNT(DISTINCT canon_url) AS n_dup,
+               (COUNT(*) - COUNT(DISTINCT canon_url)) * 1000 // COUNT(*)
+                 AS dup_permille,
+               COUNT(*) * 1000000 // (SELECT n_corpus FROM tot) AS share_ppm
+        FROM canon
+        GROUP BY host
+        ORDER BY host"""))
+  ,
+
+    // --------------------------------------------------------------- q233
+    // Host-cap sampling — q231's enforcement twin: after the host
+    // concentration report, a curation run CAPS each host's
+    // contribution (the head-host problem: a handful of domains would
+    // otherwise dominate the training mix). Each host keeps at most 15
+    // docs, elected by smallest content fingerprint (graft_polyhash —
+    // content-derived, seed-free, repartition-stable; the q67
+    // discipline), tie-broken by doc_id. The rank<=K filter plans as
+    // WindowGroupLimit, so each task retains only its top 15 per host
+    // map-side — per-host state is bounded at K rows however hot the
+    // host. Output: per-host admission audit with an exact kept-id
+    // checksum (a wrong keep-set cannot hash-match).
+    QueryDef(
+      "q233_host_cap_sample",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val d = docs(s, dir)
+          .withColumn("host", concat(col("source"), lit(".example.com")))
+          .withColumn("fp", call_function("graft_polyhash", col("text")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("host").orderBy("fp", "doc_id")
+        d.withColumn("rk", row_number().over(w))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_total"),
+            expr("count_if(rk <= 15)").as("n_kept"),
+            sum(when(col("rk") <= 15, col("doc_id"))).as("kept_id_sum"))
+          .orderBy("host")
+      },
+      Some("""
+        WITH fp AS (
+          SELECT doc_id, source || '.example.com' AS host,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+          FROM documents),
+        r AS (
+          SELECT doc_id, host,
+                 row_number() OVER (PARTITION BY host ORDER BY fp, doc_id) AS rk
+          FROM fp)
+        SELECT host, COUNT(*) AS n_total,
+               CAST(count_if(rk <= 15) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rk <= 15 THEN doc_id END) AS BIGINT)
+                 AS kept_id_sum
+        FROM r
+        GROUP BY host
+        ORDER BY host"""))
   ) :+ snmQuery
 }

@@ -1311,5 +1311,99 @@ object TrainingDataOps {
         FROM sc
         GROUP BY doc_id, source
         ORDER BY doc_id"""))
+  ,
+
+    // --------------------------------------------------------------- q232
+    // INCREMENTAL decontamination — q66 ∘ q107's delta pattern: q66
+    // re-scans the full corpus per benchmark release; a production
+    // pipeline decontaminates deltas. Standing state: the base corpus's
+    // distinct-5-gram index and the v1 benchmark's verdicts against it.
+    // Two deltas arrive in one tick: a NEW CORPUS BATCH (docs with
+    // doc_id % 4 = 1) and a NEW BENCHMARK RELEASE (v2, the 17-stride
+    // slice). The delta algebra touches only deltas:
+    //   - standing v1 grams that MISSED the base index probe the batch
+    //     grams (hits can only grow; base-hit instances never re-probe);
+    //   - v2 grams probe the standing index, and only its misses probe
+    //     the batch grams;
+    // so per-tick join work is O(|batch grams| + |new bench grams| +
+    // |standing misses|), never O(corpus). The oracle is the FULL
+    // RECOMPUTE (v1 ∪ v2 against base ∪ batch), so a missing delta term
+    // cannot hash-match. 100 TB shape: the standing gram index is a
+    // persisted artifact bucketed by gram (here: a cached frame); both
+    // probes are semi joins on the gram key; the bench side is tiny and
+    // broadcast-eligible.
+    QueryDef(
+      "q232_incremental_decontamination",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val d = Tables(s, dir, "documents")
+        def grams(df: org.apache.spark.sql.DataFrame, idCols: Seq[String]) =
+          df.select(idCols.map(col) :+
+            explode(call_function("graft_word_ngrams", col("text"), lit(5))).as("g"): _*)
+        val base = d.filter(col("doc_id") % 4 =!= 1)
+        val batch = d.filter(col("doc_id") % 4 === 1)
+        val benchV1 = d.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("bench_id"), lit("v1").as("release"),
+            concat_ws(" ", slice(split(col("text"), " "), 6, 20)).as("text"))
+        val benchV2 = d.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id").as("bench_id"), lit("v2").as("release"),
+            concat_ws(" ", slice(split(col("text"), " "), 10, 20)).as("text"))
+        // standing index + delta index (distinct gram keys only)
+        val baseGrams = TrackedCaches.track(
+          grams(base, Seq("doc_id")).select("g").distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val batchGrams = grams(batch, Seq("doc_id")).select("g").distinct()
+        def verdicts(bench: org.apache.spark.sql.DataFrame) = {
+          val bg = TrackedCaches.track(
+            grams(bench, Seq("bench_id", "release"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          // hit-in-base instances settle against the standing index;
+          // ONLY the misses re-probe the delta
+          val hitBase = bg.join(baseGrams, Seq("g"), "left_semi")
+          val missBase = bg.join(baseGrams, Seq("g"), "left_anti")
+          val hitBatch = missBase.join(batchGrams, Seq("g"), "left_semi")
+          val hits = hitBase.unionByName(hitBatch)
+            .groupBy("bench_id", "release").agg(count(lit(1)).as("n_hit"))
+          bg.groupBy("bench_id", "release").agg(count(lit(1)).as("n_grams"))
+            .join(hits, Seq("bench_id", "release"), "left")
+            .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        }
+        verdicts(benchV1).unionByName(verdicts(benchV2))
+          .withColumn("hit_permille", expr("n_hit * 1000 div n_grams"))
+          .withColumn("contaminated", col("hit_permille") > 500)
+          .orderBy("release", "bench_id")
+      },
+      Some("""
+        WITH bench AS (
+          SELECT doc_id AS bench_id, 'v1' AS release,
+                 array_to_string(string_split(text, ' ')[6:25], ' ') AS text
+          FROM documents WHERE doc_id % 13 = 0
+          UNION ALL
+          SELECT doc_id, 'v2',
+                 array_to_string(string_split(text, ' ')[10:29], ' ')
+          FROM documents WHERE doc_id % 17 = 0),
+        bgrams AS (
+          SELECT bench_id, release,
+                 UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                             ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM (SELECT bench_id, release, string_split(text, ' ') AS ws
+                FROM bench)),
+        cgrams AS (
+          SELECT DISTINCT UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                             ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+        agg AS (
+          SELECT bench_id, release,
+                 COUNT(*) AS n_grams,
+                 COUNT(CASE WHEN g IN (SELECT g FROM cgrams) THEN 1 END) AS n_hit
+          FROM bgrams
+          GROUP BY bench_id, release)
+        SELECT bench_id, release, n_grams, n_hit,
+               n_hit * 1000 // n_grams AS hit_permille,
+               (n_hit * 1000 // n_grams) > 500 AS contaminated
+        FROM agg
+        ORDER BY release, bench_id"""))
   )
 }

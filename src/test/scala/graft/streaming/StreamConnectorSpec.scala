@@ -55,9 +55,26 @@ class StreamConnectorSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       source(spark, KafkaJobSource("jobs", "broker:9092", "g1"))
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.toLowerCase.contains("kafka")),
       s"expected a missing-kafka-data-source failure, got: ${msgs(e)}")
   }
+
+  test("the Kafka DLQ sink branch constructs format(kafka) and fails loudly without the jar") {
+    // The write path must hit the same wall: a future spark-sql-kafka jar
+    // drop turns BOTH seam branches green with zero code changes, and
+    // until then neither can silently route DLQ records to the file
+    // stand-in. The serialization projection (record → to_json value)
+    // builds before the format lookup, so the failure proves the real
+    // sink plan was constructed, options and all.
+    import spark.implicits._
+    val dlq = Seq(("m1", "parse_error", 0L)).toDF("message_id", "error", "retry_count")
+    val e = intercept[Exception] {
+      writeDlq(dlq, KafkaDlqSink("jobs_dlq", "broker:9092", 10), batchId = 0L)
+    }
+    assert(msgs(e).exists(_.toLowerCase.contains("kafka")),
+      s"expected a missing-kafka-data-source failure, got: ${msgs(e)}")
+  }
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
 }

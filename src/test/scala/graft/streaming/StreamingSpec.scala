@@ -731,4 +731,79 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop(); q.stop() // second stop must not throw
     assert(!q.isActive)
   }
+
+  test("sustained multi-trigger load: state stays watermark-bounded, latency flat") {
+    // The AvailableNow drains behind every s-query see each file once and
+    // stop — they cannot observe state LEAKAGE over a long run. This is
+    // the streaming twin of ScaleSpec's 10× batch probe: 24 single-file
+    // triggers through the s19 shape (dedup-within-watermark chained into
+    // a windowed agg), event time advancing 1 h per batch with 50 fresh
+    // keys each, watermark 2 h. If eviction works, steady-state dedup
+    // rows ≈ (watermark span + lag) × keys/batch regardless of run
+    // length; if it leaks, state grows linearly to 1 200 and the bound
+    // below trips. Per-batch duration must also stay flat — linear state
+    // growth shows up as monotonically growing batch times long before
+    // memory dies at 100 TB.
+    val land = base.resolve("rate-land"); Files.createDirectories(land)
+    val sink = base.resolve("rate-sink"); val cp = base.resolve("rate-cp")
+    val h = 3600L * 1000000L
+    val nBatches = 24; val keysPerBatch = 50
+    // +24 h base: a row at exactly epoch 0 ties the initial watermark
+    // and is dropped as late — an artifact of the synthetic clock, not
+    // a state property
+    for (b <- 0 until nBatches) {
+      val lines = (0 until keysPerBatch).map { k =>
+        s"""{"id":"u${b}_$k","ts_us":${(b + 24) * h + k}}"""
+      }
+      val p = land.resolve(f"b$b%03d.jsonl")
+      Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis((b + 1) * 1000000L))
+    }
+    val q = spark.readStream
+      .schema("id STRING, ts_us BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .json(land.toString)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "2 hours")
+      .dropDuplicatesWithinWatermark("id")
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("parquet")
+      .option("path", sink.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progresses = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progresses.length >= nBatches - 1,
+      s"expected ~$nBatches single-file triggers, saw ${progresses.length}")
+    // (a) state bounded by the watermark, not the run length: the dedup
+    // store holds the 2 h watermark span + the open hour + two batches
+    // of watermark lag ≈ 6 batches × 50 keys = ~300 rows at steady state
+    // (measured 303 incl. the window-agg rows, CONSTANT across run
+    // length); 8 batches' worth is the ceiling, still 3× below the
+    // leak asymptote (24 × 50)
+    val maxStateRows = progresses.map(_.stateOperators.map(_.numRowsTotal).sum).max
+    assert(maxStateRows <= 8L * keysPerBatch,
+      s"state grew past the watermark bound: $maxStateRows rows " +
+        s"(leak asymptote would be ${nBatches * keysPerBatch})")
+    // (b) per-batch latency flat: with bounded state the tail batches run
+    // at the same cost as the head; a leak shows up as monotonic growth.
+    // Loose 4× bound — this adjudicates growth, not scheduler jitter.
+    val durs = progresses.map(_.batchDuration.toDouble)
+    val head = durs.slice(2, 10); val tail = durs.takeRight(8)
+    assert(tail.sum / tail.length < 4.0 * (head.sum / head.length),
+      s"per-batch latency grew across the run: head=${head.mkString(",")} " +
+        s"tail=${durs.takeRight(8).mkString(",")}")
+    // (c) the drain still emits the right answer: every window whose end
+    // cleared the final watermark (max event − 2 h) closed with exactly
+    // keysPerBatch rows
+    val rows = spark.read.parquet(sink.toString)
+      .select(expr("unix_micros(window.start) div 3600000000").as("hr"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.length >= nBatches - 4 && rows.forall(_._2 == keysPerBatch),
+      s"windowed counts wrong: ${rows.map { case (h0, n) => s"$h0:$n" }.mkString(",")}")
+  }
 }
