@@ -324,5 +324,96 @@ object GraphOps {
         SELECT * FROM ($sels) t
         ORDER BY round"""
       })
+  ,
+
+    // --------------------------------------------------------------- q234
+    // BFS hop levels over the co-purchase graph — the reachability
+    // primitive under "how many hops away is this product from the
+    // catalog's core?" and the fourth classic iterative-graph shape
+    // next to PageRank (q106), components (q50) and k-core (q192).
+    // Edges are q115's part-pair stream thresholded at support ≥ 2,
+    // undirected; the source is the minimum part id in the edge set
+    // (a driver scalar, q106's nNodes discipline). Four frontier
+    // rounds: each expands frontier∘edges, anti-joins the settled set,
+    // and persists the (tiny) frontier — the EDGE LIST NEVER MOVES,
+    // each round shuffles frontier-sized (node) keys only, and the
+    // level a node gets is minimal by construction (settled nodes are
+    // never relabeled). Output is the per-level audit (count, id range,
+    // exact id checksum) so a single wrong frontier cannot hash-match.
+    // The oracle walks the same graph as a bounded recursive CTE and
+    // takes MIN(level) per node.
+    QueryDef(
+      "q234_copurchase_bfs",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val items = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = items.as("a"); val b = items.as("b")
+        val pairs = a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select("u", "v")
+        val edges = TrackedCaches.track(
+          pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+            .persist(MEMORY_AND_DISK))
+        val startRow = edges.agg(min("u")).head()
+        if (startRow.isNullAt(0)) {
+          // no edge clears the support threshold at this SF — the audit
+          // is empty, exactly as the oracle's empty recursion yields
+          import s.implicits._
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("lvl", "n_nodes", "min_node", "max_node", "node_id_sum")
+        } else {
+          val start = startRow.getLong(0)
+          import s.implicits._
+          var levels: DataFrame = TrackedCaches.track(
+            Seq((start, 0L)).toDF("node", "lvl").persist(MEMORY_AND_DISK))
+          var frontier = levels
+          for (l <- 1 to 4) {
+            val next = TrackedCaches.track(
+              frontier.join(edges, col("node") === col("u"))
+                .select(col("v").as("node")).distinct()
+                .join(levels.select("node"), Seq("node"), "left_anti")
+                .withColumn("lvl", lit(l.toLong))
+                .persist(MEMORY_AND_DISK))
+            levels = TrackedCaches.track(
+              levels.unionByName(next).persist(MEMORY_AND_DISK))
+            frontier = next
+          }
+          levels.groupBy("lvl")
+            .agg(count(lit(1)).as("n_nodes"),
+              min("node").as("min_node"), max("node").as("max_node"),
+              sum("node").as("node_id_sum"))
+            .orderBy("lvl")
+        }
+      },
+      Some("""
+        WITH RECURSIVE items AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        p AS MATERIALIZED (
+          SELECT a.pk AS u, b.pk AS v
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2),
+        e AS MATERIALIZED (
+          SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        s AS (SELECT MIN(u) AS sn FROM e WHERE u IS NOT NULL),
+        reach AS (
+          SELECT sn AS node, 0 AS lvl FROM s WHERE sn IS NOT NULL
+          UNION
+          SELECT e.v, r.lvl + 1
+          FROM reach r JOIN e ON e.u = r.node
+          WHERE r.lvl < 4),
+        lv AS (SELECT node, MIN(lvl) AS lvl FROM reach GROUP BY node)
+        SELECT CAST(lvl AS BIGINT) AS lvl,
+               COUNT(*) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(MAX(node) AS BIGINT) AS max_node,
+               CAST(SUM(node) AS BIGINT) AS node_id_sum
+        FROM lv
+        GROUP BY lvl
+        ORDER BY lvl"""))
   )
 }

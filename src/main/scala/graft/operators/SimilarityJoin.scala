@@ -202,5 +202,71 @@ object SimilarityJoin {
                / (sqrt(list_sum(list_transform(x.e, v -> v * v)))
                   * sqrt(list_sum(list_transform(y.e, v -> v * v))))) >= 0.99
         ORDER BY id_a, id_b"""))
+  ,
+
+    // --------------------------------------------------------------- q235
+    // Excerpt / quotation detection — the ASYMMETRIC twin of the
+    // Jaccard joins: a short probe (a benchmark item, a quoted passage)
+    // is "contained" in a source doc when ≥ 80% of the probe's 3-gram
+    // shingles appear in the doc — containment C(e,d) = |G(e)∩G(d)| /
+    // |G(e)|, the directional overlap Jaccard under-scores when the
+    // sizes are lopsided (a 20-word quote inside a 300-word page has
+    // J ≈ 0.06 but C = 1.0). This is q66's decontamination signal
+    // upgraded from boolean hit-rate to scored pair output. Probes are
+    // planted: every 11th doc's words 11–30 re-enter as an excerpt
+    // under id+500000, which must land on its source at C = 1000‰.
+    // Scale shape: NO list verify and NO pairing hint — the exact
+    // intersection count IS the gram equi-join aggregated per
+    // (excerpt, doc), so the shuffle carries gram keys, candidate
+    // fan-out is bounded by per-gram document frequency (at web scale
+    // you'd cap DF, the CCNet discipline), and the probe side is tiny.
+    QueryDef(
+      "q235_excerpt_containment_join",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val d = Tables(s, dir, "documents").select("doc_id", "text")
+        val ex = d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 500000).as("eid"),
+            concat_ws(" ", slice(split(col("text"), " "), 11, 20)).as("text"))
+        val eg = ex.select(col("eid"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(3))).as("g"))
+          .distinct()
+        val cg = d.select(col("doc_id"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(3))).as("g"))
+          .distinct()
+        val inter = eg.join(cg, "g")
+          .groupBy("eid", "doc_id").agg(count(lit(1)).as("inter"))
+        val ng = eg.groupBy("eid").agg(count(lit(1)).as("n_grams"))
+        inter.join(ng, "eid")
+          .filter(col("inter") * 5 >= col("n_grams") * 4)
+          .select(col("eid"), col("doc_id"), col("n_grams"), col("inter"),
+            expr("inter * 1000 div n_grams").as("containment_permille"))
+          .orderBy("eid", "doc_id")
+      },
+      Some("""
+        WITH ex AS (
+          SELECT doc_id + 500000 AS eid,
+                 array_to_string(string_split(text, ' ')[11:30], ' ') AS text
+          FROM documents WHERE doc_id % 11 = 0),
+        eg AS (
+          SELECT DISTINCT eid,
+                 UNNEST(list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+          FROM (SELECT eid, string_split(text, ' ') AS ws FROM ex)),
+        cg AS (
+          SELECT DISTINCT doc_id,
+                 UNNEST(list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        inter AS (
+          SELECT eid, doc_id, COUNT(*) AS inter
+          FROM eg JOIN cg USING (g)
+          GROUP BY eid, doc_id),
+        ng AS (SELECT eid, COUNT(*) AS n_grams FROM eg GROUP BY eid)
+        SELECT inter.eid, doc_id, n_grams, inter,
+               inter * 1000 // n_grams AS containment_permille
+        FROM inter JOIN ng ON inter.eid = ng.eid
+        WHERE inter * 5 >= n_grams * 4
+        ORDER BY inter.eid, doc_id"""))
   )
 }

@@ -1405,5 +1405,63 @@ object TrainingDataOps {
                (n_hit * 1000 // n_grams) > 500 AS contaminated
         FROM agg
         ORDER BY release, bench_id"""))
+  ,
+
+    // --------------------------------------------------------------- q236
+    // Largest-remainder (Hamilton) quota allocation — the integer-exact
+    // answer to "split a 1000-doc eval budget across sources
+    // proportionally": floating 'n·N/T rounded' quotas famously fail to
+    // sum to N (the apportionment paradox); the largest-remainder
+    // method floors every quota (n·N div T), then hands the leftover
+    // seats one each to the largest remainders (source asc on ties), so
+    // Σ final = N EXACTLY and both engines agree bit-for-bit — no float
+    // ever computed. The whole allocation lives on the SOURCE-level
+    // frame (bounded cardinality — it does not grow with SF), so the
+    // one all-rows remainder-rank window and the two single-row
+    // broadcast totals are metadata-sized at any corpus scale; the only
+    // corpus-wide work is the per-source count.
+    QueryDef(
+      "q236_largest_remainder_allocation",
+      (s, dir) => {
+        val counts = Tables(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum("n").as("t"))
+        val based = counts.crossJoin(broadcast(tot))
+          .withColumn("base_quota", expr("n * 1000 div t"))
+          .withColumn("remainder", expr("n * 1000 % t"))
+        val leftover = based
+          .agg((lit(1000L) - sum("base_quota")).as("leftover"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("remainder").desc, col("source"))
+        based.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .select(col("source"), col("n"), col("base_quota"),
+            col("remainder"), col("extra"),
+            (col("base_quota") + col("extra")).as("final_quota"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+        based AS (
+          SELECT source, n,
+                 n * 1000 // t AS base_quota,
+                 n * 1000 % t AS remainder
+          FROM counts CROSS JOIN tot),
+        lo AS (SELECT 1000 - CAST(SUM(base_quota) AS BIGINT) AS leftover
+               FROM based),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rk
+          FROM based)
+        SELECT source, n, base_quota, remainder,
+               CAST(CASE WHEN rk <= (SELECT leftover FROM lo)
+                    THEN 1 ELSE 0 END AS BIGINT) AS extra,
+               base_quota + CASE WHEN rk <= (SELECT leftover FROM lo)
+                    THEN 1 ELSE 0 END AS final_quota
+        FROM ranked
+        ORDER BY source"""))
   )
 }
