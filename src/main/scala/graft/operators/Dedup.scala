@@ -1074,5 +1074,92 @@ object Dedup {
         FROM r
         GROUP BY host
         ORDER BY host"""))
+  ,
+
+    // --------------------------------------------------------------- q238
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS algorithm): the FOURTH blocking family after MinHash (q26),
+    // SimHash (q27) and prefix filtering (q41). Each document's word
+    // 3-gram hash sequence slides a w=4 window; the window MINIMUM is
+    // selected as a fingerprint (guarantee: any shared run of w+2 words
+    // shares a fingerprint), and the doc's distinct fingerprints form
+    // its signature. Near-dups = pairs whose fingerprint-set Jaccard
+    // ≥ 0.5, with the re-crawl corpus (suffix-dropped every 7th doc)
+    // planted to match. Hashes are md5-derived 60-bit ints (the q27
+    // discipline) so the oracle selects bit-identical fingerprints.
+    // Scale shape: the sliding min is a KEYED window over (doc, pos) —
+    // never global; candidates come from the fingerprint EQUI-join
+    // (bounded by per-fingerprint doc frequency, never all-pairs); and
+    // the exact intersection count IS the join aggregate (q235's
+    // no-list-verify trick) — union = |A|+|B|−∩ arrives by arithmetic.
+    QueryDef(
+      "q238_winnowing_fingerprints",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val corpus = nearCorpus(s, dir)
+        val grams = corpus.select(col("doc_id"),
+          posexplode(call_function("graft_word_ngrams", col("text"), lit(3)))
+            .as(Seq("pos", "g")))
+          .withColumn("gh", expr(
+            "cast(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
+        val wMin = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        val fps = TrackedCaches.track(grams
+          .withColumn("n", count(lit(1)).over(wCnt))
+          .withColumn("fp", min("gh").over(wMin))
+          .filter(col("pos") <= col("n") - 4) // full windows only
+          .select("doc_id", "fp").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+        val a = fps.select(col("doc_id").as("id_a"), col("fp"))
+        val b = fps.select(col("doc_id").as("id_b"), col("fp"))
+        a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("nf").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("nf").as("nb")), "id_b")
+          .filter(col("inter") * 3 >= col("na") + col("nb")) // J >= 0.5
+          .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+            expr("inter * 1000 div (na + nb - inter)").as("jaccard_permille"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH corpus AS MATERIALIZED (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, regexp_replace(text, ' \S+$', '')
+          FROM documents WHERE doc_id % 7 = 0),
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        grams AS (
+          SELECT doc_id, i.range - 1 AS pos,
+                 CAST(concat('0x', substr(md5(
+                   w[CAST(i.range AS INT)] || ' ' ||
+                   w[CAST(i.range AS INT) + 1] || ' ' ||
+                   w[CAST(i.range AS INT) + 2]), 1, 15)) AS BIGINT) AS gh
+          FROM ws CROSS JOIN range(1, 100000) i
+          WHERE i.range <= len(w) - 2),
+        fps AS MATERIALIZED (
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, pos,
+                   MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                     AS fp,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM grams) z
+          WHERE pos <= n - 4),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+                  FROM fps GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, sa.nf AS na, sb.nf AS nb,
+               inter * 1000 // (sa.nf + sb.nf - inter) AS jaccard_permille
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 3 >= sa.nf + sb.nf
+        ORDER BY id_a, id_b"""))
   ) :+ snmQuery
 }

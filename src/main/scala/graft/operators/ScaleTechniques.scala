@@ -1133,6 +1133,76 @@ object ScaleTechniques {
         FROM e
         GROUP BY CUBE (event_type, week)
         ORDER BY event_type, week"""))
+  ,
+
+    // --------------------------------------------------------------- q237
+    // KMV (k-minimum-values) distinct sketch — the third mergeable
+    // distinct estimator next to HLL (q111/q137) and exact bitmaps
+    // (q170): keep the k smallest hash values per group; the k-th
+    // smallest h_k estimates distinct = (k−1)·2⁶⁰ div h_k. The hash is
+    // md5-derived (q27's discipline — NOT xxhash64, precisely so the
+    // oracle folds the identical 60-bit integers), the estimate is
+    // integer-exact through DECIMAL(38)/HUGEINT ((k−1)·2⁶⁰ ≈ 1.7e19
+    // overflows BIGINT), and a group with < k distinct values reports
+    // exactly (the standard KMV small-cardinality path). Scale shape:
+    // the rank ≤ k filter plans as WindowGroupLimit, so every task
+    // keeps only its local k minima per group map-side — sketch-sized
+    // state, one exchange; the audit joins the exact count to report
+    // err_ppm, which a production rollup would drop.
+    QueryDef(
+      "q237_kmv_distinct_sketch",
+      (s, dir) => {
+        val k = 16
+        val d = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id")).distinct()
+          .withColumn("hv", expr(
+            "cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10) AS BIGINT)"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("hv", "user_id")
+        val ranked = d.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        val kth = ranked.filter(col("rk") === k)
+          .select(col("event_type"), col("hv").as("kth_hash"))
+        d.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+          .join(kth, Seq("event_type"), "left")
+          .withColumn("n_est", expr(
+            s"""CASE WHEN kth_hash IS NULL THEN n_exact
+                     ELSE cast(cast(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976
+                          div kth_hash AS BIGINT) END"""))
+          .select(col("event_type"), col("n_exact"),
+            coalesce(col("kth_hash"), lit(0L)).as("kth_hash"), col("n_est"),
+            expr("""cast(abs(cast(n_est AS DECIMAL(38,0)) - n_exact) * 1000000
+                         div n_exact AS BIGINT)""").as("err_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH d AS (
+          SELECT DISTINCT event_type, user_id FROM events),
+        h AS (
+          SELECT event_type, user_id,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS hv
+          FROM d),
+        ranked AS (
+          SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY hv, user_id) AS rk
+          FROM h),
+        kth AS (SELECT event_type, hv AS kth_hash FROM ranked WHERE rk = 16),
+        ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+               FROM d GROUP BY event_type),
+        est AS (
+          SELECT ex.event_type, n_exact,
+                 COALESCE(kth_hash, 0) AS kth_hash,
+                 CASE WHEN kth_hash IS NULL THEN n_exact
+                      ELSE CAST(CAST(15 AS HUGEINT) * 1152921504606846976
+                           // kth_hash AS BIGINT) END AS n_est
+          FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type)
+        SELECT event_type, n_exact, CAST(kth_hash AS BIGINT) AS kth_hash,
+               n_est,
+               CAST(abs(CAST(n_est AS HUGEINT) - n_exact) * 1000000
+                 // n_exact AS BIGINT) AS err_ppm
+        FROM est
+        ORDER BY event_type"""))
   )
 
   /** q140's pass-1: per-partition Misra-Gries summaries of size `m`,
