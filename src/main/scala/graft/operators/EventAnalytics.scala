@@ -1684,5 +1684,56 @@ object EventAnalytics {
                  CAST(COUNT(*) AS BIGINT) AS n_gaps
           FROM r)
         SELECT * FROM base CROSS JOIN med"""))
+  ,
+
+    // --------------------------------------------------------------- q239
+    // Peak concurrency per day — the interval-stabbing sweep behind
+    // "how many sessions were open at once?": each event opens a
+    // half-open 30-minute session [ts, ts+30m); the +1/−1 delta sweep
+    // nets per distinct instant, the GLOBAL running sum is the live
+    // concurrency at each instant, and each day reports its maximum
+    // plus the first instant achieving it. The global running sum is
+    // the classic global-window trap — here it rides the established
+    // two-pass range-partitioned prefix-sum (`Statistics.prefixSums`:
+    // per-partition cumsum under a pid-keyed window + a broadcast
+    // 32-row offset table; the only unkeyed window is bounded at the
+    // partition count). Net-per-instant makes tie order moot, so the
+    // sweep is deterministic without a secondary sort. Carry-over is
+    // exact: the running sum at a day's first instant already includes
+    // every session still open from prior days.
+    QueryDef(
+      "q239_peak_concurrency",
+      (s, dir) => {
+        val ev = graft.Tables.events(s, dir)
+        val deltas = ev.select(col("ts_us").as("t"), lit(1L).as("d"))
+          .unionByName(ev.select((col("ts_us") + 1800000000L).as("t"),
+            lit(-1L).as("d")))
+          .groupBy("t").agg(sum("d").as("d"))
+        val cum = Statistics.prefixSums(deltas, "t", Seq("d"))
+        val byDay = TrackedCaches.track(
+          cum.select(expr("t div 86400000000").as("day"), col("t"),
+            col("cum_d").as("c"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val pk = byDay.groupBy("day").agg(max("c").as("peak_concurrency"))
+        byDay.join(pk, "day")
+          .filter(col("c") === col("peak_concurrency"))
+          .groupBy("day", "peak_concurrency")
+          .agg(min("t").as("first_peak_t_us"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH st AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000, -1 FROM events),
+        inst AS (SELECT t, CAST(SUM(d) AS BIGINT) AS d FROM st GROUP BY t),
+        cum AS (SELECT t, SUM(d) OVER (ORDER BY t) AS c FROM inst),
+        byday AS (SELECT t // 86400000000 AS day, t, c FROM cum),
+        pk AS (SELECT day, MAX(c) AS peak FROM byday GROUP BY day)
+        SELECT p.day, CAST(p.peak AS BIGINT) AS peak_concurrency,
+               CAST(MIN(d.t) AS BIGINT) AS first_peak_t_us
+        FROM pk p JOIN byday d ON d.day = p.day AND d.c = p.peak
+        GROUP BY p.day, p.peak
+        ORDER BY p.day"""))
   )
 }

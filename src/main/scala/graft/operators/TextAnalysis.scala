@@ -938,5 +938,66 @@ object TextAnalysis {
         FROM scored
         ORDER BY lift_ppm DESC, bigram
         LIMIT 30"""))
+  ,
+
+    // --------------------------------------------------------------- q240
+    // Positional phrase search — q141's inverted index upgraded with
+    // POSITIONS: exact-phrase retrieval ("these three words, adjacent,
+    // in order") is the query shape bag-of-words postings cannot
+    // answer. The probe phrase is deterministic (words 6–8 of the
+    // min-id document, shipped as a single-row broadcast — no driver
+    // collect), and the match is the classic positional-join: postings
+    // for w1 equi-join postings for w2 at pos+1, then w3 at pos+2, all
+    // keyed on (doc, pos) — three word-keyed shuffles whose sides are
+    // each ONE word's postings list, never the corpus. Per matching
+    // doc: occurrence count and first position; the probe doc itself
+    // must surface at its planted offset.
+    QueryDef(
+      "q240_phrase_search",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select("doc_id", "text")
+        val posts = TrackedCaches.track(d
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val probe = d.orderBy("doc_id").limit(1)
+          .select(expr("split(text, ' ')[5]").as("w1"),
+            expr("split(text, ' ')[6]").as("w2"),
+            expr("split(text, ' ')[7]").as("w3"))
+        val p1 = posts.join(broadcast(probe), col("word") === col("w1"))
+          .select(col("doc_id"), col("pos"))
+        val p2 = posts.join(broadcast(probe), col("word") === col("w2"))
+          .select(col("doc_id").as("d2"), col("pos").as("q2"))
+        val p3 = posts.join(broadcast(probe), col("word") === col("w3"))
+          .select(col("doc_id").as("d3"), col("pos").as("q3"))
+        p1.join(p2, col("doc_id") === col("d2") && col("q2") === col("pos") + 1)
+          .join(p3, col("doc_id") === col("d3") && col("q3") === col("pos") + 2)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_matches"),
+            min("pos").cast("long").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        posts AS (
+          SELECT doc_id, UNNEST(range(len(w))) AS pos, UNNEST(w) AS word
+          FROM ws),
+        probe AS (
+          SELECT w[6] AS w1, w[7] AS w2, w[8] AS w3
+          FROM ws WHERE doc_id = (SELECT MIN(doc_id) FROM documents)),
+        m AS (
+          SELECT p1.doc_id, p1.pos
+          FROM posts p1
+          JOIN probe ON p1.word = probe.w1
+          JOIN posts p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                        AND p2.word = probe.w2
+          JOIN posts p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+                        AND p3.word = probe.w3)
+        SELECT doc_id, COUNT(*) AS n_matches,
+               CAST(MIN(pos) AS BIGINT) AS first_pos
+        FROM m
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }
