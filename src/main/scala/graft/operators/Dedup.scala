@@ -1161,5 +1161,50 @@ object Dedup {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter * 3 >= sa.nf + sb.nf
         ORDER BY id_a, id_b"""))
+  ,
+
+    // --------------------------------------------------------------- q241
+    // Cross-source NEAR-dup matrix — q228's governance artifact upgraded
+    // from exact to near: the verified LSH pair stream (q26's, J ≥ 0.6)
+    // joins each side's SOURCE label (a variant re-crawl doc carries its
+    // base doc's source) and rolls up per unordered source pair — "whose
+    // content is a light edit of whose" across feeds, the signal exact
+    // digests (q228) cannot see because a dropped word breaks the hash.
+    // Scale shape: the pair stream is candidate-bounded (LSH), the two
+    // source joins ship (doc_id, source) pairs only, and the matrix is
+    // sources² — metadata-sized at any corpus scale.
+    QueryDef(
+      "q241_crosssource_neardup_matrix",
+      (s, dir) => {
+        val src = nearCorpus(s, dir)
+          .select(col("doc_id"), col("doc_id") % 200000L)
+          .toDF("doc_id", "base_id")
+          .join(docs(s, dir).select(col("doc_id").as("base_id"), col("source")),
+            "base_id")
+          .select("doc_id", "source")
+        val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("s1"),
+            greatest(col("sa"), col("sb")).as("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("s1", "s2")
+      },
+      Some(s"""
+        WITH $duckPairsCtes,
+        src AS (
+          SELECT c.doc_id, d.source
+          FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % 200000),
+        labeled AS (
+          SELECT LEAST(a.source, b.source) AS s1,
+                 GREATEST(a.source, b.source) AS s2
+          FROM pairs
+          JOIN src a ON a.doc_id = pairs.id_a
+          JOIN src b ON b.doc_id = pairs.id_b)
+        SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM labeled
+        GROUP BY s1, s2
+        ORDER BY s1, s2"""))
   ) :+ snmQuery
 }

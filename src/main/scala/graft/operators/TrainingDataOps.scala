@@ -1463,5 +1463,72 @@ object TrainingDataOps {
                     THEN 1 ELSE 0 END AS final_quota
         FROM ranked
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q242
+    // Cross-source quantile normalization — the calibration step before
+    // mixing scores from heterogeneous feeds: each source's raw quality
+    // score (here: text length) maps onto the POOLED distribution by
+    // rank — doc at within-source rank r of n_src lands on the pooled
+    // order statistic at position ⌈r·N/n_src⌉ — so a "top-10%" doc
+    // means the same thing in every source regardless of each feed's
+    // score scale. All integer: within-source ranks ride a KEYED
+    // window; the pooled rank is the ONE global ordering in the query
+    // and rides the two-pass range-partitioned prefix sum
+    // (`Statistics.prefixSums` over an order-preserving composite key —
+    // no global-ORDER window anywhere); the position lookup is an
+    // equi-join on pooled rank. Ties break on doc_id in both engines.
+    QueryDef(
+      "q242_quantile_normalization",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("score"))
+        val wSrc = Window.partitionBy("source").orderBy("score", "doc_id")
+        val cSrc = Window.partitionBy("source")
+        val ranked = d
+          .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+          .withColumn("n_src", count(lit(1)).over(cSrc))
+        // pooled order statistics: rank 1..N over (score, doc_id) via the
+        // composite key (score ≤ ~10³, doc_id < 10⁷ — injective, order-
+        // preserving), never an unkeyed row_number window
+        val pooled = Statistics.prefixSums(
+          d.select(col("score").as("g_score"),
+            (col("score") * 10000000L + col("doc_id")).as("skey"),
+            lit(1L).as("one")),
+          "skey", Seq("one"))
+          .select(col("cum_one").as("grank"), col("g_score"))
+        val total = d.agg(count(lit(1)).as("n_total"))
+        ranked.crossJoin(broadcast(total))
+          .withColumn("pool_pos",
+            expr("(src_rank * n_total + n_src - 1) div n_src"))
+          .join(pooled, col("pool_pos") === col("grank"))
+          .select(col("doc_id"), col("source"), col("score"),
+            col("src_rank"), col("pool_pos"), col("g_score").as("norm_score"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, CAST(length(text) AS BIGINT) AS score
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, source, score,
+                 CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY score, doc_id) AS BIGINT) AS src_rank,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+          FROM d),
+        pooled AS (
+          SELECT CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+                   AS grank,
+                 score AS g_score
+          FROM d),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
+        SELECT r.doc_id, r.source, r.score, r.src_rank,
+               (r.src_rank * t.n_total + r.n_src - 1) // r.n_src AS pool_pos,
+               p.g_score AS norm_score
+        FROM ranked r CROSS JOIN tot t
+        JOIN pooled p
+          ON p.grank = (r.src_rank * t.n_total + r.n_src - 1) // r.n_src
+        ORDER BY r.doc_id"""))
   )
 }

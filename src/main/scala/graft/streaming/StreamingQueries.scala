@@ -220,6 +220,41 @@ final case class StreakState(last_day: Long, cur_len: Long, best_len: Long,
 final case class StreakOut(user_id: Long, longest_streak: Long,
     n_streaks: Long, first_day: Long)
 
+/** s34's typed row and per-batch emission (top-level for encoders). */
+final case class KmvEv(event_type: String, hv: Long)
+final case class KmvOut(event_type: String, n_tracked: Long, kth_hash: Long)
+
+/** s34's processor — a MERGEABLE SKETCH as transformWithState state: the
+  * per-type KMV k-minimum-values list (k = 16 longs, ListState) absorbs
+  * each batch's hashes and stays EXACTLY k entries however much data
+  * flows — the streaming counterpart of q237's batch sketch. Per batch it
+  * emits the current (n_tracked, kth) snapshot; the running kth only ever
+  * DECREASES, so the batch-side reduction (min of full-sketch kths, max
+  * of n_tracked) recovers the final sketch deterministically regardless
+  * of how the drain micro-batched. */
+final class KmvProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, KmvEv, KmvOut] {
+  private val k = 16
+  @transient private var mins:
+    org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    mins = getHandle.getListState[Long]("kmins",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[KmvEv],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[KmvOut] = {
+    val merged = (mins.get().toSeq ++ rows.map(_.hv))
+      .distinct.sorted.take(k).toArray
+    if (merged.nonEmpty) mins.put(merged) // the store rejects empty writes
+    Iterator.single(KmvOut(key, merged.length.toLong,
+      if (merged.length == k) merged.last else -1L))
+  }
+}
+
 object StreamingQueries {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -2341,5 +2376,78 @@ object StreamingQueries {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""))
+  ,
+
+    // ---------------------------------------------------------------- s34
+    // Streaming KMV distinct sketch — q237 live, and the demonstration
+    // that a MERGEABLE SKETCH is the right transformWithState state
+    // shape: per event type, a ListState holds exactly k = 16 longs (the
+    // k smallest md5-derived user hashes seen so far) however many rows
+    // stream through — O(k) state, no watermark needed (TimeMode.None,
+    // Update output: the sketch is monotone, never evicted). Each batch
+    // emits the current snapshot; since the running kth-minimum only
+    // decreases and n_tracked only grows, the batch-side reduction
+    // (max n_tracked, min full-sketch kth) reconstructs the final
+    // sketch bit-exactly no matter how the drain micro-batched. The
+    // sentinel row is pre-filtered: with no watermark in the pipeline
+    // there is no node for the filter to starve (the s27 caveat applies
+    // only to event-time pipelines). Oracle = the same KMV arithmetic
+    // over distinct hashes in SQL — estimate (k−1)·2⁶⁰ div kth through
+    // HUGEINT, exact small-cardinality path below k.
+    QueryDef(
+      "s34_stream_kmv_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val evs = eventsStreamTimeParts(s, dir)
+            .filter(col("user_id") >= 0) // sentinel: no watermark to starve
+            .select(col("event_type"), expr(
+              "cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10) AS BIGINT)")
+              .as("hv"))
+            .as[KmvEv]
+          val out = evs.groupByKey(_.event_type)
+            .transformWithState(new KmvProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+          drain(s, OutputMode.Update())(out.toDF())
+            .groupBy("event_type")
+            .agg(max("n_tracked").as("n_tracked"),
+              min(when(col("kth_hash") >= 0, col("kth_hash"))).as("kth"))
+            .select(col("event_type"), col("n_tracked"),
+              coalesce(col("kth"), lit(0L)).as("kth_hash"),
+              expr("""CASE WHEN kth IS NULL THEN n_tracked
+                           ELSE cast(cast(15 AS DECIMAL(38,0)) * 1152921504606846976
+                                div kth AS BIGINT) END""").as("n_est"))
+            .orderBy("event_type")
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""
+        WITH d AS (
+          SELECT DISTINCT event_type,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS hv
+          FROM events),
+        ranked AS (
+          SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+          FROM d),
+        kth AS (SELECT event_type, hv AS kth FROM ranked WHERE rk = 16),
+        cnt AS (SELECT event_type,
+                       CAST(LEAST(COUNT(*), 16) AS BIGINT) AS n_tracked
+                FROM d GROUP BY event_type)
+        SELECT c.event_type, n_tracked,
+               CAST(COALESCE(kth, 0) AS BIGINT) AS kth_hash,
+               CAST(CASE WHEN kth IS NULL THEN n_tracked
+                    ELSE CAST(15 AS HUGEINT) * 1152921504606846976 // kth
+                    END AS BIGINT) AS n_est
+        FROM cnt c LEFT JOIN kth ON c.event_type = kth.event_type
+        ORDER BY c.event_type"""))
   )
 }
