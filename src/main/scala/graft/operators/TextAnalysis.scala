@@ -999,5 +999,88 @@ object TextAnalysis {
         FROM m
         GROUP BY doc_id
         ORDER BY doc_id"""))
+  ,
+
+    // --------------------------------------------------------------- q243
+    // BM25-family ranked retrieval — the scorer behind every keyword
+    // search / hybrid-RAG candidate stage, in EXACT integer arithmetic:
+    // idf as whole bits (⌊log2(N/df)⌋ = length(bin(N div df))−1, the
+    // q193 float-free log), k1 = 1.2 and b = 0.75 as the pinned milli
+    // constants 1200/750, document-length normalization in ppm of the
+    // corpus mean, every division truncating in both engines:
+    //   norm_m  = 250 + 750·(dl·10⁶ div avg_m) div 1000
+    //   s(t,d)  = idf_bits · (tf·2200·1000 div (tf·1000 + 1200·norm_m div 1000))
+    // summed over the 3-word probe (q240's broadcast probe discipline),
+    // top-20 by (score, doc_id) through TakeOrderedAndProject. Scale
+    // shape: the explode feeds a broadcast SEMI join on the probe words
+    // before any aggregation, so only probe postings survive; at 100 TB
+    // you'd probe q141's persisted inverted index instead of re-scanning
+    // — the scoring algebra is identical either way.
+    QueryDef(
+      "q243_bm25_retrieval",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select("doc_id", "text")
+        val probe = d.orderBy("doc_id").limit(1)
+          .select(explode(expr("slice(split(text, ' '), 6, 3)")).as("word"))
+          .distinct()
+        val words = TrackedCaches.track(d
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          expr("sum(dl) * 1000 div count(1)").as("avg_m"))
+        val tf = words.join(broadcast(probe), "word")
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df.crossJoin(stats)
+            .withColumn("idf_bits", expr("length(bin(n_docs div df)) - 1"))), "word")
+          .join(dl, "doc_id")
+          .withColumn("norm_m", expr("250 + 750 * (dl * 1000000 div avg_m) div 1000"))
+          .withColumn("s_t", expr(
+            """idf_bits * (tf * 2200 * 1000 div
+                 (tf * 1000 + 1200 * norm_m div 1000))"""))
+          .groupBy("doc_id")
+          .agg(sum("s_t").as("score_ppm"), count(lit(1)).as("n_terms"))
+          .orderBy(col("score_ppm").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH probe AS (
+          SELECT DISTINCT UNNEST(string_split(text, ' ')[6:8]) AS word
+          FROM documents
+          WHERE doc_id = (SELECT MIN(doc_id) FROM documents)),
+        words AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+          FROM documents),
+        w2 AS (SELECT doc_id, word FROM words WHERE word <> ''),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM w2 GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) * 1000 // COUNT(*) AS avg_m
+                  FROM dl),
+        tf AS (
+          SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM w2 JOIN probe USING (word)
+          GROUP BY doc_id, word),
+        df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY word),
+        scored AS (
+          SELECT tf.doc_id,
+                 (length(bin(n_docs // df.df)) - 1)
+                   * (tf.tf * 2200 * 1000 //
+                      (tf.tf * 1000
+                       + 1200 * (250 + 750 * (dl.dl * 1000000 // avg_m) // 1000)
+                         // 1000)) AS s_t
+          FROM tf JOIN df USING (word)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats)
+        SELECT doc_id, CAST(SUM(s_t) AS BIGINT) AS score_ppm,
+               COUNT(*) AS n_terms
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score_ppm DESC, doc_id
+        LIMIT 20"""))
   )
 }

@@ -1530,5 +1530,102 @@ object TrainingDataOps {
         JOIN pooled p
           ON p.grank = (r.src_rank * t.n_total + r.n_src - 1) // r.n_src
         ORDER BY r.doc_id"""))
+  ,
+
+    // --------------------------------------------------------------- q244
+    // Greedy coverage-based data selection — submodular subset selection
+    // (the facility-location/coverage family the data-pruning literature
+    // uses): pick 5 documents that greedily maximize 3-GRAM coverage
+    // (the fixture's word vocabulary is only ~31 tokens — one doc covers
+    // it — so the coverage universe is distinct word 3-grams, thousands
+    // strong and the unit passage-level selection actually optimizes),
+    // each round electing the doc with the most still-uncovered distinct
+    // grams (tie: min doc_id), then folding its grams into the covered
+    // set. Greedy is deterministic, so both engines
+    // agree row-for-row; the oracle unrolls the same 5 rounds as
+    // MATERIALIZED CTEs generated from the same loop (the q192
+    // discipline). Scale shape per round: one LEFT ANTI join of the
+    // term table against the covered set (covered grows by ≤ one doc's
+    // vocabulary per round — slim, broadcastable), one keyed count, one
+    // TakeOrdered(1) argmax; the term table is built and persisted
+    // ONCE. The winner id is a per-round driver scalar — the q106
+    // nNodes discipline, metadata-sized by construction.
+    QueryDef(
+      "q244_coverage_selection",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        graft.plans.GraftFunctions.register(s)
+        val terms = TrackedCaches.track(Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(3))).as("w"))
+          .distinct()
+          .persist(MEMORY_AND_DISK))
+        var covered: org.apache.spark.sql.DataFrame = null
+        var picked = List.empty[Long]
+        val rows: Seq[(Long, Long, Long, Long)] = (1 to 5).map { round =>
+          val candidates =
+            if (picked.isEmpty) terms
+            else terms.filter(!col("doc_id").isInCollection(picked))
+              .join(covered, Seq("w"), "left_anti")
+          val win = candidates.groupBy("doc_id")
+            .agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id"))
+            .limit(1).head()
+          val (wid, gain) = (win.getLong(0), win.getLong(1))
+          picked ::= wid
+          val winTerms = terms.filter(col("doc_id") === wid).select("w")
+          covered = TrackedCaches.track(
+            (if (covered == null) winTerms
+             else covered.unionByName(winTerms).distinct())
+              .persist(MEMORY_AND_DISK))
+          val total = covered.count()
+          (round.toLong, wid, gain, total)
+        }
+        import s.implicits._
+        rows.toDF("round", "picked_doc", "gain", "covered_total")
+          .orderBy("round")
+      },
+      Some {
+        // the oracle's 5 rounds unroll from the same greedy loop
+        val rounds = (1 to 5).map { r =>
+          val prevPicked =
+            if (r == 1) "SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0"
+            else (1 until r).map(i => s"SELECT doc_id FROM w$i").mkString(" UNION ALL ")
+          val prevCovered =
+            if (r == 1) "SELECT CAST(NULL AS VARCHAR) AS w WHERE 1 = 0"
+            else (1 until r).map(i => s"SELECT w FROM c$i").mkString(" UNION ")
+          s"""
+        p$r AS MATERIALIZED ($prevPicked),
+        cov$r AS MATERIALIZED ($prevCovered),
+        w$r AS MATERIALIZED (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+          FROM t2
+          WHERE doc_id NOT IN (SELECT doc_id FROM p$r WHERE doc_id IS NOT NULL)
+            AND w NOT IN (SELECT w FROM cov$r WHERE w IS NOT NULL)
+          GROUP BY doc_id
+          ORDER BY gain DESC, doc_id LIMIT 1),
+        c$r AS MATERIALIZED (
+          SELECT DISTINCT w FROM t2
+          WHERE doc_id IN (SELECT doc_id FROM w$r)
+             OR w IN (SELECT w FROM cov$r WHERE w IS NOT NULL))"""
+        }.mkString(",")
+        val sels = (1 to 5).map(r =>
+          s"""SELECT $r AS round, (SELECT doc_id FROM w$r) AS picked_doc,
+                (SELECT gain FROM w$r) AS gain,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM c$r) AS covered_total"""
+        ).mkString(" UNION ALL ")
+        s"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+        t2 AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 UNNEST(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS w
+          FROM ws WHERE len(w) >= 3),
+        $rounds
+        SELECT CAST(round AS BIGINT) AS round, picked_doc, gain, covered_total
+        FROM ($sels) z
+        ORDER BY round"""
+      })
   )
 }
