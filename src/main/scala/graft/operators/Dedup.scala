@@ -295,7 +295,7 @@ object Dedup {
     * each stage against DuckDB's exponential CTE inlining. Completeness
     * is additionally probed against a brute-force stratified subsample by
     * scripts/oracle_completeness.py. */
-  private val duckPairsCtes: String = """
+  private[operators] val duckPairsCtes: String = """
         corpus AS MATERIALIZED (
           SELECT doc_id, text FROM documents
           UNION ALL

@@ -415,5 +415,76 @@ object GraphOps {
         FROM lv
         GROUP BY lvl
         ORDER BY lvl"""))
+  ,
+
+    // --------------------------------------------------------------- q246
+    // Clustering-quality audit: NEWMAN MODULARITY of the near-dup
+    // components over the verified pair graph — the "did the clustering
+    // find real structure?" number a dedup pipeline reports before
+    // trusting its clusters: Q = Σ_c (e_c/m − (d_c/2m)²). Connected
+    // components make every edge intra-community (Σ e_c = m by
+    // construction — stated, not hidden), so the informative term is
+    // the degree concentration; both terms are computed per community
+    // in exact ppm with truncating division pinned identically. Scale
+    // shape: degrees are one keyed count over the (bounded, candidate-
+    // generated) edge list; the per-community rollup joins labels to
+    // degrees on the node key; m rides as a single-row broadcast.
+    QueryDef(
+      "q246_cluster_modularity",
+      (s, dir) => {
+        val pairs = TrackedCaches.track(
+          Dedup.minhashPairs(s, dir).select("id_a", "id_b")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val labels = Dedup.connectedComponents(pairs)
+        val deg = pairs.select(col("id_a").as("node"))
+          .unionByName(pairs.select(col("id_b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val m = pairs.agg(count(lit(1)).as("m"))
+        val intra = pairs
+          .join(labels.select(col("node").as("id_a"), col("label")), "id_a")
+          .groupBy("label").agg(count(lit(1)).as("e_c"))
+        labels.join(deg, "node")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_c"))
+          .join(intra, "label")
+          .crossJoin(broadcast(m))
+          .select(col("label").as("cluster_id"), col("n_nodes"),
+            col("e_c"), col("d_c"),
+            expr("""e_c * 1000000 div m
+                    - d_c * d_c * 1000000 div (4 * m * m)""")
+              .as("contribution_ppm"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${Dedup.duckPairsCtes},
+        edges AS (SELECT id_a u, id_b v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) n
+          UNION
+          SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.u = e.v),
+        labels AS (SELECT u AS node, MIN(r) AS label FROM reach GROUP BY u),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT id_a AS node FROM pairs
+            UNION ALL SELECT id_b FROM pairs) z
+          GROUP BY node),
+        intra AS (
+          SELECT l.label, CAST(COUNT(*) AS BIGINT) AS e_c
+          FROM pairs p JOIN labels l ON l.node = p.id_a
+          GROUP BY l.label),
+        comm AS (
+          SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(d.deg) AS BIGINT) AS d_c
+          FROM labels l JOIN deg d ON d.node = l.node
+          GROUP BY l.label)
+        SELECT comm.label AS cluster_id, n_nodes, e_c, d_c,
+               e_c * 1000000 // m.m
+                 - d_c * d_c * 1000000 // (4 * m.m * m.m)
+                 AS contribution_ppm
+        FROM comm JOIN intra ON intra.label = comm.label
+        CROSS JOIN m
+        ORDER BY cluster_id"""))
   )
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -37,6 +38,38 @@ object TextAnalysis {
     * against the EXACT vocabulary q52 reports. */
   private[operators] val SubtokenRe = "[a-z]+|[0-9]+"
   private[operators] val VocabK = 100
+
+  /** q243/q245's shared integer BM25 scorer: per candidate doc (any doc
+    * containing ≥ 1 probe word), the summed per-term scores plus the
+    * query-term density — see q243's scaladoc for the exact integer
+    * formula. Returns (doc_id, score_ppm, n_terms, tf_total, dl). */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    val probe = d.orderBy("doc_id").limit(1)
+      .select(explode(expr("slice(split(text, ' '), 6, 3)")).as("word"))
+      .distinct()
+    val words = TrackedCaches.track(d
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) * 1000 div count(1)").as("avg_m"))
+    val tf = words.join(broadcast(probe), "word")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df.crossJoin(stats)
+        .withColumn("idf_bits", expr("length(bin(n_docs div df)) - 1"))), "word")
+      .join(dl, "doc_id")
+      .withColumn("norm_m", expr("250 + 750 * (dl * 1000000 div avg_m) div 1000"))
+      .withColumn("s_t", expr(
+        """idf_bits * (tf * 2200 * 1000 div
+             (tf * 1000 + 1200 * norm_m div 1000))"""))
+      .groupBy("doc_id")
+      .agg(sum("s_t").as("score_ppm"), count(lit(1)).as("n_terms"),
+        sum("tf").as("tf_total"), first("dl").as("dl"))
+  }
 
   /** Deterministic stopword sets per language. The fixture's five langs
     * share one vocabulary, so these are synthetic-but-honest marker sets:
@@ -1018,34 +1051,11 @@ object TextAnalysis {
     // — the scoring algebra is identical either way.
     QueryDef(
       "q243_bm25_retrieval",
-      (s, dir) => {
-        val d = Tables(s, dir, "documents").select("doc_id", "text")
-        val probe = d.orderBy("doc_id").limit(1)
-          .select(explode(expr("slice(split(text, ' '), 6, 3)")).as("word"))
-          .distinct()
-        val words = TrackedCaches.track(d
-          .select(col("doc_id"),
-            explode(split(col("text"), " ")).as("word"))
-          .filter(length(col("word")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          expr("sum(dl) * 1000 div count(1)").as("avg_m"))
-        val tf = words.join(broadcast(probe), "word")
-          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(df.crossJoin(stats)
-            .withColumn("idf_bits", expr("length(bin(n_docs div df)) - 1"))), "word")
-          .join(dl, "doc_id")
-          .withColumn("norm_m", expr("250 + 750 * (dl * 1000000 div avg_m) div 1000"))
-          .withColumn("s_t", expr(
-            """idf_bits * (tf * 2200 * 1000 div
-                 (tf * 1000 + 1200 * norm_m div 1000))"""))
-          .groupBy("doc_id")
-          .agg(sum("s_t").as("score_ppm"), count(lit(1)).as("n_terms"))
+      (s, dir) =>
+        bm25Scored(s, dir)
+          .select("doc_id", "score_ppm", "n_terms")
           .orderBy(col("score_ppm").desc, col("doc_id"))
-          .limit(20)
-      },
+          .limit(20),
       Some("""
         WITH probe AS (
           SELECT DISTINCT UNNEST(string_split(text, ' ')[6:8]) AS word
@@ -1082,5 +1092,82 @@ object TextAnalysis {
         GROUP BY doc_id
         ORDER BY score_ppm DESC, doc_id
         LIMIT 20"""))
+  ,
+
+    // --------------------------------------------------------------- q245
+    // Reciprocal-rank fusion — the hybrid-retrieval combiner (RAG stacks
+    // fuse a lexical and a semantic ranking this way because scores are
+    // incomparable across retrievers but RANKS are): two rankings of the
+    // same candidate set — BM25 (q243's scorer) and query-term DENSITY
+    // (tf_total·10⁶ div dl, the normalized-overlap retriever) — fuse as
+    // RRF(d) = Σᵢ 10⁶ div (60 + rankᵢ(d)) with the standard k = 60, all
+    // integer. Both rank windows are UNKEYED but run over the candidate
+    // set only (docs sharing ≥ 1 probe word — probe-bounded, not
+    // corpus-bounded; at web scale each retriever's top-k feeds the
+    // fusion instead, same algebra). Top-10 by (fused, doc_id).
+    QueryDef(
+      "q245_reciprocal_rank_fusion",
+      (s, dir) => {
+        val scored = bm25Scored(s, dir)
+          .withColumn("density_ppm", expr("tf_total * 1000000 div dl"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_ppm").desc, col("doc_id"))
+        val wB = org.apache.spark.sql.expressions.Window
+          .orderBy(col("density_ppm").desc, col("doc_id"))
+        scored
+          .withColumn("rank_bm25", row_number().over(wA).cast("long"))
+          .withColumn("rank_density", row_number().over(wB).cast("long"))
+          .withColumn("rrf_ppm", expr(
+            "1000000 div (60 + rank_bm25) + 1000000 div (60 + rank_density)"))
+          .select("doc_id", "rank_bm25", "rank_density", "rrf_ppm")
+          .orderBy(col("rrf_ppm").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH probe AS (
+          SELECT DISTINCT UNNEST(string_split(text, ' ')[6:8]) AS word
+          FROM documents
+          WHERE doc_id = (SELECT MIN(doc_id) FROM documents)),
+        words AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+          FROM documents),
+        w2 AS (SELECT doc_id, word FROM words WHERE word <> ''),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM w2 GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) * 1000 // COUNT(*) AS avg_m
+                  FROM dl),
+        tf AS (
+          SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM w2 JOIN probe USING (word)
+          GROUP BY doc_id, word),
+        df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY word),
+        agg AS (
+          SELECT tf.doc_id,
+                 CAST(SUM((length(bin(n_docs // df.df)) - 1)
+                   * (tf.tf * 2200 * 1000 //
+                      (tf.tf * 1000
+                       + 1200 * (250 + 750 * (dl.dl * 1000000 // avg_m) // 1000)
+                         // 1000))) AS BIGINT) AS score_ppm,
+                 CAST(SUM(tf.tf) AS BIGINT) * 1000000 // MIN(dl.dl)
+                   AS density_ppm
+          FROM tf JOIN df USING (word)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id),
+        ranked AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+                   AS BIGINT) AS rank_bm25,
+                 CAST(row_number() OVER (ORDER BY density_ppm DESC, doc_id)
+                   AS BIGINT) AS rank_density
+          FROM agg)
+        SELECT doc_id, rank_bm25, rank_density,
+               1000000 // (60 + rank_bm25) + 1000000 // (60 + rank_density)
+                 AS rrf_ppm
+        FROM ranked
+        ORDER BY rrf_ppm DESC, doc_id
+        LIMIT 10"""))
   )
 }
