@@ -1042,17 +1042,22 @@ object Dedup {
       "q233_host_cap_sample",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        val d = docs(s, dir)
+        val d = TrackedCaches.track(docs(s, dir)
           .withColumn("host", concat(col("source"), lit(".example.com")))
           .withColumn("fp", call_function("graft_polyhash", col("text")))
+          .select("host", "fp", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("host").orderBy("fp", "doc_id")
-        d.withColumn("rk", row_number().over(w))
+        // totals from a plain keyed count; the kept set from rank<=15,
+        // which pushes into the window as a GROUP LIMIT — each task
+        // retains at most 15 rows per host map-side (plan-asserted)
+        val totals = d.groupBy("host").agg(count(lit(1)).as("n_total"))
+        val kept = d.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 15)
           .groupBy("host")
-          .agg(count(lit(1)).as("n_total"),
-            expr("count_if(rk <= 15)").as("n_kept"),
-            sum(when(col("rk") <= 15, col("doc_id"))).as("kept_id_sum"))
-          .orderBy("host")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+        totals.join(kept, "host").orderBy("host")
       },
       Some("""
         WITH fp AS (

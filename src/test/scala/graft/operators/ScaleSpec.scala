@@ -768,4 +768,60 @@ class ScaleSpec extends AnyFunSuite {
       assert(df.count() <= 120, "cell table stays bounded")
     } finally TrackedCaches.releaseAll()
   }
+
+  test("q233 host cap and q237 KMV keep per-group state map-side (WindowGroupLimit)") {
+    // both elect a bounded per-group subset through rank<=k — the plan
+    // must push the limit into the window so a hot host / hot type costs
+    // k rows per task, never its full membership through one reducer
+    for (q <- Seq("q233_host_cap_sample", "q237_kmv_distinct_sketch")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q: expected WindowGroupLimit:\n$plan")
+    }
+  }
+
+  test("q235/q238/q241 candidate generation never plans an all-pairs product") {
+    // containment counts ARE the gram/fingerprint equi-joins; any
+    // cartesian/nested-loop in these plans means the blocking collapsed
+    for (q <- Seq("q235_excerpt_containment_join",
+        "q238_winnowing_fingerprints", "q241_crosssource_neardup_matrix")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      try {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct")
+            && !plan.contains("BroadcastNestedLoopJoin"),
+          s"$q: expected equi-join-only candidate generation:\n$plan")
+      } finally TrackedCaches.releaseAll()
+    }
+  }
+
+  test("q234 BFS frontier expansion reuses the cached edge list each round") {
+    val df = SparkEntry.queries("q234_copurchase_bfs")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // four rounds of expansion must read the persisted edges, not
+      // recompute the pair self-join per round — at cluster scale the
+      // recompute is 4x the most expensive stage in the query
+      assert(plan.contains("InMemoryTableScan")
+          || plan.contains("TableCacheQueryStage"),
+        s"expected cached edges in the BFS plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"frontier joins must stay keyed:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q243 BM25 postings filter is a broadcast semi join on the probe words") {
+    val df = SparkEntry.queries("q243_bm25_retrieval")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // only probe-word postings may survive into aggregation: the probe
+      // must broadcast (3 words), never shuffle the full postings list
+      // against it
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast probe join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"no unkeyed probe application:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
 }
