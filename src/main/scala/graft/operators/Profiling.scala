@@ -1027,5 +1027,170 @@ object Profiling {
                n_orphans = 0 AS intact
         FROM e
         ORDER BY fk_edge"""))
+  ,
+
+    // --------------------------------------------------------------- q247
+    // Column-statistics DRIFT between snapshots — the data-quality
+    // monitor that catches "the upstream feed changed shape" before a
+    // model does: the fixture's first 15 days are the BEFORE snapshot,
+    // the rest AFTER, and per pinned metric (row count, distinct users,
+    // distinct types, value min/max/sum in cents) the relative change
+    // lands as abs-delta ppm of the before value (operands kept
+    // non-negative — Spark div and DuckDB // agree only there) with a
+    // direction tag and a >10% drift verdict. ONE conditional aggregate
+    // computes both snapshots in a single pass (no second scan); the
+    // metric unpivot is a bounded literal explode.
+    QueryDef(
+      "q247_stats_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"),
+            expr("ts_us div 86400000000").as("day"))
+        val cut = ev.agg((min("day") + 15L).as("cut"))
+        val wide = ev.crossJoin(broadcast(cut))
+          .withColumn("is_b", col("day") < col("cut"))
+          .agg(
+            expr("count_if(is_b)").as("b_rows"),
+            expr("count_if(NOT is_b)").as("a_rows"),
+            expr("count(DISTINCT CASE WHEN is_b THEN user_id END)").as("b_users"),
+            expr("count(DISTINCT CASE WHEN NOT is_b THEN user_id END)").as("a_users"),
+            expr("count(DISTINCT CASE WHEN is_b THEN event_type END)").as("b_types"),
+            expr("count(DISTINCT CASE WHEN NOT is_b THEN event_type END)").as("a_types"),
+            expr("min(CASE WHEN is_b THEN vc END)").as("b_min"),
+            expr("min(CASE WHEN NOT is_b THEN vc END)").as("a_min"),
+            expr("max(CASE WHEN is_b THEN vc END)").as("b_max"),
+            expr("max(CASE WHEN NOT is_b THEN vc END)").as("a_max"),
+            expr("sum(CASE WHEN is_b THEN vc ELSE 0 END)").as("b_sum"),
+            expr("sum(CASE WHEN NOT is_b THEN vc ELSE 0 END)").as("a_sum"))
+        wide.select(explode(expr("""array(
+            struct('n_rows' AS metric, b_rows AS before, a_rows AS after),
+            struct('n_users' AS metric, b_users AS before, a_users AS after),
+            struct('n_types' AS metric, b_types AS before, a_types AS after),
+            struct('min_cents' AS metric, b_min AS before, a_min AS after),
+            struct('max_cents' AS metric, b_max AS before, a_max AS after),
+            struct('sum_cents' AS metric, b_sum AS before, a_sum AS after))""")).as("m"))
+          .select(col("m.metric").as("metric"),
+            col("m.before").as("before"), col("m.after").as("after"))
+          .withColumn("delta_ppm",
+            expr("abs(after - before) * 1000000 div nullif(before, 0)"))
+          .withColumn("direction", expr(
+            """CASE WHEN after > before THEN 'up'
+                    WHEN after < before THEN 'down' ELSE 'flat' END"""))
+          .withColumn("drifted", col("delta_ppm") > 100000L)
+          .orderBy("metric")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events),
+        cut AS (SELECT MIN(day) + 15 AS cut FROM ev),
+        wide AS (
+          SELECT
+            CAST(count_if(day < cut) AS BIGINT) AS b_rows,
+            CAST(count_if(day >= cut) AS BIGINT) AS a_rows,
+            CAST(COUNT(DISTINCT CASE WHEN day < cut THEN user_id END)
+              AS BIGINT) AS b_users,
+            CAST(COUNT(DISTINCT CASE WHEN day >= cut THEN user_id END)
+              AS BIGINT) AS a_users,
+            CAST(COUNT(DISTINCT CASE WHEN day < cut THEN event_type END)
+              AS BIGINT) AS b_types,
+            CAST(COUNT(DISTINCT CASE WHEN day >= cut THEN event_type END)
+              AS BIGINT) AS a_types,
+            MIN(CASE WHEN day < cut THEN vc END) AS b_min,
+            MIN(CASE WHEN day >= cut THEN vc END) AS a_min,
+            MAX(CASE WHEN day < cut THEN vc END) AS b_max,
+            MAX(CASE WHEN day >= cut THEN vc END) AS a_max,
+            CAST(SUM(CASE WHEN day < cut THEN vc ELSE 0 END) AS BIGINT) AS b_sum,
+            CAST(SUM(CASE WHEN day >= cut THEN vc ELSE 0 END) AS BIGINT) AS a_sum
+          FROM ev CROSS JOIN cut),
+        longf AS (
+          SELECT 'n_rows' AS metric, b_rows AS before, a_rows AS after FROM wide
+          UNION ALL SELECT 'n_users', b_users, a_users FROM wide
+          UNION ALL SELECT 'n_types', b_types, a_types FROM wide
+          UNION ALL SELECT 'min_cents', b_min, a_min FROM wide
+          UNION ALL SELECT 'max_cents', b_max, a_max FROM wide
+          UNION ALL SELECT 'sum_cents', b_sum, a_sum FROM wide)
+        SELECT metric, before, after,
+               abs(after - before) * 1000000 // nullif(before, 0) AS delta_ppm,
+               CASE WHEN after > before THEN 'up'
+                    WHEN after < before THEN 'down' ELSE 'flat' END AS direction,
+               abs(after - before) * 1000000 // nullif(before, 0) > 100000
+                 AS drifted
+        FROM longf
+        ORDER BY metric"""))
+  ,
+
+    // --------------------------------------------------------------- q248
+    // Expectation-suite evaluation — Great-Expectations-style data
+    // contracts as DATA: five pinned rules (range bound, domain
+    // membership, key positivity, non-null, a business floor) evaluate
+    // in ONE pass as conditional counts, and each reports checked /
+    // violations / ppm / a pass|warn|fail status (0 → pass, ≤1% → warn,
+    // else fail). This is the gate a 100 TB ingest runs per batch: the
+    // whole suite costs one scan + one bounded unpivot regardless of
+    // rule count, and adding a rule is one more count_if — never a
+    // second pass.
+    QueryDef(
+      "q248_quality_expectations",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+        val wide = ev.agg(
+          count(lit(1)).as("n"),
+          expr("count_if(vc < 1 OR vc > 45000)").as("v1"),
+          expr("""count_if(event_type NOT IN
+                   ('view','click','purchase','error','signup'))""").as("v2"),
+          expr("count_if(user_id < 1)").as("v3"),
+          expr("count_if(value IS NULL)").as("v4"),
+          expr("count_if(event_type = 'purchase' AND vc < 500)").as("v5"))
+        wide.select(explode(expr("""array(
+            struct('r1_value_in_1c_450' AS rule, v1 AS n_violations),
+            struct('r2_type_in_domain' AS rule, v2 AS n_violations),
+            struct('r3_user_id_positive' AS rule, v3 AS n_violations),
+            struct('r4_value_not_null' AS rule, v4 AS n_violations),
+            struct('r5_purchase_floor_5' AS rule, v5 AS n_violations))""")).as("r"), col("n"))
+          .select(col("r.rule").as("rule"), col("n").as("n_checked"),
+            col("r.n_violations").as("n_violations"))
+          .withColumn("violation_ppm",
+            expr("n_violations * 1000000 div n_checked"))
+          .withColumn("status", expr(
+            """CASE WHEN n_violations = 0 THEN 'pass'
+                    WHEN n_violations * 100 <= n_checked THEN 'warn'
+                    ELSE 'fail' END"""))
+          .orderBy("rule")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, value,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        wide AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(count_if(vc < 1 OR vc > 45000) AS BIGINT) AS v1,
+                 CAST(count_if(event_type NOT IN
+                   ('view','click','purchase','error','signup')) AS BIGINT) AS v2,
+                 CAST(count_if(user_id < 1) AS BIGINT) AS v3,
+                 CAST(count_if(value IS NULL) AS BIGINT) AS v4,
+                 CAST(count_if(event_type = 'purchase' AND vc < 500)
+                   AS BIGINT) AS v5
+          FROM ev),
+        longf AS (
+          SELECT 'r1_value_in_1c_450' AS rule, n AS n_checked,
+                 v1 AS n_violations FROM wide
+          UNION ALL SELECT 'r2_type_in_domain', n, v2 FROM wide
+          UNION ALL SELECT 'r3_user_id_positive', n, v3 FROM wide
+          UNION ALL SELECT 'r4_value_not_null', n, v4 FROM wide
+          UNION ALL SELECT 'r5_purchase_floor_5', n, v5 FROM wide)
+        SELECT rule, n_checked, n_violations,
+               n_violations * 1000000 // n_checked AS violation_ppm,
+               CASE WHEN n_violations = 0 THEN 'pass'
+                    WHEN n_violations * 100 <= n_checked THEN 'warn'
+                    ELSE 'fail' END AS status
+        FROM longf
+        ORDER BY rule"""))
   )
 }
