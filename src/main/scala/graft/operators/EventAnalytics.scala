@@ -1735,5 +1735,52 @@ object EventAnalytics {
         FROM pk p JOIN byday d ON d.day = p.day AND d.c = p.peak
         GROUP BY p.day, p.peak
         ORDER BY p.day"""))
+  ,
+
+    // --------------------------------------------------------------- q249
+    // Time-in-state (dwell) per event type — the engagement metric
+    // behind "how long do users sit on each step?": each event holds
+    // its state until the user's NEXT event, and the interval is
+    // attributed to the CURRENT type (q146's TWAP weights value this
+    // way; here the time itself is the metric). Last events per user
+    // have no successor and drop — stated, the open-interval censoring
+    // convention. One lead() on the user exchange, one bounded
+    // per-type rollup; mean via truncating integer division.
+    QueryDef(
+      "q249_dwell_time",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"))
+          .withColumn("dwell_us", lead("ts_us", 1).over(w) - col("ts_us"))
+          .filter(col("dwell_us").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum("dwell_us").as("total_dwell_us"),
+            expr("sum(dwell_us) div count(1)").as("mean_dwell_us"),
+            max("dwell_us").as("max_dwell_us"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events),
+        d AS (
+          SELECT event_type,
+                 lead(ts_us) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) - ts_us
+                   AS dwell_us
+          FROM e)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+               CAST(SUM(dwell_us) AS BIGINT) // COUNT(*) AS mean_dwell_us,
+               CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us
+        FROM d
+        WHERE dwell_us IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

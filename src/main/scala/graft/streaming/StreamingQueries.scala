@@ -2449,5 +2449,83 @@ object StreamingQueries {
                     END AS BIGINT) AS n_est
         FROM cnt c LEFT JOIN kth ON c.event_type = kth.event_type
         ORDER BY c.event_type"""))
+  ,
+
+    // ---------------------------------------------------------------- s35
+    // Streaming expectation-suite gate — q248's data contracts applied
+    // AT INGEST, the shape a 100 TB pipeline actually deploys them in:
+    // each arriving row evaluates the five pinned rules as codegen'd
+    // flag columns (a pure stateless map — zero state stores, append
+    // mode, scales like a filter), per-batch flag rows land in the
+    // drain, and the additive per-rule counters merge batch-side into
+    // exactly q248's report. Adding a rule is one more column; the
+    // stream pays no extra pass and no state however many rules ride.
+    // Sentinel rows pre-filter (no watermark in the pipeline to starve).
+    QueryDef(
+      "s35_stream_quality_gate",
+      (s, dir) => {
+        val flags = eventsStreamTimeParts(s, dir)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("event_type"), col("value"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
+          .select(
+            expr("CASE WHEN vc < 1 OR vc > 45000 THEN 1L ELSE 0L END").as("v1"),
+            expr("""CASE WHEN event_type NOT IN
+                     ('view','click','purchase','error','signup')
+                    THEN 1L ELSE 0L END""").as("v2"),
+            expr("CASE WHEN user_id < 1 THEN 1L ELSE 0L END").as("v3"),
+            expr("CASE WHEN value IS NULL THEN 1L ELSE 0L END").as("v4"),
+            expr("CASE WHEN event_type = 'purchase' AND vc < 500 THEN 1L ELSE 0L END")
+              .as("v5"))
+        val wide = drain(s, OutputMode.Append())(flags)
+          .agg(count(lit(1)).as("n"), sum("v1").as("v1"), sum("v2").as("v2"),
+            sum("v3").as("v3"), sum("v4").as("v4"), sum("v5").as("v5"))
+        wide.select(explode(expr("""array(
+            struct('r1_value_in_1c_450' AS rule, v1 AS n_violations),
+            struct('r2_type_in_domain' AS rule, v2 AS n_violations),
+            struct('r3_user_id_positive' AS rule, v3 AS n_violations),
+            struct('r4_value_not_null' AS rule, v4 AS n_violations),
+            struct('r5_purchase_floor_5' AS rule, v5 AS n_violations))"""))
+            .as("r"), col("n"))
+          .select(col("r.rule").as("rule"), col("n").as("n_checked"),
+            col("r.n_violations").as("n_violations"))
+          .withColumn("violation_ppm",
+            expr("n_violations * 1000000 div n_checked"))
+          .withColumn("status", expr(
+            """CASE WHEN n_violations = 0 THEN 'pass'
+                    WHEN n_violations * 100 <= n_checked THEN 'warn'
+                    ELSE 'fail' END"""))
+          .orderBy("rule")
+      },
+      // same contract as the batch gate — the stream must converge to it
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, value,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events),
+        wide AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(count_if(vc < 1 OR vc > 45000) AS BIGINT) AS v1,
+                 CAST(count_if(event_type NOT IN
+                   ('view','click','purchase','error','signup')) AS BIGINT) AS v2,
+                 CAST(count_if(user_id < 1) AS BIGINT) AS v3,
+                 CAST(count_if(value IS NULL) AS BIGINT) AS v4,
+                 CAST(count_if(event_type = 'purchase' AND vc < 500)
+                   AS BIGINT) AS v5
+          FROM ev),
+        longf AS (
+          SELECT 'r1_value_in_1c_450' AS rule, n AS n_checked,
+                 v1 AS n_violations FROM wide
+          UNION ALL SELECT 'r2_type_in_domain', n, v2 FROM wide
+          UNION ALL SELECT 'r3_user_id_positive', n, v3 FROM wide
+          UNION ALL SELECT 'r4_value_not_null', n, v4 FROM wide
+          UNION ALL SELECT 'r5_purchase_floor_5', n, v5 FROM wide)
+        SELECT rule, n_checked, n_violations,
+               n_violations * 1000000 // n_checked AS violation_ppm,
+               CASE WHEN n_violations = 0 THEN 'pass'
+                    WHEN n_violations * 100 <= n_checked THEN 'warn'
+                    ELSE 'fail' END AS status
+        FROM longf
+        ORDER BY rule"""))
   )
 }
