@@ -1169,5 +1169,66 @@ object TextAnalysis {
         FROM ranked
         ORDER BY rrf_ppm DESC, doc_id
         LIMIT 10"""))
+  ,
+
+    // --------------------------------------------------------------- q250
+    // Postings delta-compression audit — the storage-planning number
+    // behind every inverted index (q141/q240): doc-id posting lists
+    // store GAPS, varint-encoded, so a term's index cost is
+    // Σ ceil(bits(v)/7) bytes where v is doc_id+1 for the head posting
+    // and the id gap after (+1 so the zero-id head stays encodable;
+    // gaps in a deduped sorted list are ≥ 1). bits(v) is the integer
+    // floor-log2+1 (length(bin(v)) — the q193 discipline, no float
+    // log), so both engines count identical bytes. Output: the top-20
+    // terms by document frequency with raw (8 B/id) vs varint bytes
+    // and the compression ratio in permille. One keyed lag per term +
+    // one bounded rollup; heavy terms cost their postings length,
+    // never the corpus.
+    QueryDef(
+      "q250_postings_compression",
+      (s, dir) => {
+        val posts = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("word").orderBy("doc_id")
+        posts
+          .withColumn("prev", lag("doc_id", 1).over(w))
+          .withColumn("v", expr(
+            "CASE WHEN prev IS NULL THEN doc_id + 1 ELSE doc_id - prev END"))
+          .withColumn("vbytes", expr("(length(bin(v)) + 6) div 7"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("df"),
+            (count(lit(1)) * 8L).as("raw_bytes"),
+            sum("vbytes").as("varint_bytes"))
+          .withColumn("ratio_permille",
+            expr("varint_bytes * 1000 div raw_bytes"))
+          .orderBy(col("df").desc, col("word"))
+          .limit(20)
+      },
+      Some("""
+        WITH posts AS (
+          SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+          FROM documents),
+        p2 AS (SELECT doc_id, word FROM posts WHERE word <> ''),
+        g AS (
+          SELECT word,
+                 CASE WHEN lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id)
+                        IS NULL
+                      THEN doc_id + 1
+                      ELSE doc_id - lag(doc_id) OVER (PARTITION BY word
+                                                      ORDER BY doc_id) END AS v
+          FROM p2),
+        b AS (SELECT word, (length(bin(v)) + 6) // 7 AS vbytes FROM g)
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+               CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+               CAST(SUM(vbytes) AS BIGINT) * 1000 // (COUNT(*) * 8)
+                 AS ratio_permille
+        FROM b
+        GROUP BY word
+        ORDER BY df DESC, word
+        LIMIT 20"""))
   )
 }
