@@ -1128,11 +1128,12 @@ object Profiling {
     // contracts as DATA: five pinned rules (range bound, domain
     // membership, key positivity, non-null, a business floor) evaluate
     // in ONE pass as conditional counts, and each reports checked /
-    // violations / ppm / a pass|warn|fail status (0 → pass, ≤1% → warn,
-    // else fail). This is the gate a 100 TB ingest runs per batch: the
-    // whole suite costs one scan + one bounded unpivot regardless of
-    // rule count, and adding a rule is one more count_if — never a
-    // second pass.
+    // violations / ppm / a GRADED pass|warn|fail status (0 → pass,
+    // ≤1% → warn, else fail). Complements q187's Deequ-style metric
+    // suite: q187 MEASURES check metrics, this GRADES thresholds the
+    // way a deploy gate consumes them — and s35 is its streaming twin,
+    // the same rules applied at ingest with zero state. One scan + one
+    // bounded unpivot regardless of rule count.
     QueryDef(
       "q248_quality_expectations",
       (s, dir) => {
