@@ -1642,5 +1642,107 @@ object Relational {
                                 WHERE p.k = o.o_custkey))
         SELECT n_not_in_clean, n_not_in_poisoned, n_not_exists
         FROM a, b, c"""))
+  ,
+
+    // --------------------------------------------------------------- q251
+    // TPC-H Q17's optimizer shape — the CORRELATED SCALAR AGGREGATE:
+    // lineitems whose quantity falls below 20% of their part's average,
+    // written as correlated subqueries so Catalyst must DECORRELATE
+    // them into aggregate-joins (a per-outer-row subquery execution is
+    // the classic 1000× blowup; no-nested-loop plan-asserted in
+    // ScaleSpec). The 20%-of-average predicate stays integer-exact by
+    // clearing the division: qc·5·cnt < Σqc ⟺ qc < 0.2·avg — no float
+    // average ever computed, so both engines agree bit-for-bit.
+    QueryDef(
+      "q251_small_quantity_revenue",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("g251_lineitem")
+        s.sql("""
+          WITH l AS (
+            SELECT l_partkey,
+                   cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+                   cast(cast(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+            FROM g251_lineitem)
+          SELECT count(*) AS n_small,
+                 cast(sum(pc) AS BIGINT) AS revenue_cents
+          FROM l l1
+          WHERE l1.qc * 5 * (SELECT count(*) FROM l l2
+                             WHERE l2.l_partkey = l1.l_partkey)
+                < (SELECT sum(qc) FROM l l3
+                   WHERE l3.l_partkey = l1.l_partkey)""")
+      },
+      Some("""
+        WITH l AS (
+          SELECT l_partkey,
+                 CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+          FROM lineitem)
+        SELECT COUNT(*) AS n_small,
+               CAST(SUM(pc) AS BIGINT) AS revenue_cents
+        FROM l l1
+        WHERE l1.qc * 5 * (SELECT COUNT(*) FROM l l2
+                           WHERE l2.l_partkey = l1.l_partkey)
+              < (SELECT SUM(qc) FROM l l3
+                 WHERE l3.l_partkey = l1.l_partkey)"""))
+  ,
+
+    // --------------------------------------------------------------- q252
+    // TPC-H Q21's optimizer shape — EXISTS + NOT EXISTS against the
+    // same table: suppliers who were the SOLE late shipper in
+    // multi-supplier orders (late = shipped > 90 days after the order
+    // date, synthesized from the fixture's dates; Q21's
+    // receipt-vs-commit predicate restated on available columns). The
+    // two correlated existentials decorrelate to one left-semi and one
+    // left-anti join on the order key — the canonical hard
+    // decorrelation pair. Date math is exact epoch-microsecond
+    // integers in both engines.
+    QueryDef(
+      "q252_sole_late_supplier",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("g252_lineitem")
+        Tables(s, dir, "orders").createOrReplaceTempView("g252_orders")
+        s.sql("""
+          WITH li AS (
+            SELECT l_orderkey, l_suppkey,
+                   (unix_micros(cast(l_shipdate AS timestamp))
+                    > unix_micros(cast(o_orderdate AS timestamp))
+                      + 7776000000000L) AS is_late
+            FROM g252_lineitem JOIN g252_orders ON l_orderkey = o_orderkey)
+          SELECT l_suppkey AS suppkey,
+                 count(DISTINCT l_orderkey) AS n_blocking_orders
+          FROM li s1
+          WHERE s1.is_late
+            AND EXISTS (SELECT 1 FROM li l2
+                        WHERE l2.l_orderkey = s1.l_orderkey
+                          AND l2.l_suppkey <> s1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM li l3
+                            WHERE l3.l_orderkey = s1.l_orderkey
+                              AND l3.l_suppkey <> s1.l_suppkey
+                              AND l3.is_late)
+          GROUP BY l_suppkey
+          ORDER BY n_blocking_orders DESC, suppkey
+          LIMIT 20""")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 (epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                  > epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                    + 7776000000000) AS is_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT l_suppkey AS suppkey,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_blocking_orders
+        FROM li s1
+        WHERE s1.is_late
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = s1.l_orderkey
+                        AND l2.l_suppkey <> s1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = s1.l_orderkey
+                            AND l3.l_suppkey <> s1.l_suppkey
+                            AND l3.is_late)
+        GROUP BY l_suppkey
+        ORDER BY n_blocking_orders DESC, suppkey
+        LIMIT 20"""))
   )
 }

@@ -811,6 +811,18 @@ class ScaleSpec extends AnyFunSuite {
     } finally TrackedCaches.releaseAll()
   }
 
+  test("q251/q252 correlated subqueries decorrelate — no per-outer-row execution") {
+    // Q17/Q21's classic failure mode is a nested-loop subquery per outer
+    // row; Catalyst must rewrite to aggregate-joins / semi+anti joins
+    for (q <- Seq("q251_small_quantity_revenue", "q252_sole_late_supplier")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct")
+          && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: expected decorrelated joins:\n$plan")
+    }
+  }
+
   test("q243 BM25 postings filter is a broadcast semi join on the probe words") {
     val df = SparkEntry.queries("q243_bm25_retrieval")(spark, dir)
     try {
