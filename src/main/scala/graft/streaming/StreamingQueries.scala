@@ -767,6 +767,35 @@ object StreamingQueries {
       .parquet(landing.toString)
   }
 
+  /** Documents staged as 3 doc_id-ranged parts with ascending mtimes —
+    * the corpus-delta arrival folder (each part = one ingest tick), the
+    * documents twin of [[eventsStreamTimeParts]]. */
+  private def documentsStreamParts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val path = s"$dir/documents.parquet"
+    val sf = Paths.get(dir).getFileName.toString
+    val landing = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_docs_parts/$sf-${fixtureKey(path)}")
+    val marker = landing.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(landing)
+      val parts = parquetParts(
+        s.read.parquet(path).repartitionByRange(3, col("doc_id")))
+      require(parts.size == 3, s"expected 3 range parts, got ${parts.size}")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dest = landing.resolve(s"part_${i + 1}.parquet")
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          FileTime.fromMillis(1000000000000L + (i + 1) * 60000L))
+      }
+      placeMarker(marker)
+    }
+    s.readStream.schema(s.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+  }
+
   private def drain(s: SparkSession, mode: OutputMode)(df: DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_drain",
@@ -2527,5 +2556,75 @@ object StreamingQueries {
                     ELSE 'fail' END AS status
         FROM longf
         ORDER BY rule"""))
+  ,
+
+    // ---------------------------------------------------------------- s36
+    // Streaming decontamination — q66 live, completing q232's
+    // incremental story: the corpus arrives as 3 ingest ticks
+    // (doc_id-ranged parts), each tick's 5-grams probe the STATIC
+    // benchmark gram table (tiny — it broadcasts under a stream-static
+    // inner join, zero state stores, stateless append), and the drained
+    // (bench_id, gram) hit stream dedupes batch-side before the
+    // instance-level semi join reconstructs exactly q66's verdicts —
+    // the same oracle, so a delta the stream missed cannot hash-match.
+    // Per-tick cost is O(tick grams); the benchmark side never
+    // re-scans.
+    QueryDef(
+      "s36_stream_decontamination",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val docs = graft.Tables(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("bench_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 6, 20)).as("text"))
+        val bgInst = graft.operators.TrackedCaches.track(bench
+          .select(col("bench_id"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(5))).as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val bgKeys = bgInst.select("bench_id", "g").distinct()
+        val hits = documentsStreamParts(s, dir)
+          .select(explode(call_function("graft_word_ngrams", col("text"), lit(5)))
+            .as("g"))
+          .join(broadcast(bgKeys), "g")
+          .select("bench_id", "g")
+        val hitSet = drain(s, OutputMode.Append())(hits).distinct()
+        val nHit = bgInst.join(hitSet, Seq("bench_id", "g"), "left_semi")
+          .groupBy("bench_id").agg(count(lit(1)).as("n_hit"))
+        bgInst.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+          .join(nHit, Seq("bench_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("hit_permille", expr("n_hit * 1000 div n_grams"))
+          .withColumn("contaminated", col("hit_permille") > 500)
+          .orderBy("bench_id")
+      },
+      // q66's oracle verbatim — the stream must converge to the batch
+      // decontamination verdicts exactly
+      Some("""
+        WITH bench AS (
+          SELECT doc_id AS bench_id,
+                 array_to_string(string_split(text, ' ')[6:25], ' ') AS text
+          FROM documents WHERE doc_id % 13 = 0),
+        bgrams AS (
+          SELECT bench_id,
+                 UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                             ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM (SELECT bench_id, string_split(text, ' ') AS ws FROM bench)),
+        cgrams AS (
+          SELECT DISTINCT UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                             ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+        agg AS (
+          SELECT bench_id,
+                 COUNT(*) AS n_grams,
+                 COUNT(CASE WHEN g IN (SELECT g FROM cgrams) THEN 1 END) AS n_hit
+          FROM bgrams
+          GROUP BY bench_id)
+        SELECT bench_id, n_grams, n_hit,
+               n_hit * 1000 // n_grams AS hit_permille,
+               (n_hit * 1000 // n_grams) > 500 AS contaminated
+        FROM agg
+        ORDER BY bench_id"""))
   )
 }
