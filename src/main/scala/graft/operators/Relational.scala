@@ -1668,7 +1668,7 @@ object Relational {
           FROM l l1
           WHERE l1.qc * 5 * (SELECT count(*) FROM l l2
                              WHERE l2.l_partkey = l1.l_partkey)
-                < (SELECT sum(qc) FROM l l3
+                < (SELECT sum(qc) AS sq FROM l l3
                    WHERE l3.l_partkey = l1.l_partkey)""")
       },
       Some("""
@@ -1682,7 +1682,7 @@ object Relational {
         FROM l l1
         WHERE l1.qc * 5 * (SELECT COUNT(*) FROM l l2
                            WHERE l2.l_partkey = l1.l_partkey)
-              < (SELECT SUM(qc) FROM l l3
+              < (SELECT SUM(qc) AS sq FROM l l3
                  WHERE l3.l_partkey = l1.l_partkey)"""))
   ,
 
