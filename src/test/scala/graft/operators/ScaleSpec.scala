@@ -362,7 +362,11 @@ class ScaleSpec extends AnyFunSuite {
     for (q <- Seq("q26_minhash_neardup", "q41_prefix_filter_jaccard_join",
         "q50_dup_clusters", "q103_corpus_ngram_dedup",
         "q107_incremental_neardup_ingest", "q126_substring_dedup",
-        "q141_inverted_index")) {
+        "q141_inverted_index",
+        // round-7 members of the same candidate-bounded family: MOSS
+        // winnowing and asymmetric excerpt containment — both must hold
+        // the equi-join candidate shape at 10x
+        "q238_winnowing_fingerprints", "q235_excerpt_containment_join")) {
       run(d1, q) // warm codegen + parquet footers, untimed
       val (t1, _) = run(d1, q)
       val (t10, plan10) = run(d10, q)
