@@ -1744,5 +1744,44 @@ object Relational {
         GROUP BY l_suppkey
         ORDER BY n_blocking_orders DESC, suppkey
         LIMIT 20"""))
+  ,
+
+    // --------------------------------------------------------------- q253
+    // Join-strategy equivalence — the physical-plan contract stated as
+    // a query: the same orders⋈customer join forced through all three
+    // shuffle strategies (MERGE → SortMergeJoin, SHUFFLE_HASH →
+    // ShuffledHashJoin, BROADCAST → BroadcastHashJoin via Spark's join
+    // hints) must produce the identical row count and exact integer
+    // checksum — strategy choice is an EXECUTION decision, never a
+    // semantics one, which is precisely what lets AQE re-plan joins at
+    // runtime on a 100 TB cluster without a correctness review. The
+    // three hinted branches union into one audit frame; ScaleSpec
+    // asserts each hint was actually honored in the physical plan.
+    QueryDef(
+      "q253_join_strategy_equivalence",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+        def branch(strategy: String, hinted: org.apache.spark.sql.DataFrame) =
+          o.join(hinted, col("o_custkey") === col("c_custkey"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(expr("o_orderkey * (c_nationkey + 1)")).as("checksum"))
+            .select(lit(strategy).as("strategy"), col("n_rows"), col("checksum"))
+        branch("broadcast", c.hint("broadcast"))
+          .unionByName(branch("merge", c.hint("merge")))
+          .unionByName(branch("shuffle_hash", c.hint("shuffle_hash")))
+          .orderBy("strategy")
+      },
+      Some("""
+        WITH j AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(o_orderkey * (c_nationkey + 1)) AS BIGINT) AS checksum
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT s.strategy, j.n_rows, j.checksum
+        FROM (SELECT 'broadcast' AS strategy
+              UNION ALL SELECT 'merge'
+              UNION ALL SELECT 'shuffle_hash') s
+        CROSS JOIN j
+        ORDER BY s.strategy"""))
   )
 }

@@ -827,6 +827,14 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q253 honors all three join-strategy hints in one plan") {
+    val plan = SparkEntry.queries("q253_join_strategy_equivalence")(spark, dir)
+      .queryExecution.executedPlan.toString
+    for (strategy <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+      assert(plan.contains(strategy),
+        s"expected $strategy branch in the hinted plan:\n$plan")
+  }
+
   test("q243 BM25 postings filter is a broadcast semi join on the probe words") {
     val df = SparkEntry.queries("q243_bm25_retrieval")(spark, dir)
     try {
