@@ -52,7 +52,7 @@ pairs AS MATERIALIZED (
 
 def main():
     sf_dir = sys.argv[1]
-    stride = int(sys.argv[2]) if len(sys.argv) > 3 else 13
+    stride = int(sys.argv[2]) if len(sys.argv) > 2 else 13
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "

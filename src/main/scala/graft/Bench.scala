@@ -33,7 +33,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Self-adjudication (r06 item 2 lifted the cap): suspects — queries
   * whose suite time exceeds their BENCH_FLOORS.json floor by the
-  * moderate-growth-with-GC or severe-growth triggers — are re-run in a
+  * moderate-growth-with-GC, severe-growth, or absolute-excess triggers,
+  * plus any query with no floor yet (first-appearance seeding) — are
+  * re-run in a
   * FRESH post-suite session, worst ratio first, under a WALL BUDGET
   * (SPARK_GRAFT_ISO_BUDGET_SEC, default 240 s) instead of the former
   * `.take(6)` cap that let r06's s24/s29 ship unadjudicated. If the
@@ -84,14 +86,41 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val gcStart = gcMillis()
 
+    // BENCH_FLOORS.json records the best-known per-query seconds, flat
+    // keys "sf0.1/q01". Floors self-maintain: every run lowers them
+    // monotonically (best of suite run, iso re-run, old floor). Loaded
+    // up-front so phase warmups can pick their family's cheapest member.
+    val sfKey = new java.io.File(sfDir).getName
+    val floorsFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_FLOORS", "BENCH_FLOORS.json"))
+    val floorRe = """"([^"]+)":([0-9.]+)""".r
+    val floors: Map[String, Double] =
+      if (!floorsFile.exists) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(floorsFile)
+        try floorRe.findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally src.close()
+      }
+    def floorOf(name: String): Option[Double] =
+      floors.get(s"$sfKey/${name.takeWhile(_ != '_')}")
+
     // Phase split: family -> (queries, warmup query for that family).
-    // Warmups come from the selected set's own family so a restricted
-    // run doesn't pay for (or fail on) an unrelated query.
-    val phases: Seq[(String, Seq[String], Option[String])] = Seq(
-      ("q", selected.filter(_.startsWith("q")),
-        Some("q07_region_nation_revenue").filter(_ => args.isEmpty)),
-      ("p", selected.filter(_.startsWith("p")), None),
-      ("s", selected.filter(_.startsWith("s")), None))
+    // EVERY phase warms up with its own cheapest-by-floor member (ADVICE
+    // r7: the p/s phases had no warmup, so their first timed query
+    // absorbed fresh-session costs — file-listing/footer caches, first
+    // state-store init — inflating its floor). Warmups come from the
+    // selected set's own family so a restricted run doesn't pay for (or
+    // fail on) an unrelated query; a floor-less family falls back to its
+    // first member, and the warmup cost is bounded by being the family's
+    // cheapest known query.
+    def cheapest(names: Seq[String]): Option[String] =
+      names.sortBy(n => floorOf(n).getOrElse(Double.MaxValue)).headOption
+    val phases: Seq[(String, Seq[String], Option[String])] =
+      Seq("q", "p", "s").map { f =>
+        val names = selected.filter(_.startsWith(f))
+        (f, names, cheapest(names))
+      }
 
     var phaseSecs = List.empty[(String, Double)]
     val results = phases.flatMap { case (family, names, warmup) =>
@@ -127,30 +156,23 @@ object Bench {
     }
 
     // ---- self-adjudication (wall-budgeted, no suspect cap) ----
-    // BENCH_FLOORS.json records the best-known per-query seconds, flat
-    // keys "sf0.1/q01". Floors self-maintain: every run lowers them
-    // monotonically (best of suite run, iso re-run, old floor).
-    val sfKey = new java.io.File(sfDir).getName
-    val floorsFile = new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_FLOORS", "BENCH_FLOORS.json"))
-    val floorRe = """"([^"]+)":([0-9.]+)""".r
-    val floors: Map[String, Double] =
-      if (!floorsFile.exists) Map.empty
-      else {
-        val src = scala.io.Source.fromFile(floorsFile)
-        try floorRe.findAllMatchIn(src.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally src.close()
-      }
-    // Two triggers (r6): (a) moderate growth (>1.5x floor) with GC >=10%
-    // of wall — the classic heap-contention smell; (b) SEVERE growth
-    // (>3x floor) regardless of GC — r6's q107 ran 16x its floor in-suite
-    // with low GC and the GC-gated trigger never re-adjudicated it.
+    // Triggers: (a) moderate growth (>1.5x floor) with GC >=10% of wall —
+    // the classic heap-contention smell; (b) SEVERE growth (>3x floor)
+    // regardless of GC — r6's q107 ran 16x its floor in-suite with low GC
+    // and the GC-gated trigger never re-adjudicated it; (c) ABSOLUTE
+    // EXCESS (r7 item 1): >1.5x floor AND more than 2 s over it,
+    // regardless of GC — r7's q246/q26/q29/q244 sat in the 1.5–3x,
+    // low-GC blind band between (a) and (b) and shipped unadjudicated;
+    // (d) NO FLOOR (r7 item 8): a query's first appearance seeds its
+    // floor from a contended suite run unless it also gets an isolated
+    // number, so floor-less queries are always re-run in isolation.
     val suspects = results.filter { case (name, v, g) =>
-      v >= 0 && floors.get(s"$sfKey/${name.takeWhile(_ != '_')}")
-        .exists(fl => (v > fl * 1.5 && g >= v * 1000 * 0.10) || v > fl * 3.0)
+      v >= 0 && floorOf(name).forall(fl =>
+        (v > fl * 1.5 && g >= v * 1000 * 0.10) ||
+          v > fl * 3.0 ||
+          (v > fl * 1.5 && v - fl > 2.0))
     }.sortBy { case (name, v, _) => // worst ratios first
-      -(v / floors.getOrElse(s"$sfKey/${name.takeWhile(_ != '_')}", v))
+      -(v / floorOf(name).getOrElse(v))
     }
     var isoSkipped = 0
     val isoResults = if (suspects.isEmpty) Seq.empty else {

@@ -294,7 +294,17 @@ object Dedup {
     * quadratic by construction and timed out there). MATERIALIZED pins
     * each stage against DuckDB's exponential CTE inlining. Completeness
     * is additionally probed against a brute-force stratified subsample by
-    * scripts/oracle_completeness.py. */
+    * scripts/oracle_completeness.py.
+    *
+    * RECALL BOUND (gate-triage note): the ENGINE side generates
+    * candidates by probabilistic MinHash banding (32 bands x 2 rows),
+    * while this oracle's prefix filter is exact-complete for J >= 0.6.
+    * A true pair at J = 0.6 fails to collide in any band with
+    * probability (1 - 0.6^2)^32 = 0.64^32 ~= 6e-7, vanishing as J grows.
+    * If a gate on q26/q41-family/q241/q246 ever hash-mismatches by ONE
+    * MISSING engine pair near the threshold, triage it as a banding
+    * recall miss (re-run; expected frequency < 1e-6 per pair), not as a
+    * plan or correctness regression. */
   private[operators] val duckPairsCtes: String = """
         corpus AS MATERIALIZED (
           SELECT doc_id, text FROM documents
@@ -364,7 +374,7 @@ object Dedup {
     // brute-force answer at fixture scale with ~certainty.
     QueryDef(
       "q26_minhash_neardup",
-      (s, dir) => minhashPairs(s, dir).orderBy("id_a", "id_b"),
+      (s, dir) => PairGraph.pairs(s, dir).orderBy("id_a", "id_b"),
       Some(s"""
         WITH $duckPairsCtes
         SELECT id_a, id_b, inter, uni FROM pairs
@@ -446,7 +456,7 @@ object Dedup {
     QueryDef(
       "q50_dup_clusters",
       (s, dir) => {
-        connectedComponents(minhashPairs(s, dir).select("id_a", "id_b"))
+        PairGraph.labels(s, dir)
           .groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
           .orderBy("cluster_id")
@@ -478,7 +488,7 @@ object Dedup {
       "q96_neardup_materialize",
       (s, dir) => {
         val corpus = nearCorpus(s, dir)
-        val dropped = connectedComponents(minhashPairs(s, dir).select("id_a", "id_b"))
+        val dropped = PairGraph.labels(s, dir)
           .filter(col("node") =!= col("label"))
           .select(col("node").as("doc_id"))
         val kept = corpus.join(dropped, Seq("doc_id"), "left_anti")
@@ -752,7 +762,7 @@ object Dedup {
         val members = nearCorpus(s, dir)
           .withColumn("len", length(col("text")).cast("long"))
           .select("doc_id", "len")
-          .join(connectedComponents(minhashPairs(s, dir).select("id_a", "id_b")),
+          .join(PairGraph.labels(s, dir),
             col("doc_id") === col("node"))
         members.groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"),
@@ -1135,14 +1145,14 @@ object Dedup {
           SELECT doc_id + 200000, regexp_replace(text, ' \S+$', '')
           FROM documents WHERE doc_id % 7 = 0),
         ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-        grams AS (
-          SELECT doc_id, i.range - 1 AS pos,
-                 CAST(concat('0x', substr(md5(
-                   w[CAST(i.range AS INT)] || ' ' ||
-                   w[CAST(i.range AS INT) + 1] || ' ' ||
-                   w[CAST(i.range AS INT) + 2]), 1, 15)) AS BIGINT) AS gh
-          FROM ws CROSS JOIN range(1, 100000) i
-          WHERE i.range <= len(w) - 2),
+        gl AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                   i -> {'pos': i - 1,
+                         'gh': CAST(concat('0x', substr(md5(
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                               1, 15)) AS BIGINT)})) AS g
+          FROM ws WHERE len(w) >= 3),
+        grams AS (SELECT doc_id, g.pos AS pos, g.gh AS gh FROM gl),
         fps AS MATERIALIZED (
           SELECT DISTINCT doc_id, fp FROM (
             SELECT doc_id, pos,
@@ -1187,7 +1197,7 @@ object Dedup {
           .join(docs(s, dir).select(col("doc_id").as("base_id"), col("source")),
             "base_id")
           .select("doc_id", "source")
-        val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+        val pairs = PairGraph.pairs(s, dir).select("id_a", "id_b")
         pairs
           .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
           .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")

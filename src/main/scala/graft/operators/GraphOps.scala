@@ -432,10 +432,10 @@ object GraphOps {
     QueryDef(
       "q246_cluster_modularity",
       (s, dir) => {
-        val pairs = TrackedCaches.track(
-          Dedup.minhashPairs(s, dir).select("id_a", "id_b")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val labels = Dedup.connectedComponents(pairs)
+        // shared computed-once graph (PairGraph) — already materialized
+        // via eager localCheckpoint, so no per-query persist needed
+        val pairs = PairGraph.pairs(s, dir).select("id_a", "id_b")
+        val labels = PairGraph.labels(s, dir)
         val deg = pairs.select(col("id_a").as("node"))
           .unionByName(pairs.select(col("id_b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Computed-ONCE near-dup pair graph shared across the query suite
+  * (VERDICT r7 item 2).
+  *
+  * Six queries consume the verified MinHash-LSH pair stream and/or its
+  * connected-component labels (q26 pair audit, q50 clusters, q96
+  * materialization, q114 survivorship, q241 cross-source matrix, q246
+  * modularity). Before this object each of them re-ran the shingle →
+  * signature → band-join → verify pipeline and (for four of them) the
+  * label-propagation fixpoint from scratch — the single most expensive
+  * computation in the batch suite, paid ~6×. A 100 TB deployment builds
+  * the labeled pair graph ONCE per corpus snapshot and derives every
+  * governance artifact from it; this registry expresses that shape
+  * in-process.
+  *
+  * Mechanics: results are memoized per (session, sfDir) and materialized
+  * via EAGER `localCheckpoint` — unlike `persist`, the checkpoint
+  * truncates lineage and its blocks are NOT registered in
+  * [[TrackedCaches]], so the harness's per-query `releaseAll()` (which
+  * rightly drops each query's private caches) leaves the shared graph
+  * alive for later queries in the same session. Entries die with their
+  * session (block manager shutdown); stopped-session keys are evicted on
+  * access. On a multi-executor cluster the same role is played by a
+  * durable artifact — `checkpoint` to reliable storage or a parquet
+  * pair/label index (the q91 persisted-index discipline) — because
+  * localCheckpoint blocks die with an executor.
+  *
+  * `buildCount` exists so tests and the bench log can PROVE the fixpoint
+  * ran once per run rather than trusting the design comment.
+  */
+object PairGraph {
+  private val pairsMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val labelsMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  @volatile private var builds = 0
+
+  /** Number of from-scratch pair-stream builds this JVM (test hook). */
+  def buildCount: Int = builds
+
+  private def evictStopped(): Unit = {
+    pairsMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    labelsMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+  }
+
+  /** Verified near-dup pair stream (id_a < id_b, inter, uni; J ≥ 0.6),
+    * built at most once per (session, sfDir). */
+  def pairs(s: SparkSession, dir: String): DataFrame = synchronized {
+    evictStopped()
+    pairsMemo.getOrElseUpdate((s, dir), {
+      builds += 1
+      System.err.println(
+        s"[pairgraph] building verified pair stream for $dir (build #$builds this JVM)")
+      Dedup.minhashPairs(s, dir).localCheckpoint(true)
+    })
+  }
+
+  /** Connected-component labels (node, label) over [[pairs]], built at
+    * most once per (session, sfDir). */
+  def labels(s: SparkSession, dir: String): DataFrame = synchronized {
+    evictStopped()
+    labelsMemo.getOrElseUpdate((s, dir),
+      Dedup.connectedComponents(pairs(s, dir).select("id_a", "id_b"))
+        .localCheckpoint(true))
+  }
+
+  /** Drop all memoized graphs and their blocks (test isolation hook). */
+  def reset(): Unit = synchronized {
+    (pairsMemo.values ++ labelsMemo.values).foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    pairsMemo.clear()
+    labelsMemo.clear()
+  }
+}

