@@ -1193,5 +1193,118 @@ object Profiling {
                     ELSE 'fail' END AS status
         FROM longf
         ORDER BY rule"""))
+  ,
+
+    // --------------------------------------------------------------- q255
+    // Hashed-ngram LINEAR quality classifier INFERENCE (VERDICT r7
+    // item 4) — the fastText-style learned gate every curation stack
+    // runs next to its rule gate (q248): a weight table keyed by HASHED
+    // char-3grams (4096 buckets, md5-derived so the oracle hashes
+    // identically) is broadcast, and each document's score is an integer
+    // dot product in ppm — sum of its gram-bucket weights over its gram
+    // count. Weights here are distilled in-query from a deterministic
+    // seed rule (lexical diversity: 2·|distinct words| ≥ |words| — the
+    // smoothed per-bucket P(good) in ppm), standing in for the offline-
+    // trained vector a production run ships; the inference path —
+    // codegen'd hashing, BROADCAST hash join against a vocabulary-sized
+    // table, one per-doc aggregate — is exactly the production shape,
+    // and is plan-asserted in ScaleSpec. Keep/drop thresholds at the
+    // gram-occurrence prior (single-row broadcast), and the per-source rollup
+    // carries the confusion matrix vs the seed label, so the gate's
+    // agreement with its teacher is part of the audited output.
+    // 100 TB: grams never shuffle (narrow explode → broadcast join →
+    // partial-aggregated per-doc sum); the weight table is O(buckets).
+    QueryDef(
+      "q255_hashed_ngram_classifier",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val goodExpr =
+          (size(array_distinct(split(col("text"), " "))) * 2 >=
+            size(split(col("text"), " "))).as("good")
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        // gram-occurrence table persisted once: feeds weight training
+        // AND inference (the PairGraph/q244 reuse discipline in-query)
+        val grams = TrackedCaches.track(d
+          .select(col("doc_id"), col("source"), goodExpr,
+            explode(call_function("graft_char_ngrams", col("text"), lit(3)))
+              .as("gr"))
+          .select(col("doc_id"), col("source"), col("good"),
+            expr("cast(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT) % 4096")
+              .as("b"))
+          .persist(MEMORY_AND_DISK))
+        val wt = grams.groupBy("b")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("good"), 1L).otherwise(0L)).as("cg"))
+          .select(col("b"), expr("(cg + 1) * 1000000 div (n + 2)").as("w"))
+        val scored = grams.join(broadcast(wt), "b")
+          .groupBy("doc_id", "source", "good")
+          .agg(expr("sum(w) div count(1)").as("score_ppm"))
+        // threshold = the GRAM-OCCURRENCE prior, the same measure the
+        // weights live in (a doc-level prior sits systematically above
+        // almost every score because low-diversity docs are longer and
+        // contribute more gram mass — measured: it keeps nothing)
+        val prior = grams
+          .agg(count(lit(1)).as("n_all"),
+            sum(when(col("good"), 1L).otherwise(0L)).as("n_good"))
+          .select(expr("n_good * 1000000 div n_all").as("thr_ppm"))
+        scored.crossJoin(broadcast(prior))
+          .withColumn("keep", col("score_ppm") >= col("thr_ppm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(when(col("keep") && col("good"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("keep") && !col("good"), 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("keep") && col("good"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("keep") && !col("good"), 1L).otherwise(0L)).as("tn"))
+          .select(col("source"), col("n_docs"), col("n_keep"),
+            expr("n_keep * 1000000 div n_docs").as("keep_ppm"),
+            col("tp"), col("fp"), col("fn"), col("tn"),
+            expr("(tp + tn) * 1000000 div n_docs").as("agreement_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH g AS MATERIALIZED (
+          SELECT doc_id, source,
+                 2 * len(list_distinct(string_split(text, ' ')))
+                   >= len(string_split(text, ' ')) AS good,
+                 CAST(concat('0x', substr(md5(gr), 1, 15)) AS BIGINT) % 4096
+                   AS b
+          FROM (SELECT doc_id, source, text,
+                       unnest(list_transform(range(1, length(text) - 1),
+                         i -> substring(text, i, 3))) AS gr
+                FROM documents)),
+        wt AS MATERIALIZED (
+          SELECT b,
+                 (CAST(count_if(good) AS BIGINT) + 1) * 1000000
+                   // (CAST(COUNT(*) AS BIGINT) + 2) AS w
+          FROM g GROUP BY b),
+        sc AS (
+          SELECT doc_id, source, good,
+                 CAST(SUM(w) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                   AS score_ppm
+          FROM g JOIN wt USING (b)
+          GROUP BY doc_id, source, good),
+        pr AS (
+          SELECT CAST(count_if(good) AS BIGINT) * 1000000
+                 // CAST(COUNT(*) AS BIGINT) AS thr_ppm
+          FROM g),
+        k AS (SELECT source, good, score_ppm >= (SELECT thr_ppm FROM pr) AS keep
+              FROM sc)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(keep) AS BIGINT) AS n_keep,
+               CAST(count_if(keep) AS BIGINT) * 1000000 // COUNT(*) AS keep_ppm,
+               CAST(count_if(keep AND good) AS BIGINT) AS tp,
+               CAST(count_if(keep AND NOT good) AS BIGINT) AS fp,
+               CAST(count_if(NOT keep AND good) AS BIGINT) AS fn,
+               CAST(count_if(NOT keep AND NOT good) AS BIGINT) AS tn,
+               (CAST(count_if(keep AND good) AS BIGINT)
+                 + CAST(count_if(NOT keep AND NOT good) AS BIGINT)) * 1000000
+                 // COUNT(*) AS agreement_ppm
+        FROM k
+        GROUP BY source
+        ORDER BY source"""))
   )
 }

@@ -1230,5 +1230,146 @@ object TextAnalysis {
         GROUP BY word
         ORDER BY df DESC, word
         LIMIT 20"""))
+  ,
+
+    // --------------------------------------------------------------- q254
+    // BPE tokenizer APPLICATION + token-cost accounting (VERDICT r7
+    // item 3) — q145 computes one round of merge-pair statistics (the
+    // training half); this operator runs the full loop a tokenizer team
+    // ships: LEARN a bounded merges table (6 sequential BPE rounds —
+    // each round recounts adjacent TOKEN pairs on the partially-merged
+    // corpus, takes the top pair, applies it) and then ENCODE every
+    // word, reporting the per-source TOKEN COSTS that every mixture
+    // (q67) and packing (q78) decision actually keys on.
+    //
+    // Token-sequence representation: each token wrapped in '|' sentinels
+    // and concatenated ("the" → "|t||h||e|"; the fixture corpus is
+    // pipe-free, asserted below). Applying merge (x,y) is then ONE
+    // literal leftmost-non-overlapping replace of "|x||y|" with "|xy|" —
+    // the doubled boundary makes adjacent merge sites independent
+    // ("|l||l||l||l|" → "|ll||ll|", never the single-separator bug where
+    // the shared boundary is consumed), and Spark's StringReplace and
+    // DuckDB's replace() pin identical semantics, so the encoding is
+    // oracle-exact with no custom kernel. The whole encode path is
+    // codegen'd built-ins (regexp_replace/replace/split) plus the
+    // graft_word_ngrams native kernel for per-round pair counting — no
+    // per-row UDF, no interpreted HOF.
+    //
+    // The q244 discipline: the exploded word table is persisted ONCE and
+    // every round's recount plus the final costing read it; the driver
+    // sees ONE (pair) row per round — the merges table is metadata-sized
+    // by construction (R=6 rows), exactly what a 100 TB run broadcasts.
+    // The oracle unrolls the same 6 rounds as MATERIALIZED CTEs.
+    QueryDef(
+      "q254_bpe_encode_token_costs",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val words = TrackedCaches.track(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              explode(split(col("text"), " ")).as("w"))
+            .filter(col("w") =!= "")
+            .select(col("doc_id"), col("source"),
+              length(col("w")).cast("long").as("nchar"),
+              regexp_replace(col("w"), "(.)", "|$1|").as("s0"))
+            .persist(MEMORY_AND_DISK))
+        var enc: org.apache.spark.sql.Column = col("s0")
+        for (_ <- 1 to 6) {
+          val spaced = call_function("btrim",
+            call_function("replace", enc, lit("||"), lit(" ")), lit("|"))
+          val top = words
+            .select(explode(
+              call_function("graft_word_ngrams", spaced, lit(2))).as("pair"))
+            .groupBy("pair").agg(count(lit(1)).as("freq"))
+            .orderBy(col("freq").desc, col("pair"))
+            .limit(1).collect()
+          require(top.nonEmpty, "BPE merge round found no pairs")
+          val Array(x, y) = top.head.getString(0).split(" ", 2)
+          require(!x.contains("|") && !y.contains("|"),
+            "corpus must be pipe-free for the sentinel representation")
+          enc = call_function("replace", enc,
+            lit(s"|$x||$y|"), lit(s"|$x$y|"))
+        }
+        val perDoc = words
+          .select(col("doc_id"), col("source"), col("nchar"),
+            size(split(call_function("btrim", enc, lit("|")), "\\|\\|"))
+              .cast("long").as("ntok"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("nw"), sum("ntok").as("nt"),
+            sum("nchar").as("nc"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nw").as("n_words"),
+            sum("nt").as("n_tokens"),
+            sum("nc").as("n_chars"))
+          .select(col("source"), col("n_docs"), col("n_words"),
+            col("n_tokens"), col("n_chars"),
+            expr("n_tokens div n_docs").as("tokens_per_doc"),
+            expr("n_tokens * 1000 div n_chars").as("tokens_per_kchar"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH w0 AS MATERIALIZED (
+          SELECT doc_id, source, CAST(length(w) AS BIGINT) AS nchar,
+                 regexp_replace(w, '(.)', '$bpePipeRepl', 'g') AS s
+          FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE w <> ''),$bpeRoundCtes
+        tok AS (
+          SELECT doc_id, source, nchar,
+                 CAST(len(string_split(trim(s, '$bpePipe'), '$bpePipe$bpePipe'))
+                   AS BIGINT) AS ntok
+          FROM w6),
+        d AS (SELECT doc_id, source,
+                     CAST(COUNT(*) AS BIGINT) AS nw,
+                     CAST(SUM(ntok) AS BIGINT) AS nt,
+                     CAST(SUM(nchar) AS BIGINT) AS nc
+              FROM tok GROUP BY doc_id, source)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS n_words,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               CAST(SUM(nt) AS BIGINT) // COUNT(*) AS tokens_per_doc,
+               CAST(SUM(nt) AS BIGINT) * 1000 // CAST(SUM(nc) AS BIGINT)
+                 AS tokens_per_kchar
+        FROM d
+        GROUP BY source
+        ORDER BY source"""))
   )
+
+  /** '|' as a doc-safe sentinel (fixture corpus is pipe-free; the engine
+    * side REQUIREs it per merge). Hoisted so the oracle template below
+    * never starts a line with a pipe — SparkEntry strips oracle strings
+    * through `.stripMargin`, which would eat it. */
+  private def bpePipe = "|"
+  private def bpePipeRepl = "|\\1|"
+
+  /** Oracle CTE chain for q254's 6 unrolled BPE rounds: round r counts
+    * adjacent token pairs on the round r-1 encoding, picks the top pair
+    * (freq desc, pair asc — the engine's exact ordering), and applies it
+    * with the same doubled-sentinel literal replace. */
+  private def bpeRoundCtes: String = (1 to 6).map { r =>
+    val prev = s"w${r - 1}"
+    s"""
+        p$r AS MATERIALIZED (
+          SELECT unnest(list_transform(range(1, len(t)),
+                   i -> t[i] ${"||"} ' ' ${"||"} t[i+1])) AS pair
+          FROM (SELECT string_split(trim(s, '$bpePipe'),
+                         '$bpePipe$bpePipe') AS t
+                FROM $prev)),
+        m$r AS MATERIALIZED (
+          SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+          FROM (SELECT pair, COUNT(*) AS c FROM p$r GROUP BY pair)
+          ORDER BY c DESC, pair LIMIT 1),
+        w$r AS MATERIALIZED (
+          SELECT doc_id, source, nchar,
+                 replace(s, '$bpePipe' ${"||"} (SELECT x FROM m$r) ${"||"}
+                            '$bpePipe$bpePipe' ${"||"} (SELECT y FROM m$r) ${"||"}
+                            '$bpePipe',
+                            '$bpePipe' ${"||"} (SELECT x FROM m$r) ${"||"}
+                            (SELECT y FROM m$r) ${"||"} '$bpePipe') AS s
+          FROM $prev),"""
+  }.mkString
 }

@@ -81,6 +81,18 @@ class LlmDataSpec extends AnyFunSuite {
     assert(clusters.map(_._2).sum == nodes.size, "clusters partition the pair nodes")
   }
 
+  test("q254 BPE encoding compresses: words <= tokens < chars per source") {
+    import spark.implicits._
+    val rows = run("q254_bpe_encode_token_costs")
+      .select("n_words", "n_tokens", "n_chars")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nw, nt, nc) =>
+      assert(nt >= nw, "every word is at least one token")
+      assert(nt < nc, "6 learned merges must compress below char-level")
+    }
+  }
+
   test("pair graph builds ONCE and is shared by q26/q50/q96/q241/q246") {
     // VERDICT r7 item 2: the MinHash fixpoint must execute once per run,
     // with every consumer deriving from the shared intermediate. Proven

@@ -827,6 +827,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q255 classifier inference joins the weight table by broadcast") {
+    val df = SparkEntry.queries("q255_hashed_ngram_classifier")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // the 4096-bucket weight table must broadcast to the gram stream —
+      // a shuffled join would exchange every gram occurrence (corpus-
+      // sized) to co-locate with a vocabulary-sized table
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast weight-table join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"only the single-row threshold may cross-join (broadcast):\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
   test("q253 honors all three join-strategy hints in one plan") {
     val plan = SparkEntry.queries("q253_join_strategy_equivalence")(spark, dir)
       .queryExecution.executedPlan.toString
