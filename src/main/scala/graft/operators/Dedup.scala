@@ -59,7 +59,7 @@ object Dedup {
     * lambdas are interpreted (CodegenFallback), so referencing `text`
     * directly would re-split the document for every shingle — O(len²)
     * per doc, the difference between seconds and minutes at sf0.1. */
-  private[operators] val shinglesExpr: String =
+  private[graft] val shinglesExpr: String =
     """IF(size(w) < 3,
          cast(array() AS array<string>),
          array_distinct(transform(
@@ -79,7 +79,7 @@ object Dedup {
     * partial min means the shuffle carries one 64-long signature per
     * doc, not shingles), then 32 bands × 2 rows hashed to bucket keys.
     * Shared by q26's corpus self-join and q107's batch-vs-index probe. */
-  private def bandBuckets(sh: DataFrame): DataFrame = {
+  private[graft] def bandBuckets(sh: DataFrame): DataFrame = {
     val minCols = (0 until 64).map(k =>
       min(xxhash64(col("h"), lit(k))).as(s"m$k"))
     val sig = sh

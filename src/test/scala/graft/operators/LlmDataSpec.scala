@@ -106,6 +106,15 @@ class LlmDataSpec extends AnyFunSuite {
       "five pair-graph consumers must trigger exactly one from-scratch build")
   }
 
+  test("s37 streaming near-dup admission verdicts equal batch q107's") {
+    // the streamed ticks must converge to the batch admission decision
+    // exactly — same ingest construction, same J >= 0.6 contract
+    val batch = run("q107_incremental_neardup_ingest").collect().toSet
+    val stream = run("s37_stream_neardup_ingest").collect().toSet
+    assert(batch == stream,
+      s"stream verdicts diverged from batch:\nbatch=$batch\nstream=$stream")
+  }
+
   test("connectedComponents resolves a chain crossing several checkpoints") {
     import spark.implicits._
     // path graph 0-1-2-...-12: diameter 12 needs >10 iterations, so the
