@@ -1221,5 +1221,129 @@ object Dedup {
         FROM labeled
         GROUP BY s1, s2
         ORDER BY s1, s2"""))
+  ,
+
+    // --------------------------------------------------------------- q256
+    // MAXIMAL repeated-span extraction — the boilerplate-EXTENT measure
+    // between q103 (which only SCORES shared grams per doc) and q126
+    // (which rewrites at fixed non-overlapping segment boundaries,
+    // quantizing span extent away): overlapping 5-gram hits against the
+    // corpus-repeated gram set merge into maximal spans via
+    // gaps-and-islands over gram POSITIONS (new span when the position
+    // gap exceeds the gram width, so merged spans never overlap), and
+    // each source reports how many tokens a span-masking pass would
+    // remove. A fixed 13-word boilerplate tail is planted on every 3rd
+    // doc (both engines derive it identically) so the expected shape —
+    // one 13-token span per planted doc — is part of what the hash gate
+    // checks. 100 TB shape: grams shuffle as md5-derived 8-byte keys +
+    // position (never text); the repeated-gram set is corpus-shared-
+    // gram-sized (tiny) and semi-joins the gram stream; the island
+    // window is keyed per doc — no unkeyed window anywhere.
+    QueryDef(
+      "q256_repeated_span_masking",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val boiler = "subscribe to our newsletter for updates terms of" +
+          " service apply all rights reserved"
+        val corpus = docs(s, dir).select(col("doc_id"), col("source"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + boiler)))
+            .otherwise(col("text")).as("text"))
+        val grams = TrackedCaches.track(corpus
+          .select(col("doc_id"), col("source"),
+            posexplode(call_function("graft_word_ngrams", col("text"), lit(5))))
+          .toDF("doc_id", "source", "pos", "g")
+          .select(col("doc_id"), col("source"), col("pos"),
+            expr("cast(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+          .persist(MEMORY_AND_DISK))
+        val repeated = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select("gh")
+        val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+        val spans = grams.join(repeated, Seq("gh"), "left_semi")
+          .withColumn("brk",
+            when(col("pos") - lag("pos", 1).over(wOrd) > 5, 1L).otherwise(0L))
+          .withColumn("span_id", sum("brk").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "source", "span_id")
+          .agg((max("pos") - min("pos") + lit(5)).cast("long").as("tok_len"))
+        val perDoc = spans.groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_spans"), sum("tok_len").as("masked"))
+        val totals = corpus.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+        val spanAgg = perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs_with_spans"),
+            sum("n_spans").as("n_spans"), sum("masked").as("masked_tokens"))
+        totals.join(spanAgg, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            coalesce(col("n_docs_with_spans"), lit(0L)).as("n_docs_with_spans"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("masked_tokens"), lit(0L)).as("masked_tokens"))
+          .withColumn("masked_ppm",
+            expr("masked_tokens * 1000000 div total_tokens"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH corpus AS MATERIALIZED (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' subscribe to our newsletter for updates' ||
+                           ' terms of service apply all rights reserved'
+                      ELSE text END AS text
+          FROM documents),
+        g0 AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(w) - 3),
+                   i -> {'pos': i,
+                         'gh': CAST(concat('0x', substr(md5(
+                                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+                                 ' ' || w[i+3] || ' ' || w[i+4]),
+                               1, 15)) AS BIGINT)})) AS s
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM corpus)
+          WHERE len(w) >= 5),
+        grams AS MATERIALIZED (
+          SELECT doc_id, source, s.pos AS pos, s.gh AS gh FROM g0),
+        rep AS MATERIALIZED (
+          SELECT gh FROM (SELECT gh, COUNT(*) AS c FROM grams GROUP BY gh)
+          WHERE c >= 2),
+        r2 AS (
+          SELECT doc_id, source, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) > 5
+                      THEN 1 ELSE 0 END AS brk
+          FROM grams JOIN rep USING (gh)),
+        r3 AS (
+          SELECT doc_id, source, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS span_id
+          FROM r2),
+        sp AS (
+          SELECT doc_id, source, span_id,
+                 CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS tok_len
+          FROM r3 GROUP BY doc_id, source, span_id),
+        pd AS (
+          SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(tok_len) AS BIGINT) AS masked
+          FROM sp GROUP BY doc_id, source),
+        tot AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_tokens
+          FROM corpus GROUP BY source),
+        sa AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_with_spans,
+                 CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+                 CAST(SUM(masked) AS BIGINT) AS masked_tokens
+          FROM pd GROUP BY source)
+        SELECT t.source, t.n_docs, t.total_tokens,
+               COALESCE(sa.n_docs_with_spans, 0) AS n_docs_with_spans,
+               COALESCE(sa.n_spans, 0) AS n_spans,
+               COALESCE(sa.masked_tokens, 0) AS masked_tokens,
+               COALESCE(sa.masked_tokens, 0) * 1000000 // t.total_tokens
+                 AS masked_ppm
+        FROM tot t LEFT JOIN sa ON sa.source = t.source
+        ORDER BY t.source"""))
   ) :+ snmQuery
 }

@@ -1266,31 +1266,8 @@ object TextAnalysis {
         graft.plans.GraftFunctions.register(s)
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val words = TrackedCaches.track(
-          Tables(s, dir, "documents")
-            .select(col("doc_id"), col("source"),
-              explode(split(col("text"), " ")).as("w"))
-            .filter(col("w") =!= "")
-            .select(col("doc_id"), col("source"),
-              length(col("w")).cast("long").as("nchar"),
-              regexp_replace(col("w"), "(.)", "|$1|").as("s0"))
-            .persist(MEMORY_AND_DISK))
-        var enc: org.apache.spark.sql.Column = col("s0")
-        for (_ <- 1 to 6) {
-          val spaced = call_function("btrim",
-            call_function("replace", enc, lit("||"), lit(" ")), lit("|"))
-          val top = words
-            .select(explode(
-              call_function("graft_word_ngrams", spaced, lit(2))).as("pair"))
-            .groupBy("pair").agg(count(lit(1)).as("freq"))
-            .orderBy(col("freq").desc, col("pair"))
-            .limit(1).collect()
-          require(top.nonEmpty, "BPE merge round found no pairs")
-          val Array(x, y) = top.head.getString(0).split(" ", 2)
-          require(!x.contains("|") && !y.contains("|"),
-            "corpus must be pipe-free for the sentinel representation")
-          enc = call_function("replace", enc,
-            lit(s"|$x||$y|"), lit(s"|$x$y|"))
-        }
+          bpeWords(s, dir).persist(MEMORY_AND_DISK))
+        val enc = bpeApply(col("s0"), learnBpeMerges(words))
         val perDoc = words
           .select(col("doc_id"), col("source"), col("nchar"),
             size(split(call_function("btrim", enc, lit("|")), "\\|\\|"))
@@ -1309,7 +1286,12 @@ object TextAnalysis {
             expr("n_tokens * 1000 div n_chars").as("tokens_per_kchar"))
           .orderBy("source")
       },
-      Some(s"""
+      Some(bpeOracle))
+  )
+
+  /** q254's oracle, shared VERBATIM by s38 (the streaming twin must
+    * converge to the batch token-cost report exactly). */
+  private[graft] def bpeOracle: String = s"""
         WITH w0 AS MATERIALIZED (
           SELECT doc_id, source, CAST(length(w) AS BIGINT) AS nchar,
                  regexp_replace(w, '(.)', '$bpePipeRepl', 'g') AS s
@@ -1336,8 +1318,7 @@ object TextAnalysis {
                  AS tokens_per_kchar
         FROM d
         GROUP BY source
-        ORDER BY source"""))
-  )
+        ORDER BY source"""
 
   /** '|' as a doc-safe sentinel (fixture corpus is pipe-free; the engine
     * side REQUIREs it per merge). Hoisted so the oracle template below
@@ -1345,6 +1326,53 @@ object TextAnalysis {
     * through `.stripMargin`, which would eat it. */
   private def bpePipe = "|"
   private def bpePipeRepl = "|\\1|"
+
+  /** q254/s38 shared: the exploded per-word frame
+    * (doc_id, source, nchar, s0) with s0 the pipe-sentinel char string. */
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("source"),
+        length(col("w")).cast("long").as("nchar"),
+        regexp_replace(col("w"), "(.)", "|$1|").as("s0"))
+
+  /** Learns q254's bounded 6-round merges table from a (persisted)
+    * [[bpeWords]] frame: each round recounts adjacent token pairs on the
+    * partially-merged corpus via the graft_word_ngrams kernel and takes
+    * the (freq desc, pair asc) top pair. The driver sees ONE row per
+    * round — the merges table is metadata-sized by construction. */
+  private[graft] def learnBpeMerges(words: DataFrame): Seq[(String, String)] = {
+    var enc: org.apache.spark.sql.Column = col("s0")
+    val merges = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to 6) {
+      val spaced = call_function("btrim",
+        call_function("replace", enc, lit("||"), lit(" ")), lit("|"))
+      val top = words
+        .select(explode(
+          call_function("graft_word_ngrams", spaced, lit(2))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(1).collect()
+      require(top.nonEmpty, "BPE merge round found no pairs")
+      val Array(x, y) = top.head.getString(0).split(" ", 2)
+      require(!x.contains("|") && !y.contains("|"),
+        "corpus must be pipe-free for the sentinel representation")
+      merges += ((x, y))
+      enc = call_function("replace", enc, lit(s"|$x||$y|"), lit(s"|$x$y|"))
+    }
+    merges.result()
+  }
+
+  /** Applies a learned merges table to a pipe-sentinel token string:
+    * one literal leftmost-non-overlapping replace per merge, in rank
+    * order — identical semantics in Spark and DuckDB. */
+  private[graft] def bpeApply(e0: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(e0) { case (e, (x, y)) =>
+      call_function("replace", e, lit(s"|$x||$y|"), lit(s"|$x$y|"))
+    }
 
   /** Oracle CTE chain for q254's 6 unrolled BPE rounds: round r counts
     * adjacent token pairs on the round r-1 encoding, picks the top pair

@@ -1627,5 +1627,141 @@ object TrainingDataOps {
         FROM ($sels) z
         ORDER BY round"""
       })
+  ,
+
+    // --------------------------------------------------------------- q257
+    // Token-budget WATER-FILLING under per-source epoch caps — the
+    // mixture-planning step between q236 (largest-remainder seat
+    // allocation) and q86 (temperature sampling): a training budget of
+    // 2× the corpus is split proportionally to source size, but each
+    // source may repeat at most `tier` epochs (4/2/1 by lexical-
+    // diversity rank — the "repeat small high-quality sources, don't
+    // loop boilerplate" recipe), and budget bouncing off a cap
+    // redistributes among still-uncapped sources over 3 proportional
+    // rounds. All integer: allocations in tokens, truncation dust
+    // REPORTED as leftover_tokens (stated, not hidden), epochs in
+    // milli-epochs. Scale shape: the state table is one row per SOURCE
+    // (metadata-sized at any corpus scale); per-round sums ride as
+    // single-row broadcasts — no driver collect anywhere, the 3-round
+    // chain is one lazy plan; the only corpus-sized work is the one
+    // token/distinct-word scan. (At 100 TB the R·n products exceed
+    // int64 — route through DECIMAL(38); stated here, exact at fixture
+    // scale.) The ranking window is unkeyed but bounded at the source
+    // count (the q236 precedent). Oracle unrolls the same 3 rounds.
+    QueryDef(
+      "q257_epoch_waterfill_allocation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val words = Tables(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val perSrc = words.groupBy("source")
+          .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("dw"))
+          .withColumn("ttr_permille", expr("dw * 1000 div n"))
+        val wr = Window.orderBy(col("ttr_permille").desc, col("source"))
+        val t0 = TrackedCaches.track(perSrc
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("tier",
+            when(col("rk") <= 7, 4L).when(col("rk") <= 14, 2L).otherwise(1L))
+          .withColumn("cap", col("tier") * col("n"))
+          .select("source", "n", "ttr_permille", "tier", "cap")
+          .persist(MEMORY_AND_DISK))
+        val budget = t0.agg((sum("n") * 2).as("b"))
+        var st = t0.crossJoin(broadcast(budget))
+          .withColumn("capped", lit(false))
+          .withColumn("alloc", lit(0L))
+        for (_ <- 1 to 3) {
+          val sums = st.agg(
+            sum(when(!col("capped"), col("n"))).as("s_unc"),
+            sum(when(col("capped"), col("cap")).otherwise(lit(0L))).as("used"))
+          st = st.crossJoin(broadcast(sums))
+            .withColumn("prop",
+              expr("(b - used) * n div nullif(s_unc, 0)"))
+            .withColumn("alloc",
+              when(col("capped"), col("cap"))
+                .when(col("prop").isNull, lit(0L))
+                .when(col("prop") >= col("cap"), col("cap"))
+                .otherwise(col("prop")))
+            .withColumn("capped", col("capped") ||
+              (col("prop").isNotNull && col("prop") >= col("cap")))
+            .drop("s_unc", "used", "prop")
+        }
+        val leftover = st.agg((max("b") - sum("alloc")).as("leftover_tokens"))
+        st.crossJoin(broadcast(leftover))
+          .select(col("source"), col("n").as("n_tokens"), col("ttr_permille"),
+            col("tier").as("epoch_cap"), col("cap").as("cap_tokens"),
+            col("alloc").as("alloc_tokens"),
+            expr("alloc * 1000 div n").as("epochs_milli"),
+            col("capped"), col("leftover_tokens"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH w AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        ps AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT w) AS BIGINT) AS dw
+          FROM w GROUP BY source),
+        t0 AS MATERIALIZED (
+          SELECT source, n, dw * 1000 // n AS ttr_permille,
+                 CAST(CASE WHEN rk <= 7 THEN 4
+                           WHEN rk <= 14 THEN 2 ELSE 1 END AS BIGINT) AS tier,
+                 CAST(CASE WHEN rk <= 7 THEN 4
+                           WHEN rk <= 14 THEN 2 ELSE 1 END AS BIGINT) * n
+                   AS cap
+          FROM (SELECT *, row_number() OVER (ORDER BY dw * 1000 // n DESC,
+                                             source) AS rk
+                FROM ps)),
+        b AS (SELECT CAST(SUM(n) * 2 AS BIGINT) AS b FROM t0),
+        r1 AS (
+          SELECT t0.*,
+                 (SELECT b FROM b) * n
+                   // NULLIF((SELECT SUM(n) FROM t0), 0) AS prop
+          FROM t0),
+        s1 AS MATERIALIZED (
+          SELECT source, n, ttr_permille, tier, cap,
+                 prop IS NOT NULL AND prop >= cap AS capped,
+                 CAST(CASE WHEN prop IS NULL THEN 0
+                           WHEN prop >= cap THEN cap
+                           ELSE prop END AS BIGINT) AS alloc
+          FROM r1),
+        r2 AS (
+          SELECT s1.*,
+                 ((SELECT b FROM b)
+                   - (SELECT COALESCE(SUM(cap), 0) FROM s1 WHERE capped)) * n
+                   // NULLIF((SELECT SUM(n) FROM s1 WHERE NOT capped), 0)
+                   AS prop
+          FROM s1),
+        s2 AS MATERIALIZED (
+          SELECT source, n, ttr_permille, tier, cap,
+                 capped OR (prop IS NOT NULL AND prop >= cap) AS capped,
+                 CAST(CASE WHEN capped THEN cap
+                           WHEN prop IS NULL THEN 0
+                           WHEN prop >= cap THEN cap
+                           ELSE prop END AS BIGINT) AS alloc
+          FROM r2),
+        r3 AS (
+          SELECT s2.*,
+                 ((SELECT b FROM b)
+                   - (SELECT COALESCE(SUM(cap), 0) FROM s2 WHERE capped)) * n
+                   // NULLIF((SELECT SUM(n) FROM s2 WHERE NOT capped), 0)
+                   AS prop
+          FROM s2),
+        s3 AS MATERIALIZED (
+          SELECT source, n, ttr_permille, tier, cap,
+                 capped OR (prop IS NOT NULL AND prop >= cap) AS capped,
+                 CAST(CASE WHEN capped THEN cap
+                           WHEN prop IS NULL THEN 0
+                           WHEN prop >= cap THEN cap
+                           ELSE prop END AS BIGINT) AS alloc
+          FROM r3),
+        lo AS (SELECT (SELECT b FROM b) - CAST(SUM(alloc) AS BIGINT)
+                 AS leftover_tokens FROM s3)
+        SELECT source, n AS n_tokens, ttr_permille, tier AS epoch_cap,
+               cap AS cap_tokens, alloc AS alloc_tokens,
+               alloc * 1000 // n AS epochs_milli, capped,
+               (SELECT leftover_tokens FROM lo) AS leftover_tokens
+        FROM s3
+        ORDER BY source"""))
   )
 }

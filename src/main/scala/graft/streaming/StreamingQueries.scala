@@ -2734,6 +2734,55 @@ object StreamingQueries {
         FROM batch LEFT JOIN dup ON batch.doc_id = dup.doc_id
         GROUP BY reason
         ORDER BY reason"""))
+  ,
+
+    // ---------------------------------------------------------------- s38
+    // Streaming BPE token-cost accounting — q254 live: the merges table
+    // is learned BATCH-side from the standing corpus (the offline
+    // tokenizer artifact a production stream ships with), and each
+    // arriving doc is encoded STATELESSLY in one per-row expression
+    // chain — the whole document pipe-sentinel-wrapped at once
+    // (non-space chars only, so word gaps read "| |"), then the merge
+    // replaces applied in rank order. Merge patterns "|x||y|" contain
+    // no spaces, so a match can never span the "| |" word boundary —
+    // whole-doc encoding is exactly per-word encoding (the q254
+    // construction), stated here because the oracle equality depends on
+    // it. Token counts come from boundary arithmetic (each intra-word
+    // token boundary is exactly one "||"), the drained per-doc rows
+    // roll up batch-side, and the result must hash-match q254's oracle
+    // VERBATIM. Zero state stores; per-tick cost O(tick chars).
+    QueryDef(
+      "s38_stream_bpe_token_costs",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        import graft.operators.{TextAnalysis, TrackedCaches}
+        val words = TrackedCaches.track(
+          TextAnalysis.bpeWords(s, dir).persist(MEMORY_AND_DISK))
+        val merges = TextAnalysis.learnBpeMerges(words)
+        val st = documentsStreamParts(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.bpeApply(
+              regexp_replace(col("text"), "([^ ])", "|$1|"), merges).as("enc"),
+            size(split(col("text"), " ")).cast("long").as("nw"),
+            length(call_function("replace", col("text"), lit(" "), lit("")))
+              .cast("long").as("nc"))
+          .select(col("doc_id"), col("source"), col("nw"), col("nc"),
+            expr("(length(enc) - length(replace(enc, '||', ''))) div 2 + nw")
+              .cast("long").as("nt"))
+        val rows = drain(s, OutputMode.Append())(st)
+        rows.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nw").as("n_words"),
+            sum("nt").as("n_tokens"),
+            sum("nc").as("n_chars"))
+          .select(col("source"), col("n_docs"), col("n_words"),
+            col("n_tokens"), col("n_chars"),
+            expr("n_tokens div n_docs").as("tokens_per_doc"),
+            expr("n_tokens * 1000 div n_chars").as("tokens_per_kchar"))
+          .orderBy("source")
+      },
+      Some(graft.operators.TextAnalysis.bpeOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -93,6 +93,45 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("s38 streaming BPE token costs equal batch q254's report") {
+    val batch = run("q254_bpe_encode_token_costs").collect().toSet
+    val stream = run("s38_stream_bpe_token_costs").collect().toSet
+    assert(batch == stream,
+      "whole-doc streaming encode must equal per-word batch encode")
+  }
+
+  test("q256 finds a span in every planted-boilerplate document") {
+    import spark.implicits._
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0).count()
+    val rows = run("q256_repeated_span_masking")
+      .agg(org.apache.spark.sql.functions.sum("n_docs_with_spans"),
+        org.apache.spark.sql.functions.sum("masked_tokens"))
+      .as[(Long, Long)].head()
+    assert(rows._1 >= planted,
+      "every planted 13-word boilerplate tail must surface as a span")
+    assert(rows._2 >= planted * 13,
+      "each planted span covers at least its 13 boilerplate tokens")
+  }
+
+  test("q257 water-filling: caps respected, budget conserved") {
+    import spark.implicits._
+    val rows = run("q257_epoch_waterfill_allocation")
+      .select("n_tokens", "cap_tokens", "alloc_tokens", "capped",
+        "leftover_tokens")
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cap, alloc, capped, _) =>
+      assert(alloc <= cap, "allocation may never exceed the epoch cap")
+      assert(!capped || alloc == cap, "capped sources sit exactly at cap")
+    }
+    val budget = rows.map(_._1).sum * 2
+    assert(rows.map(_._3).sum + rows.head._5 == budget,
+      "allocations plus reported dust must reconstruct the budget exactly")
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "fixture dynamics: some sources cap, surplus flows to the rest")
+  }
+
   test("pair graph builds ONCE and is shared by q26/q50/q96/q241/q246") {
     // VERDICT r7 item 2: the MinHash fixpoint must execute once per run,
     // with every consumer deriving from the shared intermediate. Proven
