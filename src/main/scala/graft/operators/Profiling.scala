@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1219,25 +1220,11 @@ object Profiling {
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val goodExpr =
-          (size(array_distinct(split(col("text"), " "))) * 2 >=
-            size(split(col("text"), " "))).as("good")
-        val d = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("text"))
         // gram-occurrence table persisted once: feeds weight training
         // AND inference (the PairGraph/q244 reuse discipline in-query)
-        val grams = TrackedCaches.track(d
-          .select(col("doc_id"), col("source"), goodExpr,
-            explode(call_function("graft_char_ngrams", col("text"), lit(3)))
-              .as("gr"))
-          .select(col("doc_id"), col("source"), col("good"),
-            expr("cast(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT) % 4096")
-              .as("b"))
-          .persist(MEMORY_AND_DISK))
-        val wt = grams.groupBy("b")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("good"), 1L).otherwise(0L)).as("cg"))
-          .select(col("b"), expr("(cg + 1) * 1000000 div (n + 2)").as("w"))
+        val grams = TrackedCaches.track(
+          classifierGrams(s, dir).persist(MEMORY_AND_DISK))
+        val wt = classifierWeights(grams)
         val scored = grams.join(broadcast(wt), "b")
           .groupBy("doc_id", "source", "good")
           .agg(expr("sum(w) div count(1)").as("score_ppm"))
@@ -1245,10 +1232,7 @@ object Profiling {
         // weights live in (a doc-level prior sits systematically above
         // almost every score because low-diversity docs are longer and
         // contribute more gram mass — measured: it keeps nothing)
-        val prior = grams
-          .agg(count(lit(1)).as("n_all"),
-            sum(when(col("good"), 1L).otherwise(0L)).as("n_good"))
-          .select(expr("n_good * 1000000 div n_all").as("thr_ppm"))
+        val prior = classifierPrior(grams)
         scored.crossJoin(broadcast(prior))
           .withColumn("keep", col("score_ppm") >= col("thr_ppm"))
           .groupBy("source")
@@ -1264,7 +1248,251 @@ object Profiling {
             expr("(tp + tn) * 1000000 div n_docs").as("agreement_ppm"))
           .orderBy("source")
       },
+      Some(classifierOracle))
+  ,
+
+    // --------------------------------------------------------------- q258
+    // Cohen's KAPPA inter-annotator agreement — the label-quality audit
+    // next to q155's classifier metrics: where q155 scores a model
+    // against truth, kappa scores two ANNOTATORS against each other
+    // with agreement-by-chance subtracted — the number a labeling
+    // campaign reports before trusting its labels. Two deterministic
+    // pseudo-annotators over events (annotator B disagrees on every 7th
+    // event, shifting to the next type in lexical order — both engines
+    // derive identical labels from the fixture), so the confusion
+    // matrix is data, not randomness. All integer: po and pe in ppm
+    // from exact marginal products (pe's n²-bounded Σ n_a·n_b ×10⁶
+    // fits int64 up to ~3·10⁶ events; DECIMAL(38) beyond — stated),
+    // kappa in ppm via
+    // one truncating division pinned in both engines. Shape: ONE
+    // bounded types² confusion aggregate; marginals, diagonal and the
+    // kappa scalar all derive from the tiny matrix — single-row
+    // broadcasts, no second corpus pass.
+    QueryDef(
+      "q258_cohens_kappa",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val nextOf = types.zip(types.tail :+ types.head).toMap
+        val shiftExpr = types.map { t =>
+          s"WHEN event_type = '$t' THEN '${nextOf(t)}'"
+        }.mkString("CASE ", " ", " END")
+        val pairs = Tables.events(s, dir)
+          .select(col("event_type").as("a"),
+            expr(s"CASE WHEN event_id % 7 = 0 THEN $shiftExpr " +
+              "ELSE event_type END").as("b"))
+        val cm = TrackedCaches.track(
+          pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val byA = cm.groupBy(col("a").as("cls")).agg(sum("n").as("n_a"))
+        val byB = cm.groupBy(col("b").as("cls")).agg(sum("n").as("n_b"))
+        val diag = cm.filter(col("a") === col("b"))
+          .select(col("a").as("cls"), col("n").as("n_agree"))
+        val perClass = byA.join(byB, "cls")
+          .join(diag, Seq("cls"), "left")
+          .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
+        val scalars = perClass.agg(
+            sum("n_a").as("n"), sum("n_agree").as("agree"),
+            sum(col("n_a") * col("n_b")).as("pe_num"))
+          .select(expr("agree * 1000000 div n").as("po_ppm"),
+            expr("pe_num * 1000000 div (n * n)").as("pe_ppm"))
+          .select(col("po_ppm"), col("pe_ppm"),
+            expr("(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)")
+              .as("kappa_ppm"))
+        perClass.crossJoin(broadcast(scalars))
+          .select(col("cls"), col("n_a"), col("n_b"), col("n_agree"),
+            col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
+          .orderBy("cls")
+      },
       Some("""
+        WITH p AS (
+          SELECT event_type AS a,
+                 CASE WHEN event_id % 7 = 0 THEN
+                   CASE event_type
+                     WHEN 'click' THEN 'error'
+                     WHEN 'error' THEN 'purchase'
+                     WHEN 'purchase' THEN 'signup'
+                     WHEN 'signup' THEN 'view'
+                     WHEN 'view' THEN 'click' END
+                 ELSE event_type END AS b
+          FROM events),
+        cm AS MATERIALIZED (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY a, b),
+        ma AS (SELECT a AS cls, CAST(SUM(n) AS BIGINT) AS n_a
+               FROM cm GROUP BY a),
+        mb AS (SELECT b AS cls, CAST(SUM(n) AS BIGINT) AS n_b
+               FROM cm GROUP BY b),
+        dg AS (SELECT a AS cls, n AS n_agree FROM cm WHERE a = b),
+        pc AS (
+          SELECT cls, n_a, n_b, COALESCE(n_agree, 0) AS n_agree
+          FROM ma JOIN mb USING (cls) LEFT JOIN dg USING (cls)),
+        sc AS (
+          SELECT CAST(SUM(n_a) AS BIGINT) AS n,
+                 CAST(SUM(n_agree) AS BIGINT) AS agree,
+                 CAST(SUM(n_a * n_b) AS BIGINT) AS pe_num
+          FROM pc),
+        kk AS (
+          SELECT po_ppm, pe_ppm,
+                 (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+                   AS kappa_ppm
+          FROM (SELECT agree * 1000000 // n AS po_ppm,
+                       pe_num * 1000000 // (n * n) AS pe_ppm
+                FROM sc))
+        SELECT cls, n_a, n_b, n_agree,
+               (SELECT po_ppm FROM kk) AS po_ppm,
+               (SELECT pe_ppm FROM kk) AS pe_ppm,
+               (SELECT kappa_ppm FROM kk) AS kappa_ppm
+        FROM pc
+        ORDER BY cls"""))
+  ,
+
+    // --------------------------------------------------------------- q259
+    // Token-overlap F1 evaluation — the SQuAD-style answer scorer run
+    // at corpus scale: per sample, MULTISET token overlap between a
+    // prediction and its gold text (Σ min(count_pred, count_gold) per
+    // token — an equi-join on (doc_id, token), never a cross join),
+    // precision/recall/F1 in exact ppm, rolled up per source as both
+    // MICRO (from pooled counts) and MACRO (mean of per-doc F1) — the
+    // two numbers every eval harness reports and mixes up. Predictions
+    // are a deterministic corruption of gold (every 5th doc loses its
+    // last word, every 7th its first) so both engines derive identical
+    // pairs. F1 composed as 2·p·r div (p+r) entirely in ppm integers.
+    QueryDef(
+      "q259_token_f1_eval",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text").as("gold"),
+            when(col("doc_id") % 5 === 0,
+                regexp_replace(col("text"), " \\S+$", ""))
+              .otherwise(col("text")).as("p0"))
+          .select(col("doc_id"), col("source"), col("gold"),
+            when(col("doc_id") % 7 === 0,
+                regexp_replace(col("p0"), "^\\S+ ", ""))
+              .otherwise(col("p0")).as("pred"))
+        def counts(c: String, out: String): DataFrame = d
+          .select(col("doc_id"), col("source"),
+            explode(split(col(c), " ")).as("tok"))
+          .groupBy("doc_id", "source", "tok")
+          .agg(count(lit(1)).as(out))
+        val g = counts("gold", "cg")
+        val p = counts("pred", "cp")
+        val overlap = g.join(p, Seq("doc_id", "source", "tok"))
+          .groupBy("doc_id", "source")
+          .agg(sum(least(col("cg"), col("cp"))).as("ov"))
+        val perDoc = TrackedCaches.track(d
+          .select(col("doc_id"), col("source"),
+            size(split(col("gold"), " ")).cast("long").as("ng"),
+            size(split(col("pred"), " ")).cast("long").as("np"))
+          .join(overlap, Seq("doc_id", "source"), "left")
+          .withColumn("ov", coalesce(col("ov"), lit(0L)))
+          .withColumn("p_ppm", expr("ov * 1000000 div np"))
+          .withColumn("r_ppm", expr("ov * 1000000 div ng"))
+          .withColumn("f1_ppm",
+            expr("2 * p_ppm * r_ppm div nullif(p_ppm + r_ppm, 0)"))
+          .persist(MEMORY_AND_DISK))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ov").as("ov"), sum("np").as("np"), sum("ng").as("ng"),
+            sum("f1_ppm").as("f1_sum"))
+          .select(col("source"), col("n_docs"),
+            expr("ov * 1000000 div np").as("micro_p_ppm"),
+            expr("ov * 1000000 div ng").as("micro_r_ppm"),
+            expr("""2 * (ov * 1000000 div np) * (ov * 1000000 div ng)
+                    div nullif(ov * 1000000 div np + ov * 1000000 div ng, 0)""")
+              .as("micro_f1_ppm"),
+            expr("f1_sum div n_docs").as("macro_f1_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, source, text AS gold,
+                 CASE WHEN doc_id % 7 = 0 THEN regexp_replace(p0, '^\S+ ', '')
+                      ELSE p0 END AS pred
+          FROM (SELECT doc_id, source, text,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN regexp_replace(text, ' \S+$', '')
+                            ELSE text END AS p0
+                FROM documents)),
+        g AS (SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS cg
+              FROM (SELECT doc_id, source,
+                           unnest(string_split(gold, ' ')) AS tok FROM d)
+              GROUP BY doc_id, source, tok),
+        p AS (SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS cp
+              FROM (SELECT doc_id, source,
+                           unnest(string_split(pred, ' ')) AS tok FROM d)
+              GROUP BY doc_id, source, tok),
+        ov AS (SELECT doc_id, source,
+                      CAST(SUM(LEAST(cg, cp)) AS BIGINT) AS ov
+               FROM g JOIN p USING (doc_id, source, tok)
+               GROUP BY doc_id, source),
+        pd AS (
+          SELECT d.doc_id, d.source,
+                 CAST(len(string_split(gold, ' ')) AS BIGINT) AS ng,
+                 CAST(len(string_split(pred, ' ')) AS BIGINT) AS np,
+                 COALESCE(ov.ov, 0) AS ov
+          FROM d LEFT JOIN ov ON ov.doc_id = d.doc_id),
+        pf AS (
+          SELECT doc_id, source, ng, np, ov,
+                 ov * 1000000 // np AS p_ppm,
+                 ov * 1000000 // ng AS r_ppm
+          FROM pd),
+        pf2 AS (
+          SELECT *, 2 * p_ppm * r_ppm // NULLIF(p_ppm + r_ppm, 0) AS f1_ppm
+          FROM pf)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ov) AS BIGINT) * 1000000 // CAST(SUM(np) AS BIGINT)
+                 AS micro_p_ppm,
+               CAST(SUM(ov) AS BIGINT) * 1000000 // CAST(SUM(ng) AS BIGINT)
+                 AS micro_r_ppm,
+               2 * (CAST(SUM(ov) AS BIGINT) * 1000000
+                     // CAST(SUM(np) AS BIGINT))
+                 * (CAST(SUM(ov) AS BIGINT) * 1000000
+                     // CAST(SUM(ng) AS BIGINT))
+                 // NULLIF((CAST(SUM(ov) AS BIGINT) * 1000000
+                     // CAST(SUM(np) AS BIGINT))
+                   + (CAST(SUM(ov) AS BIGINT) * 1000000
+                     // CAST(SUM(ng) AS BIGINT)), 0) AS micro_f1_ppm,
+               CAST(SUM(f1_ppm) AS BIGINT) // COUNT(*) AS macro_f1_ppm
+        FROM pf2
+        GROUP BY source
+        ORDER BY source"""))
+  )
+
+  /** q255/s39 shared: the lexical-diversity seed label
+    * (2·|distinct words| ≥ |words|). */
+  private[graft] def classifierGoodExpr: org.apache.spark.sql.Column =
+    (size(array_distinct(split(col("text"), " "))) * 2 >=
+      size(split(col("text"), " "))).as("good")
+
+  /** q255/s39 shared: the gram-occurrence frame (doc_id, source, good, b)
+    * — md5-hashed char-3gram buckets with the per-doc seed label. */
+  private[graft] def classifierGrams(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), classifierGoodExpr,
+        explode(call_function("graft_char_ngrams", col("text"), lit(3)))
+          .as("gr"))
+      .select(col("doc_id"), col("source"), col("good"),
+        expr("cast(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT) % 4096")
+          .as("b"))
+  }
+
+  /** q255/s39 shared: smoothed per-bucket P(good) weights in ppm. */
+  private[graft] def classifierWeights(grams: DataFrame): DataFrame =
+    grams.groupBy("b")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("good"), 1L).otherwise(0L)).as("cg"))
+      .select(col("b"), expr("(cg + 1) * 1000000 div (n + 2)").as("w"))
+
+  /** q255/s39 shared: the gram-occurrence prior threshold (single row). */
+  private[graft] def classifierPrior(grams: DataFrame): DataFrame =
+    grams.agg(count(lit(1)).as("n_all"),
+        sum(when(col("good"), 1L).otherwise(0L)).as("n_good"))
+      .select(expr("n_good * 1000000 div n_all").as("thr_ppm"))
+
+  /** q255's per-source report oracle, shared VERBATIM by s39. */
+  private[graft] def classifierOracle: String = """
         WITH g AS MATERIALIZED (
           SELECT doc_id, source,
                  2 * len(list_distinct(string_split(text, ' ')))
@@ -1305,6 +1533,5 @@ object Profiling {
                  // COUNT(*) AS agreement_ppm
         FROM k
         GROUP BY source
-        ORDER BY source"""))
-  )
+        ORDER BY source"""
 }

@@ -1716,7 +1716,7 @@ object TrainingDataOps {
         r1 AS (
           SELECT t0.*,
                  (SELECT b FROM b) * n
-                   // NULLIF((SELECT SUM(n) FROM t0), 0) AS prop
+                   // NULLIF((SELECT SUM(n) AS sn FROM t0), 0) AS prop
           FROM t0),
         s1 AS MATERIALIZED (
           SELECT source, n, ttr_permille, tier, cap,
@@ -1729,7 +1729,7 @@ object TrainingDataOps {
           SELECT s1.*,
                  ((SELECT b FROM b)
                    - (SELECT COALESCE(SUM(cap), 0) FROM s1 WHERE capped)) * n
-                   // NULLIF((SELECT SUM(n) FROM s1 WHERE NOT capped), 0)
+                   // NULLIF((SELECT SUM(n) AS sn FROM s1 WHERE NOT capped), 0)
                    AS prop
           FROM s1),
         s2 AS MATERIALIZED (
@@ -1744,7 +1744,7 @@ object TrainingDataOps {
           SELECT s2.*,
                  ((SELECT b FROM b)
                    - (SELECT COALESCE(SUM(cap), 0) FROM s2 WHERE capped)) * n
-                   // NULLIF((SELECT SUM(n) FROM s2 WHERE NOT capped), 0)
+                   // NULLIF((SELECT SUM(n) AS sn FROM s2 WHERE NOT capped), 0)
                    AS prop
           FROM s2),
         s3 AS MATERIALIZED (
@@ -1763,5 +1763,72 @@ object TrainingDataOps {
                (SELECT leftover_tokens FROM lo) AS leftover_tokens
         FROM s3
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q260
+    // CURRICULUM batch assembly — the loader-side shaping between
+    // q104's length-bucket batches and q78's packing: docs rank
+    // globally by a difficulty proxy (word count, doc_id tiebreak),
+    // split into 10 difficulty deciles, and batch b interleaves the
+    // b-th member of EACH decile — so every batch spans the full
+    // difficulty spectrum (anti-curriculum mixing, the "don't feed the
+    // model a length-sorted epoch" rule). The global rank rides the
+    // established range-partitioned two-pass prefix sum
+    // (Statistics.prefixSums — per-partition cumsum under a pid-KEYED
+    // window + a bounded 32-row offset table; the only unkeyed window
+    // in the plan is that offset table), never a corpus-wide
+    // row_number; within-decile order is a decile-KEYED window. Output
+    // is the per-batch audit: size, decile coverage, difficulty range —
+    // a single misplaced doc breaks the hash.
+    QueryDef(
+      "q260_curriculum_batches",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("nw"))
+          // collision-free composite order key: nw then doc_id
+          .withColumn("k", col("nw") * 1000000L + col("doc_id"))
+          .withColumn("one", lit(1L))
+        val n = d.count() // metadata scalar (one row count, q244 discipline)
+        val ranked = Statistics.prefixSums(d, "k", Seq("one"))
+          .withColumn("decile", expr(s"(cum_one - 1) * 10 div $n"))
+        val wd = Window.partitionBy("decile").orderBy("k")
+        ranked.withColumn("batch_id", row_number().over(wd).cast("long"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("decile")).as("n_deciles"),
+            min("nw").as("min_words"), max("nw").as("max_words"),
+            sum("nw").as("sum_words"))
+          .orderBy("batch_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) * 1000000
+                   + doc_id AS k
+          FROM documents),
+        r AS (
+          SELECT doc_id, nw, k,
+                 row_number() OVER (ORDER BY k) AS rn,
+                 (SELECT COUNT(*) FROM d) AS n
+          FROM d),
+        dec AS (
+          SELECT doc_id, nw, k, (rn - 1) * 10 // n AS decile FROM r),
+        b AS (
+          SELECT nw, decile,
+                 row_number() OVER (PARTITION BY decile ORDER BY k)
+                   AS batch_id
+          FROM dec)
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT decile) AS BIGINT) AS n_deciles,
+               CAST(MIN(nw) AS BIGINT) AS min_words,
+               CAST(MAX(nw) AS BIGINT) AS max_words,
+               CAST(SUM(nw) AS BIGINT) AS sum_words
+        FROM b
+        GROUP BY batch_id
+        ORDER BY batch_id"""))
   )
 }

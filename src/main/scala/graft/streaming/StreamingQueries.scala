@@ -2783,6 +2783,73 @@ object StreamingQueries {
           .orderBy("source")
       },
       Some(graft.operators.TextAnalysis.bpeOracle))
+  ,
+
+    // ---------------------------------------------------------------- s39
+    // Streaming learned quality gate — q255 live, completing the
+    // at-ingest gate pair (s35 = rule gate, s39 = learned gate): the
+    // hashed-ngram weight table is trained BATCH-side from the standing
+    // corpus and ships into the stream as a LITERAL map (the broadcast
+    // model artifact a production scorer loads), the threshold as a
+    // literal scalar; each arriving doc is scored in ONE per-row
+    // expression — char-3grams → md5 bucket → weight lookup →
+    // integer ppm mean — so the stream side is a pure stateless map:
+    // zero state stores, zero stream-side joins, per-tick cost
+    // O(tick chars). Drained per-doc verdicts roll up batch-side into
+    // exactly q255's per-source report: same oracle VERBATIM. The
+    // per-row HOF chain is interpreted (not codegen) — the stated
+    // trade for a shuffle-free probe, bounded per doc; the batch twin
+    // keeps the columnar codegen path.
+    QueryDef(
+      "s39_stream_classifier_gate",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        import graft.operators.{Profiling, TrackedCaches}
+        val grams = TrackedCaches.track(
+          Profiling.classifierGrams(s, dir).persist(MEMORY_AND_DISK))
+        // model artifact: 4096 weights + threshold, collected ONCE at
+        // plan-construction (vocabulary-sized, the merges-table
+        // discipline) and shipped as literals
+        val wtMap = Profiling.classifierWeights(grams).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val thr = Profiling.classifierPrior(grams).head().getLong(0)
+        val mapCol = typedLit(wtMap)
+        val st = documentsStreamParts(s, dir)
+          .select(col("doc_id"), col("source"),
+            Profiling.classifierGoodExpr,
+            call_function("graft_char_ngrams", col("text"), lit(3)).as("gr"))
+          .filter(size(col("gr")) > 0) // q255 scores only gram-bearing docs
+          .select(col("doc_id"), col("source"), col("good"),
+            aggregate(
+              transform(col("gr"), g =>
+                // unseen buckets are impossible here (the stream replays
+                // the training corpus); production ships the neutral
+                // 500000 prior for them — stated via the coalesce
+                coalesce(
+                  element_at(mapCol,
+                    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % 4096),
+                  lit(500000L))),
+              lit(0L), (acc, w) => acc + w).as("wsum"),
+            size(col("gr")).cast("long").as("ng"))
+          .select(col("doc_id"), col("source"), col("good"),
+            expr("wsum div ng").as("score_ppm"))
+          .withColumn("keep", col("score_ppm") >= lit(thr))
+        val rows = drain(s, OutputMode.Append())(st)
+        rows.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(when(col("keep") && col("good"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("keep") && !col("good"), 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("keep") && col("good"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("keep") && !col("good"), 1L).otherwise(0L)).as("tn"))
+          .select(col("source"), col("n_docs"), col("n_keep"),
+            expr("n_keep * 1000000 div n_docs").as("keep_ppm"),
+            col("tp"), col("fp"), col("fn"), col("tn"),
+            expr("(tp + tn) * 1000000 div n_docs").as("agreement_ppm"))
+          .orderBy("source")
+      },
+      Some(graft.operators.Profiling.classifierOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

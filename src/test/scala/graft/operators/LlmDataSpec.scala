@@ -132,6 +132,38 @@ class LlmDataSpec extends AnyFunSuite {
       "fixture dynamics: some sources cap, surplus flows to the rest")
   }
 
+  test("s39 streaming classifier verdicts equal batch q255's report") {
+    val batch = run("q255_hashed_ngram_classifier").collect().toSet
+    val stream = run("s39_stream_classifier_gate").collect().toSet
+    assert(batch == stream,
+      "per-row streaming inference must equal the batch broadcast-join path")
+  }
+
+  test("q258 kappa sits between chance and perfect for the 1-in-7 disagreer") {
+    import spark.implicits._
+    val rows = run("q258_cohens_kappa")
+      .select("po_ppm", "pe_ppm", "kappa_ppm")
+      .as[(Long, Long, Long)].collect().distinct
+    assert(rows.length == 1, "scalar kappa must be identical on every class row")
+    val (po, pe, k) = rows.head
+    // annotators agree on 6/7 of events exactly
+    assert(po > 850000 && po < 865000, s"po_ppm=$po")
+    assert(k > pe && k < 1000000 && k > 0,
+      s"kappa_ppm=$k must be chance-corrected positive and below perfect")
+  }
+
+  test("q260 every full curriculum batch covers all 10 deciles") {
+    import spark.implicits._
+    val rows = run("q260_curriculum_batches")
+      .select("n_docs", "n_deciles").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.filter(_._1 == 10L).foreach { case (_, nd) =>
+      assert(nd == 10L, "a 10-doc batch must hold one doc per decile")
+    }
+    assert(rows.count(_._1 == 10L) >= rows.length - 1,
+      "only the final ragged batch may be short")
+  }
+
   test("pair graph builds ONCE and is shared by q26/q50/q96/q241/q246") {
     // VERDICT r7 item 2: the MinHash fixpoint must execute once per run,
     // with every consumer deriving from the shared intermediate. Proven
