@@ -177,6 +177,35 @@ class LlmDataSpec extends AnyFunSuite {
       "five pair-graph consumers must trigger exactly one from-scratch build")
   }
 
+  test("q261 incremental CC recomputes ONLY the affected subgraph") {
+    import spark.implicits._
+    val inc = Dedup.incrementalCc(spark, dir)
+    val standing = inc.standingPairs.as[(Long, Long)].collect().toSet
+    val fresh = inc.newPairs.as[(Long, Long)].collect().toSet
+    val sub = inc.subEdges.as[(Long, Long)].collect().toSet
+    // the fixpoint input is a subset of standing ∪ new …
+    assert(sub.subsetOf(standing ++ fresh),
+      "subgraph edges must come from standing or new pairs only")
+    // … and a STRICT subset of standing: untouched components' edges
+    // never re-enter the fixpoint (that is the whole point of q261)
+    val untouchedEdges = standing -- sub
+    assert(untouchedEdges.nonEmpty,
+      "some standing component must be untouched by the delta — " +
+        "otherwise the test fixture proves nothing")
+    // carried-over labels are bit-identical to the standing labels on
+    // untouched nodes (min-label invariance makes carry-over exact)
+    val standingLabels = PairGraph.labels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val subNodes = sub.flatMap(e => Seq(e._1, e._2))
+    val finalLabels = inc.finalLabels.as[(Long, Long)].collect().toMap
+    val untouchedNodes = standingLabels.keySet -- subNodes
+    assert(untouchedNodes.nonEmpty)
+    untouchedNodes.foreach { n =>
+      assert(finalLabels(n) == standingLabels(n),
+        s"untouched node $n changed label — carry-over must be exact")
+    }
+  }
+
   test("s37 streaming near-dup admission verdicts equal batch q107's") {
     // the streamed ticks must converge to the batch admission decision
     // exactly — same ingest construction, same J >= 0.6 contract
