@@ -1456,6 +1456,137 @@ object Profiling {
         FROM pf2
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q262
+    // Batch PERCEPTRON TRAINING over hashed n-gram features — the
+    // trainer half of q255's learned gate (q255 ships a weight table;
+    // this is where one comes from). Synchronized (batch) perceptron,
+    // the order-independent variant that parallelizes exactly: epoch t
+    // scores every doc with w_{t-1} (integer dot product over the
+    // per-doc bucket counts), the misclassified set (y·score ≤ 0)
+    // contributes y·count to each touched bucket, and
+    // w_t = w_{t-1} + Σ updates — a plain sum, so the result is
+    // bit-identical under any partitioning (the sequential perceptron's
+    // row-order dependence is exactly what does NOT survive a cluster).
+    // 3 epochs unrolled; per epoch the report row carries the training
+    // curve (miss count, err ppm) and the weight-vector audit
+    // (nonzero buckets, |w| mass, position-weighted checksum) so a
+    // single drifted weight fails the hash. Shape: the (doc, bucket)
+    // count table persists once; each epoch is one BROADCAST join
+    // against the ≤4096-row weight table + two keyed aggregates; the
+    // driver never sees a weight. Epoch 1 starts from w=0, so every
+    // doc misses — stated, part of the contract.
+    QueryDef(
+      "q262_perceptron_training",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val c = TrackedCaches.track(
+          classifierGrams(s, dir)
+            .groupBy("doc_id", "good", "b")
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("y", when(col("good"), 1L).otherwise(-1L))
+            .persist(MEMORY_AND_DISK))
+        val totals = c.agg(countDistinct("doc_id").as("n_docs"))
+        var w: Option[DataFrame] = None
+        val reports = (1 to 3).map { epoch =>
+          val joined = w match {
+            case None => c.withColumn("wv", lit(0L))
+            case Some(wt) => c.join(broadcast(wt), Seq("b"), "left")
+              .withColumn("wv", coalesce(col("w"), lit(0L)))
+          }
+          val missIds = joined.groupBy("doc_id", "y")
+            .agg(sum(col("wv") * col("cnt")).as("sc"))
+            .filter(col("y") * col("sc") <= 0)
+            .select("doc_id")
+          val delta = c.join(missIds, Seq("doc_id"), "left_semi")
+            .groupBy("b").agg(sum(col("y") * col("cnt")).as("d"))
+          val wNext = w match {
+            case None => delta.select(col("b"), col("d").as("w"))
+            case Some(wt) => wt.join(delta, Seq("b"), "full_outer")
+              .select(col("b"),
+                (coalesce(col("w"), lit(0L)) + coalesce(col("d"), lit(0L)))
+                  .as("w"))
+          }
+          val wP = TrackedCaches.track(wNext.persist(MEMORY_AND_DISK))
+          w = Some(wP)
+          missIds.agg(count(lit(1)).as("n_miss"))
+            .crossJoin(wP.agg(
+              sum(when(col("w") =!= 0L, 1L).otherwise(0L)).as("w_nonzero"),
+              sum(abs(col("w"))).as("w_abs_sum"),
+              sum(col("w") * (col("b") + 1)).as("w_checksum")))
+            .crossJoin(totals)
+            .select(lit(epoch).as("epoch"), col("n_miss"), col("n_docs"),
+              expr("n_miss * 1000000 div n_docs").as("err_ppm"),
+              col("w_nonzero"), col("w_abs_sum"), col("w_checksum"))
+        }
+        reports.reduce(_ unionByName _).orderBy("epoch")
+      },
+      Some("""
+        WITH g AS MATERIALIZED (
+          SELECT doc_id,
+                 2 * len(list_distinct(string_split(text, ' ')))
+                   >= len(string_split(text, ' ')) AS good,
+                 CAST(concat('0x', substr(md5(gr), 1, 15)) AS BIGINT) % 4096
+                   AS b
+          FROM (SELECT doc_id, text,
+                       unnest(list_transform(range(1, length(text) - 1),
+                         i -> substring(text, i, 3))) AS gr
+                FROM documents)),
+        c AS MATERIALIZED (
+          SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CASE WHEN good THEN 1 ELSE -1 END AS y
+          FROM g GROUP BY doc_id, good, b),
+        tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM c),
+        m1 AS (SELECT DISTINCT doc_id FROM c),
+        w1 AS MATERIALIZED (
+          SELECT b, CAST(SUM(y * cnt) AS BIGINT) AS w FROM c GROUP BY b),
+        s2 AS (SELECT c.doc_id, MAX(c.y) AS y,
+                      CAST(SUM(COALESCE(w1.w, 0) * c.cnt) AS BIGINT) AS sc
+               FROM c LEFT JOIN w1 USING (b) GROUP BY c.doc_id),
+        m2 AS MATERIALIZED (SELECT doc_id FROM s2 WHERE y * sc <= 0),
+        d2 AS (SELECT b, CAST(SUM(c.y * c.cnt) AS BIGINT) AS d
+               FROM c JOIN m2 USING (doc_id) GROUP BY b),
+        w2 AS MATERIALIZED (
+          SELECT COALESCE(w1.b, d2.b) AS b,
+                 COALESCE(w1.w, 0) + COALESCE(d2.d, 0) AS w
+          FROM w1 FULL JOIN d2 ON w1.b = d2.b),
+        s3 AS (SELECT c.doc_id, MAX(c.y) AS y,
+                      CAST(SUM(COALESCE(w2.w, 0) * c.cnt) AS BIGINT) AS sc
+               FROM c LEFT JOIN w2 USING (b) GROUP BY c.doc_id),
+        m3 AS MATERIALIZED (SELECT doc_id FROM s3 WHERE y * sc <= 0),
+        d3 AS (SELECT b, CAST(SUM(c.y * c.cnt) AS BIGINT) AS d
+               FROM c JOIN m3 USING (doc_id) GROUP BY b),
+        w3 AS MATERIALIZED (
+          SELECT COALESCE(w2.b, d3.b) AS b,
+                 COALESCE(w2.w, 0) + COALESCE(d3.d, 0) AS w
+          FROM w2 FULL JOIN d3 ON w2.b = d3.b),
+        rep AS (
+          SELECT 1 AS epoch,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM m1) AS n_miss,
+                 (SELECT CAST(count_if(w <> 0) AS BIGINT) FROM w1)
+                   AS w_nonzero,
+                 (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w1) AS w_abs_sum,
+                 (SELECT CAST(SUM(w * (b + 1)) AS BIGINT) FROM w1)
+                   AS w_checksum
+          UNION ALL
+          SELECT 2,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM m2),
+                 (SELECT CAST(count_if(w <> 0) AS BIGINT) FROM w2),
+                 (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w2),
+                 (SELECT CAST(SUM(w * (b + 1)) AS BIGINT) FROM w2)
+          UNION ALL
+          SELECT 3,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM m3),
+                 (SELECT CAST(count_if(w <> 0) AS BIGINT) FROM w3),
+                 (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w3),
+                 (SELECT CAST(SUM(w * (b + 1)) AS BIGINT) FROM w3))
+        SELECT epoch, n_miss, n_docs,
+               n_miss * 1000000 // n_docs AS err_ppm,
+               w_nonzero, w_abs_sum, w_checksum
+        FROM rep CROSS JOIN tot
+        ORDER BY epoch"""))
   )
 
   /** q255/s39 shared: the lexical-diversity seed label

@@ -1287,6 +1287,248 @@ object TextAnalysis {
           .orderBy("source")
       },
       Some(bpeOracle))
+  ,
+
+    // --------------------------------------------------------------- q263
+    // RETRIEVAL EVAL — recall@k and MRR, the numbers a RAG/search stack
+    // reports before trusting its retriever (q243 scores, q245 fuses;
+    // nothing yet MEASURED retrieval). Deterministic query set: every
+    // doc with doc_id % 97 = 3 asks for its own words 6–8 (distinct),
+    // gold = the originating doc — self-retrieval, the standard
+    // synthetic-relevance protocol, and the gold is guaranteed a
+    // candidate because it contains its own query words. Scoring is
+    // q243's exact-integer BM25 per (query, candidate). The gold's rank
+    // comes from RANK-BY-COUNTING — count the candidates that beat it
+    // ((score, doc_id) tiebreak) + 1 — one keyed aggregate, NO
+    // per-query sort and no window; the only per-query state is the
+    // single broadcast gold-score row. recall@1/@10 and MRR in exact
+    // ppm (10⁶ div rank, truncating in both engines) roll up per query
+    // source. 100 TB: queries are ~1% of docs, candidates stay
+    // probe-bounded per query (only docs sharing a query word score;
+    // at web scale the scorer probes q141's persisted index — q243's
+    // note — and the counting rank needs no global order either way).
+    QueryDef(
+      "q263_retrieval_eval",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val d = Tables(s, dir, "documents").select("doc_id", "source", "text")
+        val qs = TrackedCaches.track(d.filter(col("doc_id") % 97 === 3)
+          .select(col("doc_id").as("query_id"),
+            explode(array_distinct(expr("slice(split(text, ' '), 6, 3)")))
+              .as("word"))
+          .persist(MEMORY_AND_DISK))
+        val words = TrackedCaches.track(d
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .persist(MEMORY_AND_DISK))
+        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          expr("sum(dl) * 1000 div count(1)").as("avg_m"))
+        val tf = words.join(broadcast(qs.select("word").distinct()), "word")
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val termScore = tf
+          .join(broadcast(df.crossJoin(stats)
+            .withColumn("idf_bits", expr("length(bin(n_docs div df)) - 1"))),
+            "word")
+          .join(dl, "doc_id")
+          .withColumn("norm_m",
+            expr("250 + 750 * (dl * 1000000 div avg_m) div 1000"))
+          .withColumn("s_t", expr(
+            """idf_bits * (tf * 2200 * 1000 div
+                 (tf * 1000 + 1200 * norm_m div 1000))"""))
+        val qd = TrackedCaches.track(
+          qs.join(termScore.select("word", "doc_id", "s_t"), "word")
+            .groupBy("query_id", "doc_id")
+            .agg(sum("s_t").as("score"))
+            .persist(MEMORY_AND_DISK))
+        val gold = qd.filter(col("query_id") === col("doc_id"))
+          .select(col("query_id"), col("score").as("gold_score"))
+        val rk = qd.join(broadcast(gold), "query_id")
+          .groupBy("query_id")
+          .agg((sum(when(col("score") > col("gold_score") ||
+              (col("score") === col("gold_score") &&
+                col("doc_id") < col("query_id")), 1L).otherwise(0L)) + 1L)
+              .as("rnk"),
+            count(lit(1)).as("n_cand"))
+        rk.join(d.filter(col("doc_id") % 97 === 3)
+            .select(col("doc_id").as("query_id"), col("source")), "query_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("rnk") === 1L, 1L).otherwise(0L)).as("hits_at_1"),
+            sum(when(col("rnk") <= 10L, 1L).otherwise(0L)).as("hits_at_10"),
+            sum(expr("1000000 div rnk")).as("rr_sum"),
+            sum("n_cand").as("n_cand_total"))
+          .select(col("source"), col("n_queries"), col("hits_at_1"),
+            col("hits_at_10"),
+            expr("rr_sum div n_queries").as("mrr_ppm"),
+            col("n_cand_total"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH qs AS MATERIALIZED (
+          SELECT doc_id AS query_id,
+                 unnest(list_distinct(string_split(text, ' ')[6:8])) AS word
+          FROM documents WHERE doc_id % 97 = 3),
+        words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        w2 AS MATERIALIZED (SELECT doc_id, word FROM words WHERE word <> ''),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM w2 GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) * 1000 // COUNT(*) AS avg_m
+                  FROM dl),
+        qw AS (SELECT DISTINCT word FROM qs),
+        tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM w2 JOIN qw USING (word) GROUP BY doc_id, word),
+        df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY word),
+        ts AS (
+          SELECT tf.doc_id, tf.word,
+                 (length(bin(n_docs // df.df)) - 1)
+                   * (tf.tf * 2200 * 1000 //
+                      (tf.tf * 1000
+                       + 1200 * (250 + 750 * (dl.dl * 1000000 // avg_m)
+                           // 1000) // 1000)) AS s_t
+          FROM tf JOIN df USING (word)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        qd AS MATERIALIZED (
+          SELECT qs.query_id, ts.doc_id, CAST(SUM(ts.s_t) AS BIGINT) AS score
+          FROM qs JOIN ts USING (word)
+          GROUP BY qs.query_id, ts.doc_id),
+        gold AS (SELECT query_id, score AS gold_score
+                 FROM qd WHERE query_id = doc_id),
+        rk AS (
+          SELECT qd.query_id,
+                 1 + CAST(count_if(qd.score > g.gold_score OR
+                       (qd.score = g.gold_score AND qd.doc_id < qd.query_id))
+                     AS BIGINT) AS rnk,
+                 CAST(COUNT(*) AS BIGINT) AS n_cand
+          FROM qd JOIN gold g USING (query_id)
+          GROUP BY qd.query_id),
+        qsrc AS (SELECT doc_id AS query_id, source
+                 FROM documents WHERE doc_id % 97 = 3)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(count_if(rnk = 1) AS BIGINT) AS hits_at_1,
+               CAST(count_if(rnk <= 10) AS BIGINT) AS hits_at_10,
+               CAST(SUM(1000000 // rnk) AS BIGINT) // COUNT(*) AS mrr_ppm,
+               CAST(SUM(n_cand) AS BIGINT) AS n_cand_total
+        FROM rk JOIN qsrc USING (query_id)
+        GROUP BY source
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q265
+    // Held-out BIGRAM language-model eval — bits/token on a held-out
+    // split, the perplexity-proxy number a pretraining run tracks per
+    // source (q193 scores unigram surprisal against the corpus itself;
+    // this is the LM-EVAL shape: train on ~4/5 of the corpus, measure
+    // on a held-out ~1/5 chosen by CONTENT HASH — q74's split device,
+    // not doc_id arithmetic, which in this fixture aliases with the
+    // source key and would collapse the eval to a quarter of the
+    // sources). Add-one-smoothed bigram model entirely in
+    // integers: context counts c1(w1) derive from the bigram table
+    // (Σ_w2 c12 — so model and context tables cannot disagree), V =
+    // train vocabulary, and each held-out bigram costs
+    //   bits = ⌊log2((c1+V) div (c12+1))⌋
+    // via the float-free length(bin(x))−1 — the ratio is ≥ 1 by
+    // construction (c12 ≤ c1, V ≥ 1), unseen contexts degrade to
+    // log2(V), and OOV bigrams are counted separately. Shape: the
+    // count tables ARE the model — slim keyed aggregates; scoring is
+    // two equi-joins of held-out gram occurrences against them (the
+    // gram, not the text, is the join key) + one per-source rollup.
+    // At 100 TB the model tables persist once and every eval probes
+    // them — same algebra.
+    QueryDef(
+      "q265_bigram_lm_heldout",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val d = Tables(s, dir, "documents").select("doc_id", "source", "text")
+          .withColumn("hb5",
+            expr("cast(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) % 5"))
+        val train = d.filter(col("hb5") =!= 0L)
+        val tb = TrackedCaches.track(train
+          .select(explode(
+            call_function("graft_word_ngrams", col("text"), lit(2)))
+            .as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c12"))
+          .withColumn("w1", element_at(split(col("gram"), " "), 1))
+          .persist(MEMORY_AND_DISK))
+        val c1 = tb.groupBy("w1").agg(sum("c12").as("c1"))
+        val vocab = train
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .agg(countDistinct("w").as("v"))
+        d.filter(col("hb5") === 0L)
+          .select(col("source"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+              .as("gram"))
+          .withColumn("w1", element_at(split(col("gram"), " "), 1))
+          .join(tb.select("gram", "c12"), Seq("gram"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .withColumn("c12n", coalesce(col("c12"), lit(0L)))
+          .withColumn("c1n", coalesce(col("c1"), lit(0L)))
+          .withColumn("bits",
+            expr("length(bin((c1n + v) div (c12n + 1))) - 1"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("c12n") === 0L, 1L).otherwise(0L))
+              .as("oov_bigrams"),
+            sum("bits").as("total_bits"))
+          .select(col("source"), col("n_bigrams"), col("oov_bigrams"),
+            col("total_bits"),
+            expr("total_bits * 1000 div n_bigrams")
+              .as("bits_per_token_milli"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH doc5 AS (
+          SELECT doc_id, source, text,
+                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 5
+                   AS hb5
+          FROM documents),
+        tr AS (SELECT text FROM doc5 WHERE hb5 <> 0),
+        tb AS MATERIALIZED (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM (SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS gram
+                FROM (SELECT string_split(text, ' ') AS w FROM tr) t) g
+          GROUP BY gram),
+        c1 AS MATERIALIZED (
+          SELECT string_split(gram, ' ')[1] AS w1,
+                 CAST(SUM(c12) AS BIGINT) AS c1
+          FROM tb GROUP BY 1),
+        vocab AS (
+          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr) t
+          WHERE w <> ''),
+        hb AS (
+          SELECT source,
+                 unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS gram
+          FROM (SELECT source, string_split(text, ' ') AS w
+                FROM doc5 WHERE hb5 = 0) t),
+        sc AS (
+          SELECT hb.source,
+                 COALESCE(tb.c12, 0) AS c12n,
+                 length(bin((COALESCE(c1.c1, 0) + v)
+                   // (COALESCE(tb.c12, 0) + 1))) - 1 AS bits
+          FROM hb LEFT JOIN tb USING (gram)
+                  LEFT JOIN c1
+                    ON c1.w1 = string_split(hb.gram, ' ')[1]
+                  CROSS JOIN vocab)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(count_if(c12n = 0) AS BIGINT) AS oov_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) AS BIGINT) * 1000 // COUNT(*)
+                 AS bits_per_token_milli
+        FROM sc
+        GROUP BY source
+        ORDER BY source"""))
   )
 
   /** q254's oracle, shared VERBATIM by s38 (the streaming twin must

@@ -1830,5 +1830,99 @@ object TrainingDataOps {
         FROM b
         GROUP BY batch_id
         ORDER BY batch_id"""))
+  ,
+
+    // --------------------------------------------------------------- q264
+    // DSIR-style IMPORTANCE-WEIGHTED data selection (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // score each document by the log-ratio of a TARGET distribution to
+    // the RAW corpus distribution over hashed n-gram features, keep the
+    // target-leaning docs. Target sample = the seed-rule positives
+    // (q255's lexical-diversity label standing in for "quality text like
+    // Wikipedia"); features = the same md5-hashed char-3gram buckets.
+    // Per bucket the normalized smoothed importance ratio lives in
+    // linear-domain ppm, centered at its neutral point:
+    //   lr_ppm = (t_b+1)·R·10⁶ div ((r_b+1)·T) − 10⁶
+    // so lr_ppm = 0 means "bucket matches the target mix" and a doc's
+    // score is the SUM of its gram-occurrence deviations (the paper
+    // scores log-ratios for float stability; whole-bit integer logs
+    // quantize every bucket to ±1 bit and the floor's one-sided
+    // rounding drives all scores negative — the linear-ppm deviation
+    // sum is the exact-integer formulation that keeps the ranking
+    // granular, measured against the same target/raw evidence).
+    // Keep = score > 0; the per-source report cross-tabs kept
+    // against the seed label so the selection's agreement with its
+    // target definition is audited output. Shape: the bucket table is
+    // 4096 rows (broadcast), totals ride a single-row cross join, the
+    // corpus is touched by one narrow explode + one broadcast join +
+    // keyed aggregates — no shuffle of text. The ·R·10⁶ product needs
+    // DECIMAL(38) beyond ~10⁸ gram occurrences — stated, fixture-safe
+    // in BIGINT.
+    QueryDef(
+      "q264_dsir_importance_selection",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val g = TrackedCaches.track(
+          Profiling.classifierGrams(s, dir).persist(MEMORY_AND_DISK))
+        val bt = g.groupBy("b").agg(count(lit(1)).as("r"),
+          sum(when(col("good"), 1L).otherwise(0L)).as("t"))
+        val tot = g.agg(count(lit(1)).as("rt"),
+          sum(when(col("good"), 1L).otherwise(0L)).as("tt"))
+        val lr = bt.crossJoin(broadcast(tot)).select(col("b"),
+          expr("(t + 1) * rt * 1000000 div ((r + 1) * tt) - 1000000")
+            .as("lr_ppm"))
+        g.join(broadcast(lr), "b")
+          .groupBy("doc_id", "source", "good")
+          .agg(sum("lr_ppm").as("score_ppm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score_ppm") > 0L, 1L).otherwise(0L)).as("n_keep"),
+            sum(when(col("score_ppm") > 0L && col("good"), 1L)
+              .otherwise(0L)).as("kept_good"),
+            sum("score_ppm").as("sum_ppm"))
+          .select(col("source"), col("n_docs"), col("n_keep"),
+            expr("n_keep * 1000000 div n_docs").as("keep_ppm"),
+            col("kept_good"),
+            expr("sum_ppm div n_docs").as("mean_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH g AS MATERIALIZED (
+          SELECT doc_id, source,
+                 2 * len(list_distinct(string_split(text, ' ')))
+                   >= len(string_split(text, ' ')) AS good,
+                 CAST(concat('0x', substr(md5(gr), 1, 15)) AS BIGINT) % 4096
+                   AS b
+          FROM (SELECT doc_id, source, text,
+                       unnest(list_transform(range(1, length(text) - 1),
+                         i -> substring(text, i, 3))) AS gr
+                FROM documents)),
+        bt AS MATERIALIZED (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+                 CAST(count_if(good) AS BIGINT) AS t
+          FROM g GROUP BY b),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS rt,
+                       CAST(count_if(good) AS BIGINT) AS tt
+                FROM g),
+        lr AS MATERIALIZED (
+          SELECT b,
+                 (t + 1) * rt * 1000000 // ((r + 1) * tt) - 1000000
+                   AS lr_ppm
+          FROM bt CROSS JOIN tot),
+        pd AS (
+          SELECT g.doc_id, g.source, g.good,
+                 CAST(SUM(lr_ppm) AS BIGINT) AS score_ppm
+          FROM g JOIN lr USING (b)
+          GROUP BY g.doc_id, g.source, g.good)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(score_ppm > 0) AS BIGINT) AS n_keep,
+               CAST(count_if(score_ppm > 0) AS BIGINT) * 1000000
+                 // COUNT(*) AS keep_ppm,
+               CAST(count_if(score_ppm > 0 AND good) AS BIGINT)
+                 AS kept_good,
+               CAST(SUM(score_ppm) AS BIGINT) // COUNT(*) AS mean_ppm
+        FROM pd
+        GROUP BY source
+        ORDER BY source"""))
   )
 }

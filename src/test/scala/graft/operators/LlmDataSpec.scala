@@ -177,6 +177,64 @@ class LlmDataSpec extends AnyFunSuite {
       "five pair-graph consumers must trigger exactly one from-scratch build")
   }
 
+  test("q262 batch perceptron actually learns: epoch-1 misses everyone, then improves") {
+    import spark.implicits._
+    val rows = run("q262_perceptron_training")
+      .select("epoch", "n_miss", "n_docs").as[(Int, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    val nDocs = rows.head._3
+    assert(rows.head._2 == nDocs,
+      "w=0 scores every doc at 0, so epoch 1 must miss ALL docs by contract")
+    assert(rows(1)._2 < nDocs,
+      "epoch 2 must classify some docs correctly — a flat curve means " +
+        "the weight update never happened")
+  }
+
+  test("q263 retrieval eval: gold always ranked, MRR within bounds") {
+    import spark.implicits._
+    val rows = run("q263_retrieval_eval")
+      .select("n_queries", "hits_at_1", "hits_at_10", "mrr_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h1, h10, mrr) =>
+      assert(h1 <= h10 && h10 <= n, "recall@k must be monotone in k")
+      assert(mrr >= 0 && mrr <= 1000000, "MRR is a mean of 1e6/rank")
+      // hits@1 == n ⇒ mrr == 1e6; partial hits bound it below
+      assert(mrr >= h1 * 1000000 / n,
+        "MRR cannot be below the rank-1 mass alone")
+    }
+  }
+
+  test("q264 DSIR selection skews toward the target label") {
+    import spark.implicits._
+    val rows = run("q264_dsir_importance_selection")
+      .select("n_docs", "n_keep", "kept_good").as[(Long, Long, Long)]
+      .collect()
+    val (n, k, kg) = rows.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    assert(k > 0 && k < n, "selection must be a proper subset")
+    // the kept set must be MORE target-like than the corpus: the whole
+    // point of importance weighting (corpus good-rate comes from the
+    // seed rule directly)
+    val goodAll = graft.Tables(spark, dir, "documents")
+      .select(Profiling.classifierGoodExpr).filter("good").count()
+    val total = graft.Tables(spark, dir, "documents").count()
+    assert(kg * total > k * goodAll,
+      s"kept good-rate ${kg}/${k} must exceed corpus good-rate $goodAll/$total")
+  }
+
+  test("q265 bigram LM: held-out bits sane, OOV a strict minority") {
+    import spark.implicits._
+    val rows = run("q265_bigram_lm_heldout")
+      .select("n_bigrams", "oov_bigrams", "bits_per_token_milli")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, oov, bpt) =>
+      assert(oov < n, "the shared fixture vocabulary keeps OOV a minority")
+      assert(bpt > 0 && bpt < 64000, "bits/token must be positive and finite")
+    }
+  }
+
   test("q261 incremental CC recomputes ONLY the affected subgraph") {
     import spark.implicits._
     val inc = Dedup.incrementalCc(spark, dir)
