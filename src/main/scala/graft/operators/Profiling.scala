@@ -1587,6 +1587,86 @@ object Profiling {
                w_nonzero, w_abs_sum, w_checksum
         FROM rep CROSS JOIN tot
         ORDER BY epoch"""))
+  ,
+
+    // --------------------------------------------------------------- q268
+    // Classifier CALIBRATION audit (reliability diagram) — the check a
+    // learned gate (q255/q262) must pass before its scores gate data:
+    // bucket every document into per-source score DECILES and compare
+    // each decile's observed good-rate against its mean score. A
+    // well-calibrated scorer's good-rate rises monotonically with the
+    // decile (spec-asserted top-vs-bottom); a flat diagram means the
+    // score carries no signal at that granularity. Deciles are per
+    // SOURCE — a keyed row_number + keyed count sharing ONE exchange on
+    // the source key, decile = (rn−1)·10 div n — never a corpus-wide
+    // unkeyed window (the q242/q260 lesson applied to calibration).
+    // All integer: good-rate and mean score in ppm, truncating division
+    // pinned in both engines.
+    QueryDef(
+      "q268_score_calibration",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val grams = TrackedCaches.track(
+          classifierGrams(s, dir).persist(MEMORY_AND_DISK))
+        val wt = classifierWeights(grams)
+        val scored = grams.join(broadcast(wt), "b")
+          .groupBy("doc_id", "source", "good")
+          .agg(expr("sum(w) div count(1)").as("score_ppm"))
+        val bySrc = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+        scored
+          .withColumn("rn", row_number().over(
+            bySrc.orderBy(col("score_ppm"), col("doc_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(bySrc))
+          .withColumn("decile", expr("(rn - 1) * 10 div n"))
+          .groupBy("source", "decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+            sum("score_ppm").as("ssum"))
+          .select(col("source"), col("decile"), col("n_docs"),
+            expr("n_good * 1000000 div n_docs").as("good_ppm"),
+            expr("ssum div n_docs").as("mean_score_ppm"))
+          .orderBy("source", "decile")
+      },
+      Some("""
+        WITH g AS MATERIALIZED (
+          SELECT doc_id, source,
+                 2 * len(list_distinct(string_split(text, ' ')))
+                   >= len(string_split(text, ' ')) AS good,
+                 CAST(concat('0x', substr(md5(gr), 1, 15)) AS BIGINT) % 4096
+                   AS b
+          FROM (SELECT doc_id, source, text,
+                       unnest(list_transform(range(1, length(text) - 1),
+                         i -> substring(text, i, 3))) AS gr
+                FROM documents)),
+        wt AS MATERIALIZED (
+          SELECT b,
+                 (CAST(count_if(good) AS BIGINT) + 1) * 1000000
+                   // (CAST(COUNT(*) AS BIGINT) + 2) AS w
+          FROM g GROUP BY b),
+        sc AS (
+          SELECT doc_id, source, good,
+                 CAST(SUM(w) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                   AS score_ppm
+          FROM g JOIN wt USING (b)
+          GROUP BY doc_id, source, good),
+        rk AS (
+          SELECT source, good, score_ppm,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY score_ppm, doc_id) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM sc),
+        dec AS (
+          SELECT source, good, score_ppm, (rn - 1) * 10 // n AS decile
+          FROM rk)
+        SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(good) AS BIGINT) * 1000000 // COUNT(*)
+                 AS good_ppm,
+               CAST(SUM(score_ppm) AS BIGINT) // COUNT(*) AS mean_score_ppm
+        FROM dec
+        GROUP BY source, decile
+        ORDER BY source, decile"""))
   )
 
   /** q255/s39 shared: the lexical-diversity seed label

@@ -1485,50 +1485,107 @@ object TextAnalysis {
               .as("bits_per_token_milli"))
           .orderBy("source")
       },
+      Some(bigramLmOracle))
+  ,
+
+    // --------------------------------------------------------------- q267
+    // INCREMENTAL inverted-index maintenance — q261's sibling for the
+    // index: a delta batch (q107/q261's ingest construction — edited
+    // re-crawls + novel docs, all NEW doc_ids) merges into the standing
+    // per-term index WITHOUT re-scanning the corpus. Because delta ids
+    // are disjoint, the merge is purely ADDITIVE index algebra:
+    // untouched terms carry over by one LEFT ANTI join, touched terms
+    // add their delta (df, id-sum) postings-summary — per-tick cost is
+    // O(|delta postings|), never O(corpus). (Deletes would need
+    // tombstones — out of scope, stated.) The index keys on word
+    // 3-GRAMS (the phrase-index q240 probes — and a key domain sparse
+    // enough that most standing entries are genuinely untouched; the
+    // fixture's unigram vocabulary is so small every word would be
+    // touched). The oracle is a FULL rebuild
+    // over corpus+delta, so a term the incremental path dropped,
+    // double-counted, or failed to touch cannot hash-match. Output:
+    // top-20 merged terms by df with the touched/untouched audit
+    // riding every row as single-row broadcast scalars.
+    QueryDef(
+      "q267_incremental_index_maintenance",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val d = Tables(s, dir, "documents").select("doc_id", "text")
+        graft.plans.GraftFunctions.register(s)
+        def postings(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(3)))
+              .as("term"))
+          .distinct()
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("doc_id").as("sum_ids"))
+        val standing = TrackedCaches.track(postings(d).persist(MEMORY_AND_DISK))
+        val delta = d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            regexp_replace(col("text"), " \\S+$", "").as("text"))
+          .unionByName(d.filter(col("doc_id") % 9 === 1)
+            .select((col("doc_id") + 600000).as("doc_id"),
+              concat(lit("novel content batch item "),
+                col("doc_id").cast("string")).as("text")))
+        val deltaIdx = TrackedCaches.track(
+          postings(delta).persist(MEMORY_AND_DISK))
+        val untouched = standing
+          .join(deltaIdx.select("term"), Seq("term"), "left_anti")
+          .withColumn("was_touched", lit(false))
+        val touched = standing
+          .join(deltaIdx.select(col("term"), col("df").as("ddf"),
+            col("sum_ids").as("dsum")), Seq("term"), "right")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"),
+            (coalesce(col("sum_ids"), lit(0L)) + col("dsum")).as("sum_ids"))
+          .withColumn("was_touched", lit(true))
+        val merged = untouched.unionByName(touched)
+        val audit = merged.agg(
+          sum(when(col("was_touched"), 1L).otherwise(0L)).as("n_touched"),
+          sum(when(!col("was_touched"), 1L).otherwise(0L)).as("n_untouched"))
+        merged.crossJoin(broadcast(audit))
+          .orderBy(col("df").desc, col("term"))
+          .limit(20)
+      },
       Some("""
-        WITH doc5 AS (
-          SELECT doc_id, source, text,
-                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 5
-                   AS hb5
-          FROM documents),
-        tr AS (SELECT text FROM doc5 WHERE hb5 <> 0),
-        tb AS MATERIALIZED (
-          SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12
-          FROM (SELECT unnest(list_transform(range(1, len(w)),
-                  i -> w[i] || ' ' || w[i+1])) AS gram
-                FROM (SELECT string_split(text, ' ') AS w FROM tr) t) g
-          GROUP BY gram),
-        c1 AS MATERIALIZED (
-          SELECT string_split(gram, ' ')[1] AS w1,
-                 CAST(SUM(c12) AS BIGINT) AS c1
-          FROM tb GROUP BY 1),
-        vocab AS (
-          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
-          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr) t
-          WHERE w <> ''),
-        hb AS (
-          SELECT source,
-                 unnest(list_transform(range(1, len(w)),
-                   i -> w[i] || ' ' || w[i+1])) AS gram
-          FROM (SELECT source, string_split(text, ' ') AS w
-                FROM doc5 WHERE hb5 = 0) t),
-        sc AS (
-          SELECT hb.source,
-                 COALESCE(tb.c12, 0) AS c12n,
-                 length(bin((COALESCE(c1.c1, 0) + v)
-                   // (COALESCE(tb.c12, 0) + 1))) - 1 AS bits
-          FROM hb LEFT JOIN tb USING (gram)
-                  LEFT JOIN c1
-                    ON c1.w1 = string_split(hb.gram, ' ')[1]
-                  CROSS JOIN vocab)
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               CAST(count_if(c12n = 0) AS BIGINT) AS oov_bigrams,
-               CAST(SUM(bits) AS BIGINT) AS total_bits,
-               CAST(SUM(bits) AS BIGINT) * 1000 // COUNT(*)
-                 AS bits_per_token_milli
-        FROM sc
-        GROUP BY source
-        ORDER BY source"""))
+        WITH delta AS (
+          SELECT doc_id + 500000 AS doc_id,
+                 regexp_replace(text, ' \S+$', '') AS text
+          FROM documents WHERE doc_id % 9 = 0
+          UNION ALL
+          SELECT doc_id + 600000,
+                 'novel content batch item ' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 9 = 1),
+        allp AS (
+          SELECT DISTINCT doc_id, term
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                         AS term
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM (SELECT doc_id, text FROM documents
+                            UNION ALL SELECT doc_id, text FROM delta) u)
+                  t) t2),
+        idx AS MATERIALIZED (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+          FROM allp GROUP BY term),
+        dterms AS MATERIALIZED (
+          SELECT DISTINCT term
+          FROM (SELECT unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+                FROM (SELECT string_split(text, ' ') AS w FROM delta) t) t2),
+        marked AS (
+          SELECT idx.*, term IN (SELECT term FROM dterms) AS was_touched
+          FROM idx),
+        aud AS (
+          SELECT CAST(count_if(was_touched) AS BIGINT) AS n_touched,
+                 CAST(count_if(NOT was_touched) AS BIGINT) AS n_untouched
+          FROM marked)
+        SELECT term, df, sum_ids, was_touched, n_touched, n_untouched
+        FROM marked CROSS JOIN aud
+        ORDER BY df DESC, term
+        LIMIT 20"""))
   )
 
   /** q254's oracle, shared VERBATIM by s38 (the streaming twin must
@@ -1642,4 +1699,52 @@ object TextAnalysis {
                             (SELECT y FROM m$r) ${"||"} '$bpePipe') AS s
           FROM $prev),"""
   }.mkString
+
+  /** q265's oracle, shared VERBATIM by s40 (the streaming twin must
+    * converge to the batch held-out LM report exactly). */
+  private[graft] def bigramLmOracle: String ="""
+        WITH doc5 AS (
+          SELECT doc_id, source, text,
+                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 5
+                   AS hb5
+          FROM documents),
+        tr AS (SELECT text FROM doc5 WHERE hb5 <> 0),
+        tb AS MATERIALIZED (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM (SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS gram
+                FROM (SELECT string_split(text, ' ') AS w FROM tr) t) g
+          GROUP BY gram),
+        c1 AS MATERIALIZED (
+          SELECT string_split(gram, ' ')[1] AS w1,
+                 CAST(SUM(c12) AS BIGINT) AS c1
+          FROM tb GROUP BY 1),
+        vocab AS (
+          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr) t
+          WHERE w <> ''),
+        hb AS (
+          SELECT source,
+                 unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS gram
+          FROM (SELECT source, string_split(text, ' ') AS w
+                FROM doc5 WHERE hb5 = 0) t),
+        sc AS (
+          SELECT hb.source,
+                 COALESCE(tb.c12, 0) AS c12n,
+                 length(bin((COALESCE(c1.c1, 0) + v)
+                   // (COALESCE(tb.c12, 0) + 1))) - 1 AS bits
+          FROM hb LEFT JOIN tb USING (gram)
+                  LEFT JOIN c1
+                    ON c1.w1 = string_split(hb.gram, ' ')[1]
+                  CROSS JOIN vocab)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(count_if(c12n = 0) AS BIGINT) AS oov_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) AS BIGINT) * 1000 // COUNT(*)
+                 AS bits_per_token_milli
+        FROM sc
+        GROUP BY source
+        ORDER BY source"""
+
 }

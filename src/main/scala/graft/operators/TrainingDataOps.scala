@@ -1924,5 +1924,67 @@ object TrainingDataOps {
         FROM pd
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q266
+    // PREFERENCE-PAIR mining — the DPO/RLHF data-prep step: from each
+    // source, pair the k-th best document with the k-th worst by an
+    // integer quality score (TTR ppm — the deterministic stand-in for a
+    // reward model), keep pairs with a strictly positive margin. The
+    // extreme-pairing rule (best↔worst, 2nd↔2nd-worst, …) is the
+    // max-margin assembly a preference dataset wants, and it is pure
+    // rank arithmetic: one row_number per source (keyed window — one
+    // exchange), the k-th-worst side is the SAME ranking re-keyed as
+    // n−r+1, and the pairing is an equi-join on (source, k) — no
+    // all-pairs, no second sort. Zero-margin pairs carry no preference
+    // signal and are dropped (stated). 100 TB: everything is keyed by
+    // source; a source's pair list shuffles only its own ranks.
+    QueryDef(
+      "q266_preference_pairs",
+      (s, dir) => {
+        val ranked = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("""size(array_distinct(split(text, ' '))) * 1000000
+                    div size(split(text, ' '))""").as("ttr_ppm"))
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")
+              .orderBy(col("ttr_ppm").desc, col("doc_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        ranked.filter(col("r") * 2 <= col("n"))
+          .select(col("source"), col("r").as("k"),
+            col("doc_id").as("chosen_id"), col("ttr_ppm").as("chosen_ppm"))
+          .join(ranked.select(col("source"),
+            (col("n") - col("r") + 1L).as("k"),
+            col("doc_id").as("rejected_id"),
+            col("ttr_ppm").as("rejected_ppm")), Seq("source", "k"))
+          .withColumn("margin_ppm", col("chosen_ppm") - col("rejected_ppm"))
+          .filter(col("margin_ppm") > 0L)
+          .select("source", "k", "chosen_id", "rejected_id", "margin_ppm")
+          .orderBy("source", "k")
+      },
+      Some("""
+        WITH sc AS (
+          SELECT doc_id, source,
+                 len(list_distinct(string_split(text, ' '))) * 1000000
+                   // len(string_split(text, ' ')) AS ttr_ppm
+          FROM documents),
+        rk AS (
+          SELECT doc_id, source, ttr_ppm,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY ttr_ppm DESC, doc_id) AS BIGINT) AS r,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM sc),
+        ch AS (SELECT source, r AS k, doc_id AS chosen_id,
+                      ttr_ppm AS chosen_ppm
+               FROM rk WHERE r * 2 <= n),
+        rj AS (SELECT source, n - r + 1 AS k, doc_id AS rejected_id,
+                      ttr_ppm AS rejected_ppm
+               FROM rk)
+        SELECT source, k, chosen_id, rejected_id,
+               chosen_ppm - rejected_ppm AS margin_ppm
+        FROM ch JOIN rj USING (source, k)
+        WHERE chosen_ppm - rejected_ppm > 0
+        ORDER BY source, k"""))
   )
 }

@@ -2850,6 +2850,68 @@ object StreamingQueries {
           .orderBy("source")
       },
       Some(graft.operators.Profiling.classifierOracle))
+  ,
+
+    // ---------------------------------------------------------------- s40
+    // Streaming LM-surprisal scoring at ingest — q265 live: the bigram
+    // model (count tables + vocab scalar) is trained BATCH-side on the
+    // content-hash train split, and each arriving held-out doc's
+    // bigrams probe it under stream-static LEFT joins (the s36/s22
+    // probe discipline — the stream side never aggregates, zero state
+    // stores, append mode; the model tables are the static right side
+    // an executor probes, broadcast when they fit). The vocab size
+    // ships as a collected scalar — the model-artifact discipline s39
+    // established for its threshold. Drained per-bigram (source, c12,
+    // bits) rows roll up batch-side into exactly q265's per-source
+    // bits/token report: same oracle VERBATIM, so a dropped or
+    // double-probed tick cannot hash-match.
+    QueryDef(
+      "s40_stream_lm_surprisal",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        import graft.operators.TrackedCaches
+        val hb5 = "cast(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) % 5"
+        val train = graft.Tables(s, dir, "documents")
+          .filter(expr(hb5) =!= 0L)
+        val tb = TrackedCaches.track(train
+          .select(explode(
+            call_function("graft_word_ngrams", col("text"), lit(2)))
+            .as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c12"))
+          .withColumn("w1", element_at(split(col("gram"), " "), 1))
+          .persist(MEMORY_AND_DISK))
+        val c1 = tb.groupBy("w1").agg(sum("c12").as("c1"))
+        val v = train
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .agg(countDistinct("w")).head().getLong(0)
+        val st = documentsStreamParts(s, dir)
+          .filter(expr(hb5) === 0L)
+          .select(col("source"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+              .as("gram"))
+          .withColumn("w1", element_at(split(col("gram"), " "), 1))
+          .join(tb.select("gram", "c12"), Seq("gram"), "left")
+          .join(c1, Seq("w1"), "left")
+          .withColumn("c12n", coalesce(col("c12"), lit(0L)))
+          .withColumn("c1n", coalesce(col("c1"), lit(0L)))
+          .select(col("source"), col("c12n"),
+            expr(s"length(bin((c1n + ${v}L) div (c12n + 1))) - 1")
+              .as("bits_raw"))
+        val rows = drain(s, OutputMode.Append())(st)
+        rows.groupBy("source")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("c12n") === 0L, 1L).otherwise(0L))
+              .as("oov_bigrams"),
+            sum("bits_raw").as("total_bits"))
+          .select(col("source"), col("n_bigrams"), col("oov_bigrams"),
+            col("total_bits"),
+            expr("total_bits * 1000 div n_bigrams")
+              .as("bits_per_token_milli"))
+          .orderBy("source")
+      },
+      Some(graft.operators.TextAnalysis.bigramLmOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

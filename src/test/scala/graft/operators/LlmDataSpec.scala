@@ -235,6 +235,49 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q266 preference pairs: disjoint sides, positive margins, no doc reused") {
+    import spark.implicits._
+    val rows = run("q266_preference_pairs")
+      .select("chosen_id", "rejected_id", "margin_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 > 0), "zero-margin pairs carry no signal")
+    val chosen = rows.map(_._1).toSet
+    val rejected = rows.map(_._2).toSet
+    assert(chosen.intersect(rejected).isEmpty,
+      "extreme pairing must never use a doc as both chosen and rejected")
+    assert(rows.map(_._1).distinct.length == rows.length &&
+      rows.map(_._2).distinct.length == rows.length,
+      "each doc appears in at most one pair per side")
+  }
+
+  test("q267 incremental index merge equals full rebuild additively") {
+    import spark.implicits._
+    // novel-doc terms must surface as touched; audit scalars consistent
+    val rows = run("q267_incremental_index_maintenance")
+      .select("term", "df", "was_touched", "n_touched", "n_untouched")
+      .collect()
+    assert(rows.length == 20)
+    val (nt, nu) = (rows.head.getLong(3), rows.head.getLong(4))
+    assert(nt > 0 && nu > 0, "delta must touch some terms and spare others")
+    assert(rows.forall(r => r.getLong(3) == nt && r.getLong(4) == nu),
+      "audit scalars are corpus constants")
+  }
+
+  test("q268 calibration: top decile good-rate exceeds bottom decile") {
+    import spark.implicits._
+    val rows = run("q268_score_calibration")
+      .select("source", "decile", "good_ppm").as[(String, Long, Long)]
+      .collect()
+    val bottom = rows.filter(_._2 == 0).map(_._3)
+    val top = rows.filter(_._2 == 9).map(_._3)
+    assert(bottom.nonEmpty && top.nonEmpty)
+    // aggregate monotonicity: the learned score must separate the seed
+    // label across the extreme deciles (per-source noise allowed)
+    assert(top.sum > bottom.sum,
+      s"top-decile good mass ${top.sum} must exceed bottom ${bottom.sum}")
+  }
+
   test("q261 incremental CC recomputes ONLY the affected subgraph") {
     import spark.implicits._
     val inc = Dedup.incrementalCc(spark, dir)
@@ -262,6 +305,13 @@ class LlmDataSpec extends AnyFunSuite {
       assert(finalLabels(n) == standingLabels(n),
         s"untouched node $n changed label — carry-over must be exact")
     }
+  }
+
+  test("s40 streaming LM surprisal report equals batch q265's") {
+    val batch = run("q265_bigram_lm_heldout").collect().toSet
+    val stream = run("s40_stream_lm_surprisal").collect().toSet
+    assert(batch == stream,
+      "the streamed held-out ticks must reproduce the batch LM eval exactly")
   }
 
   test("s37 streaming near-dup admission verdicts equal batch q107's") {
