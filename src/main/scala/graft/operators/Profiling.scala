@@ -1667,6 +1667,98 @@ object Profiling {
         FROM dec
         GROUP BY source, decile
         ORDER BY source, decile"""))
+  ,
+
+    // --------------------------------------------------------------- q270
+    // Two-sample KOLMOGOROV–SMIRNOV drift statistic between each
+    // train/val/test split and the full corpus, over the document
+    // length distribution — the distribution-LEVEL check q247's scalar
+    // stats can't express (two splits can share mean and count yet
+    // differ in shape). Splits by CONTENT HASH (q74's device: md5 %
+    // 10 → 0–7 train, 8 val, 9 test); lengths bucket at width 16, so
+    // the support is bounded (~tens of buckets at any corpus size) and
+    // the CDFs are exact integer prefix sums over that bounded grid —
+    // the cumulative windows run per split on the bucket grid, never
+    // over documents. D_ppm = max |cdf_split − cdf_all| in exact ppm
+    // rides each split's rows. A well-built hash split's D should be
+    // small; a skewed split fails loudly.
+    QueryDef(
+      "q270_ks_split_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val d = TrackedCaches.track(Tables(s, dir, "documents")
+          .select(
+            expr("size(split(text, ' ')) div 16").as("bucket"),
+            expr("""CASE WHEN cast(conv(substr(md5(text), 1, 15), 16, 10)
+                     AS BIGINT) % 10 <= 7 THEN 'train'
+                    WHEN cast(conv(substr(md5(text), 1, 15), 16, 10)
+                     AS BIGINT) % 10 = 8 THEN 'val'
+                    ELSE 'test' END""").as("split"))
+          .persist(MEMORY_AND_DISK))
+        val sb = d.groupBy("split", "bucket").agg(count(lit(1)).as("n"))
+        val ab = d.groupBy("bucket").agg(count(lit(1)).as("na"))
+        val st = d.groupBy("split").agg(count(lit(1)).as("ns"))
+        val at = d.agg(count(lit(1)).as("nall"))
+        // complete grid: every split × every observed bucket (bounded)
+        val filled = st.select("split")
+          .crossJoin(ab)
+          .join(sb, Seq("split", "bucket"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+        val wc = Window.partitionBy("split").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = filled
+          .withColumn("cum_s", sum("n").over(wc))
+          .withColumn("cum_a", sum("na").over(wc))
+          .join(st, "split").crossJoin(broadcast(at))
+          .withColumn("cdf_s_ppm", expr("cum_s * 1000000 div ns"))
+          .withColumn("cdf_a_ppm", expr("cum_a * 1000000 div nall"))
+          .withColumn("diff_ppm", abs(col("cdf_s_ppm") - col("cdf_a_ppm")))
+        cum.join(cum.groupBy("split").agg(max("diff_ppm").as("d_ppm")),
+            "split")
+          .select("split", "bucket", "n", "cdf_s_ppm", "cdf_a_ppm",
+            "diff_ppm", "d_ppm")
+          .orderBy("split", "bucket")
+      },
+      Some("""
+        WITH d AS MATERIALIZED (
+          SELECT len(string_split(text, ' ')) // 16 AS bucket,
+                 CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15))
+                        AS BIGINT) % 10 <= 7 THEN 'train'
+                      WHEN CAST(concat('0x', substr(md5(text), 1, 15))
+                        AS BIGINT) % 10 = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents),
+        sb AS (SELECT split, bucket, CAST(COUNT(*) AS BIGINT) AS n
+               FROM d GROUP BY split, bucket),
+        ab AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS na
+               FROM d GROUP BY bucket),
+        st AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS ns
+               FROM d GROUP BY split),
+        at AS (SELECT CAST(COUNT(*) AS BIGINT) AS nall FROM d),
+        filled AS (
+          SELECT st.split, ab.bucket, ab.na, COALESCE(sb.n, 0) AS n
+          FROM st CROSS JOIN ab
+          LEFT JOIN sb ON sb.split = st.split AND sb.bucket = ab.bucket),
+        cum AS (
+          SELECT split, bucket, n,
+                 CAST(SUM(n) OVER (PARTITION BY split ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s,
+                 CAST(SUM(na) OVER (PARTITION BY split ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a
+          FROM filled),
+        ppm AS (
+          SELECT cum.split, bucket, n,
+                 cum_s * 1000000 // ns AS cdf_s_ppm,
+                 cum_a * 1000000 // nall AS cdf_a_ppm,
+                 ABS(cum_s * 1000000 // ns - cum_a * 1000000 // nall)
+                   AS diff_ppm
+          FROM cum JOIN st ON st.split = cum.split CROSS JOIN at),
+        dm AS (SELECT split, MAX(diff_ppm) AS d_ppm
+               FROM ppm GROUP BY split)
+        SELECT ppm.split, bucket, n, cdf_s_ppm, cdf_a_ppm, diff_ppm, d_ppm
+        FROM ppm JOIN dm ON dm.split = ppm.split
+        ORDER BY ppm.split, bucket"""))
   )
 
   /** q255/s39 shared: the lexical-diversity seed label

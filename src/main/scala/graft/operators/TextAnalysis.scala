@@ -1310,38 +1310,8 @@ object TextAnalysis {
     QueryDef(
       "q263_retrieval_eval",
       (s, dir) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val qd = retrievalScores(s, dir)
         val d = Tables(s, dir, "documents").select("doc_id", "source", "text")
-        val qs = TrackedCaches.track(d.filter(col("doc_id") % 97 === 3)
-          .select(col("doc_id").as("query_id"),
-            explode(array_distinct(expr("slice(split(text, ' '), 6, 3)")))
-              .as("word"))
-          .persist(MEMORY_AND_DISK))
-        val words = TrackedCaches.track(d
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .filter(length(col("word")) > 0)
-          .persist(MEMORY_AND_DISK))
-        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          expr("sum(dl) * 1000 div count(1)").as("avg_m"))
-        val tf = words.join(broadcast(qs.select("word").distinct()), "word")
-          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-        val termScore = tf
-          .join(broadcast(df.crossJoin(stats)
-            .withColumn("idf_bits", expr("length(bin(n_docs div df)) - 1"))),
-            "word")
-          .join(dl, "doc_id")
-          .withColumn("norm_m",
-            expr("250 + 750 * (dl * 1000000 div avg_m) div 1000"))
-          .withColumn("s_t", expr(
-            """idf_bits * (tf * 2200 * 1000 div
-                 (tf * 1000 + 1200 * norm_m div 1000))"""))
-        val qd = TrackedCaches.track(
-          qs.join(termScore.select("word", "doc_id", "s_t"), "word")
-            .groupBy("query_id", "doc_id")
-            .agg(sum("s_t").as("score"))
-            .persist(MEMORY_AND_DISK))
         val gold = qd.filter(col("query_id") === col("doc_id"))
           .select(col("query_id"), col("score").as("gold_score"))
         val rk = qd.join(broadcast(gold), "query_id")
@@ -1365,39 +1335,8 @@ object TextAnalysis {
             col("n_cand_total"))
           .orderBy("source")
       },
-      Some("""
-        WITH qs AS MATERIALIZED (
-          SELECT doc_id AS query_id,
-                 unnest(list_distinct(string_split(text, ' ')[6:8])) AS word
-          FROM documents WHERE doc_id % 97 = 3),
-        words AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS word
-          FROM documents),
-        w2 AS MATERIALIZED (SELECT doc_id, word FROM words WHERE word <> ''),
-        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-               FROM w2 GROUP BY doc_id),
-        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                         CAST(SUM(dl) AS BIGINT) * 1000 // COUNT(*) AS avg_m
-                  FROM dl),
-        qw AS (SELECT DISTINCT word FROM qs),
-        tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
-               FROM w2 JOIN qw USING (word) GROUP BY doc_id, word),
-        df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
-               FROM tf GROUP BY word),
-        ts AS (
-          SELECT tf.doc_id, tf.word,
-                 (length(bin(n_docs // df.df)) - 1)
-                   * (tf.tf * 2200 * 1000 //
-                      (tf.tf * 1000
-                       + 1200 * (250 + 750 * (dl.dl * 1000000 // avg_m)
-                           // 1000) // 1000)) AS s_t
-          FROM tf JOIN df USING (word)
-          JOIN dl ON dl.doc_id = tf.doc_id
-          CROSS JOIN stats),
-        qd AS MATERIALIZED (
-          SELECT qs.query_id, ts.doc_id, CAST(SUM(ts.s_t) AS BIGINT) AS score
-          FROM qs JOIN ts USING (word)
-          GROUP BY qs.query_id, ts.doc_id),
+      Some(s"""
+        WITH $duckRetrievalCtes,
         gold AS (SELECT query_id, score AS gold_score
                  FROM qd WHERE query_id = doc_id),
         rk AS (
@@ -1547,45 +1486,109 @@ object TextAnalysis {
           .orderBy(col("df").desc, col("term"))
           .limit(20)
       },
+      Some(incrementalIndexOracle))
+  ,
+
+    // --------------------------------------------------------------- q269
+    // Vocabulary COVERAGE CURVE — the vocab-size decision input a
+    // tokenizer build (q145/q254) keys on: for k = 10, 20, …, 100, what
+    // fraction of the corpus token mass does the top-k vocabulary
+    // cover? The curve's knee is where growing the vocab stops paying.
+    // Shape: the frequency table is one keyed aggregate; top-100
+    // arrives via TakeOrderedAndProject (distributed top-k — the
+    // corpus-wide sort never happens); the cumulative sum runs on the
+    // BOUNDED 100-row frame only (the q236 bounded-window precedent),
+    // and the total rides a single-row broadcast. Ties broken by token
+    // string so the curve is engine-reproducible.
+    QueryDef(
+      "q269_vocab_coverage_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val freq = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val tot = freq.agg(sum("f").as("t"))
+        val ord = Window.orderBy(col("f").desc, col("w"))
+        freq.orderBy(col("f").desc, col("w")).limit(100)
+          .withColumn("rnk", row_number().over(ord).cast("long"))
+          .withColumn("cum", sum("f").over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rnk") % 10 === 0)
+          .crossJoin(broadcast(tot))
+          .select(col("rnk").as("k"), col("cum").as("cum_tokens"),
+            expr("cum * 1000000 div t").as("coverage_ppm"))
+          .orderBy("k")
+      },
       Some("""
-        WITH delta AS (
-          SELECT doc_id + 500000 AS doc_id,
-                 regexp_replace(text, ' \S+$', '') AS text
-          FROM documents WHERE doc_id % 9 = 0
-          UNION ALL
-          SELECT doc_id + 600000,
-                 'novel content batch item ' || CAST(doc_id AS VARCHAR)
-          FROM documents WHERE doc_id % 9 = 1),
-        allp AS (
-          SELECT DISTINCT doc_id, term
-          FROM (SELECT doc_id,
-                       unnest(list_transform(range(1, len(w) - 1),
-                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                         AS term
-                FROM (SELECT doc_id, string_split(text, ' ') AS w
-                      FROM (SELECT doc_id, text FROM documents
-                            UNION ALL SELECT doc_id, text FROM delta) u)
-                  t) t2),
-        idx AS MATERIALIZED (
-          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
-          FROM allp GROUP BY term),
-        dterms AS MATERIALIZED (
-          SELECT DISTINCT term
-          FROM (SELECT unnest(list_transform(range(1, len(w) - 1),
-                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
-                FROM (SELECT string_split(text, ' ') AS w FROM delta) t) t2),
-        marked AS (
-          SELECT idx.*, term IN (SELECT term FROM dterms) AS was_touched
-          FROM idx),
-        aud AS (
-          SELECT CAST(count_if(was_touched) AS BIGINT) AS n_touched,
-                 CAST(count_if(NOT was_touched) AS BIGINT) AS n_untouched
-          FROM marked)
-        SELECT term, df, sum_ids, was_touched, n_touched, n_untouched
-        FROM marked CROSS JOIN aud
-        ORDER BY df DESC, term
-        LIMIT 20"""))
+        WITH freq AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents) t
+          WHERE w <> ''
+          GROUP BY w),
+        tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM freq),
+        top AS (SELECT w, f FROM freq ORDER BY f DESC, w LIMIT 100),
+        rk AS (
+          SELECT CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT)
+                   AS rnk,
+                 CAST(SUM(f) OVER (ORDER BY f DESC, w
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM top)
+        SELECT rnk AS k, cum AS cum_tokens,
+               cum * 1000000 // t AS coverage_ppm
+        FROM rk CROSS JOIN tot
+        WHERE rnk % 10 = 0
+        ORDER BY k"""))
+  ,
+
+    // --------------------------------------------------------------- q271
+    // HARD-NEGATIVE mining — the retrieval-training data-prep step
+    // (contrastive/DPR-style training wants, per query, the top-scoring
+    // NON-relevant candidate): over q263's shared per-(query, candidate)
+    // BM25 scores, the hard negative is the best-scoring candidate that
+    // is not the gold, and the (gold − hard) margin is the difficulty
+    // signal — negative margin means the retriever currently ranks the
+    // confuser ABOVE the right answer, exactly the pairs a trainer
+    // upweights. Window-free argmax both engines: MAX(score) per query,
+    // join back, MIN(doc_id) among the tied best (deterministic; DuckDB
+    // arg_max leaves ties unspecified — stated). Scores persist once
+    // and are shared with q263 (the PairGraph discipline).
+    QueryDef(
+      "q271_hard_negative_mining",
+      (s, dir) => {
+        val qd = retrievalScores(s, dir)
+        val cand = qd.filter(col("query_id") =!= col("doc_id"))
+        val ms = cand.groupBy("query_id").agg(max("score").as("best"))
+        val hard = cand.join(ms, "query_id")
+          .filter(col("score") === col("best"))
+          .groupBy("query_id")
+          .agg(min("doc_id").as("hard_neg_id"), max("score").as("hard_score"))
+        val gold = qd.filter(col("query_id") === col("doc_id"))
+          .select(col("query_id"), col("score").as("gold_score"))
+        hard.join(gold, "query_id")
+          .select(col("query_id"), col("hard_neg_id"), col("hard_score"),
+            col("gold_score"),
+            (col("gold_score") - col("hard_score")).as("margin"))
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH $duckRetrievalCtes,
+        cand AS (SELECT * FROM qd WHERE doc_id <> query_id),
+        ms AS (SELECT query_id, MAX(score) AS best
+               FROM cand GROUP BY query_id),
+        hard AS (
+          SELECT cand.query_id, MIN(doc_id) AS hard_neg_id,
+                 MAX(score) AS hard_score
+          FROM cand JOIN ms ON cand.query_id = ms.query_id
+                           AND cand.score = ms.best
+          GROUP BY cand.query_id),
+        gold AS (SELECT query_id, score AS gold_score
+                 FROM qd WHERE query_id = doc_id)
+        SELECT query_id, hard_neg_id, hard_score, gold_score,
+               gold_score - hard_score AS margin
+        FROM hard JOIN gold USING (query_id)
+        ORDER BY query_id"""))
   )
 
   /** q254's oracle, shared VERBATIM by s38 (the streaming twin must
@@ -1699,6 +1702,126 @@ object TextAnalysis {
                             (SELECT y FROM m$r) ${"||"} '$bpePipe') AS s
           FROM $prev),"""
   }.mkString
+
+  /** q267's oracle, shared VERBATIM by s41 (the streamed ticks must
+    * merge into exactly the batch-maintained index). */
+  private[graft] def incrementalIndexOracle: String = """
+        WITH delta AS (
+          SELECT doc_id + 500000 AS doc_id,
+                 regexp_replace(text, ' \S+$', '') AS text
+          FROM documents WHERE doc_id % 9 = 0
+          UNION ALL
+          SELECT doc_id + 600000,
+                 'novel content batch item ' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 9 = 1),
+        allp AS (
+          SELECT DISTINCT doc_id, term
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                         AS term
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM (SELECT doc_id, text FROM documents
+                            UNION ALL SELECT doc_id, text FROM delta) u)
+                  t) t2),
+        idx AS MATERIALIZED (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+          FROM allp GROUP BY term),
+        dterms AS MATERIALIZED (
+          SELECT DISTINCT term
+          FROM (SELECT unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS term
+                FROM (SELECT string_split(text, ' ') AS w FROM delta) t) t2),
+        marked AS (
+          SELECT idx.*, term IN (SELECT term FROM dterms) AS was_touched
+          FROM idx),
+        aud AS (
+          SELECT CAST(count_if(was_touched) AS BIGINT) AS n_touched,
+                 CAST(count_if(NOT was_touched) AS BIGINT) AS n_untouched
+          FROM marked)
+        SELECT term, df, sum_ids, was_touched, n_touched, n_untouched
+        FROM marked CROSS JOIN aud
+        ORDER BY df DESC, term
+        LIMIT 20"""
+
+  /** q263/q271's shared per-(query, candidate) retrieval scorer: the
+    * deterministic self-retrieval query set (every 97th doc queries its
+    * own words 6–8) scored with q243's exact-integer BM25 against the
+    * probe-bounded candidate set. Returns (query_id, doc_id, score),
+    * persisted once per run. */
+  private def retrievalScores(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    val qs = TrackedCaches.track(d.filter(col("doc_id") % 97 === 3)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(expr("slice(split(text, ' '), 6, 3)")))
+          .as("word"))
+      .persist(MEMORY_AND_DISK))
+    val words = TrackedCaches.track(d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .persist(MEMORY_AND_DISK))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) * 1000 div count(1)").as("avg_m"))
+    val tf = words.join(broadcast(qs.select("word").distinct()), "word")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val termScore = tf
+      .join(broadcast(df.crossJoin(stats)
+        .withColumn("idf_bits", expr("length(bin(n_docs div df)) - 1"))),
+        "word")
+      .join(dl, "doc_id")
+      .withColumn("norm_m",
+        expr("250 + 750 * (dl * 1000000 div avg_m) div 1000"))
+      .withColumn("s_t", expr(
+        """idf_bits * (tf * 2200 * 1000 div
+             (tf * 1000 + 1200 * norm_m div 1000))"""))
+    TrackedCaches.track(
+      qs.join(termScore.select("word", "doc_id", "s_t"), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(sum("s_t").as("score"))
+        .persist(MEMORY_AND_DISK))
+  }
+
+  /** The DuckDB CTE chain matching [[retrievalScores]] (ends with a
+    * `qd(query_id, doc_id, score)` relation), shared by the q263 and
+    * q271 oracles so engine and oracle stay in lock-step. */
+  private def duckRetrievalCtes: String = """
+        qs AS MATERIALIZED (
+          SELECT doc_id AS query_id,
+                 unnest(list_distinct(string_split(text, ' ')[6:8])) AS word
+          FROM documents WHERE doc_id % 97 = 3),
+        words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        w2 AS MATERIALIZED (SELECT doc_id, word FROM words WHERE word <> ''),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM w2 GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) * 1000 // COUNT(*) AS avg_m
+                  FROM dl),
+        qw AS (SELECT DISTINCT word FROM qs),
+        tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM w2 JOIN qw USING (word) GROUP BY doc_id, word),
+        df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY word),
+        ts AS (
+          SELECT tf.doc_id, tf.word,
+                 (length(bin(n_docs // df.df)) - 1)
+                   * (tf.tf * 2200 * 1000 //
+                      (tf.tf * 1000
+                       + 1200 * (250 + 750 * (dl.dl * 1000000 // avg_m)
+                           // 1000) // 1000)) AS s_t
+          FROM tf JOIN df USING (word)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        qd AS MATERIALIZED (
+          SELECT qs.query_id, ts.doc_id, CAST(SUM(ts.s_t) AS BIGINT) AS score
+          FROM qs JOIN ts USING (word)
+          GROUP BY qs.query_id, ts.doc_id)"""
 
   /** q265's oracle, shared VERBATIM by s40 (the streaming twin must
     * converge to the batch held-out LM report exactly). */

@@ -2912,6 +2912,62 @@ object StreamingQueries {
           .orderBy("source")
       },
       Some(graft.operators.TextAnalysis.bigramLmOracle))
+  ,
+
+    // ---------------------------------------------------------------- s41
+    // Streaming INDEX maintenance — q267 live, completing the
+    // incremental trilogy's streaming story (s37 = clusters at ingest,
+    // s41 = the index): the delta batch arrives as 3 ticks and each
+    // arriving doc emits its DISTINCT word-3-gram postings in a pure
+    // stateless map (array_distinct is per-row — a doc's grams dedupe
+    // inside the row, and a doc arrives in exactly one tick, so the
+    // drained (term, doc_id) stream is globally distinct with zero
+    // state stores). Batch-side the drained postings aggregate into the
+    // delta index and merge ADDITIVELY into the standing index exactly
+    // as q267 does — same oracle VERBATIM, so a dropped tick or a
+    // double-emitted posting cannot hash-match.
+    QueryDef(
+      "s41_stream_index_maintenance",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        import graft.operators.TrackedCaches
+        val standing = TrackedCaches.track(
+          graft.Tables(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(call_function("graft_word_ngrams", col("text"), lit(3)))
+                .as("term"))
+            .distinct()
+            .groupBy("term")
+            .agg(count(lit(1)).as("df"), sum("doc_id").as("sum_ids"))
+            .persist(MEMORY_AND_DISK))
+        val st = ingestBatchStreamParts(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              call_function("graft_word_ngrams", col("text"), lit(3))))
+              .as("term"))
+        val deltaIdx = drain(s, OutputMode.Append())(st)
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("doc_id").as("sum_ids"))
+        val untouched = standing
+          .join(deltaIdx.select("term"), Seq("term"), "left_anti")
+          .withColumn("was_touched", lit(false))
+        val touched = standing
+          .join(deltaIdx.select(col("term"), col("df").as("ddf"),
+            col("sum_ids").as("dsum")), Seq("term"), "right")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0L)) + col("ddf")).as("df"),
+            (coalesce(col("sum_ids"), lit(0L)) + col("dsum")).as("sum_ids"))
+          .withColumn("was_touched", lit(true))
+        val merged = untouched.unionByName(touched)
+        val audit = merged.agg(
+          sum(when(col("was_touched"), 1L).otherwise(0L)).as("n_touched"),
+          sum(when(!col("was_touched"), 1L).otherwise(0L)).as("n_untouched"))
+        merged.crossJoin(broadcast(audit))
+          .orderBy(col("df").desc, col("term"))
+          .limit(20)
+      },
+      Some(graft.operators.TextAnalysis.incrementalIndexOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -307,6 +307,53 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q269 coverage curve is monotone and ends at a proper fraction") {
+    import spark.implicits._
+    val rows = run("q269_vocab_coverage_curve")
+      .select("k", "coverage_ppm").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.sliding(2).forall {
+      case Array((_, a), (_, b)) => a <= b; case _ => true
+    }, "coverage must be monotone in k")
+    assert(rows.last._2 <= 1000000L)
+  }
+
+  test("q270 KS statistic: hash splits stay close to the corpus CDF") {
+    import spark.implicits._
+    val rows = run("q270_ks_split_drift")
+      .select("split", "diff_ppm", "d_ppm").as[(String, Long, Long)]
+      .collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    rows.groupBy(_._1).foreach { case (sp, rs) =>
+      assert(rs.map(_._2).max == rs.head._3,
+        s"$sp: d_ppm must equal the max per-bucket deviation")
+      assert(rs.head._3 < 300000,
+        s"$sp: a content-hash split drifting ≥30% from the corpus CDF " +
+          "means the split is broken")
+    }
+  }
+
+  test("q271 hard negatives are never the gold and carry the rank-1 signal") {
+    import spark.implicits._
+    val rows = run("q271_hard_negative_mining")
+      .select("query_id", "hard_neg_id", "margin").as[(Long, Long, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, h, _) => h != q })
+    // margin > 0 ⇔ q263 ranks the gold first for that query
+    val hits1 = run("q263_retrieval_eval")
+      .agg(org.apache.spark.sql.functions.sum("hits_at_1")).head().getLong(0)
+    assert(rows.count(_._3 > 0) == hits1,
+      "positive-margin queries must be exactly q263's rank-1 hits")
+  }
+
+  test("s41 streaming index maintenance equals batch q267's merge") {
+    val batch = run("q267_incremental_index_maintenance").collect().toSet
+    val stream = run("s41_stream_index_maintenance").collect().toSet
+    assert(batch == stream,
+      "the streamed postings ticks must merge into the batch index exactly")
+  }
+
   test("s40 streaming LM surprisal report equals batch q265's") {
     val batch = run("q265_bigram_lm_heldout").collect().toSet
     val stream = run("s40_stream_lm_surprisal").collect().toSet
