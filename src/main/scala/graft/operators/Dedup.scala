@@ -94,17 +94,26 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Persisted: the shingle sets feed signature building AND both
-    // sides of the verify join — without reuse the O(text) shingle
-    // construction runs three times. (At cluster scale this is the
-    // canonical checkpoint: shingles are the expensive derived input.)
-    val sh = TrackedCaches.track(nearCorpus(s, dir)
+  /** Distinct-3-gram shingle sets (doc_id, s) for either the near-dup
+    * corpus (`near = true`) or the plain documents table. The expensive
+    * derived input of every MinHash consumer — memoized session-wide by
+    * [[PairGraph.shingles]] / [[PairGraph.corpusShingles]]; call those,
+    * not this, from queries. */
+  private[operators] def shingleSets(
+      s: SparkSession, dir: String, near: Boolean): DataFrame =
+    (if (near) nearCorpus(s, dir) else docs(s, dir).select("doc_id", "text"))
       .withColumn("w", split(col("text"), " "))
       .withColumn("s", expr(shinglesExpr))
       .filter(size(col("s")) > 0)
       .select("doc_id", "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Shingle sets feed signature building AND both sides of the
+    // verify join; the session-wide PairGraph memo (localCheckpoint)
+    // is the reuse — without it the O(text) shingle construction runs
+    // three times here alone, and again in every probe query. (At
+    // cluster scale this is the canonical persisted artifact.)
+    val sh = PairGraph.shingles(s, dir)
     // 64-element minhash signature, computed COLUMNAR: shingles
     // explode to rows (hashed once), and each of the 64 minhashes is
     // a codegen'd min() aggregate over a seed-mixed rehash — the
@@ -113,7 +122,7 @@ object Dedup {
     // drops to the interpreted higher-order path: 10× slower at
     // sf0.1, worse at scale.) Map-side partial min() means the
     // shuffle carries one 64-long signature per doc, not shingles.
-    val banded = bandBuckets(sh)
+    val banded = PairGraph.bandIndex(s, dir)
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -230,8 +239,10 @@ object Dedup {
       .withColumn("s", expr(shinglesExpr))
       .filter(size(col("s")) > 0)
       .select("doc_id", "s")
-    val csh = TrackedCaches.track(
-      shingled(nearCorpus(s, dir)).persist(MEMORY_AND_DISK))
+    // Corpus-side shingles + band index come from the session-wide
+    // PairGraph memo — an ingest tick probes the standing persisted
+    // index, it never re-shingles/re-bands the corpus.
+    val csh = PairGraph.shingles(s, dir)
     val bsh = TrackedCaches.track(
       shingled(delta).persist(MEMORY_AND_DISK))
     def verify(cand: DataFrame): DataFrame = {
@@ -246,7 +257,7 @@ object Dedup {
     val bBuckets = bandBuckets(bsh)
     val dcCand = bBuckets
       .select(col("doc_id").as("bid"), col("band"), col("bh"))
-      .join(bandBuckets(csh)
+      .join(PairGraph.bandIndex(s, dir)
         .select(col("doc_id").as("cid"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select(least(col("bid"), col("cid")).as("id_a"),
@@ -257,8 +268,15 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val newPairs = TrackedCaches.track(
-      verify(dcCand.unionByName(ddCand)).persist(MEMORY_AND_DISK))
+    // Eager localCheckpoint, not persist: the fixpoint below runs one
+    // ACTION per iteration, and every action re-analyzes its full
+    // logical plan — chaining those plans through the 64-column minhash
+    // candidate pipeline cost seconds of DRIVER (Catalyst) time per
+    // iteration with the data fully cached. Truncating lineage here
+    // keeps each iteration's plan a few nodes deep (measured: q261
+    // 17 s → ~4 s at sf0.01). Blocks are pair-stream-sized and are
+    // reclaimed by the ContextCleaner when the frames drop out of scope.
+    val newPairs = verify(dcCand.unionByName(ddCand)).localCheckpoint(true)
     // affected components: standing labels touched by a new pair
     val touchedNodes = newPairs.select(col("id_a").as("node"))
       .unionByName(newPairs.select(col("id_b").as("node"))).distinct()
@@ -270,6 +288,7 @@ object Dedup {
     val subEdges = standingPairs
       .join(affectedNodes.select(col("node").as("id_a")), Seq("id_a"), "left_semi")
       .unionByName(newPairs)
+      .localCheckpoint(true) // same driver-side plan-depth argument
     val subLabels = connectedComponents(subEdges)
     val finalLabels = standingLabels
       .join(affectedNodes, Seq("node"), "left_anti")
@@ -759,11 +778,13 @@ object Dedup {
           .withColumn("s", expr(shinglesExpr))
           .filter(size(col("s")) > 0)
           .select("doc_id", "s")
-        val csh = TrackedCaches.track(shingled(d).persist(MEMORY_AND_DISK))
+        // the corpus side is the standing persisted index (PairGraph
+        // memo) — per-tick work is the BATCH side only
+        val csh = PairGraph.corpusShingles(s, dir)
         val bsh = TrackedCaches.track(shingled(batch).persist(MEMORY_AND_DISK))
         val cand = bandBuckets(bsh)
           .select(col("doc_id").as("batch_id"), col("band"), col("bh"))
-          .join(bandBuckets(csh)
+          .join(PairGraph.corpusBandIndex(s, dir)
             .select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
             Seq("band", "bh"))
           .select("batch_id", "corpus_id").distinct()

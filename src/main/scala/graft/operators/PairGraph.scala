@@ -36,6 +36,15 @@ object PairGraph {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private val labelsMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  // Upstream MinHash artifacts, keyed (session, sfDir, nearCorpus?):
+  // the shingle sets and the 32-band LSH bucket index. Memoized because
+  // every probe-style consumer (q107 batch ingest, q261 incremental CC,
+  // s37 streaming admission) needs the CORPUS side of these — at 100 TB
+  // they are the persisted index a tick probes, never per-tick work.
+  private val shinglesMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, Boolean), DataFrame]
+  private val bandIndexMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, Boolean), DataFrame]
   @volatile private var builds = 0
 
   /** Number of from-scratch pair-stream builds this JVM (test hook). */
@@ -44,6 +53,39 @@ object PairGraph {
   private def evictStopped(): Unit = {
     pairsMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     labelsMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    shinglesMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    bandIndexMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+  }
+
+  /** Near-dup-corpus shingle sets (doc_id, s), built at most once per
+    * (session, sfDir). */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir, near = true)
+
+  /** Plain-documents shingle sets — q107/s37's probe target. */
+  def corpusShingles(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir, near = false)
+
+  /** Near-dup-corpus LSH band-bucket index (doc_id, band, bh). */
+  def bandIndex(s: SparkSession, dir: String): DataFrame =
+    bandIdx(s, dir, near = true)
+
+  /** Plain-documents LSH band-bucket index — what an ingest tick probes. */
+  def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
+    bandIdx(s, dir, near = false)
+
+  private def shingleSets(
+      s: SparkSession, dir: String, near: Boolean): DataFrame = synchronized {
+    evictStopped()
+    shinglesMemo.getOrElseUpdate((s, dir, near),
+      Dedup.shingleSets(s, dir, near).localCheckpoint(true))
+  }
+
+  private def bandIdx(
+      s: SparkSession, dir: String, near: Boolean): DataFrame = synchronized {
+    evictStopped()
+    bandIndexMemo.getOrElseUpdate((s, dir, near),
+      Dedup.bandBuckets(shingleSets(s, dir, near)).localCheckpoint(true))
   }
 
   /** Verified near-dup pair stream (id_a < id_b, inter, uni; J ≥ 0.6),
@@ -69,9 +111,12 @@ object PairGraph {
 
   /** Drop all memoized graphs and their blocks (test isolation hook). */
   def reset(): Unit = synchronized {
-    (pairsMemo.values ++ labelsMemo.values).foreach(df =>
+    (pairsMemo.values ++ labelsMemo.values ++ shinglesMemo.values ++
+        bandIndexMemo.values).foreach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })
     pairsMemo.clear()
     labelsMemo.clear()
+    shinglesMemo.clear()
+    bandIndexMemo.clear()
   }
 }

@@ -2654,16 +2654,11 @@ object StreamingQueries {
     QueryDef(
       "s37_stream_neardup_ingest",
       (s, dir) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        import graft.operators.{Dedup, TrackedCaches}
-        val corpus = graft.Tables(s, dir, "documents").select("doc_id", "text")
-        val csh = TrackedCaches.track(corpus
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("s", expr(Dedup.shinglesExpr))
-          .filter(size(col("s")) > 0)
-          .select("doc_id", "s")
-          .persist(MEMORY_AND_DISK))
-        val cidx = Dedup.bandBuckets(csh)
+        import graft.operators.{Dedup, PairGraph}
+        // the corpus side is the standing persisted index (PairGraph
+        // session memo) — per-tick work is the arriving docs only
+        val csh = PairGraph.corpusShingles(s, dir)
+        val cidx = PairGraph.corpusBandIndex(s, dir)
           .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
         val st = ingestBatchStreamParts(s, dir)
           .withColumn("w", split(col("text"), " "))
@@ -2689,7 +2684,8 @@ object StreamingQueries {
           .select("batch_id")
         val dupIds = drain(s, OutputMode.Append())(hits).distinct()
           .withColumn("dup", lit(true))
-        val batch = ingestBatch(corpus)
+        val batch = ingestBatch(
+          graft.Tables(s, dir, "documents").select("doc_id", "text"))
         batch.join(dupIds, col("doc_id") === col("batch_id"), "left")
           .withColumn("reason",
             when(col("dup"), "near_dup").otherwise("admitted"))
