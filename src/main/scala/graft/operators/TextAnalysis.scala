@@ -1383,36 +1383,7 @@ object TextAnalysis {
     QueryDef(
       "q265_bigram_lm_heldout",
       (s, dir) => {
-        graft.plans.GraftFunctions.register(s)
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val d = Tables(s, dir, "documents").select("doc_id", "source", "text")
-          .withColumn("hb5",
-            expr("cast(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) % 5"))
-        val train = d.filter(col("hb5") =!= 0L)
-        val tb = TrackedCaches.track(train
-          .select(explode(
-            call_function("graft_word_ngrams", col("text"), lit(2)))
-            .as("gram"))
-          .groupBy("gram").agg(count(lit(1)).as("c12"))
-          .withColumn("w1", element_at(split(col("gram"), " "), 1))
-          .persist(MEMORY_AND_DISK))
-        val c1 = tb.groupBy("w1").agg(sum("c12").as("c1"))
-        val vocab = train
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) > 0)
-          .agg(countDistinct("w").as("v"))
-        d.filter(col("hb5") === 0L)
-          .select(col("source"),
-            explode(call_function("graft_word_ngrams", col("text"), lit(2)))
-              .as("gram"))
-          .withColumn("w1", element_at(split(col("gram"), " "), 1))
-          .join(tb.select("gram", "c12"), Seq("gram"), "left")
-          .join(c1, Seq("w1"), "left")
-          .crossJoin(broadcast(vocab))
-          .withColumn("c12n", coalesce(col("c12"), lit(0L)))
-          .withColumn("c1n", coalesce(col("c1"), lit(0L)))
-          .withColumn("bits",
-            expr("length(bin((c1n + v) div (c12n + 1))) - 1"))
+        heldoutBigramBits(s, dir)
           .groupBy("source")
           .agg(count(lit(1)).as("n_bigrams"),
             sum(when(col("c12n") === 0L, 1L).otherwise(0L))
@@ -1823,10 +1794,50 @@ object TextAnalysis {
           FROM qs JOIN ts USING (word)
           GROUP BY qs.query_id, ts.doc_id)"""
 
-  /** q265's oracle, shared VERBATIM by s40 (the streaming twin must
-    * converge to the batch held-out LM report exactly). */
-  private[graft] def bigramLmOracle: String ="""
-        WITH doc5 AS (
+  /** q265/q272's shared scorer: the add-one-smoothed bigram model
+    * trained on the content-hash ~4/5 split (count tables ARE the
+    * model — slim keyed aggregates, persisted once per run), probed by
+    * the held-out docs' bigram occurrences. Returns one row per
+    * held-out bigram occurrence: (doc_id, source, c12n, bits). */
+  private def heldoutBigramBits(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = Tables(s, dir, "documents").select("doc_id", "source", "text")
+      .withColumn("hb5",
+        expr("cast(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) % 5"))
+    val train = d.filter(col("hb5") =!= 0L)
+    val tb = TrackedCaches.track(train
+      .select(explode(
+        call_function("graft_word_ngrams", col("text"), lit(2)))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", element_at(split(col("gram"), " "), 1))
+      .persist(MEMORY_AND_DISK))
+    val c1 = tb.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = train
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(countDistinct("w").as("v"))
+    d.filter(col("hb5") === 0L)
+      .select(col("doc_id"), col("source"),
+        explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+          .as("gram"))
+      .withColumn("w1", element_at(split(col("gram"), " "), 1))
+      .join(tb.select("gram", "c12"), Seq("gram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("c12n", coalesce(col("c12"), lit(0L)))
+      .withColumn("c1n", coalesce(col("c1"), lit(0L)))
+      .withColumn("bits",
+        expr("length(bin((c1n + v) div (c12n + 1))) - 1"))
+  }
+
+  /** The DuckDB CTE chain matching [[heldoutBigramBits]] (ends with an
+    * `sc(doc_id, source, c12n, bits)` relation), shared by the q265 and
+    * q272 oracles so engine and oracle stay in lock-step. */
+  private def duckBigramCtes: String = """
+        doc5 AS (
           SELECT doc_id, source, text,
                  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 5
                    AS hb5
@@ -1847,20 +1858,25 @@ object TextAnalysis {
           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr) t
           WHERE w <> ''),
         hb AS (
-          SELECT source,
+          SELECT doc_id, source,
                  unnest(list_transform(range(1, len(w)),
                    i -> w[i] || ' ' || w[i+1])) AS gram
-          FROM (SELECT source, string_split(text, ' ') AS w
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS w
                 FROM doc5 WHERE hb5 = 0) t),
         sc AS (
-          SELECT hb.source,
+          SELECT hb.doc_id, hb.source,
                  COALESCE(tb.c12, 0) AS c12n,
                  length(bin((COALESCE(c1.c1, 0) + v)
                    // (COALESCE(tb.c12, 0) + 1))) - 1 AS bits
           FROM hb LEFT JOIN tb USING (gram)
                   LEFT JOIN c1
                     ON c1.w1 = string_split(hb.gram, ' ')[1]
-                  CROSS JOIN vocab)
+                  CROSS JOIN vocab)"""
+
+  /** q265's oracle, shared VERBATIM by s40 (the streaming twin must
+    * converge to the batch held-out LM report exactly). */
+  private[graft] def bigramLmOracle: String = s"""
+        WITH $duckBigramCtes
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                CAST(count_if(c12n = 0) AS BIGINT) AS oov_bigrams,
                CAST(SUM(bits) AS BIGINT) AS total_bits,
