@@ -1986,5 +1986,108 @@ object TrainingDataOps {
         FROM ch JOIN rj USING (source, k)
         WHERE chosen_ppm - rejected_ppm > 0
         ORDER BY source, k"""))
+  ,
+
+    // --------------------------------------------------------------- q272
+    // BOUNDARY-RESPECTING sequence packing with waste accounting
+    // (VERDICT r8 item 6) — the second packing regime next to q78's
+    // concat-and-chunk: here a document NEVER spans two sequences (the
+    // instruction-tuning / contrastive-batch constraint, where attention
+    // must not cross examples), so padding and truncation become real
+    // costs and this operator PRICES them. Greedy length-bucketed
+    // first-fit made deterministic and cluster-exact: each doc is
+    // truncated to the L=512 budget (loss accounted), assigned the
+    // smallest power-of-two bucket >= its kept length via integer bit
+    // arithmetic (length(bin(kept-1)) — no floats, both engines), and
+    // packed L div bucket per sequence within its (source, bucket) by a
+    // KEYED row_number window — never corpus-wide (the q268/q242
+    // discipline). Within a bucket every sequence but the ragged last is
+    // full, so the packing is first-fit-optimal per bucket; the report
+    // carries util_ppm (kept / (n_seqs·L)) and trunc_ppm (lost / total)
+    // per source — the two losses a pretraining pipeline trades when
+    // picking L. 100 TB: one narrow projection + keyed window + two
+    // keyed aggregates; text itself never shuffles, only (source,
+    // bucket, kept) triples.
+    QueryDef(
+      "q272_bucketed_pack_accounting",
+      (s, dir) => {
+        val L = 512L
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("size(filter(split(text, ' '), w -> w <> ''))")
+              .cast("long").as("nw"))
+          .filter(col("nw") > 0L)
+          .withColumn("kept", least(col("nw"), lit(L)))
+          .withColumn("ntr", col("nw") - col("kept"))
+          .withColumn("bucket", expr(
+            "CASE WHEN kept = 1 THEN 1L " +
+              "ELSE shiftleft(1L, length(bin(kept - 1))) END"))
+        val seqs = d
+          .withColumn("cap", expr(s"$L div bucket"))
+          .withColumn("rn", row_number().over(
+              Window.partitionBy("source", "bucket").orderBy("doc_id"))
+            .cast("long"))
+          .withColumn("seq", expr("(rn - 1) div cap"))
+        val perSrcDocs = d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nw").as("tokens_total"),
+            sum("kept").as("tokens_kept"),
+            sum("ntr").as("tokens_trunc"))
+        val perSrcSeqs = seqs.groupBy("source", "bucket", "seq")
+          .agg(count(lit(1)).as("nd"))
+          .groupBy("source").agg(count(lit(1)).as("n_seqs"))
+        perSrcDocs.join(perSrcSeqs, "source")
+          .select(col("source"), col("n_docs"), col("n_seqs"),
+            col("tokens_total"), col("tokens_kept"), col("tokens_trunc"),
+            (col("n_seqs") * L - col("tokens_kept")).as("tokens_pad"),
+            expr(s"tokens_kept * 1000000 div (n_seqs * $L)").as("util_ppm"),
+            expr("tokens_trunc * 1000000 div tokens_total").as("trunc_ppm"))
+          .orderBy("source")
+      },
+      Some(packAccountingOracle))
   )
+
+  /** q272's per-source packing-cost report oracle, shared VERBATIM by
+    * the streaming twin (s42): the bucketed first-fit report is
+    * arrival-order independent — every sequence but the ragged last is
+    * full, so n_seqs = ceil(n_bucket / cap) and all token sums are
+    * order-free — which is exactly what lets a stream compute it. */
+  private[graft] def packAccountingOracle: String = """
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS nw
+          FROM documents),
+        t AS (
+          SELECT doc_id, source, nw,
+                 LEAST(nw, 512) AS kept, nw - LEAST(nw, 512) AS ntr
+          FROM d WHERE nw > 0),
+        b AS (
+          SELECT *, CASE WHEN kept = 1 THEN CAST(1 AS BIGINT)
+                         ELSE (CAST(1 AS BIGINT) << length(bin(kept - 1)))
+                    END AS bucket
+          FROM t),
+        r AS (
+          SELECT source, bucket, 512 // bucket AS cap,
+                 CAST(row_number() OVER (PARTITION BY source, bucket
+                   ORDER BY doc_id) AS BIGINT) AS rn
+          FROM b),
+        seqs AS (
+          SELECT source, bucket, (rn - 1) // cap AS seq
+          FROM r GROUP BY source, bucket, (rn - 1) // cap),
+        ds AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(nw) AS BIGINT) AS tokens_total,
+                 CAST(SUM(kept) AS BIGINT) AS tokens_kept,
+                 CAST(SUM(ntr) AS BIGINT) AS tokens_trunc
+          FROM t GROUP BY source),
+        ss AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seqs
+               FROM seqs GROUP BY source)
+        SELECT ds.source, n_docs, n_seqs, tokens_total, tokens_kept,
+               tokens_trunc,
+               n_seqs * 512 - tokens_kept AS tokens_pad,
+               tokens_kept * 1000000 // (n_seqs * 512) AS util_ppm,
+               tokens_trunc * 1000000 // tokens_total AS trunc_ppm
+        FROM ds JOIN ss USING (source)
+        ORDER BY source"""
 }

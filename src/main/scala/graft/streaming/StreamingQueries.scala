@@ -2966,6 +2966,52 @@ object StreamingQueries {
           .limit(20)
       },
       Some(graft.operators.TextAnalysis.incrementalIndexOracle))
+  ,
+
+    // ---------------------------------------------------------------- s42
+    // Streaming PACKING-COST accounting — q272 live: each arriving doc
+    // is measured, truncated to the L=512 budget and bucket-assigned in
+    // ONE stateless per-row projection (integer bit arithmetic, zero
+    // state stores); the drained (source, bucket, kept, ntr) rows roll
+    // up batch-side into exactly q272's per-source waste report. This
+    // twin is possible BECAUSE bucketed first-fit is arrival-order
+    // independent — every sequence but the ragged last is full, so
+    // n_seqs = ceil(n_bucket / cap) and all token sums are order-free;
+    // the stream never needs to know which sequence a doc landed in,
+    // only how many docs share its bucket. Same oracle VERBATIM as
+    // q272, so a dropped tick or double-counted doc cannot hash-match.
+    QueryDef(
+      "s42_stream_pack_accounting",
+      (s, dir) => {
+        val L = 512L
+        val st = documentsStreamParts(s, dir)
+          .select(col("doc_id"), col("source"),
+            expr("size(filter(split(text, ' '), w -> w <> ''))")
+              .cast("long").as("nw"))
+          .filter(col("nw") > 0L)
+          .withColumn("kept", least(col("nw"), lit(L)))
+          .withColumn("ntr", col("nw") - col("kept"))
+          .withColumn("bucket", expr(
+            "CASE WHEN kept = 1 THEN 1L " +
+              "ELSE shiftleft(1L, length(bin(kept - 1))) END"))
+        val rows = drain(s, OutputMode.Append())(st)
+        val byBucket = rows.groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n"), sum("nw").as("tw"),
+            sum("kept").as("tk"), sum("ntr").as("tt"))
+          .withColumn("cap", expr(s"$L div bucket"))
+          .withColumn("n_seqs", expr("(n + cap - 1) div cap"))
+        byBucket.groupBy("source")
+          .agg(sum("n").as("n_docs"), sum("n_seqs").as("n_seqs"),
+            sum("tw").as("tokens_total"), sum("tk").as("tokens_kept"),
+            sum("tt").as("tokens_trunc"))
+          .select(col("source"), col("n_docs"), col("n_seqs"),
+            col("tokens_total"), col("tokens_kept"), col("tokens_trunc"),
+            (col("n_seqs") * L - col("tokens_kept")).as("tokens_pad"),
+            expr(s"tokens_kept * 1000000 div (n_seqs * $L)").as("util_ppm"),
+            expr("tokens_trunc * 1000000 div tokens_total").as("trunc_ppm"))
+          .orderBy("source")
+      },
+      Some(graft.operators.TrainingDataOps.packAccountingOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

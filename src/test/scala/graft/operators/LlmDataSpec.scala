@@ -100,6 +100,28 @@ class LlmDataSpec extends AnyFunSuite {
       "whole-doc streaming encode must equal per-word batch encode")
   }
 
+  test("q272 packing: token conservation and full-but-last sequences") {
+    import spark.implicits._
+    val rows = run("q272_bucketed_pack_accounting")
+      .select("n_docs", "n_seqs", "tokens_total", "tokens_kept",
+        "tokens_trunc", "tokens_pad", "util_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, ns, tot, kept, trunc, pad, util) =>
+      assert(kept + trunc == tot, "truncation must conserve tokens")
+      assert(kept + pad == ns * 512, "pad must fill sequences exactly")
+      assert(ns <= nd, "boundary packing can never need more seqs than docs")
+      assert(util > 0 && util <= 1000000, s"util_ppm=$util out of range")
+    }
+  }
+
+  test("s42 streaming packing accounting equals batch q272's report") {
+    val batch = run("q272_bucketed_pack_accounting").collect().toSet
+    val stream = run("s42_stream_pack_accounting").collect().toSet
+    assert(batch == stream,
+      "order-free bucket counting must reproduce the keyed-window packing")
+  }
+
   test("q256 finds a span in every planted-boilerplate document") {
     import spark.implicits._
     val planted = spark.read.parquet(s"$dir/documents.parquet")
