@@ -894,6 +894,105 @@ object Dedup {
         ORDER BY cluster_id"""))
   ,
 
+    // --------------------------------------------------------------- q274
+    // Dedup SAVINGS pricing — the capacity-planning number a 100 TB
+    // dedup run is judged by: if every near-dup cluster keeps exactly
+    // its q114 survivor (longest text, lowest-id tie-break), how many
+    // documents / tokens / bytes does each SOURCE shed? Where q50
+    // labels clusters and q114 picks survivors, this op prices the
+    // decision — removed_ppm and token_savings_ppm per source are what
+    // decides whether the dedup pass pays for its compute, and which
+    // sources are dup-heavy enough to deserve a stricter threshold.
+    // Cluster labels come from the session-shared [[PairGraph]] (no
+    // rebuild); the synthetic re-crawls (+200000 ids) attribute to
+    // their base doc's source so savings land where the crawler
+    // over-fetched. Shape: labels ⋈ corpus projections + two keyed
+    // aggregates — nothing corpus-wide beyond the shared graph.
+    QueryDef(
+      "q274_dedup_savings",
+      (s, dir) => {
+        val c = nearCorpus(s, dir)
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("nw",
+            expr("size(filter(split(text, ' '), w -> w <> ''))")
+              .cast("long"))
+          .withColumn("base_id",
+            when(col("doc_id") >= 200000L, col("doc_id") - 200000L)
+              .otherwise(col("doc_id")))
+          .join(Tables(s, dir, "documents")
+            .select(col("doc_id").as("base_id"), col("source")), "base_id")
+        val surv = c
+          .join(PairGraph.labels(s, dir), col("doc_id") === col("node"))
+          .groupBy("label")
+          .agg(max_by(col("doc_id"), struct(col("len"), -col("doc_id")))
+            .as("survivor_id"))
+        val removed = c
+          .join(PairGraph.labels(s, dir), col("doc_id") === col("node"))
+          .join(surv, "label")
+          .filter(col("doc_id") =!= col("survivor_id"))
+        val tot = c.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("len").as("bytes_total"),
+            sum("nw").as("tokens_total"))
+        val rem = removed.groupBy("source")
+          .agg(count(lit(1)).as("n_removed"),
+            sum("len").as("bytes_removed"), sum("nw").as("tokens_removed"))
+        tot.join(rem, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            col("tokens_total"),
+            coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+            coalesce(col("bytes_removed"), lit(0L)).as("bytes_removed"))
+          .withColumn("removed_ppm",
+            expr("n_removed * 1000000 div n_docs"))
+          .withColumn("token_savings_ppm",
+            expr("tokens_removed * 1000000 div tokens_total"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH RECURSIVE $duckPairsCtes,
+        edges AS (SELECT id_a u, id_b v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) n
+          UNION
+          SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.u = e.v),
+        labels AS (SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u),
+        cs AS MATERIALIZED (
+          SELECT c.doc_id, length(c.text) AS len,
+                 CAST(len(list_filter(string_split(c.text, ' '),
+                   w -> w <> '')) AS BIGINT) AS nw,
+                 d.source
+          FROM corpus c
+          JOIN documents d ON d.doc_id =
+            CASE WHEN c.doc_id >= 200000 THEN c.doc_id - 200000
+                 ELSE c.doc_id END),
+        ranked AS (
+          SELECT l.cluster_id, cs.*,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY cs.len DESC, cs.doc_id) AS rk
+          FROM labels l JOIN cs ON cs.doc_id = l.node),
+        tot AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len) AS BIGINT) AS bytes_total,
+                 CAST(SUM(nw) AS BIGINT) AS tokens_total
+          FROM cs GROUP BY source),
+        rem AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_removed,
+                 CAST(SUM(len) AS BIGINT) AS bytes_removed,
+                 CAST(SUM(nw) AS BIGINT) AS tokens_removed
+          FROM ranked WHERE rk > 1 GROUP BY source)
+        SELECT tot.source, n_docs,
+               COALESCE(n_removed, 0) AS n_removed,
+               tokens_total,
+               COALESCE(tokens_removed, 0) AS tokens_removed,
+               COALESCE(bytes_removed, 0) AS bytes_removed,
+               COALESCE(n_removed, 0) * 1000000 // n_docs AS removed_ppm,
+               COALESCE(tokens_removed, 0) * 1000000 // tokens_total
+                 AS token_savings_ppm
+        FROM tot LEFT JOIN rem USING (source)
+        ORDER BY tot.source"""))
+  ,
+
     // --------------------------------------------------------------- q126
     // Exact-substring dedup with REWRITE semantics (Lee et al. 2022,
     // "Deduplicating Training Data Makes Language Models Better"): where

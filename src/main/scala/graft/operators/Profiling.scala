@@ -1763,7 +1763,114 @@ object Profiling {
         SELECT ppm.split, bucket, n, cdf_s_ppm, cdf_a_ppm, diff_ppm, d_ppm
         FROM ppm JOIN dm ON dm.split = ppm.split
         ORDER BY ppm.split, bucket"""))
+  ,
+
+    // --------------------------------------------------------------- q275
+    // Quality-gate FUNNEL — the per-stage attrition report every
+    // curation pipeline publishes next to its gates (q77/q248 decide
+    // keep/drop; this op shows WHERE the corpus dies): four gates
+    // applied in a fixed order — token-count bounds, mean word length,
+    // type-token ratio, digit fraction — and for each (source, stage)
+    // the population in, survivors out, marginal removals, and
+    // pass_ppm. The marginal attribution is order-dependent BY DESIGN
+    // (a doc failing two gates charges the first), which is exactly
+    // what a pipeline owner needs to see before reordering or
+    // loosening a gate. All integer signals over non-empty-filtered
+    // words; docs with no words or no characters are out of population
+    // (both divisions would be undefined — stated, filtered in both
+    // engines). Shape: ONE narrow pass computes four codegen'd flag
+    // columns, one keyed aggregate builds the wide counts, the
+    // 4-stage long table is source-count-bounded arithmetic.
+    QueryDef(
+      "q275_filter_funnel",
+      (s, dir) => funnelReport(
+        funnelFlags(Tables(s, dir, "documents"))),
+      Some(funnelOracle))
   )
+
+  /** q275/s43 shared: the four gate flags over (source, text) — a pure
+    * stateless per-row projection (which is what lets s43 stream it). */
+  private[graft] def funnelFlags(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("wl"),
+        expr("length(replace(text, ' ', ''))").cast("long").as("chars"),
+        expr("length(regexp_replace(text, '[^0-9]', ''))")
+          .cast("long").as("digits"))
+      .select(col("source"), size(col("wl")).cast("long").as("nw"),
+        size(array_distinct(col("wl"))).cast("long").as("nd"),
+        col("chars"), col("digits"))
+      .filter(col("nw") > 0L && col("chars") > 0L)
+      .select(col("source"),
+        col("nw").between(10L, 5000L).as("f1"),
+        expr("chars * 1000 div nw between 2000 and 12000").as("f2"),
+        expr("nd * 1000000 div nw >= 300000").as("f3"),
+        expr("digits * 1000000 div chars <= 200000").as("f4"))
+
+  /** q275/s43 shared: wide survivor counts → the 4-stage long report. */
+  private[graft] def funnelReport(flagged: DataFrame): DataFrame = {
+    val wide = flagged.groupBy("source").agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L))
+        .as("n3"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+        .otherwise(0L)).as("n4"))
+    Seq((1, "g1_token_bounds", "n0", "n1"),
+        (2, "g2_mean_word_len", "n1", "n2"),
+        (3, "g3_ttr", "n2", "n3"),
+        (4, "g4_digit_fraction", "n3", "n4"))
+      .map { case (i, g, in, out) =>
+        wide.select(col("source"), lit(i).as("stage"), lit(g).as("gate"),
+          col(in).as("n_in"), col(out).as("n_out"))
+      }
+      .reduce(_ unionByName _)
+      .withColumn("removed", col("n_in") - col("n_out"))
+      .withColumn("pass_ppm",
+        expr("n_out * 1000000 div nullif(n_in, 0)"))
+      .orderBy("source", "stage")
+  }
+
+  /** q275's funnel oracle, shared VERBATIM by s43. */
+  private[graft] def funnelOracle: String = """
+        WITH d AS MATERIALIZED (
+          SELECT source,
+                 CAST(len(wl) AS BIGINT) AS nw,
+                 CAST(len(list_distinct(wl)) AS BIGINT) AS nd,
+                 CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   AS BIGINT) AS digits
+          FROM (SELECT source, text,
+                       list_filter(string_split(text, ' '),
+                         w -> w <> '') AS wl
+                FROM documents)
+          WHERE len(wl) > 0 AND length(replace(text, ' ', '')) > 0),
+        f AS (
+          SELECT source,
+                 (nw BETWEEN 10 AND 5000) AS f1,
+                 (chars * 1000 // nw BETWEEN 2000 AND 12000) AS f2,
+                 (nd * 1000000 // nw >= 300000) AS f3,
+                 (digits * 1000000 // chars <= 200000) AS f4
+          FROM d),
+        wide AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n0,
+                 CAST(count_if(f1) AS BIGINT) AS n1,
+                 CAST(count_if(f1 AND f2) AS BIGINT) AS n2,
+                 CAST(count_if(f1 AND f2 AND f3) AS BIGINT) AS n3,
+                 CAST(count_if(f1 AND f2 AND f3 AND f4) AS BIGINT) AS n4
+          FROM f GROUP BY source),
+        longf AS (
+          SELECT source, 1 AS stage, 'g1_token_bounds' AS gate,
+                 n0 AS n_in, n1 AS n_out FROM wide
+          UNION ALL SELECT source, 2, 'g2_mean_word_len', n1, n2 FROM wide
+          UNION ALL SELECT source, 3, 'g3_ttr', n2, n3 FROM wide
+          UNION ALL SELECT source, 4, 'g4_digit_fraction', n3, n4 FROM wide)
+        SELECT source, stage, gate, n_in, n_out,
+               n_in - n_out AS removed,
+               n_out * 1000000 // nullif(n_in, 0) AS pass_ppm
+        FROM longf
+        ORDER BY source, stage"""
 
   /** q255/s39 shared: the lexical-diversity seed label
     * (2·|distinct words| ≥ |words|). */

@@ -2045,6 +2045,118 @@ object TrainingDataOps {
           .orderBy("source")
       },
       Some(packAccountingOracle))
+  ,
+
+    // --------------------------------------------------------------- q273
+    // REWARD-MODEL pairwise evaluation — the check an RLHF/DPO data
+    // pipeline runs before trusting a scorer to rank training pairs:
+    // over q266's preference pairs (chosen = top-TTR doc at rank k,
+    // rejected = its mirror from the bottom), does an INDEPENDENT
+    // reward model — here q255's hashed-ngram classifier score, drawn
+    // from the session-shared ClassifierArtifacts — agree with the
+    // preference direction? Pairwise accuracy is THE reward-model
+    // metric (a scorer that can't order known-good above known-bad
+    // pairs cannot supervise a policy), and because the reward here is
+    // a different signal than the TTR that built the pairs, agreement
+    // is a real measurement, not a tautology. Strict inequality: ties
+    // count as disagreement (a constant scorer must score 0). Docs too
+    // short to produce a 3-gram have no score and drop via the inner
+    // join — stated, identical in both engines. Shape: pair table is
+    // rank arithmetic (q266), scores are one broadcast join + keyed
+    // aggregate over the SHARED gram frame — nothing corpus-wide is
+    // built here at all.
+    QueryDef(
+      "q273_reward_pairwise_eval",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val grams = ClassifierArtifacts.grams(s, dir)
+        val wt = ClassifierArtifacts.weights(s, dir)
+        val rm = grams.join(broadcast(wt), "b")
+          .groupBy("doc_id")
+          .agg(expr("sum(w) div count(1)").as("rm_ppm"))
+        val ranked = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("""size(array_distinct(split(text, ' '))) * 1000000
+                    div size(split(text, ' '))""").as("ttr_ppm"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("ttr_ppm").desc, col("doc_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        val pairs = ranked.filter(col("r") * 2 <= col("n"))
+          .select(col("source"), col("r").as("k"),
+            col("doc_id").as("chosen_id"), col("ttr_ppm").as("chosen_ppm"))
+          .join(ranked.select(col("source"),
+            (col("n") - col("r") + 1L).as("k"),
+            col("doc_id").as("rejected_id"),
+            col("ttr_ppm").as("rejected_ppm")), Seq("source", "k"))
+          .filter(col("chosen_ppm") - col("rejected_ppm") > 0L)
+        pairs
+          .join(rm.select(col("doc_id").as("chosen_id"),
+            col("rm_ppm").as("rm_chosen")), "chosen_id")
+          .join(rm.select(col("doc_id").as("rejected_id"),
+            col("rm_ppm").as("rm_rejected")), "rejected_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("rm_chosen") > col("rm_rejected"), 1L)
+              .otherwise(0L)).as("n_agree"),
+            sum(col("rm_chosen") - col("rm_rejected")).as("margin_sum"))
+          .select(col("source"), col("n_pairs"), col("n_agree"),
+            expr("n_agree * 1000000 div n_pairs").as("accuracy_ppm"),
+            expr("margin_sum div n_pairs").as("mean_rm_margin_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH g AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(gr), 1, 15)) AS BIGINT) % 4096
+                   AS b,
+                 good
+          FROM (SELECT doc_id,
+                       2 * len(list_distinct(string_split(text, ' ')))
+                         >= len(string_split(text, ' ')) AS good,
+                       unnest(list_transform(range(1, length(text) - 1),
+                         i -> substring(text, i, 3))) AS gr
+                FROM documents)),
+        wt AS MATERIALIZED (
+          SELECT b,
+                 (CAST(count_if(good) AS BIGINT) + 1) * 1000000
+                   // (CAST(COUNT(*) AS BIGINT) + 2) AS w
+          FROM g GROUP BY b),
+        rm AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(SUM(w) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS rm_ppm
+          FROM g JOIN wt USING (b) GROUP BY doc_id),
+        sc AS (
+          SELECT doc_id, source,
+                 len(list_distinct(string_split(text, ' '))) * 1000000
+                   // len(string_split(text, ' ')) AS ttr_ppm
+          FROM documents),
+        rk AS (
+          SELECT doc_id, source, ttr_ppm,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY ttr_ppm DESC, doc_id) AS BIGINT) AS r,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM sc),
+        pr AS (
+          SELECT ch.source, ch.chosen_id, rj.rejected_id
+          FROM (SELECT source, r AS k, doc_id AS chosen_id,
+                       ttr_ppm AS chosen_ppm
+                FROM rk WHERE r * 2 <= n) ch
+          JOIN (SELECT source, n - r + 1 AS k, doc_id AS rejected_id,
+                       ttr_ppm AS rejected_ppm
+                FROM rk) rj USING (source, k)
+          WHERE ch.chosen_ppm - rj.rejected_ppm > 0)
+        SELECT pr.source,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(count_if(c.rm_ppm > j.rm_ppm) AS BIGINT) AS n_agree,
+               CAST(count_if(c.rm_ppm > j.rm_ppm) AS BIGINT) * 1000000
+                 // COUNT(*) AS accuracy_ppm,
+               CAST(SUM(c.rm_ppm - j.rm_ppm) AS BIGINT) // COUNT(*)
+                 AS mean_rm_margin_ppm
+        FROM pr JOIN rm c ON c.doc_id = pr.chosen_id
+                JOIN rm j ON j.doc_id = pr.rejected_id
+        GROUP BY pr.source
+        ORDER BY pr.source"""))
   )
 
   /** q272's per-source packing-cost report oracle, shared VERBATIM by

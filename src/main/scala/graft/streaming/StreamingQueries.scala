@@ -3012,6 +3012,26 @@ object StreamingQueries {
           .orderBy("source")
       },
       Some(graft.operators.TrainingDataOps.packAccountingOracle))
+  ,
+
+    // ---------------------------------------------------------------- s43
+    // Streaming quality-gate FUNNEL — q275 live, the attrition report
+    // computed AT INGEST: each arriving doc's four gate flags are a
+    // pure stateless per-row projection (funnelFlags is shared code,
+    // zero state stores, append mode), the drained flag rows roll up
+    // batch-side through the SAME funnelReport into exactly q275's
+    // per-(source, stage) table — oracle verbatim, so a dropped tick
+    // or re-ordered gate cannot hash-match. Per-tick cost O(tick
+    // chars); at 100 TB this is the live funnel dashboard an ingest
+    // gate feeds without a second corpus pass.
+    QueryDef(
+      "s43_stream_filter_funnel",
+      (s, dir) => {
+        import graft.operators.Profiling
+        val st = Profiling.funnelFlags(documentsStreamParts(s, dir))
+        Profiling.funnelReport(drain(s, OutputMode.Append())(st))
+      },
+      Some(graft.operators.Profiling.funnelOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -122,6 +122,56 @@ class LlmDataSpec extends AnyFunSuite {
       "order-free bucket counting must reproduce the keyed-window packing")
   }
 
+  test("q273 reward eval: classifier beats chance on TTR preference pairs") {
+    import spark.implicits._
+    val rows = run("q273_reward_pairwise_eval")
+      .select("n_pairs", "n_agree", "accuracy_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (np, na, acc) =>
+      assert(na <= np && acc >= 0 && acc <= 1000000, s"acc=$acc np=$np")
+    }
+    val (np, na) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    assert(na * 2 > np,
+      "an independent diversity-correlated reward must beat coin-flip " +
+        "accuracy on TTR-ordered pairs in aggregate")
+  }
+
+  test("q274 dedup savings: conservation and nonzero yield") {
+    import spark.implicits._
+    val rows = run("q274_dedup_savings")
+      .select("n_docs", "n_removed", "tokens_total", "tokens_removed")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, nr, tt, tr) =>
+      assert(nr < nd, "a source can never remove every doc (survivors stay)")
+      assert(tr <= tt, "removed tokens cannot exceed the source's total")
+    }
+    assert(rows.map(_._2).sum > 0,
+      "the planted %7 re-crawls guarantee nonzero dedup yield")
+  }
+
+  test("q275 funnel: stages chain and only shrink; s43 equals batch") {
+    import spark.implicits._
+    val batch = run("q275_filter_funnel")
+    val rows = batch.select("source", "stage", "n_in", "n_out")
+      .as[(String, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, in, out) =>
+      assert(out <= in, "a gate can only remove documents") }
+    rows.groupBy(_._1).foreach { case (src, ss) =>
+      val st = ss.sortBy(_._2)
+      st.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"$src: stage ${b._2} n_in must chain")
+        case _ => ()
+      }
+    }
+    assert(batch.collect().toSet ==
+      run("s43_stream_filter_funnel").collect().toSet,
+      "the at-ingest funnel must equal the batch funnel")
+  }
+
   test("q256 finds a span in every planted-boilerplate document") {
     import spark.implicits._
     val planted = spark.read.parquet(s"$dir/documents.parquet")
