@@ -2010,40 +2010,11 @@ object TrainingDataOps {
     // bucket, kept) triples.
     QueryDef(
       "q272_bucketed_pack_accounting",
-      (s, dir) => {
-        val L = 512L
-        val d = Tables(s, dir, "documents")
+      (s, dir) => packReport(
+        Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             expr("size(filter(split(text, ' '), w -> w <> ''))")
-              .cast("long").as("nw"))
-          .filter(col("nw") > 0L)
-          .withColumn("kept", least(col("nw"), lit(L)))
-          .withColumn("ntr", col("nw") - col("kept"))
-          .withColumn("bucket", expr(
-            "CASE WHEN kept = 1 THEN 1L " +
-              "ELSE shiftleft(1L, length(bin(kept - 1))) END"))
-        val seqs = d
-          .withColumn("cap", expr(s"$L div bucket"))
-          .withColumn("rn", row_number().over(
-              Window.partitionBy("source", "bucket").orderBy("doc_id"))
-            .cast("long"))
-          .withColumn("seq", expr("(rn - 1) div cap"))
-        val perSrcDocs = d.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("nw").as("tokens_total"),
-            sum("kept").as("tokens_kept"),
-            sum("ntr").as("tokens_trunc"))
-        val perSrcSeqs = seqs.groupBy("source", "bucket", "seq")
-          .agg(count(lit(1)).as("nd"))
-          .groupBy("source").agg(count(lit(1)).as("n_seqs"))
-        perSrcDocs.join(perSrcSeqs, "source")
-          .select(col("source"), col("n_docs"), col("n_seqs"),
-            col("tokens_total"), col("tokens_kept"), col("tokens_trunc"),
-            (col("n_seqs") * L - col("tokens_kept")).as("tokens_pad"),
-            expr(s"tokens_kept * 1000000 div (n_seqs * $L)").as("util_ppm"),
-            expr("tokens_trunc * 1000000 div tokens_total").as("trunc_ppm"))
-          .orderBy("source")
-      },
+              .cast("long").as("nt"))),
       Some(packAccountingOracle))
   ,
 
@@ -2158,6 +2129,43 @@ object TrainingDataOps {
         GROUP BY pr.source
         ORDER BY pr.source"""))
   )
+
+  /** q272/q276 shared: the bucketed first-fit packing report over a
+    * (doc_id, source, nt) token-measured frame — q272 measures in
+    * whitespace words, q276 in q254's learned BPE tokens; the packing
+    * algebra (truncate to L, power-of-two bucket, keyed row_number,
+    * per-source waste rollup) is identical. */
+  private[graft] def packReport(
+      measured: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val L = 512L
+    val d = measured.filter(col("nt") > 0L)
+      .withColumn("kept", least(col("nt"), lit(L)))
+      .withColumn("ntr", col("nt") - col("kept"))
+      .withColumn("bucket", expr(
+        "CASE WHEN kept = 1 THEN 1L " +
+          "ELSE shiftleft(1L, length(bin(kept - 1))) END"))
+    val seqs = d
+      .withColumn("cap", expr(s"$L div bucket"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy("source", "bucket").orderBy("doc_id"))
+        .cast("long"))
+      .withColumn("seq", expr("(rn - 1) div cap"))
+    val perSrcDocs = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("tokens_total"),
+        sum("kept").as("tokens_kept"),
+        sum("ntr").as("tokens_trunc"))
+    val perSrcSeqs = seqs.groupBy("source", "bucket", "seq")
+      .agg(count(lit(1)).as("nd"))
+      .groupBy("source").agg(count(lit(1)).as("n_seqs"))
+    perSrcDocs.join(perSrcSeqs, "source")
+      .select(col("source"), col("n_docs"), col("n_seqs"),
+        col("tokens_total"), col("tokens_kept"), col("tokens_trunc"),
+        (col("n_seqs") * L - col("tokens_kept")).as("tokens_pad"),
+        expr(s"tokens_kept * 1000000 div (n_seqs * $L)").as("util_ppm"),
+        expr("tokens_trunc * 1000000 div tokens_total").as("trunc_ppm"))
+      .orderBy("source")
+  }
 
   /** q272's per-source packing-cost report oracle, shared VERBATIM by
     * the streaming twin (s42): the bucketed first-fit report is

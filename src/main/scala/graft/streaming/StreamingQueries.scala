@@ -2751,11 +2751,10 @@ object StreamingQueries {
       "s38_stream_bpe_token_costs",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        import graft.operators.{TextAnalysis, TrackedCaches}
-        val words = TrackedCaches.track(
-          TextAnalysis.bpeWords(s, dir).persist(MEMORY_AND_DISK))
-        val merges = TextAnalysis.learnBpeMerges(words)
+        import graft.operators.TextAnalysis
+        // session-shared merges table (one learn per phase — the
+        // offline tokenizer artifact a production stream ships with)
+        val merges = TextAnalysis.bpeMerges(s, dir)
         val st = documentsStreamParts(s, dir)
           .select(col("doc_id"), col("source"),
             TextAnalysis.bpeApply(

@@ -262,6 +262,31 @@ class LlmDataSpec extends AnyFunSuite {
       "four gram-frame consumers must trigger exactly one from-scratch build")
   }
 
+  test("BPE merges table learns ONCE, shared by q254/q276") {
+    // round 9: the 6-round merge learning (6 driver actions over the
+    // exploded word frame) is the offline tokenizer artifact — it must
+    // not be relearned by every consumer in one session.
+    TextAnalysis.bpeReset()
+    val before = TextAnalysis.bpeBuildCount
+    Seq("q254_bpe_encode_token_costs", "q276_bpe_pack_accounting")
+      .foreach(n => assert(run(n).count() > 0, s"$n returned no rows"))
+    assert(TextAnalysis.bpeBuildCount == before + 1,
+      "two tokenizer consumers must trigger exactly one merges learn")
+  }
+
+  test("q276 BPE packing: conservation holds on learned-token costs") {
+    import spark.implicits._
+    val rows = run("q276_bpe_pack_accounting")
+      .select("n_seqs", "tokens_kept", "tokens_trunc", "tokens_total",
+        "tokens_pad")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ns, kept, trunc, tot, pad) =>
+      assert(kept + trunc == tot, "BPE truncation must conserve tokens")
+      assert(kept + pad == ns * 512, "pad must fill sequences exactly")
+    }
+  }
+
   test("BM25 retrieval scorer builds ONCE, shared by q263/q271") {
     // VERDICT r8 item 4: the scaladoc claimed "persisted once per run"
     // while each consumer rebuilt the scorer; now memoized for real.

@@ -849,6 +849,33 @@ class ScaleSpec extends AnyFunSuite {
         s"expected $strategy branch in the hinted plan:\n$plan")
   }
 
+  test("q272 packing windows stay keyed on (source, bucket)") {
+    val df = SparkEntry.queries("q272_bucketed_pack_accounting")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // the row_number that assigns sequence slots must partition by
+      // (source, bucket) — a corpus-wide unkeyed window funnels 100 TB
+      // through one task (the q242/q268 lesson)
+      assert(plan.contains("Window"), s"expected a window:\n$plan")
+      assert(!plan.toLowerCase.contains("partitionby=[]")
+          && !plan.contains("SinglePartition"),
+        s"packing window must never be unkeyed/single-partition:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q273 reward scoring joins the weight table by broadcast") {
+    val df = SparkEntry.queries("q273_reward_pairwise_eval")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // same contract as q255: the vocabulary-sized weight table ships
+      // to the gram stream, never the reverse
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast weight-table join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"pair construction is rank arithmetic, never a cross join:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
   test("q243 BM25 postings filter is a broadcast semi join on the probe words") {
     val df = SparkEntry.queries("q243_bm25_retrieval")(spark, dir)
     try {
