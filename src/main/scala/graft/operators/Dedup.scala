@@ -993,6 +993,63 @@ object Dedup {
         ORDER BY tot.source"""))
   ,
 
+    // --------------------------------------------------------------- q278
+    // Dedup THRESHOLD sensitivity — the tuning audit run before fixing
+    // a near-dup cutoff: over the verified pair stream (which carries
+    // exact |∩| and |∪| shingle counts), how many pairs and how many
+    // distinct documents survive at J ≥ 0.6 / 0.7 / 0.8 / 0.9? The
+    // curve's shape is the decision input — a cliff between 0.6 and
+    // 0.7 means the corpus is full of borderline rewrites the cutoff
+    // choice will swing; a flat curve means the choice barely matters.
+    // Thresholds stay in exact permille (inter·1000 ≥ thr·uni — no
+    // float J is ever materialized), and only thresholds ≥ the 0.6
+    // verification floor are meaningful (below it the pair stream is
+    // incomplete by construction — stated). Shape: the 4-row threshold
+    // table cross-joins the session-shared PairGraph pair stream
+    // (bounded ×4 fan-out of an already-slim pair list), two keyed
+    // aggregates, zero corpus passes.
+    QueryDef(
+      "q278_dedup_threshold_sweep",
+      (s, dir) => {
+        val th = Seq(600L, 700L, 800L, 900L)
+          .foldLeft(Option.empty[DataFrame]) { (acc, t) =>
+            val one = PairGraph.pairs(s, dir).sparkSession
+              .range(1).select(lit(t).as("thr"))
+            Some(acc.fold(one)(_ unionByName one))
+          }.get
+        val pt = PairGraph.pairs(s, dir).crossJoin(broadcast(th))
+          .filter(col("inter") * 1000L >= col("thr") * col("uni"))
+        val np = pt.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+        val nd = pt.select(col("thr"), col("id_a").as("id"))
+          .unionByName(pt.select(col("thr"), col("id_b").as("id")))
+          .distinct()
+          .groupBy("thr").agg(count(lit(1)).as("n_dup_docs"))
+        th.join(np, Seq("thr"), "left")
+          .join(nd, Seq("thr"), "left")
+          .select(col("thr"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+          .orderBy("thr")
+      },
+      Some(s"""
+        WITH $duckPairsCtes,
+        th AS (SELECT CAST(UNNEST([600, 700, 800, 900]) AS BIGINT) AS thr),
+        pt AS (
+          SELECT th.thr, id_a, id_b
+          FROM pairs CROSS JOIN th
+          WHERE inter * 1000 >= th.thr * uni),
+        np AS (SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM pt GROUP BY thr),
+        nd AS (SELECT thr, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_dup_docs
+               FROM (SELECT thr, id_a AS id FROM pt
+                     UNION ALL SELECT thr, id_b FROM pt) u
+               GROUP BY thr)
+        SELECT th.thr, COALESCE(n_pairs, 0) AS n_pairs,
+               COALESCE(n_dup_docs, 0) AS n_dup_docs
+        FROM th LEFT JOIN np USING (thr) LEFT JOIN nd USING (thr)
+        ORDER BY th.thr"""))
+  ,
+
     // --------------------------------------------------------------- q126
     // Exact-substring dedup with REWRITE semantics (Lee et al. 2022,
     // "Deduplicating Training Data Makes Language Models Better"): where

@@ -2128,7 +2128,93 @@ object TrainingDataOps {
                 JOIN rm j ON j.doc_id = pr.rejected_id
         GROUP BY pr.source
         ORDER BY pr.source"""))
+  ,
+
+    // --------------------------------------------------------------- q277
+    // Contamination SEVERITY sweep — q66 flipped to the removal-impact
+    // side: q66 asks "which benchmark items leak?", this op asks "how
+    // much TRAINING data would decontamination remove, per source, at
+    // each strictness tier?" — the number that decides whether to drop
+    // whole docs (≥10 shared grams), span-mask (3–9), or ignore (1–2),
+    // which is how published pipelines actually tier their response
+    // (drop / mask / log). Per corpus doc: how many of its DISTINCT
+    // 5-grams appear in the benchmark gram set (q66's derived
+    // benchmark, so overlap exists by construction); docs bucket into
+    // none/low/med/high tiers and roll up per (source, tier) with
+    // total hit mass. Shape: grams emit narrowly via the native
+    // kernel, the benchmark gram set is the slim join side (semi
+    // join — at 100 TB a broadcast of the benchmark suite's grams,
+    // which is exactly how production decontamination ships it), one
+    // keyed count per doc, bounded tier rollup.
+    QueryDef(
+      "q277_contamination_severity",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val docs = Tables(s, dir, "documents")
+        val bg = docs.filter(col("doc_id") % 13 === 0)
+          .select(concat_ws(" ",
+            slice(split(col("text"), " "), 6, 20)).as("text"))
+          .select(explode(
+            call_function("graft_word_ngrams", col("text"), lit(5)))
+            .as("g"))
+          .distinct()
+        val dgrams = docs
+          .select(col("doc_id"),
+            explode(array_distinct(
+              call_function("graft_word_ngrams", col("text"), lit(5))))
+              .as("g"))
+        val hits = dgrams.join(bg, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        docs.select("doc_id", "source")
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("tier",
+            when(col("n_hit") === 0L, "t0_none")
+              .when(col("n_hit") <= 2L, "t1_low")
+              .when(col("n_hit") <= 9L, "t2_med")
+              .otherwise("t3_high"))
+          .groupBy("source", "tier")
+          .agg(count(lit(1)).as("n_docs"), sum("n_hit").as("hits_total"))
+          .orderBy("source", "tier")
+      },
+      Some(contaminationSeverityOracle))
   )
+
+  /** q277's severity-tier oracle, shared VERBATIM by s44 (the streamed
+    * per-doc hit counts must tier and roll up to the batch report). */
+  private[graft] def contaminationSeverityOracle: String = """
+        WITH bench AS (
+          SELECT array_to_string(string_split(text, ' ')[6:25], ' ') AS text
+          FROM documents WHERE doc_id % 13 = 0),
+        bg AS MATERIALIZED (
+          SELECT DISTINCT UNNEST(list_transform(range(1, len(ws) - 3),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4])) AS g
+          FROM (SELECT string_split(text, ' ') AS ws FROM bench)),
+        dg AS (
+          SELECT DISTINCT doc_id, g
+          FROM (SELECT doc_id,
+                       UNNEST(list_transform(range(1, len(ws) - 3),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                              ws[i+3] || ' ' || ws[i+4])) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents) t) t2),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM dg WHERE g IN (SELECT g FROM bg)
+          GROUP BY doc_id),
+        tiered AS (
+          SELECT d.source, COALESCE(h.n_hit, 0) AS n_hit,
+                 CASE WHEN COALESCE(h.n_hit, 0) = 0 THEN 't0_none'
+                      WHEN COALESCE(h.n_hit, 0) <= 2 THEN 't1_low'
+                      WHEN COALESCE(h.n_hit, 0) <= 9 THEN 't2_med'
+                      ELSE 't3_high' END AS tier
+          FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id)
+        SELECT source, tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_hit) AS BIGINT) AS hits_total
+        FROM tiered
+        GROUP BY source, tier
+        ORDER BY source, tier"""
 
   /** q272/q276 shared: the bucketed first-fit packing report over a
     * (doc_id, source, nt) token-measured frame — q272 measures in

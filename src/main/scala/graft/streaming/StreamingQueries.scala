@@ -3031,6 +3031,53 @@ object StreamingQueries {
         Profiling.funnelReport(drain(s, OutputMode.Append())(st))
       },
       Some(graft.operators.Profiling.funnelOracle))
+  ,
+
+    // ---------------------------------------------------------------- s44
+    // Streaming contamination severity — q277 live at ingest (the s36
+    // probe discipline, upgraded from a binary verdict to the tiered
+    // removal-impact report): the benchmark gram set is the BROADCAST
+    // static side, each arriving doc's distinct 5-grams probe it under
+    // a stream-static inner join — stateless, zero state stores,
+    // per-tick cost O(tick grams) — and only HITS flow downstream.
+    // Batch-side the drained hits count per doc, zero-hit docs are
+    // recovered by the left join against the static corpus (a stream
+    // can't emit what never matched), and the tier rollup reproduces
+    // exactly q277's report — same oracle VERBATIM.
+    QueryDef(
+      "s44_stream_contamination_severity",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val docs = graft.Tables(s, dir, "documents")
+        val bg = docs.filter(col("doc_id") % 13 === 0)
+          .select(concat_ws(" ",
+            slice(split(col("text"), " "), 6, 20)).as("text"))
+          .select(explode(
+            call_function("graft_word_ngrams", col("text"), lit(5)))
+            .as("g"))
+          .distinct()
+        val st = documentsStreamParts(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(
+              call_function("graft_word_ngrams", col("text"), lit(5))))
+              .as("g"))
+          .join(bg, "g") // stream-static probe: only hits survive
+          .select("doc_id")
+        val hits = drain(s, OutputMode.Append())(st)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        docs.select("doc_id", "source")
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("tier",
+            when(col("n_hit") === 0L, "t0_none")
+              .when(col("n_hit") <= 2L, "t1_low")
+              .when(col("n_hit") <= 9L, "t2_med")
+              .otherwise("t3_high"))
+          .groupBy("source", "tier")
+          .agg(count(lit(1)).as("n_docs"), sum("n_hit").as("hits_total"))
+          .orderBy("source", "tier")
+      },
+      Some(graft.operators.TrainingDataOps.contaminationSeverityOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

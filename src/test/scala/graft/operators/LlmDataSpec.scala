@@ -172,6 +172,38 @@ class LlmDataSpec extends AnyFunSuite {
       "the at-ingest funnel must equal the batch funnel")
   }
 
+  test("q277 severity tiers partition the corpus; s44 equals batch") {
+    import spark.implicits._
+    val batch = run("q277_contamination_severity")
+    val rows = batch.select("tier", "n_docs", "hits_total")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val corpusN = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum == corpusN,
+      "every corpus doc must land in exactly one severity tier")
+    rows.filter(_._1 == "t0_none").foreach { case (_, _, h) =>
+      assert(h == 0L, "the zero-hit tier cannot carry hit mass") }
+    assert(batch.collect().toSet ==
+      run("s44_stream_contamination_severity").collect().toSet,
+      "the at-ingest severity report must equal the batch report")
+  }
+
+  test("q278 threshold sweep is monotone and anchored at the 0.6 floor") {
+    import spark.implicits._
+    val rows = run("q278_dedup_threshold_sweep")
+      .select("thr", "n_pairs", "n_dup_docs")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(600L, 700L, 800L, 900L))
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi._2 <= lo._2 && hi._3 <= lo._3,
+          "raising the threshold can only shrink the pair/doc sets")
+      case _ => ()
+    }
+    assert(rows.head._2 == PairGraph.pairs(spark, dir).count(),
+      "thr=600 must equal the full verified pair stream")
+  }
+
   test("q256 finds a span in every planted-boilerplate document") {
     import spark.implicits._
     val planted = spark.read.parquet(s"$dir/documents.parquet")
