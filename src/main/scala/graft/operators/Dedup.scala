@@ -1693,5 +1693,89 @@ object Dedup {
         FROM labels
         GROUP BY cluster_id
         ORDER BY cluster_id"""))
+  ,
+
+    // --------------------------------------------------------------- q279
+    // Temporal gram NOVELTY audit — the "how much NEW information did
+    // this tick add" number next to q107's duplicate-admission verdict:
+    // q103 measures within-corpus boilerplate and q107 rejects whole
+    // near-dup documents, but an ingest tick's VALUE is the fraction of
+    // its content the standing corpus has never seen at the passage
+    // grain. Docs with doc_id % 5 = 4 play today's batch; the rest are
+    // the standing snapshot. Each batch doc's distinct word-8-grams
+    // left-join the standing corpus's distinct gram set; novelty_ppm =
+    // unseen grams / grams, and the per-source rollup buckets docs into
+    // mostly-new (≥ 0.9) / mostly-seen (≤ 0.1) — the report a corpus
+    // owner reads to decide whether a feed is still worth crawling.
+    // Scale: the q103/q25 digest discipline — grams shuffle as 32-byte
+    // sha2 digests, never passage text; the gram frame persists ONCE
+    // and feeds both sides; the standing set is distinct-reduced before
+    // the join, so the probe carries |batch grams| rows. At 100 TB the
+    // standing gram set is the persisted artifact (the q107 band-index
+    // shape) and each tick probes it with O(batch) work.
+    QueryDef(
+      "q279_ingest_novelty_audit",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val grams = TrackedCaches.track(docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(
+              call_function("graft_word_ngrams", col("text"), lit(8)))).as("g"))
+          .select(col("doc_id"), col("source"), sha2(col("g"), 256).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val standing = grams.filter(col("doc_id") % 5 =!= 4)
+          .select("h").distinct().withColumn("seen", lit(1L))
+        val scored = grams.filter(col("doc_id") % 5 === 4)
+          .join(standing, Seq("h"), "left")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+        scored.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_grams").as("grams_total"),
+            sum("n_novel").as("grams_novel"),
+            expr("sum(novelty_ppm) div count(1)").as("mean_novelty_ppm"),
+            sum(when(col("novelty_ppm") >= 900000L, 1L).otherwise(0L))
+              .as("n_mostly_new"),
+            sum(when(col("novelty_ppm") <= 100000L, 1L).otherwise(0L))
+              .as("n_mostly_seen"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents),
+        grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id, source,
+                 UNNEST(list_transform(range(1, len(ws) - 6),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                        ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                        ws[i+6] || ' ' || ws[i+7])) AS g
+          FROM words),
+        standing AS MATERIALIZED (
+          SELECT DISTINCT g FROM grams WHERE doc_id % 5 <> 4),
+        scored AS (
+          SELECT b.doc_id, b.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(count_if(st.g IS NULL) AS BIGINT) AS n_novel
+          FROM (SELECT * FROM grams WHERE doc_id % 5 = 4) b
+          LEFT JOIN standing st ON b.g = st.g
+          GROUP BY b.doc_id, b.source),
+        ppm AS (
+          SELECT *, n_novel * 1000000 // n_grams AS novelty_ppm
+          FROM scored)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS grams_total,
+               CAST(SUM(n_novel) AS BIGINT) AS grams_novel,
+               CAST(SUM(novelty_ppm) AS BIGINT) // COUNT(*)
+                 AS mean_novelty_ppm,
+               CAST(count_if(novelty_ppm >= 900000) AS BIGINT)
+                 AS n_mostly_new,
+               CAST(count_if(novelty_ppm <= 100000) AS BIGINT)
+                 AS n_mostly_seen
+        FROM ppm
+        GROUP BY source
+        ORDER BY source"""))
   ) :+ snmQuery
 }

@@ -1786,6 +1786,119 @@ object Profiling {
       (s, dir) => funnelReport(
         funnelFlags(Tables(s, dir, "documents"))),
       Some(funnelOracle))
+  ,
+
+    // --------------------------------------------------------------- q280
+    // KRIPPENDORFF'S ALPHA (nominal, two coders, no missing values) —
+    // the second standard inter-annotator statistic next to q258's
+    // kappa, and the one a labeling methodology reviewer asks for:
+    // where kappa chance-corrects with the PRODUCT of per-coder
+    // marginals, alpha pools both coders' labels into one value
+    // distribution and chance-corrects against pairable disagreement,
+    //   alpha = 1 − (Do/De),  Do = (n−agree)/n,
+    //   De = (N² − Σ_c n_c²) / (N(N−1)),  N = 2n, n_c pooled counts —
+    // so the two statistics genuinely diverge when coders have skewed,
+    // unequal marginals. Same deterministic dual-annotator fixture as
+    // q258 (B shifts every 7th label to the next type), so the gate
+    // compares real arithmetic, not randomness. Exactness: alpha_ppm
+    // is computed in ONE truncating division from integer terms —
+    // (n−agree)·N·(N−1)·10⁶ reaches ~10²³ at sf0.1, past int64, so
+    // both engines route through DECIMAL(38)/HUGEINT (the q236
+    // discipline); do_ppm/de_ppm are reported as separately-rounded
+    // informational terms, never composed. Shape: one types²-bounded
+    // confusion aggregate; everything after is arithmetic on a
+    // broadcast-sized matrix — no second corpus pass.
+    QueryDef(
+      "q280_krippendorff_alpha",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val nextOf = types.zip(types.tail :+ types.head).toMap
+        val shiftExpr = types.map { t =>
+          s"WHEN event_type = '$t' THEN '${nextOf(t)}'"
+        }.mkString("CASE ", " ", " END")
+        val pairs = Tables.events(s, dir)
+          .select(col("event_type").as("a"),
+            expr(s"CASE WHEN event_id % 7 = 0 THEN $shiftExpr " +
+              "ELSE event_type END").as("b"))
+        val cm = TrackedCaches.track(
+          pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val byA = cm.groupBy(col("a").as("cls")).agg(sum("n").as("n_a"))
+        val byB = cm.groupBy(col("b").as("cls")).agg(sum("n").as("n_b"))
+        val diag = cm.filter(col("a") === col("b"))
+          .select(col("a").as("cls"), col("n").as("n_agree"))
+        val perClass = byA.join(byB, Seq("cls"), "full_outer")
+          .join(diag, Seq("cls"), "left")
+          .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+          .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+          .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
+          .withColumn("n_pooled", col("n_a") + col("n_b"))
+        val scalars = perClass.agg(
+            sum("n_a").as("n"), sum("n_agree").as("agree"),
+            sum(col("n_pooled") * col("n_pooled")).as("sumsq"))
+          .select(col("n"), col("agree"), col("sumsq"),
+            expr("(n - agree) * 1000000 div n").as("do_ppm"),
+            expr("(4 * n * n - sumsq) * 1000000 div (2 * n * (2 * n - 1))")
+              .as("de_ppm"),
+            expr("""1000000 - (CAST(n - agree AS DECIMAL(38,0))
+                  * CAST(2 * n AS DECIMAL(38,0))
+                  * CAST(2 * n - 1 AS DECIMAL(38,0)) * 1000000)
+                div (CAST(n AS DECIMAL(38,0))
+                  * (CAST(2 * n AS DECIMAL(38,0)) * CAST(2 * n AS DECIMAL(38,0))
+                     - CAST(sumsq AS DECIMAL(38,0))))""").as("alpha_ppm"))
+        perClass.crossJoin(broadcast(
+            scalars.select("do_ppm", "de_ppm", "alpha_ppm")))
+          .select(col("cls"), col("n_a"), col("n_b"), col("n_pooled"),
+            col("n_agree"), col("do_ppm"), col("de_ppm"), col("alpha_ppm"))
+          .orderBy("cls")
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_type AS a,
+                 CASE WHEN event_id % 7 = 0 THEN
+                   CASE event_type
+                     WHEN 'click' THEN 'error'
+                     WHEN 'error' THEN 'purchase'
+                     WHEN 'purchase' THEN 'signup'
+                     WHEN 'signup' THEN 'view'
+                     WHEN 'view' THEN 'click' END
+                 ELSE event_type END AS b
+          FROM events),
+        cm AS MATERIALIZED (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY a, b),
+        ma AS (SELECT a AS cls, CAST(SUM(n) AS BIGINT) AS n_a
+               FROM cm GROUP BY a),
+        mb AS (SELECT b AS cls, CAST(SUM(n) AS BIGINT) AS n_b
+               FROM cm GROUP BY b),
+        dg AS (SELECT a AS cls, n AS n_agree FROM cm WHERE a = b),
+        pc AS (
+          SELECT cls, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+                 COALESCE(n_a, 0) + COALESCE(n_b, 0) AS n_pooled,
+                 COALESCE(n_agree, 0) AS n_agree
+          FROM ma FULL JOIN mb USING (cls) LEFT JOIN dg USING (cls)),
+        sc AS (
+          SELECT CAST(SUM(n_a) AS BIGINT) AS n,
+                 CAST(SUM(n_agree) AS BIGINT) AS agree,
+                 CAST(SUM(n_pooled * n_pooled) AS BIGINT) AS sumsq
+          FROM pc),
+        kk AS (
+          SELECT (n - agree) * 1000000 // n AS do_ppm,
+                 (4 * n * n - sumsq) * 1000000 // (2 * n * (2 * n - 1))
+                   AS de_ppm,
+                 CAST(1000000 - (CAST(n - agree AS HUGEINT)
+                       * CAST(2 * n AS HUGEINT)
+                       * CAST(2 * n - 1 AS HUGEINT) * 1000000)
+                     // (CAST(n AS HUGEINT)
+                       * (CAST(2 * n AS HUGEINT) * CAST(2 * n AS HUGEINT)
+                          - CAST(sumsq AS HUGEINT)))
+                   AS BIGINT) AS alpha_ppm
+          FROM sc)
+        SELECT cls, n_a, n_b, n_pooled, n_agree,
+               (SELECT do_ppm FROM kk) AS do_ppm,
+               (SELECT de_ppm FROM kk) AS de_ppm,
+               (SELECT alpha_ppm FROM kk) AS alpha_ppm
+        FROM pc
+        ORDER BY cls"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure

@@ -1591,6 +1591,70 @@ object TextAnalysis {
                gold_score - hard_score AS margin
         FROM hard JOIN gold USING (query_id)
         ORDER BY query_id"""))
+  ,
+
+    // --------------------------------------------------------------- q281
+    // Tokenizer VOCABULARY-TRUNCATION curve — the merges-budget
+    // ablation a tokenizer team publishes before freezing vocab size:
+    // for every truncation level m = 0..6, encode the corpus with only
+    // the FIRST m learned merges (BPE merge tables are rank-ordered, so
+    // a smaller vocab IS a prefix of the table — no re-learning) and
+    // report total tokens, compression vs characters, and the marginal
+    // tokens SAVED by each additional merge round. The curve's knee is
+    // the decision input: when saved_vs_prev flattens, further vocab
+    // buys nothing. Artifacts come from the session-shared BPE registry
+    // (one corpus explode + one 6-round learn per run — q254/s38/q276/
+    // q281); the 7 encodings are literal sentinel replaces computed in
+    // ONE codegen'd projection over the shared frame, collapsed by a
+    // single aggregate — the driver sees one 7-level row, then a
+    // 7-row-bounded stack + lag. At 100 TB: same one corpus pass; the
+    // curve is metadata-sized arithmetic after it.
+    QueryDef(
+      "q281_vocab_truncation_curve",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val words = bpeWordsShared(s, dir)
+        val merges = bpeMerges(s, dir)
+        val levelCols = (0 to 6).map { m =>
+          size(split(call_function("btrim",
+            bpeApply(col("s0"), merges.take(m)), lit("|")), "\\|\\|"))
+            .cast("long").as(s"t$m")
+        }
+        val tot = words.select(levelCols :+ col("nchar").as("nc"): _*)
+          .agg(sum(col("t0")).as("t0"), (1 to 6).map(m =>
+            sum(col(s"t$m")).as(s"t$m")) :+ sum(col("nc")).as("nc"): _*)
+        val stacked = tot.selectExpr(
+          "stack(7, 0L, t0, 1L, t1, 2L, t2, 3L, t3, 4L, t4, 5L, t5, 6L, t6) " +
+            "AS (merge_rounds, n_tokens)",
+          "nc AS n_chars")
+        val w = org.apache.spark.sql.expressions.Window.orderBy("merge_rounds")
+        stacked
+          .withColumn("tokens_per_kchar", expr("n_tokens * 1000 div n_chars"))
+          .withColumn("saved_vs_prev",
+            coalesce(lag("n_tokens", 1).over(w) - col("n_tokens"), lit(0L)))
+          .orderBy("merge_rounds")
+      },
+      Some(s"""
+        WITH w0 AS MATERIALIZED (
+          SELECT doc_id, source, CAST(length(w) AS BIGINT) AS nchar,
+                 regexp_replace(w, '(.)', '$bpePipeRepl', 'g') AS s
+          FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE w <> ''),$bpeRoundCtes
+        lv AS (${(0 to 6).map { m =>
+          s"""
+          SELECT CAST($m AS BIGINT) AS merge_rounds,
+                 CAST(SUM(len(string_split(trim(s, '$bpePipe'),
+                   '$bpePipe$bpePipe'))) AS BIGINT) AS n_tokens,
+                 CAST(SUM(nchar) AS BIGINT) AS n_chars
+          FROM w$m"""
+        }.mkString(" UNION ALL ")})
+        SELECT merge_rounds, n_tokens, n_chars,
+               n_tokens * 1000 // n_chars AS tokens_per_kchar,
+               CAST(COALESCE(lag(n_tokens) OVER (ORDER BY merge_rounds)
+                 - n_tokens, 0) AS BIGINT) AS saved_vs_prev
+        FROM lv
+        ORDER BY merge_rounds"""))
   )
 
   /** q254's oracle, shared VERBATIM by s38 (the streaming twin must
