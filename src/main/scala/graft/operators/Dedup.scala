@@ -1742,7 +1742,12 @@ object Dedup {
               .as("n_mostly_seen"))
           .orderBy("source")
       },
-      Some("""
+      Some(noveltyOracle))
+  ) :+ snmQuery
+
+  /** q279's oracle, shared VERBATIM by s45 (the at-ingest streaming
+    * novelty report must hash-match the batch audit exactly). */
+  private[graft] def noveltyOracle: String = """
         WITH words AS (
           SELECT doc_id, source, string_split(text, ' ') AS ws
           FROM documents),
@@ -1776,6 +1781,5 @@ object Dedup {
                  AS n_mostly_seen
         FROM ppm
         GROUP BY source
-        ORDER BY source"""))
-  ) :+ snmQuery
+        ORDER BY source"""
 }

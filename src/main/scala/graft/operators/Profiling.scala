@@ -1899,6 +1899,86 @@ object Profiling {
                (SELECT alpha_ppm FROM kk) AS alpha_ppm
         FROM pc
         ORDER BY cls"""))
+  ,
+
+    // --------------------------------------------------------------- q282
+    // INT8 symmetric quantization audit for embeddings — the
+    // compression step every vector index ships (q190's PQ is the
+    // coarse 4-bit tier; this is the standard per-vector scalar-quant
+    // tier ANN engines default to): each vector quantizes to q_i =
+    // round(x_i·127 / max|x|) and the audit prices what that costs —
+    // per label: saturated elements, max / mean absolute reconstruction
+    // error, and total relative error in ppm of the absolute mass. The
+    // number an index owner reads before flipping int8 on.
+    // Exactness: floats enter as exact 9-dp decimals (bround-then-cast,
+    // the q110 HALF_UP/HALF_EVEN parity device) and everything after is
+    // int64: per-vector max by a vec_id-keyed window, quantize as
+    // (2·|x|·127 + mx) div (2·mx) — round-half-away via truncating div
+    // on NON-NEGATIVE operands (div ↔ // agree only there — stated),
+    // sign carried separately and irrelevant to |error|; err127 =
+    // ||x|·127 − q·mx| measures error ×127 with NO second division.
+    // Zero vectors are filtered in both engines (scale undefined);
+    // int64 headroom holds to ~sf1, DECIMAL(38) beyond — the rel-ppm
+    // division already routes through DECIMAL(38)/HUGEINT. Shape: one
+    // narrow explode, one keyed window, one keyed rollup — the
+    // (vec_id, dim) frame never joins anything wider than itself.
+    QueryDef(
+      "q282_int8_quantization_audit",
+      (s, dir) => {
+        val elems = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            explode(expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+              .as("v"))
+          .select(col("vec_id"), col("label"),
+            expr("CAST(CAST(bround(v, 9) AS DECIMAL(20,9)) * 1000000000" +
+              " AS BIGINT)").as("xi"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        val q = elems
+          .withColumn("axi", abs(col("xi")))
+          .withColumn("mx", max(col("axi")).over(w))
+          .filter(col("mx") > 0L)
+          .withColumn("aq", expr("(2 * axi * 127 + mx) div (2 * mx)"))
+          .withColumn("err127", abs(col("axi") * 127 - col("aq") * col("mx")))
+        q.groupBy("label")
+          .agg(countDistinct("vec_id").as("n_vecs"),
+            count(lit(1)).as("n_elems"),
+            sum(when(col("aq") === 127L, 1L).otherwise(0L)).as("n_saturated"),
+            max("err127").as("max_err127"),
+            sum("err127").as("sum_err127"),
+            sum(col("axi") * 127).as("sum_abs127"))
+          .select(col("label"), col("n_vecs"), col("n_elems"),
+            col("n_saturated"), col("max_err127"),
+            expr("sum_err127 div n_elems").as("mean_err127"),
+            expr("CAST(sum_err127 AS DECIMAL(38,0)) * 1000000" +
+              " div CAST(sum_abs127 AS DECIMAL(38,0))").as("rel_err_ppm"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH elems AS (
+          SELECT vec_id, label,
+                 CAST(CAST(v AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS xi
+          FROM (SELECT vec_id, label,
+                       unnest(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE))) AS v
+                FROM embeddings) z),
+        mx AS (SELECT vec_id, MAX(abs(xi)) AS mx FROM elems GROUP BY vec_id),
+        q AS (
+          SELECT e.vec_id, e.label, abs(e.xi) AS axi, m.mx,
+                 (2 * abs(e.xi) * 127 + m.mx) // (2 * m.mx) AS aq
+          FROM elems e JOIN mx m USING (vec_id)
+          WHERE m.mx > 0),
+        q2 AS (SELECT *, abs(axi * 127 - aq * mx) AS err127 FROM q)
+        SELECT label,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_elems,
+               CAST(count_if(aq = 127) AS BIGINT) AS n_saturated,
+               CAST(MAX(err127) AS BIGINT) AS max_err127,
+               CAST(SUM(err127) AS BIGINT) // COUNT(*) AS mean_err127,
+               CAST(CAST(SUM(err127) AS HUGEINT) * 1000000
+                 // CAST(SUM(axi * 127) AS HUGEINT) AS BIGINT) AS rel_err_ppm
+        FROM q2
+        GROUP BY label
+        ORDER BY label"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure

@@ -3078,6 +3078,59 @@ object StreamingQueries {
           .orderBy("source", "tier")
       },
       Some(graft.operators.TrainingDataOps.contaminationSeverityOracle))
+  ,
+
+    // ---------------------------------------------------------------- s45
+    // Streaming ingest NOVELTY — q279 live: today's batch docs
+    // (doc_id % 5 = 4) arrive as a stream and each one's distinct
+    // word-8-grams probe the standing corpus's gram-digest set under a
+    // stream-static LEFT join (static side distinct-reduced and
+    // persisted once — per-tick cost is O(tick grams), the standing
+    // set is the artifact, not per-tick work). Unlike s44's hits-only
+    // inner probe, novelty needs the MISSES, so the left join carries
+    // every stream gram downstream with a seen/null flag — still
+    // stateless, zero state stores, append mode. The drained rows roll
+    // up batch-side into exactly q279's per-source novelty report —
+    // oracle VERBATIM, so a dropped tick or a stale standing set
+    // cannot hash-match.
+    QueryDef(
+      "s45_stream_ingest_novelty",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val standing = graft.operators.TrackedCaches.track(
+          graft.Tables(s, dir, "documents")
+            .filter(col("doc_id") % 5 =!= 4)
+            .select(explode(array_distinct(
+              call_function("graft_word_ngrams", col("text"), lit(8))))
+              .as("g"))
+            .select(sha2(col("g"), 256).as("h")).distinct()
+            .withColumn("seen", lit(1L))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val st = documentsStreamParts(s, dir)
+          .filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(
+              call_function("graft_word_ngrams", col("text"), lit(8))))
+              .as("g"))
+          .select(col("doc_id"), col("source"), sha2(col("g"), 256).as("h"))
+          .join(standing, Seq("h"), "left")
+        val scored = drain(s, OutputMode.Append())(st)
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+        scored.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_grams").as("grams_total"),
+            sum("n_novel").as("grams_novel"),
+            expr("sum(novelty_ppm) div count(1)").as("mean_novelty_ppm"),
+            sum(when(col("novelty_ppm") >= 900000L, 1L).otherwise(0L))
+              .as("n_mostly_new"),
+            sum(when(col("novelty_ppm") <= 100000L, 1L).otherwise(0L))
+              .as("n_mostly_seen"))
+          .orderBy("source")
+      },
+      Some(graft.operators.Dedup.noveltyOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -566,6 +566,39 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"SRP band recall $recall below 0.7 — bucketing broken")
   }
 
+  test("q279 novelty buckets partition batch docs; s45 equals batch") {
+    import spark.implicits._
+    val batch = run("q279_ingest_novelty_audit")
+    val rows = batch
+      .select("n_docs", "grams_total", "grams_novel", "mean_novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, gt, gn, mean) =>
+      assert(nd > 0 && gn <= gt, "novel grams cannot exceed total grams")
+      assert(mean >= 0 && mean <= 1000000, s"mean_novelty_ppm=$mean")
+    }
+    assert(batch.collect().toSet ==
+      run("s45_stream_ingest_novelty").collect().toSet,
+      "the at-ingest novelty report must equal the batch audit")
+  }
+
+  test("q282 int8 quantization: max element exact, error bounded by one step") {
+    import spark.implicits._
+    val rows = run("q282_int8_quantization_audit")
+      .select("n_vecs", "n_elems", "n_saturated", "max_err127",
+        "mean_err127", "rel_err_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nv, ne, sat, mx, mean, rel) =>
+      // each vector's max-|x| element quantizes to exactly 127
+      assert(sat >= nv, "every vector's scale element must saturate")
+      assert(ne >= nv && mean <= mx, s"mean=$mean max=$mx")
+      // err127 = ||x|*127 - q*mx| <= mx (round-half + trunc slack)
+      assert(rel >= 0 && rel < 10000,
+        s"int8 relative error $rel ppm implausibly large")
+    }
+  }
+
   test("q35 multimodal metadata matches a directly-computed decode") {
     import spark.implicits._
     val r = run("q35_multimodal_metadata")
