@@ -1979,6 +1979,91 @@ object Profiling {
         FROM q2
         GROUP BY label
         ORDER BY label"""))
+  ,
+
+    // --------------------------------------------------------------- q283
+    // Quality-gate INTERACTION matrix — the redundancy audit next to
+    // q275's funnel: the funnel charges each dropped doc to its FIRST
+    // failing gate, which by construction hides whether two gates
+    // reject the same population. This op reports, for each of the 6
+    // unordered gate pairs, both marginal failure counts, the joint
+    // failure count, and the failure-set Jaccard in ppm — a pair with
+    // high Jaccard means one gate is (nearly) subsumed and can be
+    // dropped or reordered; near-zero means the gates carry
+    // independent signal. Same shared funnelFlags projection as
+    // q275/s43, so the three reports describe the same gates by
+    // construction. Shape: ONE narrow flag pass + ONE aggregate
+    // computing all 4 marginals and 6 joints as conditional sums; the
+    // 6-row matrix is literal-driven arithmetic on that single row.
+    QueryDef(
+      "q283_gate_interaction_matrix",
+      (s, dir) => {
+        val gates = Seq(1, 2, 3, 4)
+        val names = Map(1 -> "g1_token_bounds", 2 -> "g2_mean_word_len",
+          3 -> "g3_ttr", 4 -> "g4_digit_fraction")
+        val marg = gates.map(i =>
+          sum(when(!col(s"f$i"), 1L).otherwise(0L)).as(s"a$i"))
+        val joint = for (i <- gates; j <- gates if i < j) yield
+          sum(when(!col(s"f$i") && !col(s"f$j"), 1L).otherwise(0L))
+            .as(s"b$i$j")
+        val wide = funnelFlags(Tables(s, dir, "documents"))
+          .agg((marg ++ joint).head, (marg ++ joint).tail: _*)
+        (for (i <- gates; j <- gates if i < j) yield
+          wide.select(lit(names(i)).as("gate_a"), lit(names(j)).as("gate_b"),
+            col(s"a$i").as("n_fail_a"), col(s"a$j").as("n_fail_b"),
+            col(s"b$i$j").as("n_fail_both")))
+          .reduce(_ unionByName _)
+          .withColumn("jaccard_ppm", expr(
+            "n_fail_both * 1000000 div nullif(n_fail_a + n_fail_b - n_fail_both, 0)"))
+          .orderBy("gate_a", "gate_b")
+      },
+      Some("""
+        WITH d AS MATERIALIZED (
+          SELECT source,
+                 CAST(len(wl) AS BIGINT) AS nw,
+                 CAST(len(list_distinct(wl)) AS BIGINT) AS nd,
+                 CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   AS BIGINT) AS digits
+          FROM (SELECT source, text,
+                       list_filter(string_split(text, ' '),
+                         w -> w <> '') AS wl
+                FROM documents)
+          WHERE len(wl) > 0 AND length(replace(text, ' ', '')) > 0),
+        f AS (
+          SELECT (nw BETWEEN 10 AND 5000) AS f1,
+                 (chars * 1000 // nw BETWEEN 2000 AND 12000) AS f2,
+                 (nd * 1000000 // nw >= 300000) AS f3,
+                 (digits * 1000000 // chars <= 200000) AS f4
+          FROM d),
+        w AS (
+          SELECT CAST(count_if(NOT f1) AS BIGINT) AS a1,
+                 CAST(count_if(NOT f2) AS BIGINT) AS a2,
+                 CAST(count_if(NOT f3) AS BIGINT) AS a3,
+                 CAST(count_if(NOT f4) AS BIGINT) AS a4,
+                 CAST(count_if(NOT f1 AND NOT f2) AS BIGINT) AS b12,
+                 CAST(count_if(NOT f1 AND NOT f3) AS BIGINT) AS b13,
+                 CAST(count_if(NOT f1 AND NOT f4) AS BIGINT) AS b14,
+                 CAST(count_if(NOT f2 AND NOT f3) AS BIGINT) AS b23,
+                 CAST(count_if(NOT f2 AND NOT f4) AS BIGINT) AS b24,
+                 CAST(count_if(NOT f3 AND NOT f4) AS BIGINT) AS b34
+          FROM f),
+        m AS (
+          SELECT 'g1_token_bounds' AS gate_a, 'g2_mean_word_len' AS gate_b,
+                 a1 AS n_fail_a, a2 AS n_fail_b, b12 AS n_fail_both FROM w
+          UNION ALL SELECT 'g1_token_bounds', 'g3_ttr', a1, a3, b13 FROM w
+          UNION ALL SELECT 'g1_token_bounds', 'g4_digit_fraction', a1, a4,
+                 b14 FROM w
+          UNION ALL SELECT 'g2_mean_word_len', 'g3_ttr', a2, a3, b23 FROM w
+          UNION ALL SELECT 'g2_mean_word_len', 'g4_digit_fraction', a2, a4,
+                 b24 FROM w
+          UNION ALL SELECT 'g3_ttr', 'g4_digit_fraction', a3, a4, b34 FROM w)
+        SELECT gate_a, gate_b, n_fail_a, n_fail_b, n_fail_both,
+               n_fail_both * 1000000
+                 // nullif(n_fail_a + n_fail_b - n_fail_both, 0)
+                 AS jaccard_ppm
+        FROM m
+        ORDER BY gate_a, gate_b"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure

@@ -1203,6 +1203,85 @@ object ScaleTechniques {
                  // n_exact AS BIGINT) AS err_ppm
         FROM est
         ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q285
+    // COUNT-MIN sketch point queries — the classic mergeable frequency
+    // sketch (Cormode & Muthukrishnan 2005) next to the suite's HLL
+    // (q46), KMV (q237), quantile (q53/q127), bloom (q98) and
+    // Misra-Gries (q140) tiers: d=4 hash rows × w=256 buckets of pure
+    // counts, built in ONE narrow pass (tokens fan out ×4 — map-side
+    // partial counts mean the shuffle carries ≤ d·w rows per
+    // partition, never tokens) and queryable/mergeable by bucket-wise
+    // addition — exactly the per-shard summary a 100 TB corpus merges
+    // across file groups. Estimate = min over the 4 rows; CMS NEVER
+    // undercounts, so the audit joins the top-20 exact heavy hitters
+    // against their estimates and reports the overcount and its ppm —
+    // the number that tells an owner whether w=256 suffices at their
+    // skew. Hashes are md5-derived (the q255 bucket recipe) so both
+    // engines index identical cells; everything is integer.
+    QueryDef(
+      "q285_countmin_sketch",
+      (s, dir) => {
+        val tok = TrackedCaches.track(Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val exact = tok.groupBy("word").agg(count(lit(1)).as("n_exact"))
+        val top = exact.orderBy(col("n_exact").desc, col("word")).limit(20)
+        val rws = s.range(0, 4).select(col("id").cast("int").as("r"))
+        val sketch = tok.crossJoin(rws)
+          .select(col("r"),
+            expr("cast(conv(substr(md5(concat('r', cast(r AS STRING), ':', " +
+              "word)), 1, 15), 16, 10) AS BIGINT) % 256").as("b"))
+          .groupBy("r", "b").agg(count(lit(1)).as("c"))
+        top.crossJoin(rws)
+          .withColumn("b",
+            expr("cast(conv(substr(md5(concat('r', cast(r AS STRING), ':', " +
+              "word)), 1, 15), 16, 10) AS BIGINT) % 256"))
+          .join(sketch, Seq("r", "b"))
+          .groupBy("word")
+          .agg(max("n_exact").as("n_exact"), min("c").as("n_est"))
+          .select(col("word"), col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overcount"),
+            expr("(n_est - n_exact) * 1000000 div n_exact").as("over_ppm"))
+          .orderBy(col("n_exact").desc, col("word"))
+      },
+      Some("""
+        WITH tok AS MATERIALIZED (
+          SELECT w AS word
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+          WHERE w <> ''),
+        exact AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM tok GROUP BY word),
+        top AS (
+          SELECT * FROM exact ORDER BY n_exact DESC, word LIMIT 20),
+        rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        sk AS MATERIALIZED (
+          SELECT r,
+                 CAST(concat('0x', substr(md5(concat('r',
+                   CAST(r AS VARCHAR), ':', word)), 1, 15))
+                   AS BIGINT) % 256 AS b,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok CROSS JOIN rws
+          GROUP BY 1, 2),
+        pr AS (
+          SELECT t.word, t.n_exact, MIN(sk.c) AS n_est
+          FROM top t
+          CROSS JOIN rws
+          JOIN sk ON sk.r = rws.r
+                 AND sk.b = CAST(concat('0x', substr(md5(concat('r',
+                   CAST(rws.r AS VARCHAR), ':', t.word)), 1, 15))
+                   AS BIGINT) % 256
+          GROUP BY t.word, t.n_exact)
+        SELECT word, n_exact,
+               CAST(n_est AS BIGINT) AS n_est,
+               CAST(n_est - n_exact AS BIGINT) AS overcount,
+               CAST((n_est - n_exact) * 1000000 // n_exact AS BIGINT)
+                 AS over_ppm
+        FROM pr
+        ORDER BY n_exact DESC, word"""))
   )
 
   /** q140's pass-1: per-partition Misra-Gries summaries of size `m`,

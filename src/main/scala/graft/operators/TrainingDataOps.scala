@@ -2178,6 +2178,111 @@ object TrainingDataOps {
           .orderBy("source", "tier")
       },
       Some(contaminationSeverityOracle))
+  ,
+
+    // --------------------------------------------------------------- q284
+    // CHAT-TEMPLATE rendering + loss-mask accounting — the SFT-prep
+    // step between raw documents and an instruction-tuning run, which
+    // nothing in the suite exercised: documents become conversations
+    // (12-word chunks as alternating user/assistant turns — the q79
+    // chunking device repurposed as a deterministic turn source),
+    // each turn renders through the template '<|role|>text<|end|>'
+    // with a fixed 34-char system header per conversation, and the
+    // report prices what training actually sees per source: rendered
+    // bytes, total vs ASSISTANT-ONLY tokens (the loss mask — SFT
+    // trains on assistant tokens only, so mask_ppm IS the fraction of
+    // corpus mass that produces gradient), and conversations ending
+    // on a user turn (dangling — a trainer drops or truncates them).
+    // Turn text is rebuilt order-exactly via the sorted-struct
+    // collect (q110's device) ↔ string_agg(ORDER BY); everything
+    // else is integer. Shape: one narrow posexplode, then three
+    // KEYED aggregates (turn → conversation → source) — each rides
+    // its group key, no corpus-wide window, rendered strings never
+    // outlive their turn row.
+    QueryDef(
+      "q284_chat_template_render",
+      (s, dir) => {
+        val words = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            posexplode(expr("filter(split(text, ' '), w -> w <> '')"))
+              .as(Seq("idx", "word")))
+        val turns = words
+          .withColumn("turn", expr("idx div 12"))
+          .groupBy("doc_id", "source", "turn")
+          .agg(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(idx, word))), s -> s.word)"))
+            .as("txt"),
+            count(lit(1)).as("nwords"))
+          .withColumn("role",
+            when(col("turn") % 2 === 0, "user").otherwise("assistant"))
+          .withColumn("rendered",
+            concat(lit("<|"), col("role"), lit("|>"), col("txt"), lit("<|end|>")))
+        val convs = turns.groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_turns"),
+            sum(when(col("role") === "assistant", 1L).otherwise(0L))
+              .as("n_asst_turns"),
+            sum("nwords").as("total_tokens"),
+            sum(when(col("role") === "assistant", col("nwords"))
+              .otherwise(0L)).as("asst_tokens"),
+            (sum(length(col("rendered")).cast("long")) + 34L)
+              .as("rendered_chars"))
+        convs.groupBy("source")
+          .agg(count(lit(1)).as("n_convs"),
+            sum("n_turns").as("n_turns"),
+            sum("n_asst_turns").as("n_asst_turns"),
+            sum("total_tokens").as("total_tokens"),
+            sum("asst_tokens").as("asst_tokens"),
+            sum("rendered_chars").as("rendered_chars"),
+            sum(when(col("n_turns") % 2 === 1, 1L).otherwise(0L))
+              .as("n_dangling"))
+          .withColumn("mask_ppm",
+            expr("asst_tokens * 1000000 div total_tokens"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH wl AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        w AS (
+          SELECT doc_id, source, unnest(ws) AS word,
+                 generate_subscripts(ws, 1) - 1 AS idx
+          FROM wl),
+        t AS (
+          SELECT doc_id, source, idx // 12 AS turn,
+                 string_agg(word, ' ' ORDER BY idx) AS txt,
+                 CAST(COUNT(*) AS BIGINT) AS nwords
+          FROM w GROUP BY doc_id, source, idx // 12),
+        r AS (
+          SELECT doc_id, source, turn, nwords,
+                 CASE WHEN turn % 2 = 0 THEN 'user' ELSE 'assistant' END
+                   AS role,
+                 '<|' ||
+                 CASE WHEN turn % 2 = 0 THEN 'user' ELSE 'assistant' END ||
+                 '|>' || txt || '<|end|>' AS rendered
+          FROM t),
+        c AS (
+          SELECT doc_id, source,
+                 CAST(COUNT(*) AS BIGINT) AS n_turns,
+                 CAST(count_if(role = 'assistant') AS BIGINT) AS n_asst_turns,
+                 CAST(SUM(nwords) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN role = 'assistant' THEN nwords
+                               ELSE 0 END) AS BIGINT) AS asst_tokens,
+                 CAST(SUM(length(rendered)) AS BIGINT) + 34 AS rendered_chars
+          FROM r GROUP BY doc_id, source)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_convs,
+               CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+               CAST(SUM(n_asst_turns) AS BIGINT) AS n_asst_turns,
+               CAST(SUM(total_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(asst_tokens) AS BIGINT) AS asst_tokens,
+               CAST(SUM(rendered_chars) AS BIGINT) AS rendered_chars,
+               CAST(count_if(n_turns % 2 = 1) AS BIGINT) AS n_dangling,
+               CAST(SUM(asst_tokens) AS BIGINT) * 1000000
+                 // CAST(SUM(total_tokens) AS BIGINT) AS mask_ppm
+        FROM c
+        GROUP BY source
+        ORDER BY source"""))
   )
 
   /** q277's severity-tier oracle, shared VERBATIM by s44 (the streamed

@@ -599,6 +599,47 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q283 gate interaction: joint failures bounded by marginals") {
+    import spark.implicits._
+    val rows = run("q283_gate_interaction_matrix")
+      .select("n_fail_a", "n_fail_b", "n_fail_both", "jaccard_ppm")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(rows.length == 6, "4 gates yield exactly 6 unordered pairs")
+    rows.foreach { case (a, b, both, j) =>
+      assert(both <= math.min(a, b), "joint failure set is an intersection")
+      j.foreach(v => assert(v >= 0 && v <= 1000000, s"jaccard_ppm=$v"))
+    }
+  }
+
+  test("q284 chat render: turn and mask accounting are self-consistent") {
+    import spark.implicits._
+    val rows = run("q284_chat_template_render")
+      .select("n_convs", "n_turns", "n_asst_turns", "total_tokens",
+        "asst_tokens", "n_dangling", "mask_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nc, nt, na, tt, at, dang, mask) =>
+      // per conv: users = ceil(n/2), assistants = floor(n/2), so the
+      // user surplus counts exactly the odd-length (dangling) convs
+      assert(nt - 2 * na == dang, s"nt=$nt na=$na dang=$dang")
+      assert(na < nt, "role alternation starts with user")
+      assert(at <= tt && dang <= nc, "mask and dangling are subsets")
+      assert(mask > 0 && mask < 1000000, s"mask_ppm=$mask degenerate")
+    }
+  }
+
+  test("q285 count-min never undercounts and top-20 is exact-ranked") {
+    import spark.implicits._
+    val rows = run("q285_countmin_sketch")
+      .select("n_exact", "n_est", "overcount")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (ex, est, over) =>
+      assert(est >= ex, "CMS point estimates can never undercount")
+      assert(over == est - ex)
+    }
+  }
+
   test("q35 multimodal metadata matches a directly-computed decode") {
     import spark.implicits._
     val r = run("q35_multimodal_metadata")
