@@ -2064,6 +2064,78 @@ object Profiling {
                  AS jaccard_ppm
         FROM m
         ORDER BY gate_a, gate_b"""))
+  ,
+
+    // --------------------------------------------------------------- q287
+    // LABEL-NOISE audit (confident-learning-lite, Northcutt et al.) —
+    // the step a labeling pipeline runs between q258/q280's agreement
+    // statistics (which score annotators against each other) and
+    // q262's training (which trusts the labels): find the datapoints
+    // whose LABEL the learned model confidently contradicts. Scores
+    // come from the session-shared classifier artifacts (one gram
+    // build per run); the decision pivot is the midpoint of the two
+    // CLASS-CONDITIONAL mean scores (the natural boundary — q255's
+    // gram-occurrence prior sits above nearly every score and would
+    // flag everything), and a ±10000 ppm dead zone makes a flag
+    // "confident": a good-labeled doc scoring below boundary−margin,
+    // or a bad-labeled doc above boundary+margin, is a label-noise
+    // suspect. Per-source suspect counts + noise_ppm — the relabel
+    // worklist size. Shape: the per-doc scores are one broadcast join
+    // + keyed aggregate over the shared gram frame; the boundary is a
+    // single-row broadcast; the rollup is one keyed aggregate.
+    QueryDef(
+      "q287_label_noise_audit",
+      (s, dir) => {
+        val grams = ClassifierArtifacts.grams(s, dir)
+        val wt = ClassifierArtifacts.weights(s, dir)
+        val scored = grams.join(broadcast(wt), "b")
+          .groupBy("doc_id", "source", "good")
+          .agg(expr("sum(w) div count(1)").as("score_ppm"))
+        val bd = scored.agg(
+          expr("(sum(CASE WHEN good THEN score_ppm ELSE 0 END)" +
+            " div count_if(good)" +
+            " + sum(CASE WHEN NOT good THEN score_ppm ELSE 0 END)" +
+            " div count_if(NOT good)) div 2").as("boundary"))
+        scored.crossJoin(broadcast(bd))
+          .withColumn("sus_good",
+            col("good") && col("score_ppm") < col("boundary") - 10000L)
+          .withColumn("sus_bad",
+            !col("good") && col("score_ppm") > col("boundary") + 10000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("sus_good"), 1L).otherwise(0L)).as("n_suspect_good"),
+            sum(when(col("sus_bad"), 1L).otherwise(0L)).as("n_suspect_bad"))
+          .withColumn("noise_ppm", expr(
+            "(n_suspect_good + n_suspect_bad) * 1000000 div n_docs"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $classifierScoreCtes,
+        bd AS (
+          SELECT (CAST(SUM(CASE WHEN good THEN score_ppm ELSE 0 END)
+                    AS BIGINT) // count_if(good)
+                  + CAST(SUM(CASE WHEN NOT good THEN score_ppm ELSE 0 END)
+                    AS BIGINT) // count_if(NOT good)) // 2 AS boundary
+          FROM sc),
+        fl AS (
+          SELECT source, good,
+                 good AND score_ppm < (SELECT boundary FROM bd) - 10000
+                   AS sus_good,
+                 NOT good AND score_ppm > (SELECT boundary FROM bd) + 10000
+                   AS sus_bad
+          FROM sc)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(good) AS BIGINT) AS n_good,
+               CAST(count_if(sus_good) AS BIGINT) AS n_suspect_good,
+               CAST(count_if(sus_bad) AS BIGINT) AS n_suspect_bad,
+               (CAST(count_if(sus_good) AS BIGINT)
+                 + CAST(count_if(sus_bad) AS BIGINT)) * 1000000
+                 // COUNT(*) AS noise_ppm
+        FROM fl
+        GROUP BY source
+        ORDER BY source"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure
@@ -2184,8 +2256,10 @@ object Profiling {
       .select(expr("n_good * 1000000 div n_all").as("thr_ppm"))
 
   /** q255's per-source report oracle, shared VERBATIM by s39. */
-  private[graft] def classifierOracle: String = """
-        WITH g AS MATERIALIZED (
+  /** The g/wt/sc/pr CTE chain both classifier oracles share: per-doc
+    * integer scores from md5-bucketed char-3grams + smoothed weights +
+    * the gram-occurrence prior (q255's exact algebra). */
+  private[graft] def classifierScoreCtes: String = """g AS MATERIALIZED (
           SELECT doc_id, source,
                  2 * len(list_distinct(string_split(text, ' ')))
                    >= len(string_split(text, ' ')) AS good,
@@ -2209,7 +2283,10 @@ object Profiling {
         pr AS (
           SELECT CAST(count_if(good) AS BIGINT) * 1000000
                  // CAST(COUNT(*) AS BIGINT) AS thr_ppm
-          FROM g),
+          FROM g)"""
+
+  private[graft] def classifierOracle: String = s"""
+        WITH $classifierScoreCtes,
         k AS (SELECT source, good, score_ppm >= (SELECT thr_ppm FROM pr) AS keep
               FROM sc)
         SELECT source,

@@ -1247,7 +1247,12 @@ object ScaleTechniques {
             expr("(n_est - n_exact) * 1000000 div n_exact").as("over_ppm"))
           .orderBy(col("n_exact").desc, col("word"))
       },
-      Some("""
+      Some(countminOracle))
+  )
+
+  /** q285's oracle, shared VERBATIM by s46 (the stream-built sketch
+    * must serve identical point estimates). */
+  private[graft] def countminOracle: String = """
         WITH tok AS MATERIALIZED (
           SELECT w AS word
           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
@@ -1281,8 +1286,7 @@ object ScaleTechniques {
                CAST((n_est - n_exact) * 1000000 // n_exact AS BIGINT)
                  AS over_ppm
         FROM pr
-        ORDER BY n_exact DESC, word"""))
-  )
+        ORDER BY n_exact DESC, word"""
 
   /** q140's pass-1: per-partition Misra-Gries summaries of size `m`,
     * unioned and deduped. Guarantee (spec-asserted): the result contains

@@ -2283,6 +2283,68 @@ object TrainingDataOps {
         FROM c
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q286
+    // CONTEXT-LENGTH truncation curve — the L-selection input BEFORE
+    // q272/q276's packing runs at a fixed L=512: for each candidate
+    // context length L ∈ {128, 256, 512, 1024, 2048}, the per-source
+    // fraction of documents that would be cut and the fraction of
+    // token mass lost to truncation. Read together with q281 (vocab
+    // curve) these are the two axes a pretraining config fixes first;
+    // the curve's knee says where longer context stops buying data.
+    // Shape: ONE narrow pass computes per-doc word counts, a 5-row L
+    // table cross-joins in (bounded ×5 fan-out), and a single keyed
+    // (L, source) aggregate builds the whole curve — no packing, no
+    // windows, integer end to end.
+    QueryDef(
+      "q286_context_length_curve",
+      (s, dir) => {
+        val lens = Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("size(filter(split(text, ' '), w -> w <> ''))")
+              .cast("long").as("nw"))
+          .filter(col("nw") > 0L)
+        val ls = Seq(128L, 256L, 512L, 1024L, 2048L)
+          .map(l => lit(l).as("ctx_len"))
+        lens.crossJoin(
+            s.range(1).select(explode(array(ls: _*)).as("ctx_len")))
+          .groupBy("ctx_len", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("nw") > col("ctx_len"), 1L).otherwise(0L))
+              .as("docs_cut"),
+            sum("nw").as("tokens_total"),
+            sum(greatest(col("nw") - col("ctx_len"), lit(0L)))
+              .as("tokens_trunc"))
+          .select(col("ctx_len"), col("source"), col("n_docs"),
+            col("docs_cut"),
+            expr("docs_cut * 1000000 div n_docs").as("cut_ppm"),
+            col("tokens_total"), col("tokens_trunc"),
+            expr("tokens_trunc * 1000000 div tokens_total").as("trunc_ppm"))
+          .orderBy("ctx_len", "source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS nw
+          FROM documents),
+        d2 AS (SELECT * FROM d WHERE nw > 0),
+        ls AS (SELECT CAST(unnest([128, 256, 512, 1024, 2048]) AS BIGINT)
+                 AS ctx_len)
+        SELECT ctx_len, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(nw > ctx_len) AS BIGINT) AS docs_cut,
+               CAST(count_if(nw > ctx_len) AS BIGINT) * 1000000
+                 // COUNT(*) AS cut_ppm,
+               CAST(SUM(nw) AS BIGINT) AS tokens_total,
+               CAST(SUM(greatest(nw - ctx_len, 0)) AS BIGINT)
+                 AS tokens_trunc,
+               CAST(SUM(greatest(nw - ctx_len, 0)) AS BIGINT) * 1000000
+                 // CAST(SUM(nw) AS BIGINT) AS trunc_ppm
+        FROM d2 CROSS JOIN ls
+        GROUP BY ctx_len, source
+        ORDER BY ctx_len, source"""))
   )
 
   /** q277's severity-tier oracle, shared VERBATIM by s44 (the streamed

@@ -3131,6 +3131,52 @@ object StreamingQueries {
           .orderBy("source")
       },
       Some(graft.operators.Dedup.noveltyOracle))
+  ,
+
+    // ---------------------------------------------------------------- s46
+    // Streaming COUNT-MIN sketch build — q285's mergeable frequency
+    // sketch as ingest-time state-free accumulation (the s34 KMV
+    // discipline for the frequency domain): each arriving doc's tokens
+    // fan out ×4 hash rows in a pure stateless projection to (r, b)
+    // cell coordinates — no state stores, append mode — and the
+    // drained cell stream aggregates batch-side into the 4×256 sketch
+    // by pure ADDITION, which is exactly why CMS works as a
+    // distributed/streaming summary: cells from any partition of the
+    // stream merge by +. The same top-20 audit then probes the
+    // stream-built sketch and must produce q285's estimates
+    // bit-for-bit — oracle VERBATIM, so a dropped tick or double
+    // count cannot hash-match.
+    QueryDef(
+      "s46_stream_countmin_sketch",
+      (s, dir) => {
+        val docsT = graft.Tables(s, dir, "documents")
+        val rws = s.range(0, 4).select(col("id").cast("int").as("r"))
+        val bucketSql =
+          "cast(conv(substr(md5(concat('r', cast(r AS STRING), ':', " +
+            "word)), 1, 15), 16, 10) AS BIGINT) % 256"
+        val st = documentsStreamParts(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .crossJoin(rws) // stream-static cross with the 4-row hash-row table
+          .select(col("r"), expr(bucketSql).as("b"))
+        val sketch = drain(s, OutputMode.Append())(st)
+          .groupBy("r", "b").agg(count(lit(1)).as("c"))
+        val exact = docsT
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("n_exact"))
+        exact.orderBy(col("n_exact").desc, col("word")).limit(20)
+          .crossJoin(rws)
+          .withColumn("b", expr(bucketSql))
+          .join(sketch, Seq("r", "b"))
+          .groupBy("word")
+          .agg(max("n_exact").as("n_exact"), min("c").as("n_est"))
+          .select(col("word"), col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overcount"),
+            expr("(n_est - n_exact) * 1000000 div n_exact").as("over_ppm"))
+          .orderBy(col("n_exact").desc, col("word"))
+      },
+      Some(graft.operators.ScaleTechniques.countminOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

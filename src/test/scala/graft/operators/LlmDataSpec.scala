@@ -640,6 +640,44 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q286 context curve: truncation is monotone decreasing in L") {
+    import spark.implicits._
+    val rows = run("q286_context_length_curve")
+      .select("ctx_len", "source", "docs_cut", "tokens_trunc")
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).values.foreach { perSrc =>
+      perSrc.sortBy(_._1).sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(hi._3 <= lo._3 && hi._4 <= lo._4,
+            "longer context can only cut fewer docs/tokens")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q287 label-noise suspects are bounded by their label populations") {
+    import spark.implicits._
+    val rows = run("q287_label_noise_audit")
+      .select("n_docs", "n_good", "n_suspect_good", "n_suspect_bad",
+        "noise_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, ng, sg, sb, noise) =>
+      assert(sg <= ng && sb <= nd - ng, "suspects must come from their class")
+      assert(noise <= 1000000)
+    }
+    // the dead zone must leave SOME docs unflagged somewhere
+    assert(rows.map(r => r._1 - r._3 - r._4).sum > 0)
+  }
+
+  test("s46 stream-built count-min serves q285's estimates bit-for-bit") {
+    val batch = run("q285_countmin_sketch").collect().toSet
+    val stream = run("s46_stream_countmin_sketch").collect().toSet
+    assert(batch == stream,
+      "additive cell merge must reproduce the batch sketch exactly")
+  }
+
   test("q35 multimodal metadata matches a directly-computed decode") {
     import spark.implicits._
     val r = run("q35_multimodal_metadata")
