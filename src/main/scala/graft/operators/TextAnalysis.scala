@@ -1655,6 +1655,75 @@ object TextAnalysis {
                  - n_tokens, 0) AS BIGINT) AS saved_vs_prev
         FROM lv
         ORDER BY merge_rounds"""))
+  ,
+
+    // --------------------------------------------------------------- q289
+    // Inter-source DISTRIBUTIONAL divergence — the frequency-weighted
+    // sibling of q185's vocabulary-overlap Jaccard: two sources can
+    // share every word yet use them at wildly different rates, and
+    // mixture design (q67/q86/q257) cares about the RATES. Each
+    // source's word distribution is restricted to the top-100 global
+    // vocabulary (the bounded grid discipline — q270's device), made
+    // dense (explicit zeros, so a missing word contributes its full
+    // |p − 0| mass), normalized to grid-ppm, and every unordered
+    // source pair reports Σ|p_a − p_b| — total-variation ×2 in ppm,
+    // the "which sources are textually interchangeable" matrix.
+    // Shape: one corpus token count, a 100-row broadcast grid, a
+    // sources×100 bounded dense frame, and a per-word self-join whose
+    // fan-out is sources² × 100 — bounded at every SF; the corpus is
+    // touched exactly once.
+    QueryDef(
+      "q289_source_divergence_matrix",
+      (s, dir) => {
+        val tok = Tables(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("source", "word").agg(count(lit(1)).as("c"))
+        val cached = TrackedCaches.track(
+          tok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val grid = cached.groupBy("word").agg(sum("c").as("tc"))
+          .orderBy(col("tc").desc, col("word")).limit(100).select("word")
+        val counts = cached.join(broadcast(grid), "word")
+        val totals = counts.groupBy("source").agg(sum("c").as("t"))
+        val dense = totals.select("source").crossJoin(broadcast(grid))
+          .join(counts, Seq("source", "word"), "left")
+          .join(totals, "source")
+          .withColumn("p", expr("coalesce(c, 0L) * 1000000 div t"))
+        val a = dense.select(col("source").as("source_a"), col("word"),
+          col("p").as("pa"))
+        val b = dense.select(col("source").as("source_b"), col("word"),
+          col("p").as("pb"))
+        a.join(b, Seq("word")).filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(sum(abs(col("pa") - col("pb"))).as("l1_ppm"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""
+        WITH tok AS MATERIALIZED (
+          SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents) z
+          WHERE w <> ''
+          GROUP BY source, w),
+        grid AS (
+          SELECT word FROM (SELECT word, SUM(c) AS tc FROM tok GROUP BY word)
+          ORDER BY tc DESC, word LIMIT 100),
+        cnt AS (SELECT tok.* FROM tok JOIN grid USING (word)),
+        tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+                FROM cnt GROUP BY source),
+        dense AS (
+          SELECT s.source, g.word,
+                 COALESCE(c.c, 0) * 1000000 // t.t AS p
+          FROM (SELECT source FROM tot) s
+          CROSS JOIN grid g
+          LEFT JOIN cnt c ON c.source = s.source AND c.word = g.word
+          JOIN tot t ON t.source = s.source)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(abs(a.p - b.p)) AS BIGINT) AS l1_ppm
+        FROM dense a JOIN dense b ON a.word = b.word
+                                 AND a.source < b.source
+        GROUP BY a.source, b.source
+        ORDER BY source_a, source_b"""))
   )
 
   /** q254's oracle, shared VERBATIM by s38 (the streaming twin must

@@ -2345,6 +2345,93 @@ object TrainingDataOps {
         FROM d2 CROSS JOIN ls
         GROUP BY ctx_len, source
         ORDER BY ctx_len, source"""))
+  ,
+
+    // --------------------------------------------------------------- q288
+    // EPOCH RESHUFFLE audit — the deterministic answer to "shuffle the
+    // data every epoch" at 100 TB, where a global orderBy(rand()) sort
+    // is both non-reproducible and a full-corpus exchange per epoch:
+    // epoch e's shard assignment is a pure seed-mixed hash
+    // md5(e, doc_id) % 8 — a narrow map any worker computes
+    // independently, stable under repartitioning and restart. The
+    // audit proves the two properties a trainer needs: (1) BALANCE —
+    // per epoch the min/max shard populations and imbalance ppm; (2)
+    // MIXING — the fraction of docs landing in the SAME shard as the
+    // previous epoch must sit near 1/8 (125000 ppm), i.e. consecutive
+    // epochs are genuinely independent permutations, not a rotation.
+    // Shape: ONE narrow projection computes all three epoch shards +
+    // both stay flags per doc; a stack explodes to (epoch, shard)
+    // rows for the 24-row balance aggregate; the stay scalars ride a
+    // 3-row bounded join. Nothing global, nothing random.
+    QueryDef(
+      "q288_epoch_reshuffle_audit",
+      (s, dir) => {
+        def shard(e: Int) =
+          s"cast(conv(substr(md5(concat('e', '$e', ':', " +
+            s"cast(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 8"
+        val base = TrackedCaches.track(Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(shard(0)).as("s0"), expr(shard(1)).as("s1"),
+            expr(shard(2)).as("s2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val balance = base
+          .selectExpr(
+            "stack(3, 0L, s0, 1L, s1, 2L, s2) AS (epoch, shard)")
+          .groupBy("epoch", "shard").agg(count(lit(1)).as("c"))
+          .groupBy("epoch")
+          .agg(sum("c").as("n_docs"), min("c").as("min_shard"),
+            max("c").as("max_shard"))
+          .withColumn("imbalance_ppm",
+            expr("(max_shard - min_shard) * 1000000 div n_docs"))
+        val stay = base.agg(
+            sum(when(col("s0") === col("s1"), 1L).otherwise(0L)).as("st1"),
+            sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("st2"),
+            count(lit(1)).as("n"))
+          .selectExpr("stack(3, 0L, CAST(NULL AS BIGINT), " +
+            "1L, st1 * 1000000 div n, 2L, st2 * 1000000 div n) " +
+            "AS (epoch, stay_from_prev_ppm)")
+        balance.join(stay, "epoch")
+          .select("epoch", "n_docs", "min_shard", "max_shard",
+            "imbalance_ppm", "stay_from_prev_ppm")
+          .orderBy("epoch")
+      },
+      Some("""
+        WITH b AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(concat('e', '0', ':',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS s0,
+                 CAST(concat('0x', substr(md5(concat('e', '1', ':',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS s1,
+                 CAST(concat('0x', substr(md5(concat('e', '2', ':',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS s2
+          FROM documents),
+        es AS (
+          SELECT CAST(0 AS BIGINT) AS epoch, s0 AS shard FROM b
+          UNION ALL SELECT 1, s1 FROM b
+          UNION ALL SELECT 2, s2 FROM b),
+        pc AS (SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS c
+               FROM es GROUP BY epoch, shard),
+        bal AS (
+          SELECT epoch, CAST(SUM(c) AS BIGINT) AS n_docs,
+                 CAST(MIN(c) AS BIGINT) AS min_shard,
+                 CAST(MAX(c) AS BIGINT) AS max_shard
+          FROM pc GROUP BY epoch),
+        st AS (
+          SELECT CAST(count_if(s0 = s1) AS BIGINT) AS st1,
+                 CAST(count_if(s1 = s2) AS BIGINT) AS st2,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM b),
+        sv AS (
+          SELECT CAST(0 AS BIGINT) AS epoch,
+                 CAST(NULL AS BIGINT) AS stay_from_prev_ppm
+          FROM st
+          UNION ALL SELECT 1, st1 * 1000000 // n FROM st
+          UNION ALL SELECT 2, st2 * 1000000 // n FROM st)
+        SELECT bal.epoch AS epoch, n_docs, min_shard, max_shard,
+               (max_shard - min_shard) * 1000000 // n_docs AS imbalance_ppm,
+               stay_from_prev_ppm
+        FROM bal JOIN sv ON bal.epoch = sv.epoch
+        ORDER BY epoch"""))
   )
 
   /** q277's severity-tier oracle, shared VERBATIM by s44 (the streamed

@@ -678,6 +678,34 @@ class LlmDataSpec extends AnyFunSuite {
       "additive cell merge must reproduce the batch sketch exactly")
   }
 
+  test("q288 epoch reshuffle: balanced shards, independent permutations") {
+    import spark.implicits._
+    val rows = run("q288_epoch_reshuffle_audit")
+      .select("epoch", "n_docs", "min_shard", "max_shard",
+        "stay_from_prev_ppm")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    rows.foreach { case (e, n, mn, mx, stay) =>
+      assert(mn * 8 <= n && n <= mx * 8, "min/max must straddle n/8")
+      if (e == 0) assert(stay.isEmpty)
+      else stay.foreach(v => assert(v > 60000 && v < 250000,
+        s"epoch $e stay_ppm=$v far from the 1/8 independence point"))
+    }
+  }
+
+  test("q289 divergence matrix covers all source pairs within TV bounds") {
+    import spark.implicits._
+    val rows = run("q289_source_divergence_matrix")
+      .select("source_a", "source_b", "l1_ppm")
+      .as[(String, String, Long)].collect()
+    val n = rows.flatMap(r => Seq(r._1, r._2)).distinct.length
+    assert(rows.length == n * (n - 1) / 2, "one row per unordered pair")
+    rows.foreach { case (a, b, l1) =>
+      assert(a < b && l1 >= 0 && l1 <= 2000000,
+        s"L1 of two distributions lies in [0, 2] — got $l1 for ($a,$b)")
+    }
+  }
+
   test("q35 multimodal metadata matches a directly-computed decode") {
     import spark.implicits._
     val r = run("q35_multimodal_metadata")
