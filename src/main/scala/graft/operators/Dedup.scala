@@ -1743,6 +1743,116 @@ object Dedup {
           .orderBy("source")
       },
       Some(noveltyOracle))
+  ,
+
+    // --------------------------------------------------------------- q290
+    // Cluster-aware split REPAIR — the fix for what q83 only audits:
+    // a content-hash split (q74's device) puts a near-dup's variant in
+    // a different split than its original, so train-side twins of test
+    // docs ship silently. Repair: every doc in a near-dup cluster
+    // ADOPTS the split of the cluster's canonical member (the min-id
+    // component label from the session-shared PairGraph), so clusters
+    // become split-atomic by construction. The report proves it: per
+    // split the before/after populations and moved-in/out counts, and
+    // the straddling-cluster count BEFORE vs AFTER — after must be 0,
+    // computed, not assumed (spec-asserted too). Shape: the canonical
+    // split table is cluster-count-sized and BROADCASTs; repair is
+    // two slim left joins over the (doc, split) frame; straddle is a
+    // label-keyed two-level aggregate. Text is read once for the
+    // split hash and never moves again.
+    QueryDef(
+      "q290_cluster_split_repair",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val splitOf = (c: org.apache.spark.sql.Column) =>
+          when(call_function("graft_polyhash", c) % 100 < 80, "train")
+            .when(call_function("graft_polyhash", c) % 100 < 90, "val")
+            .otherwise("test")
+        val sp = TrackedCaches.track(nearCorpus(s, dir)
+          .select(col("doc_id"), splitOf(col("text")).as("split"))
+          .persist(MEMORY_AND_DISK))
+        val labels = PairGraph.labels(s, dir)
+        val canon = labels.select("label").distinct()
+          .join(sp.select(col("doc_id").as("label"),
+            col("split").as("canon_split")), "label")
+        val rep = TrackedCaches.track(sp
+          .join(labels.select(col("node").as("doc_id"), col("label")),
+            Seq("doc_id"), "left")
+          .join(broadcast(canon), Seq("label"), "left")
+          .withColumn("new_split", coalesce(col("canon_split"), col("split")))
+          .persist(MEMORY_AND_DISK))
+        val strad = rep.filter(col("label").isNotNull)
+          .groupBy("label")
+          .agg(countDistinct("split").as("db"),
+            countDistinct("new_split").as("da"))
+          .agg(sum(when(col("db") > 1, 1L).otherwise(0L))
+            .as("straddle_before"),
+            sum(when(col("da") > 1, 1L).otherwise(0L)).as("straddle_after"))
+        val before = rep.groupBy(col("split").as("split_name"))
+          .agg(count(lit(1)).as("n_before"),
+            sum(when(col("new_split") =!= col("split"), 1L).otherwise(0L))
+              .as("moved_out"))
+        val after = rep.groupBy(col("new_split").as("split_name"))
+          .agg(count(lit(1)).as("n_after"),
+            sum(when(col("new_split") =!= col("split"), 1L).otherwise(0L))
+              .as("moved_in"))
+        before.join(after, Seq("split_name"))
+          .crossJoin(broadcast(strad))
+          .select(col("split_name"), col("n_before"), col("n_after"),
+            col("moved_out"), col("moved_in"),
+            col("straddle_before"), col("straddle_after"))
+          .orderBy("split_name")
+      },
+      Some(s"""
+        WITH RECURSIVE $duckPairsCtes,
+        sp AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN fp < 80 THEN 'train'
+                      WHEN fp < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                        i -> CAST(unicode(text[i]) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS fp
+                FROM corpus)),
+        edges AS (SELECT id_a u, id_b v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) n
+          UNION
+          SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.u = e.v),
+        labels AS (SELECT u AS node, MIN(r) AS cluster_id
+                   FROM reach GROUP BY u),
+        rep AS MATERIALIZED (
+          SELECT sp.doc_id, sp.split, l.cluster_id,
+                 COALESCE(cs.split, sp.split) AS new_split
+          FROM sp LEFT JOIN labels l ON l.node = sp.doc_id
+          LEFT JOIN sp cs ON cs.doc_id = l.cluster_id),
+        strad AS (
+          SELECT CAST(count_if(db > 1) AS BIGINT) AS straddle_before,
+                 CAST(count_if(da > 1) AS BIGINT) AS straddle_after
+          FROM (SELECT cluster_id,
+                       COUNT(DISTINCT split) AS db,
+                       COUNT(DISTINCT new_split) AS da
+                FROM rep WHERE cluster_id IS NOT NULL
+                GROUP BY cluster_id)),
+        bf AS (SELECT split AS split_name,
+                      CAST(COUNT(*) AS BIGINT) AS n_before,
+                      CAST(count_if(new_split <> split) AS BIGINT)
+                        AS moved_out
+               FROM rep GROUP BY split),
+        af AS (SELECT new_split AS split_name,
+                      CAST(COUNT(*) AS BIGINT) AS n_after,
+                      CAST(count_if(new_split <> split) AS BIGINT)
+                        AS moved_in
+               FROM rep GROUP BY new_split)
+        SELECT split_name, n_before, n_after, moved_out, moved_in,
+               (SELECT straddle_before FROM strad) AS straddle_before,
+               (SELECT straddle_after FROM strad) AS straddle_after
+        FROM bf JOIN af USING (split_name)
+        ORDER BY split_name"""))
   ) :+ snmQuery
 
   /** q279's oracle, shared VERBATIM by s45 (the at-ingest streaming

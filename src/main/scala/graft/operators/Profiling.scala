@@ -2136,6 +2136,97 @@ object Profiling {
         FROM fl
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q292
+    // SAMPLING-ERROR audit — the justification a 100 TB profiler needs
+    // before running its dashboards on a 1/16 hash sample instead of
+    // the corpus: compute each statistic BOTH ways (full vs
+    // deterministic content-hash sample, scaled where extrapolation
+    // applies) and report the exact error in ppm. The punchline the
+    // fixture demonstrates: COUNT-like statistics (docs, tokens)
+    // extrapolate within tight error, RATIO statistics (mean length)
+    // transfer directly — but VOCABULARY does not scale linearly
+    // (Heaps' law, q291), so its ×16 extrapolation is badly wrong and
+    // the audit says by exactly how much. Sample membership is the
+    // seed-free graft_polyhash content coin (q74/q128's device), so
+    // the "sample" is reproducible on any cluster. Shape: one doc-level
+    // and one token-level aggregate, each computing full and sample
+    // branches as conditional sums in the SAME pass — the corpus is
+    // read once, never twice.
+    QueryDef(
+      "q292_sampling_error_audit",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val d = Tables(s, dir, "documents")
+          .select(col("text"),
+            (call_function("graft_polyhash", col("text")) % 16 === 0)
+              .as("samp"),
+            expr("size(filter(split(text, ' '), w -> w <> ''))")
+              .cast("long").as("nw"))
+        val docAgg = d.agg(
+          count(lit(1)).as("n_full"),
+          sum(when(col("samp"), 1L).otherwise(0L)).as("n_samp"),
+          sum("nw").as("t_full"),
+          sum(when(col("samp"), col("nw")).otherwise(0L)).as("t_samp"))
+        val wtok = d.select(col("samp"),
+          explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val vocAgg = wtok.agg(
+          countDistinct("word").as("v_full"),
+          countDistinct(when(col("samp"), col("word"))).as("v_samp"))
+        docAgg.crossJoin(vocAgg)
+          .selectExpr(
+            """stack(4,
+               'n_docs',           n_full,                   n_samp * 16,
+               'tokens',           t_full,                   t_samp * 16,
+               'mean_tokens_milli', t_full * 1000 div n_full,
+                                   t_samp * 1000 div n_samp,
+               'vocab',            v_full,                   v_samp * 16)
+               AS (stat, full_value, sample_est)""")
+          .withColumn("err_ppm",
+            expr("abs(full_value - sample_est) * 1000000 div full_value"))
+          .orderBy("stat")
+      },
+      Some("""
+        WITH d AS MATERIALIZED (
+          SELECT text,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) % 16 = 0 AS samp,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS nw
+          FROM documents),
+        da AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+                 CAST(count_if(samp) AS BIGINT) AS n_samp,
+                 CAST(SUM(nw) AS BIGINT) AS t_full,
+                 CAST(SUM(CASE WHEN samp THEN nw ELSE 0 END) AS BIGINT)
+                   AS t_samp
+          FROM d),
+        wt AS (
+          SELECT samp, w AS word
+          FROM (SELECT samp, unnest(string_split(text, ' ')) AS w FROM d) z
+          WHERE w <> ''),
+        va AS (
+          SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v_full,
+                 CAST(COUNT(DISTINCT CASE WHEN samp THEN word END) AS BIGINT)
+                   AS v_samp
+          FROM wt),
+        st AS (
+          SELECT 'n_docs' AS stat, n_full AS full_value,
+                 n_samp * 16 AS sample_est FROM da
+          UNION ALL SELECT 'tokens', t_full, t_samp * 16 FROM da
+          UNION ALL SELECT 'mean_tokens_milli', t_full * 1000 // n_full,
+                 t_samp * 1000 // n_samp FROM da
+          UNION ALL SELECT 'vocab', v_full, v_samp * 16 FROM va)
+        SELECT stat, full_value, sample_est,
+               abs(full_value - sample_est) * 1000000 // full_value
+                 AS err_ppm
+        FROM st
+        ORDER BY stat"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure

@@ -1724,6 +1724,71 @@ object TextAnalysis {
                                  AND a.source < b.source
         GROUP BY a.source, b.source
         ORDER BY source_a, source_b"""))
+  ,
+
+    // --------------------------------------------------------------- q291
+    // VOCABULARY GROWTH curve (Heaps' law) — the is-more-data-still-
+    // adding-diversity question a corpus owner asks before the next
+    // crawl: simulate corpus growth as 8 deterministic increments
+    // (doc_id % 8 as arrival buckets) and report, per increment, the
+    // NEW vocabulary it contributes, the cumulative vocabulary and
+    // token totals, and the new-words-per-million-tokens yield — the
+    // declining rate IS Heaps' law, and where it flattens, more of the
+    // same source buys no lexical diversity. The distributed trick:
+    // instead of 8 separate distinct-counts over growing prefixes
+    // (8 corpus passes), each word is attributed to its FIRST bucket
+    // by one min() aggregate — ONE corpus pass, and the cumulative
+    // curve is an 8-row bounded window over the attribution counts.
+    QueryDef(
+      "q291_vocab_growth_curve",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        // vocabulary at the word-BIGRAM grain: the fixture's unigram
+        // vocabulary is tiny and saturates in the first increment (a
+        // 1-row degenerate curve — measured); bigram types keep
+        // growing, which is the regime Heaps' law describes
+        val w = TrackedCaches.track(Tables(s, dir, "documents")
+          .select((col("doc_id") % 8).cast("long").as("bkt"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+              .as("gram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val firstBkt = w.groupBy("gram").agg(min("bkt").as("first_bkt"))
+          .groupBy("first_bkt").agg(count(lit(1)).as("new_types"))
+        val toks = w.groupBy(col("bkt").as("first_bkt"))
+          .agg(count(lit(1)).as("toks"))
+        val win = org.apache.spark.sql.expressions.Window.orderBy("first_bkt")
+        toks.join(firstBkt, Seq("first_bkt"), "left")
+          .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+          .withColumn("vocab_cum", sum("new_types").over(win))
+          .withColumn("tokens_cum", sum("toks").over(win))
+          .withColumn("new_per_mtok", expr("new_types * 1000000 div toks"))
+          .select("first_bkt", "new_types", "toks", "vocab_cum",
+            "tokens_cum", "new_per_mtok")
+          .orderBy("first_bkt")
+      },
+      Some("""
+        WITH w AS MATERIALIZED (
+          SELECT doc_id % 8 AS bkt,
+                 unnest(list_transform(range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i+1])) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents) z),
+        fo AS (SELECT gram, CAST(MIN(bkt) AS BIGINT) AS first_bkt
+               FROM w GROUP BY gram),
+        nw AS (SELECT first_bkt, CAST(COUNT(*) AS BIGINT) AS new_types
+               FROM fo GROUP BY first_bkt),
+        tk AS (SELECT CAST(bkt AS BIGINT) AS first_bkt,
+                      CAST(COUNT(*) AS BIGINT) AS toks
+               FROM w GROUP BY bkt)
+        SELECT tk.first_bkt AS first_bkt,
+               COALESCE(new_types, 0) AS new_types, toks,
+               CAST(SUM(COALESCE(new_types, 0))
+                 OVER (ORDER BY tk.first_bkt) AS BIGINT) AS vocab_cum,
+               CAST(SUM(toks) OVER (ORDER BY tk.first_bkt) AS BIGINT)
+                 AS tokens_cum,
+               COALESCE(new_types, 0) * 1000000 // toks AS new_per_mtok
+        FROM tk LEFT JOIN nw USING (first_bkt)
+        ORDER BY first_bkt"""))
   )
 
   /** q254's oracle, shared VERBATIM by s38 (the streaming twin must

@@ -706,6 +706,50 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q290 split repair: clusters become split-atomic, docs conserved") {
+    import spark.implicits._
+    val rows = run("q290_cluster_split_repair")
+      .select("n_before", "n_after", "moved_out", "moved_in",
+        "straddle_before", "straddle_after")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 3, "train/val/test")
+    assert(rows.map(_._1).sum == rows.map(_._2).sum,
+      "repair moves docs between splits, never adds or drops")
+    assert(rows.map(_._3).sum == rows.map(_._4).sum,
+      "every move out lands somewhere")
+    rows.foreach { case (_, _, _, _, sb, sa) =>
+      assert(sa == 0L, "repaired clusters must be split-atomic")
+      assert(sb >= sa, "repair cannot create straddling")
+    }
+  }
+
+  test("q291 vocab growth: cumulative monotone, yield front-loaded") {
+    import spark.implicits._
+    val rows = run("q291_vocab_growth_curve")
+      .select("first_bkt", "new_types", "vocab_cum", "new_per_mtok")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 8, "all 8 growth increments must report")
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 >= a._3, "vocab_cum must not shrink")
+      case _ => ()
+    }
+    assert(rows.head._4 > rows.tail.map(_._4).max * 10,
+      "Heaps: the first increment dominates the new-type yield")
+  }
+
+  test("q292 sampling audit: counts extrapolate, vocabulary does not") {
+    import spark.implicits._
+    val rows = run("q292_sampling_error_audit")
+      .select("stat", "full_value", "sample_est", "err_ppm")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet ==
+      Set("n_docs", "tokens", "mean_tokens_milli", "vocab"))
+    assert(rows("n_docs")._4 < 300000 && rows("tokens")._4 < 300000,
+      "a 1/16 hash sample estimates counts within 30%")
+    assert(rows("vocab")._4 > rows("tokens")._4,
+      "vocabulary must extrapolate worse than token counts (Heaps)")
+  }
+
   test("q35 multimodal metadata matches a directly-computed decode") {
     import spark.implicits._
     val r = run("q35_multimodal_metadata")
