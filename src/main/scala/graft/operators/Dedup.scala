@@ -698,16 +698,10 @@ object Dedup {
     QueryDef(
       "q103_corpus_ngram_dedup",
       (s, dir) => {
-        graft.plans.GraftFunctions.register(s)
-        // persisted: the gram stream feeds the frequency aggregate AND
-        // the score join — without reuse the kernel re-slices every
-        // document (the q26 shingle discipline)
-        val grams = TrackedCaches.track(docs(s, dir)
-          .select(col("doc_id"),
-            explode(array_distinct(
-              call_function("graft_word_ngrams", col("text"), lit(8)))).as("g"))
-          .select(col("doc_id"), sha2(col("g"), 256).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // session-shared word-8-gram digest frame (one explode + sha2
+        // per run, consumed by q103/q279/s45 — the GramFrames registry;
+        // it feeds the frequency aggregate AND the score join here)
+        val grams = GramFrames.word8(s, dir).select("doc_id", "h")
         val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
         grams.join(dfreq, "h")
           .groupBy("doc_id")
@@ -1716,13 +1710,9 @@ object Dedup {
     QueryDef(
       "q279_ingest_novelty_audit",
       (s, dir) => {
-        graft.plans.GraftFunctions.register(s)
-        val grams = TrackedCaches.track(docs(s, dir)
-          .select(col("doc_id"), col("source"),
-            explode(array_distinct(
-              call_function("graft_word_ngrams", col("text"), lit(8)))).as("g"))
-          .select(col("doc_id"), col("source"), sha2(col("g"), 256).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // session-shared gram frame (GramFrames — one build per run,
+        // shared with q103 and s45's static side)
+        val grams = GramFrames.word8(s, dir)
         val standing = grams.filter(col("doc_id") % 5 =!= 4)
           .select("h").distinct().withColumn("seen", lit(1L))
         val scored = grams.filter(col("doc_id") % 5 === 4)

@@ -3097,13 +3097,13 @@ object StreamingQueries {
       "s45_stream_ingest_novelty",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
+        // static side derived from the session-shared gram frame
+        // (GramFrames — shared with q103/q279); the distinct-reduced
+        // standing set persists so each micro-batch probes, not rebuilds
         val standing = graft.operators.TrackedCaches.track(
-          graft.Tables(s, dir, "documents")
+          graft.operators.GramFrames.word8(s, dir)
             .filter(col("doc_id") % 5 =!= 4)
-            .select(explode(array_distinct(
-              call_function("graft_word_ngrams", col("text"), lit(8))))
-              .as("g"))
-            .select(sha2(col("g"), 256).as("h")).distinct()
+            .select("h").distinct()
             .withColumn("seen", lit(1L))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val st = documentsStreamParts(s, dir)

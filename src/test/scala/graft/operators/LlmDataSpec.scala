@@ -294,6 +294,19 @@ class LlmDataSpec extends AnyFunSuite {
       "four gram-frame consumers must trigger exactly one from-scratch build")
   }
 
+  test("word-8-gram digest frame builds ONCE, shared by q103/q279/s45") {
+    // round 9: the passage-grain gram index joins the registry family —
+    // three consumers (repeated-passage audit, novelty audit, streaming
+    // novelty's static side) must share one explode → sha2 build.
+    GramFrames.reset()
+    val before = GramFrames.buildCount
+    Seq("q103_corpus_ngram_dedup", "q279_ingest_novelty_audit",
+      "s45_stream_ingest_novelty")
+      .foreach(n => assert(run(n).count() > 0, s"$n returned no rows"))
+    assert(GramFrames.buildCount == before + 1,
+      "three gram-frame consumers must trigger exactly one from-scratch build")
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
