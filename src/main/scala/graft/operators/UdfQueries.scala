@@ -105,5 +105,69 @@ object UdfQueries {
         WHERE l_quantity > 25.0
         GROUP BY l_returnflag
         ORDER BY l_returnflag"""))
+  ,
+
+    // --------------------------------------------------------------- q293
+    // SQL-bodied scalar UDF (Spark 4 `CREATE FUNCTION … RETURN expr`) —
+    // the third face of the extension surface after q39's Scala UDF and
+    // q40's typed UDAF, and at scale the BEST one: a SQL UDF is macro-
+    // expanded into the calling plan at analysis time, so unlike a
+    // Scala UDF (an opaque black box that breaks codegen, blocks
+    // predicate pushdown and hides nullability) it stays inside
+    // whole-stage codegen and optimizes like any expression — the
+    // plan-level claim is spec-asserted (no ScalaUDF node survives).
+    // The function scores document quality in integer milli-units
+    // (TTR half-weight + capped chars-per-word) and the query rolls it
+    // up per source; the oracle inlines the same body, which is
+    // exactly the point — the UDF IS its expansion.
+    QueryDef(
+      "q293_sql_udf",
+      (s, dir) => {
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_quality_milli(
+                   nw BIGINT, nd BIGINT, nc BIGINT) RETURNS BIGINT
+                 RETURN CASE WHEN nw = 0 THEN 0
+                        ELSE nd * 500 div nw + least(nc div nw, 20) * 25
+                        END""")
+        Tables(s, dir, "documents").createOrReplaceTempView("docs_q293")
+        s.sql("""
+          SELECT source,
+                 count(1) AS n_docs,
+                 sum(graft_quality_milli(nw, nd, nc)) AS q_sum_milli,
+                 sum(graft_quality_milli(nw, nd, nc)) div count(1)
+                   AS q_mean_milli
+          FROM (SELECT source,
+                       cast(size(filter(split(text, ' '), w -> w <> ''))
+                         AS BIGINT) AS nw,
+                       cast(size(array_distinct(
+                         filter(split(text, ' '), w -> w <> '')))
+                         AS BIGINT) AS nd,
+                       cast(length(replace(text, ' ', '')) AS BIGINT) AS nc
+                FROM docs_q293)
+          GROUP BY source
+          ORDER BY source""")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(wl) AS BIGINT) AS nw,
+                 CAST(len(list_distinct(wl)) AS BIGINT) AS nd,
+                 CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc
+          FROM (SELECT source, text,
+                       list_filter(string_split(text, ' '),
+                         w -> w <> '') AS wl
+                FROM documents)),
+        q AS (
+          SELECT source,
+                 CASE WHEN nw = 0 THEN 0
+                      ELSE nd * 500 // nw + least(nc // nw, 20) * 25
+                 END AS qm
+          FROM d)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(qm) AS BIGINT) AS q_sum_milli,
+               CAST(SUM(qm) AS BIGINT) // COUNT(*) AS q_mean_milli
+        FROM q
+        GROUP BY source
+        ORDER BY source"""))
   )
 }

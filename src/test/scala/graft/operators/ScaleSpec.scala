@@ -889,4 +889,71 @@ class ScaleSpec extends AnyFunSuite {
         s"no unkeyed probe application:\n$plan")
     } finally TrackedCaches.releaseAll()
   }
+
+  test("q279 novelty probe is a digest equi-join, never a cross product") {
+    val df = SparkEntry.queries("q279_ingest_novelty_audit")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // batch grams must probe the standing set on the 32-byte digest —
+      // any nested-loop/cartesian shape would pair corpus-sized sides
+      assert(!plan.contains("CartesianProduct")
+          && !plan.contains("BroadcastNestedLoopJoin"),
+        s"novelty probe must stay an equi-join:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q282 quantization window stays keyed on vec_id") {
+    val df = SparkEntry.queries("q282_int8_quantization_audit")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // per-vector max must partition by vec_id — an unkeyed window
+      // would funnel every (vec, dim) element through one task
+      assert(plan.contains("Window"), s"expected a window:\n$plan")
+      assert(!plan.toLowerCase.contains("partitionby=[]")
+          && !plan.contains("SinglePartition"),
+        s"per-vector max must never be unkeyed:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q285 count-min probe joins the sketch by hash, no cartesian") {
+    val df = SparkEntry.queries("q285_countmin_sketch")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // the (r, b) probe must equi-join the 1024-cell sketch (hash
+      // join); the only nested-loop allowed is the intended bounded
+      // 4-row hash-row fan-out, which broadcasts — never a cartesian
+      assert(plan.contains("BroadcastHashJoin")
+          || plan.contains("ShuffledHashJoin")
+          || plan.contains("SortMergeJoin"),
+        s"expected a hash/merge sketch probe join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"token fan-out must broadcast the 4-row side:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q290 split repair broadcasts the canonical-split table") {
+    val df = SparkEntry.queries("q290_cluster_split_repair")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // the cluster-count-sized canonical table must broadcast to the
+      // (doc, split) frame; a shuffled repair join would exchange the
+      // whole corpus to meet a bounded table
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast canonical-split join:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"only the single-row straddle scalars may cross-join:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q293 SQL UDF macro-expands — no opaque UDF node in the plan") {
+    val df = SparkEntry.queries("q293_sql_udf")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // a SQL-bodied function must inline at analysis time and stay in
+      // whole-stage codegen; a ScalaUDF/BatchEvalPython node would mean
+      // the black-box path (no codegen, no pushdown) leaked back in
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"),
+        s"SQL UDF must inline into the plan:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
 }
