@@ -2227,6 +2227,255 @@ object Profiling {
                  AS err_ppm
         FROM st
         ORDER BY stat"""))
+  ,
+
+    // --------------------------------------------------------------- q295
+    // Unbiased pass@k estimation (the Codex-paper estimator) — the
+    // metric every code/agent eval reports: given a task attempted n
+    // times with c successes, pass@k = 1 − C(n−c,k)/C(n,k), computed
+    // here in its numerically-stable product form 1 − Π_{i<k}
+    // (n−c−i)/(n−i). Exactness discipline: the product is a SEQUENTIAL
+    // truncating integer fold in ppm (acc·(n−c−i) div (n−i), acc₀ =
+    // 10⁶) — identical step order in both engines (Spark `aggregate`
+    // HOF over sequence(0,k−1) ↔ DuckDB list_reduce with the init
+    // prepended), so no float ever appears and overflow is impossible
+    // at ANY n (acc stays ≤ 10⁶ — unlike the binomial form, whose
+    // factorials blow past DECIMAL(38) around n≈35). Tasks = users,
+    // attempts = their events, success = a purchase; tasks need n ≥ 10
+    // so pass@10's denominators stay positive (stated; dropped tasks
+    // counted nowhere). Report: per success-rate decile, mean pass@1/
+    // 5/10 ppm vs the empirical base rate — the curve an eval harness
+    // reads to size its sampling budget. Shape: one map-side-combinable
+    // keyed aggregate per user, then arithmetic on a ≤10-row frame;
+    // nothing corpus-wide ever sorts or windows.
+    QueryDef(
+      "q295_pass_at_k",
+      (s, dir) => {
+        val tasks = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("c"))
+          .filter(col("n") >= 10L)
+        val passK = (k: Int) => expr(
+          s"""1000000 - aggregate(sequence(0L, ${k - 1}L), 1000000L,
+              (acc, i) -> acc * greatest(n - c - i, 0L) div (n - i))""")
+        tasks
+          .select(expr("c * 10 div n").as("decile"), col("n"), col("c"),
+            passK(1).as("p1"), passK(5).as("p5"), passK(10).as("p10"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_tasks"),
+            expr("sum(c) * 1000000 div sum(n)").as("base_rate_ppm"),
+            expr("sum(p1) div count(1)").as("pass1_ppm"),
+            expr("sum(p5) div count(1)").as("pass5_ppm"),
+            expr("sum(p10) div count(1)").as("pass10_ppm"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(count_if(event_type = 'purchase') AS BIGINT) AS c
+          FROM events
+          GROUP BY user_id
+          HAVING COUNT(*) >= 10),
+        p AS (
+          SELECT c * 10 // n AS decile, n, c,
+                 1000000 - list_reduce(
+                   list_prepend(CAST(1000000 AS BIGINT), range(0, 1)),
+                   (acc, i) -> acc * greatest(n - c - i, 0) // (n - i))
+                   AS p1,
+                 1000000 - list_reduce(
+                   list_prepend(CAST(1000000 AS BIGINT), range(0, 5)),
+                   (acc, i) -> acc * greatest(n - c - i, 0) // (n - i))
+                   AS p5,
+                 1000000 - list_reduce(
+                   list_prepend(CAST(1000000 AS BIGINT), range(0, 10)),
+                   (acc, i) -> acc * greatest(n - c - i, 0) // (n - i))
+                   AS p10
+          FROM t)
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_tasks,
+               CAST(SUM(c) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT)
+                 AS base_rate_ppm,
+               CAST(SUM(p1) AS BIGINT) // COUNT(*) AS pass1_ppm,
+               CAST(SUM(p5) AS BIGINT) // COUNT(*) AS pass5_ppm,
+               CAST(SUM(p10) AS BIGINT) // COUNT(*) AS pass10_ppm
+        FROM p
+        GROUP BY decile
+        ORDER BY decile"""))
+  ,
+
+    // --------------------------------------------------------------- q300
+    // Theil–Sen robust trend fit — the median-of-pairwise-slopes
+    // estimator (29.3% breakdown point) run where q123's OLS is the
+    // fragile choice: fitting how a source's lexical diversity (mean
+    // doc TTR, ppm) trends with its size in tokens, a fit a single
+    // outlier domain would drag. All arithmetic is
+    // exact: slopes are sign·(|Δy|·10⁶ div Δx) with both operands
+    // non-negative (pairs oriented x1 < x2, equal-x pairs excluded —
+    // stated), and the median is the LOWER median (element (n+1) div 2
+    // of the (slope, pair) order), so no averaging float ever appears.
+    // The intercept is the lower median of y·10⁶ − slope·x over the
+    // points. 100 TB shape: the corpus compresses to one point per
+    // source via one keyed aggregate; the all-pairs stage and
+    // both median windows touch ≤ sources² rows — bounded by
+    // construction, the one place a nested-loop pair join is right.
+    QueryDef(
+      "q300_theil_sen_fit",
+      (s, dir) => {
+        val pts = Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("size(filter(split(text, ' '), w -> w <> ''))").as("nt"),
+            expr("""size(array_distinct(filter(split(text, ' '),
+                      w -> w <> ''))) * 1000000
+                    div size(filter(split(text, ' '), w -> w <> ''))""")
+              .as("ttr_ppm"))
+          .groupBy("source")
+          .agg(sum("nt").as("x"),
+            expr("sum(ttr_ppm) div count(1)").as("y"))
+        val p2 = pts.select(col("source").as("s2"), col("x").as("x2"),
+          col("y").as("y2"))
+        val wAll = Window.partitionBy() // ≤ sources² rows by construction
+        val slope = pts.join(p2, col("x") < col("x2"))
+          .select(col("source"), col("s2"),
+            expr("""CASE WHEN y2 >= y THEN 1L ELSE -1L END
+                    * (abs(y2 - y) * 1000000 div (x2 - x))""").as("sl"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("sl"), col("source"), col("s2"))).cast("long"))
+          .withColumn("np", count(lit(1)).over(wAll).cast("long"))
+          .filter(col("rk") === expr("(np + 1) div 2"))
+          .select(col("sl").as("slope_micro"), col("np").as("n_pairs"))
+        pts.crossJoin(broadcast(slope))
+          .select(col("source"), col("slope_micro"), col("n_pairs"),
+            expr("y * 1000000 - slope_micro * x").as("b"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("b"), col("source"))).cast("long"))
+          .withColumn("npt", count(lit(1)).over(wAll).cast("long"))
+          .filter(col("rk") === expr("(npt + 1) div 2"))
+          .select(col("npt").as("n_points"), col("n_pairs"),
+            col("slope_micro"), col("b").as("intercept_micro"))
+      },
+      Some("""
+        WITH tt AS (
+          SELECT source,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS nt,
+                 len(list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) * 1000000
+                   // len(list_filter(string_split(text, ' '),
+                        w -> w <> '')) AS ttr_ppm
+          FROM documents),
+        pts AS (
+          SELECT source, CAST(SUM(nt) AS BIGINT) AS x,
+                 CAST(SUM(ttr_ppm) AS BIGINT) // COUNT(*) AS y
+          FROM tt GROUP BY source),
+        pairs AS (
+          SELECT a.source AS s1, b.source AS s2,
+                 (CASE WHEN b.y >= a.y THEN 1 ELSE -1 END)
+                 * (abs(b.y - a.y) * 1000000 // (b.x - a.x)) AS sl
+          FROM pts a JOIN pts b ON a.x < b.x),
+        sl AS (
+          SELECT sl AS slope_micro,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs,
+                 CAST(row_number() OVER (ORDER BY sl, s1, s2) AS BIGINT)
+                   AS rk
+          FROM pairs),
+        slm AS (SELECT slope_micro, n_pairs FROM sl
+                WHERE rk = (n_pairs + 1) // 2),
+        ic AS (
+          SELECT source, slope_micro, n_pairs,
+                 y * 1000000 - slope_micro * x AS b,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS npt,
+                 CAST(row_number() OVER
+                   (ORDER BY y * 1000000 - slope_micro * x, source)
+                   AS BIGINT) AS rk
+          FROM pts CROSS JOIN slm)
+        SELECT npt AS n_points, n_pairs,
+               CAST(slope_micro AS BIGINT) AS slope_micro,
+               CAST(b AS BIGINT) AS intercept_micro
+        FROM ic WHERE rk = (npt + 1) // 2"""))
+  ,
+
+    // --------------------------------------------------------------- q301
+    // Leave-one-out source ablation — the cheapest honest answer to
+    // "what does each domain contribute?": for every source, what the
+    // corpus loses if it is dropped, computed EXACTLY from sufficient
+    // statistics rather than by re-running the pipeline N times.
+    // Two contributions per source: vocabulary (types whose ONLY
+    // source it is — the coverage that vanishes outright, priced in
+    // ppm of the global type count) and quality (the corpus mean-TTR
+    // shift, (S−s)/(C−c) − S/C, exact truncating ppm arithmetic with
+    // non-negative operands). 100 TB shape: two keyed aggregates
+    // (source×type, doc) plus two broadcast one-row globals — the LOO
+    // algebra means N ablations cost ONE corpus pass, which is the
+    // entire point of the operator at scale.
+    QueryDef(
+      "q301_source_ablation",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val st = docs.select(col("source"),
+            explode(expr(
+              "array_distinct(filter(split(text, ' '), w -> w <> ''))"))
+              .as("tok"))
+          .distinct()
+        val nsrc = st.groupBy("tok").agg(count(lit(1)).as("n_src"))
+        val uniq = st.join(nsrc, "tok").filter(col("n_src") === 1L)
+          .groupBy("source").agg(count(lit(1)).as("uq"))
+        val vtot = nsrc.agg(count(lit(1)).as("v"))
+        val ttr = docs.select(col("source"),
+          expr("""size(array_distinct(filter(split(text, ' '),
+                    w -> w <> ''))) * 1000000
+                  div size(filter(split(text, ' '), w -> w <> ''))""")
+            .as("ttr_ppm"))
+        val bySrc = ttr.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ttr_ppm").as("s_sum"))
+        val glob = ttr.agg(count(lit(1)).as("c_all"),
+          sum("ttr_ppm").as("s_all"))
+        bySrc.join(uniq, Seq("source"), "left")
+          .crossJoin(broadcast(glob)).crossJoin(broadcast(vtot))
+          .select(col("source"), col("n_docs"),
+            coalesce(col("uq"), lit(0L)).as("unique_types"),
+            expr("coalesce(uq, 0L) * 1000000 div v").as("vocab_loss_ppm"),
+            expr("s_sum div n_docs").as("mean_ttr_ppm"),
+            expr("""(s_all - s_sum) div (c_all - n_docs)
+                    - s_all div c_all""").as("loo_ttr_delta_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH st AS (
+          SELECT DISTINCT source, tok
+          FROM (SELECT source,
+                       unnest(list_distinct(list_filter(
+                         string_split(text, ' '), w -> w <> ''))) AS tok
+                FROM documents)),
+        ns AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_src
+               FROM st GROUP BY tok),
+        uq AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS uq
+               FROM st JOIN ns USING (tok) WHERE n_src = 1
+               GROUP BY source),
+        vt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ns),
+        tt AS (SELECT source,
+                      len(list_distinct(list_filter(
+                        string_split(text, ' '), w -> w <> ''))) * 1000000
+                        // len(list_filter(string_split(text, ' '),
+                             w -> w <> '')) AS ttr_ppm
+               FROM documents),
+        bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(ttr_ppm) AS BIGINT) AS s_sum
+               FROM tt GROUP BY source),
+        gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_all,
+                      CAST(SUM(ttr_ppm) AS BIGINT) AS s_all FROM tt)
+        SELECT bs.source AS source, n_docs,
+               CAST(COALESCE(uq, 0) AS BIGINT) AS unique_types,
+               CAST(COALESCE(uq, 0) * 1000000 // v AS BIGINT)
+                 AS vocab_loss_ppm,
+               CAST(s_sum // n_docs AS BIGINT) AS mean_ttr_ppm,
+               CAST((s_all - s_sum) // (c_all - n_docs) - s_all // c_all
+                 AS BIGINT) AS loo_ttr_delta_ppm
+        FROM bs LEFT JOIN uq ON bs.source = uq.source
+        CROSS JOIN gl CROSS JOIN vt
+        ORDER BY source"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure

@@ -1789,7 +1789,74 @@ object TextAnalysis {
                COALESCE(new_types, 0) * 1000000 // toks AS new_per_mtok
         FROM tk LEFT JOIN nw USING (first_bkt)
         ORDER BY first_bkt"""))
+  ,
+
+    // --------------------------------------------------------------- q294
+    // Boilerplate-segment removal accounting — the RefinedWeb/CCNet
+    // line-level dedup step, phrased over this corpus's segment unit:
+    // the fixture's documents are single-line word streams, so the
+    // "line" becomes a non-overlapping 2-word segment (the fixture's
+    // 31-word vocabulary makes 2-word segments the smallest unit that
+    // actually recurs; a trailing odd word joins no segment — stated,
+    // identical in both engines). A segment is BOILERPLATE when it
+    // appears in ≥ 3 distinct documents of the SAME source — the
+    // nav-bar/footer signature scoped per site, never cross-source
+    // (cross-source recurrence is syndication, q228's job, not
+    // boilerplate). The report prices the cleanup per source: segment
+    // occurrences, boilerplate occurrences, distinct boilerplate
+    // patterns, removed-text share in ppm. 100 TB shape: segments are
+    // a narrow (source, seg, doc_id) explode — text never shuffles
+    // whole; the boilerplate set is a keyed aggregate bounded by
+    // vocab² × sources and BROADCASTS back to flag occurrences (at
+    // general scale the segment would be digested first — here the
+    // segment IS ≤ 2 short words, already smaller than its digest).
+    QueryDef(
+      "q294_boilerplate_removal",
+      (s, dir) => {
+        val segs = segments(Tables(s, dir, "documents"))
+        boilerplateReport(
+          segs.join(broadcast(boilerplateSet(segs)),
+            Seq("source", "seg"), "left"))
+      },
+      Some(boilerplateOracle))
   )
+
+  /** q294/s47 shared: the non-overlapping 2-word segment explode over
+    * (doc_id, source, text) — one narrow projection, a trailing odd
+    * word joins no segment. Shared CODE so the stream gate can never
+    * drift from the batch segmentation. */
+  private[graft] def segments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("wl"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """CASE WHEN size(wl) >= 2
+             THEN transform(sequence(0, int(size(wl) div 2) - 1),
+                    i -> array_join(slice(wl, i * 2 + 1, 2), ' '))
+             ELSE array() END""")).as("seg"))
+
+  /** q294/s47 shared: the boilerplate set — segments seen in ≥ 3
+    * distinct docs of the SAME source; bounded by vocab² × sources,
+    * the broadcast-able standing artifact of the cleanup. */
+  private[graft] def boilerplateSet(segs: DataFrame): DataFrame =
+    segs.groupBy("source", "seg")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 3L)
+      .select(col("source"), col("seg"), lit(1L).as("is_bp"))
+
+  /** q294/s47 shared rollup over flagged (doc_id, source, seg, is_bp)
+    * occurrences → the per-source removal-accounting report. */
+  private[graft] def boilerplateReport(flagged: DataFrame): DataFrame =
+    flagged.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_segs"),
+        sum(coalesce(col("is_bp"), lit(0L))).as("bp_segs"),
+        countDistinct(when(col("is_bp") === 1L, col("seg")))
+          .as("bp_patterns"))
+      .select(col("source"), col("n_docs"), col("n_segs"),
+        col("bp_segs"), col("bp_patterns"),
+        expr("bp_segs * 1000000 div n_segs").as("removed_ppm"))
+      .orderBy("source")
 
   /** q254's oracle, shared VERBATIM by s38 (the streaming twin must
     * converge to the batch token-cost report exactly). */
@@ -2245,6 +2312,40 @@ object TextAnalysis {
                CAST(SUM(bits) AS BIGINT) * 1000 // COUNT(*)
                  AS bits_per_token_milli
         FROM sc
+        GROUP BY source
+        ORDER BY source"""
+
+  /** q294's oracle, shared VERBATIM by s47 (the streaming boilerplate
+    * gate must converge to the batch removal report exactly). */
+  private[graft] def boilerplateOracle: String = """
+        WITH wl AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS wl
+          FROM documents),
+        seg AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(
+                   range(0, CAST(len(wl) // 2 AS BIGINT)),
+                   i -> array_to_string(wl[(i*2+1):(i*2+2)], ' '))) AS seg
+          FROM wl),
+        bp AS (
+          SELECT source, seg
+          FROM seg GROUP BY source, seg
+          HAVING COUNT(DISTINCT doc_id) >= 3),
+        fl AS (
+          SELECT s.source, s.doc_id, s.seg,
+                 CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END AS is_bp
+          FROM seg s LEFT JOIN bp b
+            ON s.source = b.source AND s.seg = b.seg)
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(is_bp) AS BIGINT) AS bp_segs,
+               CAST(COUNT(DISTINCT CASE WHEN is_bp = 1 THEN seg END)
+                 AS BIGINT) AS bp_patterns,
+               CAST(SUM(is_bp) AS BIGINT) * 1000000 // COUNT(*)
+                 AS removed_ppm
+        FROM fl
         GROUP BY source
         ORDER BY source"""
 

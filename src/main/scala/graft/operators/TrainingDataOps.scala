@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2432,7 +2432,509 @@ object TrainingDataOps {
                stay_from_prev_ppm
         FROM bal JOIN sv ON bal.epoch = sv.epoch
         ORDER BY epoch"""))
+  ,
+
+    // --------------------------------------------------------------- q296
+    // Successive-halving (ASHA) schedule audit — the hyperparameter/
+    // data-recipe search loop a training org runs over candidate
+    // configurations: evaluate everything cheaply, halve, evaluate the
+    // survivors on more data, repeat. Configs = the 20 sources; rung r
+    // scores a config on the NESTED subset doc_id % 8 < 2^r (1/8, 1/4,
+    // 1/2, all — the same growing-budget shape as real ASHA rungs;
+    // docs_scored charges each rung its full subset, the re-scoring
+    // convention, stated). Score = mean doc TTR in ppm, exact via
+    // truncating div with nullif-guarded empty cells. Halving 20 → 10
+    // → 5 → 3, ties broken by config name so the schedule is
+    // deterministic. Report: per config, rungs survived, docs scored,
+    // score at its last rung, final rank (0 = eliminated). 100 TB
+    // shape: ONE map-side-combinable keyed aggregate compresses the
+    // corpus to a ≤ 8-cell-per-config frame; every window after that
+    // ranks a ≤ config-count frame — bounded by construction, the only
+    // place an unkeyed window is the RIGHT plan.
+    QueryDef(
+      "q296_successive_halving",
+      (s, dir) => {
+        val cell = Tables(s, dir, "documents")
+          .select(col("source"), (col("doc_id") % 8L).as("m"),
+            expr("""size(array_distinct(filter(split(text, ' '),
+                      w -> w <> ''))) * 1000000
+                    div size(filter(split(text, ' '), w -> w <> ''))""")
+              .as("ttr_ppm"))
+          .groupBy("source", "m")
+          .agg(count(lit(1)).as("c"), sum("ttr_ppm").as("ts"))
+        val rs = cell.groupBy("source").agg(
+            sum(when(col("m") < 1L, col("c")).otherwise(0L)).as("c0"),
+            sum(when(col("m") < 1L, col("ts")).otherwise(0L)).as("t0"),
+            sum(when(col("m") < 2L, col("c")).otherwise(0L)).as("c1"),
+            sum(when(col("m") < 2L, col("ts")).otherwise(0L)).as("t1"),
+            sum(when(col("m") < 4L, col("c")).otherwise(0L)).as("c2"),
+            sum(when(col("m") < 4L, col("ts")).otherwise(0L)).as("t2"),
+            sum("c").as("c3"), sum("ts").as("t3"))
+          .select(col("source"), col("c0"), col("c1"), col("c2"), col("c3"),
+            expr("t0 div nullif(c0, 0)").as("s0"),
+            expr("t1 div nullif(c1, 0)").as("s1"),
+            expr("t2 div nullif(c2, 0)").as("s2"),
+            expr("t3 div nullif(c3, 0)").as("s3"))
+        val r0 = rs.withColumn("rk0", row_number().over(
+          Window.orderBy(col("s0").desc_nulls_last, col("source")))
+          .cast("long"))
+        val r1 = r0.filter(col("rk0") <= 10L).withColumn("rk1",
+          row_number().over(
+            Window.orderBy(col("s1").desc_nulls_last, col("source")))
+            .cast("long"))
+        val r2 = r1.filter(col("rk1") <= 5L).withColumn("rk2",
+          row_number().over(
+            Window.orderBy(col("s2").desc_nulls_last, col("source")))
+            .cast("long"))
+        val r3 = r2.filter(col("rk2") <= 3L).withColumn("rk3",
+          row_number().over(
+            Window.orderBy(col("s3").desc_nulls_last, col("source")))
+            .cast("long"))
+        r0.join(r1.select(col("source"), col("rk1")), Seq("source"), "left")
+          .join(r2.select(col("source"), col("rk2")), Seq("source"), "left")
+          .join(r3.select(col("source"), col("rk3")), Seq("source"), "left")
+          .select(col("source"),
+            expr("""CASE WHEN rk2 IS NOT NULL AND rk2 <= 3 THEN 4L
+                         WHEN rk1 IS NOT NULL AND rk1 <= 5 THEN 3L
+                         WHEN rk0 <= 10 THEN 2L ELSE 1L END""")
+              .as("rungs_survived"),
+            expr("""c0 + CASE WHEN rk0 <= 10 THEN c1 ELSE 0L END
+                       + CASE WHEN rk1 IS NOT NULL AND rk1 <= 5
+                              THEN c2 ELSE 0L END
+                       + CASE WHEN rk2 IS NOT NULL AND rk2 <= 3
+                              THEN c3 ELSE 0L END""").as("docs_scored"),
+            expr("""CASE WHEN rk2 IS NOT NULL AND rk2 <= 3 THEN s3
+                         WHEN rk1 IS NOT NULL AND rk1 <= 5 THEN s2
+                         WHEN rk0 <= 10 THEN s1 ELSE s0 END""")
+              .as("last_score_ppm"),
+            coalesce(col("rk3"), lit(0L)).as("final_rank"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH cell AS (
+          SELECT source, doc_id % 8 AS m,
+                 CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(ttr_ppm) AS BIGINT) AS ts
+          FROM (SELECT source, doc_id,
+                       len(list_distinct(list_filter(
+                         string_split(text, ' '), w -> w <> ''))) * 1000000
+                         // len(list_filter(string_split(text, ' '),
+                              w -> w <> '')) AS ttr_ppm
+                FROM documents)
+          GROUP BY source, doc_id % 8),
+        rs AS (
+          SELECT source,
+                 CAST(SUM(CASE WHEN m < 1 THEN c ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN m < 2 THEN c ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN m < 4 THEN c ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(c) AS BIGINT) AS c3,
+                 CAST(SUM(CASE WHEN m < 1 THEN ts ELSE 0 END) AS BIGINT)
+                   // nullif(CAST(SUM(CASE WHEN m < 1 THEN c ELSE 0 END)
+                     AS BIGINT), 0) AS s0,
+                 CAST(SUM(CASE WHEN m < 2 THEN ts ELSE 0 END) AS BIGINT)
+                   // nullif(CAST(SUM(CASE WHEN m < 2 THEN c ELSE 0 END)
+                     AS BIGINT), 0) AS s1,
+                 CAST(SUM(CASE WHEN m < 4 THEN ts ELSE 0 END) AS BIGINT)
+                   // nullif(CAST(SUM(CASE WHEN m < 4 THEN c ELSE 0 END)
+                     AS BIGINT), 0) AS s2,
+                 CAST(SUM(ts) AS BIGINT)
+                   // nullif(CAST(SUM(c) AS BIGINT), 0) AS s3
+          FROM cell GROUP BY source),
+        r0 AS (SELECT *, CAST(row_number() OVER
+                 (ORDER BY s0 DESC NULLS LAST, source) AS BIGINT) AS rk0
+               FROM rs),
+        r1 AS (SELECT *, CAST(row_number() OVER
+                 (ORDER BY s1 DESC NULLS LAST, source) AS BIGINT) AS rk1
+               FROM r0 WHERE rk0 <= 10),
+        r2 AS (SELECT *, CAST(row_number() OVER
+                 (ORDER BY s2 DESC NULLS LAST, source) AS BIGINT) AS rk2
+               FROM r1 WHERE rk1 <= 5),
+        r3 AS (SELECT *, CAST(row_number() OVER
+                 (ORDER BY s3 DESC NULLS LAST, source) AS BIGINT) AS rk3
+               FROM r2 WHERE rk2 <= 3)
+        SELECT r0.source AS source,
+               CAST(CASE WHEN rk2 IS NOT NULL AND rk2 <= 3 THEN 4
+                    WHEN rk1 IS NOT NULL AND rk1 <= 5 THEN 3
+                    WHEN rk0 <= 10 THEN 2 ELSE 1 END AS BIGINT)
+                 AS rungs_survived,
+               r0.c0 + CASE WHEN rk0 <= 10 THEN r0.c1 ELSE 0 END
+                     + CASE WHEN rk1 IS NOT NULL AND rk1 <= 5
+                            THEN r0.c2 ELSE 0 END
+                     + CASE WHEN rk2 IS NOT NULL AND rk2 <= 3
+                            THEN r0.c3 ELSE 0 END AS docs_scored,
+               CASE WHEN rk2 IS NOT NULL AND rk2 <= 3 THEN r0.s3
+                    WHEN rk1 IS NOT NULL AND rk1 <= 5 THEN r0.s2
+                    WHEN rk0 <= 10 THEN r0.s1 ELSE r0.s0 END
+                 AS last_score_ppm,
+               COALESCE(rk3, 0) AS final_rank
+        FROM r0
+        LEFT JOIN (SELECT source, rk1 FROM r1) u1 ON r0.source = u1.source
+        LEFT JOIN (SELECT source, rk2 FROM r2) u2 ON r0.source = u2.source
+        LEFT JOIN (SELECT source, rk3 FROM r3) u3 ON r0.source = u3.source
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q297
+    // Bradley–Terry strength fit — the model behind every pairwise-
+    // preference leaderboard (reward-model eval, arena rankings): from
+    // win/loss counts alone, infer a latent strength p_i such that
+    // P(i beats j) = p_i/(p_i+p_j). Comparisons come from q273's
+    // rank-pairing device: sources meet at each quality rank k, the
+    // higher TTR wins, ties count for neither (stated). The fit is the
+    // classic MM iteration p_i ← W_i / Σ_j n_ij/(p_i+p_j), run as
+    // THREE unrolled rounds of exact integer arithmetic: strengths
+    // live in ppm, each divide is a truncating `div` with the same
+    // operand order in both engines, every round renormalizes to
+    // cnt·10⁶ total and floors at 1 so a winless item can never zero a
+    // later denominator. Sanity invariant: this schedule is a BALANCED
+    // round-robin (every pair meets at every rank k), and on balanced
+    // data the MM fit is monotone in raw win rate — so bt_rank MUST
+    // equal the win_ppm order here (verified on the fixture), while
+    // the strengths themselves stretch nonlinearly; with missing or
+    // lopsided pairings (the real arena case) the orders diverge
+    // because MM weighs WHO you beat. 100 TB
+    // shape: the corpus compresses to pairwise sufficient statistics
+    // (≤ items² rows) in one rank join + keyed aggregate; all three MM
+    // rounds run on that item-count-sized frame — the global windows
+    // touch ≤ items rows, bounded by construction.
+    QueryDef(
+      "q297_bradley_terry",
+      (s, dir) => {
+        val ranked = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("""size(array_distinct(filter(split(text, ' '),
+                      w -> w <> ''))) * 1000000
+                    div size(filter(split(text, ' '), w -> w <> ''))""")
+              .as("ttr_ppm"))
+          .withColumn("k", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("ttr_ppm").desc, col("doc_id"))).cast("long"))
+        val a = ranked.select(col("source").as("i"), col("k"),
+          col("ttr_ppm").as("ti"))
+        val b = ranked.select(col("source").as("j"), col("k"),
+          col("ttr_ppm").as("tj"))
+        val pc = a.join(b, "k").filter(col("i") < col("j"))
+          .groupBy("i", "j")
+          .agg(sum(when(col("ti") > col("tj"), 1L).otherwise(0L))
+              .as("w_ij"),
+            sum(when(col("tj") > col("ti"), 1L).otherwise(0L)).as("w_ji"))
+        val sTab = TrackedCaches.track(
+          pc.select(col("i").as("item"), col("j").as("opp"),
+              col("w_ij").as("w"), (col("w_ij") + col("w_ji")).as("n"))
+            .union(pc.select(col("j").as("item"), col("i").as("opp"),
+              col("w_ji").as("w"), (col("w_ij") + col("w_ji")).as("n")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val wAll = Window.partitionBy() // ≤ items rows by construction
+        val p0 = sTab.select(col("item")).distinct()
+          .withColumn("p", lit(1000000L))
+        val pFinal = (1 to 3).foldLeft(p0) { (p, _) =>
+          sTab
+            .join(p.select(col("item"), col("p").as("pi")), "item")
+            .join(p.select(col("item").as("opp"), col("p").as("pj")), "opp")
+            .groupBy("item")
+            .agg(sum(expr("n * 1000000000000 div (pi + pj)")).as("den"),
+              sum("w").as("wi"))
+            .select(col("item"),
+              expr("wi * 1000000000000 div nullif(den, 0)").as("praw"))
+            .withColumn("cnt", count(lit(1)).over(wAll).cast("long"))
+            .withColumn("stot", sum("praw").over(wAll))
+            .select(col("item"),
+              expr("""greatest(praw * cnt * 1000000
+                        div nullif(stot, 0), 1L)""").as("p"))
+        }
+        sTab.groupBy("item")
+          .agg(sum("n").as("games"), sum("w").as("wins"))
+          .join(pFinal, "item")
+          .select(col("item").as("source"), col("games"), col("wins"),
+            expr("wins * 1000000 div nullif(games, 0)").as("win_ppm"),
+            col("p").as("bt_ppm"))
+          .withColumn("bt_rank", row_number().over(
+            Window.orderBy(col("bt_ppm").desc, col("source"))).cast("long"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH sc AS (
+          SELECT doc_id, source,
+                 len(list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) * 1000000
+                   // len(list_filter(string_split(text, ' '),
+                        w -> w <> '')) AS ttr_ppm
+          FROM documents),
+        rk AS (
+          SELECT doc_id, source, ttr_ppm,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY ttr_ppm DESC, doc_id) AS BIGINT) AS k
+          FROM sc),
+        pc AS (
+          SELECT a.source AS i, b.source AS j,
+                 CAST(count_if(a.ttr_ppm > b.ttr_ppm) AS BIGINT) AS w_ij,
+                 CAST(count_if(b.ttr_ppm > a.ttr_ppm) AS BIGINT) AS w_ji
+          FROM rk a JOIN rk b ON a.k = b.k AND a.source < b.source
+          GROUP BY a.source, b.source),
+        st AS MATERIALIZED (
+          SELECT i AS item, j AS opp, w_ij AS w, w_ij + w_ji AS n FROM pc
+          UNION ALL
+          SELECT j, i, w_ji, w_ij + w_ji FROM pc),
+        it AS (SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS cnt FROM st),
+        p0 AS (SELECT DISTINCT item, CAST(1000000 AS BIGINT) AS p FROM st),
+        d1 AS (
+          SELECT s.item,
+                 CAST(SUM(s.n * 1000000000000 // (pi.p + pj.p))
+                   AS BIGINT) AS den,
+                 CAST(SUM(s.w) AS BIGINT) AS wi
+          FROM st s JOIN p0 pi ON s.item = pi.item
+                    JOIN p0 pj ON s.opp = pj.item
+          GROUP BY s.item),
+        r1 AS (SELECT item, wi * 1000000000000 // nullif(den, 0) AS praw
+               FROM d1),
+        p1 AS (SELECT item,
+                 greatest(praw * (SELECT cnt FROM it) * 1000000
+                   // nullif(SUM(praw) OVER (), 0), 1) AS p
+               FROM r1),
+        d2 AS (
+          SELECT s.item,
+                 CAST(SUM(s.n * 1000000000000 // (pi.p + pj.p))
+                   AS BIGINT) AS den,
+                 CAST(SUM(s.w) AS BIGINT) AS wi
+          FROM st s JOIN p1 pi ON s.item = pi.item
+                    JOIN p1 pj ON s.opp = pj.item
+          GROUP BY s.item),
+        r2 AS (SELECT item, wi * 1000000000000 // nullif(den, 0) AS praw
+               FROM d2),
+        p2 AS (SELECT item,
+                 greatest(praw * (SELECT cnt FROM it) * 1000000
+                   // nullif(SUM(praw) OVER (), 0), 1) AS p
+               FROM r2),
+        d3 AS (
+          SELECT s.item,
+                 CAST(SUM(s.n * 1000000000000 // (pi.p + pj.p))
+                   AS BIGINT) AS den,
+                 CAST(SUM(s.w) AS BIGINT) AS wi
+          FROM st s JOIN p2 pi ON s.item = pi.item
+                    JOIN p2 pj ON s.opp = pj.item
+          GROUP BY s.item),
+        r3 AS (SELECT item, wi * 1000000000000 // nullif(den, 0) AS praw
+               FROM d3),
+        p3 AS (SELECT item,
+                 greatest(praw * (SELECT cnt FROM it) * 1000000
+                   // nullif(SUM(praw) OVER (), 0), 1) AS p
+               FROM r3),
+        stats AS (
+          SELECT item, CAST(SUM(n) AS BIGINT) AS games,
+                 CAST(SUM(w) AS BIGINT) AS wins
+          FROM st GROUP BY item)
+        SELECT item AS source, games, wins,
+               wins * 1000000 // nullif(games, 0) AS win_ppm,
+               p AS bt_ppm,
+               CAST(row_number() OVER (ORDER BY p DESC, item) AS BIGINT)
+                 AS bt_rank
+        FROM stats JOIN p3 USING (item)
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q298
+    // Domain reweighting (the DoReMi shape, linearized) — the mixture-
+    // weight step a pretraining run takes AFTER selection: upweight the
+    // domains a reference model finds hardest relative to their own
+    // internal redundancy. Excess loss here is the exact information-
+    // theoretic quantity the proxy-model gap estimates: per-source
+    // cross-entropy under the CORPUS unigram model minus entropy under
+    // the source's OWN unigram model (≈ KL(source ‖ corpus)), measured
+    // in whole bits via the q193 floor-log2 device — length(bin(x)) − 1
+    // is pure integer in both engines, so no float log ever appears.
+    // The exponentiated-gradient update is linearized to stay exact:
+    // w ← max(10⁶ + η·excess_mb, 1) with η = 100 ppm per millibit
+    // (stated), renormalized to ppm over the source-count-sized frame.
+    // 100 TB shape: two keyed aggregates (source×vocab, vocab) and one
+    // vocab-keyed join compress the corpus; the global window at the
+    // end touches ≤ source-count rows, bounded by construction.
+    QueryDef(
+      "q298_domain_reweighting",
+      (s, dir) => {
+        val wAll = Window.partitionBy() // ≤ sources rows by construction
+        sourceUnigramStats(Tables(s, dir, "documents"))
+          .withColumn("w_raw",
+            expr("greatest(1000000L + 100L * excess_mb, 1L)"))
+          .withColumn("w_tot", sum("w_raw").over(wAll))
+          .select(col("source"), col("n_toks"), col("ce_mb"),
+            col("self_mb"), col("excess_mb"),
+            expr("w_raw * 1000000 div w_tot").as("weight_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""
+        $sourceUnigramStatsOracle,
+        w AS (
+          SELECT source, n_toks, ce_mb, self_mb, excess_mb,
+                 greatest(1000000 + 100 * excess_mb, 1) AS w_raw
+          FROM uni)
+        SELECT source, n_toks, ce_mb, self_mb, excess_mb,
+               CAST(w_raw * 1000000 // SUM(w_raw) OVER () AS BIGINT)
+                 AS weight_ppm
+        FROM w
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q299
+    // Data-constrained repeat-epoch value — the Muennighoff et al.
+    // accounting run when the token budget exceeds the fresh data: a
+    // source asked to supply budget B from U unique tokens repeats for
+    // ⌈B/U⌉ epochs, and each repeat is worth less than the last. The
+    // per-epoch retention is a FIXED ppm decay d = 0.8 whose powers are
+    // the shared 9-entry integer literal table (each entry the exact
+    // truncating product of the previous by 800000 div 10⁶ — derived
+    // once, identical in both engines), so effective tokens are a pure
+    // integer fold: Σ_full-epochs U·r_e div 10⁶ plus the partial
+    // epoch's remainder at rate r_{R+1}. Budget = corpus_total div 10
+    // per source (an equal 10%-of-corpus demand, stated); epochs cap at
+    // 8 (beyond which r < 0.21 — the diminishing-returns regime the
+    // paper measures; capped sources report zero partial, stated).
+    // 100 TB shape: ONE map-side-combinable keyed aggregate per source
+    // plus a broadcast one-row corpus total; every fold runs on a
+    // source-count-sized frame.
+    QueryDef(
+      "q299_repeat_epoch_value",
+      (s, dir) => {
+        val rates = "array(1000000L, 800000L, 640000L, 512000L, " +
+          "409600L, 327680L, 262144L, 209715L, 167772L)"
+        val perSrc = Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("size(filter(split(text, ' '), w -> w <> ''))").as("nt"))
+          .groupBy("source").agg(sum("nt").as("n_toks"))
+        val tot = perSrc.agg(sum("n_toks").as("t"))
+          .select(expr("t div 10").as("budget_toks"))
+        perSrc.crossJoin(broadcast(tot))
+          .withColumn("epochs_full",
+            expr("least(budget_toks div nullif(n_toks, 0), 8L)"))
+          .withColumn("partial_toks",
+            expr("""CASE WHEN budget_toks div nullif(n_toks, 0) >= 8
+                    THEN 0L ELSE budget_toks % nullif(n_toks, 0) END"""))
+          .withColumn("effective_toks",
+            expr(s"""CASE WHEN epochs_full < 1 THEN 0L
+                     ELSE aggregate(sequence(1, int(epochs_full)), 0L,
+                       (acc, e) -> acc + n_toks *
+                         element_at($rates, e) div 1000000) END
+                     + partial_toks *
+                       element_at($rates, int(epochs_full) + 1)
+                       div 1000000"""))
+          .select(col("source"), col("n_toks"), col("budget_toks"),
+            col("epochs_full"), col("partial_toks"), col("effective_toks"),
+            expr("effective_toks * 1000000 div budget_toks")
+              .as("effective_ppm"),
+            expr("budget_toks - effective_toks").as("waste_toks"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH ps AS (
+          SELECT source,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) AS BIGINT) AS n_toks
+          FROM documents GROUP BY source),
+        tt AS (SELECT CAST(SUM(n_toks) AS BIGINT) // 10 AS budget_toks
+               FROM ps),
+        ep AS (
+          SELECT source, n_toks, budget_toks,
+                 least(budget_toks // nullif(n_toks, 0), 8) AS epochs_full,
+                 CASE WHEN budget_toks // nullif(n_toks, 0) >= 8 THEN 0
+                      ELSE budget_toks % nullif(n_toks, 0) END
+                   AS partial_toks
+          FROM ps CROSS JOIN tt),
+        ef AS (
+          SELECT source, n_toks, budget_toks, epochs_full, partial_toks,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     range(1, epochs_full + 1)),
+                   (acc, e) -> acc + n_toks *
+                     ([1000000, 800000, 640000, 512000, 409600, 327680,
+                       262144, 209715, 167772][CAST(e AS INT)])
+                     // 1000000)
+                 + partial_toks *
+                   ([1000000, 800000, 640000, 512000, 409600, 327680,
+                     262144, 209715, 167772][CAST(epochs_full + 1 AS INT)])
+                   // 1000000 AS effective_toks
+          FROM ep)
+        SELECT source,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(budget_toks AS BIGINT) AS budget_toks,
+               CAST(epochs_full AS BIGINT) AS epochs_full,
+               CAST(partial_toks AS BIGINT) AS partial_toks,
+               CAST(effective_toks AS BIGINT) AS effective_toks,
+               CAST(effective_toks * 1000000 // budget_toks AS BIGINT)
+                 AS effective_ppm,
+               CAST(budget_toks - effective_toks AS BIGINT) AS waste_toks
+        FROM ef
+        ORDER BY source"""))
   )
+
+  /** q298's frame: per-source unigram information accounting —
+    * (source, n_toks, ce_mb, self_mb, excess_mb) where ce_mb is the
+    * mean per-token cross-entropy in millibits under the CORPUS
+    * unigram model, self_mb the same under the source's OWN unigram
+    * model, and excess_mb their (post-truncation) difference — the
+    * exact floor-log2 KL(source ‖ corpus) proxy. One source×vocab
+    * keyed aggregate, one vocab-keyed join, a source-keyed window over
+    * the vocab-sized frame: nothing corpus-wide ever sorts. */
+  private[graft] def sourceUnigramStats(docs: DataFrame): DataFrame = {
+    val sc = docs
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val cc = sc.groupBy("tok").agg(sum("c").as("cc"))
+    val lc = cc.agg(sum("cc").as("t"))
+      .select(expr("length(bin(t)) - 1").as("lc"))
+    sc.join(cc, "tok")
+      .crossJoin(broadcast(lc))
+      .withColumn("stot",
+        sum("c").over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(sum("c").as("n_toks"),
+        sum(expr("c * (lc - (length(bin(cc)) - 1))")).as("ce_bits"),
+        sum(expr("c * ((length(bin(stot)) - 1) - (length(bin(c)) - 1))"))
+          .as("self_bits"))
+      .select(col("source"), col("n_toks"),
+        expr("ce_bits * 1000 div n_toks").as("ce_mb"),
+        expr("self_bits * 1000 div n_toks").as("self_mb"),
+        expr("""ce_bits * 1000 div n_toks
+                - self_bits * 1000 div n_toks""").as("excess_mb"))
+  }
+
+  /** q298's oracle CTE block ending in `uni(source, n_toks,
+    * ce_mb, self_mb, excess_mb)` — the DuckDB twin of
+    * [[sourceUnigramStats]], truncation order identical. */
+  private[graft] def sourceUnigramStatsOracle: String = """
+        WITH st AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source,
+                       unnest(list_filter(string_split(text, ' '),
+                         w -> w <> '')) AS tok
+                FROM documents)
+          GROUP BY source, tok),
+        cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc
+               FROM st GROUP BY tok),
+        lctab AS (
+          SELECT CAST(length(bin(CAST(SUM(cc) AS BIGINT))) - 1 AS BIGINT)
+            AS lc FROM cc),
+        pers AS (
+          SELECT s.source, s.c, cc.cc,
+                 CAST(SUM(s.c) OVER (PARTITION BY s.source) AS BIGINT)
+                   AS stot
+          FROM st s JOIN cc USING (tok)),
+        agg AS (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_toks,
+                 CAST(SUM(c * ((SELECT lc FROM lctab)
+                               - (length(bin(cc)) - 1))) AS BIGINT)
+                   AS ce_bits,
+                 CAST(SUM(c * ((length(bin(stot)) - 1)
+                               - (length(bin(c)) - 1))) AS BIGINT)
+                   AS self_bits
+          FROM pers GROUP BY source),
+        uni AS (
+          SELECT source, n_toks,
+                 ce_bits * 1000 // n_toks AS ce_mb,
+                 self_bits * 1000 // n_toks AS self_mb,
+                 ce_bits * 1000 // n_toks - self_bits * 1000 // n_toks
+                   AS excess_mb
+          FROM agg)"""
 
   /** q277's severity-tier oracle, shared VERBATIM by s44 (the streamed
     * per-doc hit counts must tier and roll up to the batch report). */

@@ -3177,6 +3177,37 @@ object StreamingQueries {
           .orderBy(col("n_exact").desc, col("word"))
       },
       Some(graft.operators.ScaleTechniques.countminOracle))
+  ,
+
+    // ---------------------------------------------------------------- s47
+    // Streaming BOILERPLATE gate — q294 live, the shape a production
+    // cleanup actually runs: the standing per-source boilerplate set
+    // (segments seen in ≥ 3 docs of the source — yesterday's footer/
+    // nav-bar signatures) is built batch-side ONCE, persisted, and
+    // BROADCAST; each arriving doc explodes into its 2-word segments
+    // (the segmentation is SHARED CODE with q294, so stream and batch
+    // can never disagree on the unit) and probes the set under a
+    // stream-static LEFT join — stateless, zero state stores, append
+    // mode, per-tick cost O(tick segments). Every doc arrives exactly
+    // once, so the drained flagged-segment stream IS the batch segment
+    // frame and the rollup reproduces q294's removal report — oracle
+    // VERBATIM, so a dropped tick, a stale set, or a segmentation
+    // drift cannot hash-match.
+    QueryDef(
+      "s47_stream_boilerplate_gate",
+      (s, dir) => {
+        val corpusSegs = graft.operators.TextAnalysis.segments(
+          graft.Tables(s, dir, "documents"))
+        val bp = graft.operators.TrackedCaches.track(
+          graft.operators.TextAnalysis.boilerplateSet(corpusSegs)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val st = graft.operators.TextAnalysis.segments(
+            documentsStreamParts(s, dir))
+          .join(broadcast(bp), Seq("source", "seg"), "left")
+        graft.operators.TextAnalysis.boilerplateReport(
+          drain(s, OutputMode.Append())(st))
+      },
+      Some(graft.operators.TextAnalysis.boilerplateOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -945,6 +945,33 @@ class ScaleSpec extends AnyFunSuite {
     } finally TrackedCaches.releaseAll()
   }
 
+  test("q294 boilerplate set broadcasts; occurrences never cartesian") {
+    val df = SparkEntry.queries("q294_boilerplate_removal")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // the bounded boilerplate set must BROADCAST to flag segment
+      // occurrences; a shuffled or nested-loop flag join would move
+      // the whole segment explode to meet a vocab²-bounded table
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast boilerplate-set join:\n$plan")
+      assert(!plan.contains("CartesianProduct")
+          && !plan.contains("BroadcastNestedLoopJoin"),
+        s"boilerplate flagging must stay an equi-join:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q297 pair stage is a rank equi-join, never a cross product") {
+    val df = SparkEntry.queries("q297_bradley_terry")(spark, dir)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      // sources meet at rank k via an equi-join; all-pairs-of-docs
+      // would be the quadratic shape this operator exists to avoid
+      assert(!plan.contains("CartesianProduct")
+          && !plan.contains("BroadcastNestedLoopJoin"),
+        s"pairwise counts must come from the rank equi-join:\n$plan")
+    } finally TrackedCaches.releaseAll()
+  }
+
   test("q293 SQL UDF macro-expands — no opaque UDF node in the plan") {
     val df = SparkEntry.queries("q293_sql_udf")(spark, dir)
     try {
