@@ -2476,6 +2476,89 @@ object Profiling {
         FROM bs LEFT JOIN uq ON bs.source = uq.source
         CROSS JOIN gl CROSS JOIN vt
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q303
+    // Majority-vote (self-consistency) estimation — q295's sibling for
+    // the OTHER sampling-time compute recipe: instead of pass@k
+    // (any-of-k), estimate maj@k, the probability that the majority of
+    // k samples drawn WITHOUT replacement from a task's n attempts
+    // (c successes) are correct — exact hypergeometric tail
+    // Σ_{i>k/2} C(c,i)·C(n−c,k−i) / C(n,k). Binomials are falling-
+    // factorial products routed through DECIMAL(38) ↔ HUGEINT (a
+    // leftmost 38-digit unit forces wide arithmetic BEFORE any
+    // overflow; any c < k hits a zero factor so no guard is needed),
+    // numerators sum exactly and divide ONCE, so no partial-term
+    // rounding exists to disagree on. Cohort = q295's n ≥ 10 users
+    // (stated), reported per success-rate decile — the maj@k-vs-
+    // pass@k curve an eval harness reads to pick its aggregation
+    // rule. Shape: one map-side-combinable keyed aggregate, then
+    // arithmetic on a ≤ 10-row frame.
+    QueryDef(
+      "q303_majority_vote",
+      (s, dir) => {
+        def binom(x: String, k: Int): String = {
+          val prod = (0 until k).map(i => s"($x - ${i}L)").mkString(" * ")
+          val fact = (1 to k).product
+          s"(CAST(1 AS DECIMAL(38,0)) * $prod div ${fact}L)"
+        }
+        val maj3 = s"""cast((${binom("c", 2)} * (n - c) + ${binom("c", 3)})
+                        * 1000000 div ${binom("n", 3)} AS BIGINT)"""
+        val maj5 = s"""cast((${binom("c", 3)} * ${binom("n - c", 2)}
+                             + ${binom("c", 4)} * (n - c)
+                             + ${binom("c", 5)})
+                        * 1000000 div ${binom("n", 5)} AS BIGINT)"""
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("c"))
+          .filter(col("n") >= 10L)
+          .select(expr("c * 10 div n").as("decile"),
+            col("n"), col("c"),
+            expr(maj3).as("m3"), expr(maj5).as("m5"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_tasks"),
+            expr("sum(c) * 1000000 div sum(n)").as("base_rate_ppm"),
+            expr("sum(m3) div count(1)").as("maj3_ppm"),
+            expr("sum(m5) div count(1)").as("maj5_ppm"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH t AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(count_if(event_type = 'purchase') AS BIGINT) AS c
+          FROM events
+          GROUP BY user_id
+          HAVING COUNT(*) >= 10),
+        p AS (
+          SELECT c * 10 // n AS decile, n, c,
+                 CAST((CAST(1 AS HUGEINT) * c * (c-1) // 2 * (n - c)
+                       + CAST(1 AS HUGEINT) * c * (c-1) * (c-2) // 6)
+                      * 1000000
+                      // (CAST(1 AS HUGEINT) * n * (n-1) * (n-2) // 6)
+                   AS BIGINT) AS m3,
+                 CAST((CAST(1 AS HUGEINT) * c * (c-1) * (c-2) // 6
+                         * (CAST(1 AS HUGEINT) * (n-c) * (n-c-1) // 2)
+                       + CAST(1 AS HUGEINT) * c * (c-1) * (c-2) * (c-3)
+                         // 24 * (n - c)
+                       + CAST(1 AS HUGEINT) * c * (c-1) * (c-2) * (c-3)
+                         * (c-4) // 120)
+                      * 1000000
+                      // (CAST(1 AS HUGEINT) * n * (n-1) * (n-2) * (n-3)
+                         * (n-4) // 120)
+                   AS BIGINT) AS m5
+          FROM t)
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_tasks,
+               CAST(SUM(c) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT)
+                 AS base_rate_ppm,
+               CAST(SUM(m3) AS BIGINT) // COUNT(*) AS maj3_ppm,
+               CAST(SUM(m5) AS BIGINT) // COUNT(*) AS maj5_ppm
+        FROM p
+        GROUP BY decile
+        ORDER BY decile"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure

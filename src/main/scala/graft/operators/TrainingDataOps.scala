@@ -2750,28 +2750,9 @@ object TrainingDataOps {
     // end touches ≤ source-count rows, bounded by construction.
     QueryDef(
       "q298_domain_reweighting",
-      (s, dir) => {
-        val wAll = Window.partitionBy() // ≤ sources rows by construction
-        sourceUnigramStats(Tables(s, dir, "documents"))
-          .withColumn("w_raw",
-            expr("greatest(1000000L + 100L * excess_mb, 1L)"))
-          .withColumn("w_tot", sum("w_raw").over(wAll))
-          .select(col("source"), col("n_toks"), col("ce_mb"),
-            col("self_mb"), col("excess_mb"),
-            expr("w_raw * 1000000 div w_tot").as("weight_ppm"))
-          .orderBy("source")
-      },
-      Some(s"""
-        $sourceUnigramStatsOracle,
-        w AS (
-          SELECT source, n_toks, ce_mb, self_mb, excess_mb,
-                 greatest(1000000 + 100 * excess_mb, 1) AS w_raw
-          FROM uni)
-        SELECT source, n_toks, ce_mb, self_mb, excess_mb,
-               CAST(w_raw * 1000000 // SUM(w_raw) OVER () AS BIGINT)
-                 AS weight_ppm
-        FROM w
-        ORDER BY source"""))
+      (s, dir) =>
+        domainWeightReport(sourceUnigramStats(Tables(s, dir, "documents"))),
+      Some(domainWeightOracle))
   ,
 
     // --------------------------------------------------------------- q299
@@ -2863,21 +2844,120 @@ object TrainingDataOps {
                CAST(budget_toks - effective_toks AS BIGINT) AS waste_toks
         FROM ef
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q302
+    // Raking / iterative proportional fitting (Deming–Stephan) — the
+    // two-marginal balancing step a corpus runs when BOTH the source
+    // mix and the language mix must hit targets q67/q86's single-axis
+    // quotas can't: fit cell weights over the source × lang grid so
+    // row sums approach uniform source shares AND column sums approach
+    // uniform language shares. Weights live in micro-docs; each of the
+    // 3 unrolled rounds is a row step w ← w·rt div rowsum then a
+    // column step w ← w·ct div colsum, products routed through
+    // DECIMAL(38) ↔ HUGEINT (the q236 headroom discipline) with
+    // truncating division in identical order. Raking runs on the
+    // OBSERVED support (absent cells stay absent — structural zeros,
+    // the standard convention) and targets carry div-truncation dust,
+    // so the report prices residual row/col deviation in ppm instead
+    // of pretending convergence. 100 TB shape: ONE keyed aggregate
+    // compresses the corpus to the sources × langs grid; every window
+    // after that is keyed on a grid axis — bounded by construction.
+    QueryDef(
+      "q302_raking_ipf",
+      (s, dir) => {
+        val grid = Tables(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+        val tot = grid.agg(sum("n_docs").as("n"),
+            countDistinct("source").as("sc"),
+            countDistinct("lang").as("lcnt"))
+          .select(expr("(n div sc) * 1000000").as("rt"),
+            expr("(n div lcnt) * 1000000").as("ct"))
+        val wS = Window.partitionBy("source")
+        val wL = Window.partitionBy("lang")
+        val w0 = grid.crossJoin(broadcast(tot))
+          .withColumn("w", expr("n_docs * 1000000"))
+        val fitted = (1 to 3).foldLeft(w0) { (f, _) =>
+          f.withColumn("rs", sum("w").over(wS))
+            .withColumn("w",
+              expr("cast(cast(w AS DECIMAL(38,0)) * rt div rs AS BIGINT)"))
+            .drop("rs")
+            .withColumn("cs", sum("w").over(wL))
+            .withColumn("w",
+              expr("cast(cast(w AS DECIMAL(38,0)) * ct div cs AS BIGINT)"))
+            .drop("cs")
+        }
+        fitted
+          .withColumn("rs", sum("w").over(wS))
+          .withColumn("cs", sum("w").over(wL))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("w").as("raked_micro"),
+            expr("w div n_docs").as("adj_ppm"),
+            expr("abs(rs - rt) * 1000000 div rt").as("row_dev_ppm"),
+            expr("abs(cs - ct) * 1000000 div ct").as("col_dev_ppm"))
+          .orderBy("source", "lang")
+      },
+      Some("""
+        WITH grid AS (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source, lang),
+        t AS (
+          SELECT (CAST(SUM(n_docs) AS BIGINT)
+                    // COUNT(DISTINCT source)) * 1000000 AS rt,
+                 (CAST(SUM(n_docs) AS BIGINT)
+                    // COUNT(DISTINCT lang)) * 1000000 AS ct
+          FROM grid),
+        w0 AS (SELECT source, lang, n_docs, n_docs * 1000000 AS w, rt, ct
+               FROM grid CROSS JOIN t),
+        r1 AS (SELECT source, lang, n_docs, rt, ct,
+                 CAST(CAST(w AS HUGEINT) * rt
+                   // SUM(w) OVER (PARTITION BY source) AS BIGINT) AS w
+               FROM w0),
+        c1 AS (SELECT source, lang, n_docs, rt, ct,
+                 CAST(CAST(w AS HUGEINT) * ct
+                   // SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS w
+               FROM r1),
+        r2 AS (SELECT source, lang, n_docs, rt, ct,
+                 CAST(CAST(w AS HUGEINT) * rt
+                   // SUM(w) OVER (PARTITION BY source) AS BIGINT) AS w
+               FROM c1),
+        c2 AS (SELECT source, lang, n_docs, rt, ct,
+                 CAST(CAST(w AS HUGEINT) * ct
+                   // SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS w
+               FROM r2),
+        r3 AS (SELECT source, lang, n_docs, rt, ct,
+                 CAST(CAST(w AS HUGEINT) * rt
+                   // SUM(w) OVER (PARTITION BY source) AS BIGINT) AS w
+               FROM c2),
+        c3 AS (SELECT source, lang, n_docs, rt, ct,
+                 CAST(CAST(w AS HUGEINT) * ct
+                   // SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS w
+               FROM r3),
+        fin AS (
+          SELECT source, lang, n_docs, w, rt, ct,
+                 SUM(w) OVER (PARTITION BY source) AS rs,
+                 SUM(w) OVER (PARTITION BY lang) AS cs
+          FROM c3)
+        SELECT source, lang, n_docs,
+               CAST(w AS BIGINT) AS raked_micro,
+               CAST(w // n_docs AS BIGINT) AS adj_ppm,
+               CAST(abs(rs - rt) * 1000000 // rt AS BIGINT) AS row_dev_ppm,
+               CAST(abs(cs - ct) * 1000000 // ct AS BIGINT) AS col_dev_ppm
+        FROM fin
+        ORDER BY source, lang"""))
   )
 
-  /** q298's frame: per-source unigram information accounting —
-    * (source, n_toks, ce_mb, self_mb, excess_mb) where ce_mb is the
-    * mean per-token cross-entropy in millibits under the CORPUS
-    * unigram model, self_mb the same under the source's OWN unigram
-    * model, and excess_mb their (post-truncation) difference — the
-    * exact floor-log2 KL(source ‖ corpus) proxy. One source×vocab
-    * keyed aggregate, one vocab-keyed join, a source-keyed window over
-    * the vocab-sized frame: nothing corpus-wide ever sorts. */
-  private[graft] def sourceUnigramStats(docs: DataFrame): DataFrame = {
-    val sc = docs
-      .select(col("source"),
-        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+  /** q298/s48 shared: the stateless per-row half of the unigram
+    * accounting — (source, tok) with empty tokens dropped. Shared CODE
+    * so the streamed twin can never drift from the batch tokenizer. */
+  private[graft] def sourceTokens(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      explode(expr("filter(split(text, ' '), w -> w <> '')")).as("tok"))
+
+  /** q298/s48 shared: the aggregation half of [[sourceUnigramStats]],
+    * from an already-tokenized (source, tok) frame. */
+  private[graft] def unigramStatsFromTokens(toks: DataFrame): DataFrame = {
+    val sc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
     val cc = sc.groupBy("tok").agg(sum("c").as("cc"))
     val lc = cc.agg(sum("cc").as("t"))
       .select(expr("length(bin(t)) - 1").as("lc"))
@@ -2896,6 +2976,45 @@ object TrainingDataOps {
         expr("""ce_bits * 1000 div n_toks
                 - self_bits * 1000 div n_toks""").as("excess_mb"))
   }
+
+  /** q298/s48 shared: the linearized exponentiated-gradient weight
+    * rollup over the bounded per-source unigram frame. */
+  private[graft] def domainWeightReport(uni: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy() // ≤ sources rows by construction
+    uni
+      .withColumn("w_raw",
+        expr("greatest(1000000L + 100L * excess_mb, 1L)"))
+      .withColumn("w_tot", sum("w_raw").over(wAll))
+      .select(col("source"), col("n_toks"), col("ce_mb"),
+        col("self_mb"), col("excess_mb"),
+        expr("w_raw * 1000000 div w_tot").as("weight_ppm"))
+      .orderBy("source")
+  }
+
+  /** q298's oracle, shared VERBATIM by s48 (the streamed mixture
+    * weights must converge to the batch report exactly). */
+  private[graft] def domainWeightOracle: String = s"""
+        $sourceUnigramStatsOracle,
+        w AS (
+          SELECT source, n_toks, ce_mb, self_mb, excess_mb,
+                 greatest(1000000 + 100 * excess_mb, 1) AS w_raw
+          FROM uni)
+        SELECT source, n_toks, ce_mb, self_mb, excess_mb,
+               CAST(w_raw * 1000000 // SUM(w_raw) OVER () AS BIGINT)
+                 AS weight_ppm
+        FROM w
+        ORDER BY source"""
+
+  /** q298's frame: per-source unigram information accounting —
+    * (source, n_toks, ce_mb, self_mb, excess_mb) where ce_mb is the
+    * mean per-token cross-entropy in millibits under the CORPUS
+    * unigram model, self_mb the same under the source's OWN unigram
+    * model, and excess_mb their (post-truncation) difference — the
+    * exact floor-log2 KL(source ‖ corpus) proxy. One source×vocab
+    * keyed aggregate, one vocab-keyed join, a source-keyed window over
+    * the vocab-sized frame: nothing corpus-wide ever sorts. */
+  private[graft] def sourceUnigramStats(docs: DataFrame): DataFrame =
+    unigramStatsFromTokens(sourceTokens(docs))
 
   /** q298's oracle CTE block ending in `uni(source, n_toks,
     * ce_mb, self_mb, excess_mb)` — the DuckDB twin of

@@ -3208,6 +3208,30 @@ object StreamingQueries {
           drain(s, OutputMode.Append())(st))
       },
       Some(graft.operators.TextAnalysis.boilerplateOracle))
+  ,
+
+    // ---------------------------------------------------------------- s48
+    // Streaming domain reweighting — q298's mixture weights computed
+    // from a live ingest: each arriving doc tokenizes stream-side
+    // through CODE SHARED with the batch operator (a stateless per-row
+    // explode — zero state stores, append mode, per-tick cost O(tick
+    // tokens)), and the drained token stream feeds the identical
+    // unigram-stats + exponentiated-gradient rollup. Every doc arrives
+    // exactly once, so the drained frame IS the batch token frame and
+    // the weights converge to q298's report — oracle VERBATIM, so a
+    // dropped tick or a tokenizer drift cannot hash-match. This is the
+    // nightly-mixture-refresh shape: the stream accumulates sufficient
+    // statistics, the bounded weight table falls out at rollup time.
+    QueryDef(
+      "s48_stream_domain_reweighting",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        val toks = TrainingDataOps.sourceTokens(documentsStreamParts(s, dir))
+        TrainingDataOps.domainWeightReport(
+          TrainingDataOps.unigramStatsFromTokens(
+            drain(s, OutputMode.Append())(toks)))
+      },
+      Some(graft.operators.TrainingDataOps.domainWeightOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and
