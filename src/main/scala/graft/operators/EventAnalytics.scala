@@ -1782,5 +1782,110 @@ object EventAnalytics {
         WHERE dwell_us IS NOT NULL
         GROUP BY event_type
         ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q305
+    // Off-policy evaluation via inverse-propensity scoring (Horvitz–
+    // Thompson / IPS, plus the self-normalized SNIPS variant) — the
+    // counterfactual question every recommender/bandit log answers
+    // offline: "what would THIS policy have earned on the logged
+    // traffic?". Segments = user_id % 5 (stated), arms = event types,
+    // reward = value in exact cents. Behavior propensities are the
+    // empirical arm shares per segment in ppm; the target policy is
+    // the deterministic greedy rule (highest mean-reward arm per
+    // segment, arm-name tiebreak — estimated from the same log, the
+    // replay-audit convention, stated). Each logged event contributes
+    // r·10⁶ div p_ppm when the policy matches the logged arm — exact
+    // per-event truncating integer, identical order in both engines.
+    // Invariant worth reading off the report: with EMPIRICAL
+    // propensities over the very log being replayed, IPS algebraically
+    // collapses to the chosen arm's direct mean (up to per-event
+    // truncation dust) and SNIPS equals it exactly (constant weight
+    // within a segment cancels) — so direct/ips/snips agreeing is the
+    // estimator's correctness witness, and they diverge only when the
+    // propensity model and the log disagree, which is what IPS is FOR.
+    // 100 TB shape: one keyed grid aggregate (segments × arms), the
+    // bounded policy table broadcasts back, one conditional-sum pass.
+    QueryDef(
+      "q305_ips_policy_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(expr("user_id % 5").as("seg"), col("event_type").as("arm"),
+            expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+              .as("r"))
+        val grid = ev.groupBy("seg", "arm")
+          .agg(count(lit(1)).as("n_a"), sum("r").as("r_a"))
+        val segTot = grid.groupBy("seg").agg(sum("n_a").as("n_seg"))
+        val policy = grid.join(segTot, "seg")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("seg")
+              .orderBy(expr("r_a div n_a").desc, col("arm"))).cast("long"))
+          .filter(col("rk") === 1L)
+          .select(col("seg"), col("arm").as("pi_arm"), col("n_seg"),
+            expr("n_a * 1000000 div n_seg").as("p_pi_ppm"),
+            expr("r_a div n_a").as("direct_mean_cents"))
+        ev.join(broadcast(policy), "seg")
+          .groupBy("seg")
+          .agg(max("n_seg").as("n_events"),
+            max("pi_arm").as("pi_arm"),
+            max("p_pi_ppm").as("p_pi_ppm"),
+            max("direct_mean_cents").as("direct_mean_cents"),
+            sum(when(col("arm") === col("pi_arm"),
+              expr("r * 1000000 div p_pi_ppm")).otherwise(0L))
+              .as("ips_num"),
+            sum(when(col("arm") === col("pi_arm"),
+              expr("r * (1000000 div p_pi_ppm)")).otherwise(0L))
+              .as("sn_num"),
+            sum(when(col("arm") === col("pi_arm"),
+              expr("1000000 div p_pi_ppm")).otherwise(0L)).as("sn_den"))
+          .select(col("seg"), col("n_events"), col("pi_arm"),
+            col("p_pi_ppm"), col("direct_mean_cents"),
+            expr("ips_num div n_events").as("ips_cents"),
+            expr("sn_num div sn_den").as("snips_cents"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id % 5 AS seg, event_type AS arm,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS r
+          FROM events),
+        grid AS (
+          SELECT seg, arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+                 CAST(SUM(r) AS BIGINT) AS r_a
+          FROM ev GROUP BY seg, arm),
+        st AS (SELECT seg, CAST(SUM(n_a) AS BIGINT) AS n_seg
+               FROM grid GROUP BY seg),
+        pol AS (
+          SELECT seg, arm AS pi_arm, n_seg,
+                 n_a * 1000000 // n_seg AS p_pi_ppm,
+                 r_a // n_a AS direct_mean_cents
+          FROM (SELECT g.*, st.n_seg,
+                       row_number() OVER (PARTITION BY g.seg
+                         ORDER BY g.r_a // g.n_a DESC, g.arm) AS rk
+                FROM grid g JOIN st USING (seg))
+          WHERE rk = 1),
+        j AS (
+          SELECT ev.seg, ev.arm, ev.r, p.pi_arm, p.n_seg, p.p_pi_ppm,
+                 p.direct_mean_cents
+          FROM ev JOIN pol p ON ev.seg = p.seg)
+        SELECT seg,
+               CAST(MAX(n_seg) AS BIGINT) AS n_events,
+               MAX(pi_arm) AS pi_arm,
+               CAST(MAX(p_pi_ppm) AS BIGINT) AS p_pi_ppm,
+               CAST(MAX(direct_mean_cents) AS BIGINT) AS direct_mean_cents,
+               CAST(SUM(CASE WHEN arm = pi_arm
+                             THEN r * 1000000 // p_pi_ppm ELSE 0 END)
+                    AS BIGINT)
+                 // CAST(MAX(n_seg) AS BIGINT) AS ips_cents,
+               CAST(SUM(CASE WHEN arm = pi_arm
+                             THEN r * (1000000 // p_pi_ppm) ELSE 0 END)
+                    AS BIGINT)
+                 // CAST(SUM(CASE WHEN arm = pi_arm
+                               THEN 1000000 // p_pi_ppm ELSE 0 END)
+                      AS BIGINT) AS snips_cents
+        FROM j
+        GROUP BY seg
+        ORDER BY seg"""))
   )
 }

@@ -2945,6 +2945,95 @@ object TrainingDataOps {
                CAST(abs(cs - ct) * 1000000 // ct AS BIGINT) AS col_dev_ppm
         FROM fin
         ORDER BY source, lang"""))
+  ,
+
+    // --------------------------------------------------------------- q304
+    // Group-Shapley data valuation — q301's LOO upgraded to the full
+    // cooperative-game answer: LOO misses substitution (two groups
+    // covering the same vocabulary each look worthless alone), Shapley
+    // charges every coalition. Exact because the game is small by
+    // CONSTRUCTION: sources fold into 4 tiers, the characteristic
+    // function v(S) = vocabulary types covered by coalition S, and the
+    // whole game compresses to ONE corpus pass — each type reduces to
+    // its group-coverage BITMASK via sum(DISTINCT 1<<g) (powers of two,
+    // so the distinct-sum IS the mask), masks count into a ≤ 15-row
+    // table, and every v(S), marginal, and Shapley term is arithmetic
+    // on 16-row frames. Weights are exact rationals in 1/24ths
+    // (|S|!(3−|S|)!·{6,2,2,6}), so Σφ = v(grand) holds EXACTLY — the
+    // efficiency axiom, spec-asserted. Coverage is monotone, so every
+    // marginal is non-negative and truncating division is safe.
+    QueryDef(
+      "q304_group_shapley",
+      (s, dir) => {
+        val masks = Tables(s, dir, "documents")
+          .select(expr("cast(substring(source, 4, 10) AS INT) % 4").as("g"),
+            explode(expr(
+              "array_distinct(filter(split(text, ' '), w -> w <> ''))"))
+              .as("tok"))
+          .distinct()
+          .groupBy("tok")
+          .agg(expr("cast(sum(DISTINCT shiftleft(1, g)) AS BIGINT)").as("m"))
+          .groupBy("m").agg(count(lit(1)).as("cnt"))
+        val subsets = s.range(0, 16).select(col("id").as("ss"))
+        val vtab = subsets.join(broadcast(masks),
+            expr("(m & ss) <> 0"), "left")
+          .groupBy("ss").agg(coalesce(sum("cnt"), lit(0L)).as("v"))
+        val players = s.range(0, 4).select(col("id").as("g"))
+        val phi = players
+          .join(vtab.select(col("ss").as("s0"), col("v").as("v0")),
+            expr("((s0 >> g) & 1) = 0"))
+          .join(vtab.select(col("ss").as("s1"), col("v").as("v1")),
+            expr("s1 = (s0 | shiftleft(1, int(g)))"))
+          .select(col("g"),
+            expr("""CASE WHEN bit_count(s0) IN (0, 3) THEN 6L ELSE 2L END
+                    * (v1 - v0)""").as("contrib"))
+          .groupBy("g").agg(sum("contrib").as("phi_24"))
+        val grand = vtab.filter(col("ss") === 15L)
+          .select(col("v").as("vg"))
+        players.join(vtab, expr("ss = shiftleft(1, int(g))"))
+          .select(col("g"), col("v").as("v_solo"))
+          .join(phi, "g").crossJoin(broadcast(grand))
+          .select(col("g").as("grp"), col("v_solo"), col("phi_24"),
+            expr("phi_24 * 1000 div 24").as("phi_milli"),
+            expr("phi_24 * 1000000 div (24 * vg)").as("share_ppm"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH gt AS (
+          SELECT DISTINCT CAST(source[4:] AS INT) % 4 AS g, tok
+          FROM (SELECT source,
+                       unnest(list_distinct(list_filter(
+                         string_split(text, ' '), w -> w <> ''))) AS tok
+                FROM documents)),
+        mk AS (SELECT tok, CAST(SUM(DISTINCT (1 << g)) AS BIGINT) AS m
+               FROM gt GROUP BY tok),
+        mc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM mk GROUP BY m),
+        sstab AS (SELECT unnest(range(0, 16)) AS ss),
+        v AS (
+          SELECT s1.ss,
+                 COALESCE(CAST(SUM(CASE WHEN (mc.m & s1.ss) <> 0
+                                        THEN mc.cnt END) AS BIGINT), 0) AS v
+          FROM sstab s1 CROSS JOIN mc
+          GROUP BY s1.ss),
+        pl AS (SELECT unnest(range(0, 4)) AS g),
+        pr AS (
+          SELECT p.g,
+                 (CASE WHEN bit_count(v0.ss) IN (0, 3) THEN 6 ELSE 2 END)
+                 * (v1.v - v0.v) AS contrib
+          FROM pl p
+          JOIN v v0 ON ((v0.ss >> p.g) & 1) = 0
+          JOIN v v1 ON v1.ss = (v0.ss | (1 << p.g))),
+        ph AS (SELECT g, CAST(SUM(contrib) AS BIGINT) AS phi_24
+               FROM pr GROUP BY g),
+        gr AS (SELECT v AS vg FROM v WHERE ss = 15),
+        so AS (SELECT p.g, v.v AS v_solo
+               FROM pl p JOIN v ON v.ss = (1 << p.g))
+        SELECT so.g AS grp, v_solo, phi_24,
+               CAST(phi_24 * 1000 // 24 AS BIGINT) AS phi_milli,
+               CAST(phi_24 * 1000000 // (24 * vg) AS BIGINT) AS share_ppm
+        FROM so JOIN ph USING (g) CROSS JOIN gr
+        ORDER BY grp"""))
   )
 
   /** q298/s48 shared: the stateless per-row half of the unigram

@@ -983,4 +983,21 @@ class ScaleSpec extends AnyFunSuite {
         s"SQL UDF must inline into the plan:\n$plan")
     } finally TrackedCaches.releaseAll()
   }
+
+  test("q304 Shapley efficiency axiom: shares sum to the grand coalition") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q304_group_shapley")(spark, dir)
+      .select(sum("phi_24").as("tot")).collect()
+    try {
+      // exact 1/24th arithmetic means Σφ·24ths must equal 24·v(grand):
+      // the efficiency axiom holds with NO rounding slack
+      val vGrand = graft.Tables(spark, dir, "documents")
+        .select(explode(expr(
+          "array_distinct(filter(split(text, ' '), w -> w <> ''))"))
+          .as("tok"))
+        .agg(countDistinct("tok")).collect()(0).getLong(0)
+      assert(rows(0).getLong(0) == 24L * vGrand,
+        s"sum(phi_24)=${rows(0).getLong(0)} != 24*v(grand)=${24L * vGrand}")
+    } finally TrackedCaches.releaseAll()
+  }
 }
