@@ -2306,6 +2306,241 @@ object Profiling {
         ORDER BY decile"""))
   ,
 
+    // --------------------------------------------------------------- q307
+    // Dataset cartography (Swayamdipta et al. 2020) — the training-
+    // dynamics map that splits a corpus into easy-to-learn / hard-to-
+    // learn / ambiguous BEFORE anyone spends GPU time on it: track
+    // each example's margin across training checkpoints and read the
+    // regions off (all-positive = easy, all-non-positive = hard, sign
+    // flips = ambiguous — the region where label noise and genuinely
+    // informative examples live). Checkpoints here are q262's three
+    // synchronized-perceptron epochs recomputed over the SESSION-
+    // SHARED gram frame (ClassifierArtifacts — no rebuild); margins
+    // y·score are exact integers, so the map needs no confidence
+    // threshold tuning. Variability is the RANGE max−min (exact,
+    // stated — stddev would float), and the only divisions are
+    // non-negative (counts, ranges); signed margin sums are reported
+    // raw, never divided. Shape: per-epoch scoring is one broadcast
+    // join against a ≤ 4096-row weight table + keyed aggregates — the
+    // q262 plan, three times, nothing corpus-wide unkeyed.
+    QueryDef(
+      "q307_dataset_cartography",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val c = TrackedCaches.track(
+          ClassifierArtifacts.grams(s, dir)
+            .groupBy("doc_id", "source", "good", "b")
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("y", when(col("good"), 1L).otherwise(-1L))
+            .persist(MEMORY_AND_DISK))
+        def score(wt: Option[DataFrame]): DataFrame = {
+          val j = wt match {
+            case None => c.withColumn("wv", lit(0L))
+            case Some(w) => c.join(broadcast(w), Seq("b"), "left")
+              .withColumn("wv", coalesce(col("w"), lit(0L)))
+          }
+          j.groupBy("doc_id", "source")
+            .agg(max("y").as("y"), sum(col("wv") * col("cnt")).as("sc"))
+        }
+        def nextW(wt: Option[DataFrame], miss: DataFrame): DataFrame = {
+          val delta = c.join(miss, Seq("doc_id"), "left_semi")
+            .groupBy("b").agg(sum(col("y") * col("cnt")).as("d"))
+          wt match {
+            case None => delta.select(col("b"), col("d").as("w"))
+            case Some(w) => w.join(delta, Seq("b"), "full_outer")
+              .select(col("b"),
+                (coalesce(col("w"), lit(0L)) + coalesce(col("d"), lit(0L)))
+                  .as("w"))
+          }
+        }
+        var w: Option[DataFrame] = None
+        val margins = (1 to 3).map { _ =>
+          val sNow = score(w)
+          val miss = sNow.filter(col("y") * col("sc") <= 0).select("doc_id")
+          w = Some(TrackedCaches.track(
+            nextW(w, miss).persist(MEMORY_AND_DISK)))
+          score(w).select(col("doc_id"), col("source"),
+            (col("y") * col("sc")).as("m"))
+        }
+        val m = margins(0).select(col("doc_id"), col("source"),
+            col("m").as("m1"))
+          .join(margins(1).select(col("doc_id"), col("m").as("m2")),
+            "doc_id")
+          .join(margins(2).select(col("doc_id"), col("m").as("m3")),
+            "doc_id")
+        m.select(col("source"),
+            when(col("m1") > 0 && col("m2") > 0 && col("m3") > 0, 1L)
+              .otherwise(0L).as("easy"),
+            when(col("m1") <= 0 && col("m2") <= 0 && col("m3") <= 0, 1L)
+              .otherwise(0L).as("hard"),
+            expr("greatest(m1, m2, m3) - least(m1, m2, m3)").as("rng"),
+            (col("m1") + col("m2") + col("m3")).as("msum"))
+          .withColumn("ambiguous",
+            lit(1L) - col("easy") - col("hard"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("easy").as("easy"), sum("hard").as("hard"),
+            sum("ambiguous").as("ambiguous"),
+            sum("rng").as("rng_sum"), sum("msum").as("margin_sum"))
+          .select(col("source"), col("n_docs"), col("easy"), col("hard"),
+            col("ambiguous"),
+            expr("easy * 1000000 div n_docs").as("easy_ppm"),
+            expr("ambiguous * 1000000 div n_docs").as("ambiguous_ppm"),
+            expr("rng_sum div n_docs").as("mean_range"),
+            col("margin_sum"))
+          .orderBy("source")
+      },
+      Some(s"""
+        $cartographyCtes
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(m1 > 0 AND m2 > 0 AND m3 > 0) AS BIGINT)
+                 AS easy,
+               CAST(count_if(m1 <= 0 AND m2 <= 0 AND m3 <= 0) AS BIGINT)
+                 AS hard,
+               CAST(COUNT(*) - count_if(m1 > 0 AND m2 > 0 AND m3 > 0)
+                    - count_if(m1 <= 0 AND m2 <= 0 AND m3 <= 0) AS BIGINT)
+                 AS ambiguous,
+               CAST(count_if(m1 > 0 AND m2 > 0 AND m3 > 0) * 1000000
+                    // COUNT(*) AS BIGINT) AS easy_ppm,
+               CAST((COUNT(*) - count_if(m1 > 0 AND m2 > 0 AND m3 > 0)
+                     - count_if(m1 <= 0 AND m2 <= 0 AND m3 <= 0)) * 1000000
+                    // COUNT(*) AS BIGINT) AS ambiguous_ppm,
+               CAST(SUM(greatest(m1, m2, m3) - least(m1, m2, m3))
+                    // COUNT(*) AS BIGINT) AS mean_range,
+               CAST(SUM(m1 + m2 + m3) AS BIGINT) AS margin_sum
+        FROM mm
+        GROUP BY source
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q308
+    // Split-conformal prediction audit — the distribution-free
+    // calibration wrapper (Vovk; Angelopoulos & Bates) a production
+    // classifier gets AFTER q268's reliability diagram says its raw
+    // scores drift: hold out a calibration split, read class
+    // thresholds off its order statistics, and prediction sets inherit
+    // the ≥ 1−α marginal-coverage guarantee with no model assumptions.
+    // All integer: scores are the session-shared classifier's ppm dot
+    // products, the calibration split is an md5(doc_id) % 4 coin
+    // (content-free, de-striped from the source key), the rank r =
+    // ⌊α(n+1)⌋ at α = 0.1 (floored at 1 — n ≥ 9 throughout this
+    // fixture, stated), and each class threshold is an exact order
+    // statistic read from the SCORE-GRID CDF (scores are ppm-quantized
+    // so the grid is bounded by construction — the q270 device; the
+    // cumulative window runs over grid values, never docs). Class
+    // "good" enters a doc's set iff score ≥ its r-th-smallest
+    // calibration-good score; "bad" iff score ≤ the r-th-largest
+    // calibration-bad score. Report: thresholds, per-class eval
+    // coverage (the ≥ 900000 ppm promise, spec-asserted with slack),
+    // and mean prediction-set size — the efficiency the guarantee is
+    // traded against.
+    QueryDef(
+      "q308_split_conformal",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        graft.plans.GraftFunctions.register(s)
+        val scored = TrackedCaches.track(
+          ClassifierArtifacts.grams(s, dir)
+            .join(broadcast(ClassifierArtifacts.weights(s, dir)), "b")
+            .groupBy("doc_id", "source", "good")
+            .agg(expr("sum(w) div count(1)").as("sc"))
+            .withColumn("cal", expr(
+              """cast(conv(substr(md5(cast(doc_id AS string)), 1, 15),
+                           16, 10) AS BIGINT) % 4 = 0"""))
+            .persist(MEMORY_AND_DISK))
+        val wGrid = Window.orderBy("sc") // ≤ ppm-grid rows by construction
+        val wGridD = Window.orderBy(col("sc").desc)
+        val calG = scored.filter(col("cal") && col("good"))
+        val calB = scored.filter(col("cal") && !col("good"))
+        val rg = calG.agg(count(lit(1)).as("ng"))
+          .select(col("ng"),
+            expr("greatest(100000 * (ng + 1) div 1000000, 1L)").as("rg"))
+        val rb = calB.agg(count(lit(1)).as("nb"))
+          .select(col("nb"),
+            expr("greatest(100000 * (nb + 1) div 1000000, 1L)").as("rb"))
+        val tg = calG.groupBy("sc").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wGrid))
+          .crossJoin(broadcast(rg))
+          .filter(col("cum") >= col("rg"))
+          .agg(min("sc").as("thr_good_ppm"))
+        val tb = calB.groupBy("sc").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wGridD))
+          .crossJoin(broadcast(rb))
+          .filter(col("cum") >= col("rb"))
+          .agg(max("sc").as("thr_bad_ppm"))
+        scored.filter(!col("cal"))
+          .crossJoin(broadcast(tg)).crossJoin(broadcast(tb))
+          .crossJoin(broadcast(rg)).crossJoin(broadcast(rb))
+          .select(col("good"),
+            (col("sc") >= col("thr_good_ppm")).as("in_g"),
+            (col("sc") <= col("thr_bad_ppm")).as("in_b"),
+            col("ng"), col("rg"), col("nb"), col("rb"),
+            col("thr_good_ppm"), col("thr_bad_ppm"))
+          .groupBy("ng", "rg", "nb", "rb", "thr_good_ppm", "thr_bad_ppm")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("good"), 1L).otherwise(0L)).as("n_eval_good"),
+            sum(when(col("good") && col("in_g"), 1L).otherwise(0L))
+              .as("cov_g"),
+            sum(when(!col("good") && col("in_b"), 1L).otherwise(0L))
+              .as("cov_b"),
+            sum(expr("""CASE WHEN in_g THEN 1L ELSE 0L END
+                        + CASE WHEN in_b THEN 1L ELSE 0L END"""))
+              .as("set_sum"))
+          .select(col("ng").as("n_cal_good"), col("rg").as("r_good"),
+            col("nb").as("n_cal_bad"), col("rb").as("r_bad"),
+            col("thr_good_ppm"), col("thr_bad_ppm"), col("n_eval"),
+            expr("cov_g * 1000000 div n_eval_good").as("cov_good_ppm"),
+            expr("cov_b * 1000000 div (n_eval - n_eval_good)")
+              .as("cov_bad_ppm"),
+            expr("set_sum * 1000 div n_eval").as("avg_set_milli"))
+      },
+      Some(s"""
+        WITH $classifierScoreCtes,
+        sp AS (
+          SELECT doc_id, good, score_ppm AS sc,
+                 CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 4 = 0 AS cal
+          FROM sc),
+        rg AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+                      greatest(100000 * (COUNT(*) + 1) // 1000000, 1) AS rg
+               FROM sp WHERE cal AND good),
+        rb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                      greatest(100000 * (COUNT(*) + 1) // 1000000, 1) AS rb
+               FROM sp WHERE cal AND NOT good),
+        tg AS (
+          SELECT CAST(MIN(sc) AS BIGINT) AS thr_good_ppm
+          FROM (SELECT sc, SUM(c) OVER (ORDER BY sc) AS cum
+                FROM (SELECT sc, COUNT(*) AS c FROM sp
+                      WHERE cal AND good GROUP BY sc))
+          WHERE cum >= (SELECT rg FROM rg)),
+        tb AS (
+          SELECT CAST(MAX(sc) AS BIGINT) AS thr_bad_ppm
+          FROM (SELECT sc, SUM(c) OVER (ORDER BY sc DESC) AS cum
+                FROM (SELECT sc, COUNT(*) AS c FROM sp
+                      WHERE cal AND NOT good GROUP BY sc))
+          WHERE cum >= (SELECT rb FROM rb)),
+        ev AS (
+          SELECT good, sc >= (SELECT thr_good_ppm FROM tg) AS in_g,
+                 sc <= (SELECT thr_bad_ppm FROM tb) AS in_b
+          FROM sp WHERE NOT cal)
+        SELECT (SELECT ng FROM rg) AS n_cal_good,
+               (SELECT rg FROM rg) AS r_good,
+               (SELECT nb FROM rb) AS n_cal_bad,
+               (SELECT rb FROM rb) AS r_bad,
+               (SELECT thr_good_ppm FROM tg) AS thr_good_ppm,
+               (SELECT thr_bad_ppm FROM tb) AS thr_bad_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(count_if(good AND in_g) AS BIGINT) * 1000000
+                 // CAST(count_if(good) AS BIGINT) AS cov_good_ppm,
+               CAST(count_if(NOT good AND in_b) AS BIGINT) * 1000000
+                 // CAST(count_if(NOT good) AS BIGINT) AS cov_bad_ppm,
+               CAST((count_if(in_g) + count_if(in_b)) * 1000
+                 // COUNT(*) AS BIGINT) AS avg_set_milli
+        FROM ev"""))
+  ,
+
     // --------------------------------------------------------------- q300
     // Theil–Sen robust trend fit — the median-of-pairwise-slopes
     // estimator (29.3% breakdown point) run where q123's OLS is the
@@ -2563,6 +2798,58 @@ object Profiling {
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure
     * stateless per-row projection (which is what lets s43 stream it). */
+  /** q307's oracle CTE chain ending in `mm(doc_id, source, m1, m2,
+    * m3)` — the three per-epoch perceptron margins, mirroring q262's
+    * weight recursion (same g/c/w1/w2/w3 algebra) with the margin
+    * read-off after each epoch's update. */
+  private def cartographyCtes: String = """
+        WITH g AS MATERIALIZED (
+          SELECT doc_id, source,
+                 2 * len(list_distinct(string_split(text, ' ')))
+                   >= len(string_split(text, ' ')) AS good,
+                 CAST(concat('0x', substr(md5(gr), 1, 15)) AS BIGINT) % 4096
+                   AS b
+          FROM (SELECT doc_id, source, text,
+                       unnest(list_transform(range(1, length(text) - 1),
+                         i -> substring(text, i, 3))) AS gr
+                FROM documents)),
+        c AS MATERIALIZED (
+          SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CASE WHEN good THEN 1 ELSE -1 END AS y
+          FROM g GROUP BY doc_id, source, good, b),
+        w1 AS MATERIALIZED (
+          SELECT b, CAST(SUM(y * cnt) AS BIGINT) AS w FROM c GROUP BY b),
+        s1 AS MATERIALIZED (
+          SELECT c.doc_id, c.source, MAX(c.y) AS y,
+                 CAST(SUM(COALESCE(w1.w, 0) * c.cnt) AS BIGINT) AS sc
+          FROM c LEFT JOIN w1 USING (b) GROUP BY c.doc_id, c.source),
+        miss2 AS MATERIALIZED (SELECT doc_id FROM s1 WHERE y * sc <= 0),
+        d2 AS (SELECT b, CAST(SUM(c.y * c.cnt) AS BIGINT) AS d
+               FROM c JOIN miss2 USING (doc_id) GROUP BY b),
+        w2 AS MATERIALIZED (
+          SELECT COALESCE(w1.b, d2.b) AS b,
+                 COALESCE(w1.w, 0) + COALESCE(d2.d, 0) AS w
+          FROM w1 FULL JOIN d2 ON w1.b = d2.b),
+        s2 AS MATERIALIZED (
+          SELECT c.doc_id, c.source, MAX(c.y) AS y,
+                 CAST(SUM(COALESCE(w2.w, 0) * c.cnt) AS BIGINT) AS sc
+          FROM c LEFT JOIN w2 USING (b) GROUP BY c.doc_id, c.source),
+        miss3 AS MATERIALIZED (SELECT doc_id FROM s2 WHERE y * sc <= 0),
+        d3 AS (SELECT b, CAST(SUM(c.y * c.cnt) AS BIGINT) AS d
+               FROM c JOIN miss3 USING (doc_id) GROUP BY b),
+        w3 AS MATERIALIZED (
+          SELECT COALESCE(w2.b, d3.b) AS b,
+                 COALESCE(w2.w, 0) + COALESCE(d3.d, 0) AS w
+          FROM w2 FULL JOIN d3 ON w2.b = d3.b),
+        s3 AS MATERIALIZED (
+          SELECT c.doc_id, c.source, MAX(c.y) AS y,
+                 CAST(SUM(COALESCE(w3.w, 0) * c.cnt) AS BIGINT) AS sc
+          FROM c LEFT JOIN w3 USING (b) GROUP BY c.doc_id, c.source),
+        mm AS (
+          SELECT s1.doc_id, s1.source,
+                 s1.y * s1.sc AS m1, s2.y * s2.sc AS m2, s3.y * s3.sc AS m3
+          FROM s1 JOIN s2 USING (doc_id) JOIN s3 USING (doc_id))"""
+
   private[graft] def funnelFlags(docs: DataFrame): DataFrame =
     docs
       .select(col("source"),

@@ -1819,6 +1819,141 @@ object TextAnalysis {
             Seq("source", "seg"), "left"))
       },
       Some(boilerplateOracle))
+  ,
+
+    // --------------------------------------------------------------- q306
+    // Interpolated KNESER–NEY held-out eval — q265's add-one smoothing
+    // upgraded to the smoothing that actually ships in n-gram LMs: the
+    // lower-order weight is the CONTINUATION count (how many distinct
+    // contexts a word follows — "Francisco" is frequent but predicts
+    // poorly), not raw frequency. Same content-hash 4/5 train split
+    // and whole-bit surprisal as q265, so the two reports diff
+    // per-source into the smoothing's value. Exact integer pinning:
+    // discount d = 3/4 enters as max(4·c12 − 3, 0)·250000 div c1 (the
+    // ×4 lifts the fraction into integers before the ONE truncating
+    // division), λ·p_cont composes two ppm terms with div 10⁶ in the
+    // SAME order in both engines, unseen contexts back off to pure
+    // continuation mass, and p floors at 1 ppm so the bit count is
+    // always defined. Shape: the model is THREE slim keyed aggregates
+    // off one persisted bigram table (counts, left-continuations,
+    // right-continuations) + a types scalar; scoring is equi-joins of
+    // held-out grams against them — the q265 probe discipline, same
+    // cost profile at 100 TB.
+    QueryDef(
+      "q306_kneser_ney_heldout",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val d = Tables(s, dir, "documents").select("doc_id", "source", "text")
+          .withColumn("hb5",
+            expr("cast(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) % 5"))
+        val tb = TrackedCaches.track(d.filter(col("hb5") =!= 0L)
+          .select(explode(
+            call_function("graft_word_ngrams", col("text"), lit(2)))
+            .as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c12"))
+          .withColumn("w1", element_at(split(col("gram"), " "), 1))
+          .withColumn("w2", element_at(split(col("gram"), " "), 2))
+          .persist(MEMORY_AND_DISK))
+        val c1 = tb.groupBy("w1")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("n1post"))
+        val pre = tb.groupBy("w2").agg(count(lit(1)).as("n1pre"))
+        val tt = tb.agg(count(lit(1)).as("t"))
+        d.filter(col("hb5") === 0L)
+          .select(col("source"),
+            explode(call_function("graft_word_ngrams", col("text"), lit(2)))
+              .as("gram"))
+          .withColumn("w1", element_at(split(col("gram"), " "), 1))
+          .withColumn("w2", element_at(split(col("gram"), " "), 2))
+          .join(tb.select("gram", "c12"), Seq("gram"), "left")
+          .join(c1, Seq("w1"), "left")
+          .join(pre, Seq("w2"), "left")
+          .crossJoin(broadcast(tt))
+          .withColumn("c12n", coalesce(col("c12"), lit(0L)))
+          .withColumn("c1n", coalesce(col("c1"), lit(0L)))
+          .withColumn("npo", coalesce(col("n1post"), lit(0L)))
+          .withColumn("npr", coalesce(col("n1pre"), lit(0L)))
+          .withColumn("p_ppm", expr(
+            """greatest(CASE WHEN c1n > 0
+                 THEN greatest(4 * c12n - 3, 0L) * 250000 div c1n
+                      + (3 * npo * 250000 div c1n)
+                        * (npr * 1000000 div t) div 1000000
+                 ELSE npr * 1000000 div t END, 1L)"""))
+          .withColumn("bits",
+            expr("length(bin(1000000 div p_ppm)) - 1"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("c12n") === 0L, 1L).otherwise(0L))
+              .as("oov_bigrams"),
+            sum("bits").as("total_bits"))
+          .select(col("source"), col("n_bigrams"), col("oov_bigrams"),
+            col("total_bits"),
+            expr("total_bits * 1000 div n_bigrams")
+              .as("bits_per_token_milli"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH doc5 AS (
+          SELECT doc_id, source, text,
+                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 5
+                   AS hb5
+          FROM documents),
+        tb AS MATERIALIZED (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12,
+                 string_split(gram, ' ')[1] AS w1,
+                 string_split(gram, ' ')[2] AS w2
+          FROM (SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS gram
+                FROM (SELECT string_split(text, ' ') AS w
+                      FROM doc5 WHERE hb5 <> 0) t) g
+          GROUP BY gram),
+        c1 AS MATERIALIZED (
+          SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                 CAST(COUNT(*) AS BIGINT) AS n1post
+          FROM tb GROUP BY w1),
+        pre AS MATERIALIZED (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pre
+          FROM tb GROUP BY w2),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tb),
+        ho AS (
+          SELECT source, gram,
+                 string_split(gram, ' ')[1] AS w1,
+                 string_split(gram, ' ')[2] AS w2
+          FROM (SELECT source,
+                       unnest(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) AS gram
+                FROM (SELECT source, string_split(text, ' ') AS w
+                      FROM doc5 WHERE hb5 = 0) t) g),
+        sc AS (
+          SELECT ho.source,
+                 COALESCE(tb.c12, 0) AS c12n,
+                 COALESCE(c1.c1, 0) AS c1n,
+                 COALESCE(c1.n1post, 0) AS npo,
+                 COALESCE(pre.n1pre, 0) AS npr,
+                 tt.t
+          FROM ho
+          LEFT JOIN tb ON ho.gram = tb.gram
+          LEFT JOIN c1 ON ho.w1 = c1.w1
+          LEFT JOIN pre ON ho.w2 = pre.w2
+          CROSS JOIN tt),
+        pb AS (
+          SELECT source, c12n,
+                 length(bin(1000000 // greatest(
+                   CASE WHEN c1n > 0
+                        THEN greatest(4 * c12n - 3, 0) * 250000 // c1n
+                             + (3 * npo * 250000 // c1n)
+                               * (npr * 1000000 // t) // 1000000
+                        ELSE npr * 1000000 // t END, 1))) - 1 AS bits
+          FROM sc)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(count_if(c12n = 0) AS BIGINT) AS oov_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT)
+                 AS bits_per_token_milli
+        FROM pb
+        GROUP BY source
+        ORDER BY source"""))
   )
 
   /** q294/s47 shared: the non-overlapping 2-word segment explode over

@@ -539,21 +539,23 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("q103 builds 8-grams narrowly and shuffles digests, not passages") {
+  test("q103 probes the shared digest frame and shuffles digests, not passages") {
     val plan = SparkEntry.queries("q103_corpus_ngram_dedup")(spark, dir)
       .queryExecution.executedPlan.toString
-    // gram generation must be the q63 shape: no window shuffle of
-    // exploded tokens, nothing but Generate/Project/Scan below the
-    // bottom-most (partial) aggregate
+    // gram generation must never route through a window shuffle
     assert(!plan.contains("Window"),
       s"grams must not be built via a window shuffle:\n$plan")
-    val partial = plan.lastIndexOf("HashAggregate")
-    assert(partial >= 0, s"expected a gram aggregate in:\n$plan")
-    assert(!plan.substring(partial).contains("Exchange"),
-      s"no Exchange may sit below the first gram aggregate:\n$plan")
-    // the document-frequency key is the 256-bit digest — the gram text
-    // itself must never be a shuffle key
-    assert(plan.contains("sha2"), s"digest key missing from plan:\n$plan")
+    // since the GramFrames sharing, the 8-gram digests come from the
+    // memoized checkpointed frame (ONE eager build per session), so
+    // the per-query plan starts at its scan and must NOT rebuild the
+    // gram text — and every shuffle keys on the 32-byte digest column,
+    // never on passages
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed shared gram frame as the source:\n$plan")
+    assert(!plan.contains("graft_word_ngrams"),
+      s"gram text must not be rebuilt per query:\n$plan")
+    assert(plan.contains("hashpartitioning(h#"),
+      s"document-frequency aggregate must key on the digest:\n$plan")
   }
 
   test("q105 sign projection is a pure narrow map — no shuffle before the output sort") {
@@ -998,6 +1000,19 @@ class ScaleSpec extends AnyFunSuite {
         .agg(countDistinct("tok")).collect()(0).getLong(0)
       assert(rows(0).getLong(0) == 24L * vGrand,
         s"sum(phi_24)=${rows(0).getLong(0)} != 24*v(grand)=${24L * vGrand}")
+    } finally TrackedCaches.releaseAll()
+  }
+
+  test("q308 conformal marginal coverage holds with slack at alpha=0.1") {
+    val r = SparkEntry.queries("q308_split_conformal")(spark, dir)
+      .collect()(0)
+    try {
+      // the split-conformal guarantee is >= 1 - alpha in expectation;
+      // 850000 ppm leaves ~3 sigma of binomial slack at this eval size
+      val covG = r.getAs[Long]("cov_good_ppm")
+      val covB = r.getAs[Long]("cov_bad_ppm")
+      assert(covG >= 850000L && covB >= 850000L,
+        s"conformal coverage broke: good=$covG bad=$covB")
     } finally TrackedCaches.releaseAll()
   }
 }
