@@ -2495,50 +2495,163 @@ object Profiling {
               .as("cov_bad_ppm"),
             expr("set_sum * 1000 div n_eval").as("avg_set_milli"))
       },
-      Some(s"""
-        WITH $classifierScoreCtes,
+      Some(conformalOracle))
+  ,
+
+    // --------------------------------------------------------------- q309
+    // Decision-stump split search — one CART iteration, the
+    // interpretable baseline (and boosting weak learner) a gate
+    // designer runs BEFORE reaching for q262's perceptron: over four
+    // integer document features, find each feature's best binary split
+    // against the seed label by exact Gini gain. The candidate grid IS
+    // the feature quantization (stated widths — the histogram-split
+    // device every distributed GBDT uses: XGBoost/LightGBM bin first,
+    // split on bins), so split search is cumulative arithmetic over a
+    // bounded per-feature grid, never a per-doc sort. Gini terms route
+    // through DECIMAL(38) ↔ HUGEINT (counts² × 10⁶ headroom) with one
+    // truncating division per term in identical order; gain = parent −
+    // weighted-child can go a ppm negative under truncation (reported
+    // signed, never divided). Output: per feature its best threshold,
+    // left population, parent/split impurity, gain, and the
+    // cross-feature rank — the stump a one-rule gate would deploy.
+    QueryDef(
+      "q309_decision_stump",
+      (s, dir) => {
+        val f = Tables(s, dir, "documents")
+          .selectExpr(
+            """2 * size(array_distinct(filter(split(text, ' '),
+                 w -> w <> '')))
+               >= size(filter(split(text, ' '), w -> w <> '')) AS good""",
+            "size(filter(split(text, ' '), w -> w <> '')) AS n_toks",
+            """size(array_distinct(filter(split(text, ' '),
+                 w -> w <> ''))) AS n_types""",
+            """size(array_distinct(filter(split(text, ' '),
+                 w -> w <> ''))) * 1000000
+               div size(filter(split(text, ' '), w -> w <> ''))
+               AS ttr_ppm""",
+            """length(replace(text, ' ', '')) * 1000
+               div size(filter(split(text, ' '), w -> w <> ''))
+               AS mwl_milli""")
+          .selectExpr("good",
+            """stack(4,
+                 'mwl',   (mwl_milli div 250) * 250,
+                 'toks',  (n_toks div 8) * 8,
+                 'ttr',   (ttr_ppm div 50000) * 50000,
+                 'types', (n_types div 8) * 8) AS (feat, v)""")
+        val grid = f.groupBy("feat", "v")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("good"), 1L).otherwise(0L)).as("g"))
+        val wCum = Window.partitionBy("feat").orderBy("v")
+        val wTot = Window.partitionBy("feat")
+        def gini(gc: String, nc: String): String =
+          s"""cast(1000000 - (CAST($gc AS DECIMAL(38,0)) * $gc
+                              + CAST($nc - $gc AS DECIMAL(38,0))
+                                * ($nc - $gc)) * 1000000
+                             div (CAST($nc AS DECIMAL(38,0)) * $nc)
+                   AS BIGINT)"""
+        val splits = grid
+          .withColumn("cn", sum("n").over(wCum))
+          .withColumn("cg", sum("g").over(wCum))
+          .withColumn("nt", sum("n").over(wTot))
+          .withColumn("gt", sum("g").over(wTot))
+          .filter(col("cn") > 0L && col("cn") < col("nt"))
+          .withColumn("gini_parent_ppm", expr(gini("gt", "nt")))
+          .withColumn("gl", expr(gini("cg", "cn")))
+          .withColumn("gr", expr(gini("(gt - cg)", "(nt - cn)")))
+          .withColumn("gini_split_ppm", expr(
+            """cast((CAST(cn AS DECIMAL(38,0)) * gl
+                     + CAST(nt - cn AS DECIMAL(38,0)) * gr) div nt
+                 AS BIGINT)"""))
+          .withColumn("gain_ppm",
+            col("gini_parent_ppm") - col("gini_split_ppm"))
+        splits
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("feat")
+              .orderBy(col("gain_ppm").desc, col("v"))).cast("long"))
+          .filter(col("rk") === 1L)
+          .withColumn("stump_rank", row_number().over(
+            Window.orderBy(col("gain_ppm").desc, col("feat"))).cast("long"))
+          .select(col("feat"), col("v").as("thr"), col("cn").as("n_left"),
+            col("nt").as("n_total"), col("gini_parent_ppm"),
+            col("gini_split_ppm"), col("gain_ppm"), col("stump_rank"))
+          .orderBy("feat")
+      },
+      Some("""
+        WITH f AS (
+          SELECT 2 * len(list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> '')))
+                 >= len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS good,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_toks,
+                 len(list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) AS n_types,
+                 len(list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) * 1000000
+                   // len(list_filter(string_split(text, ' '),
+                        w -> w <> '')) AS ttr_ppm,
+                 length(replace(text, ' ', '')) * 1000
+                   // len(list_filter(string_split(text, ' '),
+                        w -> w <> '')) AS mwl_milli
+          FROM documents),
+        lg AS (
+          SELECT good, feat, v FROM (
+            SELECT good, unnest([
+              {'feat': 'mwl',   'v': (mwl_milli // 250) * 250},
+              {'feat': 'toks',  'v': (n_toks // 8) * 8},
+              {'feat': 'ttr',   'v': (ttr_ppm // 50000) * 50000},
+              {'feat': 'types', 'v': (n_types // 8) * 8}],
+              recursive := true)
+            FROM f)),
+        grid AS (
+          SELECT feat, v, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(count_if(good) AS BIGINT) AS g
+          FROM lg GROUP BY feat, v),
+        cum AS (
+          SELECT feat, v, n, g,
+                 CAST(SUM(n) OVER (PARTITION BY feat ORDER BY v)
+                   AS BIGINT) AS cn,
+                 CAST(SUM(g) OVER (PARTITION BY feat ORDER BY v)
+                   AS BIGINT) AS cg,
+                 CAST(SUM(n) OVER (PARTITION BY feat) AS BIGINT) AS nt,
+                 CAST(SUM(g) OVER (PARTITION BY feat) AS BIGINT) AS gt
+          FROM grid),
         sp AS (
-          SELECT doc_id, good, score_ppm AS sc,
-                 CAST(concat('0x',
-                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                   % 4 = 0 AS cal
-          FROM sc),
-        rg AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng,
-                      greatest(100000 * (COUNT(*) + 1) // 1000000, 1) AS rg
-               FROM sp WHERE cal AND good),
-        rb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
-                      greatest(100000 * (COUNT(*) + 1) // 1000000, 1) AS rb
-               FROM sp WHERE cal AND NOT good),
-        tg AS (
-          SELECT CAST(MIN(sc) AS BIGINT) AS thr_good_ppm
-          FROM (SELECT sc, SUM(c) OVER (ORDER BY sc) AS cum
-                FROM (SELECT sc, COUNT(*) AS c FROM sp
-                      WHERE cal AND good GROUP BY sc))
-          WHERE cum >= (SELECT rg FROM rg)),
-        tb AS (
-          SELECT CAST(MAX(sc) AS BIGINT) AS thr_bad_ppm
-          FROM (SELECT sc, SUM(c) OVER (ORDER BY sc DESC) AS cum
-                FROM (SELECT sc, COUNT(*) AS c FROM sp
-                      WHERE cal AND NOT good GROUP BY sc))
-          WHERE cum >= (SELECT rb FROM rb)),
-        ev AS (
-          SELECT good, sc >= (SELECT thr_good_ppm FROM tg) AS in_g,
-                 sc <= (SELECT thr_bad_ppm FROM tb) AS in_b
-          FROM sp WHERE NOT cal)
-        SELECT (SELECT ng FROM rg) AS n_cal_good,
-               (SELECT rg FROM rg) AS r_good,
-               (SELECT nb FROM rb) AS n_cal_bad,
-               (SELECT rb FROM rb) AS r_bad,
-               (SELECT thr_good_ppm FROM tg) AS thr_good_ppm,
-               (SELECT thr_bad_ppm FROM tb) AS thr_bad_ppm,
-               CAST(COUNT(*) AS BIGINT) AS n_eval,
-               CAST(count_if(good AND in_g) AS BIGINT) * 1000000
-                 // CAST(count_if(good) AS BIGINT) AS cov_good_ppm,
-               CAST(count_if(NOT good AND in_b) AS BIGINT) * 1000000
-                 // CAST(count_if(NOT good) AS BIGINT) AS cov_bad_ppm,
-               CAST((count_if(in_g) + count_if(in_b)) * 1000
-                 // COUNT(*) AS BIGINT) AS avg_set_milli
-        FROM ev"""))
+          SELECT feat, v, cn, nt,
+                 CAST(1000000 - (CAST(gt AS HUGEINT) * gt
+                                 + CAST(nt - gt AS HUGEINT) * (nt - gt))
+                                * 1000000
+                                // (CAST(nt AS HUGEINT) * nt) AS BIGINT)
+                   AS gini_parent_ppm,
+                 CAST(1000000 - (CAST(cg AS HUGEINT) * cg
+                                 + CAST(cn - cg AS HUGEINT) * (cn - cg))
+                                * 1000000
+                                // (CAST(cn AS HUGEINT) * cn) AS BIGINT)
+                   AS gl,
+                 CAST(1000000 - (CAST(gt - cg AS HUGEINT) * (gt - cg)
+                                 + CAST((nt - cn) - (gt - cg) AS HUGEINT)
+                                   * ((nt - cn) - (gt - cg)))
+                                * 1000000
+                                // (CAST(nt - cn AS HUGEINT) * (nt - cn))
+                   AS BIGINT) AS gr
+          FROM cum WHERE cn > 0 AND cn < nt),
+        gn AS (
+          SELECT feat, v, cn, nt, gini_parent_ppm,
+                 CAST((CAST(cn AS HUGEINT) * gl
+                       + CAST(nt - cn AS HUGEINT) * gr) // nt AS BIGINT)
+                   AS gini_split_ppm
+          FROM sp),
+        best AS (
+          SELECT *, gini_parent_ppm - gini_split_ppm AS gain_ppm,
+                 row_number() OVER (PARTITION BY feat
+                   ORDER BY gini_parent_ppm - gini_split_ppm DESC, v) AS rk
+          FROM gn)
+        SELECT feat, v AS thr, cn AS n_left, nt AS n_total,
+               gini_parent_ppm, gini_split_ppm, gain_ppm,
+               CAST(row_number() OVER (ORDER BY gain_ppm DESC, feat)
+                 AS BIGINT) AS stump_rank
+        FROM best WHERE rk = 1
+        ORDER BY feat"""))
   ,
 
     // --------------------------------------------------------------- q300
@@ -2798,6 +2911,53 @@ object Profiling {
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure
     * stateless per-row projection (which is what lets s43 stream it). */
+  /** q308's oracle, shared VERBATIM by s49 (the streamed prediction
+    * sets must reproduce the batch conformal report exactly). */
+  private[graft] def conformalOracle: String = s"""
+        WITH $classifierScoreCtes,
+        sp AS (
+          SELECT doc_id, good, score_ppm AS sc,
+                 CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 4 = 0 AS cal
+          FROM sc),
+        rg AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+                      greatest(100000 * (COUNT(*) + 1) // 1000000, 1) AS rg
+               FROM sp WHERE cal AND good),
+        rb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                      greatest(100000 * (COUNT(*) + 1) // 1000000, 1) AS rb
+               FROM sp WHERE cal AND NOT good),
+        tg AS (
+          SELECT CAST(MIN(sc) AS BIGINT) AS thr_good_ppm
+          FROM (SELECT sc, SUM(c) OVER (ORDER BY sc) AS cum
+                FROM (SELECT sc, COUNT(*) AS c FROM sp
+                      WHERE cal AND good GROUP BY sc))
+          WHERE cum >= (SELECT rg FROM rg)),
+        tb AS (
+          SELECT CAST(MAX(sc) AS BIGINT) AS thr_bad_ppm
+          FROM (SELECT sc, SUM(c) OVER (ORDER BY sc DESC) AS cum
+                FROM (SELECT sc, COUNT(*) AS c FROM sp
+                      WHERE cal AND NOT good GROUP BY sc))
+          WHERE cum >= (SELECT rb FROM rb)),
+        ev AS (
+          SELECT good, sc >= (SELECT thr_good_ppm FROM tg) AS in_g,
+                 sc <= (SELECT thr_bad_ppm FROM tb) AS in_b
+          FROM sp WHERE NOT cal)
+        SELECT (SELECT ng FROM rg) AS n_cal_good,
+               (SELECT rg FROM rg) AS r_good,
+               (SELECT nb FROM rb) AS n_cal_bad,
+               (SELECT rb FROM rb) AS r_bad,
+               (SELECT thr_good_ppm FROM tg) AS thr_good_ppm,
+               (SELECT thr_bad_ppm FROM tb) AS thr_bad_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(count_if(good AND in_g) AS BIGINT) * 1000000
+                 // CAST(count_if(good) AS BIGINT) AS cov_good_ppm,
+               CAST(count_if(NOT good AND in_b) AS BIGINT) * 1000000
+                 // CAST(count_if(NOT good) AS BIGINT) AS cov_bad_ppm,
+               CAST((count_if(in_g) + count_if(in_b)) * 1000
+                 // COUNT(*) AS BIGINT) AS avg_set_milli
+        FROM ev"""
+
   /** q307's oracle CTE chain ending in `mm(doc_id, source, m1, m2,
     * m3)` — the three per-epoch perceptron margins, mirroring q262's
     * weight recursion (same g/c/w1/w2/w3 algebra) with the margin

@@ -1003,5 +1003,91 @@ object Statistics {
         FROM d JOIN base
           ON d.event_type = base.event_type AND d.dow = base.dow
         ORDER BY d.event_type, d.day"""))
+  ,
+
+    // --------------------------------------------------------------- q310
+    // Deterministic hash-bootstrap confidence intervals — the
+    // uncertainty band a profiling dashboard needs around every
+    // per-source point estimate, made ENGINE-REPRODUCIBLE: instead of
+    // RNG resampling (which no two engines or reruns agree on), each
+    // (doc, replica) pair draws its multiplicity from the md5 content
+    // coin — w = digest % 3 ∈ {0,1,2}, mean 1 (a bounded stand-in for
+    // the Poisson(1) bootstrap weight; variance 2/3 vs 1, so bands run
+    // ~18% narrow — stated, the price of determinism). B = 16
+    // replicas of the per-source mean-TTR estimate; the CI is the
+    // exact [2nd smallest, 2nd largest] order-statistic pair (~87.5%
+    // nominal central coverage at B = 16, stated). 100 TB shape: the
+    // replica explode is a CONSTANT ×16 narrow fan-out feeding one
+    // keyed aggregate — the one-pass Poisson-bootstrap plan, no
+    // per-replica corpus scans; the order-statistic windows run on the
+    // 16-row-per-source replica frame.
+    QueryDef(
+      "q310_hash_bootstrap_ci",
+      (s, dir) => {
+        val t = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("""size(array_distinct(filter(split(text, ' '),
+                      w -> w <> ''))) * 1000000
+                    div size(filter(split(text, ' '), w -> w <> ''))""")
+              .as("ttr_ppm"))
+        val est = t.groupBy("source")
+          .agg(expr("sum(ttr_ppm) div count(1)").as("est_ppm"))
+        val reps = t.select(col("doc_id"), col("source"), col("ttr_ppm"),
+            explode(expr("sequence(1, 16)")).as("r"))
+          .withColumn("w", expr(
+            """cast(conv(substr(md5(concat(cast(doc_id AS string), ':',
+                 cast(r AS string))), 1, 15), 16, 10) AS BIGINT) % 3"""))
+          .groupBy("source", "r")
+          .agg(expr("sum(w * ttr_ppm) div nullif(sum(w), 0)").as("bt"))
+        val wSrc = Window.partitionBy("source").orderBy(col("bt"), col("r"))
+        val ranked = reps
+          .withColumn("rk", row_number().over(wSrc).cast("long"))
+        ranked.filter(col("rk") === 2L)
+          .select(col("source"), col("bt").as("boot_lo_ppm"))
+          .join(ranked.filter(col("rk") === 15L)
+            .select(col("source"), col("bt").as("boot_hi_ppm")), "source")
+          .join(est, "source")
+          .select(col("source"), col("est_ppm"),
+            col("boot_lo_ppm"), col("boot_hi_ppm"),
+            expr("(boot_hi_ppm - boot_lo_ppm) div 2").as("half_width_ppm"),
+            lit(16L).as("n_replicas"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) * 1000000
+                   // len(list_filter(string_split(text, ' '),
+                        w -> w <> '')) AS ttr_ppm
+          FROM documents),
+        est AS (
+          SELECT source,
+                 CAST(SUM(ttr_ppm) AS BIGINT) // COUNT(*) AS est_ppm
+          FROM t GROUP BY source),
+        reps AS (
+          SELECT source, r,
+                 CAST(SUM(w * ttr_ppm) AS BIGINT)
+                   // nullif(CAST(SUM(w) AS BIGINT), 0) AS bt
+          FROM (SELECT doc_id, source, ttr_ppm,
+                       unnest(range(1, 17)) AS r
+                FROM t) x,
+               LATERAL (SELECT CAST(concat('0x',
+                   substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+                     CAST(r AS VARCHAR))), 1, 15)) AS BIGINT) % 3 AS w) h
+          GROUP BY source, r),
+        rk AS (
+          SELECT source, r, bt,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY bt, r) AS BIGINT) AS rk
+          FROM reps)
+        SELECT lo.source AS source, est.est_ppm,
+               lo.bt AS boot_lo_ppm, hi.bt AS boot_hi_ppm,
+               CAST((hi.bt - lo.bt) // 2 AS BIGINT) AS half_width_ppm,
+               CAST(16 AS BIGINT) AS n_replicas
+        FROM (SELECT source, bt FROM rk WHERE rk = 2) lo
+        JOIN (SELECT source, bt FROM rk WHERE rk = 15) hi USING (source)
+        JOIN est USING (source)
+        ORDER BY source"""))
   )
 }

@@ -3232,6 +3232,98 @@ object StreamingQueries {
             drain(s, OutputMode.Append())(toks)))
       },
       Some(graft.operators.TrainingDataOps.domainWeightOracle))
+  ,
+
+    // ---------------------------------------------------------------- s49
+    // Streaming CONFORMAL prediction sets — q308 live at ingest, the
+    // shape a production gate deploys: calibration thresholds are the
+    // STANDING batch artifact (exact order statistics off the
+    // calibration split, collected once with the r/n audit scalars —
+    // the s39 model-artifact discipline, 6 longs), and each arriving
+    // doc scores statelessly per row (the s39 literal-weight-map HOF,
+    // zero state stores, zero stream-side joins, append mode) and
+    // flags its prediction-set membership against the two literal
+    // thresholds. The calibration coin is per-row arithmetic, so the
+    // stream itself drops calibration docs. Drained eval flags roll up
+    // to exactly q308's coverage report — oracle VERBATIM, so a stale
+    // threshold, a dropped tick, or a scoring drift cannot hash-match.
+    QueryDef(
+      "s49_stream_conformal_gate",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        import graft.operators.{ClassifierArtifacts, Profiling}
+        import org.apache.spark.sql.expressions.Window
+        // --- batch side: the standing conformal artifact -------------
+        val scored = graft.operators.TrackedCaches.track(
+          ClassifierArtifacts.grams(s, dir)
+            .join(broadcast(ClassifierArtifacts.weights(s, dir)), "b")
+            .groupBy("doc_id", "good")
+            .agg(expr("sum(w) div count(1)").as("sc"))
+            .withColumn("cal", expr(
+              """cast(conv(substr(md5(cast(doc_id AS string)), 1, 15),
+                           16, 10) AS BIGINT) % 4 = 0"""))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        def rOf(cls: DataFrame): (Long, Long) = {
+          val n = cls.count()
+          (n, math.max(100000L * (n + 1L) / 1000000L, 1L))
+        }
+        val (ng, rg) = rOf(scored.filter(col("cal") && col("good")))
+        val (nb, rb) = rOf(scored.filter(col("cal") && !col("good")))
+        val wUp = Window.orderBy("sc")
+        val wDn = Window.orderBy(col("sc").desc)
+        val tg = scored.filter(col("cal") && col("good"))
+          .groupBy("sc").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wUp))
+          .filter(col("cum") >= rg).agg(min("sc")).head().getLong(0)
+        val tb = scored.filter(col("cal") && !col("good"))
+          .groupBy("sc").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wDn))
+          .filter(col("cum") >= rb).agg(max("sc")).head().getLong(0)
+        // --- stream side: stateless per-row score + set membership ---
+        val wtMap = ClassifierArtifacts.weights(s, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val mapCol = typedLit(wtMap)
+        val st = documentsStreamParts(s, dir)
+          .select(col("doc_id"), Profiling.classifierGoodExpr,
+            call_function("graft_char_ngrams", col("text"), lit(3)).as("gr"))
+          .filter(size(col("gr")) > 0) // q308 scores only gram-bearing docs
+          .filter(expr(
+            """cast(conv(substr(md5(cast(doc_id AS string)), 1, 15),
+                         16, 10) AS BIGINT) % 4 <> 0""")) // eval split only
+          .select(col("good"),
+            aggregate(
+              transform(col("gr"), g =>
+                coalesce(
+                  element_at(mapCol,
+                    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+                      % 4096),
+                  lit(500000L))),
+              lit(0L), (acc, w) => acc + w).as("wsum"),
+            size(col("gr")).cast("long").as("ng"))
+          .select(col("good"), expr("wsum div ng").as("score_ppm"))
+          .select(col("good"),
+            (col("score_ppm") >= lit(tg)).as("in_g"),
+            (col("score_ppm") <= lit(tb)).as("in_b"))
+        drain(s, OutputMode.Append())(st)
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("good"), 1L).otherwise(0L)).as("n_eval_good"),
+            sum(when(col("good") && col("in_g"), 1L).otherwise(0L))
+              .as("cov_g"),
+            sum(when(!col("good") && col("in_b"), 1L).otherwise(0L))
+              .as("cov_b"),
+            sum(expr("""CASE WHEN in_g THEN 1L ELSE 0L END
+                        + CASE WHEN in_b THEN 1L ELSE 0L END"""))
+              .as("set_sum"))
+          .select(lit(ng).as("n_cal_good"), lit(rg).as("r_good"),
+            lit(nb).as("n_cal_bad"), lit(rb).as("r_bad"),
+            lit(tg).as("thr_good_ppm"), lit(tb).as("thr_bad_ppm"),
+            col("n_eval"),
+            expr("cov_g * 1000000 div n_eval_good").as("cov_good_ppm"),
+            expr("cov_b * 1000000 div (n_eval - n_eval_good)")
+              .as("cov_bad_ppm"),
+            expr("set_sum * 1000 div n_eval").as("avg_set_milli"))
+      },
+      Some(graft.operators.Profiling.conformalOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and
