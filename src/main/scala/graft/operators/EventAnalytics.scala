@@ -1887,5 +1887,95 @@ object EventAnalytics {
         FROM j
         GROUP BY seg
         ORDER BY seg"""))
+  ,
+
+    // --------------------------------------------------------------- q311
+    // Kaplan–Meier churn survival — the right-censoring-aware answer
+    // to "how long do users stay?" that a naive mean-lifetime query
+    // gets wrong (users still active at the window edge are CENSORED,
+    // not churned — dropping or counting them both bias the estimate).
+    // Lifetime = last−first activity day; a user whose last activity
+    // falls within 7 days of the window edge is censored (stated).
+    // The product-limit estimator S(t) = Π_{u≤t} (1 − d_u/n_u) is a
+    // SEQUENTIAL product, kept exact by folding ppm factors in
+    // lifetime order with one truncating div 10⁶ per step — identical
+    // fold order in both engines (sorted-list aggregate ↔ list(...
+    // ORDER BY) + list_reduce). 100 TB shape: the corpus reduces to
+    // one (lifetime, deaths, censored) row per day via two keyed
+    // aggregates; the at-risk cumulative, the factor lists, and every
+    // fold run on the CALENDAR-BOUNDED day grid (≤ observation-window
+    // days by construction), never over users.
+    QueryDef(
+      "q311_kaplan_meier",
+      (s, dir) => {
+        val lt = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+          .groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+        val horizon = lt.agg(max("d1").as("dmax"))
+        val lives = lt.crossJoin(broadcast(horizon))
+          .select((col("d1") - col("d0")).as("t"),
+            when(col("d1") <= col("dmax") - 7L, 1L).otherwise(0L).as("ev"))
+        val grid = lives.groupBy("t")
+          .agg(count(lit(1)).as("n_end"),
+            sum("ev").as("d"),
+            (count(lit(1)) - sum("ev")).as("c"))
+        val wRisk = org.apache.spark.sql.expressions.Window
+          .orderBy(col("t").desc) // ≤ day-grid rows by construction
+        val g2 = grid
+          .withColumn("n_risk", sum("n_end").over(wRisk))
+          .withColumn("hazard_ppm", expr("d * 1000000 div n_risk"))
+          .withColumn("factor", expr("1000000 - d * 1000000 div n_risk"))
+        val facts = g2.select(col("t").as("u"), col("factor").as("f"))
+        g2.join(facts, expr("u <= t"))
+          .groupBy("t", "n_risk", "d", "c", "hazard_ppm")
+          .agg(expr(
+            """aggregate(
+                 transform(sort_array(collect_list(struct(u, f))),
+                   x -> x.f),
+                 1000000L, (acc, f) -> acc * f div 1000000L)""")
+            .as("surv_ppm"))
+          .select(col("t"), col("n_risk"), col("d").as("d_events"),
+            col("c").as("censored"), col("hazard_ppm"), col("surv_ppm"))
+          .orderBy("t")
+      },
+      Some("""
+        WITH lt AS (
+          SELECT user_id,
+                 CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                   AS BIGINT) AS d0,
+                 CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                   AS BIGINT) AS d1
+          FROM events GROUP BY user_id),
+        hz AS (SELECT MAX(d1) AS dmax FROM lt),
+        lives AS (
+          SELECT d1 - d0 AS t,
+                 CASE WHEN d1 <= (SELECT dmax FROM hz) - 7
+                      THEN 1 ELSE 0 END AS ev
+          FROM lt),
+        grid AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS n_end,
+                 CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+          FROM lives GROUP BY t),
+        g2 AS (
+          SELECT t, d, c,
+                 CAST(SUM(n_end) OVER (ORDER BY t DESC) AS BIGINT)
+                   AS n_risk
+          FROM grid),
+        g3 AS (
+          SELECT t, n_risk, d, c,
+                 d * 1000000 // n_risk AS hazard_ppm,
+                 1000000 - d * 1000000 // n_risk AS factor
+          FROM g2)
+        SELECT a.t AS t, a.n_risk AS n_risk, a.d AS d_events,
+               a.c AS censored, a.hazard_ppm AS hazard_ppm,
+               CAST(list_reduce(
+                 list_prepend(CAST(1000000 AS BIGINT),
+                   list(b.factor ORDER BY b.t)),
+                 (acc, f) -> acc * f // 1000000) AS BIGINT) AS surv_ppm
+        FROM g3 a JOIN g3 b ON b.t <= a.t
+        GROUP BY a.t, a.n_risk, a.d, a.c, a.hazard_ppm
+        ORDER BY a.t"""))
   )
 }

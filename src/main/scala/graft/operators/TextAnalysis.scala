@@ -1954,6 +1954,67 @@ object TextAnalysis {
         FROM pb
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q312
+    // Good–Turing unseen-mass estimation — the "how much vocabulary am
+    // I NOT seeing" profiler that closes the loop q291 (Heaps growth)
+    // and q292 (sampling error) opened: the GT identity says the
+    // probability mass of UNSEEN types ≈ N₁/N (singleton share), and
+    // the smoothed count for once-seen types is r* = 2·N₂/N₁ — both
+    // pure integer ratios of frequency-of-frequency counts, exact in
+    // ppm/milli with single truncating divisions (nullif-guarded: a
+    // source with no singletons has nothing to smooth). Reported per
+    // source (word grain): token/type totals, N₁, N₂, unseen-mass ppm,
+    // r* milli, and observed coverage — the number that says whether a
+    // source's crawl is exhausted or has a long tail left to buy.
+    // Shape: one (source, tok) keyed aggregate → one frequency-of-
+    // frequency aggregate per source; nothing corpus-wide ever sorts.
+    QueryDef(
+      "q312_good_turing",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("source"),
+            explode(expr("filter(split(text, ' '), w -> w <> '')"))
+              .as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum("c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            col("n1"), col("n2"),
+            expr("n1 * 1000000 div n_tokens").as("unseen_mass_ppm"),
+            expr("2000 * n2 div nullif(n1, 0)").as("r1_star_milli"),
+            expr("1000000 - n1 * 1000000 div n_tokens")
+              .as("coverage_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH tc AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source,
+                       unnest(list_filter(string_split(text, ' '),
+                         w -> w <> '')) AS tok
+                FROM documents)
+          GROUP BY source, tok),
+        ff AS (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(count_if(c = 1) AS BIGINT) AS n1,
+                 CAST(count_if(c = 2) AS BIGINT) AS n2
+          FROM tc GROUP BY source)
+        SELECT source, n_tokens, n_types, n1, n2,
+               CAST(n1 * 1000000 // n_tokens AS BIGINT)
+                 AS unseen_mass_ppm,
+               CAST(2000 * n2 // nullif(n1, 0) AS BIGINT)
+                 AS r1_star_milli,
+               CAST(1000000 - n1 * 1000000 // n_tokens AS BIGINT)
+                 AS coverage_ppm
+        FROM ff
+        ORDER BY source"""))
   )
 
   /** q294/s47 shared: the non-overlapping 2-word segment explode over

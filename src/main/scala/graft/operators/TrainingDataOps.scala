@@ -3034,6 +3034,84 @@ object TrainingDataOps {
                CAST(phi_24 * 1000000 // (24 * vg) AS BIGINT) AS share_ppm
         FROM so JOIN ph USING (g) CROSS JOIN gr
         ORDER BY grp"""))
+  ,
+
+    // --------------------------------------------------------------- q313
+    // Prefix-cache savings model — KV-cache economics, the inference-
+    // side twin of q254's training token costs: when every serving
+    // request is template + document (q284's chat-render convention —
+    // an 8-token system header precedes the text, pinned as the SAME
+    // literal in both engines), requests sharing a token prefix of
+    // length k pay it once. For k ∈ {4, 8, 12, 16}, group requests by
+    // their first-k tokens; a group of m requests saves (m−1)·k prefix
+    // tokens. The k-curve's knee sits exactly at the header length —
+    // beyond it sharing needs identical document openings and the
+    // savings collapse, which is precisely what a cache planner reads
+    // off this report before sizing KV memory. Shape: a constant ×4
+    // narrow fan-out (k levels) feeding two keyed aggregates
+    // ((source, k, prefix) → (source, k)); prefixes are ≤ 16-token
+    // strings, requests never shuffle whole.
+    QueryDef(
+      "q313_prefix_cache_model",
+      (s, dir) => {
+        val hdr = "array('you','are','a','helpful','data'," +
+          "'curation','assistant','.')"
+        val reqs = Tables(s, dir, "documents")
+          .select(col("source"),
+            expr(s"""concat($hdr,
+                       filter(split(text, ' '), w -> w <> ''))""")
+              .as("toks"))
+          .select(col("source"), col("toks"),
+            explode(expr("array(4, 8, 12, 16)")).as("k"))
+          .filter(size(col("toks")) >= col("k"))
+          .select(col("source"), col("k"), size(col("toks")).as("nt"),
+            expr("array_join(slice(toks, 1, k), ' ')").as("prefix"))
+        reqs.groupBy("source", "k", "prefix")
+          .agg(count(lit(1)).as("m"), sum("nt").as("toks_grp"))
+          .groupBy("source", "k")
+          .agg(count(lit(1)).as("n_prefixes"),
+            sum("m").as("n_requests"),
+            sum("toks_grp").as("total_toks"),
+            sum(expr("(m - 1) * k")).as("saved_toks"))
+          .select(col("source"), col("k").cast("long").as("k"),
+            col("n_requests"), col("n_prefixes"), col("saved_toks"),
+            expr("saved_toks * 1000000 div (n_requests * k)")
+              .as("prefix_hit_ppm"),
+            expr("saved_toks * 1000000 div total_toks")
+              .as("total_savings_ppm"))
+          .orderBy("source", "k")
+      },
+      Some("""
+        WITH reqs AS (
+          SELECT source, k,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 array_to_string(toks[1:CAST(k AS INT)], ' ') AS prefix
+          FROM (SELECT source,
+                       list_concat(['you','are','a','helpful','data',
+                                    'curation','assistant','.'],
+                         list_filter(string_split(text, ' '),
+                           w -> w <> '')) AS toks,
+                       unnest([CAST(4 AS BIGINT), 8, 12, 16]) AS k
+                FROM documents)
+          WHERE len(toks) >= k),
+        grp AS (
+          SELECT source, k, prefix, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(nt) AS BIGINT) AS toks_grp
+          FROM reqs GROUP BY source, k, prefix),
+        agg AS (
+          SELECT source, k,
+                 CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+                 CAST(SUM(m) AS BIGINT) AS n_requests,
+                 CAST(SUM(toks_grp) AS BIGINT) AS total_toks,
+                 CAST(SUM((m - 1) * k) AS BIGINT) AS saved_toks
+          FROM grp GROUP BY source, k)
+        SELECT source, k, n_requests, n_prefixes, saved_toks,
+               CAST(saved_toks * 1000000 // (n_requests * k) AS BIGINT)
+                 AS prefix_hit_ppm,
+               CAST(saved_toks * 1000000 // total_toks AS BIGINT)
+                 AS total_savings_ppm
+        FROM agg
+        ORDER BY source, k"""))
   )
 
   /** q298/s48 shared: the stateless per-row half of the unigram
