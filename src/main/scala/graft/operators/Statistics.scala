@@ -1089,5 +1089,99 @@ object Statistics {
         JOIN (SELECT source, bt FROM rk WHERE rk = 15) hi USING (source)
         JOIN est USING (source)
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q314
+    // Adjusted Rand index — the chance-corrected clustering-agreement
+    // statistic (Hubert–Arabie): does an UNSUPERVISED partition of the
+    // embedding space recover the ground-truth labels? Clusters come
+    // from the axis-aligned 3-bit sign signature (SimHash on raw axes
+    // — floats are only COMPARED to zero, never folded into
+    // arithmetic, so determinism survives); ARI is pure pair-counting
+    // algebra over the bounded clusters × labels contingency grid:
+    // ARI = 2(I·C − ΣA·ΣB) / (C(ΣA+ΣB) − 2·ΣA·ΣB) with I = ΣC(n_ij,2),
+    // C = C(n,2) — every C(x,2) exact (consecutive product, even),
+    // the n⁴-scale cross terms routed through DECIMAL(38) ↔ HUGEINT,
+    // the one signed quantity split into sign·(|num| div den) so both
+    // engines truncate identically, and the unadjusted Rand index
+    // reported beside it (its numerator is a pair count, never
+    // negative). Shape: one keyed cell aggregate compresses the
+    // corpus; all index algebra runs on the ≤ 8 × labels grid.
+    QueryDef(
+      "q314_adjusted_rand",
+      (s, dir) => {
+        val cells = Tables(s, dir, "embeddings")
+          .select(col("label").cast("long").as("lbl"),
+            expr("""CASE WHEN element_at(embedding, 1) > 0 THEN 4L
+                         ELSE 0L END
+                    + CASE WHEN element_at(embedding, 2) > 0 THEN 2L
+                           ELSE 0L END
+                    + CASE WHEN element_at(embedding, 3) > 0 THEN 1L
+                           ELSE 0L END""").as("cl"))
+          .groupBy("cl", "lbl").agg(count(lit(1)).as("nij"))
+        val stats = cells.agg(sum("nij").as("n"),
+          countDistinct("cl").as("n_clusters"),
+          countDistinct("lbl").as("n_labels"),
+          sum(expr("nij * (nij - 1) div 2")).as("idx"))
+        val sa = cells.groupBy("cl").agg(sum("nij").as("a"))
+          .agg(sum(expr("a * (a - 1) div 2")).as("sa"))
+        val sb = cells.groupBy("lbl").agg(sum("nij").as("b"))
+          .agg(sum(expr("b * (b - 1) div 2")).as("sb"))
+        stats.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+          .withColumn("c2", expr("n * (n - 1) div 2"))
+          .withColumn("num2", expr(
+            """2 * (CAST(idx AS DECIMAL(38,0)) * c2
+                    - CAST(sa AS DECIMAL(38,0)) * sb)"""))
+          .withColumn("den2", expr(
+            """CAST(c2 AS DECIMAL(38,0)) * (sa + sb)
+               - 2 * CAST(sa AS DECIMAL(38,0)) * sb"""))
+          .select(col("n"), col("n_clusters"), col("n_labels"),
+            col("c2").as("pairs_total"), col("idx").as("pairs_same"),
+            col("sa").as("sum_a"), col("sb").as("sum_b"),
+            expr("""cast((CAST(c2 AS DECIMAL(38,0)) + 2 * idx - sa - sb)
+                      * 1000000 div c2 AS BIGINT)""").as("ri_ppm"),
+            expr("""CASE WHEN num2 >= 0 THEN 1L ELSE -1L END
+                    * cast(abs(num2) * 1000000 div nullif(den2, 0)
+                           AS BIGINT)""").as("ari_ppm"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cl,
+                 CAST(label AS BIGINT) AS lbl,
+                 CAST(COUNT(*) AS BIGINT) AS nij
+          FROM embeddings GROUP BY 1, 2),
+        st AS (
+          SELECT CAST(SUM(nij) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT cl) AS BIGINT) AS n_clusters,
+                 CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_labels,
+                 CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS idx
+          FROM cells),
+        sa AS (
+          SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS sa
+          FROM (SELECT CAST(SUM(nij) AS BIGINT) AS a
+                FROM cells GROUP BY cl)),
+        sb AS (
+          SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS sb
+          FROM (SELECT CAST(SUM(nij) AS BIGINT) AS b
+                FROM cells GROUP BY lbl)),
+        fin AS (
+          SELECT n, n_clusters, n_labels, idx, sa, sb,
+                 n * (n - 1) // 2 AS c2,
+                 2 * (CAST(idx AS HUGEINT) * (n * (n - 1) // 2)
+                      - CAST(sa AS HUGEINT) * sb) AS num2,
+                 CAST(n * (n - 1) // 2 AS HUGEINT) * (sa + sb)
+                   - 2 * CAST(sa AS HUGEINT) * sb AS den2
+          FROM st CROSS JOIN sa CROSS JOIN sb)
+        SELECT n, n_clusters, n_labels,
+               CAST(c2 AS BIGINT) AS pairs_total,
+               idx AS pairs_same, sa AS sum_a, sb AS sum_b,
+               CAST((CAST(c2 AS HUGEINT) + 2 * idx - sa - sb) * 1000000
+                 // c2 AS BIGINT) AS ri_ppm,
+               (CASE WHEN num2 >= 0 THEN 1 ELSE -1 END)
+                 * CAST(abs(num2) * 1000000 // nullif(den2, 0) AS BIGINT)
+                 AS ari_ppm
+        FROM fin"""))
   )
 }

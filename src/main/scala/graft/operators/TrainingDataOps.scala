@@ -3053,35 +3053,128 @@ object TrainingDataOps {
     // strings, requests never shuffle whole.
     QueryDef(
       "q313_prefix_cache_model",
+      (s, dir) =>
+        prefixCacheReport(prefixRequests(Tables(s, dir, "documents"))),
+      Some(prefixCacheOracle))
+  ,
+
+    // --------------------------------------------------------------- q315
+    // Fill-in-middle (FIM) data-prep accounting — the Bavarian et al.
+    // transformation every code-model corpus runs between q256's span
+    // masking and q284's chat render: half the documents (md5(doc_id)
+    // coin, the PSM/SPM literature's 50% FIM rate — stated) split
+    // into prefix/middle/suffix thirds (p = m = nt div 3, the
+    // remainder rides the suffix) and re-serialize with 3 sentinel
+    // tokens; FIM'd docs split evenly again into PSM and SPM orderings
+    // (coin % 4 — ordering changes no counts, but the share is the
+    // config a trainer pins). Docs under 12 tokens are ineligible
+    // (three non-trivial segments, stated) and pass through verbatim.
+    // The report prices what the trainer actually pays: middle-token
+    // mass that becomes infill targets, and sentinel overhead on the
+    // post-transform stream. Pure bookkeeping arithmetic — ONE narrow
+    // projection + one keyed aggregate, nothing shuffles but the
+    // per-source sums.
+    QueryDef(
+      "q315_fim_accounting",
       (s, dir) => {
-        val hdr = "array('you','are','a','helpful','data'," +
-          "'curation','assistant','.')"
-        val reqs = Tables(s, dir, "documents")
+        Tables(s, dir, "documents")
           .select(col("source"),
-            expr(s"""concat($hdr,
-                       filter(split(text, ' '), w -> w <> ''))""")
-              .as("toks"))
-          .select(col("source"), col("toks"),
-            explode(expr("array(4, 8, 12, 16)")).as("k"))
-          .filter(size(col("toks")) >= col("k"))
-          .select(col("source"), col("k"), size(col("toks")).as("nt"),
-            expr("array_join(slice(toks, 1, k), ' ')").as("prefix"))
-        reqs.groupBy("source", "k", "prefix")
-          .agg(count(lit(1)).as("m"), sum("nt").as("toks_grp"))
-          .groupBy("source", "k")
-          .agg(count(lit(1)).as("n_prefixes"),
-            sum("m").as("n_requests"),
-            sum("toks_grp").as("total_toks"),
-            sum(expr("(m - 1) * k")).as("saved_toks"))
-          .select(col("source"), col("k").cast("long").as("k"),
-            col("n_requests"), col("n_prefixes"), col("saved_toks"),
-            expr("saved_toks * 1000000 div (n_requests * k)")
-              .as("prefix_hit_ppm"),
-            expr("saved_toks * 1000000 div total_toks")
-              .as("total_savings_ppm"))
-          .orderBy("source", "k")
+            expr("size(filter(split(text, ' '), w -> w <> ''))").as("nt"),
+            expr("""cast(conv(substr(md5(cast(doc_id AS string)), 1, 15),
+                         16, 10) AS BIGINT) % 4""").as("coin"))
+          .withColumn("eligible", col("nt") >= 12L)
+          .withColumn("fim", col("eligible") && col("coin") % 2 === 0L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("eligible"), 1L).otherwise(0L)).as("eligible_docs"),
+            sum(when(col("fim"), 1L).otherwise(0L)).as("fim_docs"),
+            sum(when(col("fim") && col("coin") === 0L, 1L).otherwise(0L))
+              .as("psm_docs"),
+            sum(when(col("fim") && col("coin") === 2L, 1L).otherwise(0L))
+              .as("spm_docs"),
+            sum("nt").as("total_toks"),
+            sum(when(col("fim"), expr("nt div 3")).otherwise(0L))
+              .as("middle_toks"))
+          .select(col("source"), col("n_docs"), col("eligible_docs"),
+            col("fim_docs"), col("psm_docs"), col("spm_docs"),
+            col("middle_toks"),
+            expr("middle_toks * 1000000 div total_toks")
+              .as("middle_mass_ppm"),
+            expr("""3 * fim_docs * 1000000
+                    div (total_toks + 3 * fim_docs)""")
+              .as("sentinel_overhead_ppm"))
+          .orderBy("source")
       },
       Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS nt,
+                 CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 4 AS coin
+          FROM documents),
+        f AS (
+          SELECT source, nt, coin,
+                 nt >= 12 AS eligible,
+                 nt >= 12 AND coin % 2 = 0 AS fim
+          FROM d)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(eligible) AS BIGINT) AS eligible_docs,
+               CAST(count_if(fim) AS BIGINT) AS fim_docs,
+               CAST(count_if(fim AND coin = 0) AS BIGINT) AS psm_docs,
+               CAST(count_if(fim AND coin = 2) AS BIGINT) AS spm_docs,
+               CAST(SUM(CASE WHEN fim THEN nt // 3 ELSE 0 END) AS BIGINT)
+                 AS middle_toks,
+               CAST(SUM(CASE WHEN fim THEN nt // 3 ELSE 0 END) * 1000000
+                 // CAST(SUM(nt) AS BIGINT) AS BIGINT) AS middle_mass_ppm,
+               CAST(3 * count_if(fim) * 1000000
+                 // (CAST(SUM(nt) AS BIGINT) + 3 * count_if(fim))
+                 AS BIGINT) AS sentinel_overhead_ppm
+        FROM f
+        GROUP BY source
+        ORDER BY source"""))
+  )
+
+  /** q313/s50 shared: the stateless per-row half of the prefix-cache
+    * model — template + document tokens, fanned out over the four k
+    * levels, reduced to (source, k, nt, prefix). Shared CODE so the
+    * streamed twin can never drift from the batch prefixing. */
+  private[graft] def prefixRequests(docs: DataFrame): DataFrame = {
+    val hdr = "array('you','are','a','helpful','data'," +
+      "'curation','assistant','.')"
+    docs
+      .select(col("source"),
+        expr(s"""concat($hdr,
+                   filter(split(text, ' '), w -> w <> ''))""").as("toks"))
+      .select(col("source"), col("toks"),
+        explode(expr("array(4, 8, 12, 16)")).as("k"))
+      .filter(size(col("toks")) >= col("k"))
+      .select(col("source"), col("k"), size(col("toks")).as("nt"),
+        expr("array_join(slice(toks, 1, k), ' ')").as("prefix"))
+  }
+
+  /** q313/s50 shared: the two keyed rollups over the request frame. */
+  private[graft] def prefixCacheReport(reqs: DataFrame): DataFrame =
+    reqs.groupBy("source", "k", "prefix")
+      .agg(count(lit(1)).as("m"), sum("nt").as("toks_grp"))
+      .groupBy("source", "k")
+      .agg(count(lit(1)).as("n_prefixes"),
+        sum("m").as("n_requests"),
+        sum("toks_grp").as("total_toks"),
+        sum(expr("(m - 1) * k")).as("saved_toks"))
+      .select(col("source"), col("k").cast("long").as("k"),
+        col("n_requests"), col("n_prefixes"), col("saved_toks"),
+        expr("saved_toks * 1000000 div (n_requests * k)")
+          .as("prefix_hit_ppm"),
+        expr("saved_toks * 1000000 div total_toks")
+          .as("total_savings_ppm"))
+      .orderBy("source", "k")
+
+  /** q313's oracle, shared VERBATIM by s50 (the streamed cache model
+    * must converge to the batch savings report exactly). */
+  private[graft] def prefixCacheOracle: String = """
         WITH reqs AS (
           SELECT source, k,
                  CAST(len(toks) AS BIGINT) AS nt,
@@ -3111,8 +3204,7 @@ object TrainingDataOps {
                CAST(saved_toks * 1000000 // total_toks AS BIGINT)
                  AS total_savings_ppm
         FROM agg
-        ORDER BY source, k"""))
-  )
+        ORDER BY source, k"""
 
   /** q298/s48 shared: the stateless per-row half of the unigram
     * accounting — (source, tok) with empty tokens dropped. Shared CODE

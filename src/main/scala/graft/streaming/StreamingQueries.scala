@@ -3324,6 +3324,29 @@ object StreamingQueries {
             expr("set_sum * 1000 div n_eval").as("avg_set_milli"))
       },
       Some(graft.operators.Profiling.conformalOracle))
+  ,
+
+    // ---------------------------------------------------------------- s50
+    // Streaming prefix-cache monitor — q313 live at the serving edge:
+    // each arriving request templatizes and prefixes STREAM-side
+    // through CODE SHARED with the batch model (a stateless per-row
+    // projection with a constant ×4 k-level fan-out — zero state
+    // stores, append mode, per-tick cost O(tick tokens)), and the
+    // drained request frame feeds the identical savings rollup. Every
+    // request arrives exactly once, so the drained frame IS the batch
+    // request frame and the report converges to q313's — oracle
+    // VERBATIM, so a dropped tick or a template drift cannot
+    // hash-match. This is the cache-dashboard shape: requests stream,
+    // the bounded (source, k) savings table falls out at rollup time.
+    QueryDef(
+      "s50_stream_prefix_cache",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        val reqs = TrainingDataOps.prefixRequests(documentsStreamParts(s, dir))
+        TrainingDataOps.prefixCacheReport(
+          drain(s, OutputMode.Append())(reqs))
+      },
+      Some(graft.operators.TrainingDataOps.prefixCacheOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and
