@@ -486,5 +486,125 @@ object GraphOps {
         FROM comm JOIN intra ON intra.label = comm.label
         CROSS JOIN m
         ORDER BY cluster_id"""))
+  ,
+
+    // --------------------------------------------------------------- q316
+    // HITS hubs & authorities (Kleinberg) — the mutual-reinforcement
+    // ranking q106's PageRank can't express: on the customer→part
+    // purchase bipartite graph, a good HUB (customer) is one who buys
+    // authoritative parts, and a good AUTHORITY (part) is one bought
+    // by good hubs. Three unrolled power-iteration rounds of the q297
+    // integer discipline: each half-step is one edge-keyed join + one
+    // keyed aggregate, then L1 renormalization to side-count·10⁶ (the
+    // exactness-friendly variant of the usual L2 norm — stated) with
+    // the product routed through DECIMAL(38) ↔ HUGEINT and floored at
+    // 1 so a leaf can never zero a later step. Output: top-10 per
+    // side via orderBy+limit (TakeOrderedAndProject — distributed
+    // top-k, no global window), id-tiebroken. 100 TB shape: scores
+    // live on node-keyed frames, edges shuffle by their key once per
+    // half-step, totals ride as broadcast one-row aggregates.
+    QueryDef(
+      "q316_hits_ranking",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val edges = TrackedCaches.track(
+          Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+            .join(Tables(s, dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+            .distinct()
+            .persist(MEMORY_AND_DISK))
+        val cntC = edges.agg(countDistinct("c").as("nc"))
+        val cntP = edges.agg(countDistinct("p").as("np"))
+        def norm(df: DataFrame, key: String, sc: String, cnt: DataFrame,
+                 cn: String): DataFrame = {
+          val tot = df.agg(sum(sc).as("tot"))
+          df.withColumnRenamed(sc, "raw")
+            .crossJoin(broadcast(tot)).crossJoin(broadcast(cnt))
+            .select(col(key),
+              expr(s"""greatest(cast(CAST(raw AS DECIMAL(38,0)) * $cn
+                         * 1000000 div tot AS BIGINT), 1L)""").as(sc))
+        }
+        var h = edges.select(col("c")).distinct()
+          .withColumn("h", lit(1000000L))
+        var a: DataFrame = null
+        (1 to 3).foreach { _ =>
+          val aRaw = edges.join(h, "c").groupBy("p")
+            .agg(sum("h").as("a"))
+          a = TrackedCaches.track(
+            norm(aRaw, "p", "a", cntP, "np").persist(MEMORY_AND_DISK))
+          val hRaw = edges.join(a, "p").groupBy("c")
+            .agg(sum("a").as("h"))
+          h = TrackedCaches.track(
+            norm(hRaw, "c", "h", cntC, "nc").persist(MEMORY_AND_DISK))
+        }
+        val topA = a.orderBy(col("a").desc, col("p")).limit(10)
+          .select(lit("authority").as("side"), col("p").as("node_id"),
+            col("a").as("score_ppm"))
+        val topH = h.orderBy(col("h").desc, col("c")).limit(10)
+          .select(lit("hub").as("side"), col("c").as("node_id"),
+            col("h").as("score_ppm"))
+        import org.apache.spark.sql.expressions.Window
+        topA.unionByName(topH)
+          .withColumn("side_rank", row_number().over(
+            Window.partitionBy("side")
+              .orderBy(col("score_ppm").desc, col("node_id")))
+            .cast("long"))
+          .orderBy("side", "side_rank")
+      },
+      Some("""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        nc AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM e),
+        np AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS np FROM e),
+        h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e),
+        a1r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
+                FROM e JOIN h0 USING (c) GROUP BY p),
+        a1 AS (SELECT p, greatest(CAST(CAST(a AS HUGEINT)
+                 * (SELECT np FROM np) * 1000000
+                 // (SELECT SUM(a) FROM a1r) AS BIGINT), 1) AS a
+               FROM a1r),
+        h1r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
+                FROM e JOIN a1 USING (p) GROUP BY c),
+        h1 AS (SELECT c, greatest(CAST(CAST(h AS HUGEINT)
+                 * (SELECT nc FROM nc) * 1000000
+                 // (SELECT SUM(h) FROM h1r) AS BIGINT), 1) AS h
+               FROM h1r),
+        a2r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
+                FROM e JOIN h1 USING (c) GROUP BY p),
+        a2 AS (SELECT p, greatest(CAST(CAST(a AS HUGEINT)
+                 * (SELECT np FROM np) * 1000000
+                 // (SELECT SUM(a) FROM a2r) AS BIGINT), 1) AS a
+               FROM a2r),
+        h2r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
+                FROM e JOIN a2 USING (p) GROUP BY c),
+        h2 AS (SELECT c, greatest(CAST(CAST(h AS HUGEINT)
+                 * (SELECT nc FROM nc) * 1000000
+                 // (SELECT SUM(h) FROM h2r) AS BIGINT), 1) AS h
+               FROM h2r),
+        a3r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
+                FROM e JOIN h2 USING (c) GROUP BY p),
+        a3 AS (SELECT p, greatest(CAST(CAST(a AS HUGEINT)
+                 * (SELECT np FROM np) * 1000000
+                 // (SELECT SUM(a) FROM a3r) AS BIGINT), 1) AS a
+               FROM a3r),
+        h3r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
+                FROM e JOIN a3 USING (p) GROUP BY c),
+        h3 AS (SELECT c, greatest(CAST(CAST(h AS HUGEINT)
+                 * (SELECT nc FROM nc) * 1000000
+                 // (SELECT SUM(h) FROM h3r) AS BIGINT), 1) AS h
+               FROM h3r),
+        ta AS (SELECT 'authority' AS side, p AS node_id, a AS score_ppm
+               FROM a3 ORDER BY a DESC, p LIMIT 10),
+        th AS (SELECT 'hub' AS side, c AS node_id, h AS score_ppm
+               FROM h3 ORDER BY h DESC, c LIMIT 10),
+        u AS (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        SELECT side, node_id, score_ppm,
+               CAST(row_number() OVER (PARTITION BY side
+                 ORDER BY score_ppm DESC, node_id) AS BIGINT) AS side_rank
+        FROM u
+        ORDER BY side, side_rank"""))
   )
 }
