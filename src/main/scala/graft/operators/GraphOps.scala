@@ -564,37 +564,37 @@ object GraphOps {
                 FROM e JOIN h0 USING (c) GROUP BY p),
         a1 AS (SELECT p, greatest(CAST(CAST(a AS HUGEINT)
                  * (SELECT np FROM np) * 1000000
-                 // (SELECT SUM(a) FROM a1r) AS BIGINT), 1) AS a
+                 // (SELECT SUM(a) AS sa FROM a1r) AS BIGINT), 1) AS a
                FROM a1r),
         h1r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
                 FROM e JOIN a1 USING (p) GROUP BY c),
         h1 AS (SELECT c, greatest(CAST(CAST(h AS HUGEINT)
                  * (SELECT nc FROM nc) * 1000000
-                 // (SELECT SUM(h) FROM h1r) AS BIGINT), 1) AS h
+                 // (SELECT SUM(h) AS sh FROM h1r) AS BIGINT), 1) AS h
                FROM h1r),
         a2r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
                 FROM e JOIN h1 USING (c) GROUP BY p),
         a2 AS (SELECT p, greatest(CAST(CAST(a AS HUGEINT)
                  * (SELECT np FROM np) * 1000000
-                 // (SELECT SUM(a) FROM a2r) AS BIGINT), 1) AS a
+                 // (SELECT SUM(a) AS sa FROM a2r) AS BIGINT), 1) AS a
                FROM a2r),
         h2r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
                 FROM e JOIN a2 USING (p) GROUP BY c),
         h2 AS (SELECT c, greatest(CAST(CAST(h AS HUGEINT)
                  * (SELECT nc FROM nc) * 1000000
-                 // (SELECT SUM(h) FROM h2r) AS BIGINT), 1) AS h
+                 // (SELECT SUM(h) AS sh FROM h2r) AS BIGINT), 1) AS h
                FROM h2r),
         a3r AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
                 FROM e JOIN h2 USING (c) GROUP BY p),
         a3 AS (SELECT p, greatest(CAST(CAST(a AS HUGEINT)
                  * (SELECT np FROM np) * 1000000
-                 // (SELECT SUM(a) FROM a3r) AS BIGINT), 1) AS a
+                 // (SELECT SUM(a) AS sa FROM a3r) AS BIGINT), 1) AS a
                FROM a3r),
         h3r AS (SELECT c, CAST(SUM(a) AS BIGINT) AS h
                 FROM e JOIN a3 USING (p) GROUP BY c),
         h3 AS (SELECT c, greatest(CAST(CAST(h AS HUGEINT)
                  * (SELECT nc FROM nc) * 1000000
-                 // (SELECT SUM(h) FROM h3r) AS BIGINT), 1) AS h
+                 // (SELECT SUM(h) AS sh FROM h3r) AS BIGINT), 1) AS h
                FROM h3r),
         ta AS (SELECT 'authority' AS side, p AS node_id, a AS score_ppm
                FROM a3 ORDER BY a DESC, p LIMIT 10),
