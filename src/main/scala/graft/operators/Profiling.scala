@@ -2498,6 +2498,95 @@ object Profiling {
       Some(conformalOracle))
   ,
 
+    // --------------------------------------------------------------- q317
+    // Isotonic calibration (pool-adjacent-violators) — the calibration
+    // MAP to go with q268's diagnosis and q308's set-valued guarantee:
+    // fit the best monotone non-decreasing rate curve over the score
+    // axis, the recalibration function production scorers actually
+    // deploy (Zadrozny & Elkan). PAV's sequential pooling is replaced
+    // by its exact CLOSED FORM, iso_i = max_{j≤i} min_{k≥i} avg(g/n
+    // over bins j..k) — computable as pure join/aggregate algebra
+    // because the score axis is a FIXED-WIDTH ppm grid (no per-doc
+    // window anywhere): interval rates come
+    // from grid prefix sums with ONE truncating division each, then a
+    // bounded (i, j, k) join takes the min-then-max (grid ≤ 501 bins
+    // at width 2000 ppm, so even the worst-case triple stage is a
+    // data-independent constant). Weighted by bin
+    // population, denominators always positive (every bin row holds
+    // ≥ 1 doc). Output per bin: population, raw vs isotonic rate, and
+    // whether PAV adjusted it; monotonicity of the fitted curve is
+    // spec-asserted.
+    QueryDef(
+      "q317_isotonic_calibration",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val scored = ClassifierArtifacts.grams(s, dir)
+          .join(broadcast(ClassifierArtifacts.weights(s, dir)), "b")
+          .groupBy("doc_id", "good")
+          .agg(expr("sum(w) div count(1)").as("score_ppm"))
+        val bins = scored
+          .select(expr("score_ppm div 2000").as("bin"), col("good"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("good"), 1L).otherwise(0L)).as("g"))
+        val wUp = org.apache.spark.sql.expressions.Window
+          .orderBy("bin") // ≤ 501 grid rows by construction
+        val pre = bins
+          .withColumn("cn", sum("n").over(wUp))
+          .withColumn("cg", sum("g").over(wUp))
+        val jside = pre.select(col("bin").as("j"),
+          (col("cn") - col("n")).as("cnj"), (col("cg") - col("g")).as("cgj"))
+        val kside = pre.select(col("bin").as("k"),
+          col("cn").as("cnk"), col("cg").as("cgk"))
+        val ivals = jside.join(kside, col("j") <= col("k"))
+          .select(col("j"), col("k"),
+            expr("(cgk - cgj) * 1000000 div (cnk - cnj)").as("a"))
+        val iso = bins.select(col("bin").as("i"))
+          .join(ivals, col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy("i", "j").agg(min("a").as("mn"))
+          .groupBy("i").agg(max("mn").as("iso_rate_ppm"))
+        bins.join(iso, col("bin") === col("i"))
+          .select(col("bin"), col("n").as("n_docs"),
+            expr("g * 1000000 div n").as("raw_rate_ppm"),
+            col("iso_rate_ppm"),
+            (expr("g * 1000000 div n") =!= col("iso_rate_ppm"))
+              .as("pav_adjusted"))
+          .orderBy("bin")
+      },
+      Some(s"""
+        WITH $classifierScoreCtes,
+        sd AS (
+          SELECT doc_id, good, score_ppm FROM sc),
+        bins AS (
+          SELECT score_ppm // 2000 AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(count_if(good) AS BIGINT) AS g
+          FROM sd GROUP BY 1),
+        pre AS (
+          SELECT bin, n, g,
+                 CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                 CAST(SUM(g) OVER (ORDER BY bin) AS BIGINT) AS cg
+          FROM bins),
+        ivals AS (
+          SELECT j.bin AS j, k.bin AS k,
+                 (k.cg - (j.cg - j.g)) * 1000000
+                   // (k.cn - (j.cn - j.n)) AS a
+          FROM pre j JOIN pre k ON j.bin <= k.bin),
+        mins AS (
+          SELECT b.bin AS i, iv.j, CAST(MIN(iv.a) AS BIGINT) AS mn
+          FROM bins b JOIN ivals iv ON iv.j <= b.bin AND iv.k >= b.bin
+          GROUP BY b.bin, iv.j),
+        iso AS (
+          SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_rate_ppm
+          FROM mins GROUP BY i)
+        SELECT bin, n AS n_docs,
+               CAST(g * 1000000 // n AS BIGINT) AS raw_rate_ppm,
+               iso_rate_ppm,
+               g * 1000000 // n <> iso_rate_ppm AS pav_adjusted
+        FROM bins JOIN iso ON bins.bin = iso.i
+        ORDER BY bin"""))
+  ,
+
     // --------------------------------------------------------------- q309
     // Decision-stump split search — one CART iteration, the
     // interpretable baseline (and boosting weak learner) a gate

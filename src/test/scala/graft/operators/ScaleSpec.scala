@@ -1015,4 +1015,16 @@ class ScaleSpec extends AnyFunSuite {
         s"conformal coverage broke: good=$covG bad=$covB")
     } finally TrackedCaches.releaseAll()
   }
+
+  test("q317 isotonic fit is monotone non-decreasing over the score bins") {
+    val rows = SparkEntry.queries("q317_isotonic_calibration")(spark, dir)
+      .collect()
+    try {
+      // the entire point of PAV: the fitted curve may never decrease
+      val iso = rows.sortBy(_.getAs[Long]("bin"))
+        .map(_.getAs[Long]("iso_rate_ppm"))
+      assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+        s"isotonic fit not monotone: ${iso.mkString(",")}")
+    } finally TrackedCaches.releaseAll()
+  }
 }
