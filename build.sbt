@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// VERDICT r9 item 2: the driver parses the LAST stdout line of the bench
+// step as JSON. With the default LoggedOutput strategy sbt re-emits the
+// forked JVM's stdout prefixed with "[info] " and then appends its own
+// "[success] Total time..." line — two consecutive rounds of BENCH_rN.json
+// came back `parsed: null`. StdoutOutput passes the child's stdout through
+// raw (stderr stays stderr, so Spark WARN noise never touches the JSON
+// line), and showSuccess drops the trailing banner so Bench's summary is
+// genuinely the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// the setting IS consumed (the bench line arrives unprefixed) but sbt's
+// unused-key lint can't see through the runner's delegation — silence it
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -69,6 +69,19 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        # r09 q297: DuckDB silently widens SUM(BIGINT) [incl. window SUM]
+        # to HUGEINT → arrow decimal128. The driver's typed hash cannot
+        # normalize that against Spark's int64 even when every value is
+        # equal, so the gate goes red on type alone. Fail HERE, where the
+        # fix is a CAST in the oracle, not in the driver's artifact.
+        decs = [f.name for f in want.schema
+                if pyarrow.types.is_decimal(f.type)]
+        if decs:
+            print(f"FAIL {name}: oracle emits decimal128 columns {decs} "
+                  "(DuckDB HUGEINT widening; CAST(... AS BIGINT) in the "
+                  "oracle — the driver's typed hash cannot normalize it)")
+            n_fail += 1
+            continue
         grows, gcols = rows_of(got)
         wrows, wcols = rows_of(want)
         if gcols != wcols:

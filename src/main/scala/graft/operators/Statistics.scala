@@ -1039,7 +1039,14 @@ object Statistics {
                  cast(r AS string))), 1, 15), 16, 10) AS BIGINT) % 3"""))
           .groupBy("source", "r")
           .agg(expr("sum(w * ttr_ppm) div nullif(sum(w), 0)").as("bt"))
-        val wSrc = Window.partitionBy("source").orderBy(col("bt"), col("r"))
+        // ADVICE r9: a replica with sum(w)=0 yields NULL bt (prob 3^-n
+        // per replica) — Spark's ascending sort puts NULLs FIRST while
+        // DuckDB's default is NULLS LAST, so the rank-2/rank-15 CI
+        // endpoints would diverge for very small sources. Pin NULLS
+        // LAST on BOTH sides so the engines pick identical order
+        // statistics at every corpus size.
+        val wSrc = Window.partitionBy("source")
+          .orderBy(col("bt").asc_nulls_last, col("r"))
         val ranked = reps
           .withColumn("rk", row_number().over(wSrc).cast("long"))
         ranked.filter(col("rk") === 2L)
@@ -1079,7 +1086,7 @@ object Statistics {
         rk AS (
           SELECT source, r, bt,
                  CAST(row_number() OVER (PARTITION BY source
-                   ORDER BY bt, r) AS BIGINT) AS rk
+                   ORDER BY bt NULLS LAST, r) AS BIGINT) AS rk
           FROM reps)
         SELECT lo.source AS source, est.est_ppm,
                lo.bt AS boot_lo_ppm, hi.bt AS boot_hi_ppm,

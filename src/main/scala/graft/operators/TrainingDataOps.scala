@@ -678,23 +678,39 @@ object TrainingDataOps {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val freq = corpus.select(explode(col("s")).as("t"))
           .groupBy("t").agg(count(lit(1)).as("f"))
-        val sorted = corpus.select(col("doc_id"), col("split"), explode(col("s")).as("t"))
-          .join(freq, "t")
-          .groupBy("doc_id")
-          .agg(first(col("split")).as("split"),
-            expr("transform(array_sort(collect_list(struct(f, t))), x -> x.t)").as("st"))
-        val pref = sorted.withColumn("n", size(col("st")))
+        // persisted: read by the prefix stage AND twice by the verify
+        // rejoin (VERDICT r9 item 3 — q41's skinny-candidate discipline)
+        val sorted = TrackedCaches.track(
+          corpus.select(col("doc_id"), col("split"), explode(col("s")).as("t"))
+            .join(freq, "t")
+            .groupBy("doc_id")
+            .agg(first(col("split")).as("split"),
+              // `.t` (codegen'd field extraction), not a per-element lambda
+              expr("array_sort(collect_list(struct(f, t))).t").as("st"))
+            .withColumn("n", size(col("st")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // skinny candidate stage: only (doc_id, n, pt) rides the
+        // candidate exchange; the length filter (also in the oracle's
+        // cand CTE) kills pairs that cannot reach Jaccard ≥ 0.6, and
+        // distinct() runs on bare (id_a, id_b) — arrays and split labels
+        // rejoin by id after dedup
+        val pref = sorted
           .withColumn("plen", col("n") - expr("(3 * n + 4) div 5") + lit(1))
-          .select(col("doc_id"), col("split"), col("st"),
+          .select(col("doc_id"), col("n"),
             explode(expr("slice(st, 1, plen)")).as("pt"))
         val aSide = pref.filter(col("doc_id") < 200000)
-          .select(col("doc_id").as("id_a"), col("split").as("split_a"),
-            col("st").as("sa"), col("pt"))
+          .select(col("doc_id").as("id_a"), col("n").as("na"), col("pt"))
         val bSide = pref.filter(col("doc_id") >= 200000)
-          .select(col("doc_id").as("id_b"), col("split").as("split_b"),
-            col("st").as("sb"), col("pt"))
-        aSide.join(bSide, "pt")
-          .select("id_a", "id_b", "split_a", "split_b", "sa", "sb").distinct()
+          .select(col("doc_id").as("id_b"), col("n").as("nb"), col("pt"))
+        val cand = aSide.join(bSide, "pt")
+          .filter(col("nb") * 5 >= col("na") * 3 &&
+            col("na") * 5 >= col("nb") * 3)
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(sorted.select(col("doc_id").as("id_a"),
+            col("split").as("split_a"), col("st").as("sa")), "id_a")
+          .join(sorted.select(col("doc_id").as("id_b"),
+            col("split").as("split_b"), col("st").as("sb")), "id_b")
           .filter(size(array_intersect(col("sa"), col("sb"))) * 5
             >= size(array_union(col("sa"), col("sb"))) * 3)
           .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
@@ -2627,7 +2643,14 @@ object TrainingDataOps {
         val wAll = Window.partitionBy() // ≤ items rows by construction
         val p0 = sTab.select(col("item")).distinct()
           .withColumn("p", lit(1000000L))
-        val pFinal = (1 to 3).foldLeft(p0) { (p, _) =>
+        // each MM round references p TWICE (pi + pj joins), so folding
+        // without a lineage cut doubles the logical tree per round; at
+        // the end of the bench suite every action re-canonicalizes that
+        // tree against every live cache entry (the 23.4 s-suite vs
+        // 4.2 s-iso gap of r9). Eager localCheckpoint keeps each round's
+        // plan a leaf; the frame is ≤ items rows.
+        val pFinal = (1 to 3).foldLeft(p0) { (pPrev, _) =>
+          val p = pPrev.localCheckpoint(true)
           sTab
             .join(p.select(col("item"), col("p").as("pi")), "item")
             .join(p.select(col("item").as("opp"), col("p").as("pj")), "opp")
@@ -2639,8 +2662,12 @@ object TrainingDataOps {
             .withColumn("cnt", count(lit(1)).over(wAll).cast("long"))
             .withColumn("stot", sum("praw").over(wAll))
             .select(col("item"),
-              expr("""greatest(praw * cnt * 1000000
-                        div nullif(stot, 0), 1L)""").as("p"))
+              // DECIMAL(38) ↔ HUGEINT widening (q316 discipline): the
+              // numerator is ≪ Long.Max at fixture scale but not by
+              // construction; route it wide, land on BIGINT.
+              expr("""greatest(CAST(CAST(praw AS DECIMAL(38,0)) * cnt
+                        * 1000000 div nullif(stot, 0) AS BIGINT),
+                      1L)""").as("p"))
         }
         sTab.groupBy("item")
           .agg(sum("n").as("games"), sum("w").as("wins"))
@@ -2688,8 +2715,9 @@ object TrainingDataOps {
         r1 AS (SELECT item, wi * 1000000000000 // nullif(den, 0) AS praw
                FROM d1),
         p1 AS (SELECT item,
-                 greatest(praw * (SELECT cnt FROM it) * 1000000
-                   // nullif(SUM(praw) OVER (), 0), 1) AS p
+                 greatest(CAST(CAST(praw AS HUGEINT)
+                   * (SELECT cnt FROM it) * 1000000
+                   // nullif(SUM(praw) OVER (), 0) AS BIGINT), 1) AS p
                FROM r1),
         d2 AS (
           SELECT s.item,
@@ -2702,8 +2730,9 @@ object TrainingDataOps {
         r2 AS (SELECT item, wi * 1000000000000 // nullif(den, 0) AS praw
                FROM d2),
         p2 AS (SELECT item,
-                 greatest(praw * (SELECT cnt FROM it) * 1000000
-                   // nullif(SUM(praw) OVER (), 0), 1) AS p
+                 greatest(CAST(CAST(praw AS HUGEINT)
+                   * (SELECT cnt FROM it) * 1000000
+                   // nullif(SUM(praw) OVER (), 0) AS BIGINT), 1) AS p
                FROM r2),
         d3 AS (
           SELECT s.item,
@@ -2716,8 +2745,9 @@ object TrainingDataOps {
         r3 AS (SELECT item, wi * 1000000000000 // nullif(den, 0) AS praw
                FROM d3),
         p3 AS (SELECT item,
-                 greatest(praw * (SELECT cnt FROM it) * 1000000
-                   // nullif(SUM(praw) OVER (), 0), 1) AS p
+                 greatest(CAST(CAST(praw AS HUGEINT)
+                   * (SELECT cnt FROM it) * 1000000
+                   // nullif(SUM(praw) OVER (), 0) AS BIGINT), 1) AS p
                FROM r3),
         stats AS (
           SELECT item, CAST(SUM(n) AS BIGINT) AS games,

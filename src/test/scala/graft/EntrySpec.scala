@@ -27,6 +27,44 @@ class EntrySpec extends AnyFunSuite {
       s"colliding bench keys: ${keys.diff(keys.distinct).distinct.mkString(",")}")
   }
 
+  test("oracle window SUMs feeding the final SELECT are CAST-enclosed") {
+    // r09 q297: DuckDB widens SUM(BIGINT) OVER (...) to HUGEINT, so any
+    // arithmetic riding an uncast window SUM reaches the driver as
+    // decimal128 while Spark emits int64 — rows/schema green, hash red.
+    // Require window SUMs in the OUTPUT-facing (final top-level) SELECT
+    // to sit inside some enclosing CAST(...) (the q316 `CAST(... AS
+    // BIGINT)` discipline). Intermediate-CTE window SUMs may widen
+    // legitimately (they re-narrow downstream); the class as a whole is
+    // gated EXECUTABLY by scripts/selfcheck.py, which fails any oracle
+    // whose arrow output schema carries a decimal128 column.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val bad = EntrySpec.uncastWindowSums(sql)
+        .filter(_ >= EntrySpec.finalSelectOffset(sql))
+      assert(bad.isEmpty,
+        s"$name: window SUM in the final SELECT without an enclosing CAST " +
+          s"at char offsets ${bad.mkString(",")} — DuckDB widens it to " +
+          "HUGEINT/decimal128 and the driver's typed hash goes red on " +
+          "type alone")
+    }
+  }
+
+  test("the window-SUM lint itself fires on an injected uncast oracle") {
+    def offenders(sql: String): Seq[Int] =
+      EntrySpec.uncastWindowSums(sql)
+        .filter(_ >= EntrySpec.finalSelectOffset(sql))
+    val bad = "SELECT k, SUM(v) OVER () AS tot FROM t"
+    assert(offenders(bad).nonEmpty)
+    // the r09 q297 shape: CTE is fine, final SELECT rides the widened p
+    val badCte =
+      "WITH r AS (SELECT 1 AS p) SELECT greatest(p * 9 // nullif(SUM(p) OVER (), 0), 1) AS x FROM r"
+    assert(offenders(badCte).nonEmpty)
+    val ok = "SELECT k, CAST(SUM(v) OVER () AS BIGINT) AS tot FROM t"
+    assert(offenders(ok).isEmpty)
+    val okDeep =
+      "SELECT greatest(CAST(p * 9 // nullif(SUM(p) OVER (), 0) AS BIGINT), 1) AS x FROM t"
+    assert(offenders(okDeep).isEmpty)
+  }
+
   test("oracle SQL column aliases match the driver contract (no bare aggregates)") {
     // the driver hash-compares by sorted column NAME — a bare SUM(x)
     // column would mismatch; require every oracle to alias aggregates
@@ -34,5 +72,67 @@ class EntrySpec extends AnyFunSuite {
       assert(!sql.toLowerCase.matches("(?s).*select[^a-z]*sum\\([^)]*\\)\\s*(,|from).*"),
         s"$name: unaliased aggregate in oracle SQL")
     }
+  }
+}
+
+object EntrySpec {
+  /** Char offset of the last top-level (paren-depth-0) SELECT — the
+    * output-facing one whose column types reach the driver. */
+  def finalSelectOffset(sql: String): Int = {
+    val s = sql.toLowerCase
+    var d = 0; var last = 0; var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+          if (d == 0 && s.startsWith("select", i) &&
+            (i == 0 || !s(i - 1).isLetterOrDigit)) last = i
+      }
+      i += 1
+    }
+    last
+  }
+
+  /** Char offsets of window SUMs (`SUM(...) OVER (`) not enclosed by any
+    * CAST(...) at any paren depth. Paren-aware, comment/string-naive —
+    * good enough for the in-repo oracle corpus, proven by the injected
+    * positive/negative cases above. */
+  def uncastWindowSums(sql: String): Seq[Int] = {
+    val s = sql.toLowerCase
+    val sumRe = "\\bsum\\s*\\(".r
+    def matchClose(open: Int): Int = {
+      var d = 0; var i = open
+      while (i < s.length) {
+        if (s(i) == '(') d += 1
+        else if (s(i) == ')') { d -= 1; if (d == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    def enclosedByCast(pos: Int): Boolean = {
+      // walk backward; every time we cross an UNMATCHED '(' (an enclosing
+      // paren), check whether the word before it is `cast`
+      var d = 0; var i = pos - 1
+      while (i >= 0) {
+        if (s(i) == ')') d += 1
+        else if (s(i) == '(') {
+          if (d == 0) {
+            var j = i - 1
+            while (j >= 0 && s(j).isWhitespace) j -= 1
+            if (j >= 3 && s.substring(j - 3, j + 1) == "cast") return true
+          } else d -= 1
+        }
+        i -= 1
+      }
+      false
+    }
+    sumRe.findAllMatchIn(s).flatMap { m =>
+      val open = s.indexOf('(', m.start)
+      val close = matchClose(open)
+      val isWindow = close > 0 &&
+        s.drop(close + 1).dropWhile(_.isWhitespace).startsWith("over")
+      if (isWindow && !enclosedByCast(m.start)) Some(m.start) else None
+    }.toSeq
   }
 }

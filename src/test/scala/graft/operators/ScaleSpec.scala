@@ -1016,6 +1016,35 @@ class ScaleSpec extends AnyFunSuite {
     } finally TrackedCaches.releaseAll()
   }
 
+  test("q41/q83 candidate dedup runs on skinny id pairs, arrays rejoin after") {
+    // VERDICT r9 item 3: the candidate-stage distinct() must key on bare
+    // (id_a, id_b) — shipping shingle arrays through the pair-dedup
+    // exchange was the q42-documented 15× trap. The verify-side
+    // array_intersect is a PARENT of the dedup aggregate (plan prints
+    // top-down), so its index must come first.
+    for (q <- Seq("q41_prefix_filter_jaccard_join", "q83_split_leakage_audit")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      try {
+        val keyRe = "HashAggregate\\(keys=\\[([^\\]]*)\\]".r
+        val dedupKeys = keyRe.findAllMatchIn(plan).map(_.group(1))
+          .filter(_.contains("id_a")).toSeq
+        assert(dedupKeys.nonEmpty, s"$q: no pair-dedup aggregate in plan:\n$plan")
+        dedupKeys.foreach { ks =>
+          assert(!ks.contains("sa#") && !ks.contains("sb#") && !ks.contains("st#"),
+            s"$q: pair dedup carries array columns in its keys [$ks]")
+        }
+        val verifyIdx = plan.indexOf("array_intersect")
+        val dedupIdx = plan.indexOf("HashAggregate(keys=[id_a")
+        assert(verifyIdx >= 0 && dedupIdx >= 0 && verifyIdx < dedupIdx,
+          s"$q: verification must sit ABOVE the skinny pair dedup:\n$plan")
+        // the length filter prunes before the candidate distinct
+        assert(plan.contains("na#") && plan.contains("nb#"),
+          s"$q: prefix-stage length filter (na/nb) missing from plan:\n$plan")
+      } finally TrackedCaches.releaseAll()
+    }
+  }
+
   test("q317 isotonic fit is monotone non-decreasing over the score bins") {
     val rows = SparkEntry.queries("q317_isotonic_calibration")(spark, dir)
       .collect()
