@@ -58,16 +58,23 @@ object Dedup {
   /** Expects a precomputed `w = split(text, ' ')` column: higher-order
     * lambdas are interpreted (CodegenFallback), so referencing `text`
     * directly would re-split the document for every shingle — O(len²)
-    * per doc, the difference between seconds and minutes at sf0.1. */
+    * per doc, the difference between seconds and minutes at sf0.1.
+    *
+    * zip_with over three aligned slices rather than
+    * `transform(sequence(...), i -> concat_ws(element_at×3))`: the
+    * sequence/transform form pays the interpreted-lambda toll once per
+    * shingle with three boxed element_at probes inside — measured 8×
+    * slower at sf0.1 (3.9 s vs 0.49 s for the corpus shingle pass,
+    * r10). The slices pair elements positionally, so each lambda call
+    * is a single concat; size(w) < 3 degenerates to empty slices and
+    * needs no branch. */
   private[graft] val shinglesExpr: String =
-    """IF(size(w) < 3,
-         cast(array() AS array<string>),
-         array_distinct(transform(
-           sequence(1, size(w) - 2),
-           i -> concat_ws(' ',
-             element_at(w, i),
-             element_at(w, i + 1),
-             element_at(w, i + 2)))))"""
+    """array_distinct(zip_with(
+         slice(w, 1, greatest(size(w) - 2, 0)),
+         zip_with(slice(w, 2, greatest(size(w) - 2, 0)),
+                  slice(w, 3, greatest(size(w) - 2, 0)),
+                  (b, c) -> concat(b, ' ', c)),
+         (a, bc) -> concat(a, ' ', bc)))"""
 
   /** q26's verified near-dup pair stream (id_a < id_b, exact-Jaccard
     * J ≥ 0.6 over LSH candidates) — shared with q50's duplicate-cluster
@@ -1843,7 +1850,143 @@ object Dedup {
                (SELECT straddle_after FROM strad) AS straddle_after
         FROM bf JOIN af USING (split_name)
         ORDER BY split_name"""))
+  ,
+
+    // --------------------------------------------------------------- q318
+    // Maximal exact-substring shared runs (Lee et al. 2022's
+    // suffix-array semantics, bounded): where q126 rewrites at FIXED
+    // non-overlapping 8-word segments, this finds every MAXIMAL verbatim
+    // run of ≥8 tokens shared across documents — sliding positional
+    // 8-grams, a gram is "shared" when ≥2 distinct docs contain it, and
+    // consecutive shared positions within a doc coalesce into maximal
+    // runs (gaps-and-islands on the doc-keyed position stream; a run
+    // from gram position i to j covers j − i + 8 tokens — the UNION of
+    // the overlapping grams, so duplicated-token mass is never
+    // double-counted). The planted re-crawl (every 6th doc re-enters
+    // prefix-dropped with a fresh tail, keeping its source) must
+    // surface as one long run per copy; its novel tail must NOT extend
+    // the run — a wrong coalesce or a leaked tail cannot hash-match.
+    // Base-corpus grams ride the session-shared POSITIONAL gram frame
+    // (GramFrames.word8Pos — built once, shared with s51); only the
+    // 1/6-sized re-crawl delta shingles in-query. 100 TB shape: the
+    // document-frequency aggregate and the mark join shuffle 32-byte
+    // digests + two longs, never text; the islands window is doc-keyed;
+    // the rollup is source-keyed.
+    QueryDef(
+      "q318_exact_substring_runs",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val baseG = GramFrames.word8Pos(s, dir)
+        val d = docs(s, dir).select("doc_id", "source", "text")
+        val recG = d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"), col("source"),
+            concat(concat_ws(" ",
+              slice(split(col("text"), " "), 6, 1000000)),
+              lit(" fresh ending "), col("doc_id")).as("text"))
+          .select(col("doc_id"), col("source"),
+            posexplode(call_function("graft_word_ngrams", col("text"),
+              lit(8))).as(Seq("pos", "g")))
+          .select(col("doc_id"), col("source"),
+            col("pos").cast("long").as("pos"), sha2(col("g"), 256).as("h"))
+        val grams = TrackedCaches.track(baseG.unionByName(recG)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sharedH = grams.groupBy("h")
+          .agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 2).select("h")
+        substringRunReport(grams.join(sharedH, "h"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 800000, source,
+                 array_to_string(string_split(text, ' ')[6:], ' ') ||
+                   ' fresh ending ' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 6 = 0),
+        words AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                  FROM base),
+        grams AS MATERIALIZED (
+          SELECT doc_id, source, i - 1 AS pos,
+                 array_to_string(ws[i:i+7], ' ') AS g
+          FROM words, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        shared AS (SELECT g FROM grams
+                   GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (
+          SELECT doc_id, source, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS anchor
+          FROM grams JOIN shared USING (g)),
+        runs AS (
+          SELECT doc_id, source, anchor,
+                 CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS run_tokens
+          FROM hits GROUP BY doc_id, source, anchor)
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(SUM(run_tokens) AS BIGINT) AS dup_tokens,
+               CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+        FROM runs GROUP BY source ORDER BY source"""))
   ) :+ snmQuery
+
+  /** Maximal-run coalescing + per-source rollup shared VERBATIM by q318
+    * (corpus-wide symmetric audit) and s51 (incremental at-ingest probe):
+    * `hits` carries one row per (doc_id, source, pos) whose positional
+    * 8-gram is duplicated; consecutive positions coalesce via the
+    * pos − row_number anchor (positions are unique per doc, so the
+    * window is deterministic), and a run's token mass is the union of
+    * its overlapping grams: max(pos) − min(pos) + 8. */
+  private[graft] def substringRunReport(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = hits
+      .withColumn("anchor", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")).cast("long"))
+      .groupBy("doc_id", "source", "anchor")
+      .agg((max("pos") - min("pos") + lit(8L)).as("run_tokens"))
+    runs.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs_hit"),
+        count(lit(1)).as("n_runs"),
+        sum("run_tokens").as("dup_tokens"),
+        max("run_tokens").as("max_run_tokens"))
+      .orderBy("source")
+  }
+
+  /** s51's oracle — q318's incremental formulation: the arriving
+    * re-crawl batch's positional grams probe the STANDING base-corpus
+    * gram set; hit positions coalesce into maximal runs exactly as in
+    * q318 (same islands algebra, same rollup columns). */
+  private[graft] def substringProbeOracle: String = """
+        WITH words AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents),
+        standing AS MATERIALIZED (
+          SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS g
+          FROM words, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        arr AS (
+          SELECT doc_id + 800000 AS doc_id, source,
+                 string_split(
+                   array_to_string(string_split(text, ' ')[6:], ' ') ||
+                     ' fresh ending ' || CAST(doc_id AS VARCHAR),
+                   ' ') AS ws
+          FROM documents WHERE doc_id % 6 = 0),
+        agrams AS (
+          SELECT doc_id, source, i - 1 AS pos,
+                 array_to_string(ws[i:i+7], ' ') AS g
+          FROM arr, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        hits AS (
+          SELECT a.doc_id, a.source, a.pos,
+                 a.pos - row_number() OVER (PARTITION BY a.doc_id
+                                            ORDER BY a.pos) AS anchor
+          FROM agrams a JOIN standing st USING (g)),
+        runs AS (
+          SELECT doc_id, source, anchor,
+                 CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS run_tokens
+          FROM hits GROUP BY doc_id, source, anchor)
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(SUM(run_tokens) AS BIGINT) AS dup_tokens,
+               CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+        FROM runs GROUP BY source ORDER BY source"""
 
   /** q279's oracle, shared VERBATIM by s45 (the at-ingest streaming
     * novelty report must hash-match the batch audit exactly). */

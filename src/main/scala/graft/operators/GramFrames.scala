@@ -52,10 +52,42 @@ object GramFrames {
     })
   }
 
-  /** Drop the memoized frame and its blocks (test isolation hook). */
+  private val word8PosMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  @volatile private var posBuilds = 0
+
+  /** Number of from-scratch POSITIONAL gram frame builds this JVM. */
+  def posBuildCount: Int = posBuilds
+
+  /** The corpus-wide POSITIONAL gram frame (doc_id, source, pos, h):
+    * every sliding word-8-gram of every document with its 0-based word
+    * offset, digest-keyed. The run-coalescing family (q318's maximal
+    * shared-run audit and s51's incremental probe) needs ADJACENCY, which
+    * the distinct [[word8]] frame deliberately discards — so this is its
+    * positional sibling, built at most once per (session, sfDir) under
+    * the same registry discipline. At 100 TB this is the positional
+    * passage index (32-byte digest + two longs per gram, never text). */
+  def word8Pos(s: SparkSession, dir: String): DataFrame = synchronized {
+    word8PosMemo.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
+    word8PosMemo.getOrElseUpdate((s, dir), {
+      posBuilds += 1
+      SharedBuilds.note("word8-grams-pos")
+      graft.plans.GraftFunctions.register(s)
+      graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(call_function("graft_word_ngrams", col("text"), lit(8)))
+            .as(Seq("pos", "g")))
+        .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+          sha2(col("g"), 256).as("h"))
+        .localCheckpoint(true)
+    })
+  }
+
+  /** Drop the memoized frames and their blocks (test isolation hook). */
   def reset(): Unit = synchronized {
-    word8Memo.values.foreach(df =>
+    (word8Memo.values ++ word8PosMemo.values).foreach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })
     word8Memo.clear()
+    word8PosMemo.clear()
   }
 }

@@ -3347,6 +3347,47 @@ object StreamingQueries {
           drain(s, OutputMode.Append())(reqs))
       },
       Some(graft.operators.TrainingDataOps.prefixCacheOracle))
+  ,
+
+    // ---------------------------------------------------------------- s51
+    // Streaming exact-substring probe — q318's run-coalescing audit as
+    // at-ingest screening (the s45 stream-static discipline): the planted
+    // re-crawl batch arrives as a stream, each doc's POSITIONAL sliding
+    // word-8-grams probe the standing corpus's digest set (derived once
+    // from the session-shared GramFrames.word8Pos — the artifact q318
+    // also rides) under a stream-static INNER join — stateless, zero
+    // state stores, append mode, per-tick cost O(tick grams). Only hit
+    // positions flow downstream; the drained (doc_id, source, pos) rows
+    // coalesce batch-side into maximal runs through the SAME
+    // substringRunReport code q318 uses, so a dropped tick, a stale
+    // standing set, or a wrong coalesce cannot hash-match the oracle.
+    QueryDef(
+      "s51_stream_substring_probe",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val standing = graft.operators.TrackedCaches.track(
+          graft.operators.GramFrames.word8Pos(s, dir)
+            .select("h").distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val st = documentsStreamParts(s, dir)
+          .filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"), col("source"),
+            concat(concat_ws(" ",
+              slice(split(col("text"), " "), 6, 1000000)),
+              lit(" fresh ending "), col("doc_id")).as("text"))
+          .select((col("doc_id") + 800000).as("doc_id"), col("source"),
+            col("text"))
+          .select(col("doc_id"), col("source"),
+            posexplode(call_function("graft_word_ngrams", col("text"),
+              lit(8))).as(Seq("pos", "g")))
+          .select(col("doc_id"), col("source"),
+            col("pos").cast("long").as("pos"), sha2(col("g"), 256).as("h"))
+          .join(standing, "h") // stream-static probe: only hits survive
+          .select("doc_id", "source", "pos")
+        graft.operators.Dedup.substringRunReport(
+          drain(s, OutputMode.Append())(st))
+      },
+      Some(graft.operators.Dedup.substringProbeOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -307,6 +307,34 @@ class LlmDataSpec extends AnyFunSuite {
       "three gram-frame consumers must trigger exactly one from-scratch build")
   }
 
+  test("positional gram frame builds ONCE, shared by q318/s51") {
+    // round 10: the run-coalescing family rides one positional gram
+    // build — the corpus-wide audit and its streaming probe must share
+    // it, proven by counter.
+    GramFrames.reset()
+    val before = GramFrames.posBuildCount
+    Seq("q318_exact_substring_runs", "s51_stream_substring_probe")
+      .foreach(n => assert(run(n).count() > 0, s"$n returned no rows"))
+    assert(GramFrames.posBuildCount == before + 1,
+      "both run-audit consumers must trigger exactly one positional build")
+  }
+
+  test("q318 planted re-crawl surfaces as runs that exclude the fresh tail") {
+    // every 6th doc re-enters prefix-dropped with a 3-word novel tail:
+    // the audit must find runs ≥ 8 tokens, and no run may reach the
+    // appended tail — the longest possible run is the longest shared
+    // text, strictly shorter than the longest re-crawl doc WITH tail.
+    val rows = run("q318_exact_substring_runs").collect()
+    assert(rows.nonEmpty, "no shared runs found despite the planted re-crawl")
+    rows.foreach { r =>
+      val maxRun = r.getAs[Long]("max_run_tokens")
+      val nRuns = r.getAs[Long]("n_runs")
+      val mass = r.getAs[Long]("dup_tokens")
+      assert(maxRun >= 8L, s"a run shorter than the gram width: $maxRun")
+      assert(mass >= nRuns * 8L, "run mass below the per-run minimum")
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
