@@ -42,8 +42,20 @@ object PipelineQueries {
     "TAPE_TYPE" -> "s3", "TAPE_HOST" -> "localhost")
 
   /** Distributed staging: write each document's text as a source file
-    * (executor-side nio, no driver collect). */
-  private def stageSourceFiles(docs: DataFrame, srcDir: String): Unit = {
+    * (executor-side nio, no driver collect).
+    *
+    * Staged AT MOST ONCE per directory per JVM: the fixture content for a
+    * given (query, sf) staging dir never changes, so re-writing ~5000
+    * files on every bench iteration measured test scaffolding, not the
+    * pipeline (VERDICT r9 item 6 — the p-phase "creep" was re-staging
+    * cost riding every drain). Queries that stage INCREMENTALLY into one
+    * dir (p07's fix step) or use a fresh createTempDirectory per
+    * invocation anyway (p06, p07) pass memoize = false. */
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def stageSourceFiles(docs: DataFrame, srcDir: String,
+      memoize: Boolean = true): Unit = {
+    if (memoize && !stagedDirs.add(srcDir)) return
     Files.createDirectories(Paths.get(srcDir))
     docs.select("doc_id", "text").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -232,7 +244,7 @@ object PipelineQueries {
           val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
           // stage source files inside the FTP server's root (driver-local
           // disk IS the remote server's storage here)
-          stageSourceFiles(docs, s"$root/src")
+          stageSourceFiles(docs, s"$root/src", memoize = false)
           val pc = PipelineConfig(
             "BULKFTP_TYPE" -> "ftp", "BULKFTP_HOST" -> "127.0.0.1",
             "BULKFTP_PORT" -> server.port.toString,
@@ -270,7 +282,8 @@ object PipelineQueries {
         // would hand the next invocation an already-fixed first pass
         val base = Files.createTempDirectory("graft-p07").toString
         val docs = Tables(s, dir, "documents")
-        stageSourceFiles(docs.filter(col("doc_id") % 10 =!= 0), s"$base/src")
+        stageSourceFiles(docs.filter(col("doc_id") % 10 =!= 0), s"$base/src",
+          memoize = false)
         val raw = jobMessages(docs, lit("localsrc"), lit("localdst"),
           concat(lit(s"$base/src/doc_"), col("doc_id"), lit(".txt")),
           concat(lit(s"$base/dst/doc_"), col("doc_id"), lit(".txt")))
@@ -278,7 +291,8 @@ object PipelineQueries {
         val r1 = TrackedCaches.track(results1.toDF().persist(StorageLevel.MEMORY_AND_DISK))
         r1.count() // first pass executes here, BEFORE the fix below
         // operator intervention: the missing files appear
-        stageSourceFiles(docs.filter(col("doc_id") % 10 === 0), s"$base/src")
+        stageSourceFiles(docs.filter(col("doc_id") % 10 === 0), s"$base/src",
+          memoize = false)
         val (results2, dlq2) = Pipeline.replayDlq(dlq1, localConfig)
         val r2 = TrackedCaches.track(results2.toDF().persist(StorageLevel.MEMORY_AND_DISK))
         r2.count()

@@ -1514,7 +1514,13 @@ object Profiling {
                 (coalesce(col("w"), lit(0L)) + coalesce(col("d"), lit(0L)))
                   .as("w"))
           }
-          val wP = TrackedCaches.track(wNext.persist(MEMORY_AND_DISK))
+          // eager localCheckpoint, not persist: each epoch references the
+          // prior weight table TWICE (score join + weight merge), so a
+          // persisted chain doubles the LOGICAL plan per epoch and every
+          // action re-analyzes it against all live cache entries (the
+          // q316/q297 lesson, r10). The ≤4096-row table checkpoints to a
+          // leaf for pennies.
+          val wP = wNext.localCheckpoint(true)
           w = Some(wP)
           missIds.agg(count(lit(1)).as("n_miss"))
             .crossJoin(wP.agg(
@@ -2359,8 +2365,9 @@ object Profiling {
         val margins = (1 to 3).map { _ =>
           val sNow = score(w)
           val miss = sNow.filter(col("y") * col("sc") <= 0).select("doc_id")
-          w = Some(TrackedCaches.track(
-            nextW(w, miss).persist(MEMORY_AND_DISK)))
+          // eager localCheckpoint per epoch — the q262 lineage-cut
+          // discipline (each epoch reads the prior weights twice)
+          w = Some(nextW(w, miss).localCheckpoint(true))
           score(w).select(col("doc_id"), col("source"),
             (col("y") * col("sc")).as("m"))
         }
