@@ -3165,6 +3165,33 @@ object TrainingDataOps {
         FROM f
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q319
+    // Token-budget WATER-FILLING in CLOSED FORM — the exact single-pass
+    // answer to the allocation problem q257 approximates with 3 unrolled
+    // redistribution rounds: q257's rounds converge geometrically but
+    // leave real budget stranded when many sources cap late, and at 100 TB
+    // each extra round is another full pass over the source table's
+    // lineage. Here the caps are AVAILABILITY (a source cannot contribute
+    // tokens it doesn't have — the data-constrained regime of Muennighoff
+    // et al.), weights are quality (mean TTR), and the budget B = 40% of
+    // the corpus. The classic water-fill solved exactly: sources sorted by
+    // cap-to-weight ratio, the cut = the first rank whose cap exceeds its
+    // fair share at the waterline implied by capping everyone before it —
+    // found by exact cross-multiplied predicates over prefix sums (all
+    // products routed DECIMAL(38) ↔ HUGEINT), never a float division.
+    // The rank key a·10⁶ div w is a deterministic stand-in for the true
+    // rational ratio order (ties broken by source); allocations clamp at
+    // the cap, so a rank perturbation at a near-tie can only leave
+    // truncation-sized budget unspent, never over-allocate — stated.
+    // 100 TB shape: the corpus compresses to one (avail, weight) row per
+    // source in one keyed aggregate; every window after that touches
+    // ≤ sources rows, bounded by construction.
+    QueryDef(
+      "q319_token_budget_waterfill",
+      (s, dir) => budgetWaterfill(budgetPerDoc(Tables(s, dir, "documents"))),
+      Some(budgetWaterfillOracle))
   )
 
   /** q313/s50 shared: the stateless per-row half of the prefix-cache
@@ -3268,6 +3295,122 @@ object TrainingDataOps {
 
   /** q298/s48 shared: the linearized exponentiated-gradient weight
     * rollup over the bounded per-source unigram frame. */
+  /** Per-doc (source, token count, TTR ppm) projection — the stateless
+    * half shared VERBATIM by q319 (batch) and s52 (streamed). */
+  private[graft] def budgetPerDoc(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      expr("size(filter(split(text, ' '), w -> w <> ''))")
+        .cast("long").as("nt"),
+      expr("""size(array_distinct(filter(split(text, ' '),
+                w -> w <> ''))) * 1000000
+              div size(filter(split(text, ' '), w -> w <> ''))""")
+        .as("ttr_ppm"))
+
+  /** Exact integer water-fill over the per-source (avail, weight) frame —
+    * the rollup half shared by q319 and s52. See the q319 scaladoc for
+    * the algebra; every window here touches ≤ sources rows by
+    * construction. */
+  private[graft] def budgetWaterfill(perDoc: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy() // ≤ sources rows by construction
+    val wOrd = Window.orderBy(col("rk"), col("source"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val src = perDoc.groupBy("source")
+      .agg(sum("nt").as("a"),
+        expr("greatest(sum(ttr_ppm) div count(1), 1L)").as("w"))
+      .withColumn("rk",
+        expr("CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div w AS BIGINT)"))
+    val pre = src
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("pa", sum("a").over(wCum))
+      .withColumn("pw", sum("w").over(wCum))
+      .withColumn("ta", sum("a").over(wAll))
+      .withColumn("tw", sum("w").over(wAll))
+      .withColumn("bb", expr("ta * 2 div 5"))
+      // exclusive prefixes: the capped set at cut rn is ranks < rn
+      .withColumn("p0", col("pa") - col("a"))
+      .withColumn("w0", col("tw") - (col("pw") - col("w")))
+    // the cut: smallest rank whose cap covers its fair share at the
+    // waterline implied by capping everyone before it (cross-multiplied,
+    // widened — never a division)
+    val cut = pre.filter(
+        expr("""CAST(a AS DECIMAL(38,0)) * w0
+                >= CAST(bb - p0 AS DECIMAL(38,0)) * w
+                AND bb - p0 >= 0"""))
+      .agg(min(struct(col("rn"), (col("bb") - col("p0")).as("nb"),
+        col("w0").as("dw"))).as("pick"))
+      .select(col("pick.rn").as("cut"), col("pick.nb").as("nb"),
+        col("pick.dw").as("dw"))
+    pre.crossJoin(broadcast(cut))
+      .withColumn("capped", col("cut").isNull || col("rn") < col("cut"))
+      .withColumn("alloc", when(col("capped"), col("a"))
+        .otherwise(expr(
+          """least(a, CAST(CAST(nb AS DECIMAL(38,0)) * w div dw
+               AS BIGINT))""")))
+      .select(col("source"), col("a").as("avail_tokens"),
+        col("w").as("weight_ppm"), col("alloc").as("allocated_tokens"),
+        col("capped"),
+        expr("alloc * 1000000 div bb").as("budget_share_ppm"))
+      .orderBy("source")
+  }
+
+  /** q319's oracle, shared VERBATIM by s52 (the streamed per-doc stats
+    * must water-fill to the batch allocation exactly). */
+  private[graft] def budgetWaterfillOracle: String = """
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS nt,
+                 len(list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) * 1000000
+                   // len(list_filter(string_split(text, ' '),
+                        w -> w <> '')) AS ttr_ppm
+          FROM documents),
+        src AS (
+          SELECT source, CAST(SUM(nt) AS BIGINT) AS a,
+                 greatest(CAST(SUM(ttr_ppm) AS BIGINT) // COUNT(*), 1) AS w
+          FROM d GROUP BY source),
+        rkd AS (
+          SELECT source, a, w,
+                 CAST(CAST(a AS HUGEINT) * 1000000 // w AS BIGINT) AS rk
+          FROM src),
+        pre AS (
+          SELECT source, a, w, rk,
+                 CAST(row_number() OVER
+                   (ORDER BY rk, source) AS BIGINT) AS rn,
+                 CAST(SUM(a) OVER (ORDER BY rk, source
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pa,
+                 CAST(SUM(w) OVER (ORDER BY rk, source
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pw,
+                 CAST(SUM(a) OVER () AS BIGINT) AS ta,
+                 CAST(SUM(w) OVER () AS BIGINT) AS tw
+          FROM rkd),
+        pre2 AS (
+          SELECT source, a, w, rn,
+                 pa - a AS p0, tw - (pw - w) AS w0,
+                 ta * 2 // 5 AS bb
+          FROM pre),
+        cutq AS (
+          SELECT rn AS cut, bb - p0 AS nb, w0 AS dw
+          FROM pre2
+          WHERE CAST(a AS HUGEINT) * w0 >= CAST(bb - p0 AS HUGEINT) * w
+            AND bb - p0 >= 0
+          ORDER BY rn LIMIT 1),
+        alloc AS (
+          SELECT p.source, p.a, p.w, p.bb,
+                 ((SELECT cut FROM cutq) IS NULL
+                   OR p.rn < (SELECT cut FROM cutq)) AS capped,
+                 CASE WHEN (SELECT cut FROM cutq) IS NULL
+                        OR p.rn < (SELECT cut FROM cutq) THEN p.a
+                      ELSE least(p.a,
+                        CAST(CAST((SELECT nb FROM cutq) AS HUGEINT) * p.w
+                          // (SELECT dw FROM cutq) AS BIGINT)) END AS alloc
+          FROM pre2 p)
+        SELECT source, a AS avail_tokens, w AS weight_ppm,
+               alloc AS allocated_tokens, capped,
+               CAST(alloc * 1000000 // bb AS BIGINT) AS budget_share_ppm
+        FROM alloc
+        ORDER BY source"""
+
   private[graft] def domainWeightReport(uni: DataFrame): DataFrame = {
     val wAll = Window.partitionBy() // ≤ sources rows by construction
     uni

@@ -3388,6 +3388,24 @@ object StreamingQueries {
           drain(s, OutputMode.Append())(st))
       },
       Some(graft.operators.Dedup.substringProbeOracle))
+  ,
+
+    // ---------------------------------------------------------------- s52
+    // Streaming budget WATER-FILL — q319's allocation fed by at-ingest
+    // statistics (the s48 mixture-twin discipline): the per-doc
+    // (source, tokens, TTR) projection streams statelessly, and the
+    // drained rows water-fill batch-side through the SAME budgetWaterfill
+    // code q319 uses — oracle VERBATIM, so a dropped tick shifts a
+    // source's availability and cannot hash-match.
+    QueryDef(
+      "s52_stream_budget_waterfill",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.budgetWaterfill(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.budgetPerDoc(documentsStreamParts(s, dir))))
+      },
+      Some(graft.operators.TrainingDataOps.budgetWaterfillOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -335,6 +335,25 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q319 water-fill invariants: never over budget, caps respected") {
+    val rows = run("q319_token_budget_waterfill").collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_.getAs[Long]("avail_tokens")).sum * 2 / 5
+    var allocSum = 0L
+    rows.foreach { r =>
+      val a = r.getAs[Long]("avail_tokens")
+      val al = r.getAs[Long]("allocated_tokens")
+      allocSum += al
+      assert(al <= a, s"${r.getAs[String]("source")}: alloc $al over cap $a")
+      if (r.getAs[Boolean]("capped"))
+        assert(al == a, "a capped source must contribute everything it has")
+    }
+    assert(allocSum <= budget, s"over-allocated: $allocSum > $budget")
+    // truncating division loses < 1 token per uncapped source
+    assert(budget - allocSum <= rows.length.toLong,
+      s"leftover ${budget - allocSum} exceeds the truncation bound")
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
