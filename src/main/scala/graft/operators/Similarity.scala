@@ -1057,5 +1057,177 @@ object Similarity {
                  AS BIGINT) AS ndcg_ppm
         FROM agg JOIN lc ON agg.true_label = lc.lbl
         ORDER BY agg.qid"""))
+  ,
+
+    // --------------------------------------------------------------- q320
+    // MATRYOSHKA truncation audit (Kusupati et al. 2022, MRL) — the
+    // dimension-budget curve an index owner reads before truncating
+    // stored embeddings: retrieval quality when only the first k of 64
+    // dimensions are kept (the MRL premise: prefixes of the vector are
+    // usable embeddings). For k ∈ {8, 16, 32, 64}: per query, top-10 by
+    // cosine over the k-prefix, recall@10 against the full-dimension
+    // top-10, plus how often the top-1 neighbor survives truncation.
+    // The oracle replicates the whole computation (prefix cosines are
+    // the SAME bit-exact double pipeline as q28 over list slices), so
+    // the gate checks fidelity; k = 64 is the identity row (recall
+    // 10⁶) and a built-in sanity anchor. Shape: the (query × corpus)
+    // pair frame materializes ONCE and is reused by all four k-curves
+    // (fan-out ×4 on the scored pairs, never a rescan); the per-(k,
+    // query) rankings are keyed windows; at 100 TB the same curve runs
+    // over an LSH/IVF candidate set instead of the full corpus — the
+    // brute-force pairing here is the oracle-friendly fixture tier.
+    QueryDef(
+      "q320_matryoshka_truncation_audit",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val base = emb(s, dir)
+        val q = base.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val pairs = TrackedCaches.track(
+          base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("qe"), col("e"))
+            .persist(MEMORY_AND_DISK))
+        val ks = s.range(0, 4)
+          .select(expr("element_at(array(8, 16, 32, 64), cast(id AS INT) + 1)")
+            .cast("long").as("k"))
+        val w = Window.partitionBy("k", "query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        val topk = pairs.crossJoin(broadcast(ks))
+          .withColumn("sim",
+            cosine(expr("slice(qe, 1, int(k))"), expr("slice(e, 1, int(k))")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("k", "query_id", "neighbor_id", "rank")
+        val full = topk.filter(col("k") === 64L)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("full_rank"))
+        topk.join(full, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("k", "query_id")
+          .agg(sum(when(col("full_rank").isNotNull, 1L).otherwise(0L))
+              .as("hits"),
+            max(when(col("rank") === 1L && col("full_rank") === 1L, 1L)
+              .otherwise(0L)).as("top1_kept"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_queries"),
+            expr("sum(hits) * 1000000 div (count(1) * 10)")
+              .as("mean_recall_ppm"),
+            sum("top1_kept").as("top1_match_queries"))
+          .orderBy("k")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM base
+              WHERE vec_id < 20),
+        ks AS (SELECT CAST(UNNEST([8, 16, 32, 64]) AS BIGINT) AS k),
+        scored AS (
+          SELECT ks.k, q.query_id, b.vec_id AS neighbor_id,
+                 ${duckCosine("q.qe[1:CAST(ks.k AS INT)]",
+                              "b.e[1:CAST(ks.k AS INT)]")} AS sim
+          FROM base b JOIN q ON b.vec_id <> q.query_id CROSS JOIN ks),
+        topk AS (
+          SELECT k, query_id, neighbor_id, rk FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY k, query_id
+                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk
+            FROM scored) x
+          WHERE rk <= 10),
+        fullk AS (SELECT query_id, neighbor_id, rk AS full_rank
+                  FROM topk WHERE k = 64),
+        per_q AS (
+          SELECT t.k, t.query_id,
+                 CAST(count_if(f.full_rank IS NOT NULL) AS BIGINT) AS hits,
+                 CAST(MAX(CASE WHEN t.rk = 1 AND f.full_rank = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS top1_kept
+          FROM topk t LEFT JOIN fullk f
+            ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+          GROUP BY t.k, t.query_id)
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(hits) * 1000000 // (COUNT(*) * 10) AS BIGINT)
+                 AS mean_recall_ppm,
+               CAST(SUM(top1_kept) AS BIGINT) AS top1_match_queries
+        FROM per_q
+        GROUP BY k
+        ORDER BY k"""))
+  ,
+
+    // --------------------------------------------------------------- q321
+    // EMBEDDING-space hard negatives — the contrastive-training
+    // data-prep step in the dense modality (q271 mines hard negatives
+    // from LEXICAL BM25 scores; q139 samples random negatives; a real
+    // triplet builder wants the dense ones): per anchor, the top-3
+    // most-similar vectors of
+    // a DIFFERENT label (the hard negatives), the single most-similar
+    // SAME-label vector (the natural positive), and the margin verdict
+    // `violates` = hard-negative at least as close as the positive —
+    // exactly the pairs a triplet/InfoNCE batch builder emits first.
+    // Cosines ride the established bit-exact double pipeline; rankings
+    // tie-break on neighbor id so float ties are engine-deterministic.
+    // Shape: the (anchor × corpus) scored frame materializes once and
+    // both rankings read it; at 100 TB anchors batch and candidates
+    // come from the IVF/LSH index, not a full scan — the brute-force
+    // pairing is the oracle-friendly fixture tier (the q28/q320
+    // precedent).
+    QueryDef(
+      "q321_embedding_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        graft.plans.GraftFunctions.register(s)
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> cast(x AS DOUBLE))").as("e"))
+        val anchors = base.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("anchor_id"), col("label").as("albl"),
+            col("e").as("qe"))
+        val scored = TrackedCaches.track(
+          base.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+            .select(col("anchor_id"), col("albl"),
+              col("vec_id").as("nid"), col("label").as("nlbl"),
+              cosine(col("qe"), col("e")).as("sim"))
+            .persist(MEMORY_AND_DISK))
+        val wRank = Window.partitionBy("anchor_id")
+          .orderBy(col("sim").desc, col("nid"))
+        val negs = scored.filter(col("nlbl") =!= col("albl"))
+          .withColumn("neg_rank", row_number().over(wRank).cast("long"))
+          .filter(col("neg_rank") <= 3)
+        val pos = scored.filter(col("nlbl") === col("albl"))
+          .withColumn("pr", row_number().over(wRank))
+          .filter(col("pr") === 1)
+          .select(col("anchor_id"), col("nid").as("pos_id"),
+            col("sim").as("pos_sim"))
+        negs.join(pos, "anchor_id")
+          .select(col("anchor_id"), col("albl").as("label"),
+            col("neg_rank"), col("nid").as("neg_id"),
+            col("sim").as("neg_sim"), col("pos_id"), col("pos_sim"),
+            (col("sim") >= col("pos_sim")).as("violates"))
+          .orderBy("anchor_id", "neg_rank")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        anchors AS (SELECT vec_id AS anchor_id, label AS albl, e AS qe
+                    FROM base WHERE vec_id < 20),
+        scored AS MATERIALIZED (
+          SELECT a.anchor_id, a.albl, b.vec_id AS nid, b.label AS nlbl,
+                 ${duckCosine("a.qe", "b.e")} AS sim
+          FROM base b JOIN anchors a ON b.vec_id <> a.anchor_id),
+        negs AS (
+          SELECT anchor_id, albl, nid, sim,
+                 CAST(row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY sim DESC, nid) AS BIGINT) AS neg_rank
+          FROM scored WHERE nlbl <> albl),
+        pos AS (
+          SELECT anchor_id, nid AS pos_id, sim AS pos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY sim DESC, nid) AS pr
+            FROM scored WHERE nlbl = albl) x
+          WHERE pr = 1)
+        SELECT n.anchor_id, n.albl AS label, n.neg_rank,
+               n.nid AS neg_id, n.sim AS neg_sim, p.pos_id, p.pos_sim,
+               n.sim >= p.pos_sim AS violates
+        FROM negs n JOIN pos p USING (anchor_id)
+        WHERE n.neg_rank <= 3
+        ORDER BY n.anchor_id, n.neg_rank"""))
   )
 }

@@ -335,6 +335,34 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q320 matryoshka recall is sane: identity row exact, more dims never worse") {
+    val rows = run("q320_matryoshka_truncation_audit").collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(8L, 16L, 32L, 64L))
+    // k = 64 is the full embedding — recall against itself must be exact
+    assert(rows.last.getAs[Long]("mean_recall_ppm") == 1000000L)
+    // MRL premise on this fixture: a longer prefix never hurts recall
+    val rec = rows.map(_.getAs[Long]("mean_recall_ppm"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in k: ${rec.mkString(",")}")
+  }
+
+  test("q321 embedding hard negatives: sims descend, violations consistent") {
+    val rows = run("q321_embedding_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("neg_rank"))
+      val sims = byRank.map(_.getAs[Double]("neg_sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y },
+        s"anchor $a: negative sims not descending")
+      byRank.foreach { r =>
+        assert(r.getAs[Boolean]("violates") ==
+          (r.getAs[Double]("neg_sim") >= r.getAs[Double]("pos_sim")))
+        assert(!r.isNullAt(r.fieldIndex("label")))
+      }
+    }
+  }
+
   test("q319 water-fill invariants: never over budget, caps respected") {
     val rows = run("q319_token_budget_waterfill").collect()
     assert(rows.nonEmpty)
