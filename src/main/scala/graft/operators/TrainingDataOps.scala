@@ -3329,6 +3329,11 @@ object TrainingDataOps {
       // exclusive prefixes: the capped set at cut rn is ranks < rn
       .withColumn("p0", col("pa") - col("a"))
       .withColumn("w0", col("tw") - (col("pw") - col("w")))
+      // eager checkpoint: both the cut search and the allocation read
+      // this ≤ sources-row frame — without the cut, each re-derives the
+      // corpus aggregate and the operator pays TWO corpus passes
+      // (plan-audited r10)
+      .localCheckpoint(true)
     // the cut: smallest rank whose cap covers its fair share at the
     // waterline implied by capping everyone before it (cross-multiplied,
     // widened — never a division)
