@@ -2780,6 +2780,11 @@ object Profiling {
           .groupBy("source")
           .agg(sum("nt").as("x"),
             expr("sum(ttr_ppm) div count(1)").as("y"))
+          // eager checkpoint: the pair self-join reads this ≤ sources-row
+          // frame twice and the intercept stage a third time — without
+          // the cut each consumer re-derives the corpus aggregate and the
+          // operator pays three corpus passes (the q319 lesson, r10)
+          .localCheckpoint(true)
         val p2 = pts.select(col("source").as("s2"), col("x").as("x2"),
           col("y").as("y2"))
         val wAll = Window.partitionBy() // ≤ sources² rows by construction
