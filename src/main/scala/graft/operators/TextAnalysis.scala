@@ -2015,6 +2015,125 @@ object TextAnalysis {
                  AS coverage_ppm
         FROM ff
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q322
+    // Zipf rank–frequency slope, EXACTLY and WITHOUT a vocabulary-wide
+    // window — the third leg of the corpus-law triptych next to Heaps
+    // (q291) and Good–Turing (q312): on the log2–log2 plot of word rank
+    // vs frequency, the slope is ≈ −(Zipf exponent) in bits per
+    // doubling. The trap at scale is ranking the vocabulary (an unkeyed
+    // row_number over every distinct word); instead ranks are derived
+    // ARITHMETICALLY: group words by frequency (distinct-frequency-sized
+    // frame — far smaller than the vocabulary), a cumulative count over
+    // f DESC gives each group its rank interval (c0, c0+nw], and the
+    // interval's overlap with each log2 bucket [2^b, 2^(b+1)) is pure
+    // min/max arithmetic after a ≤64-way sequence explode. Per log2-rank
+    // bucket: word count + mean floor-log2(frequency) in milli-bits
+    // (floor-log2 = length(bin(x))−1, the q193 integer device); the
+    // slope is the LOWER-MEDIAN of pairwise bucket slopes (the q300
+    // Theil–Sen device — sign·(|Δ|·1000 div Δlr), truncating, operands
+    // non-negative), robust to the flattened head and the hapax tail.
+    // Output grain: one row per log2-rank bucket with the corpus slope
+    // alongside. 100 TB shape: corpus → keyed vocab aggregate →
+    // distinct-frequency aggregate; the only windows ride frames bounded
+    // by distinct-frequency count and ≤64 buckets.
+    QueryDef(
+      "q322_zipf_rank_slope",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val freq = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val fgrp = freq.groupBy("f").agg(count(lit(1)).as("nw"))
+        // cumulative over f DESC: distinct-frequency-sized by construction
+        val wOrd = Window.orderBy(col("f").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val spans = fgrp
+          .withColumn("chi", sum("nw").over(wOrd))
+          .withColumn("c0", col("chi") - col("nw"))
+          .withColumn("lf", expr("cast(length(bin(f)) - 1 AS BIGINT)"))
+          .select(col("lf"), col("c0"), col("chi"),
+            explode(expr("""sequence(length(bin(c0 + 1)) - 1,
+                            length(bin(chi)) - 1)""")).as("b"))
+          .withColumn("lo",
+            expr("greatest(c0 + 1, shiftleft(cast(1 AS BIGINT), b))"))
+          .withColumn("hi",
+            expr("least(chi, shiftleft(cast(1 AS BIGINT), b + 1) - 1)"))
+          .withColumn("n", col("hi") - col("lo") + lit(1L))
+        // ≤64 bucket rows; checkpointed because the pair self-join and
+        // the output both read it (the q300/q319 single-pass discipline)
+        val buckets = spans.groupBy(col("b").cast("long").as("lr"))
+          .agg(sum("n").as("n_words"),
+            expr("sum(lf * n) * 1000 div sum(n)").as("mean_lf_milli"))
+          .localCheckpoint(true)
+        val p2 = buckets.select(col("lr").as("lr2"),
+          col("mean_lf_milli").as("m2"))
+        val wAll = Window.partitionBy() // ≤ 64² pairs by construction
+        val slope = buckets.join(p2, col("lr") < col("lr2"))
+          .select(col("lr"), col("lr2"),
+            expr("""CASE WHEN m2 >= mean_lf_milli THEN 1L ELSE -1L END
+                    * (abs(m2 - mean_lf_milli) * 1000
+                       div (lr2 - lr))""").as("sl"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("sl"), col("lr"), col("lr2"))).cast("long"))
+          .withColumn("np", count(lit(1)).over(wAll).cast("long"))
+          .filter(col("rk") === expr("(np + 1) div 2"))
+          .select(col("sl").as("slope_micro"), col("np").as("n_pairs"))
+        buckets.crossJoin(broadcast(slope))
+          .select(col("lr"), col("n_words"), col("mean_lf_milli"),
+            col("slope_micro"), col("n_pairs"))
+          .orderBy("lr")
+      },
+      Some("""
+        WITH words AS (
+          SELECT UNNEST(list_filter(string_split(text, ' '),
+            w -> w <> '')) AS w
+          FROM documents),
+        freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+                 FROM words GROUP BY w),
+        fgrp AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS nw
+                 FROM freq GROUP BY f),
+        spans AS (
+          SELECT f, nw,
+                 CAST(SUM(nw) OVER (ORDER BY f DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chi
+          FROM fgrp),
+        sp2 AS (SELECT f, nw, chi, chi - nw AS c0,
+                       CAST(length(bin(f)) - 1 AS BIGINT) AS lf
+                FROM spans),
+        cells AS (
+          SELECT lf, CAST(b AS BIGINT) AS b,
+                 least(chi, (CAST(1 AS BIGINT) << (b + 1)) - 1)
+                   - greatest(c0 + 1, CAST(1 AS BIGINT) << b) + 1 AS n
+          FROM sp2, UNNEST(range(length(bin(c0 + 1)) - 1,
+                                 length(bin(chi)))) AS t(b)),
+        buckets AS MATERIALIZED (
+          SELECT b AS lr, CAST(SUM(n) AS BIGINT) AS n_words,
+                 CAST(SUM(lf * n) AS BIGINT) * 1000
+                   // CAST(SUM(n) AS BIGINT) AS mean_lf_milli
+          FROM cells GROUP BY b),
+        pairs AS (
+          SELECT a.lr AS lr1, c.lr AS lr2,
+                 (CASE WHEN c.mean_lf_milli >= a.mean_lf_milli
+                       THEN 1 ELSE -1 END)
+                 * (abs(c.mean_lf_milli - a.mean_lf_milli) * 1000
+                    // (c.lr - a.lr)) AS sl
+          FROM buckets a JOIN buckets c ON a.lr < c.lr),
+        sl AS (
+          SELECT sl AS slope_micro,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs,
+                 CAST(row_number() OVER (ORDER BY sl, lr1, lr2)
+                   AS BIGINT) AS rk
+          FROM pairs),
+        slm AS (SELECT slope_micro, n_pairs FROM sl
+                WHERE rk = (n_pairs + 1) // 2)
+        SELECT lr, n_words, mean_lf_milli,
+               (SELECT slope_micro FROM slm) AS slope_micro,
+               (SELECT n_pairs FROM slm) AS n_pairs
+        FROM buckets
+        ORDER BY lr"""))
   )
 
   /** q294/s47 shared: the non-overlapping 2-word segment explode over

@@ -363,6 +363,31 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q322 Zipf geometry: buckets partition the vocab, slope negative") {
+    val rows = run("q322_zipf_rank_slope").collect().sortBy(_.getAs[Long]("lr"))
+    assert(rows.nonEmpty)
+    // log2-rank buckets start at rank 1 (bucket 0) and are contiguous
+    val lrs = rows.map(_.getAs[Long]("lr"))
+    assert(lrs.head == 0L && lrs.zipWithIndex.forall { case (l, i) => l == i },
+      s"buckets not contiguous from 0: ${lrs.mkString(",")}")
+    // bucket b holds at most 2^b ranks, and all buckets hold the vocab
+    rows.foreach { r =>
+      val b = r.getAs[Long]("lr"); val n = r.getAs[Long]("n_words")
+      assert(n >= 1 && n <= (1L << b), s"bucket $b count $n out of range")
+    }
+    // natural text: frequency falls with rank. At sf0.001 the hapax tail
+    // flattens more than half the pair set, so the robust lower-median
+    // slope can legitimately sit AT zero — require non-positive plus a
+    // strict head-to-tail frequency drop.
+    assert(rows.head.getAs[Long]("slope_micro") <= 0L,
+      "Zipf slope must be non-positive on natural text")
+    val m = rows.map(_.getAs[Long]("mean_lf_milli"))
+    assert(m.head > m.last,
+      "head buckets must be strictly more frequent than the tail")
+    assert(m.zip(m.tail).forall { case (a, b) => a >= b },
+      s"mean log-frequency not non-increasing: ${m.mkString(",")}")
+  }
+
   test("q319 water-fill invariants: never over budget, caps respected") {
     val rows = run("q319_token_budget_waterfill").collect()
     assert(rows.nonEmpty)
