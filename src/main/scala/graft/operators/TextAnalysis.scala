@@ -2040,12 +2040,19 @@ object TextAnalysis {
     // by distinct-frequency count and ≤64 buckets.
     QueryDef(
       "q322_zipf_rank_slope",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val freq = Tables(s, dir, "documents")
+      (s, dir) => zipfRankSlope(
+        Tables(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w") =!= "")
-          .groupBy("w").agg(count(lit(1)).as("f"))
+          .filter(col("w") =!= "")),
+      Some(zipfRankSlopeOracle))
+  )
+
+  /** q322's rollup half, shared VERBATIM by s53: token stream →
+    * distinct-frequency rank algebra → log2-bucket curve + lower-median
+    * Theil–Sen slope. See the q322 scaladoc for the algebra. */
+  private[graft] def zipfRankSlope(tokens: DataFrame): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val freq = tokens.groupBy("w").agg(count(lit(1)).as("f"))
         val fgrp = freq.groupBy("f").agg(count(lit(1)).as("nw"))
         // cumulative over f DESC: distinct-frequency-sized by construction
         val wOrd = Window.orderBy(col("f").desc)
@@ -2085,8 +2092,11 @@ object TextAnalysis {
           .select(col("lr"), col("n_words"), col("mean_lf_milli"),
             col("slope_micro"), col("n_pairs"))
           .orderBy("lr")
-      },
-      Some("""
+  }
+
+  /** q322's oracle, shared VERBATIM by s53 (the at-ingest vocabulary
+    * statistics must converge to the batch curve exactly). */
+  private[graft] def zipfRankSlopeOracle: String = """
         WITH words AS (
           SELECT UNNEST(list_filter(string_split(text, ' '),
             w -> w <> '')) AS w
@@ -2133,8 +2143,7 @@ object TextAnalysis {
                (SELECT slope_micro FROM slm) AS slope_micro,
                (SELECT n_pairs FROM slm) AS n_pairs
         FROM buckets
-        ORDER BY lr"""))
-  )
+        ORDER BY lr"""
 
   /** q294/s47 shared: the non-overlapping 2-word segment explode over
     * (doc_id, source, text) — one narrow projection, a trailing odd

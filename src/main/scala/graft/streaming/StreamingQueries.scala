@@ -3406,6 +3406,27 @@ object StreamingQueries {
             TrainingDataOps.budgetPerDoc(documentsStreamParts(s, dir))))
       },
       Some(graft.operators.TrainingDataOps.budgetWaterfillOracle))
+  ,
+
+    // ---------------------------------------------------------------- s53
+    // Streaming Zipf curve — q322's corpus-law profile fed at ingest
+    // (the s52 discipline): arriving docs project to their token stream
+    // statelessly, and the drained tokens run the SAME distinct-
+    // frequency rank algebra + lower-median slope batch-side — oracle
+    // VERBATIM, so a dropped tick shifts a frequency class and cannot
+    // hash-match. The per-tick stream work is one narrow explode; all
+    // rank arithmetic stays on the drained aggregate.
+    QueryDef(
+      "s53_stream_zipf_curve",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        TextAnalysis.zipfRankSlope(
+          drain(s, OutputMode.Append())(
+            documentsStreamParts(s, dir)
+              .select(explode(split(col("text"), " ")).as("w"))
+              .filter(col("w") =!= "")))
+      },
+      Some(graft.operators.TextAnalysis.zipfRankSlopeOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and
