@@ -83,10 +83,15 @@ object GramFrames {
     })
   }
 
-  /** Drop the memoized frames and their blocks (test isolation hook). */
+  /** Drop the memoized frames and their blocks (test isolation hook).
+    * The frames are backed by `localCheckpoint`, whose RDD blocks
+    * `Dataset.unpersist` does NOT release (ADVICE r10) — so free them at
+    * the RDD level via [[CheckpointBlocks.release]]. */
   def reset(): Unit = synchronized {
-    (word8Memo.values ++ word8PosMemo.values).foreach(df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    (word8Memo.values ++ word8PosMemo.values).foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      CheckpointBlocks.release(df)
+    }
     word8Memo.clear()
     word8PosMemo.clear()
   }

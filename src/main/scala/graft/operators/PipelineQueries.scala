@@ -55,15 +55,33 @@ object PipelineQueries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def stageSourceFiles(docs: DataFrame, srcDir: String,
       memoize: Boolean = true): Unit = {
-    if (memoize && !stagedDirs.add(srcDir)) return
-    Files.createDirectories(Paths.get(srcDir))
-    docs.select("doc_id", "text").foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.foreach { r =>
-          Files.write(
-            Paths.get(s"$srcDir/doc_${r.getLong(0)}.txt"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
+    // ADVICE r10: mark the dir staged only AFTER the write completes —
+    // the former add-first fast path let a partially-staged dir (write
+    // threw, or a second thread raced past the add) masquerade as
+    // complete for the rest of the JVM. The whole stage runs under one
+    // coarse lock (staging is at-most-once per dir, so contention is
+    // nil), and a SIBLING marker file records cross-JVM completion so a
+    // crashed prior stager's partial dir is re-staged, not trusted. The
+    // marker sits NEXT TO the dir, never inside it, so dir listings see
+    // only fixture files.
+    val marker = Paths.get(srcDir + "._staged")
+    stagedDirs.synchronized {
+      if (memoize && stagedDirs.contains(srcDir)) return
+      if (memoize && Files.exists(marker)) { stagedDirs.add(srcDir); return }
+      Files.deleteIfExists(marker)
+      Files.createDirectories(Paths.get(srcDir))
+      docs.select("doc_id", "text").foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            Files.write(
+              Paths.get(s"$srcDir/doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+      if (memoize) {
+        Files.write(marker, Array.emptyByteArray)
+        stagedDirs.add(srcDir)
+      }
     }
   }
 

@@ -2797,7 +2797,12 @@ object Profiling {
           .withColumn("np", count(lit(1)).over(wAll).cast("long"))
           .filter(col("rk") === expr("(np + 1) div 2"))
           .select(col("sl").as("slope_micro"), col("np").as("n_pairs"))
-        pts.crossJoin(broadcast(slope))
+        // LEFT join on TRUE, not crossJoin (ADVICE r10, via q322): on a
+        // degenerate single-source corpus the pair set — and so `slope` —
+        // is empty; a cross join would emit zero rows while the oracle's
+        // scalar subqueries yield one row with NULL slope. Identical to
+        // the cross join whenever slope has its usual single row.
+        pts.join(broadcast(slope), lit(true), "left_outer")
           .select(col("source"), col("slope_micro"), col("n_pairs"),
             // ADVICE r9: slope_micro·x can exceed int64 when two sources
             // have near-equal token totals (slope_micro ≈ 1e12/Δx) —

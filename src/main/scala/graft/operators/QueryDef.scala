@@ -32,9 +32,32 @@ object TrackedCaches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   def track(df: DataFrame): DataFrame = synchronized { frames += df; df }
   def releaseAll(): Unit = synchronized {
-    frames.foreach(f => try f.unpersist(blocking = false) catch { case _: Throwable => () })
+    frames.foreach { f =>
+      try f.unpersist(blocking = false) catch { case _: Throwable => () }
+      CheckpointBlocks.release(f)
+    }
     frames.clear()
   }
+}
+
+/** Frees the executor blocks behind an eagerly `localCheckpoint`ed frame.
+  *
+  * `Dataset.unpersist` only clears CacheManager (plan-cache) entries; a
+  * checkpointed Dataset's plan is a `LogicalRDD` leaf whose BACKING RDD
+  * holds the blocks, so unpersist is a no-op on it and the blocks live
+  * until session stop (ADVICE r10: GramFrames.reset leaked them). Walking
+  * the analyzed plan's `LogicalRDD` leaves and unpersisting their RDDs
+  * releases exactly what `localCheckpoint` pinned; harmless on frames
+  * that were never checkpointed (no such leaves).
+  */
+object CheckpointBlocks {
+  def release(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try lr.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    } catch { case _: Throwable => () }
 }
 
 /** Exact-arithmetic helpers shared by the operator definitions.

