@@ -74,9 +74,45 @@ object Bench {
       s
     }
 
-    def drain(spark: SparkSession, name: String): Unit =
-      try SparkEntry.queries(name)(spark, sfDir)
+    // Cache-event counters (VERDICT r10 item 1): suite-slot anomalies
+    // (q297 r9, q83 r10) were block-eviction/recompute storms invisible
+    // in the artifact — a slow slot read as "the operator regressed"
+    // until a round-long iso hunt said otherwise. The listener counts,
+    // per RDD block: ADDS (first materialization of a cached/checkpointed
+    // partition), RE-ADDS (the same block cached again after being
+    // dropped = a recompute paid), SPILLS (a MEMORY_AND_DISK block
+    // demoted to disk-only under memory pressure) and EVICTS (block
+    // dropped entirely under pressure). Deliberate unpersists emit
+    // SparkListenerUnpersistRDD, not BlockUpdated, so TrackedCaches'
+    // post-drain releases never masquerade as evictions — every nonzero
+    // count here is memory pressure. Listener delivery is async, so
+    // counts are attribution-approximate (± the bus lag), which is fine
+    // for the "is this slot churning its caches" question they answer.
+    final class CacheEvents extends org.apache.spark.scheduler.SparkListener {
+      private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val readds = new java.util.concurrent.atomic.AtomicLong
+      val spills = new java.util.concurrent.atomic.AtomicLong
+      val evicts = new java.util.concurrent.atomic.AtomicLong
+      override def onBlockUpdated(
+          e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+        val info = e.blockUpdatedInfo
+        if (info.blockId.isRDD) {
+          val lvl = info.storageLevel
+          if (!lvl.isValid) evicts.incrementAndGet()
+          else if (!lvl.useMemory && lvl.useDisk) spills.incrementAndGet()
+          else if (!seen.add(info.blockId.name)) readds.incrementAndGet()
+        }
+      }
+      def snapshot: (Long, Long, Long) =
+        (readds.get, spills.get, evicts.get)
+    }
+    var cacheEvents = new CacheEvents // rebound per session
+
+    def drainNoRelease(spark: SparkSession, name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    def drain(spark: SparkSession, name: String): Unit =
+      try drainNoRelease(spark, name)
       finally graft.operators.TrackedCaches.releaseAll()
 
     import scala.jdk.CollectionConverters._
@@ -126,17 +162,30 @@ object Bench {
       }
 
     var phaseSecs = List.empty[(String, Double)]
+    // phase -> (warmup_sec, extra_iters_sec, session_sec) — VERDICT r10
+    // item 3: phase_sec charged ~60% of the s-phase to no query (state
+    // stores, warmups, extra measurement iterations), so phase trends
+    // partly measured accounting. Now phase_sec ≈ Σ per-query(min) +
+    // harness(warmup + extra_iters + session) + residual, each named.
+    var phaseHarness = List.empty[(String, (Double, Double, Double))]
     var sharedBuilds = List.empty[(String, Seq[String])]
+    // per-query cache-event deltas (readd, spill, evict) — nonzero only
+    var cacheDeltas = List.empty[(String, (Long, Long, Long))]
     val results = phases.flatMap { case (family, names, warmup) =>
       if (names.isEmpty) Seq.empty
       else {
         val phaseT0 = System.nanoTime()
         val spark = newSession()
+        cacheEvents = new CacheEvents
+        spark.sparkContext.addSparkListener(cacheEvents)
+        val warmT0 = System.nanoTime()
         warmup.foreach { w =>
           try drain(spark, w)
           catch { case e: Throwable =>
             System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
         }
+        val warmupSec = (System.nanoTime() - warmT0) / 1e9
+        var extraIters = 0.0
         val rs = names.map { name =>
           val gc0 = gcMillis()
           // ADVICE r8: note which query paid each shared-artifact build
@@ -144,15 +193,26 @@ object Bench {
           // consumers run memo-warm, so per-query numbers are only
           // interpretable with the payer named in the line
           val b0 = graft.operators.SharedBuilds.count
+          val ce0 = cacheEvents.snapshot
           try {
             val times = (1 to iters).map { _ =>
               val t0 = System.nanoTime()
+              // release stays INSIDE the timed region (floor
+              // comparability with prior rounds); deltas span the whole
+              // query including its releases, which is safe because
+              // deliberate unpersists don't reach the BlockUpdated
+              // counters (see CacheEvents note)
               drain(spark, name)
               (System.nanoTime() - t0) / 1e9
             }
             val tags = graft.operators.SharedBuilds.since(b0)
             if (tags.nonEmpty)
               sharedBuilds ::= (name.takeWhile(_ != '_'), tags)
+            val ce1 = cacheEvents.snapshot
+            val d = (ce1._1 - ce0._1, ce1._2 - ce0._2, ce1._3 - ce0._3)
+            if (d._1 + d._2 + d._3 > 0)
+              cacheDeltas ::= (name.takeWhile(_ != '_'), d)
+            extraIters += times.sum - times.min
             (name, times.min, gcMillis() - gc0)
           } catch {
             case e: Throwable =>
@@ -161,8 +221,11 @@ object Bench {
               (name, -1.0, gcMillis() - gc0)
           }
         }
+        val stopT0 = System.nanoTime()
         spark.stop()
+        val sessionSec = (System.nanoTime() - stopT0) / 1e9
         phaseSecs ::= (family, (System.nanoTime() - phaseT0) / 1e9)
+        phaseHarness ::= (family, (warmupSec, extraIters, sessionSec))
         rs
       }
     }
@@ -252,6 +315,28 @@ object Bench {
     val phaseJson = phaseSecs.reverse
       .map { case (f, v) => "\"" + f + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // harness_sec decomposition per phase (VERDICT r10 item 3):
+    // phase_sec = Σ per-query(min) + warmup + extra_iters (the non-min
+    // measurement iterations) + stop (session teardown) + other (session
+    // create, gc/counter bookkeeping, listener lag) — "other" is derived
+    // so the identity holds exactly and a reader can see at a glance how
+    // much of a phase was operators vs scaffolding.
+    val phaseQuerySum: Map[String, Double] = results
+      .collect { case (n, v, _) if v >= 0 => (n.take(1), v) }
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val harnessJson = phaseHarness.reverse.map { case (f, (w, x, st)) =>
+      val wall = phaseSecs.find(_._1 == f).map(_._2).getOrElse(0.0)
+      val other =
+        (wall - phaseQuerySum.getOrElse(f, 0.0) - w - x - st).max(0.0)
+      "\"" + f + "\":{\"warmup\":" + fmt(w) + ",\"extra_iters\":" + fmt(x) +
+        ",\"stop\":" + fmt(st) + ",\"other\":" + fmt(other) + "}"
+    }.mkString("{", ",", "}")
+    // per-query cache churn, nonzero entries only (VERDICT r10 item 1)
+    val cacheJson = cacheDeltas.reverse.sortBy(_._1)
+      .map { case (k, (r, sp, ev)) =>
+        "\"" + k + "\":{\"readd\":" + r + ",\"spill\":" + sp +
+          ",\"evict\":" + ev + "}"
+      }.mkString("{", ",", "}")
     val sharedJson = sharedBuilds.reverse
       .map { case (q, tags) => "\"" + q + "\":\"" + tags.mkString("+") + "\"" }
       .mkString("{", ",", "}")
@@ -265,7 +350,7 @@ object Bench {
         s""","iso_skipped":${names.size},"iso_skipped_names":${shown.mkString("[", ",", "]")}"""
       }
     val summaryFields =
-      s""""gc_total_ms":$gcTotal,"phase_sec":$phaseJson,"shared_builds":$sharedJson$skipField,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}"""
+      s""""gc_total_ms":$gcTotal,"phase_sec":$phaseJson,"harness_sec":$harnessJson,"shared_builds":$sharedJson$skipField,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}"""
 
     // FULL per-query record → a per-round committed file (VERDICT r8
     // item 1: the 319-entry line overflowed the driver's ~2000-char
@@ -279,7 +364,7 @@ object Bench {
     val fullWritten =
       try {
         java.nio.file.Files.writeString(fullFile.toPath,
-          s"""{"queries":$qs,"gc":$gcJson,$summaryFields}""" + "\n")
+          s"""{"queries":$qs,"gc":$gcJson,"cache_events":$cacheJson,$summaryFields}""" + "\n")
         true
       } catch {
         case e: Throwable =>
@@ -312,7 +397,14 @@ object Bench {
     // explicitly, < 1.5 KB by construction (slowest-12 + capped iso list).
     // build.sbt's `run / outputStrategy := StdoutOutput` + `showSuccess :=
     // false` guarantee sbt neither prefixes this line nor prints after it.
-    System.out.println(s"""{"queries":$slowJson,"iso":$isoJson,"n_queries":${results.size},"full":$fullField,"gc":$gcJson,$summaryFields}""")
+    // top-3 cache churners ride the compact line (full map in the file):
+    // a slot anomaly now names itself in the driver's capture
+    val cacheHot = cacheDeltas.sortBy { case (_, (r, sp, _)) => -(r + sp) }
+      .take(3)
+      .map { case (k, (r, sp, ev)) =>
+        "\"" + k + "\":\"" + r + "r/" + sp + "s/" + ev + "e\""
+      }.mkString("{", ",", "}")
+    System.out.println(s"""{"queries":$slowJson,"iso":$isoJson,"n_queries":${results.size},"full":$fullField,"gc":$gcJson,"cache_hot":$cacheHot,$summaryFields}""")
     System.out.flush()
   }
 }
