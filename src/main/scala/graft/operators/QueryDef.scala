@@ -45,14 +45,20 @@ object TrackedCaches {
   * `Dataset.unpersist` only clears CacheManager (plan-cache) entries; a
   * checkpointed Dataset's plan is a `LogicalRDD` leaf whose BACKING RDD
   * holds the blocks, so unpersist is a no-op on it and the blocks live
-  * until session stop (ADVICE r10: GramFrames.reset leaked them). Walking
-  * the analyzed plan's `LogicalRDD` leaves and unpersisting their RDDs
-  * releases exactly what `localCheckpoint` pinned; harmless on frames
-  * that were never checkpointed (no such leaves).
+  * until session stop (ADVICE r10: GramFrames.reset leaked them).
+  *
+  * Release ONLY when the frame's ROOT is the checkpoint leaf — i.e. the
+  * frame is itself the result of `localCheckpoint` (exactly what callers
+  * track/memoize). Walking ALL LogicalRDD leaves instead would also
+  * free session-shared artifacts EMBEDDED in a tracked frame's plan
+  * (a query that tracks `pairGraphMemo.join(...)` has the memo's leaf in
+  * its tree), killing every later consumer of the memo with
+  * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — caught by the round-11 plan
+  * snapshot on q261/q307 before it shipped.
   */
 object CheckpointBlocks {
   def release(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
+    try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         try lr.rdd.unpersist(blocking = false)
         catch { case _: Throwable => () }

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.PlanShape
+
+/** The plan-shape regression gate — the oracle gate's missing twin
+  * (VERDICT r10 item 2). Values are guarded query-by-query by the DuckDB
+  * compare; this suite guards the PLANS: every batch query's physical
+  * signature (exchanges, join strategies, filters, scans+pushdown,
+  * codegen spans, array-carrying shuffles, global sorts) is diffed
+  * against the committed PLANS.json. A plan change — intended or not —
+  * fails the suite until acknowledged by regenerating the file:
+  *
+  *   sbt "runMain graft.tools.PlanSnapshot"        # all
+  *   sbt "runMain graft.tools.PlanSnapshot q41"    # one entry
+  *
+  * This converts past plan wins (q41/q83 skinny candidates, q316's
+  * checkpoint discipline, every broadcast decision) into permanent
+  * invariants instead of ~a dozen bespoke assertions.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every q* physical plan matches its committed PLANS.json signature") {
+    val file = Paths.get("PLANS.json")
+    assert(Files.exists(file),
+      "PLANS.json missing — generate it: sbt \"runMain graft.tools.PlanSnapshot\"")
+    val expected = PlanShape.parsePlans(Files.readString(file))
+    val names = PlanShape.gateNames
+    val missing = names.filterNot(expected.contains)
+    val orphans = expected.keySet.diff(names.toSet)
+    assert(missing.isEmpty,
+      s"queries with no committed plan signature (run PlanSnapshot): " +
+        missing.mkString(", "))
+    assert(orphans.isEmpty,
+      s"PLANS.json entries with no matching query: ${orphans.mkString(", ")}")
+    val failures = PlanShape.snapshot(spark, dir, names).flatMap {
+      case (n, Left(e)) => Some(s"$n: plan build FAILED: $e")
+      case (n, Right(sig)) if expected(n) != sig =>
+        Some(s"$n: plan shape changed\n    committed: ${expected(n)}\n" +
+          s"    actual:    $sig\n    — if intended, acknowledge with: " +
+          s"""sbt "runMain graft.tools.PlanSnapshot ${n.takeWhile(_ != '_')}"""")
+      case _ => None
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} un-acknowledged plan change(s):\n" +
+        failures.mkString("\n"))
+  }
+
+  test("the gate fires on an injected regression: a dropped pruning filter") {
+    // the q41/q83 class: remove the candidate length filter and the
+    // signature must differ — proving the committed entry (filter count
+    // included) would fail the diff above
+    import spark.implicits._
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      // spark.range, not a local Seq: ConvertToLocalRelation folds a
+      // filter over a LocalRelation away at optimize time and no
+      // FilterExec would ever appear
+      val cand = spark.range(100).select(
+        col("id").as("id_a"), (col("id") + 1).as("id_b"),
+        (col("id") % 10 + 1).as("na"), (col("id") % 7 + 1).as("nb"))
+      val base = cand.groupBy("id_a", "id_b").count()
+      val pruned = cand
+        .filter(col("nb") * 5 >= col("na") * 3 && col("na") * 5 >= col("nb") * 3)
+        .groupBy("id_a", "id_b").count()
+      val sigBase = PlanShape.of(base)
+      val sigPruned = PlanShape.of(pruned)
+      assert(sigBase != sigPruned,
+        "removing a pruning filter must change the plan signature")
+      assert(sigPruned.filter == sigBase.filter + 1,
+        "the filter dimension must carry the difference")
+    } finally spark.conf.set(key, before)
+  }
+
+  test("the gate fires on a join-strategy flip and an array-fattened shuffle") {
+    import spark.implicits._
+    val aqe = "spark.sql.adaptive.enabled"
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe0 = spark.conf.get(aqe)
+    val thr0 = spark.conf.get(thr)
+    spark.conf.set(aqe, "false")
+    try {
+      val big = spark.range(100).select(col("id"), (col("id") % 7).as("k"))
+      val dim = Seq((0L, "x"), (1L, "y")).toDF("k", "v")
+      spark.conf.set(thr, (10 * 1024 * 1024).toString)
+      val bhj = PlanShape.of(big.join(dim, "k"))
+      spark.conf.set(thr, "-1")
+      val smj = PlanShape.of(big.join(dim, "k"))
+      assert(bhj.bhj == 1 && bhj.smj == 0)
+      assert(smj.bhj == 0 && (smj.smj + smj.shj) == 1,
+        s"threshold -1 must force a shuffle-side join, got $smj")
+      assert(bhj != smj, "a join-strategy flip must change the signature")
+
+      // the q41/q83 fat-exchange class: shuffling the array column vs
+      // shuffling bare keys and rejoining by id
+      val docs = Seq((1L, Seq("a", "b")), (2L, Seq("c", "d")))
+        .toDF("id", "arr")
+      val fat = docs.repartition(col("id")).groupBy("id")
+        .agg(first("arr").as("arr"))
+      val skinny = docs.select("id").repartition(col("id"))
+        .groupBy("id").count()
+      assert(PlanShape.of(fat).arrayExchange >= 1,
+        "an array column riding a shuffle must be counted")
+      assert(PlanShape.of(skinny).arrayExchange == 0)
+    } finally {
+      spark.conf.set(thr, thr0)
+      spark.conf.set(aqe, aqe0)
+    }
+  }
+}

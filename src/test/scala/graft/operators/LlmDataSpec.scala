@@ -407,6 +407,86 @@ class LlmDataSpec extends AnyFunSuite {
       s"leftover ${budget - allocSum} exceeds the truncation bound")
   }
 
+  test("q319 water-fill property: adversarial (avail, weight) tables " +
+      "never over-allocate and leave only truncation-sized budget unspent") {
+    // VERDICT r10 item 5: the scaladoc's stated tie-edge invariant,
+    // turned into a ScalaCheck property. Adversarial shapes: equal
+    // ratios (rank ties — identical (a,w) rows and k-scaled pairs whose
+    // a*1e6 div w collide), zero weights (clamped to 1 by the greatest),
+    // cap-dominant sources (one source holding ~all the avail). The
+    // provable bounds (derivation mirrors the operator's scaladoc):
+    //   Σ alloc ≤ bb           — per-row least(a, nb*w div dw) caps the
+    //                            uncapped set's sum at nb, and capped
+    //                            rows sum to exactly p0(cut);
+    //   bb − Σ alloc ≤ U + tw div 1e6 + 1 — each of the U uncapped rows
+    //                            truncates < 1 token, and a tie-perturbed
+    //                            row clamped at its cap under-spends at
+    //                            most w_r/1e6 (rk quantizes ratios in
+    //                            ppm), so the total slack is sub-ppm of
+    //                            total weight, never a real fraction of
+    //                            the budget.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val pair: Gen[(Long, Long)] = for {
+      a <- Gen.oneOf(Gen.choose(1L, 20L), Gen.choose(1000L, 2000000L),
+        Gen.const(1L))
+      w <- Gen.oneOf(Gen.const(0L), Gen.const(1L), Gen.choose(1L, 1000000L))
+    } yield (a, w)
+    val table: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 8)
+      base <- Gen.listOfN(n, pair)
+      // rank ties: duplicate the first row verbatim AND k-scale it
+      // (identical a*1e6 div w, different caps)
+      k <- Gen.choose(2L, 5L)
+      capDominant <- Gen.oneOf(true, false)
+    } yield {
+      val (a0, w0) = base.head
+      val scaled = (a0 * k, w0 * k)
+      val dom = if (capDominant) List((10000000L, 1L)) else Nil
+      base ++ List((a0, w0), scaled) ++ dom
+    }
+    val tables = (1 to 25).flatMap(i =>
+      table.apply(Gen.Parameters.default, Seed(7100L + i)))
+    assert(tables.size >= 20, "generator must produce enough samples")
+    tables.zipWithIndex.foreach { case (t, i) =>
+      val perDoc = t.zipWithIndex
+        .map { case ((a, w), j) => (s"s$j", a, w) }
+        .toDF("source", "nt", "ttr_ppm")
+      val rows = TrainingDataOps.budgetWaterfill(perDoc).collect()
+      assert(rows.length == t.size, s"table $i: row count")
+      val ta = rows.map(_.getAs[Long]("avail_tokens")).sum
+      val tw = rows.map(_.getAs[Long]("weight_ppm")).sum
+      val bb = ta * 2 / 5
+      var alloc = 0L; var uncapped = 0L
+      rows.foreach { r =>
+        val a = r.getAs[Long]("avail_tokens")
+        val al = r.getAs[Long]("allocated_tokens")
+        assert(al >= 0 && al <= a,
+          s"table $i ${r.getAs[String]("source")}: alloc $al outside [0, $a]")
+        if (r.getAs[Boolean]("capped")) assert(al == a,
+          s"table $i: capped source must contribute its whole cap")
+        else uncapped += 1
+        alloc += al
+      }
+      assert(alloc <= bb, s"table $i over-allocated: $alloc > $bb ($t)")
+      val slackBound = uncapped + tw / 1000000L + 1
+      assert(bb - alloc <= slackBound,
+        s"table $i unspent ${bb - alloc} exceeds truncation bound " +
+          s"$slackBound ($t)")
+    }
+    // determinism at ties: the same named rows in a permuted DataFrame
+    // order must produce the identical allocation (the (rk, source)
+    // sort pins tie order)
+    val named = tables.head.zipWithIndex
+      .map { case ((a, w), j) => (s"s$j", a, w) }
+    def runT(xs: List[(String, Long, Long)]) =
+      TrainingDataOps.budgetWaterfill(xs.toDF("source", "nt", "ttr_ppm"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(runT(named) == runT(named.reverse),
+      "permuting the input row order changed the allocation at a tie")
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
