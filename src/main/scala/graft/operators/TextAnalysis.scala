@@ -2045,7 +2045,246 @@ object TextAnalysis {
           .select(explode(split(col("text"), " ")).as("w"))
           .filter(col("w") =!= "")),
       Some(zipfRankSlopeOracle))
+  ,
+
+    // --------------------------------------------------------------- q323
+    // PII detection / redaction accounting — the privacy gate every
+    // training-data pipeline runs before anything else ships. Three
+    // detector classes (emails, NANP-style 555 phone stubs, RFC-1918
+    // 10.x IPv4s) scan each document; the report is per source: docs
+    // flagged, matches per class, characters redacted (defined as
+    // orig_len − len(sequential regexp_replace) so overlapping spans
+    // can never double-count), and redacted-mass ppm. The fixture prose
+    // carries no PII, so spans are PLANTED deterministically from
+    // doc_id (same CASE arithmetic in the oracle) — both engines scan
+    // the identical corpus and accidental natural matches, if any,
+    // match identically. 100 TB shape: one stateless per-doc pass (all
+    // regexes evaluated inside the row's codegen stage, no shuffle
+    // before the ≤ sources-row rollup); the same per-doc half streams
+    // at-ingest as s54. Patterns stay in the Java∩RE2 dialect subset so
+    // Spark and DuckDB agree byte-for-byte.
+    QueryDef(
+      "q323_pii_redaction_audit",
+      (s, dir) => piiReport(piiPerDoc(piiPlanted(
+        Tables(s, dir, "documents")))),
+      Some(piiOracle))
+  ,
+
+    // --------------------------------------------------------------- q324
+    // Speculative-decoding acceptance model — the serving-cost twin of
+    // q313's prefix cache: a 1-token greedy draft (each token proposes
+    // the corpus-argmax next token) replayed over the corpus itself
+    // gives the EXACT acceptance rate and accepted-run lengths that
+    // bound speculative speedup for an n-gram draft head. Pipeline:
+    // per-doc adjacent pairs (zip_with over aligned slices — the
+    // codegen'd shingle device, never transform(sequence)), bigram
+    // counts (keyed aggregate, map-side partials), argmax via
+    // min(struct(-c, b)) per head token (deterministic tie-break:
+    // highest count then lexicographic), accept flags by a token-keyed
+    // join (big-big shuffle join on the head token — no broadcast
+    // assumption at 100 TB), and run starts via a per-doc lag window
+    // (frame bounded by document length). No vocabulary-wide unkeyed
+    // window anywhere; the report is ≤ sources rows.
+    QueryDef(
+      "q324_speculative_acceptance",
+      (s, dir) => {
+        val pairs = specPairs(Tables(s, dir, "documents"))
+        specAcceptReport(pairs.join(specDraft(pairs), "a")
+          .withColumn("acc", when(col("b") === col("db"), 1L).otherwise(0L))
+          .select("doc_id", "source", "pos", "acc"))
+      },
+      Some(specAcceptOracle))
   )
+
+  /** q324/s55 shared: the 1-token greedy draft table — corpus-argmax
+    * next token per head token, deterministic tie-break (highest count,
+    * then lexicographic) via min(struct(-c, b)). Vocabulary-keyed. */
+  private[graft] def specDraft(pairs: DataFrame): DataFrame =
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .withColumn("pick", struct((-col("c")).as("nc"), col("b")))
+      .groupBy("a").agg(min("pick").as("m"))
+      .select(col("a"), col("m.b").as("db"))
+
+  /** q324/s55 shared rollup half: accept flags → per-doc run starts
+    * (lag window, frame bounded by document length) → per-source
+    * acceptance report. */
+  private[graft] def specAcceptReport(fl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    fl.withColumn("rstart",
+        when(col("acc") === 1 &&
+          coalesce(lag(col("acc"), 1).over(wDoc), lit(0L)) === 0, 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("acc").as("n_accept"),
+        // DECIMAL(38) ↔ HUGEINT: ~1e13 pairs × 1e6 wraps int64
+        expr("""CAST(CAST(sum(acc) AS DECIMAL(38,0)) * 1000000
+                div count(1) AS BIGINT)""").as("acceptance_ppm"),
+        sum("rstart").as("n_runs"),
+        expr("sum(acc) * 1000 div nullif(sum(rstart), 0)")
+          .as("mean_run_milli"))
+      .orderBy("source")
+  }
+
+  /** q323/s54 shared: deterministic PII plants from doc_id (the fixture
+    * prose has none). Mirrored verbatim in [[piiOracle]]'s corpus CTE. */
+  private[graft] def piiPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 3,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 5,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 7,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), (expr("doc_id div 256") % 256).cast("string"),
+            lit("."), (col("doc_id") % 250 + 1).cast("string")))
+          .otherwise(lit(""))).as("text"))
+
+  private[graft] val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val piiPhoneRe = "\\b555-[0-9]{4}\\b"
+  private[graft] val piiIpRe = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** q323/s54 shared per-doc half — stateless, one row in, one row out,
+    * every regex inside the row's codegen stage. */
+  private[graft] def piiPerDoc(planted: DataFrame): DataFrame =
+    planted.select(col("source"),
+      size(regexp_extract_all(col("text"), lit(piiEmailRe), lit(0)))
+        .cast("long").as("e"),
+      size(regexp_extract_all(col("text"), lit(piiPhoneRe), lit(0)))
+        .cast("long").as("p"),
+      size(regexp_extract_all(col("text"), lit(piiIpRe), lit(0)))
+        .cast("long").as("i"),
+      length(col("text")).cast("long").as("len0"),
+      length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        piiEmailRe, ""), piiPhoneRe, ""), piiIpRe, ""))
+        .cast("long").as("len1"))
+
+  /** q323/s54 shared rollup half: per-source privacy report. */
+  private[graft] def piiReport(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L))
+          .as("docs_flagged"),
+        sum("e").as("n_emails"), sum("p").as("n_phones"),
+        sum("i").as("n_ips"),
+        sum(col("len0") - col("len1")).as("pii_chars"),
+        // DECIMAL(38) widening ↔ the oracle's HUGEINT: at ~1e13 corpus
+        // chars the bare int64 product wraps (the q319 ADVICE class)
+        expr("""CAST(CAST(sum(len0 - len1) AS DECIMAL(38,0)) * 1000000
+                div nullif(sum(len0), 0) AS BIGINT)""").as("pii_ppm"))
+      .orderBy("source")
+
+  /** q323's oracle, shared VERBATIM by s54. DuckDB regexp_replace needs
+    * the explicit 'g' flag (Spark replaces all matches by default). */
+  private[graft] def piiOracle: String = """
+        WITH corpus AS (
+          SELECT doc_id, source,
+                 text ||
+                 CASE WHEN doc_id % 7 = 3
+                      THEN ' contact user' || doc_id || '@example.com'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 11 = 5
+                      THEN ' call 555-' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 13 = 7
+                      THEN ' from 10.' || (doc_id % 256) || '.' ||
+                           ((doc_id // 256) % 256) || '.' ||
+                           (doc_id % 250 + 1)
+                      ELSE '' END AS text
+          FROM documents),
+        d AS (
+          SELECT source,
+                 len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+                 len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS p,
+                 len(regexp_extract_all(text,
+                   '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i,
+                 len(text) AS len0,
+                 len(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+                   '\b555-[0-9]{4}\b', '', 'g'),
+                   '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '', 'g'))
+                   AS len1
+          FROM corpus)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(e + p + i > 0) AS BIGINT) AS docs_flagged,
+               CAST(SUM(e) AS BIGINT) AS n_emails,
+               CAST(SUM(p) AS BIGINT) AS n_phones,
+               CAST(SUM(i) AS BIGINT) AS n_ips,
+               CAST(SUM(len0 - len1) AS BIGINT) AS pii_chars,
+               CAST(CAST(SUM(len0 - len1) AS HUGEINT) * 1000000
+                 // nullif(CAST(SUM(len0) AS HUGEINT), 0) AS BIGINT)
+                 AS pii_ppm
+        FROM d
+        GROUP BY source
+        ORDER BY source"""
+
+  /** q324/s55 shared per-doc half: positional adjacent token pairs via
+    * zip_with over aligned slices (codegen'd; never the interpreted
+    * transform(sequence) lambda — the r10 8× lesson). */
+  private[graft] def specPairs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("wl", expr("filter(split(text, ' '), w -> w <> '')"))
+      .filter(size(col("wl")) >= 2)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          """zip_with(slice(wl, 1, size(wl) - 1),
+                      slice(wl, 2, size(wl) - 1),
+                      (x, y) -> named_struct('a', x, 'b', y))"""))
+          .as(Seq("pos", "pr")))
+      .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+        col("pr.a").as("a"), col("pr.b").as("b"))
+
+  /** q324's oracle, shared VERBATIM by s55 (the streamed probe must
+    * reproduce the batch acceptance report exactly). */
+  private[graft] def specAcceptOracle: String = """
+        WITH wl AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w
+          FROM documents),
+        pr AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(w)),
+                   i -> {'pos': i - 1, 'a': w[i], 'b': w[i+1]})) AS p
+          FROM wl WHERE len(w) >= 2),
+        pairs AS (
+          SELECT doc_id, source, p.pos AS pos, p.a AS a, p.b AS b FROM pr),
+        bg AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pairs GROUP BY a, b),
+        draft AS (
+          SELECT a, b AS db FROM (
+            SELECT a, b,
+                   row_number() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn
+            FROM bg) WHERE rn = 1),
+        fl AS (
+          SELECT p.doc_id, p.source, p.pos,
+                 CASE WHEN p.b = d.db THEN 1 ELSE 0 END AS acc
+          FROM pairs p JOIN draft d ON p.a = d.a),
+        rs AS (
+          SELECT doc_id, source, acc,
+                 CASE WHEN acc = 1 AND coalesce(lag(acc) OVER (
+                        PARTITION BY doc_id ORDER BY pos), 0) = 0
+                      THEN 1 ELSE 0 END AS rstart
+          FROM fl)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(acc) AS BIGINT) AS n_accept,
+               CAST(CAST(SUM(acc) AS HUGEINT) * 1000000 // COUNT(*)
+                 AS BIGINT) AS acceptance_ppm,
+               CAST(SUM(rstart) AS BIGINT) AS n_runs,
+               CAST(CAST(SUM(acc) AS BIGINT) * 1000
+                 // nullif(CAST(SUM(rstart) AS BIGINT), 0)
+                 AS BIGINT) AS mean_run_milli
+        FROM rs
+        GROUP BY source
+        ORDER BY source"""
 
   /** q322's rollup half, shared VERBATIM by s53: token stream →
     * distinct-frequency rank algebra → log2-bucket curve + lower-median

@@ -3447,6 +3447,55 @@ object StreamingQueries {
               .filter(col("w") =!= "")))
       },
       Some(graft.operators.TextAnalysis.zipfRankSlopeOracle))
+  ,
+
+    // ---------------------------------------------------------------- s54
+    // Streaming PII gate — q323's privacy audit at ingest, the shape a
+    // production pipeline actually deploys (PII must be caught BEFORE a
+    // document lands anywhere): each arriving doc runs the SHARED
+    // per-doc detector half (plants, regex counts, sequential-redaction
+    // lengths — all stateless, inside the tick's codegen stage, zero
+    // state stores, append mode), and the drained per-doc frame rolls
+    // up to q323's per-source report — oracle VERBATIM, so a dropped
+    // tick or a detector drift cannot hash-match.
+    QueryDef(
+      "s54_stream_pii_gate",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        TextAnalysis.piiReport(
+          drain(s, OutputMode.Append())(
+            TextAnalysis.piiPerDoc(TextAnalysis.piiPlanted(
+              documentsStreamParts(s, dir)))))
+      },
+      Some(graft.operators.TextAnalysis.piiOracle))
+  ,
+
+    // ---------------------------------------------------------------- s55
+    // Streaming speculative-acceptance probe — q324 live at serving
+    // time: the 1-token greedy draft table is the STANDING batch
+    // artifact (the s49/s39 model-artifact discipline — built once from
+    // the corpus, eager-checkpointed), and each arriving request
+    // (document) scores its accept flags through a stream-static keyed
+    // join against it; per-pair flags drain and the run/acceptance
+    // rollup reproduces q324's report — oracle VERBATIM. Per-tick cost
+    // is O(tick tokens); the static side is vocabulary-keyed, no
+    // broadcast assumption.
+    QueryDef(
+      "s55_stream_speculative_probe",
+      (s, dir) => {
+        import graft.operators.{TextAnalysis, TrackedCaches}
+        val draft = TrackedCaches.track(
+          TextAnalysis.specDraft(TextAnalysis.specPairs(
+            graft.Tables(s, dir, "documents"))).localCheckpoint(true))
+        TextAnalysis.specAcceptReport(
+          drain(s, OutputMode.Append())(
+            TextAnalysis.specPairs(documentsStreamParts(s, dir))
+              .join(draft, "a")
+              .withColumn("acc",
+                when(col("b") === col("db"), 1L).otherwise(0L))
+              .select("doc_id", "source", "pos", "acc")))
+      },
+      Some(graft.operators.TextAnalysis.specAcceptOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

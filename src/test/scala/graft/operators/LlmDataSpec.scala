@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkSpec, SparkEntry}
@@ -485,6 +486,59 @@ class LlmDataSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
     assert(runT(named) == runT(named.reverse),
       "permuting the input row order changed the allocation at a tie")
+  }
+
+  test("q323 PII audit: every planted span is found, nothing else fires") {
+    import spark.implicits._
+    // the fixture prose carries no natural PII (verified against all
+    // three patterns when the plants were designed), so the per-class
+    // totals must equal the plant counts derived from doc_id arithmetic
+    val docs = graft.Tables(spark, dir, "documents")
+    val exp = docs.select(
+      expr("count_if(doc_id % 7 = 3)"), expr("count_if(doc_id % 11 = 5)"),
+      expr("count_if(doc_id % 13 = 7)"), count(lit(1)))
+      .as[(Long, Long, Long, Long)].head()
+    val rows = run("q323_pii_redaction_audit").collect()
+    assert(rows.nonEmpty)
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(tot("n_emails") == exp._1, "email plants must all be detected")
+    assert(tot("n_phones") == exp._2, "phone plants must all be detected")
+    assert(tot("n_ips") == exp._3, "ip plants must all be detected")
+    assert(tot("n_docs") == exp._4)
+    assert(tot("docs_flagged") <= exp._1 + exp._2 + exp._3,
+      "a doc can carry several plants, never the reverse")
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("pii_ppm")
+      assert(ppm >= 0 && ppm < 1000000, s"pii_ppm out of range: $ppm")
+      assert(r.getAs[Long]("pii_chars") >= 0)
+    }
+  }
+
+  test("q324 speculative acceptance: internal consistency + draft determinism") {
+    import spark.implicits._
+    val rows = run("q324_speculative_acceptance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, na, nr) = (r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_accept"), r.getAs[Long]("n_runs"))
+      assert(na <= np, "accepted pairs cannot exceed total pairs")
+      assert(nr <= na, "every run contains at least one accepted pair")
+      assert(r.getAs[Long]("acceptance_ppm") == na * 1000000L / np,
+        "acceptance_ppm must equal the recomputed ratio")
+      if (nr > 0)
+        assert(r.getAs[Long]("mean_run_milli") >= 1000L,
+          "a run is at least one accepted pair long")
+      // the draft head always accepts SOMETHING: each head token's most
+      // frequent continuation appears in the corpus by construction
+      assert(na > 0, "corpus-argmax draft must accept at least one pair")
+    }
+    // the draft table is a function: exactly one continuation per head
+    val pairs = TextAnalysis.specPairs(graft.Tables(spark, dir, "documents"))
+    val draft = TextAnalysis.specDraft(pairs)
+    assert(draft.count() == pairs.select("a").distinct().count(),
+      "specDraft must emit exactly one row per distinct head token")
+    assert(draft.groupBy("a").count().filter(col("count") > 1).isEmpty,
+      "no head token may carry two draft continuations")
   }
 
   test("BPE merges table learns ONCE, shared by q254/q276") {
