@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1926,7 +1926,91 @@ object Dedup {
                CAST(SUM(run_tokens) AS BIGINT) AS dup_tokens,
                CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
         FROM runs GROUP BY source ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q326
+    // Template-skeleton dedup — the instruction/synthetic-data variant
+    // of exact dedup that q25's raw hash CANNOT catch: templatized
+    // documents ("... ref 4217" / "... ref 9002") differ in every byte
+    // hash yet are the same training example. Skeleton = digits
+    // collapsed to '#' (regexp_replace, identical dialect both
+    // engines); families group on md5(skeleton) so the shuffle carries
+    // a 32-hex digest + source, never the text (the q318 discipline).
+    // Planted families: every doc_id % 9 == 0 document arrives twice
+    // more with distinct ' ref <digits>' suffixes — the two variants
+    // share a skeleton (text + ' ref #') and family up with EXACTLY 2
+    // members each (the original's skeleton lacks the suffix and stays
+    // its own singleton family — spec-asserted), while their raw
+    // hashes differ. Per-source report: docs, families,
+    // docs in multi-member families, largest family, dedup savings
+    // ppm. 100 TB shape: one stateless skeleton-hash projection →
+    // one keyed aggregate → ≤ sources rollup.
+    QueryDef(
+      "q326_template_skeleton_dedup",
+      (s, dir) => {
+        val fam = templateCorpus(Tables(s, dir, "documents")
+            .select("doc_id", "source", "text"))
+          .select(col("source"), templateSkeletonH(col("text")).as("h"))
+          .groupBy("source", "h").agg(count(lit(1)).as("fs"))
+        fam.groupBy("source")
+          .agg(sum("fs").as("n_docs"),
+            count(lit(1)).as("n_families"),
+            sum(when(col("fs") >= 2, col("fs")).otherwise(0L))
+              .as("docs_in_multi"),
+            max("fs").as("max_family"),
+            expr("""CAST(CAST(sum(fs) - count(1) AS DECIMAL(38,0))
+                    * 1000000 div nullif(sum(fs), 0) AS BIGINT)""")
+              .as("savings_ppm"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 300000, source,
+                 text || ' ref ' || CAST(doc_id * 3 + 1 AS VARCHAR)
+          FROM documents WHERE doc_id % 9 = 0
+          UNION ALL
+          SELECT doc_id + 400000, source,
+                 text || ' ref ' || CAST(doc_id * 7 + 2 AS VARCHAR)
+          FROM documents WHERE doc_id % 9 = 0),
+        fam AS (
+          SELECT source, md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS h,
+                 CAST(COUNT(*) AS BIGINT) AS fs
+          FROM corpus GROUP BY source, h)
+        SELECT source, CAST(SUM(fs) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_families,
+               CAST(SUM(CASE WHEN fs >= 2 THEN fs ELSE 0 END) AS BIGINT)
+                 AS docs_in_multi,
+               CAST(MAX(fs) AS BIGINT) AS max_family,
+               CAST(CAST(SUM(fs) - COUNT(*) AS HUGEINT) * 1000000
+                 // nullif(CAST(SUM(fs) AS HUGEINT), 0) AS BIGINT)
+                 AS savings_ppm
+        FROM fam
+        GROUP BY source
+        ORDER BY source"""))
   ) :+ snmQuery
+
+  /** q326/s56 shared: digit-collapsed template skeleton, digest-keyed so
+    * only 32 hex chars ride any shuffle. Plain regexp_replace — same
+    * '[0-9]+' semantics in Java and RE2; md5 hex identical both engines. */
+  private[graft] def templateSkeletonH(c: Column): Column =
+    md5(regexp_replace(c, "[0-9]+", "#"))
+
+  /** q326's corpus: every doc_id % 9 == 0 document re-arrives twice with
+    * distinct ' ref <digits>' suffixes — same skeleton, different raw
+    * hash. Mirrored verbatim in the oracle's corpus CTE; the second
+    * variant set doubles as s56's arriving stream. */
+  private[graft] def templateCorpus(docs: DataFrame): DataFrame =
+    docs.unionByName(templateVariant(docs, 300000, 3, 1))
+      .unionByName(templateVariant(docs, 400000, 7, 2))
+
+  private[graft] def templateVariant(docs: DataFrame, offset: Long,
+      mult: Long, add: Long): DataFrame =
+    docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + offset).as("doc_id"), col("source"),
+        concat(col("text"), lit(" ref "),
+          (col("doc_id") * mult + add).cast("string")).as("text"))
 
   /** Maximal-run coalescing + per-source rollup shared VERBATIM by q318
     * (corpus-wide symmetric audit) and s51 (incremental at-ingest probe):

@@ -3200,6 +3200,72 @@ object TrainingDataOps {
       "q319_token_budget_waterfill",
       (s, dir) => budgetWaterfill(budgetPerDoc(Tables(s, dir, "documents"))),
       Some(budgetWaterfillOracle))
+  ,
+
+    // --------------------------------------------------------------- q325
+    // Temperature-scaled mixture sampling (τ = 2, p ∝ n^(1/2)) — the
+    // multilingual up-sampling device of mC4/XLM-R beside q319's
+    // cap-aware water-fill and q298's learned reweighting: square-root
+    // scaling lifts low-resource sources without letting the head
+    // dominate. Exactness: both engines evaluate floor(sqrt(CAST(n AS
+    // DOUBLE))) — IEEE-754 sqrt is correctly rounded, so for n < 2⁵²
+    // the two engines produce the IDENTICAL double and the identical
+    // floor (the rare n = k²−1 boundary where sqrt rounds up to k is
+    // the same rounding in both — cross-engine agreement, which is what
+    // the gate hashes, is unconditional). Every product that multiplies
+    // the corpus-scale budget rides DECIMAL(38) ↔ HUGEINT. 100 TB
+    // shape: one keyed corpus aggregate → ≤ sources-row frame; the
+    // total rides a broadcast single-row aggregate (never a window over
+    // data rows); epochs-per-source in exact milli shows the
+    // up-sampling factor the τ=2 schedule implies.
+    QueryDef(
+      "q325_temperature_sampling",
+      (s, dir) => {
+        val src = budgetPerDoc(Tables(s, dir, "documents"))
+          .groupBy("source").agg(sum("nt").as("n"))
+          .withColumn("w",
+            expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+        val tot = src.agg(sum("n").as("tt"), sum("w").as("tw"))
+        src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n").as("n_tokens"),
+            col("w").as("sqrt_weight"),
+            expr("""CAST(CAST(w AS DECIMAL(38,0)) * 1000000
+                    div nullif(tw, 0) AS BIGINT)""").as("sample_ppm"),
+            expr("""CAST(CAST(n AS DECIMAL(38,0)) * 1000000
+                    div nullif(tt, 0) AS BIGINT)""").as("prop_ppm"),
+            expr("""CAST(CAST(tt * 2 div 5 AS DECIMAL(38,0)) * w
+                    div nullif(tw, 0) AS BIGINT)""").as("alloc_tokens"),
+            expr("""CAST(CAST(CAST(tt * 2 div 5 AS DECIMAL(38,0)) * w
+                      div nullif(tw, 0) AS DECIMAL(38,0)) * 1000
+                    div nullif(n, 0) AS BIGINT)""").as("epochs_milli"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS nt
+          FROM documents),
+        src AS (
+          SELECT source, CAST(SUM(nt) AS BIGINT) AS n,
+                 CAST(floor(sqrt(CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE)))
+                   AS BIGINT) AS w
+          FROM d GROUP BY source),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS tt, CAST(SUM(w) AS BIGINT) AS tw
+          FROM src)
+        SELECT s.source, s.n AS n_tokens, s.w AS sqrt_weight,
+               CAST(CAST(s.w AS HUGEINT) * 1000000
+                 // nullif(t.tw, 0) AS BIGINT) AS sample_ppm,
+               CAST(CAST(s.n AS HUGEINT) * 1000000
+                 // nullif(t.tt, 0) AS BIGINT) AS prop_ppm,
+               CAST(CAST(t.tt * 2 // 5 AS HUGEINT) * s.w
+                 // nullif(t.tw, 0) AS BIGINT) AS alloc_tokens,
+               CAST(CAST(CAST(t.tt * 2 // 5 AS HUGEINT) * s.w
+                   // nullif(t.tw, 0) AS HUGEINT) * 1000
+                 // nullif(s.n, 0) AS BIGINT) AS epochs_milli
+        FROM src s, tot t
+        ORDER BY s.source"""))
   )
 
   /** q313/s50 shared: the stateless per-row half of the prefix-cache

@@ -3496,6 +3496,68 @@ object StreamingQueries {
               .select("doc_id", "source", "pos", "acc")))
       },
       Some(graft.operators.TextAnalysis.specAcceptOracle))
+  ,
+
+    // ---------------------------------------------------------------- s56
+    // Streaming template probe — q326's skeleton dedup at ingest, the
+    // catch q25-style raw-hash dedup misses live: the STANDING skeleton
+    // set (corpus + the already-registered first variant wave,
+    // digest-keyed, eager-checkpointed — the s49 standing-artifact
+    // discipline) is probed by each arriving doc's skeleton hash under
+    // a stream-static LEFT join; a templatized re-arrival ("… ref
+    // 9002" of a known "… ref 4217") hits even though every byte hash
+    // is new, while genuinely fresh templates report as novel. Per-tick
+    // cost: one stateless skeleton hash + one digest-keyed probe; zero
+    // state stores, append mode. The planted arithmetic makes the
+    // verdict exact: every second-wave variant MUST hit, every fresh
+    // item MUST be novel (oracle hash-pins both).
+    QueryDef(
+      "s56_stream_template_probe",
+      (s, dir) => {
+        import graft.operators.{Dedup, TrackedCaches}
+        val docs = graft.Tables(s, dir, "documents")
+          .select("doc_id", "source", "text")
+        val standing = TrackedCaches.track(
+          docs.unionByName(Dedup.templateVariant(docs, 300000, 3, 1))
+            .select(Dedup.templateSkeletonH(col("text")).as("h"))
+            .distinct()
+            .withColumn("known", lit(1L))
+            .localCheckpoint(true))
+        val flags = drain(s, OutputMode.Append())(
+          templateArrivalStreamParts(s, dir)
+            .select(col("source"), Dedup.templateSkeletonH(col("text")).as("h"))
+            .join(standing, Seq("h"), "left_outer")
+            .select(col("source"), coalesce(col("known"), lit(0L)).as("hit")))
+        flags.groupBy("source")
+          .agg(count(lit(1)).as("n_arrivals"),
+            sum("hit").as("template_hits"),
+            (count(lit(1)) - sum("hit")).as("novel"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH standing AS (
+          SELECT DISTINCT md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS h
+          FROM (
+            SELECT text FROM documents
+            UNION ALL
+            SELECT text || ' ref ' || CAST(doc_id * 3 + 1 AS VARCHAR)
+            FROM documents WHERE doc_id % 9 = 0)),
+        arr AS (
+          SELECT source, md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS h
+          FROM (
+            SELECT source,
+                   text || ' ref ' || CAST(doc_id * 7 + 2 AS VARCHAR) AS text
+            FROM documents WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT source,
+                   'fresh template item ' || CAST(doc_id AS VARCHAR) AS text
+            FROM documents WHERE doc_id % 9 = 1))
+        SELECT a.source, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+               CAST(count_if(s.h IS NOT NULL) AS BIGINT) AS template_hits,
+               CAST(count_if(s.h IS NULL) AS BIGINT) AS novel
+        FROM arr a LEFT JOIN standing s USING (h)
+        GROUP BY a.source
+        ORDER BY a.source"""))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and
@@ -3523,6 +3585,42 @@ object StreamingQueries {
       s"${System.getProperty("java.io.tmpdir")}/graft_stream_ingest_parts/$sf-${fixtureKey(path)}")
     val marker = landing.resolve("_STAGED")
     val batch = ingestBatch(s.read.parquet(path).select("doc_id", "text"))
+    if (!Files.exists(marker)) {
+      Files.createDirectories(landing)
+      val parts = parquetParts(batch.repartitionByRange(3, col("doc_id")))
+      require(parts.size == 3, s"expected 3 range parts, got ${parts.size}")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dest = landing.resolve(s"part_${i + 1}.parquet")
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          FileTime.fromMillis(1000000000000L + (i + 1) * 60000L))
+      }
+      placeMarker(marker)
+    }
+    s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+  }
+
+  /** s56's arriving batch staged as 3 time-ordered parquet parts: the
+    * SECOND template-variant wave (doc_id % 9 == 0, ' ref <7d+2>'
+    * suffix — skeleton-known, raw-hash-new) plus genuinely novel items
+    * (doc_id % 9 == 1). Same content-keyed at-most-once staging
+    * discipline as [[ingestBatchStreamParts]]. */
+  private def templateArrivalStreamParts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val path = s"$dir/documents.parquet"
+    val sf = Paths.get(path).getParent.getFileName.toString
+    val landing = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_template_parts/$sf-${fixtureKey(path)}")
+    val marker = landing.resolve("_STAGED")
+    val docs = s.read.parquet(path).select("doc_id", "source", "text")
+    val batch = graft.operators.Dedup.templateVariant(docs, 400000, 7, 2)
+      .unionByName(docs.filter(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 500000).as("doc_id"), col("source"),
+          concat(lit("fresh template item "),
+            col("doc_id").cast("string")).as("text")))
     if (!Files.exists(marker)) {
       Files.createDirectories(landing)
       val parts = parquetParts(batch.repartitionByRange(3, col("doc_id")))

@@ -541,6 +541,75 @@ class LlmDataSpec extends AnyFunSuite {
       "no head token may carry two draft continuations")
   }
 
+  test("q325 temperature sampling: up-samples the tail, conserves the budget") {
+    val rows = run("q325_temperature_sampling").collect()
+    assert(rows.length >= 2)
+    val ppmSum = rows.map(_.getAs[Long]("sample_ppm")).sum
+    assert(ppmSum > 1000000L - rows.length && ppmSum <= 1000000L,
+      s"sample shares must sum to 1e6 minus truncation: $ppmSum")
+    val budget = rows.map(_.getAs[Long]("n_tokens")).sum * 2 / 5
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= budget, s"allocated $alloc over budget $budget")
+    // τ=2 essence, truncation-free: the smallest source's sample share
+    // must exceed its proportional share (up-sampled) and the largest's
+    // must not (compressed head)
+    val byN = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byN.head.getAs[Long]("sample_ppm") >=
+      byN.head.getAs[Long]("prop_ppm"),
+      "sqrt scaling must up-sample the smallest source")
+    assert(byN.last.getAs[Long]("sample_ppm") <=
+      byN.last.getAs[Long]("prop_ppm"),
+      "sqrt scaling must compress the largest source")
+    // epochs are floor(alloc·1000/n) atop floor(sqrt) and a floored
+    // alloc — three truncation layers wiggle neighbors by a few milli,
+    // so monotonicity is asserted with that slack, not exactly
+    val em = byN.map(_.getAs[Long]("epochs_milli"))
+    assert(em.zip(em.tail).forall { case (a, b) => a >= b - 8 },
+      s"epochs_milli must be non-increasing up to truncation slack: ${em.mkString(",")}")
+  }
+
+  test("q326 skeleton dedup catches every planted template family") {
+    import spark.implicits._
+    val planted = graft.Tables(spark, dir, "documents")
+      .filter(expr("doc_id % 9 = 0")).groupBy("source")
+      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+    val rows = run("q326_template_skeleton_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val p = planted.getOrElse(src, 0L)
+      if (p > 0) {
+        // each plant families the TWO variants (the original's skeleton
+        // lacks the ' ref #' suffix and stays a singleton)
+        assert(r.getAs[Long]("max_family") >= 2L,
+          s"$src: a planted variant family must have >= 2 members")
+        assert(r.getAs[Long]("docs_in_multi") >= 2L * p,
+          s"$src: all ${2 * p} planted variants must be in multi families")
+        assert(r.getAs[Long]("n_docs") - r.getAs[Long]("n_families") >= p,
+          s"$src: dedup must save at least one variant per plant")
+      }
+      assert(r.getAs[Long]("savings_ppm") >= 0 &&
+        r.getAs[Long]("savings_ppm") < 1000000L)
+    }
+  }
+
+  test("s56 template probe: every re-template hits, every fresh item is novel") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    val exp = docs.groupBy("source")
+      .agg(expr("count_if(doc_id % 9 = 0)").as("hits"),
+        expr("count_if(doc_id % 9 = 1)").as("fresh"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    run("s56_stream_template_probe").collect().foreach { r =>
+      val (eh, ef) = exp(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_arrivals") == eh + ef)
+      assert(r.getAs[Long]("template_hits") == eh,
+        "every second-wave variant's skeleton is standing and must hit")
+      assert(r.getAs[Long]("novel") == ef,
+        "every fresh item must report novel")
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
