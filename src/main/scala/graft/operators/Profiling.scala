@@ -3023,6 +3023,76 @@ object Profiling {
         FROM p
         GROUP BY decile
         ORDER BY decile"""))
+  ,
+
+    // --------------------------------------------------------------- q327
+    // k-anonymity / l-diversity audit — the governance sibling of
+    // q323's PII gate: before a customer extract ships as training or
+    // eval data, measure RE-IDENTIFICATION risk. Quasi-identifier =
+    // (mktsegment, 1000-unit balance band — floor over the exact
+    // double, identical in both engines); sensitive attribute =
+    // nationkey. k = equivalence-class size (rows sharing a QI tuple
+    // are indistinguishable; k < 5 is linkable), l = distinct sensitive
+    // values inside the class (l < 3 leaks the nation even without
+    // linking). Per-segment report: classes, min k, rows at k < 5 and
+    // their ppm, min l, rows at l < 3 and their ppm. 100 TB shape: ONE
+    // keyed aggregate over the QI tuple (count + count-distinct in the
+    // same pass), then a ≤ segments × bands rollup — the table is
+    // touched once.
+    QueryDef(
+      "q327_k_anonymity_audit",
+      (s, dir) => {
+        // band operand shifted non-negative BEFORE the integer divide:
+        // Spark div truncates toward zero while DuckDB // floors, so a
+        // negative balance (min −999.99) would band differently; +1000
+        // keeps both engines on the same floor
+        val cls = Tables(s, dir, "customer")
+          .select(col("c_mktsegment").as("seg"),
+            expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 1000")
+              .as("band"),
+            col("c_nationkey").cast("long").as("nat"))
+          .groupBy("seg", "band")
+          .agg(count(lit(1)).as("k"), countDistinct("nat").as("l"))
+        cls.groupBy("seg")
+          .agg(sum("k").as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            min("k").as("min_k"),
+            sum(when(col("k") < 5, col("k")).otherwise(0L))
+              .as("rows_k_lt5"),
+            expr("""sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000
+                    div sum(k)""").as("k_risk_ppm"),
+            min("l").as("min_l"),
+            sum(when(col("l") < 3, col("k")).otherwise(0L))
+              .as("rows_l_lt3"),
+            expr("""sum(CASE WHEN l < 3 THEN k ELSE 0 END) * 1000000
+                    div sum(k)""").as("l_risk_ppm"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH cls AS (
+          SELECT c_mktsegment AS seg,
+                 (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000 AS band,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS l
+          FROM customer
+          GROUP BY seg, band)
+        SELECT seg, CAST(SUM(k) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+                 AS rows_k_lt5,
+               CAST(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+                 * 1000000 // CAST(SUM(k) AS BIGINT) AS BIGINT)
+                 AS k_risk_ppm,
+               CAST(MIN(l) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+                 AS rows_l_lt3,
+               CAST(CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+                 * 1000000 // CAST(SUM(k) AS BIGINT) AS BIGINT)
+                 AS l_risk_ppm
+        FROM cls
+        GROUP BY seg
+        ORDER BY seg"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure

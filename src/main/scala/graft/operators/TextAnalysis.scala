@@ -2094,7 +2094,100 @@ object TextAnalysis {
           .select("doc_id", "source", "pos", "acc"))
       },
       Some(specAcceptOracle))
+  ,
+
+    // --------------------------------------------------------------- q328
+    // Code-vs-prose routing — the pretraining-router step that decides
+    // which pipeline a crawled document enters (code corpora tokenize,
+    // dedup and mix differently from prose): integer structural signals
+    // only — symbol count via translate-stripping ({}();=) and a
+    // 4-keyword token hit count — so the verdict is exact in both
+    // engines (the fixture prose measures ZERO on both axes, verified
+    // at design time, giving clean separation from the planted
+    // synthetic snippets). Corpus = documents ∪ deterministic code
+    // plants (doc_id % 17 == 4, same CASE arithmetic in the oracle).
+    // Per-source routing report with DECIMAL(38)-widened char-mass ppm.
+    // 100 TB shape: one stateless per-doc codegen projection → ≤
+    // sources rollup; the identical per-doc half streams as s57.
+    QueryDef(
+      "q328_code_detection",
+      (s, dir) => codeRouteReport(codePerDoc(codeCorpus(
+        Tables(s, dir, "documents").select("doc_id", "source", "text")))),
+      Some(codeRouteOracle))
   )
+
+  /** q328/s57 shared: corpus with deterministic synthetic-code plants
+    * (every doc_id % 17 == 4 contributes one snippet under its source).
+    * Mirrored verbatim in [[codeRouteOracle]]'s corpus CTE. */
+  private[graft] def codeCorpus(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.filter(col("doc_id") % 17 === 4)
+      .select((col("doc_id") + 700000).as("doc_id"), col("source"),
+        concat(lit("def fn"), col("doc_id").cast("string"),
+          lit("(x) { if (x > "), (col("doc_id") % 13).cast("string"),
+          lit(") { return x + "), (col("doc_id") % 97).cast("string"),
+          lit("; } var y = fn"), col("doc_id").cast("string"),
+          lit("("), (col("doc_id") % 7).cast("string"),
+          lit("); }")).as("text")))
+
+  /** q328/s57 shared per-doc half — stateless integer signals. */
+  private[graft] def codePerDoc(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      (length(col("text")) - length(translate(col("text"), "{}();=", "")))
+        .cast("long").as("sym"),
+      expr("""CAST(size(filter(split(text, ' '),
+              w -> w IN ('def', 'return', 'var', 'if'))) AS BIGINT)""")
+        .as("kw"),
+      length(col("text")).cast("long").as("nc"))
+      .withColumn("is_code",
+        (col("sym") >= 5 && col("kw") >= 2).cast("long"))
+
+  /** q328/s57 shared rollup half: per-source routing report. */
+  private[graft] def codeRouteReport(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_code").as("n_code"),
+        expr("sum(is_code) * 1000000 div count(1)").as("code_doc_ppm"),
+        // DECIMAL(38) ↔ HUGEINT: corpus char mass × 1e6 wraps int64
+        expr("""CAST(CAST(sum(CASE WHEN is_code = 1 THEN nc ELSE 0 END)
+                  AS DECIMAL(38,0)) * 1000000
+                div nullif(sum(nc), 0) AS BIGINT)""").as("code_char_ppm"))
+      .orderBy("source")
+
+  /** q328's oracle, shared VERBATIM by s57. */
+  private[graft] def codeRouteOracle: String = """
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 700000, source,
+                 'def fn' || doc_id || '(x) { if (x > ' ||
+                 (doc_id % 13) || ') { return x + ' || (doc_id % 97) ||
+                 '; } var y = fn' || doc_id || '(' || (doc_id % 7) ||
+                 '); }'
+          FROM documents WHERE doc_id % 17 = 4),
+        d AS (
+          SELECT source,
+                 CAST(len(text) - len(translate(text, '{}();=', ''))
+                   AS BIGINT) AS sym,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w IN ('def', 'return', 'var', 'if'))) AS BIGINT)
+                   AS kw,
+                 CAST(len(text) AS BIGINT) AS nc
+          FROM corpus),
+        f AS (
+          SELECT source, nc,
+                 CASE WHEN sym >= 5 AND kw >= 2 THEN 1 ELSE 0 END AS is_code
+          FROM d)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_code) AS BIGINT) AS n_code,
+               CAST(CAST(SUM(is_code) AS BIGINT) * 1000000 // COUNT(*)
+                 AS BIGINT) AS code_doc_ppm,
+               CAST(CAST(SUM(CASE WHEN is_code = 1 THEN nc ELSE 0 END)
+                   AS HUGEINT) * 1000000
+                 // nullif(CAST(SUM(nc) AS HUGEINT), 0) AS BIGINT)
+                 AS code_char_ppm
+        FROM f
+        GROUP BY source
+        ORDER BY source"""
 
   /** q324/s55 shared: the 1-token greedy draft table — corpus-argmax
     * next token per head token, deterministic tie-break (highest count,

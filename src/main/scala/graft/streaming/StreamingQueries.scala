@@ -3558,6 +3558,28 @@ object StreamingQueries {
         FROM arr a LEFT JOIN standing s USING (h)
         GROUP BY a.source
         ORDER BY a.source"""))
+  ,
+
+    // ---------------------------------------------------------------- s57
+    // Streaming code router — q328's pretraining router at ingest,
+    // where the routing decision actually happens (a crawled doc enters
+    // the code or the prose pipeline the moment it lands): each
+    // arriving doc runs the SHARED per-doc signal half (translate-
+    // stripped symbol count + keyword hits — stateless, inside the
+    // tick's codegen stage, zero state stores, append mode); the
+    // drained per-doc frame rolls up to q328's routing report — oracle
+    // VERBATIM, so a dropped tick or a signal drift cannot hash-match.
+    QueryDef(
+      "s57_stream_code_router",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        TextAnalysis.codeRouteReport(
+          drain(s, OutputMode.Append())(
+            TextAnalysis.codePerDoc(TextAnalysis.codeCorpus(
+              documentsStreamParts(s, dir)
+                .select("doc_id", "source", "text")))))
+      },
+      Some(graft.operators.TextAnalysis.codeRouteOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

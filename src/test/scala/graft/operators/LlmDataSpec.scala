@@ -610,6 +610,41 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q327 k-anonymity: class algebra reconciles with the raw table") {
+    val rows = run("q327_k_anonymity_audit").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.Tables(spark, dir, "customer").count(),
+      "every customer row must land in exactly one equivalence class")
+    rows.foreach { r =>
+      val (n, k5, l3) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("rows_k_lt5"), r.getAs[Long]("rows_l_lt3"))
+      assert(r.getAs[Long]("min_k") >= 1)
+      assert(r.getAs[Long]("min_l") >= 1 && r.getAs[Long]("min_l") <= 25,
+        "l is a distinct-nation count, bounded by the 25 nations")
+      assert(k5 <= n && l3 <= n)
+      assert(r.getAs[Long]("k_risk_ppm") == k5 * 1000000L / n)
+      assert(r.getAs[Long]("l_risk_ppm") == l3 * 1000000L / n)
+      // a singleton class (k=1) trivially has l=1 < 3: k-risk rows at
+      // k=1 are a subset of l-risk rows, so min_k=1 forces l-risk > 0
+      if (r.getAs[Long]("min_k") == 1L) assert(l3 > 0)
+    }
+  }
+
+  test("q328 code router: exactly the planted snippets route as code") {
+    import spark.implicits._
+    val planted = graft.Tables(spark, dir, "documents")
+      .filter(expr("doc_id % 17 = 4")).count()
+    val rows = run("q328_code_detection").collect()
+    assert(rows.map(_.getAs[Long]("n_code")).sum == planted,
+      "prose measures zero on both signals, so detections == plants exactly")
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_code"))
+      assert(r.getAs[Long]("code_doc_ppm") == c * 1000000L / n)
+      assert(r.getAs[Long]("code_char_ppm") < 1000000L)
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
