@@ -50,6 +50,41 @@ import org.apache.spark.sql.SparkSession
   * stdout carries a compact, always-parsing line — slowest-12 +
   * iso adjudications + shared-build payers + summary fields LAST.
   */
+/** Cache-event counters (VERDICT r10 item 1): suite-slot anomalies
+  * (q297 r9, q83 r10) were block-eviction/recompute storms invisible in
+  * the artifact — a slow slot read as "the operator regressed" until a
+  * round-long iso hunt said otherwise. Counts per RDD block: RE-ADDS
+  * (the same block cached again after being dropped = a recompute
+  * paid), SPILLS (a MEMORY_AND_DISK block demoted to disk-only under
+  * memory pressure) and EVICTS (block dropped entirely under pressure).
+  * Deliberate unpersists emit SparkListenerUnpersistRDD, not
+  * BlockUpdated, so TrackedCaches' post-drain releases never masquerade
+  * as evictions — every nonzero count here is memory pressure. Listener
+  * delivery is async, so per-query attribution is approximate (± the
+  * bus lag), which is fine for the "is this slot churning its caches"
+  * question. Classification logic is unit-tested (BenchSpec) against
+  * synthetic block events.
+  */
+final class CacheEvents extends org.apache.spark.scheduler.SparkListener {
+  private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val readds = new java.util.concurrent.atomic.AtomicLong
+  val spills = new java.util.concurrent.atomic.AtomicLong
+  val evicts = new java.util.concurrent.atomic.AtomicLong
+  /** The classification core, separated from the listener plumbing so a
+    * spec can drive it with synthetic (blockId, level) pairs. */
+  def record(blockId: org.apache.spark.storage.BlockId,
+      lvl: org.apache.spark.storage.StorageLevel): Unit =
+    if (blockId.isRDD) {
+      if (!lvl.isValid) evicts.incrementAndGet()
+      else if (!lvl.useMemory && lvl.useDisk) spills.incrementAndGet()
+      else if (!seen.add(blockId.name)) readds.incrementAndGet()
+    }
+  override def onBlockUpdated(
+      e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+    record(e.blockUpdatedInfo.blockId, e.blockUpdatedInfo.storageLevel)
+  def snapshot: (Long, Long, Long) = (readds.get, spills.get, evicts.get)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
@@ -74,38 +109,6 @@ object Bench {
       s
     }
 
-    // Cache-event counters (VERDICT r10 item 1): suite-slot anomalies
-    // (q297 r9, q83 r10) were block-eviction/recompute storms invisible
-    // in the artifact — a slow slot read as "the operator regressed"
-    // until a round-long iso hunt said otherwise. The listener counts,
-    // per RDD block: ADDS (first materialization of a cached/checkpointed
-    // partition), RE-ADDS (the same block cached again after being
-    // dropped = a recompute paid), SPILLS (a MEMORY_AND_DISK block
-    // demoted to disk-only under memory pressure) and EVICTS (block
-    // dropped entirely under pressure). Deliberate unpersists emit
-    // SparkListenerUnpersistRDD, not BlockUpdated, so TrackedCaches'
-    // post-drain releases never masquerade as evictions — every nonzero
-    // count here is memory pressure. Listener delivery is async, so
-    // counts are attribution-approximate (± the bus lag), which is fine
-    // for the "is this slot churning its caches" question they answer.
-    final class CacheEvents extends org.apache.spark.scheduler.SparkListener {
-      private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      val readds = new java.util.concurrent.atomic.AtomicLong
-      val spills = new java.util.concurrent.atomic.AtomicLong
-      val evicts = new java.util.concurrent.atomic.AtomicLong
-      override def onBlockUpdated(
-          e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
-        val info = e.blockUpdatedInfo
-        if (info.blockId.isRDD) {
-          val lvl = info.storageLevel
-          if (!lvl.isValid) evicts.incrementAndGet()
-          else if (!lvl.useMemory && lvl.useDisk) spills.incrementAndGet()
-          else if (!seen.add(info.blockId.name)) readds.incrementAndGet()
-        }
-      }
-      def snapshot: (Long, Long, Long) =
-        (readds.get, spills.get, evicts.get)
-    }
     var cacheEvents = new CacheEvents // rebound per session
 
     def drainNoRelease(spark: SparkSession, name: String): Unit =
