@@ -24,7 +24,19 @@ import graft.tools.PlanShape
   */
 class PlanShapeSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSpec.spark
+  // a FRESH session for conf isolation, plus an explicit cache clear:
+  // a plan's shape depends on which persisted frames are live in the
+  // CacheManager (a cached subtree collapses to an InMemoryRelation
+  // leaf), and the CacheManager lives in SHARED state — per context,
+  // not per session — so 28 prior suites' leftovers reshaped 8 plans in
+  // round 11's full-suite run. catalog.clearCache() + newSession()'s
+  // empty (session, dir)-keyed artifact memos reproduce exactly the
+  // state the PlanSnapshot generator's fresh JVM sees; both sides then
+  // iterate the same sorted names from the same empty state, so
+  // intra-run path dependence cancels. The cache is cleared again
+  // afterwards so this test's own leftovers can't reshape the plan
+  // assertions of suites that run later (ScaleSpec's).
+  private lazy val spark = SparkSpec.spark.newSession()
   private val dir = "/root/testdata/sf0.001"
 
   test("every q* physical plan matches its committed PLANS.json signature") {
@@ -40,14 +52,16 @@ class PlanShapeSpec extends AnyFunSuite {
         missing.mkString(", "))
     assert(orphans.isEmpty,
       s"PLANS.json entries with no matching query: ${orphans.mkString(", ")}")
-    val failures = PlanShape.snapshot(spark, dir, names).flatMap {
-      case (n, Left(e)) => Some(s"$n: plan build FAILED: $e")
-      case (n, Right(sig)) if expected(n) != sig =>
-        Some(s"$n: plan shape changed\n    committed: ${expected(n)}\n" +
-          s"    actual:    $sig\n    — if intended, acknowledge with: " +
-          s"""sbt "runMain graft.tools.PlanSnapshot ${n.takeWhile(_ != '_')}"""")
-      case _ => None
-    }
+    spark.catalog.clearCache()
+    val failures =
+      try PlanShape.snapshot(spark, dir, names).flatMap {
+        case (n, Left(e)) => Some(s"$n: plan build FAILED: $e")
+        case (n, Right(sig)) if expected(n) != sig =>
+          Some(s"$n: plan shape changed\n    committed: ${expected(n)}\n" +
+            s"    actual:    $sig\n    — if intended, acknowledge with: " +
+            s"""sbt "runMain graft.tools.PlanSnapshot ${n.takeWhile(_ != '_')}"""")
+        case _ => None
+      } finally spark.catalog.clearCache()
     assert(failures.isEmpty,
       s"\n${failures.size} un-acknowledged plan change(s):\n" +
         failures.mkString("\n"))
