@@ -1229,5 +1229,113 @@ object Similarity {
         FROM negs n JOIN pos p USING (anchor_id)
         WHERE n.neg_rank <= 3
         ORDER BY n.anchor_id, n.neg_rank"""))
+  ,
+
+    // --------------------------------------------------------------- q330
+    // SEMANTIC decontamination — the embedding-space tier above q232/
+    // q277's n-gram matching (the checks modern model cards run
+    // side-by-side: a paraphrased benchmark item shares no 5-gram but
+    // sits at cosine ≈ 1): train vectors whose cosine against ANY
+    // benchmark vector reaches 0.9 are contaminated. The benchmark is
+    // vec_id % 23 == 1; the ODD half of it leaks back into train as
+    // planted near-copies (+0.01 on dim 1, cosine ≥ 0.9999 vs a ≤ 0.52
+    // natural cross-pair ceiling — q125's measured gap), so exactly
+    // those plants must flag (spec-asserted). Candidates come from the
+    // SAME k-means coarse quantizer as q125/q29 (two Lloyd rounds on
+    // the deterministic sample, checkpointed): both sides assign to
+    // clusters and only WITHIN-cluster (train × bench) pairs score —
+    // Σ c_train·c_bench per cluster, never |train|×|bench|; a tiny
+    // perturbation cannot flip the argmax cluster, so the planted pair
+    // is always co-bucketed. Per-cluster report: train size, benchmark
+    // size, contaminated count + id-sum.
+    QueryDef(
+      "q330_semantic_decontamination",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val bench = base.filter(col("vec_id") % 23 === 1)
+        val trainRaw = base.filter(col("vec_id") % 23 =!= 1)
+          .unionByName(bench.filter(col("vec_id") % 2 === 1)
+            .select((col("vec_id") + 200000).as("vec_id"),
+              expr("concat(array(element_at(e, 1) + 0.01d), slice(e, 2, 63))")
+                .as("e")))
+        val init = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+        val sample = base.filter(col("vec_id") % 10 === 0)
+        val cent = lloyd(sample, lloyd(sample, init)).localCheckpoint(true)
+        def assign(df: DataFrame): DataFrame =
+          df.join(broadcast(cent), lit(true))
+            .groupBy("vec_id")
+            .agg(max_by(col("cent_id"),
+              struct(cosine(col("e"), col("ce")), -col("cent_id")))
+              .as("cluster_id"),
+              first(col("e")).as("e"))
+        val ta = TrackedCaches.track(assign(trainRaw)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val ba = TrackedCaches.track(assign(bench)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val hits = ta.select(col("cluster_id"), col("vec_id").as("tid"),
+            col("e").as("te"))
+          .join(ba.select(col("cluster_id"), col("e").as("be")),
+            Seq("cluster_id"))
+          .filter(cosine(col("te"), col("be")) >= 0.9)
+          .select(col("tid")).distinct()
+        val bCnt = ba.groupBy("cluster_id").agg(count(lit(1)).as("n_bench"))
+        ta.join(hits.withColumn("hit", lit(1L)),
+            col("vec_id") === col("tid"), "left")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+              .as("n_contaminated"),
+            sum(when(col("hit").isNotNull, col("vec_id")))
+              .as("contaminated_id_sum"))
+          .join(broadcast(bCnt), Seq("cluster_id"), "left")
+          .select(col("cluster_id"), col("n_train"),
+            coalesce(col("n_bench"), lit(0L)).as("n_bench"),
+            col("n_contaminated"), col("contaminated_id_sum"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        bench AS (SELECT vec_id, e FROM base WHERE vec_id % 23 = 1),
+        trainv AS (
+          SELECT vec_id, e FROM base WHERE vec_id % 23 <> 1
+          UNION ALL
+          SELECT vec_id + 200000, list_concat([e[1] + 0.01], e[2:64])
+          FROM bench WHERE vec_id % 2 = 1),
+        init AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 8),
+        train AS (SELECT vec_id, e FROM base WHERE vec_id % 10 = 0),
+        ${duckLloyd("train", "init", 1)},
+        ${duckLloyd("train", "cent1", 2)},
+        ta AS (
+          SELECT vec_id, e, cent_id AS cluster_id FROM (
+            SELECT t.vec_id, t.e, c.cent_id,
+                   row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY ${duckCosine("t.e", "c.ce")} DESC, c.cent_id)
+                     AS rnk
+            FROM trainv t CROSS JOIN cent2 c) x WHERE rnk = 1),
+        ba AS (
+          SELECT vec_id, e, cent_id AS cluster_id FROM (
+            SELECT b.vec_id, b.e, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${duckCosine("b.e", "c.ce")} DESC, c.cent_id)
+                     AS rnk
+            FROM bench b CROSS JOIN cent2 c) x WHERE rnk = 1),
+        hits AS (
+          SELECT DISTINCT t.vec_id AS tid
+          FROM ta t JOIN ba b ON t.cluster_id = b.cluster_id
+          WHERE ${duckCosine("t.e", "b.e")} >= 0.9),
+        bcnt AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_bench
+                 FROM ba GROUP BY cluster_id)
+        SELECT t.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_train,
+               CAST(coalesce(ANY_VALUE(bc.n_bench), 0) AS BIGINT) AS n_bench,
+               CAST(SUM(CASE WHEN h.tid IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_contaminated,
+               CAST(SUM(CASE WHEN h.tid IS NOT NULL THEN t.vec_id END)
+                 AS BIGINT) AS contaminated_id_sum
+        FROM ta t
+        LEFT JOIN hits h ON t.vec_id = h.tid
+        LEFT JOIN bcnt bc ON t.cluster_id = bc.cluster_id
+        GROUP BY t.cluster_id
+        ORDER BY t.cluster_id"""))
   )
 }

@@ -3272,7 +3272,140 @@ object TrainingDataOps {
                  // nullif(s.n, 0) AS BIGINT) AS epochs_milli
         FROM src s, tot t
         ORDER BY s.source"""))
+  ,
+
+    // --------------------------------------------------------------- q329
+    // UL2 mixture-of-denoisers accounting — the objective-planning step
+    // for encoder-decoder / prefix-LM pretraining (Tay et al.'s R/X/S
+    // denoisers; q315's FIM is the decoder-only sibling): for each
+    // objective, price the corpus in masked-token mass, sentinel
+    // overhead, and input/target lengths. R = short spans (3-token
+    // blocks, 15% density), X = long spans (12-token blocks, 50%), S =
+    // prefix-LM (the suffix half is the target, one split sentinel).
+    // Masking is the md5-coin device per (doc, block, objective);
+    // CONSECUTIVE masked blocks coalesce into ONE span (a span start is
+    // a masked block whose predecessor's coin — RE-DERIVED
+    // arithmetically, no window, no self-join — is unmasked), so
+    // sentinel counts follow T5 semantics exactly. 100 TB shape: one
+    // narrow block explode (fan-out ≤ tokens/3), keyed per-doc
+    // aggregate, ≤ sources×3 rollup; the S row is pure per-doc
+    // arithmetic unioned in with zero fan-out.
+    QueryDef(
+      "q329_ul2_denoiser_accounting",
+      (s, dir) => ul2Report(ul2PerDoc(ul2Rows(
+        Tables(s, dir, "documents").select("doc_id", "source", "text")))),
+      Some(ul2Oracle))
   )
+
+  /** q329/s58 shared STATELESS half: one row per (doc, objective,
+    * block) carrying that block's masked-token and span-start
+    * contribution (the S prefix-LM objective contributes one arithmetic
+    * row per doc, zero fan-out). No aggregation here — this is what s58
+    * can drain in append mode; per-doc totals are a batch-side rollup
+    * ([[ul2PerDoc]]). See the q329 scaladoc for the coin algebra. */
+  private[graft] def ul2Rows(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)")
+          .as("n"))
+      .filter(col("n") >= 1)
+    def spanObj(name: String, len: Int, pct: Int): DataFrame =
+      base
+        .withColumn("nb", expr(s"(n + ${len - 1}) div $len"))
+        .select(col("doc_id"), col("source"), col("n"),
+          explode(expr("sequence(0L, nb - 1)")).as("b"))
+        .withColumn("coin", expr(
+          s"""CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+                CAST(b AS STRING), '_', '$name')), 1, 15), 16, 10)
+                AS BIGINT) % 100"""))
+        .withColumn("pcoin", expr(
+          s"""CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_',
+                CAST(b - 1 AS STRING), '_', '$name')), 1, 15), 16, 10)
+                AS BIGINT) % 100"""))
+        .select(col("doc_id"), col("source"), lit(name).as("objective"),
+          col("n"),
+          expr(s"""CASE WHEN coin < $pct
+                   THEN least(CAST($len AS BIGINT), n - b * $len)
+                   ELSE 0L END""").as("masked"),
+          (col("coin") < pct && (col("b") === 0 || col("pcoin") >= pct))
+            .cast("long").as("start"))
+    val sPre = base.select(col("doc_id"), col("source"),
+      lit("S").as("objective"), col("n"),
+      (col("n") - expr("(n + 1) div 2")).as("masked"), lit(1L).as("start"))
+    spanObj("R", 3, 15).unionByName(spanObj("X", 12, 50)).unionByName(sPre)
+  }
+
+  /** q329/s58 shared per-doc rollup over [[ul2Rows]]. */
+  private[graft] def ul2PerDoc(rows: DataFrame): DataFrame =
+    rows.groupBy("doc_id", "source", "objective")
+      .agg(max("n").as("n"), sum("masked").as("masked"),
+        sum("start").as("sentinels"))
+      .select("source", "objective", "n", "masked", "sentinels")
+
+  /** q329/s58 shared rollup half: per (source, objective) pricing. */
+  private[graft] def ul2Report(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy("source", "objective")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("n_tokens"),
+        sum("masked").as("masked_tokens"),
+        sum("sentinels").as("n_sentinels"),
+        (sum("n") - sum("masked") + sum("sentinels")).as("input_tokens"),
+        (sum("masked") + sum("sentinels")).as("target_tokens"),
+        // DECIMAL(38) ↔ HUGEINT at corpus scale (the q319 class)
+        expr("""CAST(CAST(sum(masked) AS DECIMAL(38,0)) * 1000000
+                div nullif(sum(n), 0) AS BIGINT)""").as("masked_ppm"))
+      .orderBy("source", "objective")
+
+  /** q329's oracle, shared VERBATIM by s58. */
+  private[graft] def ul2Oracle: String = """
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS n
+          FROM documents
+          WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 1),
+        blocks AS (
+          SELECT doc_id, source, n, 'R' AS objective, 3 AS L, 15 AS pct,
+                 unnest(range(0, (n + 2) // 3)) AS b
+          FROM base
+          UNION ALL
+          SELECT doc_id, source, n, 'X', 12, 50,
+                 unnest(range(0, (n + 11) // 12)) AS b
+          FROM base),
+        coins AS (
+          SELECT doc_id, source, n, objective, L, pct, b,
+                 CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                   '_', CAST(b AS VARCHAR), '_', objective)), 1, 15))
+                   AS BIGINT) % 100 AS coin,
+                 CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                   '_', CAST(b - 1 AS VARCHAR), '_', objective)), 1, 15))
+                   AS BIGINT) % 100 AS pcoin
+          FROM blocks),
+        per_doc AS (
+          SELECT source, objective, doc_id, n,
+                 CAST(SUM(CASE WHEN coin < pct
+                   THEN least(CAST(L AS BIGINT), n - b * L) ELSE 0 END)
+                   AS BIGINT) AS masked,
+                 CAST(SUM(CASE WHEN coin < pct AND (b = 0 OR pcoin >= pct)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS sentinels
+          FROM coins GROUP BY source, objective, doc_id, n
+          UNION ALL
+          SELECT source, 'S', doc_id, n,
+                 n - (n + 1) // 2, CAST(1 AS BIGINT)
+          FROM base)
+        SELECT source, objective, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(masked) AS BIGINT) AS masked_tokens,
+               CAST(SUM(sentinels) AS BIGINT) AS n_sentinels,
+               CAST(SUM(n) - SUM(masked) + SUM(sentinels) AS BIGINT)
+                 AS input_tokens,
+               CAST(SUM(masked) + SUM(sentinels) AS BIGINT) AS target_tokens,
+               CAST(CAST(SUM(masked) AS HUGEINT) * 1000000
+                 // nullif(CAST(SUM(n) AS HUGEINT), 0) AS BIGINT)
+                 AS masked_ppm
+        FROM per_doc
+        GROUP BY source, objective
+        ORDER BY source, objective"""
 
   /** q313/s50 shared: the stateless per-row half of the prefix-cache
     * model — template + document tokens, fanned out over the four k

@@ -3580,6 +3580,28 @@ object StreamingQueries {
                 .select("doc_id", "source", "text")))))
       },
       Some(graft.operators.TextAnalysis.codeRouteOracle))
+  ,
+
+    // ---------------------------------------------------------------- s58
+    // Streaming UL2 objective accounting — q329 live at ingest: each
+    // arriving doc prices its three denoiser objectives through the
+    // SHARED per-doc half (token count, md5-coin block masking with
+    // arithmetic span coalescing — all stateless per row, the block
+    // fan-out stays inside the tick), and the drained per-(doc,
+    // objective) frame rolls up to q329's pricing report — oracle
+    // VERBATIM. This is the nightly objective-mix refresh shape: the
+    // stream accumulates sufficient statistics, the bounded
+    // sources×3 table falls out at rollup time.
+    QueryDef(
+      "s58_stream_ul2_accounting",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.ul2Report(TrainingDataOps.ul2PerDoc(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.ul2Rows(documentsStreamParts(s, dir)
+              .select("doc_id", "source", "text")))))
+      },
+      Some(graft.operators.TrainingDataOps.ul2Oracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

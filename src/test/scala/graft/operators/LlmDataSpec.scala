@@ -645,6 +645,56 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q329 UL2 accounting: token conservation and objective ordering") {
+    val rows = run("q329_ul2_denoiser_accounting").collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[String]("objective")).sorted.toSeq ==
+        Seq("R", "S", "X"), s"$src must price all three denoisers")
+      val m = rs.map(r => r.getAs[String]("objective") -> r).toMap
+      rs.foreach { r =>
+        // input + target = tokens + 2·sentinels (each span's sentinel
+        // appears once on each side) — exact conservation
+        assert(r.getAs[Long]("input_tokens") + r.getAs[Long]("target_tokens")
+          == r.getAs[Long]("n_tokens") + 2 * r.getAs[Long]("n_sentinels"),
+          s"$src/${r.getAs[String]("objective")}: conservation")
+        assert(r.getAs[Long]("n_sentinels") <= r.getAs[Long]("masked_tokens")
+          || r.getAs[Long]("masked_tokens") == 0,
+          "every span carries at least one masked token")
+      }
+      // X (50% long spans) must mask strictly more mass than R (15%)
+      assert(m("X").getAs[Long]("masked_ppm") >
+        m("R").getAs[Long]("masked_ppm"), s"$src: X must out-mask R")
+      // S masks the suffix half: never more than half the tokens
+      assert(m("S").getAs[Long]("masked_ppm") <= 500000L)
+      assert(m("S").getAs[Long]("n_sentinels") == m("S").getAs[Long]("n_docs"),
+        "prefix-LM carries exactly one split sentinel per doc")
+    }
+  }
+
+  test("q330 semantic decontamination flags exactly the planted leaks") {
+    import spark.implicits._
+    val plants = graft.Tables(spark, dir, "embeddings")
+      .filter(expr("vec_id % 23 = 1 AND vec_id % 2 = 1"))
+      .select((col("vec_id") + 200000L).as("pid"))
+      .as[Long].collect()
+    val rows = run("q330_semantic_decontamination").collect()
+    assert(rows.nonEmpty)
+    // the natural cross-pair cosine ceiling (~0.52) sits far under the
+    // 0.9 threshold, so the contaminated set IS the planted set
+    assert(rows.map(_.getAs[Long]("n_contaminated")).sum == plants.length,
+      "exactly the planted near-copies must flag")
+    val idSum = rows.flatMap(r =>
+      Option(r.getAs[java.lang.Long]("contaminated_id_sum")).map(_.toLong)).sum
+    assert(idSum == plants.sum,
+      "the contaminated id mass must equal the planted id mass")
+    val bench = graft.Tables(spark, dir, "embeddings")
+      .filter(expr("vec_id % 23 = 1")).count()
+    assert(rows.map(_.getAs[Long]("n_bench")).sum == bench,
+      "every benchmark vector lands in exactly one reported cluster")
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
