@@ -3226,52 +3226,9 @@ object TrainingDataOps {
     // up-sampling factor the τ=2 schedule implies.
     QueryDef(
       "q325_temperature_sampling",
-      (s, dir) => {
-        val src = budgetPerDoc(Tables(s, dir, "documents"))
-          .groupBy("source").agg(sum("nt").as("n"))
-          .withColumn("w",
-            expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
-        val tot = src.agg(sum("n").as("tt"), sum("w").as("tw"))
-        src.crossJoin(broadcast(tot))
-          .select(col("source"), col("n").as("n_tokens"),
-            col("w").as("sqrt_weight"),
-            expr("""CAST(CAST(w AS DECIMAL(38,0)) * 1000000
-                    div nullif(tw, 0) AS BIGINT)""").as("sample_ppm"),
-            expr("""CAST(CAST(n AS DECIMAL(38,0)) * 1000000
-                    div nullif(tt, 0) AS BIGINT)""").as("prop_ppm"),
-            expr("""CAST(CAST(tt * 2 div 5 AS DECIMAL(38,0)) * w
-                    div nullif(tw, 0) AS BIGINT)""").as("alloc_tokens"),
-            expr("""CAST(CAST(CAST(tt * 2 div 5 AS DECIMAL(38,0)) * w
-                      div nullif(tw, 0) AS DECIMAL(38,0)) * 1000
-                    div nullif(n, 0) AS BIGINT)""").as("epochs_milli"))
-          .orderBy("source")
-      },
-      Some("""
-        WITH d AS (
-          SELECT source,
-                 CAST(len(list_filter(string_split(text, ' '),
-                   w -> w <> '')) AS BIGINT) AS nt
-          FROM documents),
-        src AS (
-          SELECT source, CAST(SUM(nt) AS BIGINT) AS n,
-                 CAST(floor(sqrt(CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE)))
-                   AS BIGINT) AS w
-          FROM d GROUP BY source),
-        tot AS (
-          SELECT CAST(SUM(n) AS BIGINT) AS tt, CAST(SUM(w) AS BIGINT) AS tw
-          FROM src)
-        SELECT s.source, s.n AS n_tokens, s.w AS sqrt_weight,
-               CAST(CAST(s.w AS HUGEINT) * 1000000
-                 // nullif(t.tw, 0) AS BIGINT) AS sample_ppm,
-               CAST(CAST(s.n AS HUGEINT) * 1000000
-                 // nullif(t.tt, 0) AS BIGINT) AS prop_ppm,
-               CAST(CAST(t.tt * 2 // 5 AS HUGEINT) * s.w
-                 // nullif(t.tw, 0) AS BIGINT) AS alloc_tokens,
-               CAST(CAST(CAST(t.tt * 2 // 5 AS HUGEINT) * s.w
-                   // nullif(t.tw, 0) AS HUGEINT) * 1000
-                 // nullif(s.n, 0) AS BIGINT) AS epochs_milli
-        FROM src s, tot t
-        ORDER BY s.source"""))
+      (s, dir) => temperatureSampling(budgetPerDoc(
+        Tables(s, dir, "documents"))),
+      Some(temperatureOracle))
   ,
 
     // --------------------------------------------------------------- q329
@@ -3296,6 +3253,60 @@ object TrainingDataOps {
         Tables(s, dir, "documents").select("doc_id", "source", "text")))),
       Some(ul2Oracle))
   )
+
+  /** q325/s59 shared rollup half: per-source τ=2 sampling report from
+    * the per-doc (source, nt, ttr) frame — the same drained input shape
+    * as q319/s52's water-fill. See the q325 scaladoc for the IEEE-sqrt
+    * exactness argument. */
+  private[graft] def temperatureSampling(perDoc: DataFrame): DataFrame = {
+    val src = perDoc
+      .groupBy("source").agg(sum("nt").as("n"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+    val tot = src.agg(sum("n").as("tt"), sum("w").as("tw"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_tokens"),
+        col("w").as("sqrt_weight"),
+        expr("""CAST(CAST(w AS DECIMAL(38,0)) * 1000000
+                div nullif(tw, 0) AS BIGINT)""").as("sample_ppm"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * 1000000
+                div nullif(tt, 0) AS BIGINT)""").as("prop_ppm"),
+        expr("""CAST(CAST(tt * 2 div 5 AS DECIMAL(38,0)) * w
+                div nullif(tw, 0) AS BIGINT)""").as("alloc_tokens"),
+        expr("""CAST(CAST(CAST(tt * 2 div 5 AS DECIMAL(38,0)) * w
+                  div nullif(tw, 0) AS DECIMAL(38,0)) * 1000
+                div nullif(n, 0) AS BIGINT)""").as("epochs_milli"))
+      .orderBy("source")
+  }
+
+  /** q325's oracle, shared VERBATIM by s59 (the streamed per-doc stats
+    * must produce the batch sampling plan exactly). */
+  private[graft] def temperatureOracle: String = """
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS nt
+          FROM documents),
+        src AS (
+          SELECT source, CAST(SUM(nt) AS BIGINT) AS n,
+                 CAST(floor(sqrt(CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE)))
+                   AS BIGINT) AS w
+          FROM d GROUP BY source),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS tt, CAST(SUM(w) AS BIGINT) AS tw
+          FROM src)
+        SELECT s.source, s.n AS n_tokens, s.w AS sqrt_weight,
+               CAST(CAST(s.w AS HUGEINT) * 1000000
+                 // nullif(t.tw, 0) AS BIGINT) AS sample_ppm,
+               CAST(CAST(s.n AS HUGEINT) * 1000000
+                 // nullif(t.tt, 0) AS BIGINT) AS prop_ppm,
+               CAST(CAST(t.tt * 2 // 5 AS HUGEINT) * s.w
+                 // nullif(t.tw, 0) AS BIGINT) AS alloc_tokens,
+               CAST(CAST(CAST(t.tt * 2 // 5 AS HUGEINT) * s.w
+                   // nullif(t.tw, 0) AS HUGEINT) * 1000
+                 // nullif(s.n, 0) AS BIGINT) AS epochs_milli
+        FROM src s, tot t
+        ORDER BY s.source"""
 
   /** q329/s58 shared STATELESS half: one row per (doc, objective,
     * block) carrying that block's masked-token and span-start

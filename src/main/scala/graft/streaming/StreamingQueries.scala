@@ -3602,6 +3602,26 @@ object StreamingQueries {
               .select("doc_id", "source", "text")))))
       },
       Some(graft.operators.TrainingDataOps.ul2Oracle))
+  ,
+
+    // ---------------------------------------------------------------- s59
+    // Streaming temperature sampling — q325's τ=2 mixture plan fed at
+    // ingest (the s52 discipline, same drained input shape): arriving
+    // docs project to per-doc (source, token count, TTR) statelessly,
+    // and the drained frame runs the SAME sqrt-weighted rollup — oracle
+    // VERBATIM, so a dropped tick shifts a source's token mass and
+    // cannot hash-match. The nightly mixture-refresh shape: the stream
+    // accumulates sufficient statistics, the ≤ sources-row sampling
+    // plan falls out at rollup time.
+    QueryDef(
+      "s59_stream_temperature_sampling",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.temperatureSampling(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.budgetPerDoc(documentsStreamParts(s, dir))))
+      },
+      Some(graft.operators.TrainingDataOps.temperatureOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and
