@@ -3252,6 +3252,36 @@ object TrainingDataOps {
       (s, dir) => ul2Report(ul2PerDoc(ul2Rows(
         Tables(s, dir, "documents").select("doc_id", "source", "text")))),
       Some(ul2Oracle))
+  ,
+
+    // --------------------------------------------------------------- q331
+    // MoE top-2 router load/capacity accounting — the expert-parallel
+    // training-systems audit beside q329's objective mix and q319's
+    // source budgets: every token dispatches to its top-2 of 8 experts
+    // (the Switch/GShard regime) and each batch enforces a 1.25
+    // capacity factor, so the questions a cluster owner actually asks —
+    // how skewed is the routing, how many tokens overflow capacity and
+    // get dropped, what does the load-balance auxiliary loss see — are
+    // answered from data alone, before a single GPU is booked. Routing
+    // is the md5-coin device per (token, doc, position): e1 = h % 8,
+    // e2 = (e1 + 1 + h' % 7) % 8 guarantees two DISTINCT experts, both
+    // engines derive the identical pair. Drops need NO per-token rank:
+    // within a (batch, expert) cell every dispatch beyond capacity
+    // drops, so dropped = greatest(0, cell − cap) falls out of the
+    // per-cell count — the naive row_number-per-cell window never
+    // exists. 100 TB shape: stateless per-token projection + explode
+    // (2 rows/token), one keyed (source, batch, expert) aggregate;
+    // every window after that rides ≤ 8-row partitions (experts per
+    // batch, experts per source); ppm products over corpus-scale
+    // dispatch counts ride DECIMAL(38) ↔ HUGEINT. Batches are
+    // (source, doc_id div 16) so the capacity unit stays bounded and
+    // batch-local at any corpus size. The per-token dispatch half
+    // streams at-ingest as s60.
+    QueryDef(
+      "q331_moe_router_balance",
+      (s, dir) => moeReport(moeDispatch(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"))),
+      Some(moeOracle))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from
@@ -3837,4 +3867,110 @@ object TrainingDataOps {
                tokens_trunc * 1000000 // tokens_total AS trunc_ppm
         FROM ds JOIN ss USING (source)
         ORDER BY source"""
+
+  /** q331/s60 shared per-token half — stateless projection + 2-way
+    * explode, no shuffle, no state: each non-empty token draws two
+    * DISTINCT experts from the md5-coin (e1 = h % 8; e2 skips e1 by
+    * construction) and emits one row per dispatch. 15 hex digits = 60
+    * bits, so the conv() result is always a non-negative BIGINT in both
+    * engines. */
+  private[graft] def moeDispatch(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("wl", expr("filter(split(text, ' '), w -> w <> '')"))
+      .filter(size(col("wl")) >= 1)
+      .select(col("doc_id"), col("source"),
+        expr("doc_id div 16").as("batch"),
+        posexplode(col("wl")).as(Seq("pos", "tok")))
+      .withColumn("k", expr(
+        """md5(concat(tok, '_', CAST(doc_id AS STRING), '_',
+                      CAST(pos + 1 AS STRING)))"""))
+      .withColumn("e1", expr(
+        "CAST(conv(substr(k, 1, 15), 16, 10) AS BIGINT) % 8"))
+      .withColumn("e2", expr(
+        """(e1 + 1 + CAST(conv(substr(k, 16, 15), 16, 10) AS BIGINT) % 7)
+           % 8"""))
+      .select(col("source"), col("batch"),
+        explode(array(col("e1"), col("e2"))).as("expert"))
+
+  /** q331/s60 shared rollup half: (source, batch, expert) cells → batch
+    * capacities → per-(source, expert) routing report. Every window
+    * rides a ≤ 8-row partition (experts within one batch / one source's
+    * expert rows); cap = 1.25 × fair share = tokens·2·125 / (8·100),
+    * +1 so a non-empty batch always admits at least one dispatch. */
+  private[graft] def moeReport(disp: DataFrame): DataFrame = {
+    val wBatch = Window.partitionBy("source", "batch")
+    val wSrc = Window.partitionBy("source")
+    disp.groupBy("source", "batch", "expert")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bt", sum("c").over(wBatch))
+      .withColumn("dropped",
+        greatest(lit(0L), col("c") - expr("(bt div 2) * 250 div 800 + 1")))
+      .groupBy("source", "expert")
+      .agg(sum("c").as("n_dispatch"), sum("dropped").as("n_dropped"))
+      .withColumn("st", sum("n_dispatch").over(wSrc))
+      // DECIMAL(38) ↔ HUGEINT: corpus-scale dispatch counts × 1e6 wrap
+      // int64 (the q319 ADVICE class)
+      .withColumn("load_ppm", expr(
+        """CAST(CAST(n_dispatch AS DECIMAL(38,0)) * 1000000 div st
+           AS BIGINT)"""))
+      .withColumn("drop_ppm", expr(
+        """CAST(CAST(n_dropped AS DECIMAL(38,0)) * 1000000
+           div nullif(n_dispatch, 0) AS BIGINT)"""))
+      .withColumn("balance_ppm2", sum(expr("load_ppm * load_ppm")).over(wSrc))
+      .select("source", "expert", "n_dispatch", "n_dropped", "drop_ppm",
+        "load_ppm", "balance_ppm2")
+      .orderBy("source", "expert")
+  }
+
+  /** q331's oracle, shared VERBATIM by s60. */
+  private[graft] def moeOracle: String = """
+        WITH wl AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w
+          FROM documents),
+        toks AS (
+          SELECT doc_id, source, doc_id // 16 AS batch, t.i AS i,
+                 w[t.i] AS tok
+          FROM wl, UNNEST(range(1, len(w) + 1)) AS t(i)
+          WHERE len(w) >= 1),
+        gates AS (
+          SELECT source, batch,
+                 CAST(concat('0x', substr(md5(tok || '_' || doc_id ||
+                   '_' || i), 1, 15)) AS BIGINT) % 8 AS e1,
+                 CAST(concat('0x', substr(md5(tok || '_' || doc_id ||
+                   '_' || i), 16, 15)) AS BIGINT) % 7 AS h2
+          FROM toks),
+        disp AS (
+          SELECT source, batch, unnest([e1, (e1 + 1 + h2) % 8]) AS expert
+          FROM gates),
+        per_be AS (
+          SELECT source, batch, expert, CAST(COUNT(*) AS BIGINT) AS c
+          FROM disp GROUP BY source, batch, expert),
+        capped AS (
+          SELECT source, batch, expert, c,
+                 SUM(c) OVER (PARTITION BY source, batch) AS bt
+          FROM per_be),
+        be2 AS (
+          SELECT source, expert, c,
+                 greatest(CAST(0 AS BIGINT),
+                   c - ((bt // 2) * 250 // 800 + 1)) AS dropped
+          FROM capped),
+        per_se AS (
+          SELECT source, expert, CAST(SUM(c) AS BIGINT) AS n_dispatch,
+                 CAST(SUM(dropped) AS BIGINT) AS n_dropped
+          FROM be2 GROUP BY source, expert),
+        fin AS (
+          SELECT source, expert, n_dispatch, n_dropped,
+                 CAST(CAST(n_dispatch AS HUGEINT) * 1000000 //
+                   SUM(CAST(n_dispatch AS HUGEINT))
+                     OVER (PARTITION BY source) AS BIGINT) AS load_ppm,
+                 CAST(CAST(n_dropped AS HUGEINT) * 1000000 //
+                   nullif(CAST(n_dispatch AS HUGEINT), 0) AS BIGINT)
+                   AS drop_ppm
+          FROM per_se)
+        SELECT source, expert, n_dispatch, n_dropped, drop_ppm, load_ppm,
+               CAST(SUM(load_ppm * load_ppm) OVER (PARTITION BY source)
+                 AS BIGINT) AS balance_ppm2
+        FROM fin
+        ORDER BY source, expert"""
 }

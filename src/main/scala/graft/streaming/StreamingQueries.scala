@@ -3622,6 +3622,28 @@ object StreamingQueries {
             TrainingDataOps.budgetPerDoc(documentsStreamParts(s, dir))))
       },
       Some(graft.operators.TrainingDataOps.temperatureOracle))
+  ,
+
+    // ---------------------------------------------------------------- s60
+    // Streaming MoE router probe — q331's dispatch half live at ingest
+    // (the shape an expert-parallel trainer's data loader actually
+    // runs: tokens route the moment a shard lands): each arriving doc
+    // explodes through the SHARED stateless per-token top-2 dispatch
+    // (md5-coin gates, 2 rows per token, zero state stores — the s58
+    // fan-out precedent), and the drained dispatch frame rolls up
+    // through q331's capacity/balance report — oracle VERBATIM, so a
+    // dropped tick shifts a (batch, expert) cell count and cannot
+    // hash-match.
+    QueryDef(
+      "s60_stream_moe_router",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.moeReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.moeDispatch(documentsStreamParts(s, dir)
+              .select("doc_id", "source", "text"))))
+      },
+      Some(graft.operators.TrainingDataOps.moeOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -695,6 +695,42 @@ class LlmDataSpec extends AnyFunSuite {
       "every benchmark vector lands in exactly one reported cluster")
   }
 
+  test("q331 MoE router: dispatch conservation and load-balance algebra") {
+    import spark.implicits._
+    val tokens = graft.Tables(spark, dir, "documents")
+      .select(expr(
+        "CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)")
+        .as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].collect().head
+    val rows = run("q331_moe_router_balance").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_dispatch")).sum == 2 * tokens,
+      "top-2 routing dispatches every token exactly twice")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("expert")).distinct.length == rs.length,
+        s"$src: one row per expert")
+      val loads = rs.map(_.getAs[Long]("load_ppm"))
+      val total = loads.sum
+      assert(total <= 1000000L && total > 1000000L - rs.length,
+        s"$src: expert load shares must sum to 1e6 within truncation")
+      val bal = rs.head.getAs[Long]("balance_ppm2")
+      assert(rs.forall(_.getAs[Long]("balance_ppm2") == bal),
+        s"$src: balance_ppm2 is a source-level constant")
+      assert(bal == loads.map(l => l * l).sum,
+        s"$src: balance must equal the sum of squared load shares")
+      // Cauchy–Schwarz floor: Σ f² ≥ (Σ f)² / n — uniform routing is
+      // the minimum; the hash router must sit at or above it
+      assert(bal >= total * total / rs.length, s"$src: balance floor")
+      rs.foreach { r =>
+        val (d, dr) =
+          (r.getAs[Long]("n_dispatch"), r.getAs[Long]("n_dropped"))
+        assert(dr <= d, "a cell cannot drop more than it dispatched")
+        assert(r.getAs[Long]("drop_ppm") == dr * 1000000L / d,
+          "drop_ppm algebra")
+      }
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
