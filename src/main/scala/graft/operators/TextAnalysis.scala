@@ -2114,6 +2114,93 @@ object TextAnalysis {
       (s, dir) => codeRouteReport(codePerDoc(codeCorpus(
         Tables(s, dir, "documents").select("doc_id", "source", "text")))),
       Some(codeRouteOracle))
+  ,
+
+    // --------------------------------------------------------------- q332
+    // Nucleus (top-p) sampling coverage — the sampler-side audit next
+    // to q324's speculative acceptance and q313's prefix cache: over
+    // the corpus bigram LM, for every context token, how many distinct
+    // continuations survive p = 0.9 nucleus truncation? A head whose
+    // nucleus is 1 token is where greedy == nucleus (and where q324's
+    // 1-token draft always lands); a fat nucleus is where sampling
+    // diversity (and draft rejection) lives. Membership is exact
+    // integer cross-multiplication — a continuation is IN the nucleus
+    // iff the cumulative count STRICTLY BEFORE it (ordered count desc,
+    // token asc — the q324 tie-break) is < 0.9 of the head's total,
+    // i.e. (cum − c)·10 < total·9 — so the first continuation is
+    // always a member and no float threshold exists in either engine.
+    // Report grain: one row per nucleus size with head count, head
+    // share, continuation fan-out and pair mass. 100 TB shape: pairs
+    // from the zip_with shingle device, one keyed (a, b) aggregate,
+    // windows keyed by head token and bounded by per-head fan-out;
+    // the head total rides a broadcast single-row aggregate (the q325
+    // device), never a global window over data rows.
+    QueryDef(
+      "q332_nucleus_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = specPairs(Tables(s, dir, "documents"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        val wHead = Window.partitionBy("a")
+        val wCum = Window.partitionBy("a").orderBy(col("c").desc, col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val heads = counts
+          .withColumn("ta", sum("c").over(wHead))
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("member",
+            (((col("cum") - col("c")) * 10) < col("ta") * 9).cast("long"))
+          .groupBy("a")
+          .agg(sum("member").as("nucleus_size"),
+            count(lit(1)).as("fanout"), max("ta").as("ta"))
+        val tot = heads.agg(count(lit(1)).as("th"))
+        heads.groupBy("nucleus_size")
+          .agg(count(lit(1)).as("n_heads"), sum("fanout").as("sum_fanout"),
+            sum("ta").as("pair_mass"))
+          .crossJoin(broadcast(tot))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("heads_ppm", expr(
+            """CAST(CAST(n_heads AS DECIMAL(38,0)) * 1000000 div th
+               AS BIGINT)"""))
+          .select("nucleus_size", "n_heads", "heads_ppm", "sum_fanout",
+            "pair_mass")
+          .orderBy("nucleus_size")
+      },
+      Some("""
+        WITH wl AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w
+          FROM documents),
+        pairs AS (
+          SELECT w[t.i] AS a, w[t.i + 1] AS b
+          FROM wl, UNNEST(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2),
+        counts AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pairs GROUP BY a, b),
+        cums AS (
+          SELECT a, c,
+                 SUM(c) OVER (PARTITION BY a) AS ta,
+                 SUM(c) OVER (PARTITION BY a ORDER BY c DESC, b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM counts),
+        heads AS (
+          SELECT a,
+                 CAST(SUM(CASE WHEN (cum - c) * 10 < ta * 9
+                   THEN 1 ELSE 0 END) AS BIGINT) AS nucleus_size,
+                 CAST(COUNT(*) AS BIGINT) AS fanout,
+                 CAST(MAX(ta) AS BIGINT) AS ta
+          FROM cums GROUP BY a),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS th FROM heads)
+        SELECT nucleus_size, CAST(COUNT(*) AS BIGINT) AS n_heads,
+               CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 //
+                 (SELECT CAST(th AS HUGEINT) FROM tot) AS BIGINT)
+                 AS heads_ppm,
+               CAST(SUM(fanout) AS BIGINT) AS sum_fanout,
+               CAST(SUM(ta) AS BIGINT) AS pair_mass
+        FROM heads
+        GROUP BY nucleus_size
+        ORDER BY nucleus_size"""))
   )
 
   /** q328/s57 shared: corpus with deterministic synthetic-code plants

@@ -731,6 +731,29 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q332 nucleus coverage: head conservation and size bounds") {
+    import spark.implicits._
+    val pairs = TextAnalysis.specPairs(
+      graft.Tables(spark, dir, "documents"))
+    val nHeads = pairs.select("a").distinct().count()
+    val nPairs = pairs.count()
+    val rows = run("q332_nucleus_coverage").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("nucleus_size") >= 1),
+      "the top continuation is always a nucleus member")
+    assert(rows.map(_.getAs[Long]("n_heads")).sum == nHeads,
+      "every head token lands in exactly one nucleus-size bucket")
+    assert(rows.map(_.getAs[Long]("pair_mass")).sum == nPairs,
+      "head totals must conserve the corpus pair mass")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_fanout") >=
+        r.getAs[Long]("n_heads") * r.getAs[Long]("nucleus_size"),
+        "a head's nucleus can never exceed its fan-out")
+      assert(r.getAs[Long]("heads_ppm") ==
+        r.getAs[Long]("n_heads") * 1000000L / nHeads, "heads_ppm algebra")
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
