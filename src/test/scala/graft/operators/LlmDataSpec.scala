@@ -754,6 +754,45 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q333 edit-distance verification: plants confirm, decoys reject") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val corpus = Dedup.levCorpus(docs)
+    // the last-word-swap plants really sit within the 24-char budget…
+    val plantLev = docs.filter(expr("doc_id % 11 = 3")).as("o")
+      .join(corpus.filter(col("doc_id") >= 800000 &&
+        col("doc_id") < 900000).as("p"),
+        expr("o.doc_id + 800000 = p.doc_id"))
+      .select(org.apache.spark.sql.functions.levenshtein(
+        col("o.text"), col("p.text")).as("lev"))
+      .as[Int].collect()
+    assert(plantLev.nonEmpty && plantLev.forall(_ <= 24),
+      "every last-word swap is a small edit")
+    // …and the alien-tail decoys sit far outside it
+    val decoyLev = docs.filter(expr("doc_id % 11 = 4")).as("o")
+      .join(corpus.filter(col("doc_id") >= 900000).as("p"),
+        expr("o.doc_id + 900000 = p.doc_id"))
+      .select(org.apache.spark.sql.functions.levenshtein(
+        col("o.text"), col("p.text")).as("lev"))
+      .as[Int].collect()
+    assert(decoyLev.nonEmpty && decoyLev.forall(_ > 24),
+      "every decoy must exceed the edit budget")
+    val rows = run("q333_editdist_verified_dedup").collect()
+    assert(rows.map(_.getAs[Long]("confirmed_pairs")).sum >= plantLev.length,
+      "every plant pair is a digest candidate and must confirm")
+    assert(rows.map(_.getAs[Long]("rejected_pairs")).sum >= decoyLev.length,
+      "every decoy pair is a digest candidate and must reject")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cand_pairs") ==
+        r.getAs[Long]("confirmed_pairs") + r.getAs[Long]("rejected_pairs"))
+      assert(r.getAs[Long]("dropped_docs") <=
+        r.getAs[Long]("confirmed_pairs"),
+        "a doc drops once even when several pairs confirm it")
+      assert(r.getAs[Long]("saved_ppm") < 1000000L)
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
