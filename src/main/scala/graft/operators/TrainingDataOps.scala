@@ -3282,6 +3282,31 @@ object TrainingDataOps {
       (s, dir) => moeReport(moeDispatch(
         Tables(s, dir, "documents").select("doc_id", "source", "text"))),
       Some(moeOracle))
+  ,
+
+    // --------------------------------------------------------------- q334
+    // Packed-sequence attention-mask accounting — what document
+    // masking is worth once q78/q272/q276 have packed the corpus: in
+    // the chop-at-512 GPT regime docs concatenate in doc_id order and
+    // sequences cut every 512 tokens, so a sequence holds fragments of
+    // several docs (and a doc can straddle sequences). Plain causal
+    // attention pays L·(L+1)/2 pairs per sequence and lets tokens
+    // attend ACROSS document boundaries (the cross-contamination
+    // masking removes); document-aware masking pays only
+    // Σ f·(f+1)/2 over the fragments. Both sides are exact integer
+    // triangle numbers; the per-source report prices the mask's
+    // saved-pairs mass (DECIMAL(38) ↔ HUGEINT ppm) plus the packing
+    // facts (sequences, straddling docs). 100 TB shape: packing is
+    // per-(source, shard = doc_id div 64), so the one ordered window
+    // (the running token offset) rides a ≤ 64-row partition and shards
+    // pack embarrassingly parallel; the fragment explode fans out ≤
+    // ⌈l/512⌉ + 1 rows per doc; everything after is keyed aggregates.
+    // The per-doc length half streams at-ingest as s61.
+    QueryDef(
+      "q334_packed_attention_mask",
+      (s, dir) => packMaskReport(packPerDoc(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"))),
+      Some(packMaskOracle))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from
@@ -3973,4 +3998,96 @@ object TrainingDataOps {
                  AS BIGINT) AS balance_ppm2
         FROM fin
         ORDER BY source, expert"""
+
+  /** q334/s61 shared per-doc half — stateless projection: token count
+    * capped at the 512 sequence length (the q276 truncation
+    * convention) plus the doc's packing shard. */
+  private[graft] def packPerDoc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        expr("doc_id div 64").as("shard"),
+        expr("""least(CAST(size(filter(split(text, ' '), w -> w <> ''))
+                AS BIGINT), CAST(512 AS BIGINT))""").as("l"))
+      .filter(col("l") >= 1)
+
+  /** q334/s61 shared packing/rollup half: running token offsets within
+    * the (source, shard) stream (≤ 64-row ordered window), fragment
+    * explode over straddled sequences, triangle-number pair accounting
+    * per sequence, per-source report. */
+  private[graft] def packMaskReport(perDoc: DataFrame): DataFrame = {
+    val wShard = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = perDoc
+      .withColumn("cum", sum("l").over(wShard))
+      .withColumn("start", col("cum") - col("l"))
+      .withColumn("s0", expr("start div 512"))
+      .withColumn("s1", expr("(cum - 1) div 512"))
+    val docStats = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("s1") > col("s0")).cast("long")).as("docs_split"))
+    val seqs = base
+      .withColumn("seq", explode(expr("sequence(s0, s1)")))
+      .withColumn("f", expr(
+        "least((seq + 1) * 512, cum) - greatest(seq * 512, start)"))
+      .groupBy("source", "shard", "seq")
+      .agg(sum("f").as("L"), sum(expr("f * (f + 1) div 2")).as("masked"))
+    val rep = seqs.groupBy("source")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(expr("L * (L + 1) div 2")).as("full_pairs"),
+        sum("masked").as("masked_pairs"))
+    docStats.join(rep, "source")
+      .select(col("source"), col("n_docs"), col("docs_split"),
+        col("n_seqs"), col("full_pairs"), col("masked_pairs"),
+        (col("full_pairs") - col("masked_pairs")).as("saved_pairs"),
+        // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+        expr("""CAST(CAST(full_pairs - masked_pairs AS DECIMAL(38,0))
+                * 1000000 div nullif(full_pairs, 0) AS BIGINT)""")
+          .as("saved_ppm"))
+      .orderBy("source")
+  }
+
+  /** q334's oracle, shared VERBATIM by s61. */
+  private[graft] def packMaskOracle: String = """
+        WITH d AS (
+          SELECT doc_id, source, doc_id // 64 AS shard,
+                 least(CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT), 512) AS l
+          FROM documents
+          WHERE len(list_filter(string_split(text, ' '), w -> w <> ''))
+            >= 1),
+        c AS (
+          SELECT doc_id, source, shard, l,
+                 CAST(SUM(l) OVER (PARTITION BY source, shard
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum
+          FROM d),
+        b AS (
+          SELECT source, shard, doc_id, l, cum, cum - l AS start,
+                 (cum - l) // 512 AS s0, (cum - 1) // 512 AS s1
+          FROM c),
+        ds AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(count_if(s1 > s0) AS BIGINT) AS docs_split
+          FROM b GROUP BY source),
+        frags AS (
+          SELECT source, shard, t.s AS seq,
+                 least((t.s + 1) * 512, cum) - greatest(t.s * 512, start)
+                   AS f
+          FROM b, UNNEST(range(s0, s1 + 1)) AS t(s)),
+        seqs AS (
+          SELECT source, shard, seq, CAST(SUM(f) AS BIGINT) AS L,
+                 CAST(SUM(f * (f + 1) // 2) AS BIGINT) AS masked
+          FROM frags GROUP BY source, shard, seq),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+                 CAST(SUM(L * (L + 1) // 2) AS BIGINT) AS full_pairs,
+                 CAST(SUM(masked) AS BIGINT) AS masked_pairs
+          FROM seqs GROUP BY source)
+        SELECT r.source, n_docs, docs_split, n_seqs, full_pairs,
+               masked_pairs,
+               full_pairs - masked_pairs AS saved_pairs,
+               CAST(CAST(full_pairs - masked_pairs AS HUGEINT) * 1000000
+                 // nullif(CAST(full_pairs AS HUGEINT), 0) AS BIGINT)
+                 AS saved_ppm
+        FROM rep r JOIN ds USING (source)
+        ORDER BY r.source"""
 }

@@ -3644,6 +3644,26 @@ object StreamingQueries {
               .select("doc_id", "source", "text"))))
       },
       Some(graft.operators.TrainingDataOps.moeOracle))
+  ,
+
+    // ---------------------------------------------------------------- s61
+    // Streaming packing probe — q334's per-doc half live at ingest
+    // (the s59 discipline: the stream accumulates per-doc sufficient
+    // statistics statelessly, the packing falls out batch-side): each
+    // arriving doc projects to (shard, capped token count); the
+    // drained frame runs the SAME chop-at-512 packing and
+    // document-mask pair accounting — oracle VERBATIM, so a dropped
+    // tick shifts a shard's token offsets and cannot hash-match.
+    QueryDef(
+      "s61_stream_packing_mask",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.packMaskReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.packPerDoc(documentsStreamParts(s, dir)
+              .select("doc_id", "source", "text"))))
+      },
+      Some(graft.operators.TrainingDataOps.packMaskOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

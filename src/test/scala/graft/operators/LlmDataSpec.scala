@@ -793,6 +793,39 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q334 packed attention mask: triangle-number conservation") {
+    import spark.implicits._
+    val perDoc = TrainingDataOps.packPerDoc(
+      graft.Tables(spark, dir, "documents")
+        .select("doc_id", "source", "text"))
+    val tokens = perDoc.agg(
+      org.apache.spark.sql.functions.sum("l")).as[Long].collect().head
+    val rows = run("q334_packed_attention_mask").collect()
+    assert(rows.nonEmpty)
+    // every sequence is ≤ 512 tokens, so full pairs per source are
+    // bounded by n_seqs · 512·513/2 and the masked side never exceeds
+    // the causal side
+    rows.foreach { r =>
+      val (ns, fp, mp) = (r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("full_pairs"), r.getAs[Long]("masked_pairs"))
+      assert(mp <= fp, "document masking can only remove pairs")
+      assert(fp <= ns * (512L * 513L / 2L), "sequence length cap")
+      assert(r.getAs[Long]("saved_pairs") == fp - mp)
+      assert(r.getAs[Long]("saved_ppm") == (fp - mp) * 1000000L / fp)
+      assert(r.getAs[Long]("docs_split") <= r.getAs[Long]("n_docs"))
+    }
+    // packing conservation: chop-at-512 yields exactly
+    // ceil(shard tokens / 512) sequences per (source, shard)
+    val expectedSeqs = perDoc
+      .groupBy("source", "shard")
+      .agg(org.apache.spark.sql.functions.sum("l").as("t"))
+      .select(expr("CAST((t + 511) div 512 AS BIGINT)").as("ns"))
+      .as[Long].collect().sum
+    assert(rows.map(_.getAs[Long]("n_seqs")).sum == expectedSeqs,
+      "chop-at-512 packing yields exactly ceil(shard tokens / 512) seqs")
+    assert(tokens > 0)
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
