@@ -2201,6 +2201,29 @@ object TextAnalysis {
         FROM heads
         GROUP BY nucleus_size
         ORDER BY nucleus_size"""))
+  ,
+
+    // --------------------------------------------------------------- q335
+    // Secret / credential scanning — the code-corpus privacy gate
+    // beside q323's prose PII pass (what detect-secrets runs before a
+    // code corpus ships: committed cloud keys, raw SHA tokens, forge
+    // PATs): three detector classes in the Java∩RE2 dialect subset —
+    // AKIA-style cloud key ids, bare 40-hex tokens, ghp_-style forge
+    // tokens — scan every document; chars-redacted is orig_len − len
+    // after SEQUENTIAL replacement (the q323 device, overlap-proof).
+    // The fixture prose carries no secrets, so three deterministic
+    // plant families (doc_id % 19 == 2 / % 23 == 6 / % 29 == 9, md5-
+    // derived so the token bodies are realistic hex) are appended with
+    // the same arithmetic in both engines — detections equal plants
+    // exactly, proven in the spec. 100 TB shape: one stateless per-doc
+    // codegen pass (all regexes inside the row's stage), ≤ sources
+    // rollup; the per-doc half streams at-ingest as s62 — the gate
+    // that quarantines a leaked key the moment it lands.
+    QueryDef(
+      "q335_secret_scan",
+      (s, dir) => secretReport(secretPerDoc(secretPlanted(
+        Tables(s, dir, "documents").select("doc_id", "source", "text")))),
+      Some(secretOracle))
   )
 
   /** q328/s57 shared: corpus with deterministic synthetic-code plants
@@ -2402,6 +2425,108 @@ object TextAnalysis {
                CAST(CAST(SUM(len0 - len1) AS HUGEINT) * 1000000
                  // nullif(CAST(SUM(len0) AS HUGEINT), 0) AS BIGINT)
                  AS pii_ppm
+        FROM d
+        GROUP BY source
+        ORDER BY source"""
+
+  /** q335/s62 shared: deterministic credential plants from doc_id —
+    * md5-derived bodies so the hex tokens look real. Mirrored verbatim
+    * in [[secretOracle]]'s corpus CTE. */
+  private[graft] def secretPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 19 === 2,
+          concat(lit(" key AKIA"),
+            lpad((col("doc_id") % 10000000).cast("string"), 16, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 23 === 6,
+          concat(lit(" token "), md5(col("doc_id").cast("string")),
+            substring(md5(concat(col("doc_id").cast("string"), lit("x"))),
+              1, 8)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 29 === 9,
+          concat(lit(" ghp_"),
+            md5(concat(col("doc_id").cast("string"), lit("g"))),
+            substring(md5(concat(col("doc_id").cast("string"), lit("h"))),
+              1, 4)))
+          .otherwise(lit(""))).as("text"))
+
+  private[graft] val secretAkRe = "\\bAKIA[A-Z0-9]{16}\\b"
+  private[graft] val secretHexRe = "\\b[a-f0-9]{40}\\b"
+  private[graft] val secretGhpRe = "\\bghp_[A-Za-z0-9]{36}\\b"
+
+  /** q335/s62 shared per-doc half — stateless, every regex inside the
+    * row's codegen stage (the q323 discipline). ghp_ bodies are 36
+    * lowercase hex chars but can never double-count as 40-hex tokens:
+    * the underscore is a word char, so no boundary splits ghp_ from
+    * its body, and 36 ≠ 40. */
+  private[graft] def secretPerDoc(planted: DataFrame): DataFrame =
+    planted.select(col("source"),
+      size(regexp_extract_all(col("text"), lit(secretAkRe), lit(0)))
+        .cast("long").as("ak"),
+      size(regexp_extract_all(col("text"), lit(secretHexRe), lit(0)))
+        .cast("long").as("hx"),
+      size(regexp_extract_all(col("text"), lit(secretGhpRe), lit(0)))
+        .cast("long").as("gp"),
+      length(col("text")).cast("long").as("len0"),
+      length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        secretAkRe, ""), secretHexRe, ""), secretGhpRe, ""))
+        .cast("long").as("len1"))
+
+  /** q335/s62 shared rollup half: per-source credential report. */
+  private[graft] def secretReport(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ak") + col("hx") + col("gp") > 0, 1L).otherwise(0L))
+          .as("docs_flagged"),
+        sum("ak").as("n_cloud_keys"), sum("hx").as("n_hex_tokens"),
+        sum("gp").as("n_forge_tokens"),
+        sum(col("len0") - col("len1")).as("secret_chars"),
+        // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+        expr("""CAST(CAST(sum(len0 - len1) AS DECIMAL(38,0)) * 1000000
+                div nullif(sum(len0), 0) AS BIGINT)""").as("secret_ppm"))
+      .orderBy("source")
+
+  /** q335's oracle, shared VERBATIM by s62. */
+  private[graft] def secretOracle: String = """
+        WITH corpus AS (
+          SELECT doc_id, source,
+                 text ||
+                 CASE WHEN doc_id % 19 = 2
+                      THEN ' key AKIA' ||
+                           lpad(CAST(doc_id % 10000000 AS VARCHAR), 16, '0')
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 23 = 6
+                      THEN ' token ' || md5(CAST(doc_id AS VARCHAR)) ||
+                           substr(md5(CAST(doc_id AS VARCHAR) || 'x'), 1, 8)
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 29 = 9
+                      THEN ' ghp_' || md5(CAST(doc_id AS VARCHAR) || 'g') ||
+                           substr(md5(CAST(doc_id AS VARCHAR) || 'h'), 1, 4)
+                      ELSE '' END AS text
+          FROM documents),
+        d AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '\bAKIA[A-Z0-9]{16}\b'))
+                   AS ak,
+                 len(regexp_extract_all(text, '\b[a-f0-9]{40}\b')) AS hx,
+                 len(regexp_extract_all(text, '\bghp_[A-Za-z0-9]{36}\b'))
+                   AS gp,
+                 len(text) AS len0,
+                 len(regexp_replace(regexp_replace(regexp_replace(text,
+                   '\bAKIA[A-Z0-9]{16}\b', '', 'g'),
+                   '\b[a-f0-9]{40}\b', '', 'g'),
+                   '\bghp_[A-Za-z0-9]{36}\b', '', 'g')) AS len1
+          FROM corpus)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(ak + hx + gp > 0) AS BIGINT) AS docs_flagged,
+               CAST(SUM(ak) AS BIGINT) AS n_cloud_keys,
+               CAST(SUM(hx) AS BIGINT) AS n_hex_tokens,
+               CAST(SUM(gp) AS BIGINT) AS n_forge_tokens,
+               CAST(SUM(len0 - len1) AS BIGINT) AS secret_chars,
+               CAST(CAST(SUM(len0 - len1) AS HUGEINT) * 1000000
+                 // nullif(CAST(SUM(len0) AS HUGEINT), 0) AS BIGINT)
+                 AS secret_ppm
         FROM d
         GROUP BY source
         ORDER BY source"""

@@ -3664,6 +3664,28 @@ object StreamingQueries {
               .select("doc_id", "source", "text"))))
       },
       Some(graft.operators.TrainingDataOps.packMaskOracle))
+  ,
+
+    // ---------------------------------------------------------------- s62
+    // Streaming secret gate — q335's detector half live at ingest,
+    // which is where a credential scan must sit (a leaked key
+    // quarantines the moment the shard lands, not at the nightly
+    // sweep): each arriving doc runs the SHARED stateless per-doc scan
+    // (three regex classes + sequential-replace char accounting, all
+    // inside the tick's codegen stage, zero state stores), and the
+    // drained frame rolls up to q335's per-source credential report —
+    // oracle VERBATIM.
+    QueryDef(
+      "s62_stream_secret_gate",
+      (s, dir) => {
+        import graft.operators.TextAnalysis
+        TextAnalysis.secretReport(
+          drain(s, OutputMode.Append())(
+            TextAnalysis.secretPerDoc(TextAnalysis.secretPlanted(
+              documentsStreamParts(s, dir)
+                .select("doc_id", "source", "text")))))
+      },
+      Some(graft.operators.TextAnalysis.secretOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -826,6 +826,30 @@ class LlmDataSpec extends AnyFunSuite {
     assert(tokens > 0)
   }
 
+  test("q335 secret scan: detections equal plants with exact char mass") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    def plants(m: Int, r: Int) =
+      docs.filter(expr(s"doc_id % $m = $r")).count()
+    val (ak, hx, gp) = (plants(19, 2), plants(23, 6), plants(29, 9))
+    val rows = run("q335_secret_scan").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_cloud_keys")).sum == ak,
+      "prose has no AKIA tokens, so detections == plants")
+    assert(rows.map(_.getAs[Long]("n_hex_tokens")).sum == hx,
+      "prose has no bare 40-hex runs, so detections == plants")
+    assert(rows.map(_.getAs[Long]("n_forge_tokens")).sum == gp,
+      "prose has no ghp_ tokens, so detections == plants")
+    // matched spans: AKIA+16 = 20 chars, 40-hex = 40, ghp_+36 = 40
+    assert(rows.map(_.getAs[Long]("secret_chars")).sum ==
+      20 * ak + 40 * hx + 40 * gp,
+      "sequential-replace accounting must equal the planted span mass")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_flagged") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("secret_ppm") < 1000000L)
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
