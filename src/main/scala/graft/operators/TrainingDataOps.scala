@@ -3307,6 +3307,29 @@ object TrainingDataOps {
       (s, dir) => packMaskReport(packPerDoc(
         Tables(s, dir, "documents").select("doc_id", "source", "text"))),
       Some(packMaskOracle))
+  ,
+
+    // --------------------------------------------------------------- q337
+    // GRPO group-degeneracy audit — the RL-from-verifiable-rewards
+    // data question beside q297's Bradley–Terry and q273's pairwise
+    // eval: group-relative policy optimization draws k = 8 samples per
+    // prompt, scores each pass/fail, and normalizes advantage within
+    // the group — so a group where ALL samples pass (or all fail) has
+    // zero advantage everywhere and contributes NOTHING to the
+    // gradient. The audit prices exactly that waste: degenerate-group
+    // mass, its all-pass/all-fail split, overall pass rate, and the
+    // advantage mass that survives. Rewards are the md5-coin per
+    // (prompt, sample) — binary, the verifiable-reward regime — and
+    // the advantage stays exact: adv·k = k·r − Σr is integer, so
+    // Σ|adv| rides as Σ|k·r − Σr| with one final div, never a float
+    // mean. 100 TB shape: stateless ×8 sample explode, one keyed
+    // per-prompt aggregate, ≤ sources rollup; the per-sample half
+    // streams at-ingest as s63 (scoring samples as they land).
+    QueryDef(
+      "q337_grpo_group_audit",
+      (s, dir) => grpoReport(grpoSamples(
+        Tables(s, dir, "documents").select("doc_id", "source"))),
+      Some(grpoOracle))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from
@@ -4090,4 +4113,73 @@ object TrainingDataOps {
                  AS saved_ppm
         FROM rep r JOIN ds USING (source)
         ORDER BY r.source"""
+
+  /** q337/s63 shared per-sample half — stateless ×8 explode: one
+    * binary md5-coin reward per (prompt, sample). */
+  private[graft] def grpoSamples(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("samp", explode(expr("sequence(0, 7)")))
+      .withColumn("r", expr(
+        """CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_s',
+              CAST(samp AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2"""))
+      .select("doc_id", "source", "samp", "r")
+
+  /** q337/s63 shared rollup half. With binary rewards the group's
+    * absolute-advantage mass has a closed form: samples with r = 1
+    * contribute |k − S| each (S·(k−S) total), samples with r = 0
+    * contribute S each ((k−S)·S total) — so Σ|k·r − S| = 2·S·(k−S),
+    * and no second pass over the samples is needed. k = 8. */
+  private[graft] def grpoReport(samples: DataFrame): DataFrame =
+    samples.groupBy("doc_id", "source")
+      .agg(sum("r").as("gsum"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_groups"),
+        sum((col("gsum") === 8).cast("long")).as("all_pass_groups"),
+        sum((col("gsum") === 0).cast("long")).as("all_fail_groups"),
+        sum("gsum").as("n_pass"),
+        sum(expr("2 * gsum * (8 - gsum)")).as("adv_mass"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("degenerate_ppm", expr(
+        """CAST(CAST(all_pass_groups + all_fail_groups AS DECIMAL(38,0))
+           * 1000000 div n_groups AS BIGINT)"""))
+      .withColumn("pass_ppm", expr(
+        """CAST(CAST(n_pass AS DECIMAL(38,0)) * 1000000
+           div (n_groups * 8) AS BIGINT)"""))
+      .withColumn("mean_abs_adv_milli", expr(
+        """CAST(CAST(adv_mass AS DECIMAL(38,0)) * 1000
+           div (n_groups * 64) AS BIGINT)"""))
+      .select("source", "n_groups", "all_pass_groups", "all_fail_groups",
+        "n_pass", "degenerate_ppm", "pass_ppm", "adv_mass",
+        "mean_abs_adv_milli")
+      .orderBy("source")
+
+  /** q337's oracle, shared VERBATIM by s63. */
+  private[graft] def grpoOracle: String = """
+        WITH samples AS (
+          SELECT doc_id, source, t.s AS samp,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) ||
+                   '_s' || t.s), 1, 15)) AS BIGINT) % 2 AS r
+          FROM documents, UNNEST(range(0, 8)) AS t(s)),
+        groups AS (
+          SELECT doc_id, source, CAST(SUM(r) AS BIGINT) AS gsum
+          FROM samples GROUP BY doc_id, source),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(count_if(gsum = 8) AS BIGINT) AS all_pass_groups,
+                 CAST(count_if(gsum = 0) AS BIGINT) AS all_fail_groups,
+                 CAST(SUM(gsum) AS BIGINT) AS n_pass,
+                 CAST(SUM(2 * gsum * (8 - gsum)) AS BIGINT) AS adv_mass
+          FROM groups GROUP BY source)
+        SELECT source, n_groups, all_pass_groups, all_fail_groups, n_pass,
+               CAST(CAST(all_pass_groups + all_fail_groups AS HUGEINT)
+                 * 1000000 // CAST(n_groups AS HUGEINT) AS BIGINT)
+                 AS degenerate_ppm,
+               CAST(CAST(n_pass AS HUGEINT) * 1000000
+                 // CAST(n_groups * 8 AS HUGEINT) AS BIGINT) AS pass_ppm,
+               adv_mass,
+               CAST(CAST(adv_mass AS HUGEINT) * 1000
+                 // CAST(n_groups * 64 AS HUGEINT) AS BIGINT)
+                 AS mean_abs_adv_milli
+        FROM rep
+        ORDER BY source"""
 }

@@ -3686,6 +3686,26 @@ object StreamingQueries {
                 .select("doc_id", "source", "text")))))
       },
       Some(graft.operators.TextAnalysis.secretOracle))
+  ,
+
+    // ---------------------------------------------------------------- s63
+    // Streaming GRPO sampler probe — q337's per-sample half live at
+    // ingest (the rollout scorer's shape: samples score as they come
+    // off the policy, the group verdicts fall out at rollup): each
+    // arriving prompt explodes to its 8 md5-coin-scored samples
+    // statelessly inside the tick, and the drained sample frame rolls
+    // up through q337's group-degeneracy report — oracle VERBATIM, so
+    // a dropped tick loses a whole group and cannot hash-match.
+    QueryDef(
+      "s63_stream_grpo_probe",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.grpoReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.grpoSamples(documentsStreamParts(s, dir)
+              .select("doc_id", "source"))))
+      },
+      Some(graft.operators.TrainingDataOps.grpoOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

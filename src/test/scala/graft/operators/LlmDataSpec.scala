@@ -850,6 +850,35 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q337 GRPO audit: group algebra and the degenerate-advantage law") {
+    import spark.implicits._
+    val nPrompts = graft.Tables(spark, dir, "documents").count()
+    val rows = run("q337_grpo_group_audit").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_groups")).sum == nPrompts,
+      "every prompt forms exactly one group")
+    // fair binary coins over 500×8 samples: both degenerate classes
+    // must actually occur at this fixture (≈ n/256 each side)
+    assert(rows.map(_.getAs[Long]("all_pass_groups")).sum +
+      rows.map(_.getAs[Long]("all_fail_groups")).sum > 0,
+      "the audit must surface real degenerate groups on the fixture")
+    rows.foreach { r =>
+      val (ng, ap, af) = (r.getAs[Long]("n_groups"),
+        r.getAs[Long]("all_pass_groups"), r.getAs[Long]("all_fail_groups"))
+      assert(r.getAs[Long]("degenerate_ppm") == (ap + af) * 1000000L / ng)
+      val np = r.getAs[Long]("n_pass")
+      assert(np >= ap * 8 && np <= ng * 8 - af * 8,
+        "pass mass must bracket the degenerate extremes")
+      assert(r.getAs[Long]("pass_ppm") == np * 1000000L / (ng * 8))
+      val adv = r.getAs[Long]("adv_mass")
+      // 2·S·(8−S) ≤ 32 per group, and 0 exactly on degenerate groups
+      assert(adv <= 32 * (ng - ap - af),
+        "advantage mass is capped at the balanced-group maximum")
+      assert(r.getAs[Long]("mean_abs_adv_milli") ==
+        adv * 1000L / (ng * 64L))
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
