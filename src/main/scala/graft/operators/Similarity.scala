@@ -1337,5 +1337,123 @@ object Similarity {
         LEFT JOIN bcnt bc ON t.cluster_id = bc.cluster_id
         GROUP BY t.cluster_id
         ORDER BY t.cluster_id"""))
+  ,
+
+    // --------------------------------------------------------------- q336
+    // In-context pretraining assembly (ICLM) — the retrieval-ordered
+    // alternative to q334's doc_id-order packing: related documents
+    // train BETTER in one context window, so docs group by the SAME
+    // k-means coarse quantizer as q29/q125/q330, order within their
+    // (cluster, shard) cell by similarity-to-centroid (cosine desc,
+    // vec_id tie-break — the scalable proxy for the paper's
+    // nearest-neighbor chain), and chop into 256-token contexts. The
+    // report prices the assembly per cluster: docs, token mass,
+    // contexts, straddling docs, and the cell's semantic tightness as
+    // the mean SHIFTED cosine in micro-units — each cosine is floored
+    // to an integer (floor((sim + 1)·1e6), non-negative so truncating
+    // div agrees across engines) BEFORE aggregation, the q193
+    // quantize-then-rank discipline, so no float sum ever crosses the
+    // gate. 100 TB shape: the quantizer trains on the deterministic
+    // sample (2 Lloyd rounds, checkpointed, centroids broadcast);
+    // assignment is one narrow pass; the one ordered window rides a
+    // (cluster, vec_id div 64) cell, never a cluster-wide (let alone
+    // global) frame — cells pack embarrassingly parallel, exactly how
+    // an IVF-celled corpus shards.
+    QueryDef(
+      "q336_incontext_packing",
+      (s, dir) => {
+        val base = emb(s, dir)
+        val init = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+        val sample = base.filter(col("vec_id") % 10 === 0)
+        val cent = lloyd(sample, lloyd(sample, init)).localCheckpoint(true)
+        val asg = base.join(broadcast(cent), lit(true))
+          .groupBy("vec_id")
+          .agg(max(struct(cosine(col("e"), col("ce")).as("sim"),
+            (-col("cent_id")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cluster_id"),
+            col("m.sim").as("sim"))
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                    AS BIGINT)""").as("l"))
+        val wCell = Window
+          .partitionBy("cluster_id", "shard")
+          .orderBy(col("sim").desc, col("vec_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cells = asg.join(toks, col("vec_id") === col("doc_id"))
+          .select(col("vec_id"), col("cluster_id"),
+            expr("vec_id div 64").as("shard"),
+            expr("CAST(floor((sim + 1) * 1000000) AS BIGINT)")
+              .as("sim_micro"),
+            col("sim"), col("l"))
+          .withColumn("cum", sum("l").over(wCell))
+          .withColumn("s0", expr("(cum - l) div 256"))
+          .withColumn("s1", expr("(cum - 1) div 256"))
+        val sh = cells.groupBy("cluster_id", "shard")
+          .agg(expr("CAST((max(cum) + 255) div 256 AS BIGINT)").as("nctx"))
+          .groupBy("cluster_id").agg(sum("nctx").as("n_contexts"))
+        cells.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_docs"), sum("l").as("total_tokens"),
+            sum((col("s1") > col("s0")).cast("long")).as("docs_split"),
+            sum("sim_micro").as("sm"))
+          .join(sh, "cluster_id")
+          .select(col("cluster_id"), col("n_docs"), col("total_tokens"),
+            col("n_contexts"), col("docs_split"),
+            expr("sm div n_docs").as("mean_sim_shift_micro"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        init AS (SELECT vec_id AS cent_id, e AS ce FROM base
+                 WHERE vec_id < 8),
+        train AS (SELECT vec_id, e FROM base WHERE vec_id % 10 = 0),
+        ${duckLloyd("train", "init", 1)},
+        ${duckLloyd("train", "cent1", 2)},
+        asg AS (
+          SELECT vec_id, cent_id AS cluster_id, sim FROM (
+            SELECT b.vec_id, c.cent_id,
+                   ${duckCosine("b.e", "c.ce")} AS sim,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${duckCosine("b.e", "c.ce")} DESC, c.cent_id)
+                     AS rnk
+            FROM base b CROSS JOIN cent2 c) x WHERE rnk = 1),
+        toks AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS l
+          FROM documents),
+        j AS (
+          SELECT a.vec_id, a.cluster_id, a.vec_id // 64 AS shard,
+                 CAST(floor((a.sim + 1) * 1000000) AS BIGINT) AS sim_micro,
+                 a.sim, t.l
+          FROM asg a JOIN toks t ON a.vec_id = t.doc_id),
+        cells AS (
+          SELECT *, CAST(SUM(l) OVER (PARTITION BY cluster_id, shard
+                   ORDER BY sim DESC, vec_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+          FROM j),
+        b2 AS (
+          SELECT cluster_id, shard, l, sim_micro, cum,
+                 (cum - l) // 256 AS s0, (cum - 1) // 256 AS s1
+          FROM cells),
+        sh AS (
+          SELECT cluster_id,
+                 CAST(SUM(nctx) AS BIGINT) AS n_contexts
+          FROM (SELECT cluster_id, shard,
+                       (MAX(cum) + 255) // 256 AS nctx
+                FROM b2 GROUP BY cluster_id, shard) y
+          GROUP BY cluster_id),
+        dc AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(l) AS BIGINT) AS total_tokens,
+                 CAST(count_if(s1 > s0) AS BIGINT) AS docs_split,
+                 CAST(SUM(sim_micro) AS BIGINT) AS sm
+          FROM b2 GROUP BY cluster_id)
+        SELECT d.cluster_id, n_docs, total_tokens, n_contexts, docs_split,
+               CAST(sm // n_docs AS BIGINT) AS mean_sim_shift_micro
+        FROM dc d JOIN sh USING (cluster_id)
+        ORDER BY d.cluster_id"""))
   )
 }

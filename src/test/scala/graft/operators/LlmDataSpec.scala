@@ -879,6 +879,29 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q336 in-context packing: cluster partition and context bounds") {
+    val nVecs = graft.Tables(spark, dir, "embeddings").count()
+    val rows = run("q336_incontext_packing").collect()
+    assert(rows.nonEmpty && rows.length <= 8,
+      "k = 8 coarse quantizer yields at most 8 populated clusters")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nVecs,
+      "every embedded doc lands in exactly one cluster")
+    rows.foreach { r =>
+      val (nd, tt, nc) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("n_contexts"))
+      assert(nc >= (tt + 255) / 256,
+        "sharding a cluster can only ADD context boundaries")
+      assert(nc <= nd + tt / 256,
+        "each shard wastes less than one context per resident doc run")
+      assert(r.getAs[Long]("docs_split") <= nd)
+      val ms = r.getAs[Long]("mean_sim_shift_micro")
+      assert(ms >= 0 && ms <= 2000000L,
+        "shifted cosine mean stays within [0, 2] in micro-units")
+      assert(ms > 1000000L,
+        "members sit on the positive side of their own centroid")
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
