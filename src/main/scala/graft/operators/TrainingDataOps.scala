@@ -3330,6 +3330,151 @@ object TrainingDataOps {
       (s, dir) => grpoReport(grpoSamples(
         Tables(s, dir, "documents").select("doc_id", "source"))),
       Some(grpoOracle))
+  ,
+
+    // --------------------------------------------------------------- q338
+    // Paged KV-cache fragmentation sweep — the serving-memory planning
+    // input beside q313's prefix-cache hit model: a paged allocator
+    // (the vLLM device) rounds every sequence up to whole blocks, so
+    // small blocks waste little memory but multiply page-table entries
+    // and large blocks do the reverse. For block sizes {4, 16, 64}
+    // (scaled to the fixture's ~55-token docs; the algebra is
+    // size-agnostic) each doc prices blocks = ceil(l / bs) and
+    // internal fragmentation = blocks·bs − l; the per-(source, block
+    // size) report carries both sides of the trade — frag_ppm of
+    // reserved memory AND the page-table entry count. Pure integer
+    // arithmetic; the block-size axis is a 3-row broadcast literal.
+    // 100 TB shape: one stateless per-doc projection × 3, one keyed
+    // rollup; nothing else.
+    QueryDef(
+      "q338_paged_kv_fragmentation",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                    AS BIGINT)""").as("l"))
+          .filter(col("l") >= 1)
+          .withColumn("bs", explode(expr(
+            "array(CAST(4 AS BIGINT), CAST(16 AS BIGINT), CAST(64 AS BIGINT))")))
+          .withColumn("blocks", expr("(l + bs - 1) div bs"))
+        d.groupBy("source", "bs")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("l").as("total_tokens"),
+            sum("blocks").as("page_entries"),
+            sum(expr("blocks * bs")).as("reserved_tokens"),
+            sum(expr("blocks * bs - l")).as("frag_tokens"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("frag_ppm", expr(
+            """CAST(CAST(frag_tokens AS DECIMAL(38,0)) * 1000000
+               div nullif(reserved_tokens, 0) AS BIGINT)"""))
+          .select("source", "bs", "n_docs", "total_tokens", "page_entries",
+            "reserved_tokens", "frag_tokens", "frag_ppm")
+          .orderBy("source", "bs")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS l
+          FROM documents
+          WHERE len(list_filter(string_split(text, ' '), w -> w <> ''))
+            >= 1),
+        e AS (
+          SELECT source, l, t.bs, (l + t.bs - 1) // t.bs AS blocks
+          FROM d, UNNEST([CAST(4 AS BIGINT), CAST(16 AS BIGINT),
+                          CAST(64 AS BIGINT)]) AS t(bs)),
+        rep AS (
+          SELECT source, bs, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(l) AS BIGINT) AS total_tokens,
+                 CAST(SUM(blocks) AS BIGINT) AS page_entries,
+                 CAST(SUM(blocks * bs) AS BIGINT) AS reserved_tokens,
+                 CAST(SUM(blocks * bs - l) AS BIGINT) AS frag_tokens
+          FROM e GROUP BY source, bs)
+        SELECT source, bs, n_docs, total_tokens, page_entries,
+               reserved_tokens, frag_tokens,
+               CAST(CAST(frag_tokens AS HUGEINT) * 1000000
+                 // nullif(CAST(reserved_tokens AS HUGEINT), 0) AS BIGINT)
+                 AS frag_ppm
+        FROM rep
+        ORDER BY source, bs"""))
+  ,
+
+    // --------------------------------------------------------------- q339
+    // Strided sliding-window eval overlap — the eval-compute planning
+    // sweep beside q286's truncation curve: perplexity over documents
+    // longer than the context L is evaluated in windows that slide by
+    // a stride S, each window re-encoding L − S already-seen tokens so
+    // every token is SCORED once but the forward pass pays overlap.
+    // For L = 32 and S ∈ {8, 16, 32} (scaled to the fixture's ~55-
+    // token docs; the algebra is L-agnostic) each doc prices its
+    // window count and forward-token mass Σ_i min(L, l − i·S) by an
+    // explicit window explode (fan-out ≤ l/S + 1); overlap_ppm =
+    // (forward − scored) / forward. Windows = 1 if l ≤ L else
+    // ⌈(l − L)/S⌉ + 1 — the last window may be short, which is why
+    // the mass is summed per window, not closed-form. 100 TB shape:
+    // per-doc explode bounded by doc length, keyed rollup, nothing
+    // unkeyed anywhere.
+    QueryDef(
+      "q339_strided_eval_overlap",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                    AS BIGINT)""").as("l"))
+          .filter(col("l") >= 1)
+          .withColumn("st", explode(expr(
+            "array(CAST(8 AS BIGINT), CAST(16 AS BIGINT), CAST(32 AS BIGINT))")))
+          .withColumn("nw", expr(
+            "CASE WHEN l <= 32 THEN CAST(1 AS BIGINT) " +
+              "ELSE (l - 32 + st - 1) div st + 1 END"))
+          .withColumn("i", explode(expr("sequence(0L, nw - 1)")))
+          .withColumn("wlen", expr("least(CAST(32 AS BIGINT), l - i * st)"))
+        d.groupBy("source", "st")
+          .agg(count(when(col("i") === 0, 1)).as("n_docs"),
+            sum(when(col("i") === 0, col("l"))).as("scored_tokens"),
+            sum("wlen").as("forward_tokens"),
+            count(lit(1)).as("n_windows"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("overlap_ppm", expr(
+            """CAST(CAST(forward_tokens - scored_tokens AS DECIMAL(38,0))
+               * 1000000 div nullif(forward_tokens, 0) AS BIGINT)"""))
+          .select("source", "st", "n_docs", "n_windows", "scored_tokens",
+            "forward_tokens", "overlap_ppm")
+          .orderBy("source", "st")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS l
+          FROM documents
+          WHERE len(list_filter(string_split(text, ' '), w -> w <> ''))
+            >= 1),
+        e AS (
+          SELECT source, l, t.st,
+                 CASE WHEN l <= 32 THEN CAST(1 AS BIGINT)
+                      ELSE (l - 32 + t.st - 1) // t.st + 1 END AS nw
+          FROM d, UNNEST([CAST(8 AS BIGINT), CAST(16 AS BIGINT),
+                          CAST(32 AS BIGINT)]) AS t(st)),
+        w AS (
+          SELECT source, st, l, nw, u.i,
+                 least(CAST(32 AS BIGINT), l - u.i * st) AS wlen
+          FROM e, UNNEST(range(0, nw)) AS u(i)),
+        rep AS (
+          SELECT source, st,
+                 CAST(count_if(i = 0) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_windows,
+                 CAST(SUM(CASE WHEN i = 0 THEN l END) AS BIGINT)
+                   AS scored_tokens,
+                 CAST(SUM(wlen) AS BIGINT) AS forward_tokens
+          FROM w GROUP BY source, st)
+        SELECT source, st, n_docs, n_windows, scored_tokens,
+               forward_tokens,
+               CAST(CAST(forward_tokens - scored_tokens AS HUGEINT)
+                 * 1000000 // nullif(CAST(forward_tokens AS HUGEINT), 0)
+                 AS BIGINT) AS overlap_ppm
+        FROM rep
+        ORDER BY source, st"""))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from

@@ -902,6 +902,51 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q338 paged KV sweep: reservation algebra and the size trade") {
+    val rows = run("q338_paged_kv_fragmentation").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tt, pe, rt, ft) = (r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("page_entries"), r.getAs[Long]("reserved_tokens"),
+        r.getAs[Long]("frag_tokens"))
+      assert(rt == tt + ft, "reserved = payload + fragmentation")
+      assert(rt == pe * r.getAs[Long]("bs"),
+        "every page-table entry reserves exactly one block")
+      assert(ft < r.getAs[Long]("n_docs") * r.getAs[Long]("bs"),
+        "each doc wastes strictly less than one block")
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val bySize = rs.sortBy(_.getAs[Long]("bs"))
+      assert(bySize.map(_.getAs[Long]("page_entries")).toSeq ==
+        bySize.map(_.getAs[Long]("page_entries")).sortBy(-_).toSeq,
+        s"$src: smaller blocks must cost more page-table entries")
+      assert(bySize.map(_.getAs[Long]("frag_tokens")).toSeq ==
+        bySize.map(_.getAs[Long]("frag_tokens")).sorted.toSeq,
+        s"$src: larger blocks must waste at least as much memory")
+    }
+  }
+
+  test("q339 strided eval: stride=L tiles exactly, overlap grows as stride shrinks") {
+    val rows = run("q339_strided_eval_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("forward_tokens") >=
+        r.getAs[Long]("scored_tokens"),
+        "the forward pass covers every scored token at least once")
+      assert(r.getAs[Long]("n_windows") >= r.getAs[Long]("n_docs"))
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byStride = rs.sortBy(_.getAs[Long]("st"))
+        .map(_.getAs[Long]("overlap_ppm")).toSeq
+      assert(byStride == byStride.sortBy(-_),
+        s"$src: shrinking the stride must increase re-encoding overlap")
+      assert(byStride.last == 0L,
+        s"$src: stride = L tiles the doc exactly — zero overlap")
+      assert(rs.map(_.getAs[Long]("n_docs")).distinct.length == 1,
+        s"$src: the stride sweep sees the same doc population")
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
