@@ -2113,6 +2113,65 @@ object Dedup {
         LEFT JOIN ps USING (source)
         LEFT JOIN dr USING (source)
         ORDER BY t.source"""))
+  ,
+
+    // --------------------------------------------------------------- q341
+    // Memorization-exposure audit — the risk forecast that sits on top
+    // of q318's shared-run detection (Lee/Carlini: verbatim
+    // memorization tracks how often a passage RECURS in training, so
+    // the pre-training question is "how much of each source's token
+    // stream is positions whose 8-gram appears elsewhere, and how
+    // hot is the hottest passage?"): every sliding positional 8-gram
+    // rides the session-shared [[GramFrames.word8Pos]] index (32-byte
+    // digests + two longs, never text — built once, proven in
+    // SharedArtifactsSpec's family), corpus-wide occurrence counts
+    // come from ONE digest-keyed aggregate, and positions rejoin
+    // counts by digest (big-big equi join, the q318 shape). Per-source
+    // report: position mass, distinct grams, exposed positions
+    // (count ≥ 2) with ppm, duplicate-sighting mass Σ(n−1), and the
+    // max-recurrence hot spot. 100 TB shape: everything is
+    // digest-keyed; no window, no all-pairs, no text after the index.
+    QueryDef(
+      "q341_memorization_exposure",
+      (s, dir) => {
+        val grams = GramFrames.word8Pos(s, dir)
+        val counts = grams.groupBy("h").agg(count(lit(1)).as("n"))
+        grams.join(counts, "h")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_positions"),
+            countDistinct("h").as("n_distinct"),
+            sum((col("n") >= 2).cast("long")).as("exposed_positions"),
+            sum(col("n") - 1).as("dup_sightings"),
+            max("n").as("max_exposure"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("exposed_ppm", expr(
+            """CAST(CAST(exposed_positions AS DECIMAL(38,0)) * 1000000
+               div n_positions AS BIGINT)"""))
+          .select("source", "n_positions", "n_distinct",
+            "exposed_positions", "exposed_ppm", "dup_sightings",
+            "max_exposure")
+          .orderBy("source")
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, source,
+                              string_split(text, ' ') AS ws
+                       FROM documents),
+        grams AS MATERIALIZED (
+          SELECT doc_id, source, i - 1 AS pos,
+                 array_to_string(ws[i:i+7], ' ') AS g
+          FROM words, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+        c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+              FROM grams GROUP BY g)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_positions,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+               CAST(count_if(n >= 2) AS BIGINT) AS exposed_positions,
+               CAST(CAST(count_if(n >= 2) AS HUGEINT) * 1000000
+                 // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS exposed_ppm,
+               CAST(SUM(n - 1) AS BIGINT) AS dup_sightings,
+               CAST(MAX(n) AS BIGINT) AS max_exposure
+        FROM grams JOIN c USING (g)
+        GROUP BY source
+        ORDER BY source"""))
   ) :+ snmQuery
 
   /** q333 shared corpus: documents plus two deterministic plant

@@ -3475,6 +3475,95 @@ object TrainingDataOps {
                  AS BIGINT) AS overlap_ppm
         FROM rep
         ORDER BY source, st"""))
+  ,
+
+    // --------------------------------------------------------------- q340
+    // Rejection-sampling (RFT) yield audit — what the best-of-8
+    // distillation loop beside q337 actually produces: a prompt is
+    // COVERED if any of its 8 verifier-scored samples passes, its kept
+    // completion is the FIRST passing draw (lowest sample index — the
+    // early-exit a real sampler takes), and everything else is burned
+    // compute. Shares q337's md5-coin sample frame VERBATIM, so the
+    // two audits describe one rollout run; completion cost rides the
+    // prompt's token count as the length proxy. Per-source report:
+    // coverage, generated-vs-kept token mass (yield_ppm — the
+    // distillation efficiency), and the mean first-pass draw position
+    // in milli (the observed draws-to-success statistic that sets the
+    // early-exit budget). All integer; ppm/milli products DECIMAL(38)
+    // ↔ HUGEINT. 100 TB shape: the ×8 explode, one keyed per-prompt
+    // aggregate, one token-count equi-join, ≤ sources rollup.
+    QueryDef(
+      "q340_rejection_sampling_yield",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val toks = docs.select(col("doc_id").as("tid"),
+          expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                  AS BIGINT)""").as("l"))
+        grpoSamples(docs.select("doc_id", "source"))
+          .groupBy("doc_id", "source")
+          .agg(sum("r").as("gsum"),
+            min(when(col("r") === 1, col("samp"))).as("fp"))
+          .join(toks, col("doc_id") === col("tid"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_prompts"),
+            sum((col("gsum") >= 1).cast("long")).as("covered"),
+            sum(expr("l * 8")).as("gen_tokens"),
+            sum(when(col("gsum") >= 1, col("l")).otherwise(0L))
+              .as("kept_tokens"),
+            sum(when(col("gsum") >= 1, col("fp").cast("long"))
+              .otherwise(0L)).as("fp_sum"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("coverage_ppm", expr(
+            """CAST(CAST(covered AS DECIMAL(38,0)) * 1000000
+               div n_prompts AS BIGINT)"""))
+          .withColumn("yield_ppm", expr(
+            """CAST(CAST(kept_tokens AS DECIMAL(38,0)) * 1000000
+               div nullif(gen_tokens, 0) AS BIGINT)"""))
+          .withColumn("mean_first_pass_milli", expr(
+            """CAST(CAST(fp_sum AS DECIMAL(38,0)) * 1000
+               div nullif(covered, 0) AS BIGINT)"""))
+          .select("source", "n_prompts", "covered", "coverage_ppm",
+            "gen_tokens", "kept_tokens", "yield_ppm",
+            "mean_first_pass_milli")
+          .orderBy("source")
+      },
+      Some("""
+        WITH samples AS (
+          SELECT doc_id, source, t.s AS samp,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) ||
+                   '_s' || t.s), 1, 15)) AS BIGINT) % 2 AS r
+          FROM documents, UNNEST(range(0, 8)) AS t(s)),
+        groups AS (
+          SELECT doc_id, source, CAST(SUM(r) AS BIGINT) AS gsum,
+                 MIN(CASE WHEN r = 1 THEN samp END) AS fp
+          FROM samples GROUP BY doc_id, source),
+        toks AS (
+          SELECT doc_id AS tid,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS l
+          FROM documents),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_prompts,
+                 CAST(count_if(gsum >= 1) AS BIGINT) AS covered,
+                 CAST(SUM(l * 8) AS BIGINT) AS gen_tokens,
+                 CAST(SUM(CASE WHEN gsum >= 1 THEN l ELSE 0 END)
+                   AS BIGINT) AS kept_tokens,
+                 CAST(SUM(CASE WHEN gsum >= 1 THEN fp ELSE 0 END)
+                   AS BIGINT) AS fp_sum
+          FROM groups g JOIN toks t ON g.doc_id = t.tid
+          GROUP BY source)
+        SELECT source, n_prompts, covered,
+               CAST(CAST(covered AS HUGEINT) * 1000000
+                 // CAST(n_prompts AS HUGEINT) AS BIGINT) AS coverage_ppm,
+               gen_tokens, kept_tokens,
+               CAST(CAST(kept_tokens AS HUGEINT) * 1000000
+                 // nullif(CAST(gen_tokens AS HUGEINT), 0) AS BIGINT)
+                 AS yield_ppm,
+               CAST(CAST(fp_sum AS HUGEINT) * 1000
+                 // nullif(CAST(covered AS HUGEINT), 0) AS BIGINT)
+                 AS mean_first_pass_milli
+        FROM rep
+        ORDER BY source"""))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from

@@ -947,6 +947,49 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q340 RFT yield: coverage and token algebra reconcile with q337") {
+    val grpo = run("q337_grpo_group_audit").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("all_fail_groups")))
+      .toMap
+    val rows = run("q340_rejection_sampling_yield").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (ng, af) = grpo(src)
+      assert(r.getAs[Long]("n_prompts") == ng,
+        s"$src: same rollout run, same prompt population")
+      assert(r.getAs[Long]("covered") == ng - af,
+        s"$src: covered == everything but the all-fail groups")
+      val (gen, kept) = (r.getAs[Long]("gen_tokens"),
+        r.getAs[Long]("kept_tokens"))
+      assert(kept * 8 <= gen,
+        "keeping one of eight completions caps yield at 125000 ppm")
+      assert(r.getAs[Long]("yield_ppm") <= 125000L)
+      assert(r.getAs[Long]("mean_first_pass_milli") <= 7000L,
+        "the first passing draw is one of 8 sample slots (0..7)")
+    }
+  }
+
+  test("q341 memorization exposure: count algebra over the shared gram index") {
+    val rows = run("q341_memorization_exposure").collect()
+    assert(rows.nonEmpty)
+    val totalPos = rows.map(_.getAs[Long]("n_positions")).sum
+    val grams = graft.operators.GramFrames.word8Pos(spark, dir)
+    assert(totalPos == grams.count(),
+      "every positional gram lands in exactly one source row")
+    rows.foreach { r =>
+      val (np, ep) = (r.getAs[Long]("n_positions"),
+        r.getAs[Long]("exposed_positions"))
+      assert(ep <= np)
+      assert(r.getAs[Long]("n_distinct") <= np)
+      assert(r.getAs[Long]("exposed_ppm") == ep * 1000000L / np)
+      assert(r.getAs[Long]("dup_sightings") >= ep,
+        "an exposed position sights at least one other copy")
+      assert(r.getAs[Long]("max_exposure") >= 1)
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
