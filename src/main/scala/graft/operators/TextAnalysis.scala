@@ -2224,6 +2224,108 @@ object TextAnalysis {
       (s, dir) => secretReport(secretPerDoc(secretPlanted(
         Tables(s, dir, "documents").select("doc_id", "source", "text")))),
       Some(secretOracle))
+  ,
+
+    // --------------------------------------------------------------- q342
+    // Depth-2 speculative chain acceptance — q324 extended one level:
+    // the draft head proposes draft(a) AND, conditionally, draft(
+    // draft(a)) — so a step can land 0, 1 or 2 tokens, and the
+    // serving planner's real question is tokens-per-step under the
+    // deeper draft, not the flat 1-token rate. Replayed exactly over
+    // corpus trigrams: step accepts level 1 iff b = draft(a), level 2
+    // iff additionally c = draft(b) (b = draft(a) there, so draft(b)
+    // IS the chain's second proposal). Shares q324's pair frame and
+    // argmax draft table verbatim; the second level is one more
+    // token-keyed join, and trigram assembly is a (doc, pos) equi-join
+    // of the pair frame with itself — no window at all. Report per
+    // source: level-1/level-2 acceptance ppm and the exact expected
+    // tokens-per-step in milli = (n + acc1 + acc2)·1000 / n, the
+    // number that decides whether the second draft level pays for
+    // itself. 100 TB shape: keyed joins only, DECIMAL(38) ↔ HUGEINT
+    // on the ppm/milli products.
+    QueryDef(
+      "q342_speculative_tree_depth2",
+      (s, dir) => {
+        val pairs = specPairs(Tables(s, dir, "documents"))
+        val draft = specDraft(pairs)
+        val tri = pairs
+          .join(pairs.select(col("doc_id").as("d2"),
+              (col("pos") - 1).as("p2"), col("b").as("c")),
+            col("doc_id") === col("d2") && col("pos") === col("p2"))
+          .select(col("source"), col("a"), col("b"), col("c"))
+        tri
+          .join(draft.select(col("a").as("da"), col("db").as("d1")),
+            col("a") === col("da"))
+          .join(draft.select(col("a").as("dbh"), col("db").as("dx")),
+            col("b") === col("dbh"))
+          .withColumn("a1", (col("b") === col("d1")).cast("long"))
+          .withColumn("a2",
+            (col("a1") === 1 && col("c") === col("dx")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_steps"), sum("a1").as("acc1"),
+            sum("a2").as("acc2_chain"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("acc1_ppm", expr(
+            """CAST(CAST(acc1 AS DECIMAL(38,0)) * 1000000 div n_steps
+               AS BIGINT)"""))
+          .withColumn("acc2_ppm", expr(
+            """CAST(CAST(acc2_chain AS DECIMAL(38,0)) * 1000000
+               div n_steps AS BIGINT)"""))
+          .withColumn("toks_per_step_milli", expr(
+            """CAST(CAST(n_steps + acc1 + acc2_chain AS DECIMAL(38,0))
+               * 1000 div n_steps AS BIGINT)"""))
+          .select("source", "n_steps", "acc1", "acc2_chain", "acc1_ppm",
+            "acc2_ppm", "toks_per_step_milli")
+          .orderBy("source")
+      },
+      Some("""
+        WITH wl AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w
+          FROM documents),
+        pr AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(w)),
+                   i -> {'pos': i - 1, 'a': w[i], 'b': w[i+1]})) AS p
+          FROM wl WHERE len(w) >= 2),
+        pairs AS (
+          SELECT doc_id, source, p.pos AS pos, p.a AS a, p.b AS b FROM pr),
+        bg AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pairs GROUP BY a, b),
+        draft AS (
+          SELECT a, b AS db FROM (
+            SELECT a, b,
+                   row_number() OVER (PARTITION BY a ORDER BY c DESC, b)
+                     AS rn
+            FROM bg) WHERE rn = 1),
+        tri AS (
+          SELECT p.source, p.a, p.b, q.b AS c
+          FROM pairs p JOIN pairs q
+            ON p.doc_id = q.doc_id AND q.pos = p.pos + 1),
+        fl AS (
+          SELECT t.source,
+                 CASE WHEN t.b = d1.db THEN 1 ELSE 0 END AS a1,
+                 CASE WHEN t.b = d1.db AND t.c = d2.db THEN 1 ELSE 0 END
+                   AS a2
+          FROM tri t
+          JOIN draft d1 ON t.a = d1.a
+          JOIN draft d2 ON t.b = d2.a),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_steps,
+                 CAST(SUM(a1) AS BIGINT) AS acc1,
+                 CAST(SUM(a2) AS BIGINT) AS acc2_chain
+          FROM fl GROUP BY source)
+        SELECT source, n_steps, acc1, acc2_chain,
+               CAST(CAST(acc1 AS HUGEINT) * 1000000
+                 // CAST(n_steps AS HUGEINT) AS BIGINT) AS acc1_ppm,
+               CAST(CAST(acc2_chain AS HUGEINT) * 1000000
+                 // CAST(n_steps AS HUGEINT) AS BIGINT) AS acc2_ppm,
+               CAST(CAST(n_steps + acc1 + acc2_chain AS HUGEINT) * 1000
+                 // CAST(n_steps AS HUGEINT) AS BIGINT)
+                 AS toks_per_step_milli
+        FROM rep
+        ORDER BY source"""))
   )
 
   /** q328/s57 shared: corpus with deterministic synthetic-code plants

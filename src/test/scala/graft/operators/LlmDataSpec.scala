@@ -990,6 +990,26 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q342 depth-2 speculation: acceptance nesting and step algebra") {
+    val rows = run("q342_speculative_tree_depth2").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, a1, a2) = (r.getAs[Long]("n_steps"),
+        r.getAs[Long]("acc1"), r.getAs[Long]("acc2_chain"))
+      assert(a2 <= a1 && a1 <= n,
+        "level-2 acceptance requires level-1: strict nesting")
+      assert(r.getAs[Long]("acc1_ppm") == a1 * 1000000L / n)
+      assert(r.getAs[Long]("acc2_ppm") == a2 * 1000000L / n)
+      val tps = r.getAs[Long]("toks_per_step_milli")
+      assert(tps == (n + a1 + a2) * 1000L / n)
+      assert(tps >= 1000L && tps <= 3000L,
+        "a depth-2 chain lands between 1 and 3 tokens per step")
+    }
+    // the corpus argmax draft must land a nonzero level-1 rate — the
+    // q324 precedent (drafting the corpus's own modal continuation)
+    assert(rows.map(_.getAs[Long]("acc1")).sum > 0)
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
