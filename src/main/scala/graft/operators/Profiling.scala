@@ -3093,6 +3093,123 @@ object Profiling {
         FROM cls
         GROUP BY seg
         ORDER BY seg"""))
+  ,
+
+    // --------------------------------------------------------------- q343
+    // Reliability-weighted label aggregation — one exact M-step of the
+    // Dawid–Skene family on top of q303's plain majority and q280's
+    // agreement coefficient: five synthetic annotators relabel every
+    // document (annotator a flips the doc's true lang with probability
+    // 10 + 15·a percent via the md5-coin, the wrong label drawn
+    // cyclically from the 5-lang alphabet), round 1 takes the plain
+    // per-doc majority (deterministic min(struct(−votes, label))
+    // argmax), each annotator's RELIABILITY is their ppm agreement
+    // with that majority, and round 2 re-votes with reliability
+    // weights — integer sums of ppm weights, argmax again. The report
+    // is one row per annotator (reliability, truth accuracy) with the
+    // corpus-level round-1 vs round-2 accuracy repeated alongside
+    // (the q331 group-constant convention) — the lift the weighting
+    // buys. 100 TB shape: a ×5 stateless explode, per-(doc, label)
+    // keyed aggregates, two ≤ 5-row argmax reductions per doc, a
+    // 5-row reliability broadcast joined back; no window anywhere.
+    QueryDef(
+      "q343_weighted_vote_aggregation",
+      (s, dir) => {
+        val langs = "array('de', 'en', 'es', 'fr', 'zh')"
+        val ann = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .withColumn("a", explode(expr("sequence(0, 4)")))
+          .withColumn("c1", expr(
+            """CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_a',
+                  CAST(a AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100"""))
+          .withColumn("c2", expr(
+            """CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_a',
+                  CAST(a AS STRING))), 16, 15), 16, 10) AS BIGINT) % 4"""))
+          .withColumn("lbl", expr(
+            s"""CASE WHEN c1 < 10 + 15 * a
+                THEN element_at($langs,
+                  CAST((array_position($langs, lang) - 1 + 1 + c2) % 5
+                       AS INT) + 1)
+                ELSE lang END"""))
+          .select("doc_id", "lang", "a", "lbl")
+        val r1 = ann.groupBy("doc_id", "lbl")
+          .agg(count(lit(1)).as("v"))
+          .withColumn("pick", struct((-col("v")).as("nv"), col("lbl")))
+          .groupBy("doc_id").agg(min("pick").as("m"))
+          .select(col("doc_id").as("d1"), col("m.lbl").as("maj1"))
+        val rel = ann.join(r1, col("doc_id") === col("d1"))
+          .groupBy("a")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("lbl") === col("maj1")).cast("long")).as("agree_r1"),
+            sum((col("lbl") === col("lang")).cast("long")).as("correct"))
+          .withColumn("reliability_ppm",
+            expr("agree_r1 * 1000000 div n_docs"))
+          .withColumn("correct_ppm", expr("correct * 1000000 div n_docs"))
+        val r2 = ann.join(broadcast(rel.select(col("a").as("ra"),
+            col("reliability_ppm").as("w"))), col("a") === col("ra"))
+          .groupBy("doc_id", "lang", "lbl")
+          .agg(sum("w").as("ws"))
+          .withColumn("pick", struct((-col("ws")).as("nw"), col("lbl")))
+          .groupBy("doc_id", "lang").agg(min("pick").as("m"))
+          .select(col("doc_id").as("d2"), col("lang").as("truth"),
+            col("m.lbl").as("maj2"))
+        val acc = r1.join(r2, col("d1") === col("d2"))
+          .agg(count(lit(1)).as("nd"),
+            sum((col("maj1") === col("truth")).cast("long")).as("ok1"),
+            sum((col("maj2") === col("truth")).cast("long")).as("ok2"))
+          .select(expr("ok1 * 1000000 div nd").as("r1_acc_ppm"),
+            expr("ok2 * 1000000 div nd").as("r2_acc_ppm"))
+        rel.crossJoin(broadcast(acc))
+          .select("a", "n_docs", "agree_r1", "reliability_ppm", "correct",
+            "correct_ppm", "r1_acc_ppm", "r2_acc_ppm")
+          .orderBy("a")
+      },
+      Some("""
+        WITH langs AS (SELECT ['de', 'en', 'es', 'fr', 'zh'] AS ls),
+        ann AS (
+          SELECT doc_id, lang, t.a,
+                 CASE WHEN CAST(concat('0x', substr(md5(
+                        CAST(doc_id AS VARCHAR) || '_a' || t.a), 1, 15))
+                        AS BIGINT) % 100 < 10 + 15 * t.a
+                      THEN ls[CAST((list_position(ls, lang) - 1 + 1 +
+                        CAST(concat('0x', substr(md5(
+                          CAST(doc_id AS VARCHAR) || '_a' || t.a), 16, 15))
+                          AS BIGINT) % 4) % 5 AS INT) + 1]
+                      ELSE lang END AS lbl
+          FROM documents, langs, UNNEST(range(0, 5)) AS t(a)),
+        r1 AS (
+          SELECT doc_id, lbl AS maj1 FROM (
+            SELECT doc_id, lbl,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY COUNT(*) DESC, lbl) AS rn
+            FROM ann GROUP BY doc_id, lbl) x WHERE rn = 1),
+        rel AS (
+          SELECT a, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(count_if(lbl = maj1) AS BIGINT) AS agree_r1,
+                 CAST(count_if(lbl = lang) AS BIGINT) AS correct,
+                 CAST(CAST(count_if(lbl = maj1) AS BIGINT) * 1000000
+                   // COUNT(*) AS BIGINT) AS reliability_ppm,
+                 CAST(CAST(count_if(lbl = lang) AS BIGINT) * 1000000
+                   // COUNT(*) AS BIGINT) AS correct_ppm
+          FROM ann JOIN r1 USING (doc_id) GROUP BY a),
+        r2 AS (
+          SELECT doc_id, lang AS truth, lbl AS maj2 FROM (
+            SELECT n.doc_id, n.lang, n.lbl,
+                   row_number() OVER (PARTITION BY n.doc_id
+                     ORDER BY SUM(w.reliability_ppm) DESC, n.lbl) AS rn
+            FROM ann n JOIN rel w ON n.a = w.a
+            GROUP BY n.doc_id, n.lang, n.lbl) x WHERE rn = 1),
+        acc AS (
+          SELECT CAST(count_if(r1.maj1 = r2.truth) AS BIGINT) * 1000000
+                   // COUNT(*) AS r1_acc_ppm,
+                 CAST(count_if(r2.maj2 = r2.truth) AS BIGINT) * 1000000
+                   // COUNT(*) AS r2_acc_ppm
+          FROM r1 JOIN r2 USING (doc_id))
+        SELECT a, n_docs, agree_r1, reliability_ppm, correct, correct_ppm,
+               CAST(r1_acc_ppm AS BIGINT) AS r1_acc_ppm,
+               CAST(r2_acc_ppm AS BIGINT) AS r2_acc_ppm
+        FROM rel, acc
+        ORDER BY a"""))
   )
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure

@@ -1010,6 +1010,32 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("acc1")).sum > 0)
   }
 
+  test("q343 weighted vote: reliability tracks the planted noise ladder") {
+    val rows = run("q343_weighted_vote_aggregation").collect()
+    assert(rows.length == 5, "five annotators, one row each")
+    val byA = rows.sortBy(_.getAs[Int]("a"))
+    val rels = byA.map(_.getAs[Long]("reliability_ppm")).toSeq
+    assert(rels == rels.sortBy(-_),
+      "reliability must fall as the planted flip rate rises (10%..70%)")
+    val corr = byA.map(_.getAs[Long]("correct_ppm")).toSeq
+    assert(corr == corr.sortBy(-_),
+      "truth accuracy must fall down the same ladder")
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("reliability_ppm") ==
+        r.getAs[Long]("agree_r1") * 1000000L / nd)
+      assert(r.getAs[Long]("correct_ppm") ==
+        r.getAs[Long]("correct") * 1000000L / nd)
+    }
+    val (a1, a2) = (rows.head.getAs[Long]("r1_acc_ppm"),
+      rows.head.getAs[Long]("r2_acc_ppm"))
+    assert(rows.forall(r => r.getAs[Long]("r1_acc_ppm") == a1 &&
+      r.getAs[Long]("r2_acc_ppm") == a2),
+      "corpus-level accuracies are group constants")
+    assert(a2 >= a1,
+      "down-weighting the noisy annotators must not hurt the vote here")
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
