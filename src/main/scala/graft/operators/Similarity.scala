@@ -57,6 +57,42 @@ object Similarity {
   private val duckEmb: String =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings"
 
+  /** q336/q344 shared: every vector's coarse-quantizer cluster (k = 8,
+    * init = vec_id < 8, two Lloyd rounds on the vec_id % 10 == 0
+    * sample — the q29/q125/q330 device) plus its cosine to the winning
+    * centroid. Deterministic argmax via max(struct(sim, −cent_id)):
+    * highest cosine, then lowest centroid id. */
+  private def coarseAssign(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val init = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val sample = base.filter(col("vec_id") % 10 === 0)
+    val cent = lloyd(sample, lloyd(sample, init)).localCheckpoint(true)
+    base.join(broadcast(cent), lit(true))
+      .groupBy("vec_id")
+      .agg(max(struct(cosine(col("e"), col("ce")).as("sim"),
+        (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster_id"),
+        col("m.sim").as("sim"))
+  }
+
+  /** DuckDB rendering of [[coarseAssign]] (CTE list prefix + the asg
+    * CTE), kept adjacent so the two stay in lock-step. */
+  private def duckCoarseAssign: String = s"""
+        init AS (SELECT vec_id AS cent_id, e AS ce FROM base
+                 WHERE vec_id < 8),
+        train AS (SELECT vec_id, e FROM base WHERE vec_id % 10 = 0),
+        ${duckLloyd("train", "init", 1)},
+        ${duckLloyd("train", "cent1", 2)},
+        asg AS (
+          SELECT vec_id, cent_id AS cluster_id, sim FROM (
+            SELECT b.vec_id, c.cent_id,
+                   ${duckCosine("b.e", "c.ce")} AS sim,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${duckCosine("b.e", "c.ce")} DESC, c.cent_id)
+                     AS rnk
+            FROM base b CROSS JOIN cent2 c) x WHERE rnk = 1)"""
+
   /** One deterministic Lloyd (k-means) iteration for the IVF coarse
     * quantizer: assign each training vector to its nearest centroid
     * (cosine, lowest-id tie-break), then recompute every centroid as the
@@ -1362,17 +1398,7 @@ object Similarity {
     QueryDef(
       "q336_incontext_packing",
       (s, dir) => {
-        val base = emb(s, dir)
-        val init = base.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-        val sample = base.filter(col("vec_id") % 10 === 0)
-        val cent = lloyd(sample, lloyd(sample, init)).localCheckpoint(true)
-        val asg = base.join(broadcast(cent), lit(true))
-          .groupBy("vec_id")
-          .agg(max(struct(cosine(col("e"), col("ce")).as("sim"),
-            (-col("cent_id")).as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc")).as("cluster_id"),
-            col("m.sim").as("sim"))
+        val asg = coarseAssign(s, dir)
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"),
             expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
@@ -1455,5 +1481,86 @@ object Similarity {
                CAST(sm // n_docs AS BIGINT) AS mean_sim_shift_micro
         FROM dc d JOIN sh USING (cluster_id)
         ORDER BY d.cluster_id"""))
+  ,
+
+    // --------------------------------------------------------------- q344
+    // In-batch negative collision audit — the contrastive-training
+    // data question q321's hard negatives leave open: with in-batch
+    // negatives (the DPR/CLIP regime) every OTHER item in the batch is
+    // treated as a negative, so two semantically-close items landing
+    // in one batch become FALSE negatives that push related things
+    // apart. For batch sizes {8, 32, 128}, items hash into
+    // ceil(N/B) batches (md5 — seed-free, repartition-stable, the
+    // q288 device) and closeness is co-membership in the SAME coarse-
+    // quantizer cluster (the shared [[coarseAssign]], so q336's
+    // grouping and this audit describe one index). Per batch size:
+    // non-empty batches, in-batch pair mass Σ n·(n−1)/2, same-cluster
+    // (false-negative) pair mass, and fn_ppm — the curve that says how
+    // much contrastive signal each batch-size choice corrupts. 100 TB
+    // shape: one ×3 stateless explode, keyed (B, batch[, cluster])
+    // aggregates over bounded cells, a broadcast single-row N; exact
+    // triangle-number integer arithmetic end to end.
+    QueryDef(
+      "q344_inbatch_negative_collisions",
+      (s, dir) => {
+        val asg = coarseAssign(s, dir).select("vec_id", "cluster_id")
+        val n = asg.agg(count(lit(1)).as("n"))
+        val d = asg.crossJoin(broadcast(n))
+          .withColumn("bsz", explode(expr(
+            "array(CAST(8 AS BIGINT), CAST(32 AS BIGINT), CAST(128 AS BIGINT))")))
+          .withColumn("nb", expr("(n + bsz - 1) div bsz"))
+          .withColumn("batch", expr(
+            """CAST(conv(substr(md5(concat('b_', CAST(vec_id AS STRING))),
+                  1, 15), 16, 10) AS BIGINT) % nb"""))
+        val cells = d.groupBy("bsz", "batch", "cluster_id")
+          .agg(count(lit(1)).as("c"))
+        val sameCl = cells.groupBy("bsz")
+          .agg(sum(expr("c * (c - 1) div 2")).as("fn_pairs"))
+        d.groupBy("bsz", "batch").agg(count(lit(1)).as("sz"))
+          .groupBy("bsz")
+          .agg(count(lit(1)).as("n_batches"),
+            sum("sz").as("n_items"),
+            sum(expr("sz * (sz - 1) div 2")).as("batch_pairs"))
+          .join(sameCl, "bsz")
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("fn_ppm", expr(
+            """CAST(CAST(fn_pairs AS DECIMAL(38,0)) * 1000000
+               div nullif(batch_pairs, 0) AS BIGINT)"""))
+          .select("bsz", "n_batches", "n_items", "batch_pairs", "fn_pairs",
+            "fn_ppm")
+          .orderBy("bsz")
+      },
+      Some(s"""
+        WITH base AS ($duckEmb),
+        $duckCoarseAssign,
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM asg),
+        d AS (
+          SELECT a.vec_id, a.cluster_id, t.bsz,
+                 CAST(concat('0x', substr(md5('b_' ||
+                   CAST(a.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % ((nn.n + t.bsz - 1) // t.bsz) AS batch
+          FROM asg a, nn,
+               UNNEST([CAST(8 AS BIGINT), CAST(32 AS BIGINT),
+                       CAST(128 AS BIGINT)]) AS t(bsz)),
+        cells AS (
+          SELECT bsz, batch, cluster_id, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d GROUP BY bsz, batch, cluster_id),
+        same_cl AS (
+          SELECT bsz, CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS fn_pairs
+          FROM cells GROUP BY bsz),
+        sizes AS (
+          SELECT bsz, batch, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM d GROUP BY bsz, batch),
+        rep AS (
+          SELECT bsz, CAST(COUNT(*) AS BIGINT) AS n_batches,
+                 CAST(SUM(sz) AS BIGINT) AS n_items,
+                 CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS batch_pairs
+          FROM sizes GROUP BY bsz)
+        SELECT r.bsz, n_batches, n_items, batch_pairs, fn_pairs,
+               CAST(CAST(fn_pairs AS HUGEINT) * 1000000
+                 // nullif(CAST(batch_pairs AS HUGEINT), 0) AS BIGINT)
+                 AS fn_ppm
+        FROM rep r JOIN same_cl USING (bsz)
+        ORDER BY r.bsz"""))
   )
 }

@@ -1036,6 +1036,25 @@ class LlmDataSpec extends AnyFunSuite {
       "down-weighting the noisy annotators must not hurt the vote here")
   }
 
+  test("q344 in-batch collisions: pair algebra and population invariants") {
+    val nVecs = graft.Tables(spark, dir, "embeddings").count()
+    val rows = run("q344_inbatch_negative_collisions").collect()
+    assert(rows.length == 3, "one row per batch size in the sweep")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_items") == nVecs,
+        "every batch size partitions the same population")
+      val (bp, fp) = (r.getAs[Long]("batch_pairs"),
+        r.getAs[Long]("fn_pairs"))
+      assert(fp <= bp, "same-cluster pairs are a subset of batch pairs")
+      assert(r.getAs[Long]("fn_ppm") == fp * 1000000L / bp)
+      assert(r.getAs[Long]("n_batches") <=
+        (nVecs + r.getAs[Long]("bsz") - 1) / r.getAs[Long]("bsz"),
+        "hashing cannot create more batches than ceil(N/B)")
+      assert(fp > 0,
+        "8 clusters over these batch sizes must collide somewhere")
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
