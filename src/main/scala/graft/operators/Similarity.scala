@@ -1562,5 +1562,98 @@ object Similarity {
                  AS fn_ppm
         FROM rep r JOIN same_cl USING (bsz)
         ORDER BY r.bsz"""))
+  ,
+
+    // --------------------------------------------------------------- q345
+    // Int8 embedding-quantization recall — q282 audits scalar
+    // quantization of WEIGHTS; a vector index quantizes the
+    // EMBEDDINGS, and the question a serving team signs off on is
+    // recall@k against the float index, not reconstruction error.
+    // Symmetric per-vector int8: scale = max |x|, q = floor(x·127/s +
+    // 0.5), dequant = q·s/127 — every step a deterministic IEEE
+    // double op evaluated identically in both engines (floor, not a
+    // rounding mode, decides the tie), so the quantized cosine is
+    // bit-identical cross-engine just like the float one. Both
+    // rankings run q28's top-5 (sim desc, neighbor-id tie-break); the
+    // report is per query: overlap@5, recall ppm, and the rank-
+    // displacement mass of the surviving members — integers only in
+    // the output. 100 TB shape: the 20-query side broadcasts twice
+    // over one narrow corpus scan each; per-query windows are k-
+    // bounded; at index scale the corpus side is the IVF cell scan,
+    // not a full pass (the q28/q320 fixture-tier convention, stated).
+    QueryDef(
+      "q345_int8_embedding_recall",
+      (s, dir) => {
+        val base = emb(s, dir)
+          .withColumn("sc", expr("array_max(transform(e, x -> abs(x)))"))
+          .withColumn("dq", expr(
+            """transform(e, x ->
+               floor(x * 127d / nullif(sc, 0d) + 0.5d) * sc / 127d)"""))
+        def top5(vcol: String, out: String) = {
+          val q = base.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col(vcol).as("qv"))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("neighbor_id"))
+          base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qv"), col(vcol)).as("sim"))
+            .withColumn(out, row_number().over(w))
+            .filter(col(out) <= 5)
+            .select(col("query_id"), col("neighbor_id"), col(out))
+        }
+        val f = top5("e", "rf")
+        val qz = top5("dq", "rq")
+        f.join(qz, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(when(col("rq").isNotNull, 1L).otherwise(0L))
+            .as("overlap5"),
+            sum(when(col("rq").isNotNull,
+              abs(col("rf") - col("rq")).cast("long")).otherwise(0L))
+              .as("rank_shift"))
+          .withColumn("recall_ppm", expr("overlap5 * 1000000 div 5"))
+          .select("query_id", "overlap5", "recall_ppm", "rank_shift")
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH base0 AS ($duckEmb),
+        base AS (
+          SELECT vec_id, e,
+                 list_transform(e, x ->
+                   floor(x * 127 / nullif(
+                     list_max(list_transform(e, y -> abs(y))), 0)
+                     + 0.5) *
+                   list_max(list_transform(e, y -> abs(y))) / 127) AS dq
+          FROM base0),
+        qf AS (SELECT vec_id AS query_id, e AS qv FROM base
+               WHERE vec_id < 20),
+        qq AS (SELECT vec_id AS query_id, dq AS qv FROM base
+               WHERE vec_id < 20),
+        tf AS (
+          SELECT query_id, neighbor_id, rf FROM (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${duckCosine("q.qv", "b.e")} DESC, b.vec_id)
+                     AS rf
+            FROM base b JOIN qf q ON b.vec_id <> q.query_id) x
+          WHERE rf <= 5),
+        tq AS (
+          SELECT query_id, neighbor_id, rq FROM (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${duckCosine("q.qv", "b.dq")} DESC, b.vec_id)
+                     AS rq
+            FROM base b JOIN qq q ON b.vec_id <> q.query_id) x
+          WHERE rq <= 5)
+        SELECT f.query_id,
+               CAST(count_if(t.rq IS NOT NULL) AS BIGINT) AS overlap5,
+               CAST(count_if(t.rq IS NOT NULL) * 1000000 // 5 AS BIGINT)
+                 AS recall_ppm,
+               CAST(SUM(CASE WHEN t.rq IS NOT NULL
+                 THEN abs(f.rf - t.rq) ELSE 0 END) AS BIGINT)
+                 AS rank_shift
+        FROM tf f
+        LEFT JOIN tq t USING (query_id, neighbor_id)
+        GROUP BY f.query_id
+        ORDER BY f.query_id"""))
   )
 }

@@ -1055,6 +1055,22 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q345 int8 recall: bounds, algebra, and a sane quantized index") {
+    val rows = run("q345_int8_embedding_recall").collect()
+    assert(rows.length == 20, "one row per query vector")
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("overlap5")
+      assert(ov >= 0 && ov <= 5)
+      assert(r.getAs[Long]("recall_ppm") == ov * 1000000L / 5)
+      assert(r.getAs[Long]("rank_shift") <= 4 * ov,
+        "two top-5 ranks can differ by at most 4 per surviving member")
+    }
+    // int8 on 64-dim vectors is a mild quantization: the index must
+    // stay usable (recall well above coin-flip on average)
+    assert(rows.map(_.getAs[Long]("overlap5")).sum >= 60,
+      "mean overlap@5 must be at least 3 of 5")
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
