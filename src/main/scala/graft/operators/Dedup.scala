@@ -2014,105 +2014,9 @@ object Dedup {
     // aggregate is source-keyed.
     QueryDef(
       "q333_editdist_verified_dedup",
-      (s, dir) => {
-        val corpus = levCorpus(
-          Tables(s, dir, "documents").select("doc_id", "source", "text"))
-        val keys = corpus.select(col("doc_id"),
-          md5(substring(col("text"), 1, 40)).as("h"))
-        val pairs = keys.as("x").join(keys.as("y"),
-            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        val ta = corpus.select(col("doc_id").as("id_a"),
-          col("text").as("text_a"))
-        val tb = corpus.select(col("doc_id").as("id_b"), col("source"),
-          col("text").as("text_b"))
-        val scored = pairs.join(ta, "id_a").join(tb, "id_b")
-          .select(col("source"), col("id_b"),
-            levenshtein(col("text_a"), col("text_b")).cast("long")
-              .as("lev"),
-            length(col("text_b")).cast("long").as("lb"))
-        val ps = scored.groupBy("source")
-          .agg(count(lit(1)).as("cand_pairs"),
-            sum((col("lev") <= 24).cast("long")).as("confirmed_pairs"))
-          .withColumn("rejected_pairs",
-            col("cand_pairs") - col("confirmed_pairs"))
-        val dr = scored.filter(col("lev") <= 24)
-          .groupBy("source", "id_b").agg(max("lb").as("lb"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("dropped_docs"),
-            sum("lb").as("saved_chars"))
-        corpus.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(length(col("text")).cast("long")).as("tot_chars"))
-          .join(ps, Seq("source"), "left")
-          .join(dr, Seq("source"), "left")
-          .select(col("source"), col("n_docs"),
-            coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
-            coalesce(col("confirmed_pairs"), lit(0L)).as("confirmed_pairs"),
-            coalesce(col("rejected_pairs"), lit(0L)).as("rejected_pairs"),
-            coalesce(col("dropped_docs"), lit(0L)).as("dropped_docs"),
-            coalesce(col("saved_chars"), lit(0L)).as("saved_chars"),
-            // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
-            expr("""CAST(CAST(coalesce(saved_chars, 0) AS DECIMAL(38,0))
-                    * 1000000 div nullif(tot_chars, 0) AS BIGINT)""")
-              .as("saved_ppm"))
-          .orderBy("source")
-      },
-      Some("""
-        WITH corpus AS (
-          SELECT doc_id, source, text FROM documents
-          UNION ALL
-          SELECT doc_id + 800000, source,
-                 regexp_replace(text, ' [^ ]+$', ' xv' || doc_id)
-          FROM documents WHERE doc_id % 11 = 3
-          UNION ALL
-          SELECT doc_id + 900000, source,
-                 substr(text, 1, 40) || repeat(' zq', 100)
-          FROM documents WHERE doc_id % 11 = 4),
-        keys AS (
-          SELECT doc_id, md5(substr(text, 1, 40)) AS h FROM corpus),
-        pairs AS (
-          SELECT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM keys x JOIN keys y
-            ON x.h = y.h AND x.doc_id < y.doc_id),
-        scored AS (
-          SELECT cb.source, p.id_b,
-                 CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS lev,
-                 CAST(len(cb.text) AS BIGINT) AS lb
-          FROM pairs p
-          JOIN corpus ca ON p.id_a = ca.doc_id
-          JOIN corpus cb ON p.id_b = cb.doc_id),
-        ps AS (
-          SELECT source, CAST(COUNT(*) AS BIGINT) AS cand_pairs,
-                 CAST(count_if(lev <= 24) AS BIGINT) AS confirmed_pairs,
-                 CAST(COUNT(*) - count_if(lev <= 24) AS BIGINT)
-                   AS rejected_pairs
-          FROM scored GROUP BY source),
-        dr AS (
-          SELECT source, CAST(COUNT(*) AS BIGINT) AS dropped_docs,
-                 CAST(SUM(lb) AS BIGINT) AS saved_chars
-          FROM (SELECT source, id_b, MAX(lb) AS lb FROM scored
-                WHERE lev <= 24 GROUP BY source, id_b) d
-          GROUP BY source),
-        tot AS (
-          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                 CAST(SUM(len(text)) AS BIGINT) AS tot_chars
-          FROM corpus GROUP BY source)
-        SELECT t.source, n_docs,
-               CAST(coalesce(cand_pairs, 0) AS BIGINT) AS cand_pairs,
-               CAST(coalesce(confirmed_pairs, 0) AS BIGINT)
-                 AS confirmed_pairs,
-               CAST(coalesce(rejected_pairs, 0) AS BIGINT)
-                 AS rejected_pairs,
-               CAST(coalesce(dropped_docs, 0) AS BIGINT) AS dropped_docs,
-               CAST(coalesce(saved_chars, 0) AS BIGINT) AS saved_chars,
-               CAST(CAST(coalesce(saved_chars, 0) AS HUGEINT) * 1000000
-                 // nullif(CAST(tot_chars AS HUGEINT), 0) AS BIGINT)
-                 AS saved_ppm
-        FROM tot t
-        LEFT JOIN ps USING (source)
-        LEFT JOIN dr USING (source)
-        ORDER BY t.source"""))
+      (s, dir) => levReport(levCorpus(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"))),
+      Some(levOracle))
   ,
 
     // --------------------------------------------------------------- q341
@@ -2188,6 +2092,112 @@ object Dedup {
         .select((col("doc_id") + 900000).as("doc_id"), col("source"),
           concat(substring(col("text"), 1, 40), expr("repeat(' zq', 100)"))
             .as("text")))
+
+  /** q333/s64 shared candidate/confirm/report half over the
+    * plant-expanded corpus: prefix-digest candidate pairs (32 hex
+    * chars on the shuffle), texts rejoined by id (the q41/q83 skinny
+    * discipline), full-text Levenshtein <= 24 confirm, per-source
+    * dedup report. */
+  private[graft] def levReport(corpus: DataFrame): DataFrame = {
+    val keys = corpus.select(col("doc_id"),
+      md5(substring(col("text"), 1, 40)).as("h"))
+    val pairs = keys.as("x").join(keys.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val ta = corpus.select(col("doc_id").as("id_a"),
+      col("text").as("text_a"))
+    val tb = corpus.select(col("doc_id").as("id_b"), col("source"),
+      col("text").as("text_b"))
+    val scored = pairs.join(ta, "id_a").join(tb, "id_b")
+      .select(col("source"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long")
+          .as("lev"),
+        length(col("text_b")).cast("long").as("lb"))
+    val ps = scored.groupBy("source")
+      .agg(count(lit(1)).as("cand_pairs"),
+        sum((col("lev") <= 24).cast("long")).as("confirmed_pairs"))
+      .withColumn("rejected_pairs",
+        col("cand_pairs") - col("confirmed_pairs"))
+    val dr = scored.filter(col("lev") <= 24)
+      .groupBy("source", "id_b").agg(max("lb").as("lb"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("dropped_docs"),
+        sum("lb").as("saved_chars"))
+    corpus.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("tot_chars"))
+      .join(ps, Seq("source"), "left")
+      .join(dr, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        coalesce(col("confirmed_pairs"), lit(0L)).as("confirmed_pairs"),
+        coalesce(col("rejected_pairs"), lit(0L)).as("rejected_pairs"),
+        coalesce(col("dropped_docs"), lit(0L)).as("dropped_docs"),
+        coalesce(col("saved_chars"), lit(0L)).as("saved_chars"),
+        // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+        expr("""CAST(CAST(coalesce(saved_chars, 0) AS DECIMAL(38,0))
+                * 1000000 div nullif(tot_chars, 0) AS BIGINT)""")
+          .as("saved_ppm"))
+      .orderBy("source")
+  }
+
+  /** q333's oracle, shared VERBATIM by s64. */
+  private[graft] def levOracle: String = """
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 800000, source,
+                 regexp_replace(text, ' [^ ]+$', ' xv' || doc_id)
+          FROM documents WHERE doc_id % 11 = 3
+          UNION ALL
+          SELECT doc_id + 900000, source,
+                 substr(text, 1, 40) || repeat(' zq', 100)
+          FROM documents WHERE doc_id % 11 = 4),
+        keys AS (
+          SELECT doc_id, md5(substr(text, 1, 40)) AS h FROM corpus),
+        pairs AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM keys x JOIN keys y
+            ON x.h = y.h AND x.doc_id < y.doc_id),
+        scored AS (
+          SELECT cb.source, p.id_b,
+                 CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS lev,
+                 CAST(len(cb.text) AS BIGINT) AS lb
+          FROM pairs p
+          JOIN corpus ca ON p.id_a = ca.doc_id
+          JOIN corpus cb ON p.id_b = cb.doc_id),
+        ps AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS cand_pairs,
+                 CAST(count_if(lev <= 24) AS BIGINT) AS confirmed_pairs,
+                 CAST(COUNT(*) - count_if(lev <= 24) AS BIGINT)
+                   AS rejected_pairs
+          FROM scored GROUP BY source),
+        dr AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS dropped_docs,
+                 CAST(SUM(lb) AS BIGINT) AS saved_chars
+          FROM (SELECT source, id_b, MAX(lb) AS lb FROM scored
+                WHERE lev <= 24 GROUP BY source, id_b) d
+          GROUP BY source),
+        tot AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(text)) AS BIGINT) AS tot_chars
+          FROM corpus GROUP BY source)
+        SELECT t.source, n_docs,
+               CAST(coalesce(cand_pairs, 0) AS BIGINT) AS cand_pairs,
+               CAST(coalesce(confirmed_pairs, 0) AS BIGINT)
+                 AS confirmed_pairs,
+               CAST(coalesce(rejected_pairs, 0) AS BIGINT)
+                 AS rejected_pairs,
+               CAST(coalesce(dropped_docs, 0) AS BIGINT) AS dropped_docs,
+               CAST(coalesce(saved_chars, 0) AS BIGINT) AS saved_chars,
+               CAST(CAST(coalesce(saved_chars, 0) AS HUGEINT) * 1000000
+                 // nullif(CAST(tot_chars AS HUGEINT), 0) AS BIGINT)
+                 AS saved_ppm
+        FROM tot t
+        LEFT JOIN ps USING (source)
+        LEFT JOIN dr USING (source)
+        ORDER BY t.source"""
+
 
   /** q326/s56 shared: digit-collapsed template skeleton, digest-keyed so
     * only 32 hex chars ride any shuffle. Plain regexp_replace — same

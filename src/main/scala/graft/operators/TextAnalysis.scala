@@ -2326,6 +2326,79 @@ object TextAnalysis {
                  AS toks_per_step_milli
         FROM rep
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q347
+    // Tokenizer fertility / cost-parity audit — the multilingual
+    // fairness number a tokenizer review publishes (a language whose
+    // text costs 2× the subtokens per byte pays 2× the context and 2×
+    // the serving bill): per language, subtokens-per-word fertility
+    // (the q31 BPE-ish subtoken regex over whitespace words) and
+    // bytes-per-subtoken, each in exact milli; parity_ppm anchors
+    // every language's byte cost to English (the 2-column broadcast
+    // anchor row — derived from already-truncated millis, so the
+    // ratio is integer-exact cross-engine). 100 TB shape: one
+    // stateless per-doc projection, one ≤ languages keyed rollup, a
+    // single-row broadcast join; DECIMAL(38) ↔ HUGEINT on the
+    // corpus-mass products.
+    QueryDef(
+      "q347_tokenizer_fertility",
+      (s, dir) => {
+        val per = Tables(s, dir, "documents")
+          .select(col("lang"),
+            expr("CAST(octet_length(text) AS BIGINT)").as("b"),
+            expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                    AS BIGINT)""").as("wt"),
+            expr(s"""CAST(size(regexp_extract_all(text, '$SubtokenRe',
+                     0)) AS BIGINT)""").as("st"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("b").as("bytes"),
+            sum("wt").as("ws_tokens"), sum("st").as("subtokens"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("fertility_milli", expr(
+            """CAST(CAST(subtokens AS DECIMAL(38,0)) * 1000
+               div nullif(ws_tokens, 0) AS BIGINT)"""))
+          .withColumn("bytes_per_subtoken_milli", expr(
+            """CAST(CAST(bytes AS DECIMAL(38,0)) * 1000
+               div nullif(subtokens, 0) AS BIGINT)"""))
+        per.crossJoin(broadcast(per.filter(col("lang") === "en")
+            .select(col("bytes_per_subtoken_milli").as("en_bpt"))))
+          .withColumn("parity_ppm", expr(
+            """CAST(CAST(bytes_per_subtoken_milli AS DECIMAL(38,0))
+               * 1000000 div nullif(en_bpt, 0) AS BIGINT)"""))
+          .select("lang", "n_docs", "bytes", "ws_tokens", "subtokens",
+            "fertility_milli", "bytes_per_subtoken_milli", "parity_ppm")
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT lang, CAST(strlen(text) AS BIGINT) AS b,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS wt,
+                 CAST(len(regexp_extract_all(text, '$SubtokenRe'))
+                   AS BIGINT) AS st
+          FROM documents),
+        per AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(b) AS BIGINT) AS bytes,
+                 CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+                 CAST(SUM(st) AS BIGINT) AS subtokens,
+                 CAST(CAST(SUM(st) AS HUGEINT) * 1000
+                   // nullif(CAST(SUM(wt) AS HUGEINT), 0) AS BIGINT)
+                   AS fertility_milli,
+                 CAST(CAST(SUM(b) AS HUGEINT) * 1000
+                   // nullif(CAST(SUM(st) AS HUGEINT), 0) AS BIGINT)
+                   AS bytes_per_subtoken_milli
+          FROM d GROUP BY lang),
+        en AS (SELECT bytes_per_subtoken_milli AS en_bpt FROM per
+               WHERE lang = 'en')
+        SELECT lang, n_docs, bytes, ws_tokens, subtokens,
+               fertility_milli, bytes_per_subtoken_milli,
+               CAST(CAST(bytes_per_subtoken_milli AS HUGEINT) * 1000000
+                 // nullif(CAST(en_bpt AS HUGEINT), 0) AS BIGINT)
+                 AS parity_ppm
+        FROM per, en
+        ORDER BY lang"""))
   )
 
   /** q328/s57 shared: corpus with deterministic synthetic-code plants

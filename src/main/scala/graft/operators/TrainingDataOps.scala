@@ -3564,6 +3564,136 @@ object TrainingDataOps {
                  AS mean_first_pass_milli
         FROM rep
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q346
+    // PRM tree-search audit — the process-reward-model data question
+    // beside q337's outcome rewards: step-level rewards live on a
+    // depth-3 binary rollout tree (8 leaves per prompt), and the
+    // serving/search choice is greedy step-wise descent vs scoring
+    // all leaves. Node rewards are md5-coins keyed (prompt, level,
+    // node index) and RE-DERIVED arithmetically wherever needed (the
+    // q329 no-join discipline): the leaf explode prices all 8 paths
+    // exactly, the greedy path is pure per-row column arithmetic with
+    // ZERO fan-out, and the per-source report carries best-path and
+    // greedy-path reward mass, the greedy-finds-best rate, and the
+    // regret mass — how much reward step-wise PRM search leaves on
+    // the table. Ties break toward child 0 (greedy) and the lowest
+    // leaf (best), both engines identically. 100 TB shape: a ×8
+    // stateless explode + one keyed per-prompt argmax + a ≤ sources
+    // rollup; ppm products DECIMAL(38) ↔ HUGEINT.
+    QueryDef(
+      "q346_prm_tree_search",
+      (s, dir) => {
+        def R(l: Int, idx: String) =
+          s"""(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING),
+              '_n${l}_', CAST(($idx) AS STRING))), 1, 15), 16, 10)
+              AS BIGINT) % 10)"""
+        val docs = Tables(s, dir, "documents").select("doc_id", "source")
+        val best = docs
+          .withColumn("leaf", explode(expr("sequence(0L, 7L)")))
+          .withColumn("reward", expr(
+            s"""${R(1, "leaf div 4")} + ${R(2, "leaf div 2")}
+                + ${R(3, "leaf")}"""))
+          .withColumn("pick",
+            struct(col("reward"), (-col("leaf")).as("nl")))
+          .groupBy("doc_id", "source").agg(max("pick").as("m"))
+          .select(col("doc_id"), col("source"),
+            col("m.reward").as("best_reward"),
+            (-col("m.nl")).as("best_leaf"))
+        val greedy = docs
+          .withColumn("g1",
+            expr(s"IF(${R(1, "1")} > ${R(1, "0")}, 1L, 0L)"))
+          .withColumn("g2", expr(
+            s"""IF(${R(2, "g1 * 2 + 1")} > ${R(2, "g1 * 2")},
+                g1 * 2 + 1, g1 * 2)"""))
+          .withColumn("g3", expr(
+            s"""IF(${R(3, "g2 * 2 + 1")} > ${R(3, "g2 * 2")},
+                g2 * 2 + 1, g2 * 2)"""))
+          .select(col("doc_id").as("gid"),
+            expr(s"${R(1, "g1")} + ${R(2, "g2")} + ${R(3, "g3")}")
+              .as("greedy_reward"),
+            col("g3").as("greedy_leaf"))
+        best.join(greedy, col("doc_id") === col("gid"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_prompts"),
+            sum("best_reward").as("best_mass"),
+            sum("greedy_reward").as("greedy_mass"),
+            sum((col("greedy_leaf") === col("best_leaf")).cast("long"))
+              .as("greedy_optimal"),
+            sum(col("best_reward") - col("greedy_reward"))
+              .as("regret_mass"))
+          .withColumn("mean_best_milli",
+            expr("best_mass * 1000 div n_prompts"))
+          .withColumn("mean_greedy_milli",
+            expr("greedy_mass * 1000 div n_prompts"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("greedy_optimal_ppm", expr(
+            """CAST(CAST(greedy_optimal AS DECIMAL(38,0)) * 1000000
+               div n_prompts AS BIGINT)"""))
+          .select("source", "n_prompts", "best_mass", "greedy_mass",
+            "regret_mass", "greedy_optimal", "greedy_optimal_ppm",
+            "mean_best_milli", "mean_greedy_milli")
+          .orderBy("source")
+      },
+      Some {
+        def R(l: Int, idx: String) =
+          s"""(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) ||
+              '_n${l}_' || ($idx)), 1, 15)) AS BIGINT) % 10)"""
+        s"""
+        WITH leaves AS (
+          SELECT doc_id, source, t.leaf,
+                 ${R(1, "t.leaf // 4")} + ${R(2, "t.leaf // 2")}
+                 + ${R(3, "t.leaf")} AS reward
+          FROM documents, UNNEST(range(0, 8)) AS t(leaf)),
+        best AS (
+          SELECT doc_id, source, reward AS best_reward,
+                 leaf AS best_leaf FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY reward DESC, leaf) AS rn
+            FROM leaves) x WHERE rn = 1),
+        g1t AS (
+          SELECT doc_id,
+                 CASE WHEN ${R(1, "1")} > ${R(1, "0")}
+                      THEN 1 ELSE 0 END AS g1
+          FROM documents),
+        g2t AS (
+          SELECT doc_id, g1,
+                 CASE WHEN ${R(2, "g1 * 2 + 1")} > ${R(2, "g1 * 2")}
+                      THEN g1 * 2 + 1 ELSE g1 * 2 END AS g2
+          FROM g1t),
+        g3t AS (
+          SELECT doc_id, g1, g2,
+                 CASE WHEN ${R(3, "g2 * 2 + 1")} > ${R(3, "g2 * 2")}
+                      THEN g2 * 2 + 1 ELSE g2 * 2 END AS g3
+          FROM g2t),
+        greedy AS (
+          SELECT doc_id, CAST(g3 AS BIGINT) AS greedy_leaf,
+                 ${R(1, "g1")} + ${R(2, "g2")} + ${R(3, "g3")}
+                   AS greedy_reward
+          FROM g3t),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_prompts,
+                 CAST(SUM(best_reward) AS BIGINT) AS best_mass,
+                 CAST(SUM(greedy_reward) AS BIGINT) AS greedy_mass,
+                 CAST(count_if(greedy_leaf = best_leaf) AS BIGINT)
+                   AS greedy_optimal,
+                 CAST(SUM(best_reward - greedy_reward) AS BIGINT)
+                   AS regret_mass
+          FROM best JOIN greedy USING (doc_id)
+          GROUP BY source)
+        SELECT source, n_prompts, best_mass, greedy_mass, regret_mass,
+               greedy_optimal,
+               CAST(CAST(greedy_optimal AS HUGEINT) * 1000000
+                 // CAST(n_prompts AS HUGEINT) AS BIGINT)
+                 AS greedy_optimal_ppm,
+               CAST(best_mass * 1000 // n_prompts AS BIGINT)
+                 AS mean_best_milli,
+               CAST(greedy_mass * 1000 // n_prompts AS BIGINT)
+                 AS mean_greedy_milli
+        FROM rep
+        ORDER BY source"""
+      })
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from

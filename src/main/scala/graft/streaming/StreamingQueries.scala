@@ -3706,6 +3706,27 @@ object StreamingQueries {
               .select("doc_id", "source"))))
       },
       Some(graft.operators.TrainingDataOps.grpoOracle))
+  ,
+
+    // ---------------------------------------------------------------- s64
+    // Streaming edit-distance dedup — q333 live at ingest (the dedup
+    // confirm tier run as shards land): arriving docs expand through
+    // the SHARED plant projection statelessly inside the tick
+    // (originals + last-word-swap near-dups + alien-tail decoys — all
+    // pure per-row column arithmetic), and the drained corpus runs the
+    // identical digest-candidate + Levenshtein-confirm report — oracle
+    // VERBATIM, so a dropped tick loses a candidate pair and cannot
+    // hash-match.
+    QueryDef(
+      "s64_stream_editdist_dedup",
+      (s, dir) => {
+        import graft.operators.Dedup
+        Dedup.levReport(
+          drain(s, OutputMode.Append())(
+            Dedup.levCorpus(documentsStreamParts(s, dir)
+              .select("doc_id", "source", "text"))))
+      },
+      Some(graft.operators.Dedup.levOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

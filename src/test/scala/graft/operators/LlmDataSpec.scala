@@ -1071,6 +1071,41 @@ class LlmDataSpec extends AnyFunSuite {
       "mean overlap@5 must be at least 3 of 5")
   }
 
+  test("q346 PRM tree search: regret identity and greedy bounds") {
+    val rows = run("q346_prm_tree_search").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, bm, gm) = (r.getAs[Long]("n_prompts"),
+        r.getAs[Long]("best_mass"), r.getAs[Long]("greedy_mass"))
+      assert(r.getAs[Long]("regret_mass") == bm - gm,
+        "regret is exactly the best-minus-greedy reward gap")
+      assert(bm >= gm, "the full-leaf argmax dominates greedy descent")
+      assert(bm <= 27 * n, "three levels of 0..9 rewards cap at 27")
+      val go = r.getAs[Long]("greedy_optimal")
+      assert(go <= n)
+      assert(r.getAs[Long]("greedy_optimal_ppm") == go * 1000000L / n)
+      assert(r.getAs[Long]("mean_best_milli") == bm * 1000L / n)
+    }
+    val (tot, opt) = (rows.map(_.getAs[Long]("n_prompts")).sum,
+      rows.map(_.getAs[Long]("greedy_optimal")).sum)
+    assert(opt > 0 && opt < tot,
+      "greedy must find the best path sometimes but not always")
+  }
+
+  test("q347 fertility: English anchors parity at exactly one") {
+    val rows = run("q347_tokenizer_fertility").collect()
+    assert(rows.length == 5, "five fixture languages")
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Long]("parity_ppm") == 1000000L,
+      "the anchor language's byte-cost parity is exactly 1")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fertility_milli") >= 1000L,
+        "every alphanumeric word yields at least one subtoken")
+      assert(r.getAs[Long]("subtokens") >= r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Long]("parity_ppm") > 0)
+    }
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
