@@ -1106,6 +1106,68 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q337 advantage law: exhaustive over all 256 reward patterns") {
+    // the closed form sum|k·r − S| = 2·S·(k−S) is load-bearing (it is
+    // why no second sample pass exists) — prove it on EVERY possible
+    // 8-sample binary outcome, not just the fixture's md5 draws
+    import spark.implicits._
+    val rows = (0 until 256).flatMap { pat =>
+      (0 until 8).map(s => (pat.toLong, "x", s, ((pat >> s) & 1).toLong))
+    }
+    val df = rows.toDF("doc_id", "source", "samp", "r")
+    val rep = TrainingDataOps.grpoReport(df).collect()
+    assert(rep.length == 1)
+    val r = rep.head
+    // brute force: per pattern, Σ_bits |8·bit − S|
+    val expected = (0 until 256).map { pat =>
+      val s = Integer.bitCount(pat)
+      (0 until 8).map(b => math.abs(8 * ((pat >> b) & 1) - s)).sum
+    }.sum
+    assert(r.getAs[Long]("adv_mass") == expected,
+      "closed form must equal the brute-force advantage mass")
+    assert(r.getAs[Long]("all_pass_groups") == 1 &&
+      r.getAs[Long]("all_fail_groups") == 1,
+      "exactly patterns 0xFF and 0x00 are degenerate")
+    assert(r.getAs[Long]("n_pass") == (0 until 256).map(Integer.bitCount).sum)
+  }
+
+  test("q334 packing law: simulator agreement on adversarial lengths") {
+    // chop-at-512 packing + document-mask triangle numbers checked
+    // against a sequential Scala simulator on boundary-hugging lengths
+    // (1, 511, 512, 513, exact multiples, a >512 truncated giant)
+    import spark.implicits._
+    val lens = Seq(1L, 7L, 511L, 512L, 513L, 512L, 1024L, 3L, 509L,
+      512L, 1L, 300L, 212L, 512L, 500L, 12L)
+    val perDoc = lens.zipWithIndex
+      .map { case (l, i) => (i.toLong, "x", 0L, l) }
+      .toDF("doc_id", "source", "shard", "l")
+    val rep = TrainingDataOps.packMaskReport(perDoc).collect()
+    assert(rep.length == 1)
+    val r = rep.head
+    // simulator: walk the concatenated stream, chop at 512
+    var offset = 0L
+    var fullBySeq = Map.empty[Long, Long]
+    var masked = 0L
+    var splits = 0L
+    lens.foreach { l =>
+      val (s0, s1) = (offset / 512, (offset + l - 1) / 512)
+      if (s1 > s0) splits += 1
+      (s0 to s1).foreach { s =>
+        val f = math.min((s + 1) * 512, offset + l) - math.max(s * 512, offset)
+        fullBySeq = fullBySeq.updated(s, fullBySeq.getOrElse(s, 0L) + f)
+        masked += f * (f + 1) / 2
+      }
+      offset += l
+    }
+    val full = fullBySeq.values.map(ln => ln * (ln + 1) / 2).sum
+    assert(r.getAs[Long]("n_seqs") == fullBySeq.size)
+    assert(r.getAs[Long]("docs_split") == splits)
+    assert(r.getAs[Long]("full_pairs") == full)
+    assert(r.getAs[Long]("masked_pairs") == masked)
+    assert(r.getAs[Long]("n_seqs") == (lens.sum + 511) / 512,
+      "chop packing wastes nothing: exactly ceil(total/512) sequences")
+  }
+
   test("BPE merges table learns ONCE, shared by q254/q276") {
     // round 9: the 6-round merge learning (6 driver actions over the
     // exploded word frame) is the offline tokenizer artifact — it must
