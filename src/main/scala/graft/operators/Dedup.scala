@@ -2098,7 +2098,14 @@ object Dedup {
     * chars on the shuffle), texts rejoined by id (the q41/q83 skinny
     * discipline), full-text Levenshtein <= 24 confirm, per-source
     * dedup report. */
-  private[graft] def levReport(corpus: DataFrame): DataFrame = {
+  private[graft] def levReport(corpusRaw: DataFrame): DataFrame = {
+    // columnar persist, NOT localCheckpoint (the measured q83 lesson:
+    // compressed column-pruned cache beats raw-row checkpoint blocks
+    // on text-heavy frames): four consumers read the corpus (keys,
+    // both text rejoins, totals) and two read the scored pairs —
+    // without the persist that is six corpus passes at 100 TB.
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = TrackedCaches.track(corpusRaw.persist(MEMORY_AND_DISK))
     val keys = corpus.select(col("doc_id"),
       md5(substring(col("text"), 1, 40)).as("h"))
     val pairs = keys.as("x").join(keys.as("y"),
@@ -2108,11 +2115,13 @@ object Dedup {
       col("text").as("text_a"))
     val tb = corpus.select(col("doc_id").as("id_b"), col("source"),
       col("text").as("text_b"))
-    val scored = pairs.join(ta, "id_a").join(tb, "id_b")
-      .select(col("source"), col("id_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long")
-          .as("lev"),
-        length(col("text_b")).cast("long").as("lb"))
+    val scored = TrackedCaches.track(
+      pairs.join(ta, "id_a").join(tb, "id_b")
+        .select(col("source"), col("id_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long")
+            .as("lev"),
+          length(col("text_b")).cast("long").as("lb"))
+        .persist(MEMORY_AND_DISK))
     val ps = scored.groupBy("source")
       .agg(count(lit(1)).as("cand_pairs"),
         sum((col("lev") <= 24).cast("long")).as("confirmed_pairs"))

@@ -3132,12 +3132,17 @@ object Profiling {
                        AS INT) + 1)
                 ELSE lang END"""))
           .select("doc_id", "lang", "a", "lbl")
-        val r1 = ann.groupBy("doc_id", "lbl")
+        // three consumers (round-1 majority, reliabilities, round-2
+        // weighted vote) read the ×5 annotation frame — columnar
+        // persist so the corpus explode is paid once (the q83 lesson)
+        val annP = TrackedCaches.track(ann.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val r1 = annP.groupBy("doc_id", "lbl")
           .agg(count(lit(1)).as("v"))
           .withColumn("pick", struct((-col("v")).as("nv"), col("lbl")))
           .groupBy("doc_id").agg(min("pick").as("m"))
           .select(col("doc_id").as("d1"), col("m.lbl").as("maj1"))
-        val rel = ann.join(r1, col("doc_id") === col("d1"))
+        val rel = annP.join(r1, col("doc_id") === col("d1"))
           .groupBy("a")
           .agg(count(lit(1)).as("n_docs"),
             sum((col("lbl") === col("maj1")).cast("long")).as("agree_r1"),
@@ -3145,7 +3150,7 @@ object Profiling {
           .withColumn("reliability_ppm",
             expr("agree_r1 * 1000000 div n_docs"))
           .withColumn("correct_ppm", expr("correct * 1000000 div n_docs"))
-        val r2 = ann.join(broadcast(rel.select(col("a").as("ra"),
+        val r2 = annP.join(broadcast(rel.select(col("a").as("ra"),
             col("reliability_ppm").as("w"))), col("a") === col("ra"))
           .groupBy("doc_id", "lang", "lbl")
           .agg(sum("w").as("ws"))

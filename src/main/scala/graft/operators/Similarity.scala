@@ -1584,11 +1584,15 @@ object Similarity {
     QueryDef(
       "q345_int8_embedding_recall",
       (s, dir) => {
-        val base = emb(s, dir)
+        // four consumers (query + corpus side of both rankings) read
+        // the quantized frame — columnar persist so the scan + dequant
+        // is paid once (the q83 lesson)
+        val base = TrackedCaches.track(emb(s, dir)
           .withColumn("sc", expr("array_max(transform(e, x -> abs(x)))"))
           .withColumn("dq", expr(
             """transform(e, x ->
                floor(x * 127d / nullif(sc, 0d) + 0.5d) * sc / 127d)"""))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         def top5(vcol: String, out: String) = {
           val q = base.filter(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col(vcol).as("qv"))
