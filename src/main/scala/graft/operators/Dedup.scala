@@ -2081,15 +2081,27 @@ object Dedup {
   /** q333 shared corpus: documents plus two deterministic plant
     * families — a last-word swap (true near-dup, must CONFIRM) and a
     * shared-prefix alien-tail decoy (digest collision, must REJECT).
-    * Mirrored verbatim in the oracle's corpus CTE. */
+    * Mirrored verbatim in the oracle's corpus CTE.
+    *
+    * Plant id space (ADVICE r11): ids live at 2·doc_id + 10⁹ (swap,
+    * even) and 2·doc_id + 10⁹ + 1 (decoy, odd) — the two families are
+    * parity-disjoint for ANY base id space (the former +800000/+900000
+    * offsets collided with each other once two base ids differed by
+    * exactly 100000), and both stay strictly above every base id as
+    * long as base doc_id < 10⁹, a bound LlmDataSpec asserts against
+    * the fixture. A per-row formula (not a runtime max(doc_id)) is
+    * required because s64 runs this projection on a STREAMING frame. */
+  private[graft] val levPlantBase = 1000000000L
   private[graft] def levCorpus(docs: DataFrame): DataFrame =
     docs
       .unionByName(docs.filter(col("doc_id") % 11 === 3)
-        .select((col("doc_id") + 800000).as("doc_id"), col("source"),
+        .select((col("doc_id") * 2 + levPlantBase).as("doc_id"),
+          col("source"),
           expr("""regexp_replace(text, ' [^ ]+$',
                   concat(' xv', CAST(doc_id AS STRING)))""").as("text")))
       .unionByName(docs.filter(col("doc_id") % 11 === 4)
-        .select((col("doc_id") + 900000).as("doc_id"), col("source"),
+        .select((col("doc_id") * 2 + levPlantBase + 1).as("doc_id"),
+          col("source"),
           concat(substring(col("text"), 1, 40), expr("repeat(' zq', 100)"))
             .as("text")))
 
@@ -2155,11 +2167,11 @@ object Dedup {
         WITH corpus AS (
           SELECT doc_id, source, text FROM documents
           UNION ALL
-          SELECT doc_id + 800000, source,
+          SELECT doc_id * 2 + 1000000000, source,
                  regexp_replace(text, ' [^ ]+$', ' xv' || doc_id)
           FROM documents WHERE doc_id % 11 = 3
           UNION ALL
-          SELECT doc_id + 900000, source,
+          SELECT doc_id * 2 + 1000000001, source,
                  substr(text, 1, 40) || repeat(' zq', 100)
           FROM documents WHERE doc_id % 11 = 4),
         keys AS (

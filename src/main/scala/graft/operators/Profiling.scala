@@ -3126,10 +3126,14 @@ object Profiling {
             """CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_a',
                   CAST(a AS STRING))), 16, 15), 16, 10) AS BIGINT) % 4"""))
           .withColumn("lbl", expr(
+            // nullif(...,0): Spark's array_position returns 0 for a lang
+            // absent from the alphabet (a valid cyclic label!) while
+            // DuckDB's list_position returns NULL — align on NULL so a
+            // sixth language can never diverge silently (ADVICE r11)
             s"""CASE WHEN c1 < 10 + 15 * a
                 THEN element_at($langs,
-                  CAST((array_position($langs, lang) - 1 + 1 + c2) % 5
-                       AS INT) + 1)
+                  CAST((nullif(array_position($langs, lang), 0) - 1 + 1
+                        + c2) % 5 AS INT) + 1)
                 ELSE lang END"""))
           .select("doc_id", "lang", "a", "lbl")
         // three consumers (round-1 majority, reliabilities, round-2

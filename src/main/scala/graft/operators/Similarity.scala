@@ -1407,7 +1407,11 @@ object Similarity {
           .partitionBy("cluster_id", "shard")
           .orderBy(col("sim").desc, col("vec_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cells = asg.join(toks, col("vec_id") === col("doc_id"))
+        // two consumers (sh and the per-cluster report) read the
+        // windowed cell frame — persist so the assignment join + cell
+        // window run once (ADVICE r11, the multiply-read class)
+        val cells = TrackedCaches.track(
+          asg.join(toks, col("vec_id") === col("doc_id"))
           .select(col("vec_id"), col("cluster_id"),
             expr("vec_id div 64").as("shard"),
             expr("CAST(floor((sim + 1) * 1000000) AS BIGINT)")
@@ -1416,6 +1420,7 @@ object Similarity {
           .withColumn("cum", sum("l").over(wCell))
           .withColumn("s0", expr("(cum - l) div 256"))
           .withColumn("s1", expr("(cum - 1) div 256"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val sh = cells.groupBy("cluster_id", "shard")
           .agg(expr("CAST((max(cum) + 255) div 256 AS BIGINT)").as("nctx"))
           .groupBy("cluster_id").agg(sum("nctx").as("n_contexts"))
@@ -1505,13 +1510,18 @@ object Similarity {
       (s, dir) => {
         val asg = coarseAssign(s, dir).select("vec_id", "cluster_id")
         val n = asg.agg(count(lit(1)).as("n"))
-        val d = asg.crossJoin(broadcast(n))
+        // two consumers (cells and the per-batch sizes aggregate) read
+        // the corpus-wide assignment join + ×3 explode — columnar
+        // persist so the k-means assignment is paid once, not per
+        // consumer (ADVICE r11; the q333/q343/q345 multiply-read class)
+        val d = TrackedCaches.track(asg.crossJoin(broadcast(n))
           .withColumn("bsz", explode(expr(
             "array(CAST(8 AS BIGINT), CAST(32 AS BIGINT), CAST(128 AS BIGINT))")))
           .withColumn("nb", expr("(n + bsz - 1) div bsz"))
           .withColumn("batch", expr(
             """CAST(conv(substr(md5(concat('b_', CAST(vec_id AS STRING))),
                   1, 15), 16, 10) AS BIGINT) % nb"""))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val cells = d.groupBy("bsz", "batch", "cluster_id")
           .agg(count(lit(1)).as("c"))
         val sameCl = cells.groupBy("bsz")
@@ -1598,9 +1608,13 @@ object Similarity {
             .select(col("vec_id").as("query_id"), col(vcol).as("qv"))
           val w = Window.partitionBy("query_id")
             .orderBy(col("sim").desc, col("neighbor_id"))
+          // coalesce(…, -2): a zero-scale vector (sc = 0) dequantizes
+          // to all-NULL, so its cosine is NULL and its rank would then
+          // hang on each engine's NULL-ordering default under DESC —
+          // pin it below every real cosine (≥ −1) instead (ADVICE r11)
           base.join(broadcast(q), col("vec_id") =!= col("query_id"))
             .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              cosine(col("qv"), col(vcol)).as("sim"))
+              coalesce(cosine(col("qv"), col(vcol)), lit(-2.0)).as("sim"))
             .withColumn(out, row_number().over(w))
             .filter(col(out) <= 5)
             .select(col("query_id"), col("neighbor_id"), col(out))
@@ -1636,7 +1650,8 @@ object Similarity {
           SELECT query_id, neighbor_id, rf FROM (
             SELECT q.query_id, b.vec_id AS neighbor_id,
                    row_number() OVER (PARTITION BY q.query_id
-                     ORDER BY ${duckCosine("q.qv", "b.e")} DESC, b.vec_id)
+                     ORDER BY coalesce(${duckCosine("q.qv", "b.e")}, -2.0)
+                       DESC, b.vec_id)
                      AS rf
             FROM base b JOIN qf q ON b.vec_id <> q.query_id) x
           WHERE rf <= 5),
@@ -1644,7 +1659,8 @@ object Similarity {
           SELECT query_id, neighbor_id, rq FROM (
             SELECT q.query_id, b.vec_id AS neighbor_id,
                    row_number() OVER (PARTITION BY q.query_id
-                     ORDER BY ${duckCosine("q.qv", "b.dq")} DESC, b.vec_id)
+                     ORDER BY coalesce(${duckCosine("q.qv", "b.dq")}, -2.0)
+                       DESC, b.vec_id)
                      AS rq
             FROM base b JOIN qq q ON b.vec_id <> q.query_id) x
           WHERE rq <= 5)

@@ -759,11 +759,19 @@ class LlmDataSpec extends AnyFunSuite {
     val docs = graft.Tables(spark, dir, "documents")
       .select("doc_id", "source", "text")
     val corpus = Dedup.levCorpus(docs)
+    // plant-id-space guard (ADVICE r11): plants live at 2·id + 10⁹
+    // (swap, even) / 2·id + 10⁹ + 1 (decoy, odd) — parity-disjoint
+    // for any base ids, but disjoint from BASE ids only while base
+    // doc_id < 10⁹; pin that precondition against the fixture
+    val maxBase = docs.agg(max("doc_id")).as[Long].head()
+    assert(maxBase < Dedup.levPlantBase,
+      s"base doc_id space ($maxBase) must stay below the plant base " +
+        s"${Dedup.levPlantBase} or plant ids collide with base ids")
     // the last-word-swap plants really sit within the 24-char budget…
     val plantLev = docs.filter(expr("doc_id % 11 = 3")).as("o")
-      .join(corpus.filter(col("doc_id") >= 800000 &&
-        col("doc_id") < 900000).as("p"),
-        expr("o.doc_id + 800000 = p.doc_id"))
+      .join(corpus.filter(col("doc_id") >= Dedup.levPlantBase &&
+        col("doc_id") % 2 === 0).as("p"),
+        expr(s"o.doc_id * 2 + ${Dedup.levPlantBase} = p.doc_id"))
       .select(org.apache.spark.sql.functions.levenshtein(
         col("o.text"), col("p.text")).as("lev"))
       .as[Int].collect()
@@ -771,8 +779,9 @@ class LlmDataSpec extends AnyFunSuite {
       "every last-word swap is a small edit")
     // …and the alien-tail decoys sit far outside it
     val decoyLev = docs.filter(expr("doc_id % 11 = 4")).as("o")
-      .join(corpus.filter(col("doc_id") >= 900000).as("p"),
-        expr("o.doc_id + 900000 = p.doc_id"))
+      .join(corpus.filter(col("doc_id") >= Dedup.levPlantBase &&
+        col("doc_id") % 2 === 1).as("p"),
+        expr(s"o.doc_id * 2 + ${Dedup.levPlantBase} + 1 = p.doc_id"))
       .select(org.apache.spark.sql.functions.levenshtein(
         col("o.text"), col("p.text")).as("lev"))
       .as[Int].collect()
