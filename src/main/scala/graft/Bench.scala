@@ -20,9 +20,19 @@ import org.apache.spark.sql.SparkSession
   *  - one untimed warmup query runs per phase so session warmup (codegen,
   *    classloading, parquet footer caching) doesn't inflate the first
   *    timed query (r01's q03 "7.87 s" was warmup, not plan cost);
-  *  - each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and
-  *    reports the MIN — one-shot timings confound plan cost with
-  *    whatever the previous query left behind;
+  *  - each query runs SPARK_GRAFT_BENCH_ITERS times (default 2; the
+  *    s-phase runs SPARK_GRAFT_BENCH_ITERS_S, default 1 — r11 item 2:
+  *    extra iterations re-pay state-store setup and were >half the
+  *    s-phase wall) and reports the MIN — one-shot timings confound
+  *    plan cost with whatever the previous query left behind;
+  *  - HEADLINE = best of (suite min, iso re-run) per query (r11
+  *    item 1): three consecutive rounds' headlines were distorted by
+  *    suite-slot contention that every fresh-session probe of the
+  *    same plan contradicted; any slot >2x its floor is now auto-
+  *    probed in isolation ([[Bench.isSuspect]]) and the published
+  *    value is [[Bench.headline]], with the pre-merge suite value
+  *    preserved in the full record's `suite_raw` sidecar and the
+  *    replaced-slot count on the stdout line (`suite_raw_n`);
   *  - per-query GC time is recorded and emitted as a `gc` map (top-8,
   *    >=100 ms) so a reader can tell heap pressure from a real plan
   *    regression; `gc_total_ms` always reports the whole run;
@@ -86,8 +96,43 @@ final class CacheEvents extends org.apache.spark.scheduler.SparkListener {
 }
 
 object Bench {
+  /** Suspect predicate (VERDICT r11 item 1), pure for BenchSpec. A
+    * suite slot is re-adjudicated in isolation when it exceeds its
+    * floor by: (a) >1.5x with GC >=10% of wall (heap-contention
+    * smell); (b) >2.0x REGARDLESS of GC — the r11 tightening: 30
+    * suite slots sat above 2x floor while every probed iso was clean,
+    * so anything past 2x is presumed slot noise until a fresh session
+    * confirms it (this subsumes the former >3x severe trigger); (c)
+    * >1.5x AND more than 2 s absolute excess (the r7 blind band); (d)
+    * no floor yet (first appearance always seeds from isolation). */
+  def isSuspect(v: Double, gcMs: Long, floor: Option[Double]): Boolean =
+    v >= 0 && floor.forall(fl =>
+      (v > fl * 1.5 && gcMs >= v * 1000 * 0.10) ||
+        v > fl * 2.0 ||
+        (v > fl * 1.5 && v - fl > 2.0))
+
+  /** Headline merge (VERDICT r11 item 1), pure for BenchSpec: the
+    * published per-query value is the best of the suite pass and the
+    * iso re-run — a suite slot inflated by neighbors' GC/state churn
+    * must not become the round's headline when a fresh-session probe
+    * of the SAME plan in the SAME run measured it clean. The raw
+    * suite value survives in the `suite_raw` sidecar whenever the iso
+    * replaced it, so contention stays visible without steering trend
+    * reads. A failed iso (-1) never replaces a real suite number. */
+  def headline(suite: Double, iso: Option[Double]): Double =
+    if (suite < 0) suite
+    else iso.filter(_ >= 0).map(math.min(suite, _)).getOrElse(suite)
+
   def main(args: Array[String]): Unit = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // streaming measurement iters default to 1 (VERDICT r11 item 2):
+    // r11 spent 217.9 s of a 395.7 s s-phase re-running state-store
+    // setup for non-min extra iterations — more than half the phase
+    // was harness. One pass per s-query + iso-on-demand adjudication
+    // (the isSuspect triggers) keeps the floor discipline without
+    // paying state-store setup twice for every healthy query.
+    val itersS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS_S", "1").toInt.max(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val isoBudgetSec =
@@ -189,6 +234,7 @@ object Bench {
         }
         val warmupSec = (System.nanoTime() - warmT0) / 1e9
         var extraIters = 0.0
+        val famIters = if (family == "s") itersS else iters
         val rs = names.map { name =>
           val gc0 = gcMillis()
           // ADVICE r8: note which query paid each shared-artifact build
@@ -198,7 +244,7 @@ object Bench {
           val b0 = graft.operators.SharedBuilds.count
           val ce0 = cacheEvents.snapshot
           try {
-            val times = (1 to iters).map { _ =>
+            val times = (1 to famIters).map { _ =>
               val t0 = System.nanoTime()
               // release stays INSIDE the timed region (floor
               // comparability with prior rounds); deltas span the whole
@@ -234,21 +280,10 @@ object Bench {
     }
 
     // ---- self-adjudication (wall-budgeted, no suspect cap) ----
-    // Triggers: (a) moderate growth (>1.5x floor) with GC >=10% of wall —
-    // the classic heap-contention smell; (b) SEVERE growth (>3x floor)
-    // regardless of GC — r6's q107 ran 16x its floor in-suite with low GC
-    // and the GC-gated trigger never re-adjudicated it; (c) ABSOLUTE
-    // EXCESS (r7 item 1): >1.5x floor AND more than 2 s over it,
-    // regardless of GC — r7's q246/q26/q29/q244 sat in the 1.5–3x,
-    // low-GC blind band between (a) and (b) and shipped unadjudicated;
-    // (d) NO FLOOR (r7 item 8): a query's first appearance seeds its
-    // floor from a contended suite run unless it also gets an isolated
-    // number, so floor-less queries are always re-run in isolation.
+    // Trigger set lives in [[isSuspect]] (pure, BenchSpec-tested);
+    // headline publication in [[headline]] — see their scaladoc.
     val flagged = results.filter { case (name, v, g) =>
-      v >= 0 && floorOf(name).forall(fl =>
-        (v > fl * 1.5 && g >= v * 1000 * 0.10) ||
-          v > fl * 3.0 ||
-          (v > fl * 1.5 && v - fl > 2.0))
+      isSuspect(v, g, floorOf(name))
     }
     // ADVICE r8: floor-less queries run FIRST — on a fresh floors file
     // (new sf dir / new queries) the former ratio sort let the wall
@@ -284,6 +319,16 @@ object Bench {
     }
     // floors: keep the best of (old floor, this run, isolated re-run)
     val isoMap = isoResults.toMap
+    // headline publication (VERDICT r11 item 1): per-query value =
+    // best of (suite, iso); the pre-merge suite value rides the
+    // suite_raw sidecar for every slot the iso replaced
+    val headlined = results.map { case (name, v, g) =>
+      (name, headline(v, isoMap.get(name.takeWhile(_ != '_'))), g)
+    }
+    val suiteRaw = results.flatMap { case (name, v, _) =>
+      val short = name.takeWhile(_ != '_')
+      if (headline(v, isoMap.get(short)) < v) Some(short -> v) else None
+    }
     val floorUpdates = results.collect { case (name, v, _) if v >= 0 =>
       val short = name.takeWhile(_ != '_')
       val best = math.min(v, isoMap.get(short).filter(_ >= 0).getOrElse(v))
@@ -300,11 +345,14 @@ object Bench {
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       s"bench key prefixes collide: ${shortKeys.diff(shortKeys.distinct).mkString(",")}")
-    val qs = (results
+    val qs = (headlined
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) } ++
       isoResults.map { case (k, v) => "\"" + k + "_iso\":" + fmt(v) })
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val suiteRawJson = suiteRaw.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = headlined.collect { case (_, v, _) if v >= 0 => v }.sum
     val gcTotal = gcMillis() - gcStart
     // top-8 noisiest only: a contended run could otherwise push dozens of
     // >=100 ms entries and blow the line budget
@@ -353,7 +401,7 @@ object Bench {
         s""","iso_skipped":${names.size},"iso_skipped_names":${shown.mkString("[", ",", "]")}"""
       }
     val summaryFields =
-      s""""gc_total_ms":$gcTotal,"phase_sec":$phaseJson,"harness_sec":$harnessJson,"shared_builds":$sharedJson$skipField,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}"""
+      s""""gc_total_ms":$gcTotal,"phase_sec":$phaseJson,"harness_sec":$harnessJson,"shared_builds":$sharedJson$skipField,"suite_raw_n":${suiteRaw.size},"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}"""
 
     // FULL per-query record → a per-round committed file (VERDICT r8
     // item 1: the 319-entry line overflowed the driver's ~2000-char
@@ -367,7 +415,7 @@ object Bench {
     val fullWritten =
       try {
         java.nio.file.Files.writeString(fullFile.toPath,
-          s"""{"queries":$qs,"gc":$gcJson,"cache_events":$cacheJson,$summaryFields}""" + "\n")
+          s"""{"queries":$qs,"suite_raw":$suiteRawJson,"gc":$gcJson,"cache_events":$cacheJson,$summaryFields}""" + "\n")
         true
       } catch {
         case e: Throwable =>
@@ -381,7 +429,7 @@ object Bench {
     // slowest suite queries + the iso adjudications (worst first,
     // capped) stand in for the full map; "full" points at the file.
     // Summary fields stay LAST (layout note in the scaladoc).
-    val slowJson = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+    val slowJson = headlined.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val isoJson = isoResults.sortBy(-_._2).take(24)

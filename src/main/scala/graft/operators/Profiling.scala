@@ -3136,42 +3136,7 @@ object Profiling {
                         + c2) % 5 AS INT) + 1)
                 ELSE lang END"""))
           .select("doc_id", "lang", "a", "lbl")
-        // three consumers (round-1 majority, reliabilities, round-2
-        // weighted vote) read the ×5 annotation frame — columnar
-        // persist so the corpus explode is paid once (the q83 lesson)
-        val annP = TrackedCaches.track(ann.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val r1 = annP.groupBy("doc_id", "lbl")
-          .agg(count(lit(1)).as("v"))
-          .withColumn("pick", struct((-col("v")).as("nv"), col("lbl")))
-          .groupBy("doc_id").agg(min("pick").as("m"))
-          .select(col("doc_id").as("d1"), col("m.lbl").as("maj1"))
-        val rel = annP.join(r1, col("doc_id") === col("d1"))
-          .groupBy("a")
-          .agg(count(lit(1)).as("n_docs"),
-            sum((col("lbl") === col("maj1")).cast("long")).as("agree_r1"),
-            sum((col("lbl") === col("lang")).cast("long")).as("correct"))
-          .withColumn("reliability_ppm",
-            expr("agree_r1 * 1000000 div n_docs"))
-          .withColumn("correct_ppm", expr("correct * 1000000 div n_docs"))
-        val r2 = annP.join(broadcast(rel.select(col("a").as("ra"),
-            col("reliability_ppm").as("w"))), col("a") === col("ra"))
-          .groupBy("doc_id", "lang", "lbl")
-          .agg(sum("w").as("ws"))
-          .withColumn("pick", struct((-col("ws")).as("nw"), col("lbl")))
-          .groupBy("doc_id", "lang").agg(min("pick").as("m"))
-          .select(col("doc_id").as("d2"), col("lang").as("truth"),
-            col("m.lbl").as("maj2"))
-        val acc = r1.join(r2, col("d1") === col("d2"))
-          .agg(count(lit(1)).as("nd"),
-            sum((col("maj1") === col("truth")).cast("long")).as("ok1"),
-            sum((col("maj2") === col("truth")).cast("long")).as("ok2"))
-          .select(expr("ok1 * 1000000 div nd").as("r1_acc_ppm"),
-            expr("ok2 * 1000000 div nd").as("r2_acc_ppm"))
-        rel.crossJoin(broadcast(acc))
-          .select("a", "n_docs", "agree_r1", "reliability_ppm", "correct",
-            "correct_ppm", "r1_acc_ppm", "r2_acc_ppm")
-          .orderBy("a")
+        weightedVoteReport(ann)
       },
       Some("""
         WITH langs AS (SELECT ['de', 'en', 'es', 'fr', 'zh'] AS ls),
@@ -3223,6 +3188,54 @@ object Profiling {
 
   /** q275/s43 shared: the four gate flags over (source, text) — a pure
     * stateless per-row projection (which is what lets s43 stream it). */
+  /** q343 shared rollup half over any (doc_id, lang, a, lbl)
+    * annotation frame with annotators a = 0..4 — factored so the
+    * one-step Dawid–Skene fixpoint spec can drive it with the
+    * exhaustive annotator-pattern space (every 3^5 label assignment
+    * per truth) and compare against a plain-Scala simulator. Round-1
+    * plain majority → per-annotator reliability → round-2
+    * reliability-weighted re-vote → corpus accuracy lift; both argmax
+    * reductions tie-break by (−votes, lbl) so the pick is
+    * deterministic under any tie. */
+  private[graft] def weightedVoteReport(ann: DataFrame): DataFrame = {
+    // three consumers (round-1 majority, reliabilities, round-2
+    // weighted vote) read the ×5 annotation frame — columnar
+    // persist so the corpus explode is paid once (the q83 lesson)
+    val annP = TrackedCaches.track(ann.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val r1 = annP.groupBy("doc_id", "lbl")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("pick", struct((-col("v")).as("nv"), col("lbl")))
+      .groupBy("doc_id").agg(min("pick").as("m"))
+      .select(col("doc_id").as("d1"), col("m.lbl").as("maj1"))
+    val rel = annP.join(r1, col("doc_id") === col("d1"))
+      .groupBy("a")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("lbl") === col("maj1")).cast("long")).as("agree_r1"),
+        sum((col("lbl") === col("lang")).cast("long")).as("correct"))
+      .withColumn("reliability_ppm",
+        expr("agree_r1 * 1000000 div n_docs"))
+      .withColumn("correct_ppm", expr("correct * 1000000 div n_docs"))
+    val r2 = annP.join(broadcast(rel.select(col("a").as("ra"),
+        col("reliability_ppm").as("w"))), col("a") === col("ra"))
+      .groupBy("doc_id", "lang", "lbl")
+      .agg(sum("w").as("ws"))
+      .withColumn("pick", struct((-col("ws")).as("nw"), col("lbl")))
+      .groupBy("doc_id", "lang").agg(min("pick").as("m"))
+      .select(col("doc_id").as("d2"), col("lang").as("truth"),
+        col("m.lbl").as("maj2"))
+    val acc = r1.join(r2, col("d1") === col("d2"))
+      .agg(count(lit(1)).as("nd"),
+        sum((col("maj1") === col("truth")).cast("long")).as("ok1"),
+        sum((col("maj2") === col("truth")).cast("long")).as("ok2"))
+      .select(expr("ok1 * 1000000 div nd").as("r1_acc_ppm"),
+        expr("ok2 * 1000000 div nd").as("r2_acc_ppm"))
+    rel.crossJoin(broadcast(acc))
+      .select("a", "n_docs", "agree_r1", "reliability_ppm", "correct",
+        "correct_ppm", "r1_acc_ppm", "r2_acc_ppm")
+      .orderBy("a")
+  }
+
   /** q308's oracle, shared VERBATIM by s49 (the streamed prediction
     * sets must reproduce the batch conformal report exactly). */
   private[graft] def conformalOracle: String = s"""

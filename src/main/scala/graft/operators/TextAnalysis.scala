@@ -2245,39 +2245,7 @@ object TextAnalysis {
     // on the ppm/milli products.
     QueryDef(
       "q342_speculative_tree_depth2",
-      (s, dir) => {
-        val pairs = specPairs(Tables(s, dir, "documents"))
-        val draft = specDraft(pairs)
-        val tri = pairs
-          .join(pairs.select(col("doc_id").as("d2"),
-              (col("pos") - 1).as("p2"), col("b").as("c")),
-            col("doc_id") === col("d2") && col("pos") === col("p2"))
-          .select(col("source"), col("a"), col("b"), col("c"))
-        tri
-          .join(draft.select(col("a").as("da"), col("db").as("d1")),
-            col("a") === col("da"))
-          .join(draft.select(col("a").as("dbh"), col("db").as("dx")),
-            col("b") === col("dbh"))
-          .withColumn("a1", (col("b") === col("d1")).cast("long"))
-          .withColumn("a2",
-            (col("a1") === 1 && col("c") === col("dx")).cast("long"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_steps"), sum("a1").as("acc1"),
-            sum("a2").as("acc2_chain"))
-          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
-          .withColumn("acc1_ppm", expr(
-            """CAST(CAST(acc1 AS DECIMAL(38,0)) * 1000000 div n_steps
-               AS BIGINT)"""))
-          .withColumn("acc2_ppm", expr(
-            """CAST(CAST(acc2_chain AS DECIMAL(38,0)) * 1000000
-               div n_steps AS BIGINT)"""))
-          .withColumn("toks_per_step_milli", expr(
-            """CAST(CAST(n_steps + acc1 + acc2_chain AS DECIMAL(38,0))
-               * 1000 div n_steps AS BIGINT)"""))
-          .select("source", "n_steps", "acc1", "acc2_chain", "acc1_ppm",
-            "acc2_ppm", "toks_per_step_milli")
-          .orderBy("source")
-      },
+      (s, dir) => specTreeReport(Tables(s, dir, "documents")),
       Some("""
         WITH wl AS (
           SELECT doc_id, source,
@@ -2477,6 +2445,44 @@ object TextAnalysis {
   /** q324/s55 shared: the 1-token greedy draft table — corpus-argmax
     * next token per head token, deterministic tie-break (highest count,
     * then lexicographic) via min(struct(-c, b)). Vocabulary-keyed. */
+  /** q342 shared body over any (doc_id, source, text) corpus —
+    * factored so the chain-recurrence law spec can drive it with the
+    * exhaustive 125-trigram alphabet plus a structured corpus and
+    * compare against a plain-Scala simulator. */
+  private[graft] def specTreeReport(docs: DataFrame): DataFrame = {
+    val pairs = specPairs(docs)
+    val draft = specDraft(pairs)
+    val tri = pairs
+      .join(pairs.select(col("doc_id").as("d2"),
+          (col("pos") - 1).as("p2"), col("b").as("c")),
+        col("doc_id") === col("d2") && col("pos") === col("p2"))
+      .select(col("source"), col("a"), col("b"), col("c"))
+    tri
+      .join(draft.select(col("a").as("da"), col("db").as("d1")),
+        col("a") === col("da"))
+      .join(draft.select(col("a").as("dbh"), col("db").as("dx")),
+        col("b") === col("dbh"))
+      .withColumn("a1", (col("b") === col("d1")).cast("long"))
+      .withColumn("a2",
+        (col("a1") === 1 && col("c") === col("dx")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_steps"), sum("a1").as("acc1"),
+        sum("a2").as("acc2_chain"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("acc1_ppm", expr(
+        """CAST(CAST(acc1 AS DECIMAL(38,0)) * 1000000 div n_steps
+           AS BIGINT)"""))
+      .withColumn("acc2_ppm", expr(
+        """CAST(CAST(acc2_chain AS DECIMAL(38,0)) * 1000000
+           div n_steps AS BIGINT)"""))
+      .withColumn("toks_per_step_milli", expr(
+        """CAST(CAST(n_steps + acc1 + acc2_chain AS DECIMAL(38,0))
+           * 1000 div n_steps AS BIGINT)"""))
+      .select("source", "n_steps", "acc1", "acc2_chain", "acc1_ppm",
+        "acc2_ppm", "toks_per_step_milli")
+      .orderBy("source")
+  }
+
   private[graft] def specDraft(pairs: DataFrame): DataFrame =
     pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
       .withColumn("pick", struct((-col("c")).as("nc"), col("b")))

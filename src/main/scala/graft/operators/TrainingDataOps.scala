@@ -3348,29 +3348,10 @@ object TrainingDataOps {
     // rollup; nothing else.
     QueryDef(
       "q338_paged_kv_fragmentation",
-      (s, dir) => {
-        val d = Tables(s, dir, "documents")
-          .select(col("source"),
-            expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
-                    AS BIGINT)""").as("l"))
-          .filter(col("l") >= 1)
-          .withColumn("bs", explode(expr(
-            "array(CAST(4 AS BIGINT), CAST(16 AS BIGINT), CAST(64 AS BIGINT))")))
-          .withColumn("blocks", expr("(l + bs - 1) div bs"))
-        d.groupBy("source", "bs")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("l").as("total_tokens"),
-            sum("blocks").as("page_entries"),
-            sum(expr("blocks * bs")).as("reserved_tokens"),
-            sum(expr("blocks * bs - l")).as("frag_tokens"))
-          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
-          .withColumn("frag_ppm", expr(
-            """CAST(CAST(frag_tokens AS DECIMAL(38,0)) * 1000000
-               div nullif(reserved_tokens, 0) AS BIGINT)"""))
-          .select("source", "bs", "n_docs", "total_tokens", "page_entries",
-            "reserved_tokens", "frag_tokens", "frag_ppm")
-          .orderBy("source", "bs")
-      },
+      (s, dir) => pagedKvReport(Tables(s, dir, "documents")
+        .select(col("source"),
+          expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                  AS BIGINT)""").as("l"))),
       Some("""
         WITH d AS (
           SELECT source,
@@ -4480,6 +4461,29 @@ object TrainingDataOps {
 
   /** q337/s63 shared per-sample half — stateless ×8 explode: one
     * binary md5-coin reward per (prompt, sample). */
+  /** q338 shared body over any (source, l) length frame — factored so
+    * the exhaustive rounding-identity spec can drive it with every
+    * length in a boundary-covering range, not just the fixture draws.
+    * Empty docs (l < 1) never allocate. */
+  private[graft] def pagedKvReport(d0: DataFrame): DataFrame =
+    d0.filter(col("l") >= 1)
+      .withColumn("bs", explode(expr(
+        "array(CAST(4 AS BIGINT), CAST(16 AS BIGINT), CAST(64 AS BIGINT))")))
+      .withColumn("blocks", expr("(l + bs - 1) div bs"))
+      .groupBy("source", "bs")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("l").as("total_tokens"),
+        sum("blocks").as("page_entries"),
+        sum(expr("blocks * bs")).as("reserved_tokens"),
+        sum(expr("blocks * bs - l")).as("frag_tokens"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("frag_ppm", expr(
+        """CAST(CAST(frag_tokens AS DECIMAL(38,0)) * 1000000
+           div nullif(reserved_tokens, 0) AS BIGINT)"""))
+      .select("source", "bs", "n_docs", "total_tokens", "page_entries",
+        "reserved_tokens", "frag_tokens", "frag_ppm")
+      .orderBy("source", "bs")
+
   private[graft] def grpoSamples(docs: DataFrame): DataFrame =
     docs
       .withColumn("samp", explode(expr("sequence(0, 7)")))

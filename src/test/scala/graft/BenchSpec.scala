@@ -35,4 +35,28 @@ class BenchSpec extends AnyFunSuite {
     ce.record(RDDBlockId(8, 1), StorageLevel.MEMORY_ONLY)
     assert(ce.snapshot == ((1L, 1L, 1L)))
   }
+
+  test("suspect triggers: >2x floor always fires; 1.5-2x band needs GC or excess") {
+    val fl = Some(1.0)
+    // healthy slot: under 1.5x, never a suspect even with heavy GC
+    assert(!Bench.isSuspect(1.4, 10000, fl))
+    // (b) the r11 tightening: anything past 2x floor fires, zero GC
+    assert(Bench.isSuspect(2.01, 0, fl))
+    // the 1.5-2x band needs a second signal:
+    assert(!Bench.isSuspect(1.8, 0, fl)) // low GC, <2s excess → clean
+    assert(Bench.isSuspect(1.8, 200, fl)) // (a) GC >=10% of 1.8s wall
+    assert(Bench.isSuspect(9.0, 0, Some(5.0))) // (c) 1.8x but 4s excess
+    // (d) no floor → always adjudicate (first-appearance seeding)
+    assert(Bench.isSuspect(0.1, 0, None))
+    // failed queries (-1) are never suspects
+    assert(!Bench.isSuspect(-1.0, 0, fl) && !Bench.isSuspect(-1.0, 0, None))
+  }
+
+  test("headline merge: best of suite/iso, failed iso never wins") {
+    assert(Bench.headline(3.0, Some(1.2)) == 1.2) // iso cleans the slot
+    assert(Bench.headline(1.2, Some(3.0)) == 1.2) // suite already best
+    assert(Bench.headline(3.0, None) == 3.0) // no probe → suite stands
+    assert(Bench.headline(3.0, Some(-1.0)) == 3.0) // failed iso ignored
+    assert(Bench.headline(-1.0, Some(1.0)) == -1.0) // suite failure stays loud
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, count, expr, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkSpec, SparkEntry}
@@ -1175,6 +1175,200 @@ class LlmDataSpec extends AnyFunSuite {
     assert(r.getAs[Long]("masked_pairs") == masked)
     assert(r.getAs[Long]("n_seqs") == (lens.sum + 511) / 512,
       "chop packing wastes nothing: exactly ceil(total/512) sequences")
+  }
+
+  test("q331 router capacity law: exhaustive over all <=3-expert batch compositions") {
+    // cap = (bt div 2)·250 div 800 + 1 and dropped = max(0, cell − cap)
+    // are load-bearing (they are why no per-token rank window exists) —
+    // prove the whole report on EVERY batch composition of 3 experts
+    // with 0..6 dispatches each (343 batches: empty cells, at-capacity
+    // cells, overflow cells), not just the fixture's md5 draws
+    import spark.implicits._
+    val comps = for { c0 <- 0 to 6; c1 <- 0 to 6; c2 <- 0 to 6 }
+      yield Seq(c0, c1, c2)
+    val disp = comps.zipWithIndex.flatMap { case (cs, b) =>
+      cs.zipWithIndex.flatMap { case (c, e) =>
+        Seq.fill(c)(("x", b.toLong, e.toLong)) }
+    }.toDF("source", "batch", "expert")
+    val got = TrainingDataOps.moeReport(disp).collect()
+    // plain-Scala simulator over the same cells
+    val cells = comps.zipWithIndex.flatMap { case (cs, b) =>
+      cs.zipWithIndex.collect { case (c, e) if c > 0 =>
+        (b, e.toLong, c.toLong) } }
+    val batchTotal = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val nDisp = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nDrop = cells.groupBy(_._2).view.mapValues(_.map { case (b, _, c) =>
+      val cap = (batchTotal(b) / 2) * 250 / 800 + 1
+      math.max(0L, c - cap)
+    }.sum).toMap
+    val st = nDisp.values.sum
+    val loadPpm = nDisp.view.mapValues(d => d * 1000000L / st).toMap
+    val balance = loadPpm.values.map(l => l * l).sum
+    assert(got.length == 3, "all three experts dispatched")
+    got.foreach { r =>
+      val e = r.getAs[Long]("expert")
+      assert(r.getAs[Long]("n_dispatch") == nDisp(e), s"n_dispatch e$e")
+      assert(r.getAs[Long]("n_dropped") == nDrop(e), s"n_dropped e$e")
+      assert(r.getAs[Long]("load_ppm") == loadPpm(e), s"load_ppm e$e")
+      assert(r.getAs[Long]("drop_ppm") == nDrop(e) * 1000000L / nDisp(e))
+      assert(r.getAs[Long]("balance_ppm2") == balance)
+    }
+    assert(nDrop.values.sum > 0,
+      "the composition space must actually exercise overflow cells")
+  }
+
+  test("q338 paged-KV rounding identity: exhaustive lengths 0..600") {
+    // blocks = (l + bs − 1) div bs is exactly ceil ⇔ 0 ≤ frag < bs for
+    // every l ≥ 1 — prove on every length through all three block
+    // sizes' boundary classes (multiples, ±1, sub-block, l = 0)
+    import spark.implicits._
+    val d = (0L to 600L).map(l => ("x", l)).toDF("source", "l")
+    val got = TrainingDataOps.pagedKvReport(d).collect()
+    assert(got.length == 3, "three block sizes, one source")
+    val ls = (1L to 600L)
+    got.foreach { r =>
+      val bs = r.getAs[Long]("bs")
+      val blocks = ls.map(l => (l + bs - 1) / bs)
+      ls.zip(blocks).foreach { case (l, b) =>
+        assert(b * bs - l >= 0 && b * bs - l < bs,
+          s"rounding identity broken at l=$l bs=$bs") }
+      val reserved = blocks.map(_ * bs).sum
+      assert(r.getAs[Long]("n_docs") == 600L, "l = 0 never allocates")
+      assert(r.getAs[Long]("total_tokens") == ls.sum)
+      assert(r.getAs[Long]("page_entries") == blocks.sum)
+      assert(r.getAs[Long]("reserved_tokens") == reserved)
+      assert(r.getAs[Long]("reserved_tokens") ==
+        r.getAs[Long]("page_entries") * bs,
+        "reserved mass is exactly page entries x block size")
+      assert(r.getAs[Long]("frag_tokens") == reserved - ls.sum)
+      assert(r.getAs[Long]("frag_ppm") ==
+        (BigInt(reserved - ls.sum) * 1000000 / BigInt(reserved)).toLong)
+    }
+  }
+
+  test("q342 chain recurrence: exhaustive trigram alphabet pins the tie-break") {
+    // all 125 three-word docs over {t0..t4}: every bigram occurs
+    // exactly 25+25 times, so the draft table is PURE tie-break
+    // ((−count, b) min ⇒ draft(a) = t0 for every a) and the chain
+    // law has a closed form: acc1 = #(b = t0) = 25, acc2 = #(b = t0
+    // ∧ c = draft(t0) = t0) = 5
+    import spark.implicits._
+    val uDocs = (for { a <- 0 until 5; b <- 0 until 5; c <- 0 until 5 }
+      yield s"t$a t$b t$c").zipWithIndex
+      .map { case (t, i) => (i.toLong, "u", t) }
+    val got = TextAnalysis.specTreeReport(
+      uDocs.toDF("doc_id", "source", "text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_steps") == 125L)
+    assert(r.getAs[Long]("acc1") == 25L, "uniform ties: draft(a) = t0")
+    assert(r.getAs[Long]("acc2_chain") == 5L, "chain: b = t0 and c = t0")
+    assert(r.getAs[Long]("toks_per_step_milli") ==
+      (125L + 25L + 5L) * 1000L / 125L)
+  }
+
+  test("q342 chain recurrence: structured corpus agrees with a generic simulator") {
+    // non-uniform bigram statistics (varying lengths 2..7, including
+    // pair-only docs that yield no trigram step) replayed through a
+    // plain-Scala draft/trigram simulator — every report column exact
+    import spark.implicits._
+    val vDocs = (0 until 90).map { i =>
+      val n = 2 + i % 6
+      val ws = (0 until n).map(j => s"t${(i * 7 + j * j * 3 + j) % 5}")
+      (i.toLong, if (i % 3 == 0) "v" else "w", ws.mkString(" "))
+    } ++ (0 until 12).map { i =>
+      // dominant t0→t1→t0 cycle so draft(t0) = t1 and draft(t1) = t0
+      // and depth-2 chains genuinely fire (the coverage guard below)
+      (100L + i, "v", "t0 t1 t0 t1 t0 t1")
+    }
+    val got = TextAnalysis.specTreeReport(
+      vDocs.toDF("doc_id", "source", "text")).collect()
+    val wl = vDocs.map { case (_, src, t) =>
+      (src, t.split(" ").filter(_.nonEmpty).toSeq) }
+    val pairs = wl.filter(_._2.length >= 2).flatMap { case (src, ws) =>
+      ws.sliding(2).map(p => (src, p(0), p(1))).toSeq }
+    // the draft table pools bigram counts ACROSS sources (one model
+    // serves the whole corpus), tie-break (−count, b)
+    val counts = pairs.groupBy { case (_, a, b) => (a, b) }
+      .view.mapValues(_.size.toLong).toMap
+    val draft = counts.keys.map(_._1).toSeq.distinct.map { a =>
+      a -> counts.collect { case ((x, b), c) if x == a => (b, c) }
+        .toSeq.minBy { case (b, c) => (-c, b) }._1
+    }.toMap
+    val tris = wl.filter(_._2.length >= 3).flatMap { case (src, ws) =>
+      ws.sliding(3).map(t => (src, t(0), t(1), t(2))).toSeq }
+    val bySrc = tris.groupBy(_._1).view.mapValues { ts =>
+      val n = ts.size.toLong
+      val a1 = ts.count { case (_, a, b, _) => draft(a) == b }.toLong
+      val a2 = ts.count { case (_, a, b, c) =>
+        draft(a) == b && draft(b) == c }.toLong
+      (n, a1, a2)
+    }.toMap
+    assert(got.length == 2, "two sources")
+    got.foreach { r =>
+      val (n, a1, a2) = bySrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_steps") == n)
+      assert(r.getAs[Long]("acc1") == a1)
+      assert(r.getAs[Long]("acc2_chain") == a2)
+      assert(r.getAs[Long]("acc1_ppm") == a1 * 1000000L / n)
+      assert(r.getAs[Long]("acc2_ppm") == a2 * 1000000L / n)
+      assert(r.getAs[Long]("toks_per_step_milli") ==
+        (n + a1 + a2) * 1000L / n)
+      assert(a2 <= a1, "level 2 accepts only inside an accepted level 1")
+    }
+    assert(bySrc.values.exists(_._2 > 0) && bySrc.values.exists(_._3 > 0),
+      "the corpus must actually exercise both acceptance levels")
+  }
+
+  test("q343 Dawid-Skene M-step: exhaustive annotator patterns vs simulator") {
+    // every possible 5-annotator labeling over a 3-label alphabet for
+    // each of 3 truths — 729 docs covering every tie shape the two
+    // argmax reductions can meet; the one-step fixpoint (majority →
+    // reliability → weighted re-vote → accuracy lift) re-derived in
+    // plain Scala and compared column-exact
+    import spark.implicits._
+    val labels = Vector("de", "en", "es")
+    val p3 = Vector(1, 3, 9, 27, 81)
+    val docs = for { truth <- labels.indices; pat <- 0 until 243 } yield {
+      val lbls = (0 until 5).map(a => labels(pat / p3(a) % 3))
+      ((truth * 243 + pat).toLong, labels(truth), lbls)
+    }
+    val ann = docs.flatMap { case (id, lang, lbls) =>
+      lbls.zipWithIndex.map { case (l, a) => (id, lang, a, l) }
+    }.toDF("doc_id", "lang", "a", "lbl")
+    val got = Profiling.weightedVoteReport(ann).collect()
+    def argmax(votes: Map[String, Long]): String =
+      votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+    val nDocs = docs.size.toLong
+    val maj1 = docs.map { case (id, _, lbls) =>
+      id -> argmax(lbls.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap)
+    }.toMap
+    val relia = (0 until 5).map { a =>
+      val agree = docs.count { case (id, _, lbls) =>
+        lbls(a) == maj1(id) }.toLong
+      val correct = docs.count { case (_, lang, lbls) =>
+        lbls(a) == lang }.toLong
+      (agree, correct, agree * 1000000L / nDocs,
+        correct * 1000000L / nDocs)
+    }
+    val maj2 = docs.map { case (id, _, lbls) =>
+      id -> argmax(lbls.zipWithIndex.groupBy(_._1).view
+        .mapValues(_.map { case (_, a) => relia(a)._3 }.sum).toMap)
+    }.toMap
+    val ok1 = docs.count { case (id, lang, _) => maj1(id) == lang }.toLong
+    val ok2 = docs.count { case (id, lang, _) => maj2(id) == lang }.toLong
+    assert(got.length == 5, "one row per annotator")
+    got.foreach { r =>
+      val (agree, correct, rp, cp) = relia(r.getAs[Int]("a"))
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("agree_r1") == agree)
+      assert(r.getAs[Long]("reliability_ppm") == rp)
+      assert(r.getAs[Long]("correct") == correct)
+      assert(r.getAs[Long]("correct_ppm") == cp)
+      assert(r.getAs[Long]("r1_acc_ppm") == ok1 * 1000000L / nDocs)
+      assert(r.getAs[Long]("r2_acc_ppm") == ok2 * 1000000L / nDocs)
+    }
   }
 
   test("BPE merges table learns ONCE, shared by q254/q276") {
