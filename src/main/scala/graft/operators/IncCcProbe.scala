@@ -31,11 +31,11 @@ object IncCcProbe {
     timed("finalLabels")(inc.finalLabels.count())
     timed("q261 full query") {
       graft.SparkEntry.queries("q261_incremental_cc_maintenance")(spark, sfDir)
-        .collect()
+        .collect() // bounded: per-source report rows (diagnostic probe drain)
     }
     timed("q261 again (warm)") {
       graft.SparkEntry.queries("q261_incremental_cc_maintenance")(spark, sfDir)
-        .collect()
+        .collect() // bounded: per-source report rows (diagnostic probe drain)
     }
     TrackedCaches.releaseAll()
     spark.stop()

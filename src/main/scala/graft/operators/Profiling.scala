@@ -2668,7 +2668,7 @@ object Profiling {
               .orderBy(col("gain_ppm").desc, col("v"))).cast("long"))
           .filter(col("rk") === 1L)
           .withColumn("stump_rank", row_number().over(
-            Window.orderBy(col("gain_ppm").desc, col("feat"))).cast("long"))
+            Window.orderBy(col("gain_ppm").desc, col("feat"))).cast("long")) // ≤ features rows (one split per feat)
           .select(col("feat"), col("v").as("thr"), col("cn").as("n_left"),
             col("nt").as("n_total"), col("gini_parent_ppm"),
             col("gini_split_ppm"), col("gain_ppm"), col("stump_rank"))
@@ -2793,7 +2793,7 @@ object Profiling {
             expr("""CASE WHEN y2 >= y THEN 1L ELSE -1L END
                     * (abs(y2 - y) * 1000000 div (x2 - x))""").as("sl"))
           .withColumn("rk", row_number().over(
-            Window.orderBy(col("sl"), col("source"), col("s2"))).cast("long"))
+            Window.orderBy(col("sl"), col("source"), col("s2"))).cast("long")) // ≤ sources² pair rows
           .withColumn("np", count(lit(1)).over(wAll).cast("long"))
           .filter(col("rk") === expr("(np + 1) div 2"))
           .select(col("sl").as("slope_micro"), col("np").as("n_pairs"))
@@ -2811,7 +2811,7 @@ object Profiling {
             expr("""CAST(y AS DECIMAL(38,0)) * 1000000
                     - CAST(slope_micro AS DECIMAL(38,0)) * x""").as("b"))
           .withColumn("rk", row_number().over(
-            Window.orderBy(col("b"), col("source"))).cast("long"))
+            Window.orderBy(col("b"), col("source"))).cast("long")) // ≤ sources² pair rows
           .withColumn("npt", count(lit(1)).over(wAll).cast("long"))
           .filter(col("rk") === expr("(npt + 1) div 2"))
           .select(col("npt").as("n_points"), col("n_pairs"),

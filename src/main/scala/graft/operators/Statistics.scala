@@ -55,7 +55,7 @@ object Statistics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val intra = deltaCols.foldLeft(ranged)((d, c) =>
       d.withColumn(s"cum_$c", sum(col(c)).over(wIntra)))
-    val wOff = Window.orderBy("pid")
+    val wOff = Window.orderBy("pid") // ≤ shuffle-partition-count rows
       .rowsBetween(Window.unboundedPreceding, -1)
     val totals = ranged.groupBy("pid")
       .agg(sum(deltaCols.head).as(s"t_${deltaCols.head}"),
@@ -796,7 +796,7 @@ object Statistics {
         val wIntra = Window.partitionBy("pid").orderBy("ts_us", "event_id")
         val intra = ranged
           .withColumn("local_seq", row_number().over(wIntra).cast("long"))
-        val wOff = Window.orderBy("pid")
+        val wOff = Window.orderBy("pid") // ≤ shuffle-partition-count rows
           .rowsBetween(Window.unboundedPreceding, -1)
         val off = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
           .withColumn("o", coalesce(sum("c").over(wOff), lit(0L)))

@@ -1511,7 +1511,7 @@ object TextAnalysis {
           .filter(length(col("w")) > 0)
           .groupBy("w").agg(count(lit(1)).as("f"))
         val tot = freq.agg(sum("f").as("t"))
-        val ord = Window.orderBy(col("f").desc, col("w"))
+        val ord = Window.orderBy(col("f").desc, col("w")) // ≤ 100 rows (limit(100) upstream)
         freq.orderBy(col("f").desc, col("w")).limit(100)
           .withColumn("rnk", row_number().over(ord).cast("long"))
           .withColumn("cum", sum("f").over(
@@ -1627,7 +1627,7 @@ object TextAnalysis {
           "stack(7, 0L, t0, 1L, t1, 2L, t2, 3L, t3, 4L, t4, 5L, t5, 6L, t6) " +
             "AS (merge_rounds, n_tokens)",
           "nc AS n_chars")
-        val w = org.apache.spark.sql.expressions.Window.orderBy("merge_rounds")
+        val w = org.apache.spark.sql.expressions.Window.orderBy("merge_rounds") // ≤ 7 rows (stacked merge rounds)
         stacked
           .withColumn("tokens_per_kchar", expr("n_tokens * 1000 div n_chars"))
           .withColumn("saved_vs_prev",
@@ -1756,7 +1756,7 @@ object TextAnalysis {
           .groupBy("first_bkt").agg(count(lit(1)).as("new_types"))
         val toks = w.groupBy(col("bkt").as("first_bkt"))
           .agg(count(lit(1)).as("toks"))
-        val win = org.apache.spark.sql.expressions.Window.orderBy("first_bkt")
+        val win = org.apache.spark.sql.expressions.Window.orderBy("first_bkt") // ≤ bucket-grid rows by construction
         toks.join(firstBkt, Seq("first_bkt"), "left")
           .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
           .withColumn("vocab_cum", sum("new_types").over(win))
@@ -2780,7 +2780,7 @@ object TextAnalysis {
         val freq = tokens.groupBy("w").agg(count(lit(1)).as("f"))
         val fgrp = freq.groupBy("f").agg(count(lit(1)).as("nw"))
         // cumulative over f DESC: distinct-frequency-sized by construction
-        val wOrd = Window.orderBy(col("f").desc)
+        val wOrd = Window.orderBy(col("f").desc) // ≤ distinct frequencies
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val spans = fgrp
           .withColumn("chi", sum("nw").over(wOrd))
@@ -2809,7 +2809,7 @@ object TextAnalysis {
                     * (abs(m2 - mean_lf_milli) * 1000
                        div (lr2 - lr))""").as("sl"))
           .withColumn("rk", row_number().over(
-            Window.orderBy(col("sl"), col("lr"), col("lr2"))).cast("long"))
+            Window.orderBy(col("sl"), col("lr"), col("lr2"))).cast("long")) // ≤ 64² pair rows
           .withColumn("np", count(lit(1)).over(wAll).cast("long"))
           .filter(col("rk") === expr("(np + 1) div 2"))
           .select(col("sl").as("slope_micro"), col("np").as("n_pairs"))
@@ -3078,7 +3078,7 @@ object TextAnalysis {
           call_function("graft_word_ngrams", spaced, lit(2))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("pair"))
-        .limit(1).collect()
+        .limit(1).collect() // bounded: limit(1)
       require(top.nonEmpty, "BPE merge round found no pairs")
       val Array(x, y) = top.head.getString(0).split(" ", 2)
       require(!x.contains("|") && !y.contains("|"),

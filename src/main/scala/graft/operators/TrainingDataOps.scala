@@ -1688,7 +1688,7 @@ object TrainingDataOps {
         val perSrc = words.groupBy("source")
           .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("dw"))
           .withColumn("ttr_permille", expr("dw * 1000 div n"))
-        val wr = Window.orderBy(col("ttr_permille").desc, col("source"))
+        val wr = Window.orderBy(col("ttr_permille").desc, col("source")) // ≤ sources rows by construction
         val t0 = TrackedCaches.track(perSrc
           .withColumn("rk", row_number().over(wr))
           .withColumn("tier",
@@ -2506,19 +2506,19 @@ object TrainingDataOps {
             expr("t2 div nullif(c2, 0)").as("s2"),
             expr("t3 div nullif(c3, 0)").as("s3"))
         val r0 = rs.withColumn("rk0", row_number().over(
-          Window.orderBy(col("s0").desc_nulls_last, col("source")))
+          Window.orderBy(col("s0").desc_nulls_last, col("source"))) // ≤ sources rows
           .cast("long"))
         val r1 = r0.filter(col("rk0") <= 10L).withColumn("rk1",
           row_number().over(
-            Window.orderBy(col("s1").desc_nulls_last, col("source")))
+            Window.orderBy(col("s1").desc_nulls_last, col("source"))) // ≤ sources rows
             .cast("long"))
         val r2 = r1.filter(col("rk1") <= 5L).withColumn("rk2",
           row_number().over(
-            Window.orderBy(col("s2").desc_nulls_last, col("source")))
+            Window.orderBy(col("s2").desc_nulls_last, col("source"))) // ≤ sources rows
             .cast("long"))
         val r3 = r2.filter(col("rk2") <= 3L).withColumn("rk3",
           row_number().over(
-            Window.orderBy(col("s3").desc_nulls_last, col("source")))
+            Window.orderBy(col("s3").desc_nulls_last, col("source"))) // ≤ sources rows
             .cast("long"))
         r0.join(r1.select(col("source"), col("rk1")), Seq("source"), "left")
           .join(r2.select(col("source"), col("rk2")), Seq("source"), "left")
@@ -2690,7 +2690,7 @@ object TrainingDataOps {
             expr("wins * 1000000 div nullif(games, 0)").as("win_ppm"),
             col("p").as("bt_ppm"))
           .withColumn("bt_rank", row_number().over(
-            Window.orderBy(col("bt_ppm").desc, col("source"))).cast("long"))
+            Window.orderBy(col("bt_ppm").desc, col("source"))).cast("long")) // ≤ sources rows
           .orderBy("source")
       },
       Some("""

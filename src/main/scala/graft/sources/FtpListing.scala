@@ -139,7 +139,7 @@ object FtpListing {
         }
         out
       }
-      .collect().toSeq
+      .collect().toSeq // bounded: the file index (DSv2 planning is driver-side)
   }
 
   private def checkDepth(dir: String, depth: Int, maxDepth: Int): Unit =

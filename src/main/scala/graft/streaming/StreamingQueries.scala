@@ -2828,7 +2828,7 @@ object StreamingQueries {
         // shared registry (one gram build per phase), collected ONCE at
         // plan-construction (vocabulary-sized, the merges-table
         // discipline) and shipped as literals
-        val wtMap = ClassifierArtifacts.weights(s, dir).collect()
+        val wtMap = ClassifierArtifacts.weights(s, dir).collect() // bounded: ≤ 4096 weight rows
           .map(r => (r.getLong(0), r.getLong(1))).toMap
         val thr = ClassifierArtifacts.prior(s, dir).head().getLong(0)
         val mapCol = typedLit(wtMap)
@@ -3289,8 +3289,8 @@ object StreamingQueries {
         }
         val (ng, rg) = rOf(scored.filter(col("cal") && col("good")))
         val (nb, rb) = rOf(scored.filter(col("cal") && !col("good")))
-        val wUp = Window.orderBy("sc")
-        val wDn = Window.orderBy(col("sc").desc)
+        val wUp = Window.orderBy("sc") // ≤ distinct calibration scores (ppm-grid-bounded)
+        val wDn = Window.orderBy(col("sc").desc) // ≤ distinct calibration scores (ppm-grid-bounded)
         val tg = scored.filter(col("cal") && col("good"))
           .groupBy("sc").agg(count(lit(1)).as("c"))
           .withColumn("cum", sum("c").over(wUp))
@@ -3300,7 +3300,7 @@ object StreamingQueries {
           .withColumn("cum", sum("c").over(wDn))
           .filter(col("cum") >= rb).agg(max("sc")).head().getLong(0)
         // --- stream side: stateless per-row score + set membership ---
-        val wtMap = ClassifierArtifacts.weights(s, dir).collect()
+        val wtMap = ClassifierArtifacts.weights(s, dir).collect() // bounded: ≤ 4096 weight rows
           .map(r => (r.getLong(0), r.getLong(1))).toMap
         val mapCol = typedLit(wtMap)
         val st = documentsStreamParts(s, dir)

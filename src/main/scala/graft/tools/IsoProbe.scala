@@ -15,11 +15,11 @@ object IsoProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.local(32, "graft-iso-probe")
     // untimed warmup: JIT + codegen + parquet footer caches
-    SparkEntry.queries("q07_region_nation_revenue")(spark, sfDir).collect()
+    SparkEntry.queries("q07_region_nation_revenue")(spark, sfDir).collect() // bounded: report-sized query output (probe drain)
     for (name <- args) {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).collect()
+        SparkEntry.queries(name)(spark, sfDir).collect() // bounded: report-sized query output (probe drain)
         val s = (System.nanoTime() - t0) / 1e9
         TrackedCaches.releaseAll()
         s

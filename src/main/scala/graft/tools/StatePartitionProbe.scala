@@ -28,14 +28,14 @@ object StatePartitionProbe {
         "s27_transform_with_state")
     val spark = GraftSession.local(32, "graft-state-partition-probe")
     // untimed warmup
-    SparkEntry.queries("q07_region_nation_revenue")(spark, sfDir).collect()
+    SparkEntry.queries("q07_region_nation_revenue")(spark, sfDir).collect() // bounded: report-sized query output (probe drain)
     for (name <- queries; parts <- Seq(32, 16, 8, 4)) {
       // the drain helper binds stateful operators to this knob (and
       // restores the session's shuffle partitions afterwards)
       spark.conf.set("spark.graft.stream.statePartitions", parts.toString)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).collect()
+        SparkEntry.queries(name)(spark, sfDir).collect() // bounded: report-sized query output (probe drain)
         val s = (System.nanoTime() - t0) / 1e9
         TrackedCaches.releaseAll()
         s

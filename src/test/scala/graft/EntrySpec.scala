@@ -75,6 +75,48 @@ class EntrySpec extends AnyFunSuite {
     assert(offenders(badUnion).nonEmpty)
   }
 
+  test("every global window / driver collect states its bound (src/main lint)") {
+    // VERDICT r11 item 4: a partition-less Window or a .collect() is
+    // only scale-safe when the frame it rides is bounded BY
+    // CONSTRUCTION, and that bound must be stated where the operator
+    // sits — most sites carry a "≤ N rows by construction" note, this
+    // lint makes the discipline total: every Window.orderBy( /
+    // Window.partitionBy() / .collect() hit in src/main needs a
+    // bound-stating comment within 3 lines.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val bad = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala.toIndexedSeq
+        EntrySpec.unboundedHits(lines).map(ln => s"$p:$ln")
+      }.toSeq
+    assert(bad.isEmpty,
+      s"global window / collect without a bound comment within 3 lines:\n  " +
+        bad.mkString("\n  "))
+  }
+
+  test("the bound lint itself fires on injected unbounded hits") {
+    def hits(src: String): Seq[Int] =
+      EntrySpec.unboundedHits(src.linesIterator.toIndexedSeq)
+    // naked global window → flagged
+    assert(hits("val w = Window.orderBy(col(\"x\"))").nonEmpty)
+    assert(hits("val w = Window.partitionBy()").nonEmpty)
+    assert(hits("val rows = df.collect()").nonEmpty)
+    // same-line bound comment → clean
+    assert(hits("val w = Window.orderBy(col(\"x\")) // ≤ 5 rows by construction").isEmpty)
+    assert(hits("val rows = df.collect() // bounded: 3 return flags").isEmpty)
+    // comment within 3 lines above → clean
+    assert(hits("// frame is bounded: <= sources rows\nval a = 1\nval w = Window.orderBy(col(\"x\"))").isEmpty)
+    // comment too far (4 lines) → flagged
+    assert(hits("// bounded: <= sources rows\nval a = 1\nval b = 2\nval c = 3\nval w = Window.orderBy(col(\"x\"))").nonEmpty)
+    // a non-comment <= on a nearby CODE line must NOT satisfy the lint
+    assert(hits("val f = col(\"rk\") <= 10L\nval w = Window.orderBy(col(\"x\"))").nonEmpty)
+    // keyed windows / Scala-collection collect{...} are out of scope
+    assert(hits("val w = Window.partitionBy(\"k\").orderBy(\"x\")").isEmpty)
+    assert(hits("xs.collect { case x => x }").isEmpty)
+  }
+
   test("oracle SQL column aliases match the driver contract (no bare aggregates)") {
     // the driver hash-compares by sorted column NAME — a bare SUM(x)
     // column would mismatch; require every oracle to alias aggregates
@@ -86,6 +128,31 @@ class EntrySpec extends AnyFunSuite {
 }
 
 object EntrySpec {
+  /** 1-based lines of partition-less windows (`Window.orderBy(`,
+    * `Window.partitionBy()`) or driver collects (`.collect()`) with no
+    * bound-stating comment within `radius` lines above (or on the hit
+    * line / the line after). A bound comment is any `//` or scaladoc
+    * text containing "bound", "≤" or "<=" — code-line `<=`s don't
+    * count. Proven by the injected cases in the spec. */
+  def unboundedHits(lines: IndexedSeq[String], radius: Int = 3): Seq[Int] = {
+    val hitRe =
+      "Window\\s*\\.\\s*(orderBy\\(|partitionBy\\(\\))|\\.collect\\(\\)".r
+    val boundRe = "(?i)bound|≤|<=".r
+    def commentText(l: String): String = {
+      val i = l.indexOf("//")
+      val t = l.trim
+      if (i >= 0) l.substring(i + 2)
+      else if (t.startsWith("*") || t.startsWith("/*")) t
+      else ""
+    }
+    lines.zipWithIndex.collect {
+      case (l, i) if hitRe.findFirstIn(l).isDefined &&
+        !(math.max(0, i - radius) to math.min(lines.size - 1, i + 1))
+          .exists(j => boundRe.findFirstIn(commentText(lines(j))).isDefined)
+      => i + 1
+    }
+  }
+
   /** Char offset of the FIRST top-level (paren-depth-0) SELECT — the
     * start of the output-facing statement whose column types reach the
     * driver. CTE bodies sit inside parens (depth ≥ 1) and so come before
