@@ -9,6 +9,7 @@ import graft.SparkSpec
 
 /** Unit tier for [[Compaction]] — the in-place partitioned rewrite and
   * the error paths the q62 oracle aggregate can't isolate. */
+@graft.tags.Integration
 class CompactionSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.spark

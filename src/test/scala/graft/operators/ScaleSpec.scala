@@ -12,6 +12,7 @@ object ScaleSpec {
 
 /** Plan-shape assertions for the scale-technique operators — the
   * properties the DuckDB value oracle cannot see. */
+@graft.tags.Integration
 class ScaleSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.spark

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The staging discipline's contracts (ADVICE r5): stage-once per
   * fixture CONTENT, concurrent-stager serialization, crash safety via
   * the atomic marker. */
+@graft.tags.Integration
 class StagingSpec extends AnyFunSuite {
 
   private def freshFixture(): String = {

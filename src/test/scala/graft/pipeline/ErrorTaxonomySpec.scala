@@ -29,6 +29,7 @@ import graft.pipeline.transfer.{FtpBackend, TransferFactory}
   * | 11| config.py:114-118          | "Invalid port for hostname h: p"           |
   * | 12| message.py:112-130         | DLQ record: retry_count=0, typed timestamp |
   */
+@graft.tags.Integration
 class ErrorTaxonomySpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.spark

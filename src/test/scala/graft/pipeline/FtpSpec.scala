@@ -12,6 +12,7 @@ import graft.pipeline.testkit.FakeFtpServer
 /** Integration tier: FTP backend against the in-process fake server,
   * mirroring /root/reference/tests/test_ftp_integration.py:39-207
   * (connect, upload, download, roundtrip, nested dirs, not-found). */
+@graft.tags.Integration
 class FtpSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var root: Path = _

@@ -16,6 +16,7 @@ import graft.pipeline.testkit.FakeFtpServer
   * FTP→FTP (:82-145), DLQ on missing file (:151-202) and invalid JSON
   * (:204-245), temp-file cleanup (tests/test_consumer.py:394-458).
   */
+@graft.tags.E2E
 class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSpec.spark

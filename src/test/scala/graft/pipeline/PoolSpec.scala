@@ -10,6 +10,7 @@ import graft.pipeline.transfer.{ConnectionFactory, ConnectionPool}
 /** Unit tier: pool behavior with a fake connection, mirroring
   * /root/reference/tests/test_ftp_pool.py:124-263 (reuse, validation,
   * stale replacement, blocking at capacity, timeout, thread stress). */
+@graft.tags.Integration
 class PoolSpec extends AnyFunSuite {
 
   private final class FakeConn(val id: Int) { @volatile var alive = true }

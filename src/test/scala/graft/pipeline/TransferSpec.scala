@@ -11,6 +11,7 @@ import graft.pipeline.transfer._
 /** Unit tier: local backend + factory dispatch, mirroring
   * /root/reference/tests/test_transfer_local.py and
   * tests/test_transfer_factory.py. */
+@graft.tags.Integration
 class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var tmp: Path = _

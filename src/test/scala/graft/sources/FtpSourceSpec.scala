@@ -12,6 +12,7 @@ import graft.pipeline.transfer.FtpPools
 
 /** Integration tier: the graft-ftp DataSource V2 against the fake
   * server — schema, listing, executor-side content fetch, error cases. */
+@graft.tags.E2E
 class FtpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSpec.spark

@@ -16,6 +16,7 @@ import graft.SparkSpec
   * foreachBatch (s10's pattern) or served by a snapshot-isolated table
   * format.
   */
+@graft.tags.Integration
 class StaticRefreshSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.spark

@@ -12,6 +12,7 @@ import graft.streaming.StreamConnector._
   * 211-225). A drifted key here means a production swap silently loses
   * its delivery semantics — every row of the mapping is asserted.
   */
+@graft.tags.Integration
 class StreamConnectorSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.spark

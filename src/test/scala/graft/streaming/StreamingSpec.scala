@@ -14,6 +14,7 @@ import graft.pipeline.PipelineConfig
   * graceful shutdown idempotence (O2), CLI parity (O1).
   * Mirrors /root/reference/tests/test_e2e.py + test_main.py behaviors.
   */
+@graft.tags.E2E
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSpec.spark
