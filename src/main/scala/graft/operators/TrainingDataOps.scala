@@ -3675,6 +3675,269 @@ object TrainingDataOps {
         FROM rep
         ORDER BY source"""
       })
+  ,
+
+    // --------------------------------------------------------------- q348
+    // DPO implicit-reward margin audit — the preference-data health
+    // check beside q297's Bradley–Terry fit and q273's pairwise eval:
+    // direct preference optimization's implicit reward is the
+    // policy/reference log-ratio, and a preference pair only teaches
+    // when the chosen response's implicit reward exceeds the
+    // rejected's. Pairs are consecutive docs (even doc_id = chosen,
+    // odd = rejected — the deterministic pairing both engines derive);
+    // per-doc policy/reference scores are md5 coins in centinats
+    // (seed-free, repartition-stable, the q288 device), margin =
+    // (polᶜ − refᶜ) − (polʳ − refʳ). The per-source report: pair
+    // mass, signed margin sum (NEVER divided — truncating div on a
+    // negative sum diverges between engines), absolute-margin mean,
+    // and the flipped fraction — the pairs where the frozen reward
+    // proxy DISAGREES with the label, the number a preference-data
+    // owner triages first. 100 TB shape: one self-equi-join on
+    // doc_id+1 (both sides narrow), one keyed rollup; ppm products
+    // ride DECIMAL(38) ↔ HUGEINT.
+    QueryDef(
+      "q348_dpo_margin_audit",
+      (s, dir) => {
+        def sc(tag: String, idc: String) =
+          s"""(CAST(conv(substr(md5(concat('$tag', CAST($idc AS STRING))),
+                1, 15), 16, 10) AS BIGINT) % 1000)"""
+        val d = Tables(s, dir, "documents").select("doc_id", "source")
+        d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("cid"), col("source"))
+          .join(d.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id").as("rid")), expr("rid = cid + 1"))
+          .withColumn("margin", expr(
+            s"""(${sc("pol_", "cid")} - ${sc("ref_", "cid")})
+                - (${sc("pol_", "rid")} - ${sc("ref_", "rid")})"""))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("margin").as("sum_margin"),
+            sum(abs(col("margin"))).as("abs_margin_mass"),
+            sum((col("margin") < 0).cast("long")).as("flipped_pairs"),
+            max("margin").as("max_margin"),
+            min("margin").as("min_margin"))
+          .withColumn("mean_abs_margin_milli",
+            expr("abs_margin_mass * 1000 div n_pairs"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("flipped_ppm", expr(
+            """CAST(CAST(flipped_pairs AS DECIMAL(38,0)) * 1000000
+               div n_pairs AS BIGINT)"""))
+          .select("source", "n_pairs", "sum_margin", "abs_margin_mass",
+            "mean_abs_margin_milli", "flipped_pairs", "flipped_ppm",
+            "max_margin", "min_margin")
+          .orderBy("source")
+      },
+      Some {
+        def sc(tag: String, idc: String) =
+          s"""(CAST(concat('0x', substr(md5('$tag' ||
+                CAST($idc AS VARCHAR)), 1, 15)) AS BIGINT) % 1000)"""
+        s"""
+        WITH pairs AS (
+          SELECT c.source,
+                 (${sc("pol_", "c.doc_id")} - ${sc("ref_", "c.doc_id")})
+                 - (${sc("pol_", "r.doc_id")} - ${sc("ref_", "r.doc_id")})
+                   AS margin
+          FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+          WHERE c.doc_id % 2 = 0 AND r.doc_id % 2 = 1),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(margin) AS BIGINT) AS sum_margin,
+                 CAST(SUM(abs(margin)) AS BIGINT) AS abs_margin_mass,
+                 CAST(count_if(margin < 0) AS BIGINT) AS flipped_pairs,
+                 CAST(MAX(margin) AS BIGINT) AS max_margin,
+                 CAST(MIN(margin) AS BIGINT) AS min_margin
+          FROM pairs GROUP BY source)
+        SELECT source, n_pairs, sum_margin, abs_margin_mass,
+               CAST(abs_margin_mass * 1000 // n_pairs AS BIGINT)
+                 AS mean_abs_margin_milli,
+               flipped_pairs,
+               CAST(CAST(flipped_pairs AS HUGEINT) * 1000000
+                 // CAST(n_pairs AS HUGEINT) AS BIGINT) AS flipped_ppm,
+               max_margin, min_margin
+        FROM rep
+        ORDER BY source"""
+      })
+  ,
+
+    // --------------------------------------------------------------- q349
+    // Checkpoint-interval goodput planning (Young–Daly) — the
+    // training-systems availability audit beside q331's expert
+    // capacity and q338's KV memory: a 1000-executor run loses
+    // τ/2 mean recompute per failure plus one checkpoint write per
+    // interval, and the optimal interval is Young–Daly's
+    // τ* = √(2·C·MTBF). MTBF comes from the events fixture's error
+    // stream (exact integer: span div (n−1) inter-arrival mean); the
+    // checkpoint-cost axis C ∈ {10 s, 60 s, 300 s} is a 3-row literal.
+    // √ is EXACT-INTEGER: a double sqrt seed then a ±1 integer
+    // correction in DECIMAL(38) (law-spec'd exhaustively around
+    // perfect squares), so both engines land on the identical BIGINT
+    // τ — the q325 IEEE-sqrt-exactness discipline extended with a
+    // correction step because here x can exceed 2⁵². goodput_ppm =
+    // 1 − C/τ − τ/(2·MTBF), each term a truncating non-negative div.
+    // 100 TB shape: one filtered min/max/count over the event stream
+    // (pushed to the scan), then pure 3-row literal arithmetic.
+    QueryDef(
+      "q349_checkpoint_goodput",
+      (s, dir) => {
+        val f = Tables.events(s, dir)
+          .filter(col("event_type") === "error")
+          .agg(count(lit(1)).as("n_fail"),
+            (max("ts_us") - min("ts_us")).as("span_us"))
+          .withColumn("mtbf_us", expr("span_us div (n_fail - 1)"))
+        exactIsqrt(f.withColumn("c_us", explode(expr(
+            "array(10000000L, 60000000L, 300000000L)")))
+          .withColumn("x", expr(
+            "CAST(2 AS DECIMAL(38,0)) * c_us * mtbf_us")),
+          "x", "tau_us")
+          .withColumn("goodput_ppm", expr(
+            """1000000 - c_us * 1000000 div tau_us
+               - tau_us * 1000000 div (2 * mtbf_us)"""))
+          .withColumn("ckpt_per_day", expr("86400000000 div tau_us"))
+          .select("c_us", "n_fail", "mtbf_us", "tau_us", "goodput_ppm",
+            "ckpt_per_day")
+          .orderBy("c_us")
+      },
+      Some("""
+        WITH f AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_fail,
+                 CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+                   - epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)
+                   AS span_us
+          FROM events WHERE event_type = 'error'),
+        m AS (SELECT n_fail, span_us, span_us // (n_fail - 1) AS mtbf_us
+              FROM f),
+        ax AS (
+          SELECT m.*, t.c_us,
+                 CAST(2 AS HUGEINT) * t.c_us * m.mtbf_us AS x
+          FROM m, UNNEST([CAST(10000000 AS BIGINT),
+                          CAST(60000000 AS BIGINT),
+                          CAST(300000000 AS BIGINT)]) AS t(c_us)),
+        sq AS (
+          SELECT ax.*,
+                 CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0
+          FROM ax),
+        tau AS (
+          SELECT sq.*,
+                 CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= x
+                      THEN s0 + 1
+                      WHEN CAST(s0 AS HUGEINT) * s0 > x THEN s0 - 1
+                      ELSE s0 END AS tau_us
+          FROM sq)
+        SELECT c_us, n_fail, mtbf_us, CAST(tau_us AS BIGINT) AS tau_us,
+               CAST(1000000 - c_us * 1000000 // tau_us
+                 - tau_us * 1000000 // (2 * mtbf_us) AS BIGINT)
+                 AS goodput_ppm,
+               CAST(86400000000 // tau_us AS BIGINT) AS ckpt_per_day
+        FROM tau
+        ORDER BY c_us"""))
+  ,
+
+    // --------------------------------------------------------------- q350
+    // Data-reuse epoch audit — the data-constrained-scaling planning
+    // table (how many epochs each source sustains under a token
+    // budget, the Muennighoff question) beside q319's quality-aware
+    // water-fill: for budgets B ∈ {10⁵, 10⁶, 10⁷} demanded tokens and
+    // a 4-epoch reuse ceiling, each source reports its epoch count in
+    // milli (capped), the unique-token fraction of the budget it can
+    // cover, and the shortfall a mixture owner must source elsewhere.
+    // 100 TB shape: ONE keyed token-mass aggregate, then a ×3 literal
+    // explode over ≤ sources rows; ppm products DECIMAL(38) ↔ HUGEINT.
+    QueryDef(
+      "q350_epoch_budget_audit",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("source"),
+          expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                  AS BIGINT)""").as("l"))
+        .groupBy("source").agg(sum("l").as("tokens"))
+        .withColumn("budget", explode(expr(
+          "array(100000L, 1000000L, 10000000L)")))
+        .withColumn("epochs_milli", expr(
+          "least(budget * 1000 div tokens, 4000L)"))
+        // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+        .withColumn("unique_ppm", expr(
+          """least(CAST(1000000 AS BIGINT),
+             CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 div budget
+                  AS BIGINT))"""))
+        .withColumn("shortfall_tokens", expr(
+          "greatest(0L, budget - tokens * 4)"))
+        .select("source", "budget", "tokens", "epochs_milli",
+          "unique_ppm", "shortfall_tokens")
+        .orderBy("source", "budget"),
+      Some("""
+        WITH t AS (
+          SELECT source,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source)
+        SELECT source, b.budget, tokens,
+               least(budget * 1000 // tokens, 4000) AS epochs_milli,
+               least(CAST(1000000 AS BIGINT),
+                 CAST(CAST(tokens AS HUGEINT) * 1000000 // budget
+                      AS BIGINT)) AS unique_ppm,
+               greatest(0, budget - tokens * 4) AS shortfall_tokens
+        FROM t, UNNEST([CAST(100000 AS BIGINT), CAST(1000000 AS BIGINT),
+                        CAST(10000000 AS BIGINT)]) AS b(budget)
+        ORDER BY source, budget"""))
+  ,
+
+    // --------------------------------------------------------------- q351
+    // Dataloader shard-skew audit — the straggler planning number for
+    // the input pipeline itself (the component every other query here
+    // assumes): docs hash onto W ∈ {8, 64, 512} loader workers (md5 —
+    // seed-free, repartition-stable) and the report prices each
+    // world size's balance: straggler share (max shard's token
+    // fraction — the step time is the SLOWEST worker's) and skew
+    // excess over perfect balance. The per-doc assignment half
+    // streams at-ingest as s65. 100 TB shape: a ×3 stateless explode,
+    // one (W, shard) keyed aggregate (≤ 584 cells), a ≤ 3-row rollup;
+    // ppm products DECIMAL(38) ↔ HUGEINT.
+    QueryDef(
+      "q351_dataloader_shard_skew",
+      (s, dir) => shardSkewReport(shardAssign(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"))),
+      Some(shardSkewOracle))
+  ,
+
+    // --------------------------------------------------------------- q352
+    // Best-of-n reward scaling — the inference-compute question over
+    // q337's verifiable-reward samples: drawing n samples and keeping
+    // the best, how does expected reward scale in n? Reuses the
+    // GRPO sample frame VERBATIM (same md5 coins, so q337's groups
+    // and this curve describe one dataset); best-of-n takes the max
+    // over the FIRST n samples (prefix semantics — the draws an
+    // operator actually has after n samples), n ∈ {1, 2, 4, 8}. The
+    // per-(source, n) report is the exact success curve a compute
+    // planner reads the knee off. bon is monotone nondecreasing in n
+    // by construction — law-spec'd exhaustively over all 256 reward
+    // patterns. The per-sample half streams at-ingest as s66. 100 TB
+    // shape: one keyed per-prompt aggregate (4 conditional maxes),
+    // a 4-row stack, a ≤ sources×4 rollup.
+    QueryDef(
+      "q352_best_of_n_scaling",
+      (s, dir) => bonReport(grpoSamples(
+        Tables(s, dir, "documents").select("doc_id", "source"))),
+      Some(bonOracle))
+  ,
+
+    // --------------------------------------------------------------- q353
+    // Generation repetition-loop audit — the degeneracy fingerprint a
+    // synthetic-data gate runs before model outputs re-enter training
+    // (greedy decoding's classic failure: "the the the", "ab cd ab
+    // cd"): per doc, immediate-repeat mass (tokᵢ = tokᵢ₊₁),
+    // period-2 alternation mass (tokᵢ = tokᵢ₊₂), and the longest
+    // immediate-repeat run; per source, the loop-infected doc count
+    // (run ≥ 3 tokens). The fixture prose carries no loops, so two
+    // deterministic plant families (doc_id % 13 = 5 appends a 4-token
+    // repeat run, % 17 = 3 a period-2 tail — same arithmetic in both
+    // engines) prove detection; run coalescing is law-spec'd against
+    // a plain-Scala simulator on adversarial strings. 100 TB shape:
+    // per-doc windows only (bounded by doc length), keyed rollups —
+    // no global window, no self-join.
+    QueryDef(
+      "q353_repetition_loops",
+      (s, dir) => loopReport(loopPlanted(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"))),
+      Some(loopOracle))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from
@@ -4548,6 +4811,287 @@ object TrainingDataOps {
                CAST(CAST(adv_mass AS HUGEINT) * 1000
                  // CAST(n_groups * 64 AS HUGEINT) AS BIGINT)
                  AS mean_abs_adv_milli
+        FROM rep
+        ORDER BY source"""
+
+  /** Exact integer sqrt (floor) of a non-negative DECIMAL(38,0)
+    * column: a double-sqrt seed then a ±1 integer correction in
+    * DECIMAL(38,0) — the q325 IEEE-exactness discipline extended past
+    * 2⁵², where the bare double no longer lands on the exact integer.
+    * Valid while the seed is within 1 of the true root, i.e. x below
+    * ~3·10³² (seed error ≈ √x · 5.5·10⁻¹⁷); law-spec'd exhaustively
+    * around perfect squares and at the magnitudes q349 reaches. */
+  private[graft] def exactIsqrt(df: DataFrame, x: String,
+      out: String): DataFrame =
+    df.withColumn("_s0", expr(
+        s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"))
+      .withColumn(out, expr(
+        s"""CASE WHEN CAST(_s0 + 1 AS DECIMAL(38,0)) * (_s0 + 1) <= $x
+                 THEN _s0 + 1
+                 WHEN CAST(_s0 AS DECIMAL(38,0)) * _s0 > $x THEN _s0 - 1
+                 ELSE _s0 END"""))
+      .drop("_s0")
+
+  /** q351/s65 shared assignment half: per-doc (W, shard, tokens) rows
+    * for W ∈ {8, 64, 512} loader workers — pure per-row column
+    * arithmetic (md5 shard coin + token count), which is what lets
+    * s65 stream it inside the tick. */
+  private[graft] def shardAssign(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                AS BIGINT)""").as("l"))
+      .withColumn("w", explode(expr("array(8L, 64L, 512L)")))
+      .withColumn("shard", expr(
+        """CAST(conv(substr(md5(concat('sh_', CAST(doc_id AS STRING))),
+              1, 15), 16, 10) AS BIGINT) % w"""))
+      .select("w", "shard", "l")
+
+  /** q351/s65 shared rollup half: (W, shard) token cells → per-W
+    * straggler/skew report. ≤ 584 cells total, so everything after
+    * the first keyed aggregate is broadcast-sized. */
+  private[graft] def shardSkewReport(asg: DataFrame): DataFrame =
+    asg.groupBy("w", "shard")
+      .agg(sum("l").as("st"), count(lit(1)).as("sd"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("shards_used"),
+        sum("sd").as("n_docs"),
+        sum("st").as("total_tokens"),
+        max("st").as("max_shard_tokens"),
+        min("st").as("min_shard_tokens"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("straggler_ppm", expr(
+        """CAST(CAST(max_shard_tokens AS DECIMAL(38,0)) * 1000000
+           div total_tokens AS BIGINT)"""))
+      .withColumn("skew_excess_ppm", expr(
+        """CAST(CAST(max_shard_tokens AS DECIMAL(38,0)) * w * 1000000
+           div total_tokens AS BIGINT) - 1000000"""))
+      .select("w", "shards_used", "n_docs", "total_tokens",
+        "max_shard_tokens", "min_shard_tokens", "straggler_ppm",
+        "skew_excess_ppm")
+      .orderBy("w")
+
+  /** q351's oracle, shared VERBATIM by s65. */
+  private[graft] def shardSkewOracle: String = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS BIGINT) AS l
+          FROM documents),
+        asg AS (
+          SELECT t.w,
+                 CAST(concat('0x', substr(md5('sh_' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % t.w
+                   AS shard,
+                 l
+          FROM d, UNNEST([CAST(8 AS BIGINT), CAST(64 AS BIGINT),
+                          CAST(512 AS BIGINT)]) AS t(w)),
+        cells AS (
+          SELECT w, shard, CAST(SUM(l) AS BIGINT) AS st,
+                 CAST(COUNT(*) AS BIGINT) AS sd
+          FROM asg GROUP BY w, shard),
+        rep AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS shards_used,
+                 CAST(SUM(sd) AS BIGINT) AS n_docs,
+                 CAST(SUM(st) AS BIGINT) AS total_tokens,
+                 CAST(MAX(st) AS BIGINT) AS max_shard_tokens,
+                 CAST(MIN(st) AS BIGINT) AS min_shard_tokens
+          FROM cells GROUP BY w)
+        SELECT w, shards_used, n_docs, total_tokens, max_shard_tokens,
+               min_shard_tokens,
+               CAST(CAST(max_shard_tokens AS HUGEINT) * 1000000
+                 // CAST(total_tokens AS HUGEINT) AS BIGINT)
+                 AS straggler_ppm,
+               CAST(CAST(max_shard_tokens AS HUGEINT) * w * 1000000
+                 // CAST(total_tokens AS HUGEINT) AS BIGINT) - 1000000
+                 AS skew_excess_ppm
+        FROM rep
+        ORDER BY w"""
+
+  /** q352/s66 shared rollup half over the [[grpoSamples]] frame:
+    * best-of-n = max reward over the FIRST n samples (prefix
+    * semantics), n ∈ {1, 2, 4, 8} — one keyed per-prompt aggregate
+    * with 4 conditional maxes, a 4-row stack, a ≤ sources×4 rollup.
+    * Monotone nondecreasing in n by construction (law-spec'd). */
+  private[graft] def bonReport(samples: DataFrame): DataFrame =
+    samples.groupBy("doc_id", "source")
+      .agg(max(when(col("samp") < 1, col("r"))).as("b1"),
+        max(when(col("samp") < 2, col("r"))).as("b2"),
+        max(when(col("samp") < 4, col("r"))).as("b4"),
+        max(when(col("samp") < 8, col("r"))).as("b8"))
+      .selectExpr("source",
+        "stack(4, 1L, b1, 2L, b2, 4L, b4, 8L, b8) AS (n, bon)")
+      .groupBy("source", "n")
+      .agg(count(lit(1)).as("n_prompts"), sum("bon").as("hits"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("bon_ppm", expr(
+        """CAST(CAST(hits AS DECIMAL(38,0)) * 1000000 div n_prompts
+           AS BIGINT)"""))
+      .select("source", "n", "n_prompts", "hits", "bon_ppm")
+      .orderBy("source", "n")
+
+  /** q352's oracle, shared VERBATIM by s66. */
+  private[graft] def bonOracle: String = """
+        WITH samples AS (
+          SELECT doc_id, source, t.s AS samp,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) ||
+                   '_s' || t.s), 1, 15)) AS BIGINT) % 2 AS r
+          FROM documents, UNNEST(range(0, 8)) AS t(s)),
+        groups AS (
+          SELECT doc_id, source,
+                 MAX(CASE WHEN samp < 1 THEN r END) AS b1,
+                 MAX(CASE WHEN samp < 2 THEN r END) AS b2,
+                 MAX(CASE WHEN samp < 4 THEN r END) AS b4,
+                 MAX(CASE WHEN samp < 8 THEN r END) AS b8
+          FROM samples GROUP BY doc_id, source),
+        st AS (
+          SELECT source, t.n,
+                 CASE t.n WHEN 1 THEN b1 WHEN 2 THEN b2
+                          WHEN 4 THEN b4 ELSE b8 END AS bon
+          FROM groups, UNNEST([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                               CAST(4 AS BIGINT), CAST(8 AS BIGINT)])
+                 AS t(n)),
+        rep AS (
+          SELECT source, n, CAST(COUNT(*) AS BIGINT) AS n_prompts,
+                 CAST(SUM(bon) AS BIGINT) AS hits
+          FROM st GROUP BY source, n)
+        SELECT source, n, n_prompts, hits,
+               CAST(CAST(hits AS HUGEINT) * 1000000
+                 // CAST(n_prompts AS HUGEINT) AS BIGINT) AS bon_ppm
+        FROM rep
+        ORDER BY source, n"""
+
+  /** q353 shared plant projection: the fixture prose carries no
+    * generation loops, so two deterministic families are appended —
+    * doc_id % 13 = 5 gains a 4-token immediate-repeat run (must land
+    * in docs_loop3 and max-run), % 17 = 3 a 6-token period-2 tail
+    * (must land in rep2 mass, NOT in runs). Pure per-row column
+    * arithmetic, mirrored verbatim in the oracle. */
+  private[graft] def loopPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      expr("""CASE WHEN doc_id % 13 = 5
+                THEN concat(text, ' loop loop loop loop')
+              WHEN doc_id % 17 = 3
+                THEN concat(text, ' ab cd ab cd ab cd')
+              ELSE text END""").as("text"))
+
+  /** q353 shared report half: per-doc immediate-repeat (tokᵢ =
+    * tokᵢ₊₁) and period-2 (tokᵢ = tokᵢ₊₂) masses plus the longest
+    * immediate-repeat run via the pos − row_number grouping device;
+    * per-source rollup. Every window is per-doc (bounded by doc
+    * length); run coalescing is simulator-spec'd. */
+  private[graft] def loopReport(docs: DataFrame): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos") // ≤ doc length
+    val fl = docs
+      .withColumn("wl", expr("filter(split(text, ' '), x -> x <> '')"))
+      .filter(size(col("wl")) >= 2)
+      .select(col("doc_id"), col("source"),
+        posexplode(col("wl")).as(Seq("pos", "tok")))
+      .withColumn("nx1", lead("tok", 1).over(wDoc))
+      .withColumn("nx2", lead("tok", 2).over(wDoc))
+      .withColumn("hn1", col("nx1").isNotNull.cast("long"))
+      .withColumn("hn2", col("nx2").isNotNull.cast("long"))
+      .withColumn("rep1",
+        when(col("tok") === col("nx1"), 1L).otherwise(0L))
+      .withColumn("rep2",
+        when(col("tok") === col("nx2"), 1L).otherwise(0L))
+    // run grouping: among rep1 positions, pos − row_number is constant
+    // within one consecutive run (the gaps-and-islands device); run
+    // tokens = rep1 count + 1
+    val wRep = Window.partitionBy("doc_id").orderBy("pos") // ≤ doc length
+    val runs = fl.filter(col("rep1") === 1L)
+      .withColumn("grp", col("pos") - row_number().over(wRep))
+      .groupBy(col("doc_id").as("rd"), col("grp"))
+      .agg((count(lit(1)) + 1).as("run_tokens"))
+      .groupBy("rd").agg(max("run_tokens").as("max_run"))
+    fl.groupBy("doc_id", "source")
+      .agg(sum("hn1").as("n_pairs"), sum("hn2").as("n_triples"),
+        sum("rep1").as("rep1_mass"), sum("rep2").as("rep2_mass"))
+      .join(runs, col("doc_id") === col("rd"), "left")
+      .withColumn("max_run", coalesce(col("max_run"), lit(1L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_pairs").as("n_pairs"),
+        sum("n_triples").as("n_triples"),
+        sum("rep1_mass").as("rep1_mass"),
+        sum("rep2_mass").as("rep2_mass"),
+        sum((col("max_run") >= 3L).cast("long")).as("docs_loop3"),
+        max("max_run").as("max_run_tokens"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("rep1_ppm", expr(
+        """CAST(CAST(rep1_mass AS DECIMAL(38,0)) * 1000000
+           div nullif(n_pairs, 0) AS BIGINT)"""))
+      .withColumn("rep2_ppm", expr(
+        """CAST(CAST(rep2_mass AS DECIMAL(38,0)) * 1000000
+           div nullif(n_triples, 0) AS BIGINT)"""))
+      .select("source", "n_docs", "n_pairs", "n_triples", "rep1_mass",
+        "rep1_ppm", "rep2_mass", "rep2_ppm", "docs_loop3",
+        "max_run_tokens")
+      .orderBy("source")
+  }
+
+  /** q353's oracle. */
+  private[graft] def loopOracle: String = """
+        WITH planted AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 13 = 5
+                   THEN text || ' loop loop loop loop'
+                 WHEN doc_id % 17 = 3
+                   THEN text || ' ab cd ab cd ab cd'
+                 ELSE text END AS text
+          FROM documents),
+        wl AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM planted),
+        toks AS (
+          SELECT doc_id, source, t.i - 1 AS pos, w[t.i] AS tok,
+                 w[t.i + 1] AS nx1, w[t.i + 2] AS nx2,
+                 CASE WHEN t.i + 1 <= len(w) THEN 1 ELSE 0 END AS hn1,
+                 CASE WHEN t.i + 2 <= len(w) THEN 1 ELSE 0 END AS hn2,
+                 CASE WHEN w[t.i] = w[t.i + 1] THEN 1 ELSE 0 END AS rep1,
+                 CASE WHEN w[t.i] = w[t.i + 2] THEN 1 ELSE 0 END AS rep2
+          FROM wl, UNNEST(range(1, len(w) + 1)) AS t(i)
+          WHERE len(w) >= 2),
+        runs AS (
+          SELECT doc_id, MAX(run_tokens) AS max_run FROM (
+            SELECT doc_id,
+                   CAST(COUNT(*) + 1 AS BIGINT) AS run_tokens
+            FROM (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                       ORDER BY pos) AS grp
+              FROM toks WHERE rep1 = 1)
+            GROUP BY doc_id, grp)
+          GROUP BY doc_id),
+        per_doc AS (
+          SELECT t.doc_id, t.source,
+                 CAST(SUM(hn1) AS BIGINT) AS n_pairs,
+                 CAST(SUM(hn2) AS BIGINT) AS n_triples,
+                 CAST(SUM(rep1) AS BIGINT) AS rep1_mass,
+                 CAST(SUM(rep2) AS BIGINT) AS rep2_mass
+          FROM toks t GROUP BY t.doc_id, t.source),
+        joined AS (
+          SELECT p.*, coalesce(r.max_run, 1) AS max_run
+          FROM per_doc p LEFT JOIN runs r USING (doc_id)),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+                 CAST(SUM(n_triples) AS BIGINT) AS n_triples,
+                 CAST(SUM(rep1_mass) AS BIGINT) AS rep1_mass,
+                 CAST(SUM(rep2_mass) AS BIGINT) AS rep2_mass,
+                 CAST(count_if(max_run >= 3) AS BIGINT) AS docs_loop3,
+                 CAST(MAX(max_run) AS BIGINT) AS max_run_tokens
+          FROM joined GROUP BY source)
+        SELECT source, n_docs, n_pairs, n_triples, rep1_mass,
+               CAST(CAST(rep1_mass AS HUGEINT) * 1000000
+                 // nullif(CAST(n_pairs AS HUGEINT), 0) AS BIGINT)
+                 AS rep1_ppm,
+               rep2_mass,
+               CAST(CAST(rep2_mass AS HUGEINT) * 1000000
+                 // nullif(CAST(n_triples AS HUGEINT), 0) AS BIGINT)
+                 AS rep2_ppm,
+               docs_loop3, max_run_tokens
         FROM rep
         ORDER BY source"""
 }

@@ -3727,6 +3727,44 @@ object StreamingQueries {
               .select("doc_id", "source", "text"))))
       },
       Some(graft.operators.Dedup.levOracle))
+  ,
+
+    // ---------------------------------------------------------------- s65
+    // Streaming dataloader shard skew — q351's straggler audit fed
+    // at-ingest (the s48 mixture-twin discipline): each arriving doc's
+    // (W, shard, tokens) rows are pure per-row column arithmetic
+    // inside the tick, and the drained assignment rolls up through the
+    // SAME shardSkewReport code q351 uses — oracle VERBATIM, so a
+    // dropped tick shifts a shard's token mass and cannot hash-match.
+    QueryDef(
+      "s65_stream_shard_skew",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.shardSkewReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.shardAssign(documentsStreamParts(s, dir)
+              .select("doc_id", "source", "text"))))
+      },
+      Some(graft.operators.TrainingDataOps.shardSkewOracle))
+  ,
+
+    // ---------------------------------------------------------------- s66
+    // Streaming best-of-n scaling — q352 live at ingest: every
+    // arriving prompt explodes to its 8 md5-coin-scored samples
+    // statelessly inside the tick (the SHARED grpoSamples projection
+    // s63 also streams), and the drained sample frame rolls up
+    // through q352's bonReport — oracle VERBATIM, so a dropped tick
+    // loses a whole prompt's curve and cannot hash-match.
+    QueryDef(
+      "s66_stream_best_of_n",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.bonReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.grpoSamples(documentsStreamParts(s, dir)
+              .select("doc_id", "source"))))
+      },
+      Some(graft.operators.TrainingDataOps.bonOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

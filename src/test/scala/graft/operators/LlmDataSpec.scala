@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, count, expr, lit, max}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkSpec, SparkEntry}
@@ -1318,6 +1318,197 @@ class LlmDataSpec extends AnyFunSuite {
     }
     assert(bySrc.values.exists(_._2 > 0) && bySrc.values.exists(_._3 > 0),
       "the corpus must actually exercise both acceptance levels")
+  }
+
+  test("q349 integer-sqrt device: exact on square boundaries and huge magnitudes") {
+    // the ±1-corrected double seed must equal floor(sqrt(x)) EXACTLY —
+    // prove it on every k² − 1 / k² / k² + 1 boundary for k ≤ 3000,
+    // powers of two past 2⁵² (where the bare double seed goes wrong),
+    // and the 10²⁰⁺ magnitudes q349's 2·C·MTBF actually reaches
+    import spark.implicits._
+    val xs: Seq[BigInt] =
+      (1L to 3000L).flatMap { k =>
+        val k2 = BigInt(k) * k; Seq(k2 - 1, k2, k2 + 1) } ++
+        (50 to 100).map(b => BigInt(1) << b) ++
+        (50 to 100).map(b => (BigInt(1) << b) - 1) ++
+        Seq(BigInt("7800000000000000000"), BigInt("1560000000000000000000"),
+          BigInt("999999999999999999999999999"), BigInt(0))
+    val df = xs.map(_.toString).toDF("xs")
+      .withColumn("x", expr("CAST(xs AS DECIMAL(38,0))"))
+    val got = TrainingDataOps.exactIsqrt(df, "x", "r")
+      .select("xs", "r").as[(String, Long)].collect().toMap
+    def isqrt(n: BigInt): BigInt = { // monotone Newton (the naive
+      // g != prev loop two-cycles between k and k+1 on non-squares)
+      if (n < 2) n
+      else {
+        var x = BigInt(1) << (n.bitLength / 2 + 1)
+        var y = (x + n / x) >> 1
+        while (y < x) { x = y; y = (x + n / x) >> 1 }
+        while (x * x > n) x -= 1
+        while ((x + 1) * (x + 1) <= n) x += 1
+        x
+      }
+    }
+    xs.foreach { x =>
+      assert(BigInt(got(x.toString)) == isqrt(x),
+        s"exactIsqrt($x) = ${got(x.toString)}, want ${isqrt(x)}")
+    }
+  }
+
+  test("q351 shard conservation: every world size accounts for every token") {
+    import spark.implicits._
+    val tok = graft.Tables(spark, dir, "documents")
+      .select(expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                      AS BIGINT)""").as("l"))
+      .agg(sum("l")).as[Long].head()
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    val rows = run("q351_dataloader_shard_skew").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w")
+      assert(r.getAs[Long]("total_tokens") == tok,
+        s"W=$w loses tokens") // conservation: hashing drops nothing
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("shards_used") <= w)
+      assert(r.getAs[Long]("max_shard_tokens") >=
+        r.getAs[Long]("min_shard_tokens"))
+      // the slowest worker carries at least the fair share
+      assert(r.getAs[Long]("max_shard_tokens") * w >= tok)
+      assert(r.getAs[Long]("skew_excess_ppm") >= 0)
+      assert(r.getAs[Long]("straggler_ppm") * w >= 1000000L)
+    }
+    assert(rows.find(_.getAs[Long]("w") == 8L).get
+      .getAs[Long]("shards_used") == 8L,
+      "at W=8 with hundreds of docs every shard must be hit")
+  }
+
+  test("q352 best-of-n law: exhaustive over all 256 reward patterns; monotone curve") {
+    import spark.implicits._
+    // every possible 8-sample binary outcome; best-of-n = max over
+    // the FIRST n samples = "any of the low n bits set"
+    val rows = (0 until 256).flatMap { pat =>
+      (0 until 8).map(s => (pat.toLong, "x", s, ((pat >> s) & 1).toLong))
+    }
+    val rep = TrainingDataOps.bonReport(
+      rows.toDF("doc_id", "source", "samp", "r")).collect()
+    assert(rep.length == 4)
+    val exp = Seq(1, 2, 4, 8).map { n =>
+      n.toLong ->
+        (0 until 256).count(p => (p & ((1 << n) - 1)) != 0).toLong
+    }.toMap
+    rep.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_prompts") == 256L)
+      assert(r.getAs[Long]("hits") == exp(n),
+        s"best-of-$n hits must equal the any-low-bit count")
+      assert(r.getAs[Long]("bon_ppm") == exp(n) * 1000000L / 256L)
+    }
+    // monotone nondecreasing in n on the real fixture output
+    run("q352_best_of_n_scaling").collect()
+      .groupBy(_.getAs[String]("source")).values.foreach { rs =>
+        val curve = rs.sortBy(_.getAs[Long]("n")).map(_.getAs[Long]("bon_ppm"))
+        assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+          s"best-of-n must be monotone, got ${curve.mkString(",")}")
+      }
+  }
+
+  test("q353 run coalescing: simulator agreement on adversarial strings") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "v", "x x x x"), // one 4-token run
+      (1L, "v", "a a b b a"), // two 2-token runs
+      (2L, "v", "ab cd ab cd ab"), // period-2 only, no immediate run
+      (3L, "w", "a b c d"), // clean
+      (4L, "w", "z z"), // minimal run, minimal doc
+      (5L, "w", "q q q r r q q"), // runs 3 + 2 + 2
+      (6L, "v", "s t s t s t s") // pure alternation
+    )
+    val got = TrainingDataOps.loopReport(
+      docs.toDF("doc_id", "source", "text")).collect()
+    def sim(text: String) = {
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      val rep1 = ws.zip(ws.drop(1)).count { case (a, b) => a == b }
+      val rep2 = ws.zip(ws.drop(2)).count { case (a, b) => a == b }
+      var mx = 1L; var cur = 1L
+      ws.zip(ws.drop(1)).foreach { case (a, b) =>
+        if (a == b) { cur += 1; mx = math.max(mx, cur) } else cur = 1 }
+      (ws.size - 1L, math.max(ws.size - 2L, 0L), rep1.toLong,
+        rep2.toLong, mx)
+    }
+    val bySrc = docs.groupBy(_._2).view.mapValues { ds =>
+      val sims = ds.map(d => sim(d._3))
+      (ds.size.toLong, sims.map(_._1).sum, sims.map(_._2).sum,
+        sims.map(_._3).sum, sims.map(_._4).sum,
+        sims.count(_._5 >= 3).toLong, sims.map(_._5).max)
+    }.toMap
+    assert(got.length == 2)
+    got.foreach { r =>
+      val (nd, np, nt, r1, r2, loop3, mxr) = bySrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_pairs") == np)
+      assert(r.getAs[Long]("n_triples") == nt)
+      assert(r.getAs[Long]("rep1_mass") == r1)
+      assert(r.getAs[Long]("rep2_mass") == r2)
+      assert(r.getAs[Long]("docs_loop3") == loop3)
+      assert(r.getAs[Long]("max_run_tokens") == mxr)
+    }
+  }
+
+  test("q353 plants: repeat runs land in docs_loop3, period-2 tails in rep2") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source")
+    val p13 = docs.filter(expr("doc_id % 13 = 5"))
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val p17 = docs.filter(expr("doc_id % 17 = 3 AND doc_id % 13 <> 5"))
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(p13.nonEmpty && p17.nonEmpty, "both plant families must exist")
+    val rows = run("q353_repetition_loops").collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      // every %13 plant carries a 4-token repeat run → counted in loop3
+      assert(r.getAs[Long]("docs_loop3") >= p13.getOrElse(src, 0L),
+        s"$src: planted repeat runs must be detected")
+      if (p13.getOrElse(src, 0L) > 0)
+        assert(r.getAs[Long]("max_run_tokens") >= 4L)
+      // every %17 plant's 6-token period-2 tail contributes ≥ 4 hits
+      assert(r.getAs[Long]("rep2_mass") >= 4L * p17.getOrElse(src, 0L),
+        s"$src: planted period-2 tails must be detected")
+    }
+  }
+
+  test("q348 DPO margins: full md5-coin simulator agreement at sf0.001") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def coin(tag: String, id: Long): Long =
+      (BigInt(md5hex(tag + id).take(15), 16) % 1000).toLong
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val ids = docs.map(_._1).toSet
+    val margins = docs.filter(d => d._1 % 2 == 0 && ids(d._1 + 1))
+      .map { case (cid, src) =>
+        val m = (coin("pol_", cid) - coin("ref_", cid)) -
+          (coin("pol_", cid + 1) - coin("ref_", cid + 1))
+        (src, m)
+      }
+    val bySrc = margins.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = run("q348_dpo_margin_audit").collect()
+    assert(rows.nonEmpty && rows.length == bySrc.size)
+    rows.foreach { r =>
+      val ms = bySrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_pairs") == ms.size.toLong)
+      assert(r.getAs[Long]("sum_margin") == ms.sum)
+      assert(r.getAs[Long]("abs_margin_mass") == ms.map(math.abs).sum)
+      assert(r.getAs[Long]("flipped_pairs") == ms.count(_ < 0).toLong)
+      assert(r.getAs[Long]("max_margin") == ms.max)
+      assert(r.getAs[Long]("min_margin") == ms.min)
+      assert(r.getAs[Long]("mean_abs_margin_milli") ==
+        ms.map(math.abs).sum * 1000L / ms.size)
+    }
   }
 
   test("q343 Dawid-Skene M-step: exhaustive annotator patterns vs simulator") {
