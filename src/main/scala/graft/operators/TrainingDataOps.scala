@@ -3938,6 +3938,216 @@ object TrainingDataOps {
       (s, dir) => loopReport(loopPlanted(
         Tables(s, dir, "documents").select("doc_id", "source", "text"))),
       Some(loopOracle))
+  ,
+
+    // --------------------------------------------------------------- q354
+    // Annotation-budget committee router — the labeling-spend planner
+    // on top of q343's reliability model: a 3-member md5-coin
+    // committee pre-screens every doc, and the router assigns
+    // annotator counts by agreement — unanimous-easy docs get 1 human
+    // pass, split votes get 3, unanimous-hard get 5 (the
+    // active-learning triage that makes a fixed labeling budget reach
+    // 3-5× more data). Report per source: tier populations, expected
+    // annotation cost, the saving vs the all-5 baseline, and the
+    // committee disagreement rate. Tier law (cost = n1 + 3·n3 + 5·n5,
+    // tiers partition docs) is spec'd exhaustively over all 8 vote
+    // patterns. 100 TB shape: pure per-row vote arithmetic (no
+    // explode — the 3 coins are 3 columns), one keyed rollup.
+    QueryDef(
+      "q354_annotation_budget_router",
+      (s, dir) => routerReport(committeeVotes(
+        Tables(s, dir, "documents").select("doc_id", "source"))),
+      Some(routerOracle))
+  ,
+
+    // --------------------------------------------------------------- q355
+    // Canary recovery audit — the planted-probe memorization protocol
+    // (insert synthetic canaries at a known rate, later measure how
+    // many a model can regurgitate) beside q341's organic n-gram
+    // exposure: docs at doc_id % 31 = 7 carry a canary token
+    // `canary_<8 hex>` (md5-derived — unique, realistic), docs at
+    // % 37 = 11 a NEAR-canary decoy (7 hex + 'z' — must NOT match),
+    // and the detector is the extraction regex alone
+    // (`canary_[0-9a-f]{8}`), never the plant arithmetic. The report
+    // reconciles detection against the plant schedule per source:
+    // recovered must be exactly planted (ppm = 1e6) and decoy
+    // matches exactly zero — both spec-asserted. 100 TB shape: one
+    // stateless codegen regex pass, one keyed rollup.
+    QueryDef(
+      "q355_canary_recovery",
+      (s, dir) => canaryReport(canaryPlanted(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"))),
+      Some(canaryOracle))
+  ,
+
+    // --------------------------------------------------------------- q356
+    // Curriculum phase schedule — the easy-to-hard data ordering
+    // audit (curriculum learning's data-side half) beside q319's
+    // budgets and q350's epochs: sources rank by a difficulty proxy
+    // (token-weighted mean word length in milli — integer-exact),
+    // split into 3 curriculum phases by rank thirds, and each phase
+    // reports its source count, token mass, corpus share, and
+    // difficulty band. The phase split is (rank−1)·3 div n — exact
+    // thirds both engines — and phases are provably monotone: phase
+    // p+1's easiest source is no easier than phase p's hardest
+    // (spec-asserted). 100 TB shape: one keyed per-source aggregate,
+    // then windows over ≤ sources rows only.
+    QueryDef(
+      "q356_curriculum_phases",
+      (s, dir) => {
+        val src = Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                    AS BIGINT)""").as("l"),
+            expr("""CAST(length(replace(text, ' ', '')) AS BIGINT)""")
+              .as("ch"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"), sum("l").as("tokens"),
+            sum("ch").as("chars"))
+          .withColumn("difficulty_milli",
+            expr("chars * 1000 div tokens"))
+        val wAll = Window.partitionBy() // ≤ sources rows by construction
+        val ranked = src
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("difficulty_milli"), col("source")))
+            .cast("long")) // ≤ sources rows by construction
+          .withColumn("ns", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("phase", expr("(rk - 1) * 3 div ns + 1"))
+        val tot = ranked.agg(sum("tokens").as("tt"))
+        ranked.groupBy("phase")
+          .agg(count(lit(1)).as("n_sources"),
+            sum("docs").as("n_docs"),
+            sum("tokens").as("tokens"),
+            min("difficulty_milli").as("min_difficulty_milli"),
+            max("difficulty_milli").as("max_difficulty_milli"),
+            expr("""CAST(sum(chars) * 1000 div sum(tokens) AS BIGINT)""")
+              .as("band_difficulty_milli"))
+          .crossJoin(broadcast(tot))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("token_share_ppm", expr(
+            """CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 div tt
+               AS BIGINT)"""))
+          .select("phase", "n_sources", "n_docs", "tokens",
+            "token_share_ppm", "min_difficulty_milli",
+            "max_difficulty_milli", "band_difficulty_milli")
+          .orderBy("phase")
+      },
+      Some("""
+        WITH src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                   w -> w <> ''))) AS BIGINT) AS tokens,
+                 CAST(SUM(len(replace(text, ' ', ''))) AS BIGINT)
+                   AS chars,
+                 CAST(SUM(len(replace(text, ' ', ''))) * 1000
+                   // SUM(len(list_filter(string_split(text, ' '),
+                        w -> w <> ''))) AS BIGINT) AS difficulty_milli
+          FROM documents GROUP BY source),
+        ranked AS (
+          SELECT src.*,
+                 row_number() OVER (ORDER BY difficulty_milli, source)
+                   AS rk,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS ns
+          FROM src),
+        ph AS (
+          SELECT *, (rk - 1) * 3 // ns + 1 AS phase FROM ranked),
+        tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM ph),
+        rep AS (
+          SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_sources,
+                 CAST(SUM(docs) AS BIGINT) AS n_docs,
+                 CAST(SUM(tokens) AS BIGINT) AS tokens,
+                 CAST(MIN(difficulty_milli) AS BIGINT)
+                   AS min_difficulty_milli,
+                 CAST(MAX(difficulty_milli) AS BIGINT)
+                   AS max_difficulty_milli,
+                 CAST(SUM(chars) * 1000 // SUM(tokens) AS BIGINT)
+                   AS band_difficulty_milli
+          FROM ph GROUP BY phase)
+        SELECT CAST(phase AS BIGINT) AS phase, n_sources, n_docs, tokens,
+               CAST(CAST(tokens AS HUGEINT) * 1000000
+                 // CAST(tt AS HUGEINT) AS BIGINT) AS token_share_ppm,
+               min_difficulty_milli, max_difficulty_milli,
+               band_difficulty_milli
+        FROM rep, tot
+        ORDER BY phase"""))
+  ,
+
+    // --------------------------------------------------------------- q357
+    // Structured-output validity gate — the tool-call / JSON-mode
+    // acceptance check a synthetic-data pipeline runs before model
+    // outputs re-enter training (q335 gates secrets, q353 gates
+    // loops; this gates SHAPE): each doc's "model output" is the
+    // fixture prose (never valid JSON) except two plant families —
+    // % 43 = 17 emits a well-formed `{"answer": <id>, "ok": true}`
+    // and % 47 = 19 the same object TRUNCATED mid-stream (the classic
+    // max-tokens cutoff). The gate is `from_json` PERMISSIVE (the P1
+    // pipeline device): a row is valid iff the typed answer field
+    // materializes; DuckDB mirrors with json_valid + json_extract.
+    // Valid must equal the well-formed plant count exactly and every
+    // truncated plant must reject — both spec-asserted. 100 TB shape:
+    // one stateless codegen parse pass, one keyed rollup.
+    QueryDef(
+      "q357_structured_output_gate",
+      (s, dir) => {
+        val out = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), expr(
+            """CASE WHEN doc_id % 43 = 17
+                 THEN concat('{"answer": ', CAST(doc_id AS STRING),
+                             ', "ok": true}')
+               WHEN doc_id % 47 = 19
+                 THEN concat('{"answer": ', CAST(doc_id AS STRING), ', ')
+               ELSE text END""").as("out"))
+          .withColumn("parsed",
+            from_json(col("out"), org.apache.spark.sql.types.StructType(
+              Seq(org.apache.spark.sql.types.StructField("answer",
+                org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("ok",
+                  org.apache.spark.sql.types.BooleanType)))))
+          .withColumn("valid",
+            (col("parsed.answer").isNotNull &&
+              col("parsed.ok").isNotNull).cast("long"))
+        out.groupBy("source")
+          .agg(count(lit(1)).as("n_outputs"),
+            sum("valid").as("n_valid"),
+            sum(when(col("valid") === 1L, col("parsed.answer"))
+              .otherwise(0L)).as("answer_mass"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("valid_ppm", expr(
+            """CAST(CAST(n_valid AS DECIMAL(38,0)) * 1000000
+               div n_outputs AS BIGINT)"""))
+          .select("source", "n_outputs", "n_valid", "valid_ppm",
+            "answer_mass")
+          .orderBy("source")
+      },
+      Some("""
+        WITH outs AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 43 = 17
+                   THEN '{"answer": ' || CAST(doc_id AS VARCHAR) ||
+                        ', "ok": true}'
+                 WHEN doc_id % 47 = 19
+                   THEN '{"answer": ' || CAST(doc_id AS VARCHAR) || ', '
+                 ELSE text END AS o
+          FROM documents),
+        gated AS (
+          SELECT doc_id, source,
+                 CASE WHEN json_valid(o)
+                       AND json_extract(o, '$.answer') IS NOT NULL
+                       AND json_extract(o, '$.ok') IS NOT NULL
+                      THEN 1 ELSE 0 END AS valid,
+                 CASE WHEN json_valid(o)
+                      THEN TRY_CAST(json_extract_string(o, '$.answer')
+                        AS BIGINT) ELSE NULL END AS ans
+          FROM outs)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_outputs,
+               CAST(SUM(valid) AS BIGINT) AS n_valid,
+               CAST(CAST(SUM(valid) AS HUGEINT) * 1000000
+                 // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS valid_ppm,
+               CAST(SUM(CASE WHEN valid = 1 THEN ans ELSE 0 END)
+                 AS BIGINT) AS answer_mass
+        FROM gated
+        GROUP BY source
+        ORDER BY source"""))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from
@@ -5092,6 +5302,163 @@ object TrainingDataOps {
                  // nullif(CAST(n_triples AS HUGEINT), 0) AS BIGINT)
                  AS rep2_ppm,
                docs_loop3, max_run_tokens
+        FROM rep
+        ORDER BY source"""
+
+  /** q354 committee-vote half: 3 md5-coin "hard" votes per doc as
+    * three COLUMNS (no explode), vote sum 0..3 — pure per-row
+    * arithmetic. */
+  private[graft] def committeeVotes(docs: DataFrame): DataFrame = {
+    def v(j: Int) =
+      s"""(CAST(conv(substr(md5(concat('cm${j}_',
+            CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2)"""
+    docs.select(col("doc_id"), col("source"),
+      expr(s"${v(0)} + ${v(1)} + ${v(2)}").as("votes"))
+  }
+
+  /** q354 router half over any (doc_id, source, votes ∈ 0..3) frame —
+    * factored so the tier law is spec'd over all 8 vote patterns.
+    * Tiers: unanimous-easy (0) → 1 annotator, split (1, 2) → 3,
+    * unanimous-hard (3) → 5. */
+  private[graft] def routerReport(votes: DataFrame): DataFrame =
+    votes
+      .withColumn("k", expr(
+        "CASE WHEN votes = 0 THEN 1L WHEN votes = 3 THEN 5L ELSE 3L END"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("k") === 1L).cast("long")).as("tier1_docs"),
+        sum((col("k") === 3L).cast("long")).as("tier3_docs"),
+        sum((col("k") === 5L).cast("long")).as("tier5_docs"),
+        sum("k").as("annotation_cost"),
+        sum(expr("CAST(votes IN (1, 2) AS LONG)")).as("disagreements"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("cost_vs_all5_ppm", expr(
+        """CAST(CAST(annotation_cost AS DECIMAL(38,0)) * 1000000
+           div (n_docs * 5) AS BIGINT)"""))
+      .withColumn("disagreement_ppm", expr(
+        """CAST(CAST(disagreements AS DECIMAL(38,0)) * 1000000
+           div n_docs AS BIGINT)"""))
+      .select("source", "n_docs", "tier1_docs", "tier3_docs",
+        "tier5_docs", "annotation_cost", "cost_vs_all5_ppm",
+        "disagreements", "disagreement_ppm")
+      .orderBy("source")
+
+  /** q354's oracle. */
+  private[graft] def routerOracle: String = {
+    def v(j: Int) =
+      s"""(CAST(concat('0x', substr(md5('cm${j}_' ||
+            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2)"""
+    s"""
+        WITH votes AS (
+          SELECT doc_id, source,
+                 ${v(0)} + ${v(1)} + ${v(2)} AS votes
+          FROM documents),
+        routed AS (
+          SELECT source, votes,
+                 CASE WHEN votes = 0 THEN 1
+                      WHEN votes = 3 THEN 5 ELSE 3 END AS k
+          FROM votes),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(count_if(k = 1) AS BIGINT) AS tier1_docs,
+                 CAST(count_if(k = 3) AS BIGINT) AS tier3_docs,
+                 CAST(count_if(k = 5) AS BIGINT) AS tier5_docs,
+                 CAST(SUM(k) AS BIGINT) AS annotation_cost,
+                 CAST(count_if(votes IN (1, 2)) AS BIGINT)
+                   AS disagreements
+          FROM routed GROUP BY source)
+        SELECT source, n_docs, tier1_docs, tier3_docs, tier5_docs,
+               annotation_cost,
+               CAST(CAST(annotation_cost AS HUGEINT) * 1000000
+                 // CAST(n_docs * 5 AS HUGEINT) AS BIGINT)
+                 AS cost_vs_all5_ppm,
+               disagreements,
+               CAST(CAST(disagreements AS HUGEINT) * 1000000
+                 // CAST(n_docs AS HUGEINT) AS BIGINT)
+                 AS disagreement_ppm
+        FROM rep
+        ORDER BY source"""
+  }
+
+  /** q355 plant projection: true canaries (`canary_` + 8 md5 hex) at
+    * doc_id % 31 = 7, near-canary decoys (7 hex + 'z' — one char off
+    * the hex class, must NOT match) at % 37 = 11; plant counts ride
+    * along so the report can reconcile detection against the schedule
+    * without the detector ever seeing the arithmetic. */
+  private[graft] def canaryPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      expr("""CASE WHEN doc_id % 31 = 7
+                THEN concat(text, ' canary_',
+                  substr(md5(concat('cn_', CAST(doc_id AS STRING))), 1, 8))
+              WHEN doc_id % 37 = 11
+                THEN concat(text, ' canary_',
+                  substr(md5(concat('cn_', CAST(doc_id AS STRING))), 1, 7),
+                  'z')
+              ELSE text END""").as("text"),
+      expr("CAST(doc_id % 31 = 7 AS LONG)").as("planted"),
+      expr("CAST(doc_id % 37 = 11 AND doc_id % 31 <> 7 AS LONG)")
+        .as("decoy"))
+
+  /** q355 detection + reconciliation half: the detector is ONLY the
+    * extraction regex (`canary_[0-9a-f]{8}`) over text; recovered is
+    * compared against the planted schedule per source. */
+  private[graft] def canaryReport(planted: DataFrame): DataFrame =
+    planted
+      .withColumn("hits", expr(
+        """CAST(size(regexp_extract_all(text,
+           'canary_[0-9a-f]{8}', 0)) AS BIGINT)"""))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("planted").as("planted"),
+        sum("decoy").as("decoys_planted"),
+        sum((col("hits") > 0).cast("long")).as("detected_docs"),
+        sum("hits").as("detected_tokens"),
+        sum(when(col("decoy") === 1L, col("hits")).otherwise(0L))
+          .as("decoy_matches"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("recovered_ppm", expr(
+        """CAST(CAST(detected_docs AS DECIMAL(38,0)) * 1000000
+           div nullif(planted, 0) AS BIGINT)"""))
+      .select("source", "n_docs", "planted", "detected_docs",
+        "detected_tokens", "recovered_ppm", "decoys_planted",
+        "decoy_matches")
+      .orderBy("source")
+
+  /** q355's oracle. */
+  private[graft] def canaryOracle: String = """
+        WITH planted AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 31 = 7
+                   THEN text || ' canary_' ||
+                        substr(md5('cn_' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 WHEN doc_id % 37 = 11
+                   THEN text || ' canary_' ||
+                        substr(md5('cn_' || CAST(doc_id AS VARCHAR)), 1, 7) ||
+                        'z'
+                 ELSE text END AS text,
+                 CASE WHEN doc_id % 31 = 7 THEN 1 ELSE 0 END AS p,
+                 CASE WHEN doc_id % 37 = 11 AND doc_id % 31 <> 7
+                      THEN 1 ELSE 0 END AS d
+          FROM documents),
+        det AS (
+          SELECT source, p, d,
+                 CAST(len(regexp_extract_all(text,
+                   'canary_[0-9a-f]{8}')) AS BIGINT) AS hits
+          FROM planted),
+        rep AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(p) AS BIGINT) AS planted,
+                 CAST(SUM(d) AS BIGINT) AS decoys_planted,
+                 CAST(count_if(hits > 0) AS BIGINT) AS detected_docs,
+                 CAST(SUM(hits) AS BIGINT) AS detected_tokens,
+                 CAST(SUM(CASE WHEN d = 1 THEN hits ELSE 0 END)
+                   AS BIGINT) AS decoy_matches
+          FROM det GROUP BY source)
+        SELECT source, n_docs, planted, detected_docs, detected_tokens,
+               CAST(CAST(detected_docs AS HUGEINT) * 1000000
+                 // nullif(CAST(planted AS HUGEINT), 0) AS BIGINT)
+                 AS recovered_ppm,
+               decoys_planted, decoy_matches
         FROM rep
         ORDER BY source"""
 }

@@ -1511,6 +1511,116 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q354 router tier law: exhaustive over all 8 committee vote patterns") {
+    import spark.implicits._
+    // one doc per possible (v0, v1, v2) pattern; votes = bit count
+    val rows = (0 until 8).map(p => (p.toLong, "x",
+      Integer.bitCount(p).toLong))
+    val rep = TrainingDataOps.routerReport(
+      rows.toDF("doc_id", "source", "votes")).collect()
+    assert(rep.length == 1)
+    val r = rep.head
+    // tiers: votes 0 → 1 annotator (1 pattern), 3 → 5 (1 pattern),
+    // split → 3 (6 patterns); cost = 1 + 6·3 + 5 = 24
+    assert(r.getAs[Long]("tier1_docs") == 1L)
+    assert(r.getAs[Long]("tier3_docs") == 6L)
+    assert(r.getAs[Long]("tier5_docs") == 1L)
+    assert(r.getAs[Long]("tier1_docs") + r.getAs[Long]("tier3_docs") +
+      r.getAs[Long]("tier5_docs") == r.getAs[Long]("n_docs"),
+      "tiers must partition the docs")
+    assert(r.getAs[Long]("annotation_cost") == 24L,
+      "cost law: n1 + 3*n3 + 5*n5")
+    assert(r.getAs[Long]("disagreements") == 6L)
+    assert(r.getAs[Long]("cost_vs_all5_ppm") == 24L * 1000000L / 40L)
+    // and the fixture run obeys the same partition + cost algebra
+    run("q354_annotation_budget_router").collect().foreach { f =>
+      assert(f.getAs[Long]("tier1_docs") + f.getAs[Long]("tier3_docs") +
+        f.getAs[Long]("tier5_docs") == f.getAs[Long]("n_docs"))
+      assert(f.getAs[Long]("annotation_cost") ==
+        f.getAs[Long]("tier1_docs") + 3 * f.getAs[Long]("tier3_docs") +
+          5 * f.getAs[Long]("tier5_docs"))
+      assert(f.getAs[Long]("disagreements") == f.getAs[Long]("tier3_docs"))
+    }
+  }
+
+  test("q355 canaries: every plant recovered, every decoy rejected") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source")
+    val planted = docs.filter(expr("doc_id % 31 = 7"))
+      .groupBy("source").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(planted.values.sum > 0, "the fixture must carry plants")
+    val rows = run("q355_canary_recovery").collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("planted") == planted.getOrElse(src, 0L))
+      // detection is exact: the regex finds precisely the plants
+      assert(r.getAs[Long]("detected_docs") == r.getAs[Long]("planted"),
+        s"$src: every canary must be recovered, nothing else")
+      assert(r.getAs[Long]("detected_tokens") == r.getAs[Long]("planted"),
+        s"$src: exactly one canary token per planted doc")
+      if (r.getAs[Long]("planted") > 0)
+        assert(r.getAs[Long]("recovered_ppm") == 1000000L)
+      // the near-canary decoys (7 hex + 'z') must never match
+      assert(r.getAs[Long]("decoy_matches") == 0L,
+        s"$src: a decoy matched the canary regex")
+    }
+    assert(rows.map(_.getAs[Long]("decoys_planted")).sum > 0,
+      "the decoy family must actually exist at this scale")
+  }
+
+  test("q356 curriculum phases: monotone difficulty bands, exact partition") {
+    import spark.implicits._
+    val nSources = graft.Tables(spark, dir, "documents")
+      .select("source").distinct().count()
+    val rows = run("q356_curriculum_phases").collect()
+      .sortBy(_.getAs[Long]("phase"))
+    assert(rows.map(_.getAs[Long]("n_sources")).sum == nSources,
+      "phases must partition the sources")
+    // ranked split: a later phase's easiest source is no easier than
+    // an earlier phase's hardest
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("min_difficulty_milli") >=
+        a.getAs[Long]("max_difficulty_milli"),
+        "curriculum must be monotone easy -> hard")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_difficulty_milli") <=
+        r.getAs[Long]("band_difficulty_milli") &&
+        r.getAs[Long]("band_difficulty_milli") <=
+          r.getAs[Long]("max_difficulty_milli"),
+        "token-weighted band difficulty sits inside the phase's range")
+    }
+    val share = rows.map(_.getAs[Long]("token_share_ppm")).sum
+    assert(share > 1000000L - 4 && share <= 1000000L,
+      s"shares must sum to 1e6 up to truncation, got $share")
+  }
+
+  test("q357 structured-output gate: wellformed plants pass, truncated reject") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source")
+    val good = docs.filter(expr("doc_id % 43 = 17"))
+      .groupBy("source").agg(count(lit(1)).as("c"),
+        sum("doc_id").as("ids"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    val trunc = docs.filter(expr("doc_id % 47 = 19 AND doc_id % 43 <> 17"))
+      .count()
+    assert(good.values.map(_._1).sum > 0 && trunc > 0,
+      "both plant families must exist at this scale")
+    run("q357_structured_output_gate").collect().foreach { r =>
+      val src = r.getAs[String]("source")
+      val (n, ids) = good.getOrElse(src, (0L, 0L))
+      assert(r.getAs[Long]("n_valid") == n,
+        s"$src: exactly the well-formed plants parse — prose and " +
+          "truncated outputs must all reject")
+      assert(r.getAs[Long]("answer_mass") == ids,
+        s"$src: the typed answer field round-trips exactly")
+    }
+  }
+
   test("q343 Dawid-Skene M-step: exhaustive annotator patterns vs simulator") {
     // every possible 5-annotator labeling over a 3-label alphabet for
     // each of 3 truths — 729 docs covering every tie shape the two
