@@ -4148,6 +4148,265 @@ object TrainingDataOps {
         FROM gated
         GROUP BY source
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q358
+    // Vocabulary coverage knee — the tokenizer-sizing curve q52's
+    // top-k and q84's OOV rate bracket but never answer: how many
+    // vocabulary entries buy {50%, 90%, 99%} token coverage? Exact
+    // greedy argument: the optimal vocab of any size takes words in
+    // frequency-descending order, and within one frequency class
+    // words are interchangeable, so the knee has a CLOSED FORM —
+    // cumulate (freq, word-count) classes frequency-desc, then inside
+    // the first class crossing the target take ⌈need/f⌉ extra words.
+    // All ceil arithmetic integer-exact in both engines. 100 TB
+    // shape: word-count aggregate, then a (freq → class) aggregate
+    // that bounds every later frame by DISTINCT FREQUENCIES (≪ vocab,
+    // the q322 device); the one ordered window rides that bounded
+    // frame; the 3 thresholds are a literal explode.
+    QueryDef(
+      "q358_vocab_coverage_knee",
+      (s, dir) => {
+        val fgrp = Tables(s, dir, "documents")
+          .select(explode(expr("filter(split(text, ' '), w -> w <> '')"))
+            .as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .groupBy("f").agg(count(lit(1)).as("nw"))
+          .withColumn("mass", expr("f * nw"))
+        // cumulative over f DESC: distinct-frequency-bounded frame
+        val wOrd = Window.orderBy(col("f").desc) // ≤ distinct freqs
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = fgrp
+          .withColumn("cum_mass", sum("mass").over(wOrd))
+          .withColumn("cum_nw", sum("nw").over(wOrd))
+        val tot = cum.agg(max("cum_mass").as("tt"),
+          max("cum_nw").as("vocab_full"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("thr_ppm", explode(expr(
+            "array(500000L, 900000L, 990000L)")))
+          // DECIMAL(38) ↔ HUGEINT: need = ceil(T·thr / 1e6)
+          .withColumn("need", expr(
+            """CAST((CAST(tt AS DECIMAL(38,0)) * thr_ppm + 999999)
+               div 1000000 AS BIGINT)"""))
+          .filter(col("cum_mass") >= col("need") &&
+            col("cum_mass") - col("mass") < col("need"))
+          .select(col("thr_ppm"),
+            (col("cum_nw") - col("nw") +
+              expr("(need - (cum_mass - mass) + f - 1) div f"))
+              .as("vocab_size"),
+            (col("cum_mass") - col("mass") +
+              expr("((need - (cum_mass - mass) + f - 1) div f) * f"))
+              .as("tokens_covered"),
+            col("tt").as("total_tokens"),
+            col("vocab_full"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("coverage_ppm", expr(
+            """CAST(CAST(tokens_covered AS DECIMAL(38,0)) * 1000000
+               div total_tokens AS BIGINT)"""))
+          .withColumn("vocab_share_ppm", expr(
+            """CAST(CAST(vocab_size AS DECIMAL(38,0)) * 1000000
+               div vocab_full AS BIGINT)"""))
+          .select("thr_ppm", "vocab_size", "vocab_share_ppm",
+            "tokens_covered", "coverage_ppm", "total_tokens",
+            "vocab_full")
+          .orderBy("thr_ppm")
+      },
+      Some("""
+        WITH words AS (
+          SELECT unnest(list_filter(string_split(text, ' '),
+            w -> w <> '')) AS w
+          FROM documents),
+        freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+                 FROM words GROUP BY w),
+        fgrp AS (
+          SELECT f, CAST(COUNT(*) AS BIGINT) AS nw,
+                 CAST(f * COUNT(*) AS BIGINT) AS mass
+          FROM freq GROUP BY f),
+        cum AS (
+          SELECT f, nw, mass,
+                 CAST(SUM(mass) OVER (ORDER BY f DESC) AS BIGINT)
+                   AS cum_mass,
+                 CAST(SUM(nw) OVER (ORDER BY f DESC) AS BIGINT)
+                   AS cum_nw
+          FROM fgrp),
+        tot AS (SELECT MAX(cum_mass) AS tt, MAX(cum_nw) AS vocab_full
+                FROM cum),
+        knee AS (
+          SELECT t.thr_ppm, c.*, tot.tt, tot.vocab_full,
+                 CAST((CAST(tot.tt AS HUGEINT) * t.thr_ppm + 999999)
+                   // 1000000 AS BIGINT) AS need
+          FROM cum c, tot,
+               UNNEST([CAST(500000 AS BIGINT), CAST(900000 AS BIGINT),
+                       CAST(990000 AS BIGINT)]) AS t(thr_ppm)
+          WHERE c.cum_mass >= CAST((CAST(tot.tt AS HUGEINT) * t.thr_ppm
+                  + 999999) // 1000000 AS BIGINT)
+            AND c.cum_mass - c.mass < CAST((CAST(tot.tt AS HUGEINT)
+                  * t.thr_ppm + 999999) // 1000000 AS BIGINT)),
+        rep AS (
+          SELECT thr_ppm,
+                 cum_nw - nw + (need - (cum_mass - mass) + f - 1) // f
+                   AS vocab_size,
+                 cum_mass - mass
+                   + ((need - (cum_mass - mass) + f - 1) // f) * f
+                   AS tokens_covered,
+                 tt AS total_tokens, vocab_full
+          FROM knee)
+        SELECT thr_ppm, CAST(vocab_size AS BIGINT) AS vocab_size,
+               CAST(CAST(vocab_size AS HUGEINT) * 1000000
+                 // CAST(vocab_full AS HUGEINT) AS BIGINT)
+                 AS vocab_share_ppm,
+               CAST(tokens_covered AS BIGINT) AS tokens_covered,
+               CAST(CAST(tokens_covered AS HUGEINT) * 1000000
+                 // CAST(total_tokens AS HUGEINT) AS BIGINT)
+                 AS coverage_ppm,
+               total_tokens, vocab_full
+        FROM rep
+        ORDER BY thr_ppm"""))
+  ,
+
+    // --------------------------------------------------------------- q359
+    // Reward-model calibration audit (reliability diagram + ECE) —
+    // whether the reward proxy's CONFIDENCE means anything, the
+    // question q337's pass rates and q352's scaling curve both
+    // presuppose: each prompt carries a predicted pass probability
+    // (md5 coin, milli) and an empirical pass rate over its 8 GRPO
+    // samples (gsum·125 milli — exact eighths); prompts bucket into
+    // confidence deciles and the report is the reliability diagram —
+    // per decile, predicted vs empirical mean — plus the corpus ECE.
+    // ECE stays integer-exact via the mass identity n_b·|mean gap| =
+    // |pred_mass_b − emp_mass_b| (no per-bucket division before the
+    // final div, law-spec'd). 100 TB shape: the shared grpoSamples
+    // aggregate, one keyed decile rollup, a ≤ 10-row broadcast.
+    QueryDef(
+      "q359_reward_calibration",
+      (s, dir) => {
+        val g = grpoSamples(
+          Tables(s, dir, "documents").select("doc_id", "source"))
+          .groupBy("doc_id").agg(sum("r").as("gsum"))
+          .withColumn("conf_milli", expr(
+            """CAST(conv(substr(md5(concat('cf_',
+                  CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+               % 1000"""))
+          .withColumn("bucket", expr("conf_milli div 100"))
+        val b = g.groupBy("bucket")
+          .agg(count(lit(1)).as("n_prompts"),
+            sum("conf_milli").as("pred_mass"),
+            sum(expr("gsum * 125")).as("emp_mass"))
+          .withColumn("pred_mean_milli", expr("pred_mass div n_prompts"))
+          .withColumn("emp_mean_milli", expr("emp_mass div n_prompts"))
+          .withColumn("gap_mass", abs(col("pred_mass") - col("emp_mass")))
+        val ece = b.agg(sum("gap_mass").as("gm"),
+          sum("n_prompts").as("np"))
+          .select(expr("gm div np").as("ece_milli"))
+        b.crossJoin(broadcast(ece))
+          .select("bucket", "n_prompts", "pred_mean_milli",
+            "emp_mean_milli", "gap_mass", "ece_milli")
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH samples AS (
+          SELECT doc_id, t.s AS samp,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) ||
+                   '_s' || t.s), 1, 15)) AS BIGINT) % 2 AS r
+          FROM documents, UNNEST(range(0, 8)) AS t(s)),
+        g AS (
+          SELECT doc_id, CAST(SUM(r) AS BIGINT) AS gsum,
+                 CAST(concat('0x', substr(md5('cf_' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+                   AS conf_milli
+          FROM samples GROUP BY doc_id),
+        b AS (
+          SELECT conf_milli // 100 AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_prompts,
+                 CAST(SUM(conf_milli) AS BIGINT) AS pred_mass,
+                 CAST(SUM(gsum * 125) AS BIGINT) AS emp_mass
+          FROM g GROUP BY conf_milli // 100),
+        ece AS (
+          SELECT CAST(SUM(abs(pred_mass - emp_mass)) // SUM(n_prompts)
+            AS BIGINT) AS ece_milli
+          FROM b)
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_prompts,
+               CAST(pred_mass // n_prompts AS BIGINT)
+                 AS pred_mean_milli,
+               CAST(emp_mass // n_prompts AS BIGINT) AS emp_mean_milli,
+               CAST(abs(pred_mass - emp_mass) AS BIGINT) AS gap_mass,
+               ece_milli
+        FROM b, ece
+        ORDER BY bucket"""))
+  ,
+
+    // --------------------------------------------------------------- q360
+    // Mixture reweighting, one multiplicative-weights step (the
+    // DoReMi recipe linearized to stay integer-exact) — the next
+    // round's sampling weights from this round's per-source excess
+    // loss: proxy per-doc loss (md5 milli), per-source mean vs the
+    // corpus mean, excess = max(0, source − corpus), score = 1e6 +
+    // η·excess (η = 4, the exp() step's first-order expansion —
+    // exact integers instead of a float exp that can't cross the
+    // hash gate), new weight = score normalized over sources.
+    // Laws (spec'd): weights sum to 1e6 up to per-source truncation,
+    // and reweighting is monotone in excess. 100 TB shape: one keyed
+    // per-source aggregate, one ≤ sources-row normalize.
+    QueryDef(
+      "q360_mixture_reweight",
+      (s, dir) => {
+        val src = Tables(s, dir, "documents")
+          .select(col("source"), expr(
+            """CAST(conv(substr(md5(concat('ls_',
+                  CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+               % 1000""").as("loss_milli"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("loss_milli").as("lm"))
+          .withColumn("mean_loss_milli", expr("lm div n_docs"))
+        val corp = src.agg(sum("lm").as("clm"), sum("n_docs").as("cn"))
+          .select(expr("clm div cn").as("corpus_mean_milli"))
+        val scored = src.crossJoin(broadcast(corp))
+          .withColumn("excess_milli",
+            expr("greatest(0L, mean_loss_milli - corpus_mean_milli)"))
+          .withColumn("score", expr("1000000 + 4 * excess_milli"))
+        val norm = scored.agg(sum("score").as("ts"))
+        scored.crossJoin(broadcast(norm))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("new_weight_ppm", expr(
+            """CAST(CAST(score AS DECIMAL(38,0)) * 1000000 div ts
+               AS BIGINT)"""))
+          .select("source", "n_docs", "mean_loss_milli",
+            "corpus_mean_milli", "excess_milli", "score",
+            "new_weight_ppm")
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(concat('0x', substr(md5('ls_' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+                   AS loss_milli
+          FROM documents),
+        src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(loss_milli) AS BIGINT) AS lm,
+                 CAST(SUM(loss_milli) // COUNT(*) AS BIGINT)
+                   AS mean_loss_milli
+          FROM d GROUP BY source),
+        corp AS (
+          SELECT CAST(SUM(lm) // SUM(n_docs) AS BIGINT)
+            AS corpus_mean_milli
+          FROM src),
+        scored AS (
+          SELECT src.*, corp.corpus_mean_milli,
+                 greatest(0, mean_loss_milli - corpus_mean_milli)
+                   AS excess_milli,
+                 1000000 + 4 * greatest(0,
+                   mean_loss_milli - corpus_mean_milli) AS score
+          FROM src, corp),
+        norm AS (SELECT CAST(SUM(score) AS BIGINT) AS ts FROM scored)
+        SELECT source, n_docs, mean_loss_milli, corpus_mean_milli,
+               CAST(excess_milli AS BIGINT) AS excess_milli,
+               CAST(score AS BIGINT) AS score,
+               CAST(CAST(score AS HUGEINT) * 1000000
+                 // CAST(ts AS HUGEINT) AS BIGINT) AS new_weight_ppm
+        FROM scored, norm
+        ORDER BY source"""))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from

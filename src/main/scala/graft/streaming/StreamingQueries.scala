@@ -3765,6 +3765,25 @@ object StreamingQueries {
               .select("doc_id", "source"))))
       },
       Some(graft.operators.TrainingDataOps.bonOracle))
+  ,
+
+    // ---------------------------------------------------------------- s67
+    // Streaming repetition-loop gate — q353 live at ingest (the
+    // synthetic-data degeneracy quarantine run as generations land):
+    // the SHARED plant projection is pure per-row column arithmetic
+    // inside the tick, and the drained corpus runs the identical
+    // per-doc run-coalescing report — oracle VERBATIM, so a dropped
+    // tick loses a doc's runs and cannot hash-match.
+    QueryDef(
+      "s67_stream_repetition_gate",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.loopReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.loopPlanted(documentsStreamParts(s, dir)
+              .select("doc_id", "source", "text"))))
+      },
+      Some(graft.operators.TrainingDataOps.loopOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -1621,6 +1621,83 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q358 coverage knee: greedy simulator agreement on the real frequency table") {
+    import spark.implicits._
+    // re-derive the exact knee in plain Scala from the fixture's own
+    // word-frequency table and compare every report column
+    val freqs = graft.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select("f").as[Long].collect().sorted(Ordering[Long].reverse)
+    val total = freqs.sum
+    val vocabFull = freqs.length.toLong
+    val rows = run("q358_vocab_coverage_knee").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val thr = r.getAs[Long]("thr_ppm")
+      val need = (BigInt(total) * thr + 999999) / 1000000
+      // greedy: words frequency-desc until covered
+      var cum = 0L; var k = 0L
+      while (BigInt(cum) < need) { cum += freqs(k.toInt); k += 1 }
+      assert(r.getAs[Long]("vocab_size") == k,
+        s"thr=$thr: knee must be the greedy count")
+      assert(r.getAs[Long]("tokens_covered") == cum)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("vocab_full") == vocabFull)
+      assert(r.getAs[Long]("coverage_ppm") >= thr,
+        "covered mass must actually reach the threshold")
+      // minimality: one fewer word falls short
+      assert(BigInt(cum - freqs((k - 1).toInt)) < need,
+        "the knee must be minimal")
+    }
+  }
+
+  test("q359 calibration: ECE mass identity and decile partition") {
+    import spark.implicits._
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    val rows = run("q359_reward_calibration").collect()
+    assert(rows.map(_.getAs[Long]("n_prompts")).sum == nDocs,
+      "confidence deciles must partition the prompts")
+    // the mass identity that keeps ECE integer-exact:
+    // n_b·|mean gap| = |pred_mass − emp_mass| = gap_mass
+    val gm = rows.map(_.getAs[Long]("gap_mass")).sum
+    val np = rows.map(_.getAs[Long]("n_prompts")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ece_milli") == gm / np,
+        "corpus ECE must equal the summed gap mass over prompts")
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 9)
+      val pm = r.getAs[Long]("pred_mean_milli")
+      assert(pm >= b * 100 && pm < (b + 1) * 100,
+        "a decile's predicted mean must sit inside the decile")
+      assert(r.getAs[Long]("emp_mean_milli") >= 0 &&
+        r.getAs[Long]("emp_mean_milli") <= 1000)
+    }
+  }
+
+  test("q360 reweighting: weights normalize and are monotone in excess") {
+    val rows = run("q360_mixture_reweight").collect()
+    val wsum = rows.map(_.getAs[Long]("new_weight_ppm")).sum
+    assert(wsum > 1000000L - rows.length && wsum <= 1000000L,
+      s"weights must sum to 1e6 up to truncation, got $wsum")
+    // monotone: more excess never means less weight
+    rows.sortBy(_.getAs[Long]("excess_milli")).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("new_weight_ppm") <=
+          b.getAs[Long]("new_weight_ppm"),
+          "reweighting must be monotone in excess loss")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score") ==
+        1000000L + 4 * r.getAs[Long]("excess_milli"), "score law")
+      // at-or-below-mean sources keep the uniform base score
+      if (r.getAs[Long]("excess_milli") == 0)
+        assert(r.getAs[Long]("score") == 1000000L)
+    }
+  }
+
   test("q343 Dawid-Skene M-step: exhaustive annotator patterns vs simulator") {
     // every possible 5-annotator labeling over a 3-label alphabet for
     // each of 3 truths — 729 docs covering every tie shape the two
