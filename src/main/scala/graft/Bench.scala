@@ -45,12 +45,17 @@ import org.apache.spark.sql.SparkSession
   * whose suite time exceeds their BENCH_FLOORS.json floor by the
   * moderate-growth-with-GC, severe-growth, or absolute-excess triggers,
   * plus any query with no floor yet (first-appearance seeding) — are
-  * re-run in a
-  * FRESH post-suite session, worst ratio first, under a WALL BUDGET
-  * (SPARK_GRAFT_ISO_BUDGET_SEC, default 240 s) instead of the former
-  * `.take(6)` cap that let r06's s24/s29 ship unadjudicated. If the
-  * budget runs out mid-list the line says so ("iso_skipped":N) rather
-  * than silently dropping suspects. Floors self-maintain monotonically.
+  * re-run in a FRESH post-suite session, floor-less first then LARGEST
+  * ABSOLUTE EXCESS first ([[Bench.suspectOrder]] — VERDICT r12 item 1:
+  * the former ratio order spent the whole budget on sub-second slots
+  * while the 3-4 s-excess slots went unprobed), under a WALL BUDGET
+  * that scales with the flagged mass ([[Bench.isoBudget]]:
+  * max(SPARK_GRAFT_ISO_BUDGET_SEC=240, 2×Σexcess) capped at 900 s)
+  * instead of the former `.take(6)` cap that let r06's s24/s29 ship
+  * unadjudicated. If the budget still runs out mid-list the line says
+  * so ("iso_skipped":N) rather than silently dropping suspects.
+  * Floors self-maintain monotonically; s-query iso probes run the
+  * s-phase's own iteration count so floors stay under one accounting.
   *
   * JSON layout (r8 item 1): the driver stores the LAST ~2000 chars of
   * stdout, and at 319 queries the full map overflowed it (BENCH_r08
@@ -122,6 +127,39 @@ object Bench {
   def headline(suite: Double, iso: Option[Double]): Double =
     if (suite < 0) suite
     else iso.filter(_ >= 0).map(math.min(suite, _)).getOrElse(suite)
+
+  /** Iso-probe ordering (VERDICT r12 item 1), pure for BenchSpec.
+    * Floor-less queries first (first-appearance seeding must never be
+    * starved — ADVICE r8), worst suite time first within them; then
+    * floored suspects by ABSOLUTE EXCESS SECONDS `v − floor`, largest
+    * first. The former ratio order (`−v/floor`) let a globally hot run
+    * spend the whole budget adjudicating sub-second slots at 4× floor
+    * while the 3–4 s-excess slots — the ones that actually moved the
+    * headline — went unprobed (r12: 83 skipped, every largest-excess
+    * slot among them). Excess seconds IS the headline's unit, so the
+    * probe order now matches what a probe can win back. */
+  def suspectOrder(flagged: Seq[(String, Double, Option[Double])])
+      : Seq[(String, Double, Option[Double])] = {
+    val (noFloor, grew) = flagged.partition(_._3.isEmpty)
+    noFloor.sortBy { case (_, v, _) => -v } ++
+      grew.sortBy { case (_, v, fl) => -(v - fl.get) }
+  }
+
+  /** Total seconds of suite time above floor across the flagged set —
+    * floor-less slots count in full (their whole time is unvouched). */
+  def excessMass(flagged: Seq[(String, Double, Option[Double])]): Double =
+    flagged.collect { case (_, v, fl) if v >= 0 =>
+      (v - fl.getOrElse(0.0)).max(0.0) }.sum
+
+  /** Iso wall budget (VERDICT r12 item 1): scales with the flagged
+    * mass — a hot run that inflates 90 slots needs more adjudication
+    * wall than a clean one, and a fixed 240 s is exactly what expired
+    * mid-list in r12. 2× the excess mass (each probe costs roughly
+    * floor + excess-to-disprove), never below `base`, capped at 900 s
+    * so a pathological run stays bounded. */
+  def isoBudget(base: Double,
+      flagged: Seq[(String, Double, Option[Double])]): Double =
+    math.min(math.max(base, 2.0 * excessMass(flagged)), 900.0)
 
   def main(args: Array[String]): Unit = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
@@ -219,11 +257,19 @@ object Bench {
     var sharedBuilds = List.empty[(String, Seq[String])]
     // per-query cache-event deltas (readd, spill, evict) — nonzero only
     var cacheDeltas = List.empty[(String, (Long, Long, Long))]
+    // s-phase setup/steady split (VERDICT r12 item 4): per s-query
+    // (total, first-batch, steady = total − first, batches) of the
+    // MIN-achieving iteration — under 1-iteration accounting the slot
+    // conflates state-store setup with operator cost, so round trends
+    // should read `steady`; `batches` disambiguates single-batch drains
+    // (steady ≈ post-processing only) from multi-batch ones.
+    var sSplit = List.empty[(String, (Double, Double, Long))]
     val results = phases.flatMap { case (family, names, warmup) =>
       if (names.isEmpty) Seq.empty
       else {
         val phaseT0 = System.nanoTime()
         val spark = newSession()
+        if (family == "s") graft.streaming.StreamDrainStats.enable()
         cacheEvents = new CacheEvents
         spark.sparkContext.addSparkListener(cacheEvents)
         val warmT0 = System.nanoTime()
@@ -244,7 +290,8 @@ object Bench {
           val b0 = graft.operators.SharedBuilds.count
           val ce0 = cacheEvents.snapshot
           try {
-            val times = (1 to famIters).map { _ =>
+            val iterRs = (1 to famIters).map { _ =>
+              if (family == "s") graft.streaming.StreamDrainStats.reset()
               val t0 = System.nanoTime()
               // release stays INSIDE the timed region (floor
               // comparability with prior rounds); deltas span the whole
@@ -252,7 +299,16 @@ object Bench {
               // deliberate unpersists don't reach the BlockUpdated
               // counters (see CacheEvents note)
               drain(spark, name)
-              (System.nanoTime() - t0) / 1e9
+              val sec = (System.nanoTime() - t0) / 1e9
+              val split =
+                if (family == "s")
+                  Some(graft.streaming.StreamDrainStats.snapshot)
+                else None
+              (sec, split)
+            }
+            val times = iterRs.map(_._1)
+            iterRs.minBy(_._1)._2.foreach { case (first, nb) =>
+              sSplit ::= (name.takeWhile(_ != '_'), (times.min, first, nb))
             }
             val tags = graft.operators.SharedBuilds.since(b0)
             if (tags.nonEmpty)
@@ -270,6 +326,7 @@ object Bench {
               (name, -1.0, gcMillis() - gc0)
           }
         }
+        if (family == "s") graft.streaming.StreamDrainStats.disable()
         val stopT0 = System.nanoTime()
         spark.stop()
         val sessionSec = (System.nanoTime() - stopT0) / 1e9
@@ -285,28 +342,30 @@ object Bench {
     val flagged = results.filter { case (name, v, g) =>
       isSuspect(v, g, floorOf(name))
     }
-    // ADVICE r8: floor-less queries run FIRST — on a fresh floors file
-    // (new sf dir / new queries) the former ratio sort let the wall
-    // budget expire before first-appearance seeding, so new floors
-    // seeded from contended suite numbers, the opposite of the r7 goal.
-    // Within each group: worst ratios first (floor-less have ratio 1).
-    val (noFloor, grew) = flagged.partition { case (n, _, _) =>
-      floorOf(n).isEmpty }
-    val suspects =
-      noFloor.sortBy { case (_, v, _) => -v } ++
-        grew.sortBy { case (name, v, _) =>
-          -(v / floorOf(name).getOrElse(v)) }
+    // Ordering + budget are pure, BenchSpec-tested ([[suspectOrder]],
+    // [[isoBudget]]): floor-less first for seeding, then largest
+    // ABSOLUTE EXCESS first (VERDICT r12 item 1 — the former ratio
+    // order skipped every largest-excess slot when the fixed 240 s
+    // budget expired), under a budget that scales with flagged mass.
+    val withFloors = flagged.map { case (n, v, g) => (n, v, floorOf(n)) }
+    val suspects = suspectOrder(withFloors)
+    val effectiveBudget = isoBudget(isoBudgetSec, withFloors)
     var isoSkippedNames = List.empty[String]
     val isoResults = if (suspects.isEmpty) Seq.empty else {
       val isoSpark = newSession() // fresh post-suite session
       val isoT0 = System.nanoTime()
       val rs = suspects.flatMap { case (name, _, _) =>
-        if ((System.nanoTime() - isoT0) / 1e9 > isoBudgetSec) {
+        if ((System.nanoTime() - isoT0) / 1e9 > effectiveBudget) {
           // VERDICT r8 item 3: name the unadjudicated, not just count
           isoSkippedNames ::= name.takeWhile(_ != '_'); None
         } else {
+          // family-correct iteration count (VERDICT r12 item 2): s-query
+          // iso probes run itersS like the suite does, so iso numbers —
+          // and the floors they seed — live under the SAME 1-iteration
+          // state-store accounting as the values they adjudicate
+          val famIters = if (name.startsWith("s")) itersS else iters
           val t =
-            try (1 to iters).map { _ =>
+            try (1 to famIters).map { _ =>
               val t0 = System.nanoTime(); drain(isoSpark, name)
               (System.nanoTime() - t0) / 1e9
             }.min
@@ -353,6 +412,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = headlined.collect { case (_, v, _) if v >= 0 => v }.sum
+    // ADVICE r12: the RAW suite total rides the line beside the
+    // headline `value` (best-of-suite/iso) so trend readers can compare
+    // like-for-like suite conditions round over round — per-slot
+    // suite_raw alone couldn't reconstruct it without the full record.
+    val suiteTotal = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val gcTotal = gcMillis() - gcStart
     // top-8 noisiest only: a contended run could otherwise push dozens of
     // >=100 ms entries and blow the line budget
@@ -401,7 +465,7 @@ object Bench {
         s""","iso_skipped":${names.size},"iso_skipped_names":${shown.mkString("[", ",", "]")}"""
       }
     val summaryFields =
-      s""""gc_total_ms":$gcTotal,"phase_sec":$phaseJson,"harness_sec":$harnessJson,"shared_builds":$sharedJson$skipField,"suite_raw_n":${suiteRaw.size},"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}"""
+      s""""gc_total_ms":$gcTotal,"phase_sec":$phaseJson,"harness_sec":$harnessJson,"shared_builds":$sharedJson$skipField,"suite_raw_n":${suiteRaw.size},"suite_total":${fmt(suiteTotal)},"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}"""
 
     // FULL per-query record → a per-round committed file (VERDICT r8
     // item 1: the 319-entry line overflowed the driver's ~2000-char
@@ -412,10 +476,16 @@ object Bench {
       "SPARK_GRAFT_BENCH_FULL", s"BENCH_FULL_$sfKey.json"))
     // ADVICE r9: if this write fails the stdout line must say so
     // ("full":null) instead of advertising a file that was never written.
+    // s-phase split map (VERDICT r12 item 4) — full record only
+    val sSplitJson = sSplit.reverse.sortBy(_._1)
+      .map { case (k, (tot, first, nb)) =>
+        "\"" + k + "\":{\"total\":" + fmt(tot) + ",\"first\":" + fmt(first) +
+          ",\"steady\":" + fmt((tot - first).max(0.0)) + ",\"batches\":" + nb + "}"
+      }.mkString("{", ",", "}")
     val fullWritten =
       try {
         java.nio.file.Files.writeString(fullFile.toPath,
-          s"""{"queries":$qs,"suite_raw":$suiteRawJson,"gc":$gcJson,"cache_events":$cacheJson,$summaryFields}""" + "\n")
+          s"""{"queries":$qs,"suite_raw":$suiteRawJson,"s_split":$sSplitJson,"gc":$gcJson,"cache_events":$cacheJson,$summaryFields}""" + "\n")
         true
       } catch {
         case e: Throwable =>

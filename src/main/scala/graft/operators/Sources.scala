@@ -229,11 +229,14 @@ object Sources {
             }
           val out = Files.createTempDirectory("graft-s14-out").toString
           val cp = Files.createTempDirectory("graft-s14-cp").toString
-          val q = s.readStream.format("graft-ftp")
+          val ftpStream = s.readStream.format("graft-ftp")
             .option("host", "127.0.0.1").option("port", server.port.toString)
             .option("username", "u").option("password", "p")
             .option("pool.size", "32")
             .load("/docs")
+          // plan-shape capture for the DSv2 FTP stream (bespoke sink path)
+          graft.tools.StreamPlanCapture.record(ftpStream, "ForeachBatch")
+          val q = ftpStream
             .writeStream
             .option("checkpointLocation", cp)
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -3779,11 +3779,17 @@ object TrainingDataOps {
     QueryDef(
       "q349_checkpoint_goodput",
       (s, dir) => {
+        // MTBF is undefined below 2 failures (ADVICE r12): nullif keeps
+        // the div from fabricating a NULL/negative row and the n_fail>=2
+        // filter makes a degenerate fixture produce ZERO rows — which the
+        // law spec (LlmDataSpec "q349 fixture carries >= 2 error events")
+        // turns into a loud red instead of a silent empty report.
         val f = Tables.events(s, dir)
           .filter(col("event_type") === "error")
           .agg(count(lit(1)).as("n_fail"),
             (max("ts_us") - min("ts_us")).as("span_us"))
-          .withColumn("mtbf_us", expr("span_us div (n_fail - 1)"))
+          .withColumn("mtbf_us", expr("span_us div nullif(n_fail - 1, 0)"))
+          .filter(col("n_fail") >= 2)
         exactIsqrt(f.withColumn("c_us", explode(expr(
             "array(10000000L, 60000000L, 300000000L)")))
           .withColumn("x", expr(
@@ -3804,8 +3810,9 @@ object TrainingDataOps {
                    - epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)
                    AS span_us
           FROM events WHERE event_type = 'error'),
-        m AS (SELECT n_fail, span_us, span_us // (n_fail - 1) AS mtbf_us
-              FROM f),
+        m AS (SELECT n_fail, span_us,
+                     span_us // nullif(n_fail - 1, 0) AS mtbf_us
+              FROM f WHERE n_fail >= 2),
         ax AS (
           SELECT m.*, t.c_us,
                  CAST(2 AS HUGEINT) * t.c_us * m.mtbf_us AS x
@@ -4407,6 +4414,460 @@ object TrainingDataOps {
                  // CAST(ts AS HUGEINT) AS BIGINT) AS new_weight_ppm
         FROM scored, norm
         ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q361
+    // Gradient-noise-scale estimate (the critical-batch-size audit, the
+    // McCandlish B_simple recipe made integer-exact): per event_type,
+    // per-row values proxy per-example gradient contributions, batches
+    // are user_id % 16, and the between-batch second moment vs the
+    // squared mean gives noise_ppm = 1e6·(B·Σg² − (Σg)²)/(Σg)² — the
+    // relative batch-gradient variance whose product with B is the
+    // B_crit heuristic. Cauchy–Schwarz keeps the numerator ≥ 0, so
+    // every div is non-negative truncating; Σg² runs in DECIMAL(38)
+    // (cents² × corpus is past BIGINT at sf ≥ 1). 100 TB shape: one
+    // keyed (type, batch) partial-agg shuffle, then a ≤ 16-row-per-type
+    // rollup. The per-row half is stateless (s68 streams it).
+    QueryDef(
+      "q361_gradient_noise_scale",
+      (s, dir) => gnsReport(gnsProject(Tables(s, dir, "events"))),
+      Some(gnsOracle))
+  ,
+
+    // --------------------------------------------------------------- q362
+    // LR-schedule audit (linear warmup → inverse-sqrt decay, the
+    // Transformer schedule) evaluated at per-source checkpoint steps:
+    // each source's token mass fixes its step count (batch = 8 tokens),
+    // and lr_ppm at step t is base·t/W during warmup, then
+    // isqrt(base²·W div t) — the q349 exact-integer-sqrt device, so
+    // both engines land on the identical BIGINT without a float pow.
+    // Laws (spec'd): continuity at t = W (both formulas give base) and
+    // monotone non-increasing decay, proven by simulator. 100 TB
+    // shape: one keyed token-mass aggregate then ≤ 5-row-per-source
+    // literal arithmetic.
+    QueryDef(
+      "q362_lr_schedule_audit",
+      (s, dir) => {
+        val src = Tables(s, dir, "documents")
+          .select(col("source"),
+            expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                    AS BIGINT)""").as("l"))
+          .groupBy("source").agg(sum("l").as("toks"))
+          .withColumn("steps_total", expr("greatest(toks div 8, 1L)"))
+        val at = src
+          .withColumn("ck", explode(expr(
+            "array(1L, 50L, 100L, 200L, steps_total)")))
+          .withColumn("t", expr("least(greatest(ck, 1L), steps_total)"))
+          .select("source", "steps_total", "t").distinct()
+        exactIsqrt(
+          at.withColumn("x", expr("CAST(25000000 div t AS DECIMAL(38,0))")),
+          "x", "lr_sqrt")
+          .withColumn("lr_ppm", expr(
+            "CASE WHEN t <= 100 THEN 500 * t div 100 ELSE lr_sqrt END"))
+          .withColumn("phase", expr(
+            "CASE WHEN t <= 100 THEN 'warmup' ELSE 'decay' END"))
+          .select("source", "steps_total", "t", "phase", "lr_ppm")
+          .orderBy("source", "t")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS l
+          FROM documents),
+        src AS (
+          SELECT source, greatest(CAST(SUM(l) AS BIGINT) // 8, 1)
+                   AS steps_total
+          FROM d GROUP BY source),
+        at AS (
+          SELECT DISTINCT source, steps_total,
+                 least(greatest(ck, 1), steps_total) AS t
+          FROM src, UNNEST([CAST(1 AS BIGINT), CAST(50 AS BIGINT),
+                            CAST(100 AS BIGINT), CAST(200 AS BIGINT)])
+                   AS c(ck)
+          UNION
+          SELECT DISTINCT source, steps_total, steps_total AS t FROM src),
+        sq AS (
+          SELECT at.*, 25000000 // t AS x,
+                 CAST(floor(sqrt(CAST(25000000 // t AS DOUBLE)))
+                   AS BIGINT) AS s0
+          FROM at),
+        isq AS (
+          SELECT sq.*,
+                 CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= x
+                      THEN s0 + 1
+                      WHEN CAST(s0 AS HUGEINT) * s0 > x THEN s0 - 1
+                      ELSE s0 END AS lr_sqrt
+          FROM sq)
+        SELECT source, steps_total, t,
+               CASE WHEN t <= 100 THEN 'warmup' ELSE 'decay' END AS phase,
+               CAST(CASE WHEN t <= 100 THEN 500 * t // 100
+                         ELSE lr_sqrt END AS BIGINT) AS lr_ppm
+        FROM isq
+        ORDER BY source, t"""))
+  ,
+
+    // --------------------------------------------------------------- q363
+    // N-gram novelty rate — the diminishing-returns curve input (what
+    // fraction of each source's 5-grams first occur there, in doc_id
+    // order): gram → min(doc_id) is one equi-keyed aggregate, the
+    // join back is gram-keyed, and the per-doc/per-source rollups are
+    // keyed counts. The gram string never rides a shuffle — grams
+    // travel as md5-prefix BIGINTs (identical hash both engines), the
+    // q25 digest discipline. 100 TB shape: gram-hash-keyed shuffles
+    // only; novelty at that scale is the same first-occurrence
+    // aggregate with doc_id as the arrival order.
+    QueryDef(
+      "q363_ngram_novelty",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val g = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(call_function("graft_word_ngrams",
+              col("text"), lit(5))).as("gram"))
+          .select(col("doc_id"), col("source"), expr(
+            """CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)""")
+            .as("h"))
+          .distinct()
+        val firsts = g.groupBy("h").agg(min("doc_id").as("first_id"))
+        g.join(firsts, Seq("h"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum((col("first_id") === col("doc_id")).cast("long"))
+              .as("novel"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_grams").as("gram_mass"),
+            sum("novel").as("novel_mass"))
+          // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+          .withColumn("novelty_ppm", expr(
+            """CAST(CAST(novel_mass AS DECIMAL(38,0)) * 1000000
+               div nullif(gram_mass, 0) AS BIGINT)"""))
+          .select("source", "n_docs", "gram_mass", "novel_mass",
+            "novelty_ppm")
+          .orderBy("source")
+      },
+      Some("""
+        WITH g0 AS (
+          SELECT DISTINCT doc_id, source,
+                 UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+                             ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+                FROM documents)),
+        g AS (
+          SELECT DISTINCT doc_id, source,
+                 CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                   AS h
+          FROM g0),
+        firsts AS (SELECT h, MIN(doc_id) AS first_id FROM g GROUP BY h),
+        perdoc AS (
+          SELECT g.doc_id, g.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN f.first_id = g.doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT) AS novel
+          FROM g JOIN firsts f ON g.h = f.h
+          GROUP BY g.doc_id, g.source)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS gram_mass,
+               CAST(SUM(novel) AS BIGINT) AS novel_mass,
+               CAST(CAST(SUM(novel) AS HUGEINT) * 1000000
+                 // nullif(CAST(SUM(n_grams) AS HUGEINT), 0) AS BIGINT)
+                 AS novelty_ppm
+        FROM perdoc
+        GROUP BY source
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q364
+    // Event-time order-skew audit — the ingestion-health number every
+    // watermark choice depends on: within each user's event_id
+    // sequence, an event is LATE when its ts precedes the running max
+    // of its predecessors; per event_type the report carries the late
+    // rate and the worst/total backward jump (= the watermark delay
+    // that would have covered it). The running max rides a per-user
+    // ROWS window (bounded: ≤ that user's event count), exactly the
+    // partition-keyed shape that scales — no global order anywhere.
+    QueryDef(
+      "q364_event_order_skew",
+      (s, dir) => {
+        // bounded: per-user frame, ≤ that user's event count
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_us"))
+          .withColumn("prev_max", max("ts_us").over(w))
+          .withColumn("late",
+            (col("prev_max").isNotNull &&
+              col("ts_us") < col("prev_max")).cast("long"))
+          .withColumn("backward_us", expr(
+            "CASE WHEN prev_max IS NULL THEN 0L " +
+              "ELSE greatest(0L, prev_max - ts_us) END"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("late").as("late_events"),
+            max("backward_us").as("max_backward_us"),
+            sum("backward_us").as("sum_backward_us"))
+          .withColumn("late_ppm",
+            expr("late_events * 1000000 div n_events"))
+          .select("event_type", "n_events", "late_events", "late_ppm",
+            "max_backward_us", "sum_backward_us")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events),
+        m AS (
+          SELECT event_type, ts_us,
+                 MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+          FROM e),
+        x AS (
+          SELECT event_type,
+                 CASE WHEN prev_max IS NOT NULL AND ts_us < prev_max
+                      THEN 1 ELSE 0 END AS late,
+                 CASE WHEN prev_max IS NULL THEN 0
+                      ELSE greatest(0, prev_max - ts_us) END AS backward_us
+          FROM m)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(late) AS BIGINT) AS late_events,
+               CAST(SUM(late) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm,
+               CAST(MAX(backward_us) AS BIGINT) AS max_backward_us,
+               CAST(SUM(backward_us) AS BIGINT) AS sum_backward_us
+        FROM x
+        GROUP BY event_type
+        ORDER BY event_type"""))
+  ,
+
+    // --------------------------------------------------------------- q365
+    // Chat-template loss-mask accounting — SFT fine-tuning masks the
+    // user turns and trains only on assistant tokens; with the
+    // deterministic 16-token alternating-turn template (positions
+    // 0-15 user, 16-31 assistant, repeating) the trainable count has
+    // the CLOSED FORM (L div 32)·16 + max(0, L mod 32 − 16), so the
+    // per-doc half is pure per-row arithmetic — no explode, no window
+    // — which is what lets s69 stream it inside the tick. Law
+    // (spec'd): the closed form equals the position-by-position
+    // simulation for every L ≤ 200. 100 TB shape: stateless map +
+    // one keyed per-source aggregate.
+    QueryDef(
+      "q365_chat_mask_accounting",
+      (s, dir) => maskReport(maskAssign(Tables(s, dir, "documents"))),
+      Some(maskOracle))
+  ,
+
+    // --------------------------------------------------------------- q366
+    // Context-parallel padding waste — sequence-parallel training pads
+    // each doc to a multiple of cp·64 tokens (the per-rank quantum) so
+    // ranks split evenly; the audit reports, per cp ∈ {1,2,4,8}, the
+    // padded-token overhead a packing scheduler must win back. Laws
+    // (spec'd by exhaustive simulator): padded is the least multiple
+    // of the quantum ≥ L, and 0 ≤ waste < quantum. 100 TB shape: a ×4
+    // stateless literal explode then one keyed aggregate.
+    QueryDef(
+      "q366_context_parallel_padding",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                        AS BIGINT)""").as("l"))
+        .withColumn("cp", explode(expr("array(1L, 2L, 4L, 8L)")))
+        .withColumn("q", expr("cp * 64"))
+        .withColumn("padded", expr(
+          "CASE WHEN l = 0 THEN 0L ELSE ((l + q - 1) div q) * q END"))
+        .groupBy("cp")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("l").as("raw_tokens"),
+          sum("padded").as("padded_tokens"))
+        .withColumn("waste_tokens", expr("padded_tokens - raw_tokens"))
+        // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+        .withColumn("waste_ppm", expr(
+          """CAST(CAST(padded_tokens - raw_tokens AS DECIMAL(38,0))
+             * 1000000 div nullif(padded_tokens, 0) AS BIGINT)"""))
+        .select("cp", "n_docs", "raw_tokens", "padded_tokens",
+          "waste_tokens", "waste_ppm")
+        .orderBy("cp"),
+      Some("""
+        WITH d AS (
+          SELECT CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS l
+          FROM documents),
+        x AS (
+          SELECT l, cp, cp * 64 AS q,
+                 CASE WHEN l = 0 THEN 0
+                      ELSE ((l + cp * 64 - 1) // (cp * 64)) * cp * 64
+                 END AS padded
+          FROM d, UNNEST([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                          CAST(4 AS BIGINT), CAST(8 AS BIGINT)]) AS t(cp))
+        SELECT cp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(l) AS BIGINT) AS raw_tokens,
+               CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+               CAST(SUM(padded) - SUM(l) AS BIGINT) AS waste_tokens,
+               CAST(CAST(SUM(padded) - SUM(l) AS HUGEINT) * 1000000
+                 // nullif(CAST(SUM(padded) AS HUGEINT), 0) AS BIGINT)
+                 AS waste_ppm
+        FROM x
+        GROUP BY cp
+        ORDER BY cp"""))
+  ,
+
+    // --------------------------------------------------------------- q367
+    // Prefix-cache reuse audit — inference-time KV prefix caching (and
+    // training-time packed-prefix sharing) wins exactly once per
+    // distinct 8-token prefix group beyond its first member. Docs with
+    // doc_id % 11 = 0 carry a planted 8-token system prompt (the
+    // shared-system-prompt fleet every serving stack sees), so one
+    // group is guaranteed large; savings = Σ(group size − 1)·8. The
+    // prefix travels as an md5-prefix BIGINT (q25 digest discipline) —
+    // never the text. 100 TB shape: stateless projection, one
+    // prefix-hash-keyed aggregate, one global ≤ groups rollup.
+    QueryDef(
+      "q367_prefix_cache_reuse",
+      (s, dir) => {
+        val planted = Tables(s, dir, "documents")
+          .select(col("doc_id"), expr(
+            """CASE WHEN doc_id % 11 = 0
+                 THEN concat('sys0 sys1 sys2 sys3 sys4 sys5 sys6 sys7 ',
+                             text)
+                 ELSE text END""").as("text"))
+        val pref = planted
+          .withColumn("wl", expr("filter(split(text, ' '), x -> x <> '')"))
+          .withColumn("elig", (size(col("wl")) >= 8).cast("long"))
+          .withColumn("ph", expr(
+            """CASE WHEN size(wl) >= 8
+                 THEN CAST(conv(substr(md5(concat_ws(' ',
+                        slice(wl, 1, 8))), 1, 15), 16, 10) AS BIGINT)
+                 ELSE NULL END"""))
+        val groups = pref.filter(col("ph").isNotNull)
+          .groupBy("ph").agg(count(lit(1)).as("n"))
+        val gstats = groups.agg(
+          count(lit(1)).as("n_groups"),
+          sum((col("n") >= 2).cast("long")).as("shared_groups"),
+          sum(expr("n - 1")).as("cached_docs"))
+        pref.agg(count(lit(1)).as("docs_total"),
+            sum("elig").as("docs_eligible"))
+          .crossJoin(broadcast(gstats)) // single-row × single-row
+          .withColumn("cached_tokens", expr("cached_docs * 8"))
+          .withColumn("hit_ppm", expr(
+            "cached_docs * 1000000 div nullif(docs_eligible, 0)"))
+          .select("docs_total", "docs_eligible", "n_groups",
+            "shared_groups", "cached_docs", "cached_tokens", "hit_ppm")
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                   THEN 'sys0 sys1 sys2 sys3 sys4 sys5 sys6 sys7 ' || text
+                   ELSE text END AS text
+          FROM documents),
+        pref AS (
+          SELECT doc_id,
+                 CASE WHEN len(wl) >= 8 THEN 1 ELSE 0 END AS elig,
+                 CASE WHEN len(wl) >= 8
+                   THEN CAST(concat('0x', substr(md5(
+                          array_to_string(wl[1:8], ' ')), 1, 15))
+                        AS BIGINT)
+                   ELSE NULL END AS ph
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS wl
+                FROM planted)),
+        groups AS (
+          SELECT ph, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pref WHERE ph IS NOT NULL GROUP BY ph),
+        gstats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS shared_groups,
+                 CAST(SUM(n - 1) AS BIGINT) AS cached_docs
+          FROM groups),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS docs_total,
+                 CAST(SUM(elig) AS BIGINT) AS docs_eligible
+          FROM pref)
+        SELECT docs_total, docs_eligible, n_groups, shared_groups,
+               cached_docs, CAST(cached_docs * 8 AS BIGINT)
+                 AS cached_tokens,
+               CAST(cached_docs * 1000000 // nullif(docs_eligible, 0)
+                 AS BIGINT) AS hit_ppm
+        FROM tot, gstats"""))
+  ,
+
+    // --------------------------------------------------------------- q368
+    // Language × source independence (contingency chi-square, integer-
+    // exact) — the corpus-composition audit behind mixture decisions:
+    // is language distribution uniform across sources or do sources
+    // specialize? χ² cell = (obs·N − row·col)² / (N·row·col) in micro
+    // units (the numerator is a perfect square so every div is
+    // non-negative truncating; DECIMAL(38) ↔ HUGEINT for the square).
+    // Zero-observation cells are REAL contributions, so the cell frame
+    // is the langs × sources cross of the two marginal aggregates —
+    // ≤ |langs|·|sources| rows, broadcast-sized at any corpus scale.
+    // Law (spec'd): a uniform synthetic table yields χ² = 0 exactly.
+    QueryDef(
+      "q368_lang_source_independence",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val obs = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("obs"))
+        val rows = docs.groupBy("lang").agg(count(lit(1)).as("row_n"))
+        val cols = docs.groupBy("source").agg(count(lit(1)).as("col_n"))
+        val tot = docs.agg(count(lit(1)).as("n"),
+          countDistinct("lang").as("nl"),
+          countDistinct("source").as("ns"))
+        val cells = rows.crossJoin(broadcast(cols)) // ≤ langs × sources
+          .join(obs, Seq("lang", "source"), "left")
+          .withColumn("obs", coalesce(col("obs"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("d", expr("obs * n - row_n * col_n"))
+          .withColumn("cell_micro", expr(
+            """CAST(CAST(d AS DECIMAL(38,0)) * d * 1000000
+               div (CAST(n AS DECIMAL(38,0)) * row_n * col_n)
+               AS BIGINT)"""))
+        val chi = cells.agg(sum("cell_micro").as("chi_micro"))
+        cells.groupBy("lang", "row_n", "nl", "ns")
+          .agg(sum("cell_micro").as("lang_chi_micro"))
+          .crossJoin(broadcast(chi))
+          .withColumn("dof", expr("(nl - 1) * (ns - 1)"))
+          .select(col("lang"), col("row_n").as("n_docs"),
+            col("lang_chi_micro"), col("chi_micro"), col("dof"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+          FROM documents GROUP BY lang, source),
+        r AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS row_n
+              FROM documents GROUP BY lang),
+        c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS col_n
+              FROM documents GROUP BY source),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+          FROM documents),
+        cells AS (
+          SELECT r.lang, r.row_n, c.col_n, tot.n, tot.nl, tot.ns,
+                 COALESCE(obs.obs, 0) AS obs,
+                 COALESCE(obs.obs, 0) * tot.n - r.row_n * c.col_n AS d
+          FROM r CROSS JOIN c CROSS JOIN tot
+          LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source),
+        cm AS (
+          SELECT lang, row_n, nl, ns,
+                 CAST(CAST(d AS HUGEINT) * d * 1000000
+                   // (CAST(n AS HUGEINT) * row_n * col_n) AS BIGINT)
+                   AS cell_micro
+          FROM cells),
+        chi AS (SELECT CAST(SUM(cell_micro) AS BIGINT) AS chi_micro
+                FROM cm)
+        SELECT lang, row_n AS n_docs,
+               CAST(SUM(cell_micro) AS BIGINT) AS lang_chi_micro,
+               chi_micro, CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof
+        FROM cm, chi
+        GROUP BY lang, row_n, nl, ns, chi_micro
+        ORDER BY lang"""))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from
@@ -5301,6 +5762,127 @@ object TrainingDataOps {
                  ELSE _s0 END"""))
       .drop("_s0")
 
+  /** q361/s68 shared per-row half: (event_type, batch, vc) gradient-
+    * contribution rows — batch = user_id % 16, values in exact cents.
+    * Pure per-row arithmetic, which is what lets s68 stream it inside
+    * the tick. The uid ≥ 0 filter drops the streaming drain's flush
+    * sentinel (harmless on the batch path: fixture uids are ≥ 0). */
+  private[graft] def gnsProject(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id") >= 0)
+      .select(col("event_type"),
+        expr("user_id % 16").as("batch"),
+        expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("vc"))
+
+  /** q361/s68 shared rollup half: per event_type, B ≤ 16 batch sums →
+    * noise_ppm = 1e6·(B·Σg² − (Σg)²)/(Σg)² (≥ 0 by Cauchy–Schwarz) and
+    * the B_crit heuristic B·noise. Σg² runs in DECIMAL(38). */
+  private[graft] def gnsReport(rows: DataFrame): DataFrame =
+    rows.groupBy("event_type", "batch")
+      .agg(sum("vc").as("g"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_batches"),
+        sum("g").as("grad_mass_cents"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("ss"),
+        max("g").as("max_batch_cents"),
+        min("g").as("min_batch_cents"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("noise_ppm", expr(
+        """CAST((CAST(n_batches AS DECIMAL(38,0)) * ss
+                - CAST(grad_mass_cents AS DECIMAL(38,0))
+                  * grad_mass_cents) * 1000000
+           div nullif(CAST(grad_mass_cents AS DECIMAL(38,0))
+                      * grad_mass_cents, 0) AS BIGINT)"""))
+      .withColumn("bcrit_milli", expr("n_batches * noise_ppm div 1000"))
+      .select("event_type", "n_batches", "grad_mass_cents",
+        "max_batch_cents", "min_batch_cents", "noise_ppm", "bcrit_milli")
+      .orderBy("event_type")
+
+  /** q361's oracle, shared VERBATIM by s68. */
+  private[graft] def gnsOracle: String = """
+        WITH rows_ AS (
+          SELECT event_type, user_id % 16 AS batch,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+          FROM events WHERE user_id >= 0),
+        b AS (
+          SELECT event_type, batch, CAST(SUM(vc) AS BIGINT) AS g
+          FROM rows_ GROUP BY event_type, batch),
+        r AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_batches,
+                 CAST(SUM(g) AS BIGINT) AS grad_mass_cents,
+                 SUM(CAST(g AS HUGEINT) * g) AS ss,
+                 CAST(MAX(g) AS BIGINT) AS max_batch_cents,
+                 CAST(MIN(g) AS BIGINT) AS min_batch_cents
+          FROM b GROUP BY event_type),
+        x AS (
+          SELECT r.*,
+                 CAST((CAST(n_batches AS HUGEINT) * ss
+                       - CAST(grad_mass_cents AS HUGEINT)
+                         * grad_mass_cents) * 1000000
+                   // nullif(CAST(grad_mass_cents AS HUGEINT)
+                             * grad_mass_cents, 0) AS BIGINT)
+                   AS noise_ppm
+          FROM r)
+        SELECT event_type, n_batches, grad_mass_cents, max_batch_cents,
+               min_batch_cents, noise_ppm,
+               CAST(n_batches * noise_ppm // 1000 AS BIGINT)
+                 AS bcrit_milli
+        FROM x
+        ORDER BY event_type"""
+
+  /** q365/s69 shared per-doc half: token count L plus the CLOSED-FORM
+    * trainable-token count (L div 32)·16 + max(0, L mod 32 − 16) under
+    * the 16-token alternating user/assistant template — pure per-row
+    * arithmetic (no explode, no window), which is what lets s69 stream
+    * it inside the tick. The closed form is simulator-spec'd in
+    * LlmDataSpec for every L ≤ 200. */
+  private[graft] def maskAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        expr("""CAST(size(filter(split(text, ' '), w -> w <> ''))
+                AS BIGINT)""").as("l"))
+      .withColumn("train_toks", expr(
+        "(l div 32) * 16 + greatest(0L, l % 32 - 16)"))
+
+  /** q365/s69 shared rollup half: per-source mask accounting. */
+  private[graft] def maskReport(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("l").as("total_tokens"),
+        sum("train_toks").as("train_tokens"),
+        sum((expr("l % 32") === 0 && col("l") > 0).cast("long"))
+          .as("full_template_docs"))
+      // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+      .withColumn("mask_ppm", expr(
+        """CAST(CAST(train_tokens AS DECIMAL(38,0)) * 1000000
+           div nullif(total_tokens, 0) AS BIGINT)"""))
+      .select("source", "n_docs", "total_tokens", "train_tokens",
+        "mask_ppm", "full_template_docs")
+      .orderBy("source")
+
+  /** q365's oracle, shared VERBATIM by s69. */
+  private[graft] def maskOracle: String = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS BIGINT) AS l
+          FROM documents),
+        m AS (
+          SELECT source, l,
+                 (l // 32) * 16 + greatest(0, l % 32 - 16) AS train_toks
+          FROM d)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(l) AS BIGINT) AS total_tokens,
+               CAST(SUM(train_toks) AS BIGINT) AS train_tokens,
+               CAST(CAST(SUM(train_toks) AS HUGEINT) * 1000000
+                 // nullif(CAST(SUM(l) AS HUGEINT), 0) AS BIGINT)
+                 AS mask_ppm,
+               CAST(SUM(CASE WHEN l % 32 = 0 AND l > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS full_template_docs
+        FROM m
+        GROUP BY source
+        ORDER BY source"""
+
   /** q351/s65 shared assignment half: per-doc (W, shard, tokens) rows
     * for W ∈ {8, 64, 512} loader workers — pure per-row column
     * arithmetic (md5 shard coin + token count), which is what lets
@@ -5451,7 +6033,11 @@ object TrainingDataOps {
     * length); run coalescing is simulator-spec'd. */
   private[graft] def loopReport(docs: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos") // ≤ doc length
-    val fl = docs
+    // two consumers (the runs gaps-and-islands aggregate and the per-doc
+    // rollup) read the exploded per-token frame — persist so the
+    // posexplode + two lead windows are paid once, not per consumer
+    // (ADVICE r12; the q333/q343/q345 multiply-read class)
+    val fl = TrackedCaches.track(docs
       .withColumn("wl", expr("filter(split(text, ' '), x -> x <> '')"))
       .filter(size(col("wl")) >= 2)
       .select(col("doc_id"), col("source"),
@@ -5464,6 +6050,7 @@ object TrainingDataOps {
         when(col("tok") === col("nx1"), 1L).otherwise(0L))
       .withColumn("rep2",
         when(col("tok") === col("nx2"), 1L).otherwise(0L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // run grouping: among rep1 positions, pos − row_number is constant
     // within one consecutive run (the gaps-and-islands device); run
     // tokens = rep1 count + 1

@@ -167,7 +167,13 @@ object Pipeline {
     val (jobsDf, parseFailures) = parse(raw)
     val jobs = jobsDf.as[FileTransferJob]
     val results = execute(jobs, pc)
-    (results, dlqRecords(results, parseFailures))
+    val dlq = dlqRecords(results, parseFailures)
+    // plan-shape capture (VERDICT r12 item 3): the parse → validate →
+    // execute and DLQ-route logical shapes are what the p* PLANS.json
+    // gate guards; no-op unless a snapshot run enabled it
+    graft.tools.StreamPlanCapture.record(results.toDF(), "PipelineResults")
+    graft.tools.StreamPlanCapture.record(dlq, "PipelineDlq")
+    (results, dlq)
   }
 
   /** Re-drive DLQ records through the pipeline — the operation the

@@ -48,7 +48,11 @@ object StreamPipeline {
       dlqDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    readJobs(spark, inputDir).writeStream
+    val jobs = readJobs(spark, inputDir)
+    // plan-shape capture for the pipeline's streaming source (VERDICT
+    // r12 item 3 — p* plans join the PLANS.json gate); no-op in prod
+    graft.tools.StreamPlanCapture.record(jobs, "Pipeline")
+    jobs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -802,8 +802,24 @@ object StreamingQueries {
       s.sparkContext.applicationId, s"sink_${nameCounter.incrementAndGet()}")
     val schema = df.schema
     val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    // streaming plan-shape capture (VERDICT r12 item 3): the analyzed
+    // plan of the PRE-DRAIN streaming frame — watermark placement,
+    // stateful-operator set — is what the batch-side PLANS.json gate
+    // can't see; recorded here (no-op unless a snapshot run enabled it)
+    graft.tools.StreamPlanCapture.record(df, mode.toString)
+    // first-batch/steady split (VERDICT r12 item 4) — no-op unless the
+    // bench enabled it; `drainT0` is set immediately before start()
+    val drainT0 = new java.util.concurrent.atomic.AtomicLong
+    val firstDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val writeBatch: (Dataset[Row], Long) => Unit =
-      (batch, _) => batch.write.mode(saveMode).parquet(out.toString)
+      (batch, _) => {
+        batch.write.mode(saveMode).parquet(out.toString)
+        if (StreamDrainStats.active) {
+          StreamDrainStats.addBatch()
+          if (firstDone.compareAndSet(false, true))
+            StreamDrainStats.addFirstBatch(System.nanoTime() - drainT0.get)
+        }
+      }
     // State-partition sizing (VERDICT r06 item 4): each stateful operator
     // opens one state store PER SHUFFLE PARTITION PER MICRO-BATCH, so a
     // multi-batch drain pays partitions × operators × batches store
@@ -824,6 +840,7 @@ object StreamingQueries {
     s.conf.set(key, stateParts)
     val q =
       try {
+        drainT0.set(System.nanoTime())
         val started = df.writeStream
           .foreachBatch(writeBatch)
           .outputMode(mode)
@@ -1254,8 +1271,11 @@ object StreamingQueries {
             }
           }
         }
-        val q = eventsStream(s, dir)
+        val src = eventsStream(s, dir)
           .select((col("ts") +: cols.map(col)): _*)
+        // plan-shape capture for this bespoke (non-drain()) sink path
+        graft.tools.StreamPlanCapture.record(src, "ForeachBatch")
+        val q = src
           .writeStream.foreachBatch(applyBatch)
           .trigger(Trigger.AvailableNow())
           .start()
@@ -3784,6 +3804,42 @@ object StreamingQueries {
               .select("doc_id", "source", "text"))))
       },
       Some(graft.operators.TrainingDataOps.loopOracle))
+  ,
+
+    // ---------------------------------------------------------------- s68
+    // Streaming gradient-noise-scale — q361 live over the training
+    // telemetry stream: the SHARED per-row projection (batch coin +
+    // exact cents) is stateless inside the tick, and the drained rows
+    // roll up through q361's gnsReport — oracle VERBATIM, so a dropped
+    // tick shifts a batch sum and cannot hash-match. The uid ≥ 0
+    // filter in the shared half doubles as the flush-sentinel guard.
+    QueryDef(
+      "s68_stream_gradient_noise",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.gnsReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.gnsProject(eventsStream(s, dir))))
+      },
+      Some(graft.operators.TrainingDataOps.gnsOracle))
+  ,
+
+    // ---------------------------------------------------------------- s69
+    // Streaming chat-mask accounting — q365 live at SFT ingest: the
+    // SHARED closed-form per-doc half (no explode, no window) runs
+    // statelessly inside the tick, and the drained per-doc frame rolls
+    // up through q365's maskReport — oracle VERBATIM, so a dropped
+    // tick loses a doc's token masses and cannot hash-match.
+    QueryDef(
+      "s69_stream_chat_mask",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        TrainingDataOps.maskReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.maskAssign(documentsStreamParts(s, dir)
+              .select("doc_id", "source", "text"))))
+      },
+      Some(graft.operators.TrainingDataOps.maskOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and

@@ -33,6 +33,13 @@ final case class PlanSig(
       s""""globalSort":$globalSort}"""
 }
 
+/** The s-/p- gate's unit (VERDICT r12 item 3): the ordered pre-drain
+  * streaming signatures plus the returned post-drain physical plan. */
+final case class SpSig(drains: Seq[StreamSig], post: PlanSig) {
+  def json: String =
+    s"""{"drains":[${drains.map(_.json).mkString(",")}],"post":${post.json}}"""
+}
+
 object PlanShape {
 
   private def hasArray(dt: DataType): Boolean = dt match {
@@ -101,13 +108,69 @@ object PlanShape {
     } finally s.conf.set(key, before)
   }
 
-  /** The gate's scope: batch q* queries. Streaming (s*) and pipeline
-    * (p*) functions run imperative drains and return reads of their sink
-    * tables — their returned plans are trivial scans with no shape to
-    * guard (the real streaming plans live inside the streaming engine).
-    */
+  /** The batch gate's scope: q* queries, whose returned plans ARE the
+    * operator plans. s-/p- queries are gated separately ([[spSnapshot]])
+    * because their functions run imperative drains: the real streaming
+    * plans are captured PRE-DRAIN via [[StreamPlanCapture]], and the
+    * returned post-drain read (projections/sorts over the sink) is
+    * guarded as the `post` physical signature. */
   def gateNames: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("q")).sorted
+
+  def spGateNames: Seq[String] =
+    graft.SparkEntry.queries.keys.toSeq
+      .filter(n => n.startsWith("s") || n.startsWith("p")).sorted
+
+  /** Snapshot an s-/p- query: EXECUTE it (drains run — sf0.001 is the
+    * cheap tier) with the stream-plan capture enabled, returning the
+    * ordered per-drain streaming signatures plus the physical signature
+    * of the returned (post-drain) frame, built AQE-off like the q gate. */
+  def spSnapshot(s: SparkSession, dir: String, names: Seq[String])
+      : Seq[(String, Either[String, SpSig])] = {
+    val key = "spark.sql.adaptive.enabled"
+    val before = s.conf.get(key)
+    s.conf.set(key, "false")
+    try names.map { n =>
+      StreamPlanCapture.enable()
+      val r =
+        try {
+          val df = graft.SparkEntry.queries(n)(s, dir)
+          Right(SpSig(StreamPlanCapture.take(), of(df)))
+        } catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
+      StreamPlanCapture.disable()
+      graft.operators.TrackedCaches.releaseAll()
+      (n, r)
+    } finally s.conf.set(key, before)
+  }
+
+  def parseSpPlans(text: String): Map[String, SpSig] = {
+    val entry =
+      "\"([sp]\\d[^\"]*)\":\\{\"drains\":\\[([^\\]]*)\\],\"post\":(\\{[^}]*\\})\\}".r
+    val drainRe = ("\\{\"mode\":\"([^\"]+)\",\"src\":(\\d+),\"wm\":(\\d+)," +
+      "\"agg\":(\\d+),\"fmgws\":(\\d+),\"tws\":(\\d+),\"dedup\":(\\d+)," +
+      "\"join\":(\\d+),\"union\":(\\d+),\"filter\":(\\d+)\\}").r
+    val postRe = ("\\{\"exchange\":(\\d+),\"broadcast\":(\\d+),\"bhj\":(\\d+)," +
+      "\"smj\":(\\d+),\"shj\":(\\d+),\"bnlj\":(\\d+),\"cartesian\":(\\d+)," +
+      "\"filter\":(\\d+),\"scan\":(\\d+),\"pushed\":(\\d+)," +
+      "\"codegen\":(\\d+),\"arrayExchange\":(\\d+),\"globalSort\":(\\d+)\\}").r
+    entry.findAllMatchIn(text).map { m =>
+      val drains = drainRe.findAllMatchIn(m.group(2)).map { d =>
+        StreamSig(d.group(1), d.group(2).toInt, d.group(3).toInt,
+          d.group(4).toInt, d.group(5).toInt, d.group(6).toInt,
+          d.group(7).toInt, d.group(8).toInt, d.group(9).toInt,
+          d.group(10).toInt)
+      }.toSeq
+      val post = postRe.findFirstMatchIn(m.group(3)).map { p =>
+        PlanSig(p.group(1).toInt, p.group(2).toInt, p.group(3).toInt,
+          p.group(4).toInt, p.group(5).toInt, p.group(6).toInt,
+          p.group(7).toInt, p.group(8).toInt, p.group(9).toInt,
+          p.group(10).toInt, p.group(11).toInt, p.group(12).toInt,
+          p.group(13).toInt)
+      }.getOrElse(sys.error(s"unparseable post sig for ${m.group(1)}"))
+      m.group(1) -> SpSig(drains, post)
+    }.toMap
+  }
 
   def parsePlans(text: String): Map[String, PlanSig] = {
     val entry =
@@ -128,6 +191,14 @@ object PlanShape {
     sigs.sortBy(_._1)
       .map { case (n, sig) => s""""$n":${sig.json}""" }
       .mkString("{\n", ",\n", "\n}\n")
+
+  /** One committed file for all three families: q entries carry bare
+    * physical signatures, s/p entries `{drains, post}` compounds. */
+  def renderAll(q: Map[String, PlanSig], sp: Map[String, SpSig]): String =
+    (q.view.mapValues(_.json).toSeq ++ sp.view.mapValues(_.json).toSeq)
+      .sortBy(_._1)
+      .map { case (n, j) => s""""$n":$j""" }
+      .mkString("{\n", ",\n", "\n}\n")
 }
 
 /** Regenerates PLANS.json (the committed plan-shape baseline) — run this
@@ -142,23 +213,30 @@ object PlanShape {
 object PlanSnapshot {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.001"
-    val all = PlanShape.gateNames
-    val names =
+    def pick(all: Seq[String]): Seq[String] =
       if (args.isEmpty) all
       else all.filter(n => args.exists(a => n == a || n.startsWith(a + "_")))
+    val qNames = pick(PlanShape.gateNames)
+    val spNames = pick(PlanShape.spGateNames)
     val s = graft.GraftSession.local(4, "graft-plan-snapshot")
-    val out = PlanShape.snapshot(s, dir, names)
+    val qOut = PlanShape.snapshot(s, dir, qNames)
+    val spOut = PlanShape.spSnapshot(s, dir, spNames)
     s.stop()
-    val failed = out.collect { case (n, Left(e)) => s"$n: $e" }
+    val failed = qOut.collect { case (n, Left(e)) => s"$n: $e" } ++
+      spOut.collect { case (n, Left(e)) => s"$n: $e" }
     require(failed.isEmpty, s"plan build failed:\n${failed.mkString("\n")}")
-    val fresh = out.collect { case (n, Right(sig)) => (n, sig) }.toMap
+    val freshQ = qOut.collect { case (n, Right(sig)) => (n, sig) }.toMap
+    val freshSp = spOut.collect { case (n, Right(sig)) => (n, sig) }.toMap
     val file = java.nio.file.Paths.get("PLANS.json")
-    val prior =
-      if (java.nio.file.Files.exists(file))
-        PlanShape.parsePlans(java.nio.file.Files.readString(file))
-      else Map.empty[String, PlanSig]
-    val merged = (prior ++ fresh).toSeq
-    java.nio.file.Files.writeString(file, PlanShape.render(merged))
-    println(s"PLANS.json: ${fresh.size} refreshed, ${merged.size} total")
+    val (priorQ, priorSp) =
+      if (java.nio.file.Files.exists(file)) {
+        val text = java.nio.file.Files.readString(file)
+        (PlanShape.parsePlans(text), PlanShape.parseSpPlans(text))
+      } else (Map.empty[String, PlanSig], Map.empty[String, SpSig])
+    java.nio.file.Files.writeString(file,
+      PlanShape.renderAll(priorQ ++ freshQ, priorSp ++ freshSp))
+    val total = (priorQ ++ freshQ).size + (priorSp ++ freshSp).size
+    println(s"PLANS.json: ${freshQ.size} q + ${freshSp.size} s/p " +
+      s"refreshed, $total total")
   }
 }

@@ -52,6 +52,52 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isSuspect(-1.0, 0, fl) && !Bench.isSuspect(-1.0, 0, None))
   }
 
+  test("iso ordering: floor-less seed first, then largest absolute excess") {
+    // the r12 failure class: ratio-ordered probes adjudicated a 0.9s
+    // slot at 4x floor before a 6.1s slot at 2.6x floor; excess seconds
+    // is the headline's unit, so excess orders the floored group now
+    val flagged = Seq(
+      ("q_small", 0.9, Some(0.225)), // ratio 4.0, excess 0.675
+      ("s15", 6.13, Some(2.33)), //     ratio 2.6, excess 3.80
+      ("s18", 5.50, Some(2.00)), //     ratio 2.75, excess 3.50
+      ("q_new", 0.30, None), //         floor-less: seeds first
+      ("q_new2", 1.10, None))
+    val order = Bench.suspectOrder(flagged).map(_._1)
+    assert(order == Seq("q_new2", "q_new", "s15", "s18", "q_small"),
+      s"got $order")
+  }
+
+  test("simulated hot run: the top-excess slot is adjudicated within budget") {
+    // r12's shape: ~100 uniformly-inflated sub-second slots (hot
+    // environment) plus four large-excess streaming slots. Under the
+    // old fixed 240s/ratio-first policy the big four were SKIPPED
+    // (iso_skipped=83 included every largest-excess slot). Prove the
+    // new pure policy pair adjudicates every large-excess slot: walk
+    // the ordered suspects charging each probe its full SUITE time (a
+    // pessimistic per-probe cost — iso probes usually run at floor)
+    // and check the big four land inside the scaled budget.
+    val small = (1 to 100).map(i => (f"q$i%03d", 0.9, Some(0.3)))
+    val big = Seq(
+      ("s15", 6.13, Some(2.33)), ("s18", 5.8, Some(2.1)),
+      ("s20", 5.5, Some(2.0)), ("s27", 5.2, Some(1.9)))
+    val flagged = scala.util.Random.shuffle(small ++ big)
+    val ordered = Bench.suspectOrder(flagged)
+    assert(ordered.take(4).map(_._1).toSet == big.map(_._1).toSet,
+      "the four largest-excess slots must be probed first")
+    val budget = Bench.isoBudget(240.0, flagged)
+    assert(budget >= 2 * Bench.excessMass(flagged) || budget == 900.0)
+    val adjudicated = ordered.scanLeft(("", 0.0)) { case ((_, spent), (n, v, _)) =>
+      (n, spent + v) }.tail.takeWhile(_._2 <= budget).map(_._1).toSet
+    assert(big.map(_._1).toSet.subsetOf(adjudicated),
+      s"big-excess slots missing from the adjudicated prefix: " +
+        s"${big.map(_._1).toSet.diff(adjudicated)}")
+    // and the budget stays bounded on a pathological run
+    val huge = (1 to 500).map(i => (s"x$i", 100.0, Some(1.0)))
+    assert(Bench.isoBudget(240.0, huge) == 900.0)
+    // a clean run keeps the base budget
+    assert(Bench.isoBudget(240.0, Seq(("a", 0.5, Some(0.4)))) == 240.0)
+  }
+
   test("headline merge: best of suite/iso, failed iso never wins") {
     assert(Bench.headline(3.0, Some(1.2)) == 1.2) // iso cleans the slot
     assert(Bench.headline(1.2, Some(3.0)) == 1.2) // suite already best

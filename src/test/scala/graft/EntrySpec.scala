@@ -112,6 +112,13 @@ class EntrySpec extends AnyFunSuite {
     assert(hits("// bounded: <= sources rows\nval a = 1\nval b = 2\nval c = 3\nval w = Window.orderBy(col(\"x\"))").nonEmpty)
     // a non-comment <= on a nearby CODE line must NOT satisfy the lint
     assert(hits("val f = col(\"rk\") <= 10L\nval w = Window.orderBy(col(\"x\"))").nonEmpty)
+    // ADVICE r12: unrelated nearby comments that merely CONTAIN "bound"
+    // must not satisfy it — "unbounded" and quantity-less "bound" phrases
+    assert(hits("// an unbounded stream arrives here\nval w = Window.orderBy(col(\"x\"))").nonEmpty)
+    assert(hits("// the lower bound of the loop\nval w = Window.orderBy(col(\"x\"))").nonEmpty)
+    // while a real quantity-carrying "bound" phrase still passes
+    assert(hits("// bound: 3 return flags\nval w = Window.orderBy(col(\"x\"))").isEmpty)
+    assert(hits("// frame bound by doc length\nval w = Window.orderBy(col(\"x\"))").isEmpty)
     // keyed windows / Scala-collection collect{...} are out of scope
     assert(hits("val w = Window.partitionBy(\"k\").orderBy(\"x\")").isEmpty)
     assert(hits("xs.collect { case x => x }").isEmpty)
@@ -131,13 +138,19 @@ object EntrySpec {
   /** 1-based lines of partition-less windows (`Window.orderBy(`,
     * `Window.partitionBy()`) or driver collects (`.collect()`) with no
     * bound-stating comment within `radius` lines above (or on the hit
-    * line / the line after). A bound comment is any `//` or scaladoc
-    * text containing "bound", "≤" or "<=" — code-line `<=`s don't
-    * count. Proven by the injected cases in the spec. */
+    * line / the line after). A bound comment (ADVICE r12 tightening —
+    * the former any-"bound" matcher accepted "unbounded" and "lower
+    * bound of the loop") must actually STATE a bound: "≤/<= <thing>",
+    * the word "bounded" (never as part of "unbounded"), or "bound"
+    * together with a quantity-ish token (digit/N/rows/docs/sources/
+    * length/construction) on the same comment line. Code-line `<=`s
+    * don't count. Proven by the injected cases in the spec. */
   def unboundedHits(lines: IndexedSeq[String], radius: Int = 3): Seq[Int] = {
     val hitRe =
       "Window\\s*\\.\\s*(orderBy\\(|partitionBy\\(\\))|\\.collect\\(\\)".r
-    val boundRe = "(?i)bound|≤|<=".r
+    val boundRe = ("(?i)(?:≤|<=)\\s*\\S" +
+      "|(?<![a-z])bounded\\b" +
+      "|\\bbound\\b(?=[^.!?]*(?:\\d|\\bN\\b|rows|docs|sources|length|construction))").r
     def commentText(l: String): String = {
       val i = l.indexOf("//")
       val t = l.trim

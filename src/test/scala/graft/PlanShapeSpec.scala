@@ -67,6 +67,69 @@ class PlanShapeSpec extends AnyFunSuite {
         failures.mkString("\n"))
   }
 
+  test("every s*/p* drains+post signature matches its committed PLANS.json entry") {
+    // VERDICT r12 item 3: the 67 streaming plans (watermark placement,
+    // stateful-operator set, the sentinel-filter discipline) and 7
+    // pipeline plans were unguarded. Executing the query at sf0.001
+    // captures each drain's PRE-DRAIN analyzed signature plus the
+    // returned post-drain physical signature; both diff against the
+    // committed file exactly like the q gate above.
+    val file = Paths.get("PLANS.json")
+    assert(Files.exists(file),
+      "PLANS.json missing — generate it: sbt \"runMain graft.tools.PlanSnapshot\"")
+    val expected = PlanShape.parseSpPlans(Files.readString(file))
+    val names = PlanShape.spGateNames
+    val missing = names.filterNot(expected.contains)
+    val orphans = expected.keySet.diff(names.toSet)
+    assert(missing.isEmpty,
+      s"s/p queries with no committed plan signature (run PlanSnapshot): " +
+        missing.mkString(", "))
+    assert(orphans.isEmpty,
+      s"PLANS.json s/p entries with no matching query: ${orphans.mkString(", ")}")
+    spark.catalog.clearCache()
+    val failures =
+      try PlanShape.spSnapshot(spark, dir, names).flatMap {
+        case (n, Left(e)) => Some(s"$n: plan build FAILED: $e")
+        case (n, Right(sig)) if expected(n) != sig =>
+          Some(s"$n: plan shape changed\n    committed: ${expected(n)}\n" +
+            s"    actual:    $sig\n    — if intended, acknowledge with: " +
+            s"""sbt "runMain graft.tools.PlanSnapshot ${n.takeWhile(_ != '_')}"""")
+        case _ => None
+      } finally spark.catalog.clearCache()
+    assert(failures.isEmpty,
+      s"\n${failures.size} un-acknowledged s/p plan change(s):\n" +
+        failures.mkString("\n"))
+  }
+
+  test("the streaming gate fires on a dropped watermark and a lost sentinel filter") {
+    import graft.tools.StreamSig
+    val tmp = Files.createTempDirectory("graft_plan_sig")
+    spark.range(10)
+      .select(col("id"), current_timestamp().as("ts"))
+      .write.mode("overwrite").parquet(tmp.resolve("t").toString)
+    val schema = spark.read.parquet(tmp.resolve("t").toString).schema
+    val src = spark.readStream.schema(schema).parquet(tmp.resolve("t").toString)
+    // dropped watermark → the wm dimension carries the difference (the
+    // regression class where state retention flips to forever)
+    val withWm = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).count()
+    val noWm = src.groupBy(window(col("ts"), "1 hour")).count()
+    val a = StreamSig.of(withWm, "Complete")
+    val b = StreamSig.of(noWm, "Complete")
+    assert(a.wm == 1 && b.wm == 0 && a.agg >= 1 && a != b,
+      s"wm must differ: $a vs $b")
+    // lost sentinel filter (the uid < 0 drop the verify skill documents)
+    // → the filter dimension carries the difference
+    val guarded = StreamSig.of(src.filter(col("id") >= 0), "Append")
+    val bare = StreamSig.of(src, "Append")
+    assert(guarded.filter == bare.filter + 1 && guarded != bare)
+    // both read one streaming source
+    assert(a.src == 1 && guarded.src == 1)
+    // a mode flip alone also fails the diff (Complete vs Append holds
+    // windows open very differently at 100 TB)
+    assert(StreamSig.of(withWm, "Append") != a)
+  }
+
   test("the gate fires on an injected regression: a dropped pruning filter") {
     // the q41/q83 class: remove the candidate length filter and the
     // signature must differ — proving the committed entry (filter count

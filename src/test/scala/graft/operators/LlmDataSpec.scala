@@ -1355,6 +1355,23 @@ class LlmDataSpec extends AnyFunSuite {
     }
   }
 
+  test("q349 fixture carries >= 2 error events so MTBF is well-defined") {
+    // ADVICE r12: mtbf_us = span div (n_fail − 1) silently degenerated
+    // on a 0/1-failure fixture. The query now filters n_fail >= 2 (so a
+    // degenerate fixture yields zero rows), and THIS assertion turns a
+    // fixture drift into a loud red instead of a silently-empty report.
+    import spark.implicits._
+    val nFail = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "error").count()
+    assert(nFail >= 2,
+      s"events fixture has $nFail 'error' rows — q349's MTBF needs >= 2")
+    val rows = run("q349_checkpoint_goodput").collect()
+    assert(rows.length == 3, "one row per checkpoint-cost axis value")
+    assert(rows.forall(_.getAs[Long]("n_fail") == nFail))
+    assert(rows.forall(_.getAs[Long]("mtbf_us") > 0),
+      "the n_fail >= 2 guard must make every published MTBF positive")
+  }
+
   test("q351 shard conservation: every world size accounts for every token") {
     import spark.implicits._
     val tok = graft.Tables(spark, dir, "documents")
@@ -2214,5 +2231,222 @@ class LlmDataSpec extends AnyFunSuite {
       .filter("doc_id = 0").select("text").as[String].head()
     val expect = new graft.functions.FakeMediaDecoder().decode(0L, text.getBytes("UTF-8"))
     assert(r == expect)
+  }
+
+  test("q361 noise_ppm matches an independent BigInt recomputation") {
+    import spark.implicits._
+    // recompute per-(type, batch) sums driver-side from the fixture
+    // (bounded: <= 5 types x 16 batches cells) and verify the variance
+    // identity 1e6*(B*SS - S^2)/S^2 in exact BigInt arithmetic
+    val cells = graft.Tables(spark, dir, "events")
+      .filter(col("user_id") >= 0)
+      .selectExpr("event_type", "user_id % 16 AS batch",
+        "cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc")
+      .groupBy("event_type", "batch").agg(sum("vc").as("g"))
+      .as[(String, Long, Long)].collect() // bounded: <= 80 cells
+    val expect = cells.groupBy(_._1).map { case (t, xs) =>
+      val b = BigInt(xs.length)
+      val s = xs.map(x => BigInt(x._3)).sum
+      val ss = xs.map(x => BigInt(x._3) * x._3).sum
+      t -> ((b * ss - s * s) * 1000000 / (s * s))
+    }
+    val got = run("q361_gradient_noise_scale")
+      .select("event_type", "noise_ppm", "n_batches", "bcrit_milli")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, noise, b, bcrit) =>
+      assert(noise >= 0, s"$t: Cauchy-Schwarz keeps noise >= 0")
+      assert(BigInt(noise) == expect(t), s"$t: $noise != ${expect(t)}")
+      assert(bcrit == b * noise / 1000)
+    }
+  }
+
+  test("q362 schedule laws: warmup continuity, monotone decay, exact isqrt") {
+    import spark.implicits._
+    val rows = run("q362_lr_schedule_audit")
+      .select("source", "t", "lr_ppm", "phase")
+      .as[(String, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // continuity: at t = 100 both formulas give exactly base = 500
+    val atW = rows.filter(_._2 == 100L)
+    assert(atW.nonEmpty && atW.forall(_._3 == 500L),
+      s"warmup end must be exactly base: ${atW.toSeq}")
+    // monotone non-increasing within each source past warmup
+    rows.groupBy(_._1).foreach { case (src, xs) =>
+      val decay = xs.filter(_._2 >= 100L).sortBy(_._2)
+      decay.sliding(2).foreach {
+        case Array((_, t1, l1, _), (_, t2, l2, _)) =>
+          assert(l2 <= l1, s"$src: lr rose $l1 -> $l2 at t $t1 -> $t2")
+        case _ => ()
+      }
+    }
+    // decay rows equal BigInt isqrt(25000000 / t) exactly
+    def isqrt(n: BigInt): BigInt = {
+      var x = BigInt(1) << (n.bitLength / 2 + 1)
+      var y = (x + n / x) >> 1
+      while (y < x) { x = y; y = (x + n / x) >> 1 }
+      x
+    }
+    rows.filter(_._4 == "decay").foreach { case (src, t, lr, _) =>
+      assert(BigInt(lr) == isqrt(BigInt(25000000L / t)),
+        s"$src t=$t: $lr != isqrt(${25000000L / t})")
+    }
+  }
+
+  test("q363 novelty: a replayed doc is zero-novel, the first doc all-novel") {
+    import spark.implicits._
+    // independent Scala-set recomputation at sf0.001 (bounded corpus):
+    // distinct 5-gram sets per doc, first occurrence by doc_id order —
+    // also proves the md5-prefix gram hashing introduced no collisions
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val perSource =
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    docs.foreach { case (_, src, text) =>
+      val g = grams(text)
+      if (g.nonEmpty) {
+        val novel = g.count(!seen.contains(_))
+        seen ++= g
+        val (d, m, n) = perSource.getOrElse(src, (0L, 0L, 0L))
+        perSource(src) = (d + 1, m + g.size, n + novel)
+      }
+    }
+    val got = run("q363_ngram_novelty")
+      .select("source", "n_docs", "gram_mass", "novel_mass")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, d, m, n) =>
+      assert(perSource(src) == ((d, m, n)),
+        s"$src: got ($d,$m,$n) want ${perSource(src)}")
+    }
+    // the corpus-min doc with grams is all-novel by definition: its
+    // source's novel mass must be at least its own gram count
+    val first = docs.find(r => grams(r._3).nonEmpty).get
+    assert(perSource(first._2)._3 >= grams(first._3).size.toLong,
+      "the first doc's grams all first-occur there")
+  }
+
+  test("q364 order skew matches a per-user sequential recomputation") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts_us")
+      .as[(Long, Long, String, Long)].collect() // bounded: sf0.001 fixture
+    val byType =
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+    evs.groupBy(_._1).foreach { case (_, xs) =>
+      var runMax = Long.MinValue
+      xs.sortBy(_._2).foreach { case (_, _, t, ts) =>
+        val late = if (runMax != Long.MinValue && ts < runMax) 1L else 0L
+        val back =
+          if (runMax == Long.MinValue) 0L else math.max(0L, runMax - ts)
+        val (n, l, mb, sb) = byType.getOrElse(t, (0L, 0L, 0L, 0L))
+        byType(t) = (n + 1, l + late, math.max(mb, back), sb + back)
+        runMax = math.max(runMax, ts)
+      }
+    }
+    val got = run("q364_event_order_skew")
+      .select("event_type", "n_events", "late_events", "max_backward_us",
+        "sum_backward_us")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, n, l, mb, sb) =>
+      assert(byType(t) == ((n, l, mb, sb)),
+        s"$t: got ($n,$l,$mb,$sb) want ${byType(t)}")
+    }
+  }
+
+  test("q365 closed-form mask equals the per-position simulation (L <= 200)") {
+    // positions 0-15 user, 16-31 assistant, repeating; trainable =
+    // assistant positions — the closed form must match exactly for
+    // every length, including the partial-turn boundary cases
+    (0 to 200).foreach { l =>
+      val simulated = (0 until l).count(p => (p / 16) % 2 == 1)
+      val closed = (l / 32) * 16 + math.max(0, l % 32 - 16)
+      assert(closed == simulated, s"L=$l: closed $closed != sim $simulated")
+    }
+  }
+
+  test("q366 padding laws by exhaustive simulator; q365/q366 fixture rollups agree") {
+    import spark.implicits._
+    // exhaustive: padded is the least quantum multiple >= L, waste < q
+    for (l <- 0 to 1000; cp <- Seq(1, 2, 4, 8)) {
+      val q = cp * 64
+      val padded = if (l == 0) 0L else ((l + q - 1) / q).toLong * q
+      assert(padded % q == 0 && padded - l >= 0 &&
+        (l == 0 || (padded - l < q && padded >= l)))
+    }
+    // fixture-level conservation: waste = padded - raw in the report
+    val rows = run("q366_context_parallel_padding")
+      .select("cp", "raw_tokens", "padded_tokens", "waste_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 4)
+    rows.foreach { case (_, raw, padded, waste) =>
+      assert(waste == padded - raw && padded >= raw)
+    }
+    // cp=1 wastes no more than cp=8 in ppm terms (coarser quantum pads more)
+    val byCp = rows.map(r => r._1 -> (r._3 - r._2)).toMap
+    assert(byCp(1L) <= byCp(8L))
+    // q365 rollup: trainable <= total per source, and the per-source
+    // masses conserve against a direct fixture aggregate
+    val m = run("q365_chat_mask_accounting")
+      .select("source", "total_tokens", "train_tokens")
+      .as[(String, Long, Long)].collect()
+    assert(m.nonEmpty && m.forall { case (_, tot, tr) =>
+      tr <= tot && tr >= 0 })
+    val fixtureTotal = graft.Tables(spark, dir, "documents")
+      .selectExpr("CAST(size(filter(split(text,' '), w -> w <> '')) AS BIGINT) AS l")
+      .agg(sum("l")).as[Long].head()
+    assert(m.map(_._2).sum == fixtureTotal,
+      "per-source token masses must conserve the corpus total")
+  }
+
+  test("q367 planted system-prompt group is found whole") {
+    import spark.implicits._
+    val planted = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 11 === 0).count()
+    val r = run("q367_prefix_cache_reuse").head()
+    // every planted doc shares the 8-token system prompt -> one group
+    // of size >= planted count, so cached_docs >= planted - 1
+    assert(r.getAs[Long]("cached_docs") >= planted - 1,
+      s"cached_docs ${r.getAs[Long]("cached_docs")} < planted $planted - 1")
+    assert(r.getAs[Long]("shared_groups") >= 1)
+    assert(r.getAs[Long]("cached_tokens") ==
+      r.getAs[Long]("cached_docs") * 8)
+    // identity: cached_docs = eligible - groups (every group saves n-1)
+    assert(r.getAs[Long]("cached_docs") ==
+      r.getAs[Long]("docs_eligible") - r.getAs[Long]("n_groups"))
+  }
+
+  test("q368 chi-square: contributions sum to the total, uniform table is 0") {
+    import spark.implicits._
+    val rows = run("q368_lang_source_independence")
+      .select("lang", "lang_chi_micro", "chi_micro", "dof")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val chi = rows.head._3
+    assert(rows.forall(_._3 == chi))
+    assert(rows.map(_._2).sum == chi,
+      "per-lang contributions must sum exactly to the global chi")
+    assert(rows.forall(_._4 == (rows.length - 1) * 19),
+      "dof = (langs-1)(sources-1) with the fixture's 20 sources")
+    // uniform-table zero law in exact BigInt: an independent (outer-
+    // product) table obs(i,j) = a_i * b_j has row_i = a_i*Σb,
+    // col_j = b_j*Σa, N = Σa*Σb, so d = obs*N − row*col = 0 for every
+    // cell and chi = 0 exactly — no truncation artifact can appear
+    val a = Seq(1L, 2L, 3L)
+    val b = Seq(1L, 2L, 3L, 4L)
+    val total = a.sum * b.sum
+    val chiUniform = (for (ai <- a; bj <- b) yield {
+      val d = BigInt(ai * bj) * total - BigInt(ai * b.sum) * (bj * a.sum)
+      d * d * 1000000 / (BigInt(total) * (ai * b.sum) * (bj * a.sum))
+    }).sum
+    assert(chiUniform == 0)
   }
 }
