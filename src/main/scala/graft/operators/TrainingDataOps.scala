@@ -4868,6 +4868,384 @@ object TrainingDataOps {
         FROM cm, chi
         GROUP BY lang, row_n, nl, ns, chi_micro
         ORDER BY lang"""))
+  ,
+
+    // --------------------------------------------------------------- q369
+    // Source-overlap matrix — pairwise 5-gram Jaccard between sources,
+    // the mixture-dedup planning table (how much of source A's shingle
+    // mass source B already carries): distinct (source, gram-hash)
+    // pairs self-join on the HASH (grams travel as md5-prefix BIGINTs,
+    // never text), per-gram fan-out bounded by |sources|² pairs, then
+    // one keyed pair aggregate. 100 TB shape: gram-hash equi-join with
+    // ≤ 190-pair fan-out per key at 20 sources — candidate-bounded
+    // like every dedup family here, no all-pairs doc product anywhere.
+    QueryDef(
+      "q369_source_overlap_matrix",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val gs = Tables(s, dir, "documents")
+          .select(col("source"),
+            explode(expr("array_distinct(graft_word_ngrams(text, 5))"))
+              .as("gram"))
+          .select(col("source"), expr(
+            "CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+          .distinct()
+        val counts = gs.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = gs.as("a")
+          .join(gs.as("b"), Seq("h"))
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"),
+            col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(counts.withColumnRenamed("source", "src_a")
+            .withColumnRenamed("n", "n_a")), Seq("src_a"))
+          .join(broadcast(counts.withColumnRenamed("source", "src_b")
+            .withColumnRenamed("n", "n_b")), Seq("src_b"))
+          .withColumn("uni", expr("n_a + n_b - inter"))
+          .withColumn("jaccard_ppm", expr("inter * 1000000 div uni"))
+          .select("src_a", "src_b", "inter", "uni", "jaccard_ppm")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""
+        WITH g0 AS (
+          SELECT DISTINCT source,
+                 UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+                             ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+          FROM (SELECT source, string_split(text, ' ') AS ws
+                FROM documents)),
+        gs AS (
+          SELECT DISTINCT source,
+                 CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                   AS h
+          FROM g0),
+        counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM gs GROUP BY source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT p.src_a, p.src_b, p.inter,
+               CAST(ca.n + cb.n - p.inter AS BIGINT) AS uni,
+               CAST(p.inter * 1000000 // (ca.n + cb.n - p.inter)
+                 AS BIGINT) AS jaccard_ppm
+        FROM pairs p
+        JOIN counts ca ON ca.source = p.src_a
+        JOIN counts cb ON cb.source = p.src_b
+        ORDER BY src_a, src_b"""))
+  ,
+
+    // --------------------------------------------------------------- q370
+    // Per-source token-distribution Shannon entropy (micro-nats) — the
+    // diversity number mixture owners read beside q322's Zipf slope:
+    // H = Σ (c/T)·ln(T/c) with ln quantized to integer micro-units
+    // BEFORE the mass-weighted sum (the q58 idf discipline: a 1-ulp
+    // libm difference must land exactly on a .5e-6 rounding boundary
+    // to move the output by one). 100 TB shape: one (source, word)
+    // keyed aggregate with map-side partials, a 20-row broadcast of
+    // per-source totals, one keyed rollup.
+    QueryDef(
+      "q370_source_token_entropy",
+      (s, dir) => {
+        val wc = Tables(s, dir, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val totals = wc.groupBy("source").agg(sum("c").as("t"),
+          count(lit(1)).as("vocab"))
+        wc.join(broadcast(totals), Seq("source")) // ≤ sources rows
+          .withColumn("lnm", expr(
+            "CAST(round(ln(CAST(t AS DOUBLE) / c) * 1000000) AS BIGINT)"))
+          .groupBy("source")
+          .agg(max("t").as("tokens"), max("vocab").as("vocab"),
+            // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+            sum(expr("CAST(c AS DECIMAL(38,0)) * lnm")).as("mass"))
+          .withColumn("entropy_micro_nats",
+            expr("CAST(mass div tokens AS BIGINT)"))
+          .select("source", "tokens", "vocab", "entropy_micro_nats")
+          .orderBy("source")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, UNNEST(string_split(text, ' ')) AS w
+          FROM documents),
+        wc AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE length(w) > 0 GROUP BY source, w),
+        totals AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM wc GROUP BY source),
+        lnm AS (
+          SELECT wc.source, totals.t, totals.vocab,
+                 CAST(wc.c AS HUGEINT) *
+                 CAST(round(ln(CAST(totals.t AS DOUBLE) / wc.c) * 1000000)
+                   AS BIGINT) AS m
+          FROM wc JOIN totals ON wc.source = totals.source)
+        SELECT source, CAST(MAX(t) AS BIGINT) AS tokens,
+               CAST(MAX(vocab) AS BIGINT) AS vocab,
+               CAST(SUM(m) // MAX(t) AS BIGINT) AS entropy_micro_nats
+        FROM lnm
+        GROUP BY source
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q371
+    // Incremental novelty tick — q363's first-occurrence question asked
+    // the O(delta) way a continuous ingest answers it: only the
+    // ARRIVING docs explode into grams; each gram left-joins the
+    // STANDING corpus gram index (gram-hash keyed) for a known/new
+    // flag. Re-crawl arrivals (same text) must read exactly 0 novel;
+    // fresh synthetic docs carry ids no corpus gram contains (both
+    // law-spec'd). s70 streams the identical flag frame through a
+    // STREAM-STATIC left join inside the tick — oracle VERBATIM.
+    QueryDef(
+      "q371_incremental_novelty_tick",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val docs = Tables(s, dir, "documents")
+          .select("doc_id", "source", "text")
+        noveltyTickReport(
+          arrivalGramFlags(s, novelArrivals(docs), docs))
+      },
+      Some(noveltyTickOracle))
+  ,
+
+    // --------------------------------------------------------------- q372
+    // Vocabulary long-tail spectrum — per-source frequency-of-frequency
+    // counts (hapax f1, dis f2, f3, f4+) and the Good–Turing unseen-
+    // mass estimate f1/T in ppm: the data-scarcity signal beside
+    // q358's coverage knee (a fat f1 tail means the next shard still
+    // buys new vocabulary). 100 TB shape: one (source, word) keyed
+    // aggregate, one keyed spectrum rollup — word strings are short
+    // tokens and the second aggregate is count-only.
+    QueryDef(
+      "q372_vocab_long_tail",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("tokens"), count(lit(1)).as("vocab"),
+          sum((col("c") === 1).cast("long")).as("f1"),
+          sum((col("c") === 2).cast("long")).as("f2"),
+          sum((col("c") === 3).cast("long")).as("f3"),
+          sum((col("c") >= 4).cast("long")).as("f4plus"))
+        .withColumn("gt_unseen_ppm", expr("f1 * 1000000 div tokens"))
+        .select("source", "tokens", "vocab", "f1", "f2", "f3",
+          "f4plus", "gt_unseen_ppm")
+        .orderBy("source"),
+      Some("""
+        WITH toks AS (
+          SELECT source, UNNEST(string_split(text, ' ')) AS w
+          FROM documents),
+        wc AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE length(w) > 0 GROUP BY source, w)
+        SELECT source, CAST(SUM(c) AS BIGINT) AS tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f2,
+               CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f3,
+               CAST(SUM(CASE WHEN c >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f4plus,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                 // SUM(c) AS BIGINT) AS gt_unseen_ppm
+        FROM wc
+        GROUP BY source
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q373
+    // Train/eval split leakage audit — exact-dup contamination across a
+    // deterministic 5% eval split: planted re-crawl copies (the q25
+    // plant at a disjoint id offset) land in whichever split their md5
+    // coin says, and any digest present in BOTH splits poisons its
+    // eval members; the quarantined eval count is what a release gate
+    // reports. Digests are md5 — text never rides the split shuffle.
+    // 100 TB shape: one digest-keyed aggregate (has_train/has_eval
+    // flags), one broadcast-back of leaked digests, keyed rollups.
+    QueryDef(
+      "q373_eval_split_leakage",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select("doc_id", "source", "text")
+        // plant: every 5th doc re-arrives verbatim at +900000 (fixture
+        // doc_id < 900000 at every shipped sf, so ids never collide)
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 900000).as("doc_id"), col("source"),
+              col("text")))
+        val tagged = planted
+          .withColumn("digest", md5(col("text")))
+          .withColumn("is_eval", expr(
+            """CAST(conv(substr(md5(concat('sp_',
+                  CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+               % 20 = 0"""))
+        val leak = tagged.groupBy("digest")
+          .agg(max(expr("CASE WHEN is_eval THEN 0 ELSE 1 END"))
+            .as("has_train"),
+            max(expr("CASE WHEN is_eval THEN 1 ELSE 0 END"))
+              .as("has_eval"))
+          .filter(col("has_train") === 1 && col("has_eval") === 1)
+          .select("digest")
+        tagged.join(leak.withColumn("leaked", lit(1L)), Seq("digest"),
+            "left")
+          .groupBy("source")
+          .agg(sum(expr("CASE WHEN is_eval THEN 0 ELSE 1 END"))
+            .as("train_docs"),
+            sum(expr("CASE WHEN is_eval THEN 1 ELSE 0 END"))
+              .as("eval_docs"),
+            sum(expr(
+              "CASE WHEN is_eval AND leaked IS NOT NULL THEN 1 ELSE 0 END"))
+              .as("leaked_eval_docs"))
+          .withColumn("eval_clean", expr("eval_docs - leaked_eval_docs"))
+          .select("source", "train_docs", "eval_docs",
+            "leaked_eval_docs", "eval_clean")
+          .orderBy("source")
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 900000, source, text FROM documents
+          WHERE doc_id % 5 = 0),
+        tagged AS (
+          SELECT source, md5(text) AS digest,
+                 CAST(concat('0x', substr(md5('sp_' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 20 = 0
+                   AS is_eval
+          FROM planted),
+        leak AS (
+          SELECT digest
+          FROM tagged
+          GROUP BY digest
+          HAVING MAX(CASE WHEN is_eval THEN 0 ELSE 1 END) = 1
+             AND MAX(CASE WHEN is_eval THEN 1 ELSE 0 END) = 1)
+        SELECT source,
+               CAST(SUM(CASE WHEN is_eval THEN 0 ELSE 1 END) AS BIGINT)
+                 AS train_docs,
+               CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT)
+                 AS eval_docs,
+               CAST(SUM(CASE WHEN is_eval AND digest IN
+                 (SELECT digest FROM leak) THEN 1 ELSE 0 END) AS BIGINT)
+                 AS leaked_eval_docs,
+               CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN is_eval AND digest IN
+                     (SELECT digest FROM leak) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS eval_clean
+        FROM tagged
+        GROUP BY source
+        ORDER BY source"""))
+  ,
+
+    // --------------------------------------------------------------- q374
+    // Inter-annotator agreement (Cohen's kappa, integer-exact ppm) —
+    // the labeling-quality number beside q343's Dawid–Skene and q354's
+    // budget router: two md5-coin annotators over 4 classes with a 70%
+    // forced-agreement channel; po from the agree count, pe from the
+    // marginal products in DECIMAL(38), kappa = (po−pe)/(1−pe) in ppm
+    // with every div truncating on non-negative operands. Law
+    // (spec'd): the formula gives exactly 1e6 for a perfect-agreement
+    // table. 100 TB shape: one per-row projection, two ≤ 4-row class
+    // marginals, single-row broadcast assembly.
+    QueryDef(
+      "q374_annotation_kappa",
+      (s, dir) => {
+        val a = Tables(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("a1", expr(
+            """CAST(conv(substr(md5(concat('a1_',
+                  CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+               % 4"""))
+          .withColumn("a2", expr(
+            """CASE WHEN CAST(conv(substr(md5(concat('ag_',
+                    CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                  % 10 < 7
+               THEN CAST(conv(substr(md5(concat('a1_',
+                    CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                  % 4
+               ELSE CAST(conv(substr(md5(concat('a2_',
+                    CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                  % 4 END"""))
+        val per1 = a.groupBy(col("a1").as("cls"))
+          .agg(count(lit(1)).as("n1"))
+        val per2 = a.groupBy(col("a2").as("cls"))
+          .agg(count(lit(1)).as("n2"))
+        val tot = a.agg(count(lit(1)).as("n"),
+          sum((col("a1") === col("a2")).cast("long")).as("agree"))
+        val marg = per1.join(per2, Seq("cls"), "full")
+          .na.fill(0L, Seq("n1", "n2")) // ≤ 4 classes
+        val pe = marg.crossJoin(broadcast(tot))
+          .agg(max("n").as("n"), max("agree").as("agree"),
+            // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
+            sum(expr("CAST(n1 AS DECIMAL(38,0)) * n2")).as("pemass"))
+          .withColumn("po_ppm", expr("agree * 1000000 div n"))
+          .withColumn("pe_ppm", expr(
+            """CAST(pemass * 1000000
+               div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
+          .withColumn("kappa_ppm", expr(
+            """(po_ppm - pe_ppm) * 1000000
+               div nullif(1000000 - pe_ppm, 0)"""))
+          .select("n", "agree", "po_ppm", "pe_ppm", "kappa_ppm")
+        marg.crossJoin(broadcast(pe)) // ≤ 4 rows × single row
+          .select("cls", "n1", "n2", "n", "agree", "po_ppm", "pe_ppm",
+            "kappa_ppm")
+          .orderBy("cls")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5('a1_' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS a1,
+                 CASE WHEN CAST(concat('0x', substr(md5('ag_' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 10 < 7
+                 THEN CAST(concat('0x', substr(md5('a1_' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+                 ELSE CAST(concat('0x', substr(md5('a2_' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+                 END AS a2
+          FROM documents),
+        per1 AS (SELECT a1 AS cls, CAST(COUNT(*) AS BIGINT) AS n1
+                 FROM a GROUP BY a1),
+        per2 AS (SELECT a2 AS cls, CAST(COUNT(*) AS BIGINT) AS n2
+                 FROM a GROUP BY a2),
+        marg AS (
+          SELECT COALESCE(per1.cls, per2.cls) AS cls,
+                 COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+          FROM per1 FULL JOIN per2 ON per1.cls = per2.cls),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree
+          FROM a),
+        pe AS (
+          SELECT MAX(n) AS n, MAX(agree) AS agree,
+                 SUM(CAST(n1 AS HUGEINT) * n2) AS pemass
+          FROM marg CROSS JOIN tot),
+        k AS (
+          SELECT n, agree,
+                 CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+                 CAST(pemass * 1000000
+                   // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+          FROM pe),
+        k2 AS (
+          SELECT k.*,
+                 CAST((po_ppm - pe_ppm) * 1000000
+                   // nullif(1000000 - pe_ppm, 0) AS BIGINT) AS kappa_ppm
+          FROM k)
+        SELECT marg.cls, marg.n1, marg.n2, k2.n, k2.agree, k2.po_ppm,
+               k2.pe_ppm, k2.kappa_ppm
+        FROM marg CROSS JOIN k2
+        ORDER BY cls"""))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from
@@ -5830,6 +6208,104 @@ object TrainingDataOps {
                  AS bcrit_milli
         FROM x
         ORDER BY event_type"""
+
+  /** q371/s70 shared arrival plant: every 7th doc re-arrives VERBATIM
+    * (novelty must read exactly 0), every 7th+3 doc arrives as a fresh
+    * synthetic item whose id-bearing tokens no corpus gram contains.
+    * Offsets 700000/800000 are disjoint from fixture doc_ids (< 900000
+    * at every shipped sf) and from each other. */
+  private[graft] def novelArrivals(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 700000).as("doc_id"), col("source"),
+        col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 800000).as("doc_id"), col("source"),
+          concat(lit("fresh shard item "), col("doc_id").cast("string"),
+            lit(" payload "), (col("doc_id") * 31).cast("string"))
+            .as("text")))
+
+  /** q371/s70 shared flag frame: arrival docs explode into per-doc-
+    * distinct 5-gram hashes and LEFT-join the standing corpus gram
+    * index for a known/new flag. `arrivals` may be a STREAMING frame —
+    * the join is then Spark's stream-static left outer (static index on
+    * the right), which is exactly the standing-index shape a
+    * continuous ingest runs at 100 TB. Gram strings never ride a
+    * shuffle — only md5-prefix BIGINTs. */
+  private[graft] def arrivalGramFlags(s: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame, corpus: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val index = corpus
+      .select(explode(expr("array_distinct(graft_word_ngrams(text, 5))"))
+        .as("gram"))
+      .select(expr(
+        "CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+      .withColumn("known", lit(1))
+    arrivals
+      .withColumn("cls", expr(
+        "CASE WHEN doc_id >= 800000 THEN 'fresh' ELSE 'recrawl' END"))
+      .select(col("doc_id"), col("cls"),
+        explode(expr("array_distinct(graft_word_ngrams(text, 5))"))
+          .as("gram"))
+      .select(col("doc_id"), col("cls"), expr(
+        "CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .join(index, Seq("h"), "left")
+  }
+
+  /** q371/s70 shared rollup half: per arrival class, gram and novelty
+    * masses from the drained flag frame. */
+  private[graft] def noveltyTickReport(flags: DataFrame): DataFrame =
+    flags.groupBy("cls")
+      .agg(countDistinct("doc_id").as("docs"),
+        count(lit(1)).as("gram_mass"),
+        sum(expr("CASE WHEN known IS NULL THEN 1L ELSE 0L END"))
+          .as("novel_mass"))
+      .withColumn("novelty_ppm", expr(
+        "novel_mass * 1000000 div nullif(gram_mass, 0)"))
+      .select("cls", "docs", "gram_mass", "novel_mass", "novelty_ppm")
+      .orderBy("cls")
+
+  /** q371's oracle, shared VERBATIM by s70. */
+  private[graft] def noveltyTickOracle: String = """
+        WITH arr AS (
+          SELECT doc_id + 700000 AS doc_id, 'recrawl' AS cls, text
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 800000, 'fresh',
+                 'fresh shard item ' || CAST(doc_id AS VARCHAR) ||
+                 ' payload ' || CAST(doc_id * 31 AS VARCHAR)
+          FROM documents WHERE doc_id % 7 = 3),
+        idx AS (
+          SELECT DISTINCT
+                 CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                   AS h
+          FROM (SELECT UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+                             ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+                FROM (SELECT string_split(text, ' ') AS ws
+                      FROM documents))),
+        ag0 AS (
+          SELECT DISTINCT doc_id, cls,
+                 UNNEST(list_transform(range(1, len(ws) - 3),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] ||
+                             ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+          FROM (SELECT doc_id, cls, string_split(text, ' ') AS ws
+                FROM arr)),
+        ag AS (
+          SELECT doc_id, cls,
+                 CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                   AS h
+          FROM ag0)
+        SELECT cls, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs,
+               CAST(COUNT(*) AS BIGINT) AS gram_mass,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM idx)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS novel_mass,
+               CAST(SUM(CASE WHEN h IN (SELECT h FROM idx)
+                             THEN 0 ELSE 1 END) * 1000000
+                 // nullif(COUNT(*), 0) AS BIGINT) AS novelty_ppm
+        FROM ag
+        GROUP BY cls
+        ORDER BY cls"""
 
   /** q365/s69 shared per-doc half: token count L plus the CLOSED-FORM
     * trainable-token count (L div 32)·16 + max(0, L mod 32 − 16) under

@@ -3840,6 +3840,29 @@ object StreamingQueries {
               .select("doc_id", "source", "text"))))
       },
       Some(graft.operators.TrainingDataOps.maskOracle))
+  ,
+
+    // ---------------------------------------------------------------- s70
+    // Streaming incremental novelty — q371 live at ingest, and the one
+    // family member that exercises Spark's STREAM-STATIC LEFT OUTER
+    // join: arriving docs explode into per-doc-distinct gram hashes
+    // inside the tick and left-join the STANDING corpus gram index (a
+    // static frame on the join's right — the standing-index shape a
+    // continuous 100 TB ingest runs); the drained flag frame rolls up
+    // through q371's noveltyTickReport — oracle VERBATIM, so a dropped
+    // tick loses an arrival's gram mass and cannot hash-match.
+    QueryDef(
+      "s70_stream_novelty_tick",
+      (s, dir) => {
+        import graft.operators.TrainingDataOps
+        val corpus = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text")
+        TrainingDataOps.noveltyTickReport(
+          drain(s, OutputMode.Append())(
+            TrainingDataOps.arrivalGramFlags(s,
+              novelArrivalStreamParts(s, dir), corpus)))
+      },
+      Some(graft.operators.TrainingDataOps.noveltyTickOracle))
   )
 
   /** q107's ingest-batch construction, shared by s37's final report and
@@ -3867,6 +3890,37 @@ object StreamingQueries {
       s"${System.getProperty("java.io.tmpdir")}/graft_stream_ingest_parts/$sf-${fixtureKey(path)}")
     val marker = landing.resolve("_STAGED")
     val batch = ingestBatch(s.read.parquet(path).select("doc_id", "text"))
+    if (!Files.exists(marker)) {
+      Files.createDirectories(landing)
+      val parts = parquetParts(batch.repartitionByRange(3, col("doc_id")))
+      require(parts.size == 3, s"expected 3 range parts, got ${parts.size}")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dest = landing.resolve(s"part_${i + 1}.parquet")
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          FileTime.fromMillis(1000000000000L + (i + 1) * 60000L))
+      }
+      placeMarker(marker)
+    }
+    s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+  }
+
+  /** s70's arrival wave staged as 3 time-ordered parquet parts — the
+    * SHARED q371 plant (TrainingDataOps.novelArrivals: verbatim
+    * re-crawls + fresh synthetic items) under the same content-keyed
+    * at-most-once staging discipline as [[ingestBatchStreamParts]]. */
+  private def novelArrivalStreamParts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val path = s"$dir/documents.parquet"
+    val sf = Paths.get(dir).getFileName.toString
+    val landing = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_novel_parts/$sf-${fixtureKey(path)}")
+    val marker = landing.resolve("_STAGED")
+    val batch = graft.operators.TrainingDataOps.novelArrivals(
+      s.read.parquet(path).select("doc_id", "source", "text"))
     if (!Files.exists(marker)) {
       Files.createDirectories(landing)
       val parts = parquetParts(batch.repartitionByRange(3, col("doc_id")))

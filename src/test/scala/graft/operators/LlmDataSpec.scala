@@ -2449,4 +2449,142 @@ class LlmDataSpec extends AnyFunSuite {
     }).sum
     assert(chiUniform == 0)
   }
+
+  test("q369 pair Jaccard matches an independent Scala-set recomputation") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bySrc = docs.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> xs.iterator.flatMap(x => grams(x._2)).toSet }
+    val got = run("q369_source_overlap_matrix")
+      .select("src_a", "src_b", "inter", "uni", "jaccard_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (sa, sb, inter, uni, j) =>
+      assert(sa < sb, "pairs are emitted once, lexicographically")
+      val ei = (bySrc(sa) intersect bySrc(sb)).size.toLong
+      val eu = (bySrc(sa) union bySrc(sb)).size.toLong
+      assert((inter, uni) == ((ei, eu)), s"$sa/$sb: ($inter,$uni) != ($ei,$eu)")
+      assert(j == inter * 1000000L / uni && j <= 1000000L)
+    }
+  }
+
+  test("q370 entropy matches the quantized recomputation and the ln(V) bound") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    val got = run("q370_source_token_entropy")
+      .select("source", "tokens", "vocab", "entropy_micro_nats")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, t, v, h) =>
+      val counts = docs.filter(_._1 == src)
+        .flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map(_._2.length.toLong)
+      assert(counts.sum == t && counts.size.toLong == v)
+      val mass = counts.map(c =>
+        BigInt(c) * math.round(math.log(t.toDouble / c) * 1e6)).sum
+      assert(BigInt(h) == mass / t, s"$src: $h != ${mass / t}")
+      // Jensen: H <= ln(vocab), +1 micro-nat rounding slack
+      assert(h <= math.round(math.log(v.toDouble) * 1e6) + 1)
+    }
+  }
+
+  test("q371/s70 novelty poles: verbatim re-crawls 0, fresh items 1e6") {
+    import spark.implicits._
+    val rows = run("q371_incremental_novelty_tick")
+      .select("cls", "novel_mass", "gram_mass", "novelty_ppm")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("fresh", "recrawl"))
+    assert(rows("recrawl")._2 == 0L && rows("recrawl")._4 == 0L,
+      "a verbatim re-crawl's grams are ALL in the standing index")
+    assert(rows("fresh")._2 == rows("fresh")._3 &&
+      rows("fresh")._4 == 1000000L,
+      "fresh items' id-bearing grams can never pre-exist in the corpus")
+  }
+
+  test("q372 spectrum partitions the vocabulary exactly") {
+    import spark.implicits._
+    val rows = run("q372_vocab_long_tail")
+      .select("source", "vocab", "f1", "f2", "f3", "f4plus",
+        "gt_unseen_ppm", "tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, v, f1, f2, f3, f4, gt, t) =>
+      assert(f1 + f2 + f3 + f4 == v,
+        "frequency classes must partition the vocabulary")
+      assert(gt == f1 * 1000000L / t && gt <= 1000000L)
+    }
+    // cross-gate with q370: same (source, tokens, vocab) aggregates
+    val ent = run("q370_source_token_entropy")
+      .select("source", "tokens", "vocab")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    rows.foreach { case (s0, v, _, _, _, _, _, t) =>
+      assert(ent(s0)._2 == t && ent(s0)._3 == v)
+    }
+  }
+
+  test("q373 leakage matches a driver-side digest recomputation") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val planted = docs ++ docs.filter(_._1 % 5 == 0)
+      .map { case (id, s0, t) => (id + 900000L, s0, t) }
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def isEval(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"sp_$id").take(15), 16) % 20 == 0
+    val tagged = planted.map { case (id, s0, t) =>
+      (s0, md5hex(t), isEval(id)) }
+    val leak = tagged.groupBy(_._2).collect {
+      case (d, xs) if xs.exists(_._3) && xs.exists(!_._3) => d }.toSet
+    val expect = tagged.groupBy(_._1).map { case (s0, xs) =>
+      val ev = xs.count(_._3)
+      val lk = xs.count(x => x._3 && leak(x._2))
+      s0 -> (xs.size - ev, ev, lk, ev - lk)
+    }
+    val got = run("q373_eval_split_leakage")
+      .select("source", "train_docs", "eval_docs", "leaked_eval_docs",
+        "eval_clean")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (s0, tr, ev, lk, cl) =>
+      val (etr, eev, elk, ecl) = expect(s0)
+      assert((tr, ev, lk, cl) == ((etr.toLong, eev.toLong, elk.toLong,
+        ecl.toLong)), s"$s0: ($tr,$ev,$lk,$cl) != $expect")
+    }
+    // the planted copies guarantee leakage exists somewhere at sf0.001
+    assert(got.map(_._4).sum > 0, "plant must produce cross-split dups")
+  }
+
+  test("q374 kappa identities: internal consistency and the perfect-agreement pole") {
+    import spark.implicits._
+    val rows = run("q374_annotation_kappa")
+      .select("cls", "n1", "n2", "n", "agree", "po_ppm", "pe_ppm",
+        "kappa_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 4, "4 classes, each with both marginals")
+    val (n, agree, po, pe, kappa) =
+      (rows.head._4, rows.head._5, rows.head._6, rows.head._7, rows.head._8)
+    assert(rows.forall(r => (r._4, r._6, r._8) == ((n, po, kappa))))
+    assert(rows.map(_._2).sum == n && rows.map(_._3).sum == n,
+      "marginals each sum to the doc count")
+    assert(po == agree * 1000000L / n)
+    val pemass = rows.map(r => BigInt(r._2) * r._3).sum
+    assert(BigInt(pe) == pemass * 1000000 / (BigInt(n) * n))
+    assert(BigInt(kappa) ==
+      BigInt(po - pe) * 1000000 / (1000000L - pe))
+    // 70% forced agreement + 1/4 chance otherwise => po far above pe
+    assert(kappa > 500000L && kappa < 1000000L)
+    // perfect-agreement pole: po = 1e6 forces kappa = 1e6 for ANY pe < 1e6
+    (0L until 1000000L by 99999L).foreach { p =>
+      assert(BigInt(1000000L - p) * 1000000 / (1000000L - p) == 1000000L)
+    }
+  }
 }
