@@ -4713,88 +4713,6 @@ object TrainingDataOps {
         ORDER BY cp"""))
   ,
 
-    // --------------------------------------------------------------- q367
-    // Prefix-cache reuse audit — inference-time KV prefix caching (and
-    // training-time packed-prefix sharing) wins exactly once per
-    // distinct 8-token prefix group beyond its first member. Docs with
-    // doc_id % 11 = 0 carry a planted 8-token system prompt (the
-    // shared-system-prompt fleet every serving stack sees), so one
-    // group is guaranteed large; savings = Σ(group size − 1)·8. The
-    // prefix travels as an md5-prefix BIGINT (q25 digest discipline) —
-    // never the text. 100 TB shape: stateless projection, one
-    // prefix-hash-keyed aggregate, one global ≤ groups rollup.
-    QueryDef(
-      "q367_prefix_cache_reuse",
-      (s, dir) => {
-        val planted = Tables(s, dir, "documents")
-          .select(col("doc_id"), expr(
-            """CASE WHEN doc_id % 11 = 0
-                 THEN concat('sys0 sys1 sys2 sys3 sys4 sys5 sys6 sys7 ',
-                             text)
-                 ELSE text END""").as("text"))
-        val pref = planted
-          .withColumn("wl", expr("filter(split(text, ' '), x -> x <> '')"))
-          .withColumn("elig", (size(col("wl")) >= 8).cast("long"))
-          .withColumn("ph", expr(
-            """CASE WHEN size(wl) >= 8
-                 THEN CAST(conv(substr(md5(concat_ws(' ',
-                        slice(wl, 1, 8))), 1, 15), 16, 10) AS BIGINT)
-                 ELSE NULL END"""))
-        val groups = pref.filter(col("ph").isNotNull)
-          .groupBy("ph").agg(count(lit(1)).as("n"))
-        val gstats = groups.agg(
-          count(lit(1)).as("n_groups"),
-          sum((col("n") >= 2).cast("long")).as("shared_groups"),
-          sum(expr("n - 1")).as("cached_docs"))
-        pref.agg(count(lit(1)).as("docs_total"),
-            sum("elig").as("docs_eligible"))
-          .crossJoin(broadcast(gstats)) // single-row × single-row
-          .withColumn("cached_tokens", expr("cached_docs * 8"))
-          .withColumn("hit_ppm", expr(
-            "cached_docs * 1000000 div nullif(docs_eligible, 0)"))
-          .select("docs_total", "docs_eligible", "n_groups",
-            "shared_groups", "cached_docs", "cached_tokens", "hit_ppm")
-      },
-      Some("""
-        WITH planted AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 11 = 0
-                   THEN 'sys0 sys1 sys2 sys3 sys4 sys5 sys6 sys7 ' || text
-                   ELSE text END AS text
-          FROM documents),
-        pref AS (
-          SELECT doc_id,
-                 CASE WHEN len(wl) >= 8 THEN 1 ELSE 0 END AS elig,
-                 CASE WHEN len(wl) >= 8
-                   THEN CAST(concat('0x', substr(md5(
-                          array_to_string(wl[1:8], ' ')), 1, 15))
-                        AS BIGINT)
-                   ELSE NULL END AS ph
-          FROM (SELECT doc_id,
-                       list_filter(string_split(text, ' '), x -> x <> '')
-                         AS wl
-                FROM planted)),
-        groups AS (
-          SELECT ph, CAST(COUNT(*) AS BIGINT) AS n
-          FROM pref WHERE ph IS NOT NULL GROUP BY ph),
-        gstats AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-                 CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS shared_groups,
-                 CAST(SUM(n - 1) AS BIGINT) AS cached_docs
-          FROM groups),
-        tot AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS docs_total,
-                 CAST(SUM(elig) AS BIGINT) AS docs_eligible
-          FROM pref)
-        SELECT docs_total, docs_eligible, n_groups, shared_groups,
-               cached_docs, CAST(cached_docs * 8 AS BIGINT)
-                 AS cached_tokens,
-               CAST(cached_docs * 1000000 // nullif(docs_eligible, 0)
-                 AS BIGINT) AS hit_ppm
-        FROM tot, gstats"""))
-  ,
-
     // --------------------------------------------------------------- q368
     // Language × source independence (contingency chi-square, integer-
     // exact) — the corpus-composition audit behind mixture decisions:
@@ -4871,14 +4789,19 @@ object TrainingDataOps {
   ,
 
     // --------------------------------------------------------------- q369
-    // Source-overlap matrix — pairwise 5-gram Jaccard between sources,
-    // the mixture-dedup planning table (how much of source A's shingle
-    // mass source B already carries): distinct (source, gram-hash)
-    // pairs self-join on the HASH (grams travel as md5-prefix BIGINTs,
-    // never text), per-gram fan-out bounded by |sources|² pairs, then
-    // one keyed pair aggregate. 100 TB shape: gram-hash equi-join with
-    // ≤ 190-pair fan-out per key at 20 sources — candidate-bounded
-    // like every dedup family here, no all-pairs doc product anywhere.
+    // Source-overlap matrix — pairwise 5-GRAM (shingle) Jaccard between
+    // sources: the mixture-DEDUP planning table (how much of source A's
+    // shingle mass a near-dup pass against source B would collapse).
+    // Deliberately the shingle-grain sibling of q185's unigram
+    // vocabulary overlap (the cheap domain-similarity screen): unigram
+    // overlap answers "same domain?", shingle overlap answers "same
+    // PASSAGES?" — sources can share 90% vocabulary and ~0% shingles.
+    // Same scale device as q185: each gram-hash groups into its
+    // (bounded, ≤ |sources|) source set ONCE and ordered pairs explode
+    // from that row — one distinct + one gram-keyed aggregate, never a
+    // gram self-join, and grams travel as md5-prefix BIGINTs, never
+    // text. 100 TB shape: two keyed aggregates over gram hashes; the
+    // pair explode is ≤ C(|sources|,2) per gram.
     QueryDef(
       "q369_source_overlap_matrix",
       (s, dir) => {
@@ -4892,11 +4815,13 @@ object TrainingDataOps {
             .as("h"))
           .distinct()
         val counts = gs.groupBy("source").agg(count(lit(1)).as("n"))
-        val pairs = gs.as("a")
-          .join(gs.as("b"), Seq("h"))
-          .filter(col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"),
-            col("b.source").as("src_b"))
+        val pairs = gs.groupBy("h")
+          .agg(sort_array(collect_set(col("source"))).as("srcs")) // ≤ sources
+          .select(explode(expr(
+            """flatten(transform(srcs, (a, i) ->
+                 transform(slice(srcs, i + 2, size(srcs)),
+                   b -> struct(a AS s1, b AS s2))))""")).as("p"))
+          .groupBy(col("p.s1").as("src_a"), col("p.s2").as("src_b"))
           .agg(count(lit(1)).as("inter"))
         pairs
           .join(broadcast(counts.withColumnRenamed("source", "src_a")
@@ -5015,54 +4940,6 @@ object TrainingDataOps {
       Some(noveltyTickOracle))
   ,
 
-    // --------------------------------------------------------------- q372
-    // Vocabulary long-tail spectrum — per-source frequency-of-frequency
-    // counts (hapax f1, dis f2, f3, f4+) and the Good–Turing unseen-
-    // mass estimate f1/T in ppm: the data-scarcity signal beside
-    // q358's coverage knee (a fat f1 tail means the next shard still
-    // buys new vocabulary). 100 TB shape: one (source, word) keyed
-    // aggregate, one keyed spectrum rollup — word strings are short
-    // tokens and the second aggregate is count-only.
-    QueryDef(
-      "q372_vocab_long_tail",
-      (s, dir) => Tables(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
-        .groupBy("source")
-        .agg(sum("c").as("tokens"), count(lit(1)).as("vocab"),
-          sum((col("c") === 1).cast("long")).as("f1"),
-          sum((col("c") === 2).cast("long")).as("f2"),
-          sum((col("c") === 3).cast("long")).as("f3"),
-          sum((col("c") >= 4).cast("long")).as("f4plus"))
-        .withColumn("gt_unseen_ppm", expr("f1 * 1000000 div tokens"))
-        .select("source", "tokens", "vocab", "f1", "f2", "f3",
-          "f4plus", "gt_unseen_ppm")
-        .orderBy("source"),
-      Some("""
-        WITH toks AS (
-          SELECT source, UNNEST(string_split(text, ' ')) AS w
-          FROM documents),
-        wc AS (
-          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
-          FROM toks WHERE length(w) > 0 GROUP BY source, w)
-        SELECT source, CAST(SUM(c) AS BIGINT) AS tokens,
-               CAST(COUNT(*) AS BIGINT) AS vocab,
-               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS f1,
-               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS f2,
-               CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS f3,
-               CAST(SUM(CASE WHEN c >= 4 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS f4plus,
-               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
-                 // SUM(c) AS BIGINT) AS gt_unseen_ppm
-        FROM wc
-        GROUP BY source
-        ORDER BY source"""))
-  ,
-
     // --------------------------------------------------------------- q373
     // Train/eval split leakage audit — exact-dup contamination across a
     // deterministic 5% eval split: planted re-crawl copies (the q25
@@ -5144,108 +5021,6 @@ object TrainingDataOps {
         FROM tagged
         GROUP BY source
         ORDER BY source"""))
-  ,
-
-    // --------------------------------------------------------------- q374
-    // Inter-annotator agreement (Cohen's kappa, integer-exact ppm) —
-    // the labeling-quality number beside q343's Dawid–Skene and q354's
-    // budget router: two md5-coin annotators over 4 classes with a 70%
-    // forced-agreement channel; po from the agree count, pe from the
-    // marginal products in DECIMAL(38), kappa = (po−pe)/(1−pe) in ppm
-    // with every div truncating on non-negative operands. Law
-    // (spec'd): the formula gives exactly 1e6 for a perfect-agreement
-    // table. 100 TB shape: one per-row projection, two ≤ 4-row class
-    // marginals, single-row broadcast assembly.
-    QueryDef(
-      "q374_annotation_kappa",
-      (s, dir) => {
-        val a = Tables(s, dir, "documents")
-          .select(col("doc_id"))
-          .withColumn("a1", expr(
-            """CAST(conv(substr(md5(concat('a1_',
-                  CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
-               % 4"""))
-          .withColumn("a2", expr(
-            """CASE WHEN CAST(conv(substr(md5(concat('ag_',
-                    CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
-                  % 10 < 7
-               THEN CAST(conv(substr(md5(concat('a1_',
-                    CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
-                  % 4
-               ELSE CAST(conv(substr(md5(concat('a2_',
-                    CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
-                  % 4 END"""))
-        val per1 = a.groupBy(col("a1").as("cls"))
-          .agg(count(lit(1)).as("n1"))
-        val per2 = a.groupBy(col("a2").as("cls"))
-          .agg(count(lit(1)).as("n2"))
-        val tot = a.agg(count(lit(1)).as("n"),
-          sum((col("a1") === col("a2")).cast("long")).as("agree"))
-        val marg = per1.join(per2, Seq("cls"), "full")
-          .na.fill(0L, Seq("n1", "n2")) // ≤ 4 classes
-        val pe = marg.crossJoin(broadcast(tot))
-          .agg(max("n").as("n"), max("agree").as("agree"),
-            // DECIMAL(38) ↔ HUGEINT (the q319 ADVICE class)
-            sum(expr("CAST(n1 AS DECIMAL(38,0)) * n2")).as("pemass"))
-          .withColumn("po_ppm", expr("agree * 1000000 div n"))
-          .withColumn("pe_ppm", expr(
-            """CAST(pemass * 1000000
-               div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
-          .withColumn("kappa_ppm", expr(
-            """(po_ppm - pe_ppm) * 1000000
-               div nullif(1000000 - pe_ppm, 0)"""))
-          .select("n", "agree", "po_ppm", "pe_ppm", "kappa_ppm")
-        marg.crossJoin(broadcast(pe)) // ≤ 4 rows × single row
-          .select("cls", "n1", "n2", "n", "agree", "po_ppm", "pe_ppm",
-            "kappa_ppm")
-          .orderBy("cls")
-      },
-      Some("""
-        WITH a AS (
-          SELECT doc_id,
-                 CAST(concat('0x', substr(md5('a1_' ||
-                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS a1,
-                 CASE WHEN CAST(concat('0x', substr(md5('ag_' ||
-                     CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                     % 10 < 7
-                 THEN CAST(concat('0x', substr(md5('a1_' ||
-                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
-                 ELSE CAST(concat('0x', substr(md5('a2_' ||
-                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
-                 END AS a2
-          FROM documents),
-        per1 AS (SELECT a1 AS cls, CAST(COUNT(*) AS BIGINT) AS n1
-                 FROM a GROUP BY a1),
-        per2 AS (SELECT a2 AS cls, CAST(COUNT(*) AS BIGINT) AS n2
-                 FROM a GROUP BY a2),
-        marg AS (
-          SELECT COALESCE(per1.cls, per2.cls) AS cls,
-                 COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
-          FROM per1 FULL JOIN per2 ON per1.cls = per2.cls),
-        tot AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(SUM(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS agree
-          FROM a),
-        pe AS (
-          SELECT MAX(n) AS n, MAX(agree) AS agree,
-                 SUM(CAST(n1 AS HUGEINT) * n2) AS pemass
-          FROM marg CROSS JOIN tot),
-        k AS (
-          SELECT n, agree,
-                 CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
-                 CAST(pemass * 1000000
-                   // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
-          FROM pe),
-        k2 AS (
-          SELECT k.*,
-                 CAST((po_ppm - pe_ppm) * 1000000
-                   // nullif(1000000 - pe_ppm, 0) AS BIGINT) AS kappa_ppm
-          FROM k)
-        SELECT marg.cls, marg.n1, marg.n2, k2.n, k2.agree, k2.po_ppm,
-               k2.pe_ppm, k2.kappa_ppm
-        FROM marg CROSS JOIN k2
-        ORDER BY cls"""))
   )
 
   /** q325/s59 shared rollup half: per-source τ=2 sampling report from

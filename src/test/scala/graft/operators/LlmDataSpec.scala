@@ -2406,24 +2406,6 @@ class LlmDataSpec extends AnyFunSuite {
     assert(m.map(_._2).sum == fixtureTotal,
       "per-source token masses must conserve the corpus total")
   }
-
-  test("q367 planted system-prompt group is found whole") {
-    import spark.implicits._
-    val planted = graft.Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 11 === 0).count()
-    val r = run("q367_prefix_cache_reuse").head()
-    // every planted doc shares the 8-token system prompt -> one group
-    // of size >= planted count, so cached_docs >= planted - 1
-    assert(r.getAs[Long]("cached_docs") >= planted - 1,
-      s"cached_docs ${r.getAs[Long]("cached_docs")} < planted $planted - 1")
-    assert(r.getAs[Long]("shared_groups") >= 1)
-    assert(r.getAs[Long]("cached_tokens") ==
-      r.getAs[Long]("cached_docs") * 8)
-    // identity: cached_docs = eligible - groups (every group saves n-1)
-    assert(r.getAs[Long]("cached_docs") ==
-      r.getAs[Long]("docs_eligible") - r.getAs[Long]("n_groups"))
-  }
-
   test("q368 chi-square: contributions sum to the total, uniform table is 0") {
     import spark.implicits._
     val rows = run("q368_lang_source_independence")
@@ -2506,28 +2488,6 @@ class LlmDataSpec extends AnyFunSuite {
       rows("fresh")._4 == 1000000L,
       "fresh items' id-bearing grams can never pre-exist in the corpus")
   }
-
-  test("q372 spectrum partitions the vocabulary exactly") {
-    import spark.implicits._
-    val rows = run("q372_vocab_long_tail")
-      .select("source", "vocab", "f1", "f2", "f3", "f4plus",
-        "gt_unseen_ppm", "tokens")
-      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (_, v, f1, f2, f3, f4, gt, t) =>
-      assert(f1 + f2 + f3 + f4 == v,
-        "frequency classes must partition the vocabulary")
-      assert(gt == f1 * 1000000L / t && gt <= 1000000L)
-    }
-    // cross-gate with q370: same (source, tokens, vocab) aggregates
-    val ent = run("q370_source_token_entropy")
-      .select("source", "tokens", "vocab")
-      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
-    rows.foreach { case (s0, v, _, _, _, _, _, t) =>
-      assert(ent(s0)._2 == t && ent(s0)._3 == v)
-    }
-  }
-
   test("q373 leakage matches a driver-side digest recomputation") {
     import spark.implicits._
     val docs = graft.Tables(spark, dir, "documents")
@@ -2561,30 +2521,5 @@ class LlmDataSpec extends AnyFunSuite {
     }
     // the planted copies guarantee leakage exists somewhere at sf0.001
     assert(got.map(_._4).sum > 0, "plant must produce cross-split dups")
-  }
-
-  test("q374 kappa identities: internal consistency and the perfect-agreement pole") {
-    import spark.implicits._
-    val rows = run("q374_annotation_kappa")
-      .select("cls", "n1", "n2", "n", "agree", "po_ppm", "pe_ppm",
-        "kappa_ppm")
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
-    assert(rows.length == 4, "4 classes, each with both marginals")
-    val (n, agree, po, pe, kappa) =
-      (rows.head._4, rows.head._5, rows.head._6, rows.head._7, rows.head._8)
-    assert(rows.forall(r => (r._4, r._6, r._8) == ((n, po, kappa))))
-    assert(rows.map(_._2).sum == n && rows.map(_._3).sum == n,
-      "marginals each sum to the doc count")
-    assert(po == agree * 1000000L / n)
-    val pemass = rows.map(r => BigInt(r._2) * r._3).sum
-    assert(BigInt(pe) == pemass * 1000000 / (BigInt(n) * n))
-    assert(BigInt(kappa) ==
-      BigInt(po - pe) * 1000000 / (1000000L - pe))
-    // 70% forced agreement + 1/4 chance otherwise => po far above pe
-    assert(kappa > 500000L && kappa < 1000000L)
-    // perfect-agreement pole: po = 1e6 forces kappa = 1e6 for ANY pe < 1e6
-    (0L until 1000000L by 99999L).foreach { p =>
-      assert(BigInt(1000000L - p) * 1000000 / (1000000L - p) == 1000000L)
-    }
   }
 }
