@@ -3427,14 +3427,24 @@ object Profiling {
     * — md5-hashed char-3gram buckets with the per-doc seed label. */
   private[graft] def classifierGrams(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    Tables(s, dir, "documents")
+    val toks = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
       .select(col("doc_id"), col("source"), classifierGoodExpr,
         explode(call_function("graft_char_ngrams", col("text"), lit(3)))
           .as("gr"))
-      .select(col("doc_id"), col("source"), col("good"),
+    // md5 only the DISTINCT grams (bounded: ≤ |charset|³ values, a few
+    // thousand at any corpus size) and broadcast the gram→bucket dim
+    // back over the occurrence stream: the former per-occurrence md5
+    // recomputed the digest once per corpus gram occurrence (~30M
+    // md5s at sf0.1, ~80% of the artifact build). Bucket VALUES are
+    // bit-identical — same md5, same occurrences — so every consumer
+    // and oracle is unchanged; only the build plan is.
+    val dim = toks.select("gr").distinct()
+      .select(col("gr"),
         expr("cast(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT) % 4096")
           .as("b"))
+    toks.join(broadcast(dim), Seq("gr"))
+      .select(col("doc_id"), col("source"), col("good"), col("b"))
   }
 
   /** q255/s39 shared: smoothed per-bucket P(good) weights in ppm. */
