@@ -32,8 +32,8 @@ object StreamDrainStats {
   /** (first-batch seconds summed over this query's drains, batches). */
   def snapshot: (Double, Long) = (firstNs.get / 1e9, nBatches.get)
 
-  private[streaming] def active: Boolean = on
-  private[streaming] def addFirstBatch(ns: Long): Unit =
+  private[graft] def active: Boolean = on
+  private[graft] def addFirstBatch(ns: Long): Unit =
     firstNs.addAndGet(ns)
-  private[streaming] def addBatch(): Unit = nBatches.incrementAndGet()
+  private[graft] def addBatch(): Unit = nBatches.incrementAndGet()
 }

@@ -98,6 +98,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isoBudget(240.0, Seq(("a", 0.5, Some(0.4)))) == 240.0)
   }
 
+  test("StreamDrainStats: first-batch/batch counters, reset, disabled no-op") {
+    import graft.streaming.StreamDrainStats
+    StreamDrainStats.enable()
+    try {
+      // the drain calls addBatch per micro-batch and addFirstBatch once
+      StreamDrainStats.addBatch()
+      StreamDrainStats.addFirstBatch(1500000000L) // 1.5 s
+      StreamDrainStats.addBatch()
+      val (first, n) = StreamDrainStats.snapshot
+      assert(math.abs(first - 1.5) < 1e-9 && n == 2)
+      // a second drain in the same query ACCUMULATES (multi-drain
+      // queries report the sum, documented in the scaladoc)
+      StreamDrainStats.addFirstBatch(500000000L)
+      assert(math.abs(StreamDrainStats.snapshot._1 - 2.0) < 1e-9)
+      // per-iteration reset starts the next measurement clean
+      StreamDrainStats.reset()
+      assert(StreamDrainStats.snapshot == ((0.0, 0L)))
+    } finally StreamDrainStats.disable()
+    // disabled: the drain-side guard reads active=false and records
+    // nothing — the bench-only contract that keeps Verify/tests free
+    assert(!StreamDrainStats.active)
+  }
+
   test("headline merge: best of suite/iso, failed iso never wins") {
     assert(Bench.headline(3.0, Some(1.2)) == 1.2) // iso cleans the slot
     assert(Bench.headline(1.2, Some(3.0)) == 1.2) // suite already best
