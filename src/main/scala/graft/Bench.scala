@@ -159,7 +159,12 @@ object Bench {
     * so a pathological run stays bounded. */
   def isoBudget(base: Double,
       flagged: Seq[(String, Double, Option[Double])]): Double =
-    math.min(math.max(base, 2.0 * excessMass(flagged)), 900.0)
+    // Only the excess-scaled GROWTH is capped at 900 s — an operator
+    // who explicitly sets SPARK_GRAFT_ISO_BUDGET_SEC above 900 is
+    // honored verbatim (ADVICE r13: the flat min() silently cut an
+    // explicit 1200 s request to 900).
+    math.min(math.max(base, 2.0 * excessMass(flagged)),
+      math.max(900.0, base))
 
   def main(args: Array[String]): Unit = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)

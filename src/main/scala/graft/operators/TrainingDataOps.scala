@@ -4720,6 +4720,12 @@ object TrainingDataOps {
     // specialize? χ² cell = (obs·N − row·col)² / (N·row·col) in micro
     // units (the numerator is a perfect square so every div is
     // non-negative truncating; DECIMAL(38) ↔ HUGEINT for the square).
+    // Width (ADVICE r13): the micro scaling runs as a TWO-STAGE exact
+    // division — d²·1e6 div m == (d² div m)·1e6 + (d² mod m)·1e6 div m
+    // for non-negative operands — so the widest intermediate is d²
+    // (≤ N⁴ < 1e38 for N ≲ 3e9 docs) rather than d²·1e6. Beyond that
+    // the BIGINT width of d = obs·N − row·col binds first anyway; a
+    // corpus past ~3e9 docs must widen d itself to DECIMAL(38).
     // Zero-observation cells are REAL contributions, so the cell frame
     // is the langs × sources cross of the two marginal aggregates —
     // ≤ |langs|·|sources| rows, broadcast-sized at any corpus scale.
@@ -4740,10 +4746,11 @@ object TrainingDataOps {
           .withColumn("obs", coalesce(col("obs"), lit(0L)))
           .crossJoin(broadcast(tot))
           .withColumn("d", expr("obs * n - row_n * col_n"))
+          .withColumn("d2", expr("CAST(d AS DECIMAL(38,0)) * d"))
+          .withColumn("m", expr("CAST(n AS DECIMAL(38,0)) * row_n * col_n"))
           .withColumn("cell_micro", expr(
-            """CAST(CAST(d AS DECIMAL(38,0)) * d * 1000000
-               div (CAST(n AS DECIMAL(38,0)) * row_n * col_n)
-               AS BIGINT)"""))
+            """CAST((d2 div m) * 1000000
+               + (d2 % m) * 1000000 div m AS BIGINT)"""))
         val chi = cells.agg(sum("cell_micro").as("chi_micro"))
         cells.groupBy("lang", "row_n", "nl", "ns")
           .agg(sum("cell_micro").as("lang_chi_micro"))
@@ -4772,12 +4779,16 @@ object TrainingDataOps {
                  COALESCE(obs.obs, 0) * tot.n - r.row_n * c.col_n AS d
           FROM r CROSS JOIN c CROSS JOIN tot
           LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source),
+        w AS (
+          SELECT lang, row_n, nl, ns,
+                 CAST(d AS HUGEINT) * d AS d2,
+                 CAST(n AS HUGEINT) * row_n * col_n AS m
+          FROM cells),
         cm AS (
           SELECT lang, row_n, nl, ns,
-                 CAST(CAST(d AS HUGEINT) * d * 1000000
-                   // (CAST(n AS HUGEINT) * row_n * col_n) AS BIGINT)
-                   AS cell_micro
-          FROM cells),
+                 CAST((d2 // m) * 1000000
+                   + (d2 % m) * 1000000 // m AS BIGINT) AS cell_micro
+          FROM w),
         chi AS (SELECT CAST(SUM(cell_micro) AS BIGINT) AS chi_micro
                 FROM cm)
         SELECT lang, row_n AS n_docs,
@@ -5987,17 +5998,22 @@ object TrainingDataOps {
   /** q371/s70 shared arrival plant: every 7th doc re-arrives VERBATIM
     * (novelty must read exactly 0), every 7th+3 doc arrives as a fresh
     * synthetic item whose id-bearing tokens no corpus gram contains.
-    * Offsets 700000/800000 are disjoint from fixture doc_ids (< 900000
-    * at every shipped sf) and from each other. */
-  private[graft] def novelArrivals(docs: DataFrame): DataFrame =
+    * The arrival class rides the union as a LITERAL `cls` column (set
+    * where each branch is constructed), so downstream never re-derives
+    * it from the id — correct for any fixture doc_id range (with cls
+    * in the grouping key, even an id collision between the two branches
+    * could not merge their rows). The 700000/800000 offsets merely keep
+    * the arrival ids human-readable as "planted". */
+  private[graft] def novelArrivals(docs: DataFrame): DataFrame = {
     docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 700000).as("doc_id"), col("source"),
-        col("text"))
+        col("text"), lit("recrawl").as("cls"))
       .unionByName(docs.filter(col("doc_id") % 7 === 3)
         .select((col("doc_id") + 800000).as("doc_id"), col("source"),
           concat(lit("fresh shard item "), col("doc_id").cast("string"),
             lit(" payload "), (col("doc_id") * 31).cast("string"))
-            .as("text")))
+            .as("text"), lit("fresh").as("cls")))
+  }
 
   /** q371/s70 shared flag frame: arrival docs explode into per-doc-
     * distinct 5-gram hashes and LEFT-join the standing corpus gram
@@ -6016,9 +6032,9 @@ object TrainingDataOps {
         "CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .distinct()
       .withColumn("known", lit(1))
+    // `cls` is the literal carried from novelArrivals' union branches —
+    // never re-derived from the id, so no fixture id-range assumption.
     arrivals
-      .withColumn("cls", expr(
-        "CASE WHEN doc_id >= 800000 THEN 'fresh' ELSE 'recrawl' END"))
       .select(col("doc_id"), col("cls"),
         explode(expr("array_distinct(graft_word_ngrams(text, 5))"))
           .as("gram"))

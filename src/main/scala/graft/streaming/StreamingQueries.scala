@@ -3917,7 +3917,7 @@ object StreamingQueries {
     val path = s"$dir/documents.parquet"
     val sf = Paths.get(dir).getFileName.toString
     val landing = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_stream_novel_parts/$sf-${fixtureKey(path)}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_novel_parts/$sf-v2-${fixtureKey(path)}")
     val marker = landing.resolve("_STAGED")
     val batch = graft.operators.TrainingDataOps.novelArrivals(
       s.read.parquet(path).select("doc_id", "source", "text"))

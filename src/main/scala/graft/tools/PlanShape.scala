@@ -130,6 +130,12 @@ object PlanShape {
     val key = "spark.sql.adaptive.enabled"
     val before = s.conf.get(key)
     s.conf.set(key, "false")
+    // NOTE (ADVICE r13): StreamPlanCapture is a process-global
+    // singleton — spSnapshot must NOT run concurrently with other
+    // draining tests or their drain signatures would interleave. The
+    // per-name enable/disable is try/finally-bracketed so no exit path
+    // (including non-Exception Throwables) leaves capture enabled for
+    // a later query to absorb.
     try names.map { n =>
       StreamPlanCapture.enable()
       val r =
@@ -137,9 +143,11 @@ object PlanShape {
           val df = graft.SparkEntry.queries(n)(s, dir)
           Right(SpSig(StreamPlanCapture.take(), of(df)))
         } catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
-      StreamPlanCapture.disable()
-      graft.operators.TrackedCaches.releaseAll()
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        } finally {
+          StreamPlanCapture.disable()
+          graft.operators.TrackedCaches.releaseAll()
+        }
       (n, r)
     } finally s.conf.set(key, before)
   }

@@ -96,6 +96,10 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isoBudget(240.0, huge) == 900.0)
     // a clean run keeps the base budget
     assert(Bench.isoBudget(240.0, Seq(("a", 0.5, Some(0.4)))) == 240.0)
+    // an EXPLICIT base above the 900 s growth cap is honored verbatim
+    // (ADVICE r13) — both on a clean run and a pathological one
+    assert(Bench.isoBudget(1200.0, Seq(("a", 0.5, Some(0.4)))) == 1200.0)
+    assert(Bench.isoBudget(1200.0, huge) == 1200.0)
   }
 
   test("StreamDrainStats: first-batch/batch counters, reset, disabled no-op") {
