@@ -1206,27 +1206,41 @@ object Profiling {
     // count. Weights here are distilled in-query from a deterministic
     // seed rule (lexical diversity: 2·|distinct words| ≥ |words| — the
     // smoothed per-bucket P(good) in ppm), standing in for the offline-
-    // trained vector a production run ships; the inference path —
-    // codegen'd hashing, BROADCAST hash join against a vocabulary-sized
-    // table, one per-doc aggregate — is exactly the production shape,
-    // and is plan-asserted in ScaleSpec. Keep/drop thresholds at the
-    // gram-occurrence prior (single-row broadcast), and the per-source rollup
-    // carries the confusion matrix vs the seed label, so the gate's
-    // agreement with its teacher is part of the audited output.
-    // 100 TB: grams never shuffle (narrow explode → broadcast join →
-    // partial-aggregated per-doc sum); the weight table is O(buckets).
+    // trained vector a production run ships; the inference path is the
+    // NATIVE codegen scorer graft_classifier_score (VERDICT r13
+    // item 3, shared with s39/s49): the vocabulary-sized weight table
+    // is collected ONCE (≤ 4096 rows — the merges-table discipline)
+    // and folds into a dense long[4096] inside the expression, so each
+    // doc is scored in one narrow per-row projection — no gram
+    // explode, no join, no per-doc aggregate. Plan-asserted in
+    // ScaleSpec. Keep/drop thresholds at the gram-occurrence prior
+    // (single-row broadcast), and the per-source rollup carries the
+    // confusion matrix vs the seed label, so the gate's agreement with
+    // its teacher is part of the audited output.
+    // 100 TB: nothing doc-grained ever shuffles — scoring is a
+    // stateless map and the only exchange is the per-source rollup;
+    // the model artifact is O(buckets), shipped with the plan exactly
+    // like the broadcast vector a production scorer loads.
     QueryDef(
       "q255_hashed_ngram_classifier",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        // gram frame + weights come from the session-shared registry:
-        // built once, consumed by q255/q262/q264/q268/s39 (the
-        // PairGraph discipline — see ClassifierArtifacts)
-        val grams = ClassifierArtifacts.grams(s, dir)
-        val wt = ClassifierArtifacts.weights(s, dir)
-        val scored = grams.join(broadcast(wt), "b")
-          .groupBy("doc_id", "source", "good")
-          .agg(expr("sum(w) div count(1)").as("score_ppm"))
+        // weights come from the session-shared registry: trained once
+        // from the shared gram frame, consumed by q255/q262/q264/q268/
+        // s39 (the PairGraph discipline — see ClassifierArtifacts)
+        val wtMap = ClassifierArtifacts.weights(s, dir).collect() // bounded: ≤ 4096 weight rows
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val scored = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), classifierGoodExpr,
+            call_function("graft_char_ngrams", col("text"), lit(3))
+              .as("gr"))
+          .filter(size(col("gr")) > 0) // score only gram-bearing docs
+          .select(col("doc_id"), col("source"), col("good"),
+            call_function("graft_classifier_score", col("gr"),
+              typedLit(wtMap), lit(500000L)).as("wsum"),
+            size(col("gr")).cast("long").as("ng"))
+          .select(col("doc_id"), col("source"), col("good"),
+            expr("wsum div ng").as("score_ppm"))
         // threshold = the GRAM-OCCURRENCE prior, the same measure the
         // weights live in (a doc-level prior sits systematically above
         // almost every score because low-diversity docs are longer and

@@ -141,6 +141,13 @@ object GraftFunctions {
       s"graft_sign_project expects 2 arguments, got ${other.length}")
   }
 
+  val classifierScoreBuilder: Seq[Expression] => Expression = {
+    case Seq(grams, weights, dflt) => ClassifierScore(grams, weights, dflt)
+    case other => throw new IllegalArgumentException(
+      "graft_classifier_score expects 3 arguments (grams, weight map, " +
+        s"default weight), got ${other.length}")
+  }
+
   val bloomContainsBuilder: Seq[Expression] => Expression = {
     case Seq(bloom, value) =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
@@ -165,6 +172,8 @@ object GraftFunctions {
       "graft_bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains", bloomContainsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_classifier_score", classifierScoreBuilder, "built-in")
   }
 }
 
@@ -207,5 +216,10 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_bloom_contains"),
       GraftFunctions.bloomContainsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_classifier_score"),
+      new ExpressionInfo(classOf[ClassifierScore].getName,
+        "graft_classifier_score"),
+      GraftFunctions.classifierScoreBuilder))
   }
 }

@@ -2836,9 +2836,12 @@ object StreamingQueries {
     // zero state stores, zero stream-side joins, per-tick cost
     // O(tick chars). Drained per-doc verdicts roll up batch-side into
     // exactly q255's per-source report: same oracle VERBATIM. The
-    // per-row HOF chain is interpreted (not codegen) — the stated
-    // trade for a shuffle-free probe, bounded per doc; the batch twin
-    // keeps the columnar codegen path.
+    // scorer is the NATIVE codegen expression graft_classifier_score
+    // (plans/ClassifierScore.scala — the map literal folds once into a
+    // dense long[4096]); the former interpreted HOF chain paid an
+    // O(4096) literal-map probe per gram occurrence (VERDICT r13
+    // item 3 — the suite's slowest steady-state slot). Bit-identical
+    // scores; q255 shares the same expression batch-side.
     QueryDef(
       "s39_stream_classifier_gate",
       (s, dir) => {
@@ -2858,16 +2861,11 @@ object StreamingQueries {
             call_function("graft_char_ngrams", col("text"), lit(3)).as("gr"))
           .filter(size(col("gr")) > 0) // q255 scores only gram-bearing docs
           .select(col("doc_id"), col("source"), col("good"),
-            aggregate(
-              transform(col("gr"), g =>
-                // unseen buckets are impossible here (the stream replays
-                // the training corpus); production ships the neutral
-                // 500000 prior for them — stated via the coalesce
-                coalesce(
-                  element_at(mapCol,
-                    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % 4096),
-                  lit(500000L))),
-              lit(0L), (acc, w) => acc + w).as("wsum"),
+            // unseen buckets are impossible here (the stream replays
+            // the training corpus); production ships the neutral
+            // 500000 prior for them — the expression's default slot
+            call_function("graft_classifier_score", col("gr"), mapCol,
+              lit(500000L)).as("wsum"),
             size(col("gr")).cast("long").as("ng"))
           .select(col("doc_id"), col("source"), col("good"),
             expr("wsum div ng").as("score_ppm"))
@@ -3331,14 +3329,11 @@ object StreamingQueries {
             """cast(conv(substr(md5(cast(doc_id AS string)), 1, 15),
                          16, 10) AS BIGINT) % 4 <> 0""")) // eval split only
           .select(col("good"),
-            aggregate(
-              transform(col("gr"), g =>
-                coalesce(
-                  element_at(mapCol,
-                    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
-                      % 4096),
-                  lit(500000L))),
-              lit(0L), (acc, w) => acc + w).as("wsum"),
+            // native codegen scorer — the s39 discipline (unseen
+            // buckets impossible on a training-corpus replay; the
+            // 500000 neutral prior fills the default slot)
+            call_function("graft_classifier_score", col("gr"), mapCol,
+              lit(500000L)).as("wsum"),
             size(col("gr")).cast("long").as("ng"))
           .select(col("good"), expr("wsum div ng").as("score_ppm"))
           .select(col("good"),

@@ -830,15 +830,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("q255 classifier inference joins the weight table by broadcast") {
+  test("q255 classifier inference is a stateless codegen scorer map") {
     val df = SparkEntry.queries("q255_hashed_ngram_classifier")(spark, dir)
     try {
       val plan = df.queryExecution.executedPlan.toString
-      // the 4096-bucket weight table must broadcast to the gram stream —
-      // a shuffled join would exchange every gram occurrence (corpus-
-      // sized) to co-locate with a vocabulary-sized table
-      assert(plan.contains("BroadcastHashJoin"),
-        s"expected broadcast weight-table join:\n$plan")
+      // the model ships INSIDE the plan (graft_classifier_score folds
+      // the 4096-bucket weight map into a dense vector): scoring must
+      // be a narrow per-row projection — no gram explode, no per-gram
+      // join, no doc-grained exchange; anything doc-grained shuffling
+      // here would exchange the corpus to meet a vocabulary-sized model
+      assert(plan.contains("graft_classifier_score"),
+        s"expected the native scorer expression:\n$plan")
+      assert(!plan.contains("Generate"),
+        s"scoring must not explode gram occurrences into rows:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         s"only the single-row threshold may cross-join (broadcast):\n$plan")
     } finally TrackedCaches.releaseAll()
