@@ -166,6 +166,21 @@ object Bench {
     math.min(math.max(base, 2.0 * excessMass(flagged)),
       math.max(900.0, base))
 
+  /** Build-charged slot split (VERDICT r13 item 2), pure for BenchSpec.
+    * Input: one (raw wall sec, shared-build self seconds paid inside
+    * it) pair per measurement iteration. Published slot = min over
+    * iterations of (raw − build): any iteration's build-excluded time
+    * upper-bounds the steady state, so the slot records STEADY-STATE
+    * seconds only — s39 went 3.97→14.67 s in r13 purely because the
+    * shared gram build moved into its slot; the split ends that
+    * confound for every `shared_builds` payer. Returns (steady,
+    * rawMin); rawMin rides the suite_raw sidecar whenever it differs,
+    * and the build seconds go to the run-level `builds` line. */
+  def steadySlot(its: Seq[(Double, Double)]): (Double, Double) = {
+    val steady = its.map { case (raw, b) => (raw - b).max(0.0) }.min
+    (steady, its.map(_._1).min)
+  }
+
   def main(args: Array[String]): Unit = {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     // streaming measurement iters default to 1 (VERDICT r11 item 2):
@@ -258,6 +273,12 @@ object Bench {
     // stores, warmups, extra measurement iterations), so phase trends
     // partly measured accounting. Now phase_sec ≈ Σ per-query(min) +
     // harness(warmup + extra_iters + session) + residual, each named.
+    // phase -> shared-build seconds paid inside the MEASUREMENT region
+    // (post-warmup; warmup-triggered builds live in warmup_sec)
+    var phaseBuilds = List.empty[(String, Double)]
+    // slot short-name -> raw (build-included) suite min, recorded only
+    // when it differs from the published steady value
+    var rawMins = Map.empty[String, Double]
     var phaseHarness = List.empty[(String, (Double, Double, Double))]
     var sharedBuilds = List.empty[(String, Seq[String])]
     // per-query cache-event deltas (readd, spill, evict) — nonzero only
@@ -267,7 +288,10 @@ object Bench {
     // MIN-achieving iteration — under 1-iteration accounting the slot
     // conflates state-store setup with operator cost, so round trends
     // should read `steady`; `batches` disambiguates single-batch drains
-    // (steady ≈ post-processing only) from multi-batch ones.
+    // (steady ≈ post-processing only) from multi-batch ones. Since r14
+    // `total` is the PUBLISHED (build-subtracted) slot; a drain whose
+    // first batch paid a shared build can show first > total and a
+    // clamped steady of 0 — read the builds line alongside.
     var sSplit = List.empty[(String, (Double, Double, Long))]
     val results = phases.flatMap { case (family, names, warmup) =>
       if (names.isEmpty) Seq.empty
@@ -285,6 +309,9 @@ object Bench {
         }
         val warmupSec = (System.nanoTime() - warmT0) / 1e9
         var extraIters = 0.0
+        // snapshot AFTER warmup: warmup-triggered builds are already
+        // inside warmup_sec and must not double-count in builds
+        val btPhase0 = graft.operators.SharedBuilds.timingCount
         val famIters = if (family == "s") itersS else iters
         val rs = names.map { name =>
           val gc0 = gcMillis()
@@ -297,6 +324,7 @@ object Bench {
           try {
             val iterRs = (1 to famIters).map { _ =>
               if (family == "s") graft.streaming.StreamDrainStats.reset()
+              val bt0 = graft.operators.SharedBuilds.timingCount
               val t0 = System.nanoTime()
               // release stays INSIDE the timed region (floor
               // comparability with prior rounds); deltas span the whole
@@ -305,25 +333,35 @@ object Bench {
               // counters (see CacheEvents note)
               drain(spark, name)
               val sec = (System.nanoTime() - t0) / 1e9
+              val bSec = graft.operators.SharedBuilds
+                .timingsSince(bt0).map(_._2).sum
               val split =
                 if (family == "s")
                   Some(graft.streaming.StreamDrainStats.snapshot)
                 else None
-              (sec, split)
+              (sec, split, bSec)
             }
             val times = iterRs.map(_._1)
+            // slot = steady state only (VERDICT r13 item 2); the
+            // subtracted build seconds land on the `builds` line and
+            // the raw min rides suite_raw
+            val (steady, rawMin) =
+              steadySlot(iterRs.map(r => (r._1, r._3)))
+            val short = name.takeWhile(_ != '_')
+            if (rawMin > steady + 5e-3) rawMins += (short -> rawMin)
             iterRs.minBy(_._1)._2.foreach { case (first, nb) =>
-              sSplit ::= (name.takeWhile(_ != '_'), (times.min, first, nb))
+              sSplit ::= (short, (steady, first, nb))
             }
             val tags = graft.operators.SharedBuilds.since(b0)
             if (tags.nonEmpty)
-              sharedBuilds ::= (name.takeWhile(_ != '_'), tags)
+              sharedBuilds ::= (short, tags)
             val ce1 = cacheEvents.snapshot
             val d = (ce1._1 - ce0._1, ce1._2 - ce0._2, ce1._3 - ce0._3)
             if (d._1 + d._2 + d._3 > 0)
-              cacheDeltas ::= (name.takeWhile(_ != '_'), d)
-            extraIters += times.sum - times.min
-            (name, times.min, gcMillis() - gc0)
+              cacheDeltas ::= (short, d)
+            extraIters +=
+              ((times.sum - iterRs.map(_._3).sum) - steady).max(0.0)
+            (name, steady, gcMillis() - gc0)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -332,6 +370,8 @@ object Bench {
           }
         }
         if (family == "s") graft.streaming.StreamDrainStats.disable()
+        phaseBuilds ::= (family, graft.operators.SharedBuilds
+          .timingsSince(btPhase0).map(_._2).sum)
         val stopT0 = System.nanoTime()
         spark.stop()
         val sessionSec = (System.nanoTime() - stopT0) / 1e9
@@ -369,10 +409,17 @@ object Bench {
           // and the floors they seed — live under the SAME 1-iteration
           // state-store accounting as the values they adjudicate
           val famIters = if (name.startsWith("s")) itersS else iters
+          // iso probes live under the same steady-state accounting as
+          // the slots they adjudicate: a payer rebuilds its shared
+          // artifact in the fresh session, and that build must not
+          // read as slot time here either
           val t =
             try (1 to famIters).map { _ =>
+              val bt0 = graft.operators.SharedBuilds.timingCount
               val t0 = System.nanoTime(); drain(isoSpark, name)
-              (System.nanoTime() - t0) / 1e9
+              val raw = (System.nanoTime() - t0) / 1e9
+              (raw - graft.operators.SharedBuilds
+                .timingsSince(bt0).map(_._2).sum).max(0.0)
             }.min
             catch { case _: Throwable => -1.0 }
           Some((name.takeWhile(_ != '_'), t))
@@ -389,9 +436,14 @@ object Bench {
     val headlined = results.map { case (name, v, g) =>
       (name, headline(v, isoMap.get(name.takeWhile(_ != '_'))), g)
     }
+    // suite_raw = the PRE-split, pre-iso suite number whenever the
+    // published value differs from it (build subtraction, iso
+    // replacement, or both) — the r13 trend line stays reconstructable
     val suiteRaw = results.flatMap { case (name, v, _) =>
       val short = name.takeWhile(_ != '_')
-      if (headline(v, isoMap.get(short)) < v) Some(short -> v) else None
+      val raw = rawMins.getOrElse(short, v)
+      if (headline(v, isoMap.get(short)) < raw - 5e-3) Some(short -> raw)
+      else None
     }
     val floorUpdates = results.collect { case (name, v, _) if v >= 0 =>
       val short = name.takeWhile(_ != '_')
@@ -421,7 +473,9 @@ object Bench {
     // headline `value` (best-of-suite/iso) so trend readers can compare
     // like-for-like suite conditions round over round — per-slot
     // suite_raw alone couldn't reconstruct it without the full record.
-    val suiteTotal = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // Raw = build-INCLUDED (r13-comparable); `value` is steady-only.
+    val suiteTotal = results.collect { case (name, v, _) if v >= 0 =>
+      rawMins.getOrElse(name.takeWhile(_ != '_'), v) }.sum
     val gcTotal = gcMillis() - gcStart
     // top-8 noisiest only: a contended run could otherwise push dozens of
     // >=100 ms entries and blow the line budget
@@ -446,10 +500,12 @@ object Bench {
       .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
     val harnessJson = phaseHarness.reverse.map { case (f, (w, x, st)) =>
       val wall = phaseSecs.find(_._1 == f).map(_._2).getOrElse(0.0)
+      val b = phaseBuilds.find(_._1 == f).map(_._2).getOrElse(0.0)
       val other =
-        (wall - phaseQuerySum.getOrElse(f, 0.0) - w - x - st).max(0.0)
+        (wall - phaseQuerySum.getOrElse(f, 0.0) - w - x - st - b).max(0.0)
       "\"" + f + "\":{\"warmup\":" + fmt(w) + ",\"extra_iters\":" + fmt(x) +
-        ",\"stop\":" + fmt(st) + ",\"other\":" + fmt(other) + "}"
+        ",\"stop\":" + fmt(st) + ",\"builds\":" + fmt(b) +
+        ",\"other\":" + fmt(other) + "}"
     }.mkString("{", ",", "}")
     // per-query cache churn, nonzero entries only (VERDICT r10 item 1)
     val cacheJson = cacheDeltas.reverse.sortBy(_._1)
@@ -459,6 +515,15 @@ object Bench {
       }.mkString("{", ",", "}")
     val sharedJson = sharedBuilds.reverse
       .map { case (q, tags) => "\"" + q + "\":\"" + tags.mkString("+") + "\"" }
+      .mkString("{", ",", "}")
+    // run-level shared-build seconds per tag (VERDICT r13 item 2):
+    // every timed build in the JVM — warmups, suite slots, iso session
+    // rebuilds — so Σ(builds) + Σ(steady slots) + harness reconstructs
+    // the wall, and a tag that rebuilds twice (iso session) shows as
+    // its summed cost. Self time only: nested builds never double in.
+    val buildsJson = graft.operators.SharedBuilds.timingsSince(0)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (tag, xs) => "\"" + tag + "\":" + fmt(xs.map(_._2).sum) }
       .mkString("{", ",", "}")
     val skipField =
       if (isoSkippedNames.isEmpty) ""
@@ -470,7 +535,7 @@ object Bench {
         s""","iso_skipped":${names.size},"iso_skipped_names":${shown.mkString("[", ",", "]")}"""
       }
     val summaryFields =
-      s""""gc_total_ms":$gcTotal,"phase_sec":$phaseJson,"harness_sec":$harnessJson,"shared_builds":$sharedJson$skipField,"suite_raw_n":${suiteRaw.size},"suite_total":${fmt(suiteTotal)},"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}"""
+      s""""gc_total_ms":$gcTotal,"phase_sec":$phaseJson,"harness_sec":$harnessJson,"shared_builds":$sharedJson,"builds":$buildsJson$skipField,"suite_raw_n":${suiteRaw.size},"suite_total":${fmt(suiteTotal)},"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":${fmt(total)}"""
 
     // FULL per-query record → a per-round committed file (VERDICT r8
     // item 1: the 319-entry line overflowed the driver's ~2000-char

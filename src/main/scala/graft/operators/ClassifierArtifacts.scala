@@ -50,10 +50,11 @@ object ClassifierArtifacts {
     evictStopped()
     gramsMemo.getOrElseUpdate((s, dir), {
       builds += 1
-      SharedBuilds.note("grams")
       System.err.println(
         s"[classifier] building gram frame for $dir (build #$builds this JVM)")
-      Profiling.classifierGrams(s, dir).localCheckpoint(true)
+      SharedBuilds.timed("grams") {
+        Profiling.classifierGrams(s, dir).localCheckpoint(true)
+      }
     })
   }
 

@@ -41,14 +41,15 @@ object GramFrames {
     word8Memo.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
     word8Memo.getOrElseUpdate((s, dir), {
       builds += 1
-      SharedBuilds.note("word8-grams")
-      graft.plans.GraftFunctions.register(s)
-      graft.Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(
-            call_function("graft_word_ngrams", col("text"), lit(8)))).as("g"))
-        .select(col("doc_id"), col("source"), sha2(col("g"), 256).as("h"))
-        .localCheckpoint(true)
+      SharedBuilds.timed("word8-grams") {
+        graft.plans.GraftFunctions.register(s)
+        graft.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(
+              call_function("graft_word_ngrams", col("text"), lit(8)))).as("g"))
+          .select(col("doc_id"), col("source"), sha2(col("g"), 256).as("h"))
+          .localCheckpoint(true)
+      }
     })
   }
 
@@ -71,15 +72,17 @@ object GramFrames {
     word8PosMemo.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
     word8PosMemo.getOrElseUpdate((s, dir), {
       posBuilds += 1
-      SharedBuilds.note("word8-grams-pos")
-      graft.plans.GraftFunctions.register(s)
-      graft.Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          posexplode(call_function("graft_word_ngrams", col("text"), lit(8)))
-            .as(Seq("pos", "g")))
-        .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
-          sha2(col("g"), 256).as("h"))
-        .localCheckpoint(true)
+      SharedBuilds.timed("word8-grams-pos") {
+        graft.plans.GraftFunctions.register(s)
+        graft.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            posexplode(call_function("graft_word_ngrams", col("text"), lit(8)))
+              .as(Seq("pos", "g")))
+          .select(col("doc_id"), col("source"),
+            col("pos").cast("long").as("pos"),
+            sha2(col("g"), 256).as("h"))
+          .localCheckpoint(true)
+      }
     })
   }
 

@@ -78,8 +78,9 @@ object PairGraph {
       s: SparkSession, dir: String, near: Boolean): DataFrame = synchronized {
     evictStopped()
     shinglesMemo.getOrElseUpdate((s, dir, near), {
-      SharedBuilds.note(if (near) "shingles" else "corpus-shingles")
-      Dedup.shingleSets(s, dir, near).localCheckpoint(true)
+      SharedBuilds.timed(if (near) "shingles" else "corpus-shingles") {
+        Dedup.shingleSets(s, dir, near).localCheckpoint(true)
+      }
     })
   }
 
@@ -87,8 +88,9 @@ object PairGraph {
       s: SparkSession, dir: String, near: Boolean): DataFrame = synchronized {
     evictStopped()
     bandIndexMemo.getOrElseUpdate((s, dir, near), {
-      SharedBuilds.note(if (near) "bands" else "corpus-bands")
-      Dedup.bandBuckets(shingleSets(s, dir, near)).localCheckpoint(true)
+      SharedBuilds.timed(if (near) "bands" else "corpus-bands") {
+        Dedup.bandBuckets(shingleSets(s, dir, near)).localCheckpoint(true)
+      }
     })
   }
 
@@ -98,10 +100,11 @@ object PairGraph {
     evictStopped()
     pairsMemo.getOrElseUpdate((s, dir), {
       builds += 1
-      SharedBuilds.note("pairs")
       System.err.println(
         s"[pairgraph] building verified pair stream for $dir (build #$builds this JVM)")
-      Dedup.minhashPairs(s, dir).localCheckpoint(true)
+      SharedBuilds.timed("pairs") {
+        Dedup.minhashPairs(s, dir).localCheckpoint(true)
+      }
     })
   }
 
@@ -110,9 +113,10 @@ object PairGraph {
   def labels(s: SparkSession, dir: String): DataFrame = synchronized {
     evictStopped()
     labelsMemo.getOrElseUpdate((s, dir), {
-      SharedBuilds.note("cc-labels")
-      Dedup.connectedComponents(pairs(s, dir).select("id_a", "id_b"))
-        .localCheckpoint(true)
+      SharedBuilds.timed("cc-labels") {
+        Dedup.connectedComponents(pairs(s, dir).select("id_a", "id_b"))
+          .localCheckpoint(true)
+      }
     })
   }
 

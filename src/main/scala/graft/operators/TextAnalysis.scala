@@ -3034,8 +3034,9 @@ object TextAnalysis {
     bpeWordsMemo.filterInPlace { case ((ss, _), _) =>
       !ss.sparkContext.isStopped }
     bpeWordsMemo.getOrElseUpdate((s, dir), {
-      SharedBuilds.note("bpe-words")
-      bpeWords(s, dir).localCheckpoint(true)
+      SharedBuilds.timed("bpe-words") {
+        bpeWords(s, dir).localCheckpoint(true)
+      }
     })
   }
 
@@ -3046,8 +3047,9 @@ object TextAnalysis {
       !ss.sparkContext.isStopped }
     bpeMergesMemo.getOrElseUpdate((s, dir), {
       bpeBuilds += 1
-      SharedBuilds.note("bpe-merges")
-      learnBpeMerges(bpeWordsShared(s, dir))
+      SharedBuilds.timed("bpe-merges") {
+        learnBpeMerges(bpeWordsShared(s, dir))
+      }
     })
   }
 
@@ -3201,8 +3203,9 @@ object TextAnalysis {
         !ss.sparkContext.isStopped }
       retrievalMemo.getOrElseUpdate((s, dir), {
         retrievalBuilds += 1
-        SharedBuilds.note("bm25")
-        buildRetrievalScores(s, dir).localCheckpoint(true)
+        SharedBuilds.timed("bm25") {
+          buildRetrievalScores(s, dir).localCheckpoint(true)
+        }
       })
     }
 

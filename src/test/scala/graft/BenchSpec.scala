@@ -132,4 +132,38 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.headline(3.0, Some(-1.0)) == 3.0) // failed iso ignored
     assert(Bench.headline(-1.0, Some(1.0)) == -1.0) // suite failure stays loud
   }
+
+  test("steadySlot: slot is build-subtracted min; raw min rides beside") {
+    // single iteration that paid a 8 s build inside an 11 s drain:
+    // published slot = 3 s steady, raw 11 s (the s39 r13 confound)
+    assert(Bench.steadySlot(Seq((11.0, 8.0))) == ((3.0, 11.0)))
+    // iter1 paid the build (10 s raw / 8 build → 2 steady), iter2 ran
+    // warm (3 s, no build): steady takes the LOWEST build-excluded
+    // time across iterations, raw min the lowest wall
+    assert(Bench.steadySlot(Seq((10.0, 8.0), (3.0, 0.0))) == ((2.0, 3.0)))
+    // no builds: identity — steady == raw min
+    assert(Bench.steadySlot(Seq((2.0, 0.0), (1.5, 0.0))) == ((1.5, 1.5)))
+    // build larger than the wall (clock skew guard): clamps at 0
+    assert(Bench.steadySlot(Seq((1.0, 2.0))) == ((0.0, 1.0)))
+  }
+
+  test("SharedBuilds.timed: seconds recorded as SELF time, nested once") {
+    import graft.operators.SharedBuilds
+    val n0 = SharedBuilds.timingCount
+    val c0 = SharedBuilds.count
+    // parent sleeps ~30 ms around a child that sleeps ~60 ms: the
+    // child's wall must NOT double into the parent's record
+    SharedBuilds.timed("bsp-parent") {
+      Thread.sleep(30)
+      SharedBuilds.timed("bsp-child") { Thread.sleep(60) }
+    }
+    val ts = SharedBuilds.timingsSince(n0).toMap
+    assert(ts.keySet == Set("bsp-parent", "bsp-child"))
+    assert(ts("bsp-child") >= 0.055, s"child self-time lost: $ts")
+    // parent self ≈ 30 ms — far below the 60 ms it would show if the
+    // child's wall leaked into it
+    assert(ts("bsp-parent") < 0.050, s"child time double-counted: $ts")
+    // timed also feeds the tag event log the payer map reads
+    assert(SharedBuilds.since(c0).toSet == Set("bsp-parent", "bsp-child"))
+  }
 }
