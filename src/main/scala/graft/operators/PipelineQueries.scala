@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -341,6 +343,68 @@ object PipelineQueries {
         UNION ALL
         SELECT 'replay' AS phase, 'dlq_remaining' AS status,
                CAST(0 AS BIGINT) AS n_jobs, CAST(0 AS BIGINT) AS total_bytes
-        ORDER BY phase, status"""))
+        ORDER BY phase, status""")),
+
+    // ---------------------------------------------------------------- p08
+    // Pool-contention stress one order above p06 (VERDICT r13 item 5):
+    // up to 10,000 files (doc_id < 10000 — the full corpus at sf≤0.1,
+    // 10k exactly at sf1) through the same 4-connection FTP pool, PLUS
+    // an oracle-gated temp-cleanup audit p06 lacks: runOne's two-phase
+    // map (download→temp→upload, consumer.py:152-186) must delete its
+    // graft-transfer-*.tmp staging file on EVERY path, and at 10k jobs
+    // a leak would strand 10k files in the tmpdir — the audit row
+    // counts stranded NEW temp files after the drain (snapshot-diff, so
+    // leftovers from unrelated crashed JVMs can't false-fail) and the
+    // oracle pins it at zero. files/s here ÷ p06's rate is the
+    // linearity evidence: a pool that serializes under 10× contention
+    // shows up as a super-linear slot. (Single-JVM audit: on a real
+    // cluster each executor audits its own tmpdir; here local[n] shares
+    // one.)
+    QueryDef(
+      "p08_ftp_bulk_contention",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-p08-ftp")
+        val server = new graft.pipeline.testkit.FakeFtpServer(root)
+        val tmpDir = Paths.get(System.getProperty("java.io.tmpdir"))
+        def tempSnapshot(): Set[String] = {
+          val st = Files.list(tmpDir)
+          try st.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("graft-transfer-") && n.endsWith(".tmp"))
+            .toSet
+          finally st.close()
+        }
+        try {
+          val docs = Tables(s, dir, "documents").filter(col("doc_id") < 10000)
+          stageSourceFiles(docs, s"$root/src", memoize = false)
+          val pc = PipelineConfig(
+            "BULKFTP_TYPE" -> "ftp", "BULKFTP_HOST" -> "127.0.0.1",
+            "BULKFTP_PORT" -> server.port.toString,
+            "BULKFTP_USERNAME" -> "u", "BULKFTP_PASSWORD" -> "p",
+            "FTP_POOL_SIZE" -> "4") // p06 parity: contention rises, pool doesn't
+          val raw = jobMessages(docs, lit("bulkftp"), lit("bulkftp"),
+            concat(lit("/src/doc_"), col("doc_id"), lit(".txt")),
+            concat(lit("/dst/doc_"), col("doc_id"), lit(".txt")))
+          val before = tempSnapshot()
+          val counts = statusCounts(s, raw, pc) // transfers execute inside
+          val leftover = (tempSnapshot() -- before).size.toLong
+          val audit = s.createDataFrame(Seq(
+            ("zz_temp_audit", "leftover_tmp", leftover, 0L)))
+            .toDF("status", "error_type", "n_jobs", "total_bytes")
+          counts.unionByName(audit).orderBy("status", "error_type")
+        } finally {
+          graft.pipeline.transfer.FtpPools.closeAll()
+          server.stop()
+        }
+      },
+      Some("""
+        SELECT 'success' AS status, CAST(NULL AS VARCHAR) AS error_type,
+               COUNT(*) AS n_jobs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+        FROM documents
+        WHERE doc_id < 10000
+        UNION ALL
+        SELECT 'zz_temp_audit' AS status, 'leftover_tmp' AS error_type,
+               CAST(0 AS BIGINT) AS n_jobs, CAST(0 AS BIGINT) AS total_bytes
+        ORDER BY status, error_type"""))
   )
 }

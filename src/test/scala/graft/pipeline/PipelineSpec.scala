@@ -167,6 +167,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(staging() == before, "no staging temp files may survive, success or failure")
   }
 
+  test("p08 order-up FTP bulk: full corpus succeeds, temp audit pinned at 0") {
+    // law spec at birth for the p06 order-up stress (VERDICT r13 item 5):
+    // every staged doc transfers through the 4-connection pool and the
+    // two-phase map strands zero graft-transfer-*.tmp files — the same
+    // audit the DuckDB oracle pins, asserted here at fixture scale
+    val rows = graft.SparkEntry
+      .queries("p08_ftp_bulk_contention")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val audit = rows.filter(_.getString(0) == "zz_temp_audit")
+    assert(audit.length == 1, s"audit row missing: ${rows.mkString("; ")}")
+    assert(audit.head.getLong(2) == 0L,
+      s"${audit.head.getLong(2)} stranded temp files")
+    val succ = rows.filter(_.getString(0) == "success")
+    assert(succ.length == 1 && succ.head.getLong(2) == 500L,
+      s"expected all 500 sf0.001 docs to succeed: ${succ.mkString("; ")}")
+    assert(rows.length == 2, s"unexpected statuses: ${rows.mkString("; ")}")
+  }
+
   test("a connection death mid-upload routes to DLQ and replay converges byte-exact") {
     // the transfer pipeline STORs straight to the destination path
     // (reference parity — ftp.py:178 does the same), so its retry story
