@@ -685,6 +685,15 @@ object Relational {
           .createOrReplaceTempView("graft_rec_edges")
         cached.filter(col("rn") === 1).select("o_orderkey")
           .createOrReplaceTempView("graft_rec_roots")
+        // Spark's cteRecursionRowLimit guard (default 1e6) is a
+        // per-job knob, not a plan property: the chain's cumulative
+        // output is EXACTLY |orders| (each order appears at one
+        // depth), so size it to the input with headroom — at sf1 the
+        // default guard fired at 1.5 M orders (the r14 sf1 gate's
+        // first catch); a production backfill sets it the same way.
+        val nOrders = cached.count() // bounded: row count of the persisted invariant (driver scalar)
+        s.conf.set("spark.sql.cteRecursionRowLimit",
+          math.max(1000000L, 2L * nOrders).toString)
         s.sql("""
           WITH RECURSIVE
           chain(ok, depth) AS (

@@ -92,6 +92,22 @@ object DataGen {
     "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
     "merge", "order", "part", "query", "row", "scan", "slow", "small",
     "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Lexicon scaled with corpus size (Heaps' law — real corpora grow
+    * their vocabulary as they grow). The driver ladder stops at sf0.1
+    * / 5,000 docs, where the 31-word vocab gives ~29.8k possible
+    * 3-word shingles against ~260k doc-shingles; at 50,000 docs the
+    * FIXED vocab would saturate the shingle space (~2.8M doc-shingles
+    * over the same 29.8k possibilities), and every shingle-bucketed
+    * candidate generator — and its DuckDB oracle — goes quadratic on
+    * bucket collisions alone, a fixture artifact no real corpus
+    * exhibits. Above 10k docs the vocab extends to 310 words (digit-
+    * suffixed variants), holding shingle-collision density at or
+    * below the sf0.1 fixture's; at or below 10k docs it is the exact
+    * 31-word driver vocab, byte-compatible with the ladder. */
+  private def vocabFor(nDocs: Long): Seq[String] =
+    if (nDocs <= 10000) vocab
+    else vocab ++ (1 to 9).flatMap(k => vocab.map(_ + k))
   private val langs = Seq("en", "zh", "es", "fr", "de")
 
   def region(s: SparkSession): DataFrame =
@@ -192,11 +208,12 @@ object DataGen {
     * the dedup corpus needs non-empty exact clusters at every scale. */
   def documents(s: SparkSession, n: Long): DataFrame = {
     require(n < 100000, "doc_id must stay < 100000 (q371 recrawl ids)")
+    val voc = vocabFor(n)
     def textOf(id: Column): Column = array_join(
       transform(sequence(lit(0),
         (uMod(801, id, 91) + 9).cast("int")), // 10..100 words
-        j => element_at(typedLit(vocab),
-          (pmod(xxhash64(lit(SEED), lit(802L), id, j), lit(31)) + 1)
+        j => element_at(typedLit(voc),
+          (pmod(xxhash64(lit(SEED), lit(802L), id, j), lit(voc.size)) + 1)
             .cast("int"))), " ")
     val src = s.range(n).select(col("id").as("doc_id"),
       when(pmod(col("id"), lit(625)) === 624 && col("id") > 0,

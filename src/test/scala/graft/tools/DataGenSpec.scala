@@ -83,6 +83,25 @@ class DataGenSpec extends AnyFunSuite {
     } finally docs.unpersist()
   }
 
+  test("vocab scales past 10k docs (Heaps) but stays 31-word below") {
+    def vocabSize(n: Long): Long =
+      DataGen.documents(spark, n)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct("w")).head.getLong(0)
+    // at ladder scales: the exact 31-word driver vocab
+    assert(vocabSize(5000) == 31L)
+    // above 10k docs: the 310-word extension (shingle space grows
+    // ~1000x, so shingle-bucketed candidate generators stay linear —
+    // the fixed-vocab corpus saturated at sf1 and sent every LSH
+    // oracle quadratic, the r14 gate's second catch)
+    val big = vocabSize(20000)
+    assert(big > 250L && big <= 310L, s"scaled vocab: $big")
+    // the deterministic dup rule survives the vocab switch
+    val dups = DataGen.documents(spark, 20000).groupBy("text").count()
+      .filter(col("count") > 1).count()
+    assert(dups >= 16, s"dup clusters after vocab scale: $dups")
+  }
+
   test("events ts is non-decreasing in event_id; lineitem keys non-unique") {
     import org.apache.spark.sql.expressions.Window
     val ev = DataGen.events(spark, 10000)
