@@ -209,12 +209,29 @@ object DataGen {
   def documents(s: SparkSession, n: Long): DataFrame = {
     require(n < 100000, "doc_id must stay < 100000 (q371 recrawl ids)")
     val voc = vocabFor(n)
-    def textOf(id: Column): Column = array_join(
-      transform(sequence(lit(0),
-        (uMod(801, id, 91) + 9).cast("int")), // 10..100 words
-        j => element_at(typedLit(voc),
-          (pmod(xxhash64(lit(SEED), lit(802L), id, j), lit(voc.size)) + 1)
-            .cast("int"))), " ")
+    // Each doc draws its words from a doc-specific random SUBSET of
+    // the lexicon (8..48 slots; slot s of doc d maps to vocab index
+    // hash(d, s)): real corpora mix lexically-rich prose with
+    // repetitious template/boilerplate docs, and the classifier
+    // family's seed label (2·|distinct| ≥ |words|) NEEDS that mixture
+    // — drawing every doc uniformly from a 310-word lexicon made all
+    // 50k docs "diverse", emptied the bad class, and sent the
+    // class-conditional means of q287/q308/s49 into divide-by-zero
+    // (the r14 sf1 gate's third catch). Random non-contiguous subsets
+    // keep cross-doc shingle collisions near zero (two docs share a
+    // triple only if their subsets overlap in 3 hash-aligned words),
+    // so the near-dup family stays linear.
+    def textOf(id: Column): Column = {
+      val k = uMod(805, id, 41) + 8 // per-doc subset size 8..48
+      def slotWord(j: Column): Column = element_at(typedLit(voc),
+        (pmod(xxhash64(lit(SEED), lit(806L), id,
+          pmod(xxhash64(lit(SEED), lit(802L), id, j), k)),
+          lit(voc.size)) + 1).cast("int"))
+      array_join(
+        transform(sequence(lit(0),
+          (uMod(801, id, 91) + 9).cast("int")), // 10..100 words
+          j => slotWord(j)), " ")
+    }
     val src = s.range(n).select(col("id").as("doc_id"),
       when(pmod(col("id"), lit(625)) === 624 && col("id") > 0,
         textOf(col("id") - 1)).otherwise(textOf(col("id"))).as("text"),

@@ -102,6 +102,20 @@ class DataGenSpec extends AnyFunSuite {
     assert(dups >= 16, s"dup clusters after vocab scale: $dups")
   }
 
+  test("lexical-diversity seed label stays a mixture at every scale") {
+    // the classifier family's seed rule (2·|distinct| ≥ |words|) must
+    // split the corpus into two NON-EMPTY classes — an all-diverse
+    // corpus empties the bad class and poles every class-conditional
+    // mean (q287/q308/s49 divide-by-zero at sf1, r14 gate catch #3)
+    for (n <- Seq(500L, 5000L, 20000L)) {
+      val frac = DataGen.documents(spark, n)
+        .select((size(array_distinct(split(col("text"), " "))) * 2 >=
+          size(split(col("text"), " "))).cast("long").as("good"))
+        .agg(avg("good")).head.getDouble(0)
+      assert(frac > 0.1 && frac < 0.9, s"degenerate label mix at n=$n: $frac")
+    }
+  }
+
   test("events ts is non-decreasing in event_id; lineitem keys non-unique") {
     import org.apache.spark.sql.expressions.Window
     val ev = DataGen.events(spark, 10000)
