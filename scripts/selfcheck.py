@@ -96,7 +96,10 @@ def main():
         # sorted-order fallback catches value-equal-but-reordered results,
         # reported as PASS* since the driver's hash sorts rows too.
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(grows, wrows)) if a != b]
-        if bad and sorted(grows) == sorted(wrows):
+        # None-safe sort key: a NULL cell in an otherwise-reordered
+        # result must not crash the comparator (None < str TypeError)
+        nskey = lambda r: tuple((v is None, str(v)) for v in r)
+        if bad and sorted(grows, key=nskey) == sorted(wrows, key=nskey):
             print(f"PASS* {name} ({len(grows)} rows; order differs, values match)")
             n_pass += 1
             continue

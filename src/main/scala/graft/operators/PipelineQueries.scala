@@ -28,11 +28,21 @@ import graft.pipeline.{Pipeline, PipelineConfig}
   */
 object PipelineQueries {
 
-  /** Isolated staging area per (query, sf) so re-runs and concurrent
-    * queries never interfere. Files are (over)written idempotently. */
+  /** Isolated staging area per (query, fixture) so re-runs and
+    * concurrent queries never interfere. Files are (over)written
+    * idempotently. The key includes a FINGERPRINT of the fixture's
+    * documents.parquet (size + mtime): the at-most-once staging memo
+    * assumed fixtures are immutable, and a corpus regenerated in
+    * place (the r14 sf1 generator iterating) silently served the
+    * previous corpus's file bytes while the oracle read the new
+    * n_chars — the staging must invalidate with the data it stages. */
   private def baseDir(name: String, dir: String): String = {
     val sf = Paths.get(dir).getFileName.toString
-    s"${System.getProperty("java.io.tmpdir")}/graft_pipeline/$name/$sf"
+    val docs = Paths.get(dir, "documents.parquet")
+    val fp =
+      try s"${Files.size(docs)}_${Files.getLastModifiedTime(docs).toMillis}"
+      catch { case _: Throwable => "nofp" }
+    s"${System.getProperty("java.io.tmpdir")}/graft_pipeline/$name/${sf}_$fp"
   }
 
   /** Registry for the local→local workloads. */
