@@ -44,6 +44,31 @@ object Tables {
       .withColumn("ts_us", tsUsCol(raw))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
+
+  /** Spread a scan-rooted frame across the session's cores before
+    * CPU-heavy narrow work (r14 optimization, guide §2.5 "one huge
+    * unsplittable file").
+    *
+    * The fixture tables are single-file, single-ROW-GROUP parquet. A
+    * parquet scan can only parallelize across row groups — byte-range
+    * splits assign each row group to the split holding its midpoint —
+    * so every scan of these tables is ONE task regardless of
+    * `maxPartitionBytes`, and any expensive narrow chain above it
+    * (explode / featurize / regex / hash) serializes on one core while
+    * 31 idle. Measured on the shared classifier-gram build at sf0.1:
+    * the explode stage alone was 13.2 s single-task; spread, 0.6 s.
+    *
+    * One hash exchange of the slim input buys a fully parallel compute
+    * stage. The partition-count guard keeps this a no-op wherever the
+    * scan already parallelizes — at production scale inputs arrive as
+    * many files/row groups, so the guard (not a tuned constant) is what
+    * makes the call scale-correct; hash-by-key (not round-robin) keeps
+    * the exchange deterministic under retries (SPARK-38388). */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores, key)
+  }
 }
 
 /** One SparkSession configuration for every entrypoint (Verify, Bench,

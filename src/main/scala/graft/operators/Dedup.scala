@@ -108,7 +108,11 @@ object Dedup {
     * not this, from queries. */
   private[operators] def shingleSets(
       s: SparkSession, dir: String, near: Boolean): DataFrame =
-    (if (near) nearCorpus(s, dir) else docs(s, dir).select("doc_id", "text"))
+    // spread: single-row-group fixture scan = one task; the split +
+    // shingle construction is the CPU of this build (guide §2.5, r14)
+    graft.Tables.spread(
+        if (near) nearCorpus(s, dir) else docs(s, dir).select("doc_id", "text"),
+        col("doc_id"))
       .withColumn("w", split(col("text"), " "))
       .withColumn("s", expr(shinglesExpr))
       .filter(size(col("s")) > 0)
@@ -250,8 +254,12 @@ object Dedup {
     // PairGraph memo — an ingest tick probes the standing persisted
     // index, it never re-shingles/re-bands the corpus.
     val csh = PairGraph.shingles(s, dir)
+    // spread (r14, guide §2.5): the delta is a union of two single-row-
+    // group scans (≤2 tasks) feeding the shingle build and the 64-column
+    // minhash signature aggregation — serialized, those were the bulk of
+    // the tick's wall
     val bsh = TrackedCaches.track(
-      shingled(delta).persist(MEMORY_AND_DISK))
+      shingled(graft.Tables.spread(delta, col("doc_id"))).persist(MEMORY_AND_DISK))
     def verify(cand: DataFrame): DataFrame = {
       val sets = csh.unionByName(bsh)
       cand
@@ -496,7 +504,10 @@ object Dedup {
         val voteCols = (0 until 60).map(b =>
           sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
             .as(s"v$b"))
-        val fp = nearCorpus(s, dir)
+        // spread: the single-row-group fixture scan serializes the
+        // token explode + per-token md5 chain below on one core
+        // (guide §2.5, r14); one slim exchange buys a parallel stage
+        val fp = graft.Tables.spread(nearCorpus(s, dir), col("doc_id"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
           .withColumn("hv",
             expr("cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"))

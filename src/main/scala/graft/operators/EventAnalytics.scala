@@ -147,13 +147,11 @@ object EventAnalytics {
     QueryDef(
       "q115_part_pair_support",
       (s, dir) => {
-        val items = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val a = items.as("a"); val b = items.as("b")
-        a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("p_a"), col("b.pk").as("p_b"))
-          .agg(count(lit(1)).as("support"))
+        // session-shared CoPurchase pair mining (r14): the UNthresholded
+        // support frame IS this query's aggregate, renamed
+        CoPurchase.pairSup(s, dir)
+          .select(col("u").as("p_a"), col("v").as("p_b"),
+            col("sup").as("support"))
           .orderBy(col("support").desc, col("p_a"), col("p_b"))
           .limit(20)
       },
@@ -1148,15 +1146,10 @@ object EventAnalytics {
     QueryDef(
       "q204_apriori_triples",
       (s, dir) => {
-        val items = TrackedCaches.track(Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val pairs = items.as("a")
-          .join(items.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-          .agg(count(lit(1)).as("sup"))
+        // session-shared CoPurchase artifacts (r14, see q129): the item
+        // table feeds the three verify joins, the pair frame the prune
+        val items = CoPurchase.items(s, dir) // (ok, pk)
+        val pairs = CoPurchase.pairSup(s, dir)
           .filter(col("sup") >= 2).select("u", "v")
         val cand = pairs.as("p1")
           .join(pairs.as("p2"),
@@ -1496,17 +1489,12 @@ object EventAnalytics {
     QueryDef(
       "q225_also_bought",
       (s, dir) => {
-        val items = TrackedCaches.track(Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // session-shared CoPurchase artifacts (r14, see q129)
+        val items = CoPurchase.items(s, dir) // (ok, pk)
         val sup = items.groupBy("pk").agg(count(lit(1)).as("sup"))
         val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_ord"))
-        val pairs = items.as("a")
-          .join(items.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-          .agg(count(lit(1)).as("pn"))
+        val pairs = CoPurchase.pairSup(s, dir)
+          .select(col("u"), col("v"), col("sup").as("pn"))
           .filter(col("pn") >= 2)
         val sym = pairs.select(col("u").as("item"), col("v").as("partner"), col("pn"))
           .unionAll(pairs.select(col("v").as("item"), col("u").as("partner"), col("pn")))

@@ -43,7 +43,11 @@ object GramFrames {
       builds += 1
       SharedBuilds.timed("word8-grams") {
         graft.plans.GraftFunctions.register(s)
-        graft.Tables(s, dir, "documents")
+        // spread: single-row-group fixture scan = one task for the
+        // explode + sha2 below (guide §2.5, r14)
+        graft.Tables.spread(
+            graft.Tables(s, dir, "documents")
+              .select("doc_id", "source", "text"), col("doc_id"))
           .select(col("doc_id"), col("source"),
             explode(array_distinct(
               call_function("graft_word_ngrams", col("text"), lit(8)))).as("g"))
@@ -74,7 +78,10 @@ object GramFrames {
       posBuilds += 1
       SharedBuilds.timed("word8-grams-pos") {
         graft.plans.GraftFunctions.register(s)
-        graft.Tables(s, dir, "documents")
+        // spread: same single-task-scan rationale as [[word8]] (r14)
+        graft.Tables.spread(
+            graft.Tables(s, dir, "documents")
+              .select("doc_id", "source", "text"), col("doc_id"))
           .select(col("doc_id"), col("source"),
             posexplode(call_function("graft_word_ngrams", col("text"), lit(8)))
               .as(Seq("pos", "g")))

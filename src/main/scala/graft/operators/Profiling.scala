@@ -1507,7 +1507,12 @@ object Profiling {
             .agg(count(lit(1)).as("cnt"))
             .withColumn("y", when(col("good"), 1L).otherwise(-1L))
             .persist(MEMORY_AND_DISK))
+        // one-row aggregate, referenced by all three epoch reports: the
+        // checkpoint stops the final drain re-running the countDistinct
+        // scan of `c` once per epoch (r14; same lineage discipline as
+        // the weight checkpoints below)
         val totals = c.agg(countDistinct("doc_id").as("n_docs"))
+          .localCheckpoint(true)
         var w: Option[DataFrame] = None
         val reports = (1 to 3).map { epoch =>
           val joined = w match {
@@ -1515,10 +1520,16 @@ object Profiling {
             case Some(wt) => c.join(broadcast(wt), Seq("b"), "left")
               .withColumn("wv", coalesce(col("w"), lit(0L)))
           }
+          // doc_id-only (≤ n_docs rows). Checkpointed because it feeds
+          // BOTH the delta semi-join (inside this epoch's weight
+          // checkpoint) and the report's n_miss count — un-materialized,
+          // the epoch's whole score-join subtree re-ran for each (r14:
+          // the recompute was ~40% of the slot)
           val missIds = joined.groupBy("doc_id", "y")
             .agg(sum(col("wv") * col("cnt")).as("sc"))
             .filter(col("y") * col("sc") <= 0)
             .select("doc_id")
+            .localCheckpoint(true)
           val delta = c.join(missIds, Seq("doc_id"), "left_semi")
             .groupBy("b").agg(sum(col("y") * col("cnt")).as("d"))
           val wNext = w match {
@@ -2376,13 +2387,19 @@ object Profiling {
           }
         }
         var w: Option[DataFrame] = None
+        // each epoch's DOC-SIZED score frame is checkpointed once and
+        // feeds BOTH that epoch's miss set and the margins report (r14):
+        // un-materialized, score(w_e) ran twice — once under the next
+        // epoch's weight checkpoint and again in the final margins join
+        // (3 redundant scans of the cached gram-count frame per run)
+        var sNow = score(w).localCheckpoint(true)
         val margins = (1 to 3).map { _ =>
-          val sNow = score(w)
           val miss = sNow.filter(col("y") * col("sc") <= 0).select("doc_id")
           // eager localCheckpoint per epoch — the q262 lineage-cut
           // discipline (each epoch reads the prior weights twice)
           w = Some(nextW(w, miss).localCheckpoint(true))
-          score(w).select(col("doc_id"), col("source"),
+          sNow = score(w).localCheckpoint(true)
+          sNow.select(col("doc_id"), col("source"),
             (col("y") * col("sc")).as("m"))
         }
         val m = margins(0).select(col("doc_id"), col("source"),
@@ -3441,8 +3458,13 @@ object Profiling {
     * — md5-hashed char-3gram buckets with the per-doc seed label. */
   private[graft] def classifierGrams(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"))
+    // spread before the explode: the single-row-group fixture scan is one
+    // task, and this explode was the whole build's cost when serialized
+    // (13.2 s single-task vs 0.6 s spread at sf0.1 — r14, guide §2.5)
+    val toks = graft.Tables.spread(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), col("source"), classifierGoodExpr,
         explode(call_function("graft_char_ngrams", col("text"), lit(3)))
           .as("gr"))

@@ -678,6 +678,13 @@ object Relational {
           col("rn"))
         val b = cached.select(col("o_custkey").as("ck2"), col("o_orderkey").as("ok"),
           col("rn").as("rn2"))
+        // NOTE (r14): measured alternatives to the per-iteration
+        // BroadcastHashJoin of this cached edge table — pre-partitioning
+        // by prev_ok + SHUFFLE_HASH(e) (8.5 s) and SHUFFLE_HASH(c)
+        // (7.0 s) — are both ~2× SLOWER than re-broadcasting the cached
+        // edges each iteration (4.5-5 s): per-iteration exchanges plus
+        // 32-task scheduling beat the ~0.1 s broadcast rebuild at this
+        // frontier size. Kept the broadcast form.
         TrackedCaches.track(
           a.join(b, col("o_custkey") === col("ck2") && col("rn2") === col("rn") + 1)
             .select("prev_ok", "ok")

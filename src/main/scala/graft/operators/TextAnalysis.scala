@@ -3056,7 +3056,11 @@ object TextAnalysis {
   /** q254/s38 shared: the exploded per-word frame
     * (doc_id, source, nchar, s0) with s0 the pipe-sentinel char string. */
   private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    // spread: single-row-group fixture scan = one task; the per-word
+    // explode + per-char regex is this build's CPU (guide §2.5, r14)
+    graft.Tables.spread(
+        Tables(s, dir, "documents").select("doc_id", "source", "text"),
+        col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -3212,7 +3216,10 @@ object TextAnalysis {
   private def buildRetrievalScores(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    // spread: single-row-group fixture scan = one task for the word
+    // explode below (guide §2.5, r14)
+    val d = graft.Tables.spread(
+      Tables(s, dir, "documents").select("doc_id", "text"), col("doc_id"))
     val qs = TrackedCaches.track(d.filter(col("doc_id") % 97 === 3)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(expr("slice(split(text, ' '), 6, 3)")))

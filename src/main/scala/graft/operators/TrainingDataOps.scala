@@ -683,7 +683,10 @@ object TrainingDataOps {
         // verdict actually cared about is now self-diagnosing instead:
         // Bench's per-query cache_events counters (readd = recompute
         // paid, spill, evict) name a churning slot in the artifact.
-        val corpus = TrackedCaches.track(docs.unionByName(b)
+        // spread (r14, guide §2.5): the union of two single-row-group
+        // scans is ≤2 tasks, serializing the polyhash + shingle build
+        val corpus = TrackedCaches.track(
+          graft.Tables.spread(docs.unionByName(b), col("doc_id"))
           .withColumn("split", splitOf(col("text")))
           .withColumn("w", split(col("text"), " "))
           .withColumn("s", expr(Dedup.shinglesExpr))
@@ -6025,13 +6028,20 @@ object TrainingDataOps {
   private[graft] def arrivalGramFlags(s: org.apache.spark.sql.SparkSession,
       arrivals: DataFrame, corpus: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    val index = corpus
-      .select(explode(expr("array_distinct(graft_word_ngrams(text, 5))"))
-        .as("gram"))
-      .select(expr(
-        "CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
-      .distinct()
-      .withColumn("known", lit(1))
+    // spread + persist (r14): the standing index is built from a
+    // single-row-group scan (one-task explode+md5, guide §2.5) and its
+    // subplan RE-EXECUTES on every micro-batch of s70's stream-static
+    // join — persisted, batches 2..n probe the cached index instead of
+    // re-featurizing the corpus
+    val index = TrackedCaches.track(
+      graft.Tables.spread(corpus, col("doc_id"))
+        .select(explode(expr("array_distinct(graft_word_ngrams(text, 5))"))
+          .as("gram"))
+        .select(expr(
+          "CAST(conv(substr(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+        .withColumn("known", lit(1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // `cls` is the literal carried from novelArrivals' union branches —
     // never re-derived from the id, so no fixture id-range assumption.
     arrivals

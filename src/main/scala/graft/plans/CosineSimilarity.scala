@@ -148,6 +148,12 @@ object GraftFunctions {
         s"default weight), got ${other.length}")
   }
 
+  val minHashSigBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => MinHashSig(s)
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash_sig expects 1 argument, got ${other.length}")
+  }
+
   val bloomContainsBuilder: Seq[Expression] => Expression = {
     case Seq(bloom, value) =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
@@ -174,6 +180,8 @@ object GraftFunctions {
       "graft_bloom_contains", bloomContainsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_classifier_score", classifierScoreBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", minHashSigBuilder, "built-in")
   }
 }
 
@@ -221,5 +229,9 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
       new ExpressionInfo(classOf[ClassifierScore].getName,
         "graft_classifier_score"),
       GraftFunctions.classifierScoreBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      GraftFunctions.minHashSigBuilder))
   }
 }

@@ -1943,15 +1943,29 @@ object StreamingQueries {
         val evs = eventsStreamTimeParts(s, dir)
           .withWatermark("ts_t", "0 seconds")
           .select(expr(keyExpr).cast("long").as("k"), col("ts_t"))
-        val counts = drain(s, OutputMode.Append())(
-          evs.join(broadcast(cand), "k")
-            .groupBy(window(col("ts_t"), "6 hours"), col("k"))
+        // ONE streaming aggregate for counts AND totals (r14): non-
+        // candidate keys fold into a single tail bucket per window
+        // (k2 = -1000000, distinct from every real key and from the
+        // sentinel's k = -1), so every event lands in exactly one
+        // (window, k2) group and the per-window total is the SUM over
+        // its groups — the former second drain re-ran the whole
+        // 12-micro-batch pipeline just to count rows per window. State
+        // bound is unchanged (≤ |candidates|+1 rows per open window);
+        // the drained output is identical algebra, so the oracle is
+        // untouched.
+        val tallied = drain(s, OutputMode.Append())(
+          evs.join(broadcast(cand.withColumn("is_cand", lit(true))),
+              Seq("k"), "left")
+            .withColumn("k2",
+              when(col("is_cand"), col("k")).otherwise(lit(-1000000L)))
+            .groupBy(window(col("ts_t"), "6 hours"), col("k2"))
             .agg(count(lit(1)).as("cnt")))
-          .select(unix_micros(col("window.start")).as("w_us"), col("k"), col("cnt"))
-        val totals = drain(s, OutputMode.Append())(
-          evs.groupBy(window(col("ts_t"), "6 hours"))
-            .agg(count(lit(1)).as("n_total")))
-          .select(unix_micros(col("window.start")).as("w_us"), col("n_total"))
+          .select(unix_micros(col("window.start")).as("w_us"),
+            col("k2"), col("cnt"))
+        val counts = tallied.filter(col("k2") =!= -1000000L)
+          .select(col("w_us"), col("k2").as("k"), col("cnt"))
+        val totals = tallied.groupBy("w_us")
+          .agg(sum("cnt").as("n_total"))
         counts.join(broadcast(totals), "w_us")
           .filter(col("cnt") * 20 > col("n_total"))
           .select(col("w_us"), col("k"), col("cnt"),
@@ -2704,13 +2718,20 @@ object StreamingQueries {
           .withColumn("w", split(col("text"), " "))
           .withColumn("s", expr(Dedup.shinglesExpr))
           .filter(size(col("s")) > 0)
-        val withM = (0 until 64).foldLeft(st)((df, k) =>
-          df.withColumn(s"m$k",
-            expr(s"array_min(transform(s, x -> xxhash64(xxhash64(x), $k)))")))
+        // per-row signature via the native codegen kernel (r14): the
+        // former 64 interpreted `array_min(transform(..xxhash64..))`
+        // columns re-hashed every shingle STRING once per lane; the
+        // kernel hashes each shingle once and runs two integer mixes
+        // per lane — bit-identical lanes (MinHashSigSpec pins the
+        // parity), so the band buckets still match the corpus index
+        graft.plans.GraftFunctions.register(s)
+        val withSig = st.withColumn("sig",
+          call_function("graft_minhash_sig", col("s")))
         val bandCols = (0 until 32).map(b =>
           struct(lit(b).as("band"),
-            xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh")))
-        val probes = withM
+            xxhash64(element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).as("bh")))
+        val probes = withSig
           .select(col("doc_id").as("batch_id"), col("s").as("sb"),
             explode(array(bandCols: _*)).as("bb"))
           .select(col("batch_id"), col("sb"),

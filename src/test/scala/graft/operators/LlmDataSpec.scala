@@ -295,6 +295,20 @@ class LlmDataSpec extends AnyFunSuite {
       "four gram-frame consumers must trigger exactly one from-scratch build")
   }
 
+  test("co-purchase pair frame builds ONCE, shared by q115/q129/q189/q192/q204/q225/q234") {
+    // r14 optimization round: seven queries re-ran the 600 k-row
+    // distinct + items self-join inline; the registry must make it one
+    // shared artifact — proven by counter, not by comment.
+    CoPurchase.reset()
+    val before = CoPurchase.buildCount
+    Seq("q115_part_pair_support", "q129_triangle_count",
+      "q189_clustering_coefficient", "q192_kcore_peeling",
+      "q204_apriori_triples", "q225_also_bought", "q234_copurchase_bfs")
+      .foreach(n => assert(run(n).count() > 0, s"$n returned no rows"))
+    assert(CoPurchase.buildCount == before + 1,
+      "seven co-purchase consumers must trigger exactly one from-scratch build")
+  }
+
   test("word-8-gram digest frame builds ONCE, shared by q103/q279/s45") {
     // round 9: the passage-grain gram index joins the registry family —
     // three consumers (repeated-passage audit, novelty audit, streaming
