@@ -514,14 +514,20 @@ object Profiling {
           val tie = g.orderBy(col(vCol)).rangeBetween(0, 0)
           min(col(rnCol)).over(tie) + max(col(rnCol)).over(tie)
         }
+        // window order matters for SORT COUNT (r14): the tie-frame
+        // window over (xc) is satisfied by the (xc, k1, k2) sort that
+        // rnx already established — orderingSatisfies is prefix-based —
+        // so computing r2x immediately after rnx elides its sort. The
+        // former rnx→rny→r2x→r2y order forced FOUR full sorts of the
+        // lineitem exchange; this order pays two.
         val ranked = Tables(s, dir, "lineitem")
           .select(col("l_returnflag").as("grp"),
             col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
             expr("cast(cast(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)").as("xc"),
             expr("cast(cast(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("yc"))
           .withColumn("rnx", row_number().over(g.orderBy("xc", "k1", "k2")).cast("long"))
-          .withColumn("rny", row_number().over(g.orderBy("yc", "k1", "k2")).cast("long"))
           .withColumn("r2x", rank2("xc", "rnx"))
+          .withColumn("rny", row_number().over(g.orderBy("yc", "k1", "k2")).cast("long"))
           .withColumn("r2y", rank2("yc", "rny"))
         ranked.groupBy("grp")
           .agg(count(lit(1)).as("n"),

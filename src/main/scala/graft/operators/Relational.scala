@@ -1533,7 +1533,9 @@ object Relational {
     QueryDef(
       "q218_try_arithmetic",
       (s, dir) => {
-        Tables.events(s, dir)
+        // spread (r14, guide §2.5): the single-row-group scan serializes
+        // the per-row try_to_number/try_divide evaluation on one core
+        graft.Tables.spread(Tables.events(s, dir), col("event_id"))
           .select(col("event_type"), col("event_id"),
             expr("cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("vc"))
           .select(col("event_type"),

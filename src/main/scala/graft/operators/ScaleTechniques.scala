@@ -1223,7 +1223,13 @@ object ScaleTechniques {
     QueryDef(
       "q285_countmin_sketch",
       (s, dir) => {
-        val tok = TrackedCaches.track(Tables(s, dir, "documents")
+        // spread (r14, guide §2.5): the one-task scan otherwise
+        // serializes the token explode AND the 4-row crossJoin + md5
+        // sketch pass built on this cached frame
+        val tok = TrackedCaches.track(
+          graft.Tables.spread(
+              Tables(s, dir, "documents").select("doc_id", "text"),
+              col("doc_id"))
           .select(explode(split(col("text"), " ")).as("word"))
           .filter(col("word") =!= "")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -42,7 +42,10 @@ object SimilarityJoin {
         val b = docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 200000).as("doc_id"),
             regexp_replace(col("text"), " \\S+$", "").as("text"))
-        val corpus = TrackedCaches.track(a.unionByName(b)
+        // spread (r14, guide §2.5): union of two single-row-group scans
+        // = ≤2 tasks serializing the shingle construction
+        val corpus = TrackedCaches.track(
+          graft.Tables.spread(a.unionByName(b), col("doc_id"))
           .withColumn("w", split(col("text"), " "))
           .withColumn("s", expr(Dedup.shinglesExpr))
           .filter(size(col("s")) > 0)

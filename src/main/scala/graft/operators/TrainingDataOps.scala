@@ -1588,7 +1588,12 @@ object TrainingDataOps {
       (s, dir) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         graft.plans.GraftFunctions.register(s)
-        val terms = TrackedCaches.track(Tables(s, dir, "documents")
+        // spread (r14, guide §2.5): single-row-group scan = one-task
+        // explode; the term table is the loop's only corpus-sized input
+        val terms = TrackedCaches.track(
+          graft.Tables.spread(
+              Tables(s, dir, "documents").select("doc_id", "text"),
+              col("doc_id"))
           .select(col("doc_id"),
             explode(call_function("graft_word_ngrams", col("text"), lit(3))).as("w"))
           .distinct()
