@@ -514,9 +514,14 @@ object GraphOps {
         val ncV = edgesByC.agg(countDistinct("c")).head().getLong(0) // bounded: single-row aggregate (side count)
         val npV = edgesByC.agg(countDistinct("p")).head().getLong(0) // bounded: single-row aggregate (side count)
         def norm(df: DataFrame, key: String, sc: String, cnt: Long): DataFrame = {
-          val tot = df.agg(sum(sc).as("tot"))
+          // single-pass normalization (r14): the L1 total rides a global
+          // window over the NODE-SIZED score frame instead of a second
+          // aggregate pass crossJoined back — norm no longer references
+          // its input twice, so each half-step's checkpoint computes the
+          // edge join exactly once in exactly one action
+          val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1)) // node-sized frame
           df.withColumnRenamed(sc, "raw")
-            .crossJoin(broadcast(tot))
+            .withColumn("tot", sum("raw").over(wAll))
             .select(col(key),
               expr(s"""greatest(cast(CAST(raw AS DECIMAL(38,0)) * ${cnt}L
                          * 1000000 div tot AS BIGINT), 1L)""").as(sc))
@@ -542,10 +547,10 @@ object GraphOps {
         // leaves for pennies.
         (1 to 3).foreach { _ =>
           val aRaw = edgesByC.join(h, "c").groupBy("p")
-            .agg(sum("h").as("a")).localCheckpoint(true)
+            .agg(sum("h").as("a"))
           a = norm(aRaw, "p", "a", npV).localCheckpoint(true)
           val hRaw = edgesByP.join(a, "p").groupBy("c")
-            .agg(sum("a").as("h")).localCheckpoint(true)
+            .agg(sum("a").as("h"))
           h = norm(hRaw, "c", "h", ncV).localCheckpoint(true)
         }
         val topA = a.orderBy(col("a").desc, col("p")).limit(10)

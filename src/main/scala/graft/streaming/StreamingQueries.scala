@@ -813,6 +813,12 @@ object StreamingQueries {
     val firstDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val writeBatch: (Dataset[Row], Long) => Unit =
       (batch, _) => {
+        // NOTE (r14): coalesce(1) here was measured ~25% SLOWER per
+        // drain (s12 4.11→5.15 s, s20 3.85→5.25 s iso): coalesce is a
+        // narrow dependency, so it folds the whole final stage —
+        // INCLUDING the 8 state-store partitions upstream of the sink —
+        // into one task, serializing per-batch state work to save a few
+        // near-empty part files. Kept the per-partition write.
         batch.write.mode(saveMode).parquet(out.toString)
         if (StreamDrainStats.active) {
           StreamDrainStats.addBatch()
@@ -2627,7 +2633,10 @@ object StreamingQueries {
       "s36_stream_decontamination",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        val docs = graft.Tables(s, dir, "documents")
+        // spread (r14, guide §2.5): one-task scan serialized the
+        // benchmark gram explode below
+        val docs = graft.Tables.spread(
+          graft.Tables(s, dir, "documents"), col("doc_id"))
         val bench = docs.filter(col("doc_id") % 13 === 0)
           .select(col("doc_id").as("bench_id"),
             concat_ws(" ", slice(split(col("text"), " "), 6, 20)).as("text"))
@@ -2928,7 +2937,10 @@ object StreamingQueries {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         import graft.operators.TrackedCaches
         val hb5 = "cast(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) % 5"
-        val train = graft.Tables(s, dir, "documents")
+        // spread (r14, guide §2.5): one-task scan serialized the per-doc
+        // md5 split-coin + bigram explode of the training side
+        val train = graft.Tables.spread(
+            graft.Tables(s, dir, "documents"), col("doc_id"))
           .filter(expr(hb5) =!= 0L)
         val tb = TrackedCaches.track(train
           .select(explode(
@@ -2989,7 +3001,11 @@ object StreamingQueries {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         import graft.operators.TrackedCaches
         val standing = TrackedCaches.track(
-          graft.Tables(s, dir, "documents")
+          // spread (r14, guide §2.5): one-task scan serialized the
+          // standing-index explode
+          graft.Tables.spread(
+              graft.Tables(s, dir, "documents").select("doc_id", "text"),
+              col("doc_id"))
             .select(col("doc_id"),
               explode(call_function("graft_word_ngrams", col("text"), lit(3)))
                 .as("term"))
@@ -3108,13 +3124,19 @@ object StreamingQueries {
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
         val docs = graft.Tables(s, dir, "documents")
-        val bg = docs.filter(col("doc_id") % 13 === 0)
+        // spread + persist (r14): the benchmark gram set was rebuilt
+        // from the one-task scan on EVERY micro-batch of the
+        // stream-static probe below
+        val bg = graft.operators.TrackedCaches.track(
+          graft.Tables.spread(docs.filter(col("doc_id") % 13 === 0),
+              col("doc_id"))
           .select(concat_ws(" ",
             slice(split(col("text"), " "), 6, 20)).as("text"))
           .select(explode(
             call_function("graft_word_ngrams", col("text"), lit(5)))
             .as("g"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val st = documentsStreamParts(s, dir)
           .select(col("doc_id"),
             explode(array_distinct(
@@ -3208,7 +3230,10 @@ object StreamingQueries {
     QueryDef(
       "s46_stream_countmin_sketch",
       (s, dir) => {
-        val docsT = graft.Tables(s, dir, "documents")
+        // spread (r14, guide §2.5): one-task scan serialized the exact-
+        // side token explode + count
+        val docsT = graft.Tables.spread(
+          graft.Tables(s, dir, "documents"), col("doc_id"))
         val rws = s.range(0, 4).select(col("id").cast("int").as("r"))
         val bucketSql =
           "cast(conv(substr(md5(concat('r', cast(r AS STRING), ':', " +
@@ -3255,8 +3280,11 @@ object StreamingQueries {
     QueryDef(
       "s47_stream_boilerplate_gate",
       (s, dir) => {
+        // spread (r14, guide §2.5): one-task scan serialized the corpus
+        // segmentation feeding the boilerplate set
         val corpusSegs = graft.operators.TextAnalysis.segments(
-          graft.Tables(s, dir, "documents"))
+          graft.Tables.spread(
+            graft.Tables(s, dir, "documents"), col("doc_id")))
         val bp = graft.operators.TrackedCaches.track(
           graft.operators.TextAnalysis.boilerplateSet(corpusSegs)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -3520,9 +3548,12 @@ object StreamingQueries {
       "s55_stream_speculative_probe",
       (s, dir) => {
         import graft.operators.{TextAnalysis, TrackedCaches}
+        // spread (r14, guide §2.5): one-task scan serialized the draft-
+        // table pair explode
         val draft = TrackedCaches.track(
           TextAnalysis.specDraft(TextAnalysis.specPairs(
-            graft.Tables(s, dir, "documents"))).localCheckpoint(true))
+            graft.Tables.spread(graft.Tables(s, dir, "documents"),
+              col("doc_id")))).localCheckpoint(true))
         TextAnalysis.specAcceptReport(
           drain(s, OutputMode.Append())(
             TextAnalysis.specPairs(documentsStreamParts(s, dir))
@@ -3551,8 +3582,11 @@ object StreamingQueries {
       "s56_stream_template_probe",
       (s, dir) => {
         import graft.operators.{Dedup, TrackedCaches}
-        val docs = graft.Tables(s, dir, "documents")
-          .select("doc_id", "source", "text")
+        // spread (r14, guide §2.5): one-task scan (and its variant
+        // union) serialized the skeleton hashing
+        val docs = graft.Tables.spread(
+          graft.Tables(s, dir, "documents")
+            .select("doc_id", "source", "text"), col("doc_id"))
         val standing = TrackedCaches.track(
           docs.unionByName(Dedup.templateVariant(docs, 300000, 3, 1))
             .select(Dedup.templateSkeletonH(col("text")).as("h"))
